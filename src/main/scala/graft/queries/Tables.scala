@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * Each table is a single parquet file under the scale-factor dir. At 100 TB
+  * these would be multi-file datasets behind the graft catalog (see
+  * [[graft.catalog.GraftCatalog]]); the loader API is the same either way —
+  * `spark.read.parquet(dir)` scales to any number of files and Catalyst
+  * handles partition pruning / pushdown identically.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** `events.ts` is parquet timestamp[ns]; Spark's TimestampType is
+    * microseconds. We read nanos as long (legacy conf set in the session
+    * builder of Verify/Bench and tests) and convert to a micros timestamp
+    * column, which matches DuckDB's value at micro precision.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}

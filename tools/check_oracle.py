@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
+
+Reads each <name>/ parquet dir produced by graft.Verify plus oracle_sql.json,
+runs the oracle SQL in DuckDB against views over the sf parquet tables, and
+compares: sort columns by name, sort rows, compare cell values.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import math
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize types for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+    return df.reset_index(drop=True)
+
+def cells_equal(a, b):
+    if a is None and b is None: return True
+    try:
+        if pd.isna(a) and pd.isna(b): return True
+    except (TypeError, ValueError): pass
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb): return True
+            return fa == fb
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b or str(a) == str(b)
+
+def main():
+    out_dir = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"SKIP  {name}: no parquet output"); n_skip += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(got)} rows (no oracle)"); n_skip += 1
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        bad = None
+        for i in range(len(g)):
+            for c in g.columns:
+                if not cells_equal(g[c].iloc[i], e[c].iloc[i]):
+                    bad = (i, c, g[c].iloc[i], e[c].iloc[i]); break
+            if bad: break
+        if bad:
+            print(f"FAIL  {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(g)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only/skip")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

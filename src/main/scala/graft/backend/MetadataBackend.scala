@@ -1,0 +1,103 @@
+package graft.backend
+
+import graft.core.ObjectIdentifier
+
+/** Create-namespace tri-modal behavior (`Hive2Namespace.java:406-450`). */
+sealed trait CreateMode
+object CreateMode {
+  case object Create extends CreateMode     // fail if exists
+  case object ExistOk extends CreateMode    // no-op if exists
+  case object Overwrite extends CreateMode  // drop + recreate (non-atomic in ref)
+  def parse(s: String): CreateMode = s.toLowerCase match {
+    case "create" => Create
+    case "exist_ok" => ExistOk
+    case "overwrite" => Overwrite
+    case other => throw graft.core.GraftError.InvalidInput(s"unknown create mode '$other'")
+  }
+}
+
+/** Drop-namespace modes (`Hive2Namespace.java:209-226`): mode fail|skip;
+  * behavior restrict-only — every reference backend rejects cascade. */
+sealed trait DropMode
+object DropMode {
+  case object Fail extends DropMode  // throw if missing
+  case object Skip extends DropMode  // no-op if missing
+}
+
+/** Resolved table metadata (the reference's `DescribeTableResponse`:
+  * location + properties + stripped `storage.` options,
+  * `Hive2Namespace.java:272-311`). `schemaJson` is our fidelity extension —
+  * the reference stores only placeholder columns (SURVEY.md §1.2); we keep
+  * the real schema as JSON Arrow so declared tables scan with a schema. */
+final case class TableInfo(
+    id: ObjectIdentifier,
+    location: String,
+    properties: Map[String, String],
+    storageOptions: Map[String, String] = Map.empty,
+    schemaJson: Option[String] = None,
+    isOnlyDeclared: Boolean = false)
+
+/** The 13-operation namespace surface (SURVEY.md §2.1) in backend-neutral
+  * form. One implementation per metadata catalog; the Spark `TableCatalog`
+  * plugin drives whichever one `spark.sql.catalog.<name>.backend` selects.
+  * All calls are driver-side only — executors never see a backend, just
+  * serialized scan locations (SURVEY.md §3 entry point B).
+  */
+trait MetadataBackend {
+  /** Op 1: bind config; build clients lazily. */
+  def initialize(props: Map[String, String]): Unit
+  /** Op 2: human-readable instance id. */
+  def backendId: String
+
+  /** Op 3: sorted child namespaces of parent. */
+  def listNamespaces(parent: ObjectIdentifier): Seq[ObjectIdentifier]
+  /** Op 4. */
+  def createNamespace(id: ObjectIdentifier, properties: Map[String, String],
+      mode: CreateMode): Map[String, String]
+  /** Op 5. */
+  def namespaceExists(id: ObjectIdentifier): Boolean
+  /** Op 6: properties, or NamespaceNotFound. */
+  def describeNamespace(id: ObjectIdentifier): Map[String, String]
+  /** Op 7: restrict-only drop; returns final property snapshot. */
+  def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String]
+
+  /** Op 8: sorted Lance tables in a namespace (table_type filter applied). */
+  def listTables(ns: ObjectIdentifier): Seq[ObjectIdentifier]
+  /** Op 9. */
+  def tableExists(id: ObjectIdentifier): Boolean
+  /** Op 10. */
+  def describeTable(id: ObjectIdentifier): TableInfo
+  /** Ops 11/12: register table metadata (schema optional = declare-only). */
+  def declareTable(id: ObjectIdentifier, location: Option[String],
+      properties: Map[String, String], schemaJson: Option[String]): TableInfo
+  /** Op 13: purge=true → dropTable (data deleted by caller);
+    * purge=false → deregister (keep data). Returns the removed entry. */
+  def dropTable(id: ObjectIdentifier, purge: Boolean): TableInfo
+
+  /** Default location when the caller supplies none
+    * (`GlueNamespace.getDefaultTableLocation:602-617`). */
+  def defaultTableLocation(root: String, id: ObjectIdentifier): String =
+    (root.stripSuffix("/") +: id.levels).mkString("/") + ".lance"
+}
+
+/** Backend registry, the analog of the reference's
+  * `register_namespace_impl` shortname registry
+  * (`python/src/lance_namespace_impls/__init__.py:40-45`). */
+object MetadataBackend {
+  private val shortNames = scala.collection.concurrent.TrieMap[String, () => MetadataBackend](
+    "memory" -> (() => new MemoryBackend))
+
+  /** Register a shortname → factory, like `register_namespace_impl`. */
+  def register(shortName: String, factory: () => MetadataBackend): Unit =
+    shortNames.put(shortName, factory)
+
+  def create(shortNameOrClass: String): MetadataBackend = shortNameOrClass match {
+    case short if shortNames.contains(short) => shortNames(short)()
+    case fqcn =>
+      val cls = Class.forName(fqcn)
+      if (!classOf[MetadataBackend].isAssignableFrom(cls))
+        throw graft.core.GraftError.InvalidInput(
+          s"$fqcn does not implement MetadataBackend")
+      cls.getDeclaredConstructor().newInstance().asInstanceOf[MetadataBackend]
+  }
+}

@@ -1,0 +1,189 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.backend.{CreateMode, DropMode, MetadataBackend}
+import graft.core.{GraftError, ObjectIdentifier, TableUtil}
+import graft.schema.JsonArrowSchema
+
+/** The Spark-native equivalent of the reference's `LanceNamespace` client
+  * spec (SURVEY.md §2.1): a `CatalogPlugin` exposing whichever
+  * [[MetadataBackend]] is configured to the full Spark SQL surface.
+  *
+  * Registration (the analog of `connect("glue", props)`,
+  * `python/tests/test_namespace.py:15-36`):
+  * {{{
+  *   spark.sql.catalog.graft          = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.backend  = memory | iceberg | unity | polaris | <FQCN>
+  *   spark.sql.catalog.graft.root     = /warehouse/root
+  *   spark.sql.catalog.graft.<k>      = backend-specific options
+  * }}}
+  * then `CREATE NAMESPACE graft.db`, `CREATE TABLE graft.db.t ...`,
+  * `SELECT ... FROM graft.db.t` — Catalyst supplies every relational
+  * operator the reference never had (SURVEY.md §2.3).
+  *
+  * All catalog RPCs run on the driver (entry point A/B, SURVEY.md §3);
+  * executors receive only serialized scan locations, which is why no
+  * reference-style pickling dance (`glue.py:522-532`) exists here.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var backend: MetadataBackend = _
+  private var conf: Map[String, String] = Map.empty
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    conf = options.asScala.toMap
+    backend = MetadataBackend.create(conf.getOrElse("backend", "memory"))
+    backend.initialize(conf)
+  }
+
+  override def name(): String = catalogName
+
+  override def toString: String = s"GraftCatalog($catalogName -> ${backend.backendId})"
+
+  private def oid(ns: Array[String]): ObjectIdentifier = ObjectIdentifier(ns.toIndexedSeq)
+  private def oid(ident: Identifier): ObjectIdentifier =
+    ObjectIdentifier.of(ident.namespace(), ident.name())
+
+  /** GraftError → Spark analysis exceptions at the DSv2 boundary
+    * (the reverse of `GlueToLanceErrorConverter.java:26-57`). */
+  private def mapped[T](f: => T): T =
+    try f catch {
+      case GraftError.NamespaceNotFound(id) =>
+        throw new NoSuchNamespaceException(id.levels.toArray)
+      case GraftError.TableNotFound(id) =>
+        throw new NoSuchTableException(id.levels.toArray)
+      case GraftError.NamespaceAlreadyExists(id) =>
+        throw new NamespaceAlreadyExistsException(id.levels.toArray)
+      case GraftError.TableAlreadyExists(id) =>
+        throw new TableAlreadyExistsException(
+          Identifier.of(id.parent.levels.toArray, id.name))
+    }
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    mapped(backend.listNamespaces(ObjectIdentifier.root).map(_.levels.toArray).toArray)
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = mapped {
+    if (parent.nonEmpty && !backend.namespaceExists(oid(parent)))
+      throw GraftError.NamespaceNotFound(oid(parent))
+    backend.listNamespaces(oid(parent)).map(_.levels.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    backend.namespaceExists(oid(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    mapped(backend.describeNamespace(oid(namespace)).asJava)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = mapped {
+    // Spark's CREATE NAMESPACE IF NOT EXISTS checks existence first, so the
+    // plain Create mode is correct here; exist_ok/overwrite stay reachable
+    // through the backend API for spec parity (`Hive2Namespace.java:406-450`).
+    backend.createNamespace(oid(namespace), metadata.asScala.toMap, CreateMode.Create)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = mapped {
+    val id = oid(namespace)
+    val current = backend.describeNamespace(id)
+    val updated = changes.foldLeft(current) {
+      case (props, set: NamespaceChange.SetProperty) =>
+        props + (set.property() -> set.value())
+      case (props, rm: NamespaceChange.RemoveProperty) => props - rm.property()
+      case (props, _) => props
+    }
+    backend.createNamespace(id, updated, CreateMode.Overwrite)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    mapped {
+      // Restrict-only, like every reference backend (`Hive2Namespace.java:210-212`).
+      if (cascade)
+        throw GraftError.Unsupported("DROP NAMESPACE ... CASCADE (restrict-only)")
+      backend.dropNamespace(oid(namespace), DropMode.Fail)
+      true
+    }
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = mapped {
+    backend.listTables(oid(namespace))
+      .map(id => Identifier.of(id.parent.levels.toArray, id.name)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    backend.tableExists(oid(ident))
+
+  override def loadTable(ident: Identifier): Table = mapped {
+    val info = backend.describeTable(oid(ident))
+    new GraftTable(ident, info, info.schemaJson.map(JsonArrowSchema.fromJson), spark)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = mapped {
+    if (partitions.nonEmpty)
+      throw GraftError.Unsupported("partitioned create (reference tables are unpartitioned)")
+    val props = properties.asScala.toMap
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val cleaned = props -- Seq(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    val schemaJson = if (schema.isEmpty) None else Some(JsonArrowSchema.toJson(schema))
+    val info = backend.declareTable(oid(ident), location, cleaned, schemaJson)
+    new GraftTable(ident, info, schemaJson.map(_ => schema), spark)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw GraftError.Unsupported("ALTER TABLE (no schema evolution in reference scope)")
+
+  /** Deregister: catalog entry removed, data kept — the REST backends' only
+    * drop flavor (`IcebergNamespace.java:465-512`). */
+  override def dropTable(ident: Identifier): Boolean =
+    try { backend.dropTable(oid(ident), purge = false); true }
+    catch { case _: GraftError.TableNotFound => false }
+
+  /** dropTable-with-data (`Hive2Namespace.java:589-593`): best-effort data
+    * delete after the catalog entry is gone, like `safeDropDataset`
+    * (`GlueNamespace.java:668-674`). */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val removed = try Some(backend.dropTable(oid(ident), purge = true))
+                  catch { case _: GraftError.TableNotFound => None }
+    removed match {
+      case None => false
+      case Some(info) =>
+        try {
+          val hconf = spark.sessionState.newHadoopConfWithOptions(info.storageOptions)
+          val p = new org.apache.hadoop.fs.Path(info.location)
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        } catch { case _: Exception => () } // best-effort, as in reference
+        true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw GraftError.Unsupported("RENAME TABLE (not in reference spec)")
+
+  /** Spec-parity surface not expressible through Spark DDL: declared-table
+    * probe (`describeTable.check_declared`, `LanceTableUtil.java:44-60`). */
+  def isOnlyDeclared(ident: Identifier): Boolean = {
+    val info = backend.describeTable(oid(ident))
+    !TableUtil.hasStorageComponents(info.location,
+      spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Gate coverage for the catalog integration layer (SURVEY.md §2.1): runs the
+  * reference lifecycle — register catalog, create namespace, register table at
+  * a storage location, query through the catalog — and returns a result the
+  * DuckDB oracle can hash-match. This exercises entry points A (plugin
+  * bootstrap), C (DDL) and B (describeTable → pushed-down scan) of SURVEY.md
+  * §3 in one pass.
+  */
+object CatalogQueries {
+
+  /** Idempotent per-session registration of the graft catalog (memory
+    * backend) + a namespace + an external table over the sf dir's parquet. */
+  private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.backend", "memory")
+    s.conf.set("spark.sql.catalog.graft.root", "/tmp/graft-warehouse")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
+    if (!s.catalog.tableExists(s"graft.tpch.$table"))
+      s.sql(s"CREATE TABLE graft.tpch.$table LOCATION '$d/$table.parquet'")
+  }
+
+  /** Full catalog lifecycle → aggregate over the catalog-registered table.
+    * The scan under this plan is the same pushed-down columnar parquet scan
+    * as a direct read — the catalog adds no data-plane overhead. */
+  def q21CatalogScan(s: SparkSession, d: String): DataFrame = {
+    ensureTable(s, d, "lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice), 2) AS total_price,
+        | count(*) AS n
+        |FROM graft.tpch.lineitem
+        |WHERE l_quantity >= 10
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q21Sql: String =
+    """SELECT l_returnflag, round(sum(l_extendedprice),2) AS total_price, count(*) AS n
+      |FROM lineitem WHERE l_quantity >= 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Catalog join across two catalog-registered tables (orders ⋈ lineitem),
+    * proving multi-table resolution through loadTable. */
+  def q22CatalogJoin(s: SparkSession, d: String): DataFrame = {
+    ensureTable(s, d, "lineitem")
+    ensureTable(s, d, "orders")
+    s.sql(
+      """SELECT o.o_orderstatus,
+        | round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM graft.tpch.orders o JOIN graft.tpch.lineitem l
+        |  ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_totalprice > 150000
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin)
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderstatus, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_lines
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_totalprice > 150000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_catalog_scan" -> (q21CatalogScan _),
+    "q22_catalog_join" -> (q22CatalogJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_catalog_scan" -> q21Sql,
+    "q22_catalog_join" -> q22Sql)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+/** End-to-end DSv2 catalog behavior over the memory backend — the Spark
+  * equivalents of the reference's 13-operation suites (SURVEY.md §5). */
+class CatalogSpec extends SparkSpec {
+
+  test("create / list / describe / drop namespace") {
+    spark.sql("CREATE NAMESPACE graft.ns1 WITH DBPROPERTIES ('team'='graft')")
+    spark.sql("CREATE NAMESPACE graft.ns2")
+    val names = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(names.toSet == Set("ns1", "ns2"))
+
+    val props = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.ns1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("Properties").contains("team"))
+
+    intercept[AnalysisException](spark.sql("CREATE NAMESPACE graft.ns1"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns1") // exist_ok mode
+
+    spark.sql("DROP NAMESPACE graft.ns2")
+    val after = spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(after.toSet == Set("ns1"))
+  }
+
+  test("declared table: created with schema, scans empty, then materializes on write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.people (id BIGINT, name STRING, score DOUBLE)")
+
+    // declared-only: catalog entry exists, no storage yet → empty scan
+    assert(spark.table("graft.db.people").count() == 0)
+
+    spark.sql("INSERT INTO graft.db.people VALUES (1,'ada',9.5),(2,'lin',8.0)")
+    val rows = spark.table("graft.db.people").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("ada", "lin"))
+  }
+
+  test("insert-overwrite truncates and rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ow (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.ow VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT OVERWRITE graft.db.ow VALUES (3,'c')")
+    val rows = spark.table("graft.db.ow").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 3L)
+  }
+
+  test("listTables shows only lance tables; drop vs purge") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db2")
+    spark.sql("CREATE TABLE graft.db2.t1 (id BIGINT)")
+    spark.sql("CREATE TABLE graft.db2.t2 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db2.t2 VALUES (42)")
+    val tables = spark.sql("SHOW TABLES IN graft.db2").collect().map(_.getString(1))
+    assert(tables.toSet == Set("t1", "t2"))
+
+    // deregister keeps data; purge deletes it
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED graft.db2.t2").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1))
+    spark.sql("DROP TABLE graft.db2.t1")
+    spark.sql("DROP TABLE graft.db2.t2 PURGE")
+    assert(spark.sql("SHOW TABLES IN graft.db2").collect().isEmpty)
+    assert(loc.nonEmpty)
+    val p = new org.apache.hadoop.fs.Path(loc.get)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(p), "PURGE must remove storage")
+    assert(cat != null)
+  }
+
+  test("restrict-only namespace drop refuses non-empty") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.full")
+    spark.sql("CREATE TABLE graft.full.t (id BIGINT)")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE graft.full"))
+    assert(e.getMessage.toLowerCase.contains("not empty")
+      || e.getMessage.toLowerCase.contains("cascade"))
+    spark.sql("DROP TABLE graft.full.t")
+    spark.sql("DROP NAMESPACE graft.full")
+  }
+
+  test("query external parquet registered as catalog table, with pushdown") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
+    spark.sql(s"CREATE TABLE graft.tpch.lineitem LOCATION '$sfDir/lineitem.parquet'")
+    val df = spark.table("graft.tpch.lineitem")
+      .filter("l_quantity < 5").select("l_orderkey", "l_quantity")
+    assert(df.count() > 0)
+    // pushdown must reach the parquet scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"),
+      s"expected pushed filter in plan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"),
+      "column pruning must drop unreferenced columns")
+  }
+
+  test("nested namespaces (iceberg-style arbitrary depth)") {
+    spark.sql("CREATE NAMESPACE graft.a")
+    spark.sql("CREATE NAMESPACE graft.a.b")
+    val children = spark.sql("SHOW NAMESPACES IN graft.a").collect().map(_.getString(0))
+    assert(children.toSet == Set("a.b"))
+    spark.sql("DROP NAMESPACE graft.a.b")
+    spark.sql("DROP NAMESPACE graft.a")
+  }
+
+  test("declared-table probe (spec is_only_declared)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")
+    spark.sql("CREATE TABLE graft.probe.t (id BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ident = Identifier.of(Array("probe"), "t")
+    assert(cat.isOnlyDeclared(ident))
+    spark.sql("INSERT INTO graft.probe.t VALUES (1)")
+    assert(!cat.isOnlyDeclared(ident))
+  }
+}

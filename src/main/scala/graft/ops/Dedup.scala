@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All are pure DataFrame plans built from
+  * codegen'd functions — no UDFs, no driver-side loops — so each scales to
+  * 100 TB as: one columnar scan → (optionally) one shuffle keyed on the
+  * dedup/bucket key → verification joins keyed on doc id.
+  *
+  * Determinism: every hash is md5 over explicit UTF-8 bytes, so results are
+  * engine-portable (the DuckDB oracle mirrors them bit-for-bit) and stable
+  * across runs/partitionings — a hard requirement for reproducible corpus
+  * curation.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles of normalized text. Documents shorter than k
+    * tokens contribute their whole text as a single shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    array_distinct(when(size(toks) >= k, grams)
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for seed s, min over shingles of md5(shingle+":"+s).
+    * Hex-string minima are order-portable (ASCII compare) and need no
+    * bigint modular arithmetic, so any engine can replicate them. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleCol,
+        g => md5(concat(g, lit(":"), s.cast("string")).cast("binary")))))
+
+  /** Jaccard similarity of two (already-distinct) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact dedup: keep the lowest id per content fingerprint.
+    * One hash-shuffle on the fingerprint; at 100 TB this is the minimal
+    * possible movement for exact dedup (only (fp,id) pairs shuffle, then the
+    * winner set — tiny — joins back to the corpus by id). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Pipeline (each stage one shuffle, no O(n²) step):
+    *  1. per-row: shingles → signature of `bands*rowsPerBand` minhashes
+    *     (columnar, no shuffle);
+    *  2. explode into `bands` (band_id, band_sig) keys → self-join on the
+    *     band key. Only same-bucket docs ever meet — the LSH guarantee that
+    *     collision probability ≈ 1-(1-j^r)^b;
+    *  3. distinct candidate pairs → join shingle sets back by id → exact
+    *     Jaccard filter at `threshold`.
+    *
+    * Scale: the band join shuffles on (band_id, band_sig); popular bands
+    * (boilerplate docs) skew — AQE skew-join handles moderate skew, and a
+    * bucket-size cap (`maxBucket`) drops pathological buckets the way
+    * production dedup pipelines drop stop-shingles.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+    val sig = sh.select(col("__id"),
+      minhashSignature(col("__sh"), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"), explode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band_id"),
+          concat_ws("", (1 to rowsPerBand).map(r =>
+            element_at(col("__sig"), b * rowsPerBand + r)): _*).as("band_sig")))
+    ).as("__band")).select(col("__id"),
+      col("__band.band_id").as("__band_id"), col("__band.band_sig").as("__band_sig"))
+
+    // cap pathological buckets (stop-shingle boilerplate) before the join
+    val bucketed = banded
+      .withColumn("__bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band_id"), col("__band_sig"))))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+    val a = bucketed.select(col("__id").as("__ida"),
+      col("__band_id"), col("__band_sig"))
+    val b = bucketed.select(col("__id").as("__idb"),
+      col("__band_id"), col("__band_sig"))
+    val cand = a.join(b, Seq("__band_id", "__band_sig"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb")).distinct()
+
+    val sa = sh.select(col("__id").as("__ida"), col("__sh").as("__sha"))
+    val sb = sh.select(col("__id").as("__idb"), col("__sh").as("__shb"))
+    cand.join(sa, "__ida").join(sb, "__idb")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over (repeated) tokens: per bit, vote +1/-1 by the bit
+    * of each token's md5-derived 32-bit hash; bit set iff vote > 0.
+    * Bit extraction uses floor(h / 2^b) % 2 — portable to engines without
+    * variable-shift operators. */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val tokHash = transform(toks,
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val votes = transform(sequence(lit(0), lit(31)), b =>
+      aggregate(tokHash, lit(0L), (acc, h) =>
+        acc + when(pmod(floor(h / pow(lit(2.0), b)).cast("long"), lit(2)) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      transform(sequence(lit(0), lit(31)), b =>
+        when(element_at(votes, b + 1) > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
+    *
+    * Banding: split the 32-bit hash into `maxDist+1` byte-ish bands — by
+    * pigeonhole, any pair within maxDist shares at least one exact band, so
+    * candidates come from equality joins on (band_id, band_bits), never a
+    * cross join. Verification = popcount(xor) on the full hash. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val bandBits = 32 / nBands
+    val hashed = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__h"))
+    val banded = hashed.select(col("__id"), col("__h"), explode(
+      transform(sequence(lit(0), lit(nBands - 1)), b => struct(
+        b.as("band_id"),
+        pmod(floor(col("__h") / pow(lit(2.0), b * bandBits)).cast("long"),
+          lit(1L << bandBits)).as("band_bits")))).as("__b"))
+      .select(col("__id"), col("__h"),
+        col("__b.band_id").as("__band_id"), col("__b.band_bits").as("__band_bits"))
+    val a = banded.select(col("__id").as("__ida"), col("__h").as("__ha"),
+      col("__band_id"), col("__band_bits"))
+    val b = banded.select(col("__id").as("__idb"), col("__h").as("__hb"),
+      col("__band_id"), col("__band_bits"))
+    a.join(b, Seq("__band_id", "__band_bits"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"),
+        call_function("bit_count", col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"), col("hamming"))
+  }
+
+  /** Blocked n-gram Jaccard: all-pairs similarity within explicit blocks
+    * (e.g. a sample, a partition key). The caller controls block size — this
+    * is the exact-verification primitive, not the at-scale candidate
+    * generator (that's [[minhashNearDupPairs]]). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+    val a = sh.select(col("__id").as("doc_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("__id").as("doc_b"), col("__sh").as("__shb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

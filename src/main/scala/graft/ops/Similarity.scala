@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, per the 100 TB mandate:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast
+  *    (small side never shuffles); the corpus streams through one columnar
+  *    scan; per-query top-k is a rank-truncated window — at 1000 executors
+  *    this is embarrassingly parallel with a single shuffle keyed on
+  *    query_id of only the per-partition survivors.
+  *  - [[ivfTopK]]: IVF-style approximate search. Vectors are assigned to
+  *    their nearest centroid once (a narrow map); queries probe only
+  *    `nprobe` cells, cutting scanned vectors by ~|cells|/nprobe. Centroids
+  *    here are seeded from the corpus deterministically; at real scale
+  *    they'd come from a k-means job and live as a broadcast table — the
+  *    query plan is identical.
+  *
+  * All arithmetic is double-precision folds via codegen'd higher-order
+  * functions — identical fold order to the DuckDB oracle so scores
+  * hash-match exactly.
+  */
+object Similarity {
+
+  /** Left-fold dot product of two float vectors in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k by cosine for each query vector.
+    * @param queries (qid, qvec) — small, broadcast
+    * @param corpus  (id, vec) — large, streamed */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("__q"), col("__v")), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** IVF-style ANN: assign corpus vectors to nearest of `centroids`;
+    * each query probes its `nprobe` nearest cells only.
+    * Returns the same shape as [[bruteForceTopK]]; recall < 1 by design —
+    * measured against brute force in the test suite. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
+
+    // one narrow pass: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(cells))
+      .select(col("vec_id"), col("__v"), col("cid"), cosine(col("__v"), col("__c")).as("__sim"))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("__v"), col("cid"))
+
+    // per query: nprobe nearest cells
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))
+      .join(broadcast(cells))
+      .select(col("qid"), col("__q"), col("cid"), cosine(col("__q"), col("__c")).as("__sim"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__q"), col("cid"))
+
+    // search only probed cells
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("__q"), col("__v")), 6).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** All-pairs cosine above a threshold (embedding near-dup detection).
+    * O(n²) verification — intended for within-block use or modest corpus
+    * sizes; the LSH candidate generator below is the 100 TB path. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine: sign-bit signature of the
+    * vector against `nPlanes` deterministic pseudo-random hyperplanes
+    * (hash-derived, no RNG state). Near-identical vectors share buckets;
+    * pairs are then verified with exact cosine. The at-scale analog of
+    * [[cosineNearDupPairs]]: shuffle keys are (bucket), never a cross join. */
+  def cosineLshPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 16, threshold: Double = 0.9): DataFrame = {
+    // plane p, dim i weight = hash-derived value in [-1,1): deterministic,
+    // engine-portable, no stored model
+    def planeWeight(p: Column, i: Column): Column =
+      (conv(substring(md5(concat_ws("_", p, i).cast("binary")), 1, 6), 16, 10)
+        .cast("double") / lit(8388608.0)) - lit(1.0)
+    val dims = sequence(lit(1), size(col("__v")))
+    val sig = aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(aggregate(transform(dims, i =>
+          element_at(col("__v"), i).cast("double") * planeWeight(p, i)),
+          lit(0.0), (acc, x) => acc + x) > 0,
+          pow(lit(2.0), p).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val hashed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket", sig)
+    val a = hashed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
+    val b = hashed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))
+    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built
+  * exclusively from codegen'd `org.apache.spark.sql.functions` (no UDFs —
+  * every operator here stays inside whole-stage codegen and runs at full
+  * columnar speed on 100 TB; see the builder mandate + SURVEY.md §7.4).
+  *
+  * Every function is deterministic and mirrored 1:1 by ANSI SQL in
+  * [[graft.queries.TextQueries]] so the DuckDB oracle hash-checks it.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after lowercase+trim. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword proxy: word pieces = letter runs, digit runs, and
+    * single non-alphanumeric marks — the classic GPT-2 pre-tokenizer shape
+    * without the merges table. A cheap, deterministic token-budget
+    * estimator for corpus accounting. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Ratio of sentence-punctuation chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / length(text))
+
+  private val enStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are (English) stopwords — the classic
+    * Gopher/C4-style quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(enStop))).cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length credit, wordiness credit,
+    * punctuation sanity. Deterministic; thresholds chosen once and mirrored
+    * in the oracle SQL — the *shape* (cheap columnar signals combined
+    * linearly) is what matters for the 100 TB pipeline. */
+  def qualityScore(text: Column): Column = {
+    val lenCredit = least(length(text).cast("double") / 500.0, lit(1.0))
+    val tokCredit = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    round(lenCredit * 0.4 + tokCredit * 0.4 + (lit(1.0) - punctPenalty) * 0.2, 6)
+  }
+
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "ist"))
+
+  /** N-gram-free language ID heuristic: count stopword hits per language
+    * lexicon, argmax with fixed priority order (en,es,fr,de), `und` when no
+    * lexicon fires. On real corpora the lexicons would be larger n-gram
+    * tables; the operator shape (per-row scoring against broadcast-literal
+    * tables, no shuffle) is identical at any lexicon size. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langLexicons.map { case (lang, lex) =>
+      lang -> size(filter(toks, t => t.isInCollection(lex)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Content fingerprint for exact dedup: md5 of
+    * whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}

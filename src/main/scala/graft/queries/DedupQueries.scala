@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Gate coverage for the dedup operator family over `documents`.
+  *
+  * The corpus has no literal duplicates, so q33 synthesizes them
+  * deterministically inside the query (union with a re-keyed subset) —
+  * the oracle does the identical UNION ALL, proving the operator actually
+  * removes rows. q34/q35/q36 run the real near-dup machinery; their oracle
+  * SQL replays the exact same md5-based hashes in DuckDB.
+  */
+object DedupQueries {
+
+  /** Exact dedup over a corpus with injected duplicates: every doc_id % 7
+    * reappears shifted by 1,000,000; dedup must keep only the original. */
+  def q33ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dupes = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dupes)
+    Dedup.exactDedup(corpus, "doc_id", "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_kept_id"))
+      .orderBy(col("source"))
+  }
+
+  val q33Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+      |), fp AS (
+      |  SELECT doc_id, source,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM corpus
+      |), keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+      |SELECT source, count(*) AS n_kept, max(fp.doc_id) AS max_kept_id
+      |FROM fp JOIN keep USING (f, doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** MinHash-LSH near-dup pairs (12 hashes, 4 bands × 3 rows, J ≥ 0.5). */
+  def q34MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q34Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM tok
+      |), mh AS (
+      |  SELECT doc_id, shingles,
+      |    list_transform(range(0, 12), s ->
+      |      list_aggregate(list_transform(shingles, g -> md5(g || ':' || s)), 'min')) AS sig
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b AS band_id, sig[b*3+1] || sig[b*3+2] || sig[b*3+3] AS band_sig
+      |  FROM mh, (SELECT unnest(range(0,4)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+      |FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id
+      |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Per-document 32-bit SimHash (sampled) — pins the exact bit pattern. */
+  def q35Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q35Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id % 10 = 0
+      |), th AS (
+      |  SELECT doc_id, list_transform(toks,
+      |    t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+      |  FROM tok
+      |), votes AS (
+      |  SELECT doc_id, hashes, list_transform(range(0, 32), b ->
+      |    list_reduce(list_transform(hashes, h ->
+      |      CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END),
+      |      (a, x) -> a + x)) AS v
+      |  FROM th
+      |)
+      |SELECT doc_id,
+      |  list_reduce(list_transform(range(0, 32), b ->
+      |    CASE WHEN v[b+1] > 0 THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      |    (a, x) -> a + x) AS simhash
+      |FROM votes ORDER BY doc_id""".stripMargin
+
+  /** Blocked all-pairs n-gram Jaccard on a 60-doc block, J ≥ 0.3. */
+  def q36NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 60), "doc_id", "text",
+        k = 3, threshold = 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q36Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id < 60)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_exact_dedup" -> (q33ExactDedup _),
+    "q34_minhash_lsh" -> (q34MinhashLsh _),
+    "q35_simhash" -> (q35Simhash _),
+    "q36_ngram_jaccard" -> (q36NgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "q33_exact_dedup" -> q33Sql,
+    "q34_minhash_lsh" -> q34Sql,
+    "q35_simhash" -> q35Sql,
+    "q36_ngram_jaccard" -> q36Sql)
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Gate coverage for similarity search over `embeddings`.
+  * The oracle mirrors Spark's exact left-fold cosine (same order, double
+  * precision), so scores match bit-for-bit before the 6-dp round. */
+object SimilarityQueries {
+
+  /** Brute-force cosine top-10 for 5 query vectors (qid < 5). */
+  def q40CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val cosExpr =
+    """list_reduce(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
+      |  / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
+      |   * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
+
+  val q40Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    round($cosExpr, 6) AS score
+       |  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Embedding near-dup pairs: all-pairs cosine ≥ 0.4 (synthetic corpus has
+    * no true near-dups; the threshold exercises the operator end-to-end). */
+  def q41CosineNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q41Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos
+       |FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+       |JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force is
+    * asserted in SimilaritySpec). Centroids = vec_id % 50 == 0. */
+  def q42IvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec",
+        emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "cid", "cvec", k = 10, nprobe = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> (q40CosineTopK _),
+    "q41_cosine_neardup" -> (q41CosineNearDup _),
+    "q42_ivf_topk" -> (q42IvfTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" -> q40Sql,
+    "q41_cosine_neardup" -> q41Sql)
+}

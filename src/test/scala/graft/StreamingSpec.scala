@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** The streaming operators must produce batch-identical results when fed the
+  * same events through a MemoryStream — the unified-API guarantee the module
+  * is built on. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleEvents: Seq[Event] = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 200).map { i =>
+      Event(i.toLong, new java.sql.Timestamp(base + i * 97000L + (i % 7) * 1000L),
+        (i % 5).toLong, s"type${i % 3}", (i % 11) * 1.5)
+    }
+  }
+
+  test("windowed stats: streaming (complete mode) agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.windowedStats(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(sampleEvents)
+      query.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = EventStreams.windowedStats(sampleEvents.toDF())
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("watermark drops state for closed windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStreams.windowedStats(stream.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      stream.addData((0 until 10).map(i =>
+        Event(i.toLong, new java.sql.Timestamp(base + i * 60000L), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      // advance event time far past watermark: hour-0 window closes + emits
+      stream.addData(Seq(Event(99L,
+        new java.sql.Timestamp(base + 3 * 3600 * 1000L), 1L, "a", 1.0)))
+      query.processAllAvailable()
+      val emitted = spark.table("wm_out").collect()
+      assert(emitted.exists(_.getAs[Long]("win_start") ==
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization: stream output matches batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = sampleEvents
+    val stream = MemoryStream[Event]
+    val query = EventStreams.sessionizeStream(stream.toDS(), gapSec = 300)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      // force sessions to close: one far-future event per user
+      val far = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      stream.addData((0 until 5).map(u => Event(9000L + u, far, u.toLong, "x", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+        .collect().toSeq
+      val batch = EventStreams.sessionizeBatch(events.toDF(), gapSec = 300)
+        .orderBy("user_id", "session_start")
+        .collect().toSeq
+      assert(streamed == batch, s"stream=${streamed.take(3)} batch=${batch.take(3)}")
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Gate coverage for multimodal binary columns. The payloads are the
+  * deterministic md5-derived fakes from [[Multimodal.fakePayload]], so the
+  * DuckDB oracle rebuilds byte-identical blobs and checksums them — proving
+  * the binary plumbing (hex/unhex, length, checksums, metadata structs)
+  * end-to-end without real codecs. */
+object MultimodalQueries {
+
+  /** Per-row binary payload facts: length + md5-of-hex checksum. */
+  def q60MediaChecksum(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachMedia(
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0), "doc_id")
+      .select(
+        col("doc_id"),
+        col("media_meta.mime").as("mime"),
+        length(col("media")).cast("long").as("byte_len"),
+        md5(hex(col("media")).cast("binary")).as("checksum"))
+      .orderBy(col("doc_id"))
+
+  val q60Sql: String =
+    """SELECT doc_id,
+      | (['image/png','image/jpeg','audio/wav','video/mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS mime,
+      | CAST(octet_length(from_hex(repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 4 + 1 AS INT)))) AS BIGINT) AS byte_len,
+      | md5(hex(from_hex(repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 4 + 1 AS INT))))) AS checksum
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus accounting per mime type over media + metadata struct. */
+  def q61MediaStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaStats(Multimodal.attachMedia(Tables.documents(s, d), "doc_id"))
+      .orderBy(col("mime"))
+
+  val q61Sql: String =
+    """SELECT (['image/png','image/jpeg','audio/wav','video/mp4'])[CAST(doc_id % 4 + 1 AS INT)] AS mime,
+      | count(*) AS n,
+      | CAST(sum(octet_length(from_hex(repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 4 + 1 AS INT))))) AS BIGINT) AS total_bytes,
+      | round(avg(CAST((doc_id % 8 + 1) * 64 AS BIGINT) * CAST((doc_id % 6 + 1) * 64 AS BIGINT)), 2) AS avg_pixels,
+      | max(CAST((doc_id % 30 + 1) * 1000 AS BIGINT)) AS max_duration_ms
+      |FROM documents
+      |GROUP BY 1 ORDER BY mime""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_media_checksum" -> (q60MediaChecksum _),
+    "q61_media_stats" -> (q61MediaStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q60_media_checksum" -> q60Sql,
+    "q61_media_stats" -> q61Sql)
+}

@@ -85,7 +85,10 @@ trait MetadataBackend {
   * (`python/src/lance_namespace_impls/__init__.py:40-45`). */
 object MetadataBackend {
   private val shortNames = scala.collection.concurrent.TrieMap[String, () => MetadataBackend](
-    "memory" -> (() => new MemoryBackend))
+    "memory" -> (() => new MemoryBackend),
+    "iceberg" -> (() => new graft.backend.rest.IcebergRestBackend),
+    "unity" -> (() => new graft.backend.rest.UnityBackend),
+    "polaris" -> (() => new graft.backend.rest.PolarisBackend))
 
   /** Register a shortname → factory, like `register_namespace_impl`. */
   def register(shortName: String, factory: () => MetadataBackend): Unit =

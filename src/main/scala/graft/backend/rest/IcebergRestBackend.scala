@@ -1,0 +1,222 @@
+package graft.backend.rest
+
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+
+import org.json4s._
+
+import graft.backend._
+import graft.core.{GraftError, ObjectIdentifier, TableUtil}
+
+/** Iceberg REST Catalog backend.
+  *
+  * Semantics per the reference's adapter
+  * (`python/src/lance_namespace_impls/iceberg.py`,
+  * `java/lance-namespace-iceberg/.../IcebergNamespace.java`):
+  *  - identifier level 1 = warehouse; `/v1/config?warehouse=` resolves the
+  *    URL prefix, memoized per warehouse (`IcebergNamespace.java:116-145`);
+  *  - namespaces are `%1F`-joined, URL-encoded twice (`iceberg.py:148-152`);
+  *  - lance tables are registered with a dummy 1-column schema because the
+  *    catalog demands one (`IcebergModels.java:446-460`) — we additionally
+  *    persist the real schema JSON under `graft.schema` for fidelity;
+  *  - only deregister (DELETE without purge) is supported, like all REST
+  *    backends in the reference.
+  */
+class IcebergRestBackend extends MetadataBackend {
+  private var conf: Map[String, String] = Map.empty
+  private var client: RestClient = _
+  private val prefixCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  override def initialize(props: Map[String, String]): Unit = {
+    conf = props
+    client = RestClient.fromConfig(props, Seq("uri", "endpoint"))
+  }
+
+  override def backendId: String =
+    s"iceberg-rest(${conf.getOrElse("uri", conf.getOrElse("endpoint", ""))})"
+
+  private def quote(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** `%1F`-join then URL-encode the whole thing (`iceberg.py:148-152`). */
+  private def encodeNs(ns: Seq[String]): String =
+    quote(ns.map(quote).mkString("\u001f"))
+
+  /** Memoized `/v1/config?warehouse=` prefix resolution. */
+  private def prefixPath(warehouse: String): String = {
+    val p = prefixCache.getOrElseUpdate(warehouse, {
+      val cfg = client.get("/v1/config", Map("warehouse" -> warehouse))
+      (cfg \ "overrides" \ "prefix") match {
+        case JString(pre) => pre
+        case _ => (cfg \ "defaults" \ "prefix") match {
+          case JString(pre) => pre
+          case _ => warehouse
+        }
+      }
+    })
+    s"/v1/${quote(p)}"
+  }
+
+  private def warehouse: String = conf.getOrElse("warehouse",
+    throw GraftError.InvalidInput("iceberg backend needs 'warehouse'"))
+
+  private def strings(jv: JValue): Seq[String] = jv match {
+    case JArray(items) => items.collect { case JString(s) => s }
+    case _ => Nil
+  }
+
+  private def propsOf(jv: JValue): Map[String, String] = jv match {
+    case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  override def listNamespaces(parent: ObjectIdentifier): Seq[ObjectIdentifier] = {
+    if (parent.isRoot)
+      return Seq(ObjectIdentifier.of(warehouse)) // level 1 is the warehouse itself
+    val rest = parent.levels.tail
+    val params = if (rest.isEmpty) Map.empty[String, String]
+      else Map("parent" -> rest.mkString("\u001f"))
+    val resp = client.get(s"${prefixPath(parent.levels.head)}/namespaces", params)
+    (resp \ "namespaces" match {
+      case JArray(items) => items.map {
+        case JArray(parts) => parent.levels.head +: parts.collect { case JString(s) => s }
+        case JString(s) => Seq(parent.levels.head, s)
+        case _ => Nil
+      }.filter(_.nonEmpty)
+      case _ => Nil
+    }).map(ObjectIdentifier(_)).sortBy(_.toDelimited())
+  }
+
+  override def createNamespace(id: ObjectIdentifier, properties: Map[String, String],
+      mode: CreateMode): Map[String, String] = {
+    if (id.depth < 2)
+      throw GraftError.InvalidInput(s"iceberg namespace needs warehouse + path: $id")
+    val body = JObject(
+      "namespace" -> JArray(id.levels.tail.map(JString(_)).toList),
+      "properties" -> JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+    try {
+      val resp = client.post(s"${prefixPath(id.levels.head)}/namespaces", body)
+      propsOf(resp \ "properties")
+    } catch {
+      case e: RestError if e.isConflict => mode match {
+        case CreateMode.Create => throw GraftError.NamespaceAlreadyExists(id)
+        case CreateMode.ExistOk => describeNamespace(id)
+        case CreateMode.Overwrite =>
+          dropNamespace(id, DropMode.Fail); createNamespace(id, properties, CreateMode.Create)
+      }
+    }
+  }
+
+  override def namespaceExists(id: ObjectIdentifier): Boolean =
+    try { describeNamespace(id); true }
+    catch { case _: GraftError.NamespaceNotFound => false }
+
+  override def describeNamespace(id: ObjectIdentifier): Map[String, String] = {
+    if (id.depth < 2) {
+      if (id.levels.headOption.contains(warehouse)) return Map.empty
+      throw GraftError.NamespaceNotFound(id)
+    }
+    try {
+      val resp = client.get(
+        s"${prefixPath(id.levels.head)}/namespaces/${encodeNs(id.levels.tail)}")
+      propsOf(resp \ "properties")
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
+    }
+  }
+
+  override def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String] =
+    try {
+      val snapshot = describeNamespace(id)
+      client.delete(s"${prefixPath(id.levels.head)}/namespaces/${encodeNs(id.levels.tail)}")
+      snapshot
+    } catch {
+      // idempotent-on-404 like IcebergNamespace.java:292-294
+      case _: GraftError.NamespaceNotFound | _: RestError if mode == DropMode.Skip => Map.empty
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
+    }
+
+  override def listTables(ns: ObjectIdentifier): Seq[ObjectIdentifier] = {
+    if (ns.depth < 2) throw GraftError.InvalidInput(s"need warehouse + namespace: $ns")
+    try {
+      val resp = client.get(
+        s"${prefixPath(ns.levels.head)}/namespaces/${encodeNs(ns.levels.tail)}/tables")
+      (resp \ "identifiers" match {
+        case JArray(items) => items.flatMap { ident =>
+          (ident \ "name") match { case JString(n) => Some(n); case _ => None }
+        }
+        case _ => Nil
+      }).distinct.sorted
+        // lance filter needs a per-table load in iceberg (the reference's
+        // documented N+1, IcebergNamespace.java:537-562); honored here but
+        // batched by the driver only at listing time
+        .map(ns.child)
+        .filter(id => try TableUtil.isLanceTable(describeTable(id).properties)
+                      catch { case _: GraftError => false })
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(ns)
+    }
+  }
+
+  override def tableExists(id: ObjectIdentifier): Boolean =
+    try { describeTable(id); true } catch { case _: GraftError => false }
+
+  override def describeTable(id: ObjectIdentifier): TableInfo = {
+    if (id.depth < 3)
+      throw GraftError.InvalidInput(s"need warehouse + namespace + table: $id")
+    try {
+      val resp = client.get(s"${prefixPath(id.levels.head)}/namespaces/" +
+        s"${encodeNs(id.parent.levels.tail)}/tables/${quote(id.name)}")
+      val meta = resp \ "metadata"
+      val props = propsOf(meta \ "properties")
+      TableUtil.validateLanceTable(id, props)
+      val location = (meta \ "location") match {
+        case JString(l) => l
+        case _ => throw GraftError.Internal(s"table $id has no location")
+      }
+      val (clean, storage) = TableUtil.splitStorageOptions(props)
+      TableInfo(id, location, clean, storage, clean.get("graft.schema"))
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.TableNotFound(id)
+    }
+  }
+
+  override def declareTable(id: ObjectIdentifier, location: Option[String],
+      properties: Map[String, String], schemaJson: Option[String]): TableInfo = {
+    if (id.depth < 3)
+      throw GraftError.InvalidInput(s"need warehouse + namespace + table: $id")
+    val loc = location.getOrElse(
+      (conf.getOrElse("root", "/tmp/graft-warehouse").stripSuffix("/") +:
+        id.levels).mkString("/"))
+    val props = TableUtil.mergeTableProperties(properties) ++
+      schemaJson.map("graft.schema" -> _)
+    // catalog requires a schema: dummy 1-column struct (IcebergModels.java:446-460)
+    val dummySchema = JObject(
+      "type" -> JString("struct"),
+      "fields" -> JArray(List(JObject(
+        "id" -> JInt(1), "name" -> JString("dummy"),
+        "required" -> JBool(false), "type" -> JString("string")))))
+    val body = JObject(
+      "name" -> JString(id.name),
+      "location" -> JString(loc),
+      "schema" -> dummySchema,
+      "properties" -> JObject(props.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+    try {
+      client.post(s"${prefixPath(id.levels.head)}/namespaces/" +
+        s"${encodeNs(id.parent.levels.tail)}/tables", body)
+      val (clean, storage) = TableUtil.splitStorageOptions(props)
+      TableInfo(id, loc, clean, storage, schemaJson, isOnlyDeclared = true)
+    } catch {
+      case e: RestError if e.isConflict => throw GraftError.TableAlreadyExists(id)
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id.parent)
+    }
+  }
+
+  override def dropTable(id: ObjectIdentifier, purge: Boolean): TableInfo = {
+    val info = describeTable(id)
+    // REST backends only deregister (reference: purgeRequested unsupported)
+    try client.delete(s"${prefixPath(id.levels.head)}/namespaces/" +
+      s"${encodeNs(id.parent.levels.tail)}/tables/${quote(id.name)}")
+    catch { case e: RestError if e.isNotFound => throw GraftError.TableNotFound(id) }
+    info
+  }
+}

@@ -1,0 +1,181 @@
+package graft.backend.rest
+
+import org.json4s._
+
+import graft.backend._
+import graft.core.{GraftError, ObjectIdentifier, TableUtil}
+
+/** Unity Catalog backend (`/api/2.1/unity-catalog`).
+  *
+  * Semantics per the reference (`python/src/lance_namespace_impls/unity.py`,
+  * `java/lance-namespace-unity/.../UnityNamespace.java`):
+  *  - namespace depth is exactly 2: catalog.schema (`UnityNamespace.java:163`);
+  *    the root level lists catalogs, one level lists schemas of a catalog;
+  *  - tables are EXTERNAL with `data_source_format=TEXT` placeholder
+  *    (`UnityNamespace.java:333-334`) and the lance marker in properties;
+  *  - schemas/tables are addressed by `catalog.schema[.table]` full names.
+  */
+class UnityBackend extends MetadataBackend {
+  private var conf: Map[String, String] = Map.empty
+  private var client: RestClient = _
+
+  override def initialize(props: Map[String, String]): Unit = {
+    conf = props
+    val base = props.get("uri").orElse(props.get("endpoint")).getOrElse(
+      throw GraftError.InvalidInput("unity backend needs 'uri'")).stripSuffix("/")
+    val full =
+      if (base.endsWith("/api/2.1/unity-catalog")) base
+      else if (base.endsWith("/api/2.1")) s"$base/unity-catalog"
+      else s"$base/api/2.1/unity-catalog"
+    client = RestClient.fromConfig(conf + ("uri" -> full), Seq("uri"))
+  }
+
+  override def backendId: String = s"unity(${conf.getOrElse("uri", "")})"
+
+  private def requireDepth(id: ObjectIdentifier, n: Int, what: String): Unit =
+    if (id.depth != n)
+      throw GraftError.InvalidInput(s"unity $what needs exactly $n levels, got $id")
+
+  private def names(jv: JValue, key: String): Seq[String] = jv \ key match {
+    case JArray(items) => items.flatMap(i => i \ "name" match {
+      case JString(s) => Some(s); case _ => None
+    })
+    case _ => Nil
+  }
+
+  private def propsOf(jv: JValue): Map[String, String] = jv match {
+    case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+    case _ => Map.empty
+  }
+
+  override def listNamespaces(parent: ObjectIdentifier): Seq[ObjectIdentifier] =
+    parent.depth match {
+      case 0 => names(client.get("/catalogs"), "catalogs").sorted
+        .map(ObjectIdentifier.of(_))
+      case 1 =>
+        val resp = client.get("/schemas", Map("catalog_name" -> parent.name))
+        names(resp, "schemas").sorted.map(parent.child)
+      case _ => Nil // depth-2 namespaces have no children in unity
+    }
+
+  override def createNamespace(id: ObjectIdentifier, properties: Map[String, String],
+      mode: CreateMode): Map[String, String] = {
+    requireDepth(id, 2, "namespace")
+    val body = JObject(
+      "name" -> JString(id.name),
+      "catalog_name" -> JString(id.levels.head),
+      "properties" -> JObject(properties.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+    try propsOf(client.post("/schemas", body) \ "properties")
+    catch {
+      case e: RestError if e.isConflict => mode match {
+        case CreateMode.Create => throw GraftError.NamespaceAlreadyExists(id)
+        case CreateMode.ExistOk => describeNamespace(id)
+        case CreateMode.Overwrite =>
+          dropNamespace(id, DropMode.Fail); createNamespace(id, properties, CreateMode.Create)
+      }
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id.parent)
+    }
+  }
+
+  override def namespaceExists(id: ObjectIdentifier): Boolean =
+    try { describeNamespace(id); true }
+    catch { case _: GraftError.NamespaceNotFound => false }
+
+  override def describeNamespace(id: ObjectIdentifier): Map[String, String] = id.depth match {
+    case 1 =>
+      try propsOf(client.get(s"/catalogs/${id.name}") \ "properties")
+      catch { case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id) }
+    case 2 =>
+      try propsOf(client.get(s"/schemas/${id.toDelimited()}") \ "properties")
+      catch { case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id) }
+    case _ => throw GraftError.InvalidInput(s"unity namespace depth 1 or 2, got $id")
+  }
+
+  override def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String] = {
+    requireDepth(id, 2, "namespace")
+    try {
+      val snapshot = describeNamespace(id)
+      client.delete(s"/schemas/${id.toDelimited()}")
+      snapshot
+    } catch {
+      case _: GraftError.NamespaceNotFound if mode == DropMode.Skip => Map.empty
+    }
+  }
+
+  override def listTables(ns: ObjectIdentifier): Seq[ObjectIdentifier] = {
+    requireDepth(ns, 2, "namespace")
+    val resp = client.get("/tables", Map(
+      "catalog_name" -> ns.levels.head, "schema_name" -> ns.name))
+    (resp \ "tables" match {
+      case JArray(items) => items.flatMap { t =>
+        val name = t \ "name" match { case JString(s) => Some(s); case _ => None }
+        // lance predicate applied on the listing response (unity.py:614-630)
+        val isLance = TableUtil.isLanceTable(propsOf(t \ "properties"))
+        if (isLance) name else None
+      }
+      case _ => Nil
+    }).sorted.map(ns.child)
+  }
+
+  override def tableExists(id: ObjectIdentifier): Boolean =
+    try { describeTable(id); true } catch { case _: GraftError => false }
+
+  override def describeTable(id: ObjectIdentifier): TableInfo = {
+    requireDepth(id, 3, "table")
+    try {
+      val resp = client.get(s"/tables/${id.toDelimited()}")
+      val props = propsOf(resp \ "properties")
+      TableUtil.validateLanceTable(id, props)
+      val location = resp \ "storage_location" match {
+        case JString(l) => l
+        case _ => throw GraftError.Internal(s"table $id has no storage_location")
+      }
+      val (clean, storage) = TableUtil.splitStorageOptions(props)
+      TableInfo(id, location, clean, storage, clean.get("graft.schema"))
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.TableNotFound(id)
+    }
+  }
+
+  override def declareTable(id: ObjectIdentifier, location: Option[String],
+      properties: Map[String, String], schemaJson: Option[String]): TableInfo = {
+    requireDepth(id, 3, "table")
+    val loc = location.getOrElse(
+      (conf.getOrElse("root", "/tmp/graft-warehouse").stripSuffix("/") +:
+        id.levels).mkString("/"))
+    val props = TableUtil.mergeTableProperties(properties) ++
+      schemaJson.map("graft.schema" -> _)
+    val body = JObject(
+      "name" -> JString(id.name),
+      "catalog_name" -> JString(id.levels.head),
+      "schema_name" -> JString(id.levels(1)),
+      "table_type" -> JString("EXTERNAL"),
+      // placeholder format + column, as the reference registers
+      // (UnityNamespace.java:333-345)
+      "data_source_format" -> JString("TEXT"),
+      "columns" -> JArray(List(JObject(
+        "name" -> JString("__placeholder_id"),
+        "type_name" -> JString("LONG"),
+        "type_text" -> JString("bigint"),
+        "type_json" -> JString("""{"name":"__placeholder_id","type":"long","nullable":true}"""),
+        "position" -> JInt(0),
+        "nullable" -> JBool(true)))),
+      "storage_location" -> JString(loc),
+      "properties" -> JObject(props.map { case (k, v) => k -> (JString(v): JValue) }.toList))
+    try {
+      client.post("/tables", body)
+      val (clean, storage) = TableUtil.splitStorageOptions(props)
+      TableInfo(id, loc, clean, storage, schemaJson, isOnlyDeclared = true)
+    } catch {
+      case e: RestError if e.isConflict => throw GraftError.TableAlreadyExists(id)
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id.parent)
+    }
+  }
+
+  override def dropTable(id: ObjectIdentifier, purge: Boolean): TableInfo = {
+    val info = describeTable(id)
+    try client.delete(s"/tables/${id.toDelimited()}")
+    catch { case e: RestError if e.isNotFound => throw GraftError.TableNotFound(id) }
+    info
+  }
+}

@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Modulus for the one-hash minhash permutation family: 2^31-1. Products
+    * a·h stay < 2^62, exact in BIGINT for Spark and the SQL oracle alike. */
+  val MersennePrime: Long = 2147483647L
+
+  /** Deterministic permutation constants (engine-portable literals). */
+  def permA(n: Int): Array[Long] =
+    Array.tabulate(n)(i => (1103515245L * (i + 1) + 12345L) % MersennePrime | 1L)
+  def permB(n: Int): Array[Long] =
+    Array.tabulate(n)(i => (987654321L * (i + 1) + 5555L) % MersennePrime)
+
+  /** Small corpora often arrive as one parquet file = one partition, which
+    * serializes the per-row shingle/hash work; fan out to the cluster's
+    * parallelism first. No-op (and no extra shuffle) when the input is
+    * already wide — at 100 TB the scan is thousands of partitions and this
+    * never fires. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct word k-shingles of normalized text. Documents shorter than k
     * tokens contribute their whole text as a single shingle. */
   def shingles(text: Column, k: Int = 3): Column = {
@@ -46,7 +66,7 @@ object Dedup {
     * possible movement for exact dedup (only (fp,id) pairs shuffle, then the
     * winner set — tiny — joins back to the corpus by id). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df
+    val keep = widen(df)
       .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("__fp"))
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as(idCol))
@@ -80,16 +100,38 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-    val sig = sh.select(col("__id"),
-      minhashSignature(col("__sh"), numHashes).as("__sig"))
-    val banded = sig.select(col("__id"), explode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_id"),
-          concat_ws("", (1 to rowsPerBand).map(r =>
-            element_at(col("__sig"), b * rowsPerBand + r)): _*).as("band_sig")))
-    ).as("__band")).select(col("__id"),
-      col("__band.band_id").as("__band_id"), col("__band.band_sig").as("__band_sig"))
+    val sh = widen(df).select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+
+    // Relational minhash, not nested higher-order lambdas: explode shingles,
+    // hash each shingle ONCE (md5 → 32-bit int, whole-stage codegen'd),
+    // derive the k minhash values by linear permutations (a·h+b) mod p —
+    // the standard one-hash trick — then a map-side-combinable min per
+    // (doc, seed). The lambda formulation of [[minhashSignature]] is
+    // row-at-a-time interpreted AND gets inlined (hence recomputed) into
+    // every band access by CollapseProject; this plan is ~100× faster at
+    // sf0.1 and scales as one shuffle of (doc, seed, min) triples.
+    val aConsts = Dedup.permA(numHashes)
+    val bConsts = Dedup.permB(numHashes)
+    val hashRows = sh
+      .select(col("__id"), explode(col("__sh")).as("__g"))
+      .select(col("__id"),
+        conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("__h32"))
+      .select(col("__id"), explode(sequence(lit(0), lit(numHashes - 1))).as("__s"),
+        col("__h32"))
+      .select(col("__id"), col("__s"),
+        pmod(element_at(lit(aConsts), col("__s") + 1) * col("__h32") +
+          element_at(lit(bConsts), col("__s") + 1), lit(Dedup.MersennePrime)).as("__h"))
+    val sig = hashRows.groupBy(col("__id"), col("__s")).agg(min(col("__h")).as("__mh"))
+    // band signature: seed-ordered concat of the band's row hashes
+    val banded = sig
+      .withColumn("__band_id", (col("__s") / rowsPerBand).cast("int"))
+      .groupBy(col("__id"), col("__band_id"))
+      // seed-ordered '_'-separated concat (variable-length ints need the
+      // separator to keep band signatures prefix-unambiguous)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__s"), col("__mh")))),
+        x => x.getField("__mh").cast("string")), "_").as("__band_sig"))
 
     // cap pathological buckets (stop-shingle boilerplate) before the join
     val bucketed = banded
@@ -116,10 +158,38 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Relational 32-bit SimHash: explode tokens → one md5-derived 32-bit
+    * hash per token (codegen'd) → explode bit positions → ±1 votes →
+    * map-side-combinable sum per (doc, bit) → reassemble the hash. Produces
+    * exactly [[simhash]]'s value, but scales: the column-expression form is
+    * interpreted row-at-a-time and its vote array gets inlined (hence
+    * recomputed) 32× by CollapseProject — ~100× slower on real corpora.
+    * Two shuffles, both on (doc,bit)/(doc) keys with partial aggregation. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = widen(df)
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .select(col("__id"),
+        conv(substring(md5(col("__t").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("__h"))
+      .select(col("__id"), explode(sequence(lit(0), lit(31))).as("__b"), col("__h"))
+      .select(col("__id"), col("__b"),
+        when(pmod(floor(col("__h") / pow(lit(2.0), col("__b"))).cast("long"),
+          lit(2)) === 1, 1L).otherwise(-1L).as("__v"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(sum(col("__v")).as("__vote"))
+    votes.groupBy(col("__id"))
+      .agg(sum(when(col("__vote") > 0,
+        pow(lit(2.0), col("__b")).cast("long")).otherwise(0L)).as("simhash"))
+      .select(col("__id").as(idCol), col("simhash"))
+  }
+
   /** 32-bit SimHash over (repeated) tokens: per bit, vote +1/-1 by the bit
     * of each token's md5-derived 32-bit hash; bit set iff vote > 0.
     * Bit extraction uses floor(h / 2^b) % 2 — portable to engines without
-    * variable-shift operators. */
+    * variable-shift operators. Column-expression form for ad-hoc use on
+    * modest data; pipelines should use [[simhashTable]] (same values,
+    * codegen'd and distributed). */
   def simhash(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
     val tokHash = transform(toks,
@@ -144,7 +214,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     val bandBits = 32 / nBands
-    val hashed = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__h"))
+    val hashed = simhashTable(df, idCol, textCol)
+      .select(col(idCol).as("__id"), col("simhash").as("__h"))
     val banded = hashed.select(col("__id"), col("__h"), explode(
       transform(sequence(lit(0), lit(nBands - 1)), b => struct(
         b.as("band_id"),
@@ -172,7 +243,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+    val sh = widen(df).select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
     val a = sh.select(col("__id").as("doc_a"), col("__sh").as("__sha"))
     val b = sh.select(col("__id").as("doc_b"), col("__sh").as("__shb"))
     a.join(b, col("doc_a") < col("doc_b"))

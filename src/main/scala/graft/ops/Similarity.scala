@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fan single-file corpora out to full parallelism before per-row vector
+    * math (no-op on already-wide inputs; see Dedup.widen). */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Left-fold dot product of two float vectors in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -42,7 +49,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int = 10): DataFrame = {
-    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val scored = widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -68,7 +75,7 @@ object Similarity {
     // one narrow pass: nearest centroid per corpus vector
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("__sim").desc, col("cid"))
-    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val assigned = widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(broadcast(cells))
       .select(col("vec_id"), col("__v"), col("cid"), cosine(col("__v"), col("__c")).as("__sim"))
       .withColumn("__rn", row_number().over(wAssign))
@@ -103,8 +110,9 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val wide = widen(corpus)
+    val a = wide.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = wide.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
@@ -132,7 +140,7 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x) > 0,
           pow(lit(2.0), p).cast("long")).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
-    val hashed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val hashed = widen(corpus).select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bucket", sig)
     val a = hashed.select(col("__id").as("id_a"), col("__v").as("__va"), col("__bucket"))
     val b = hashed.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__bucket"))

@@ -48,9 +48,11 @@ object DedupQueries {
         k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val q34Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+  val q34Sql: String = {
+    val a = graft.ops.Dedup.permA(12).mkString("[", ",", "]")
+    val b = graft.ops.Dedup.permB(12).mkString("[", ",", "]")
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
       |), sh AS (
       |  SELECT doc_id, CASE WHEN len(toks) >= 3
       |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
@@ -60,13 +62,17 @@ object DedupQueries {
       |), mh AS (
       |  SELECT doc_id, shingles,
       |    list_transform(range(0, 12), s ->
-      |      list_aggregate(list_transform(shingles, g -> md5(g || ':' || s)), 'min')) AS sig
+      |      list_aggregate(list_transform(shingles, g ->
+      |        ($a[s+1] * CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) + $b[s+1]) % 2147483647),
+      |        'min')) AS sig
       |  FROM sh
       |), bands AS (
-      |  SELECT doc_id, b AS band_id, sig[b*3+1] || sig[b*3+2] || sig[b*3+3] AS band_sig
+      |  SELECT doc_id, b AS band_id,
+      |    sig[b*3+1] || '_' || sig[b*3+2] || '_' || sig[b*3+3] AS band_sig
       |  FROM mh, (SELECT unnest(range(0,4)) AS b)
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |), cand AS (""".stripMargin
+  } + "\n" +
+    """  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       |)
@@ -80,9 +86,8 @@ object DedupQueries {
 
   /** Per-document 32-bit SimHash (sampled) — pins the exact bit pattern. */
   def q35Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashTable(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   val q35Sql: String =

@@ -82,6 +82,15 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashTable (relational) equals simhash (column expression)") {
+    val sample = docs.filter($"doc_id" < 100)
+    val viaExpr = sample.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val viaTable = Dedup.simhashTable(sample, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(viaTable == viaExpr)
+  }
+
   test("brute-force cosine topk: self-similarity excluded, scores ordered") {
     val queries = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

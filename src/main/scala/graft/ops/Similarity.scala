@@ -32,14 +32,23 @@ object Similarity {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Left-fold dot product of two float vectors in double precision. */
+  /** Left-fold dot product of two float vectors in double precision
+    * (composable form; kept as the readable spec of the numerics). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Same numerics as [[cosineComposable]], via the codegen'd custom
+    * expression [[graft.functions.CosineSimilarity]] — one fused primitive
+    * loop in whole-stage codegen instead of interpreted lambdas. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Reference formulation built only from org.apache.spark.sql.functions;
+    * bit-identical to [[cosine]] (same left fold, double precision). */
+  def cosineComposable(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Exact top-k by cosine for each query vector.

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity
+import graft.ops.Similarity
+
+/** The codegen'd cosine expression must be bit-identical to the composable
+  * functions formulation, work through SQL via the extension, and reject
+  * wrong types at analysis. */
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("expression == composable formulation, bit for bit") {
+    val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ida" < $"idb" && $"idb" < $"ida" + 7)
+    val diff = pairs.select(
+        CosineSimilarity($"va", $"vb").as("fast"),
+        Similarity.cosineComposable($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref") // exact double comparison
+      .count()
+    assert(diff == 0)
+  }
+
+  test("registered SQL function via SparkSessionExtensions") {
+    emb.limit(50).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) AS c
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id""".stripMargin)
+      .collect()
+    assert(rows.length > 0)
+    assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+
+  test("null inputs yield null; self-similarity is 1.0") {
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(1.0f, 2.0f, 3.0f))),
+      (2L, None, Some(Array(1.0f, 0.0f, 0.0f)))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", CosineSimilarity($"a", $"b").as("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - 1.0) < 1e-12)
+    assert(out(2L).isEmpty)
+  }
+
+  test("type check rejects non-float arrays at analysis time") {
+    val df = Seq((1L, Array(1.0, 2.0), Array(1.0f, 2.0f))).toDF("id", "d", "f")
+    intercept[AnalysisException](
+      df.select(CosineSimilarity($"d", $"f")).collect())
+  }
+
+  test("whole-stage codegen handles the expression (no fallback)") {
+    val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val df = a.join(b, $"ida" < $"idb" && $"idb" < $"ida" + 3)
+      .select(CosineSimilarity($"va", $"vb").as("c"))
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the *(n) prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_cosine") && l.trim.matches("""\+?-?\s*\*\(\d+\).*""")), plan)
+  }
+}

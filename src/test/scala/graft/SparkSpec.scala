@@ -16,6 +16,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     .config("spark.sql.catalog.graft.backend", "memory")
     .config("spark.sql.catalog.graft.root", warehouse.toString)

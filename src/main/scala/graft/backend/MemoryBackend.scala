@@ -104,4 +104,13 @@ class MemoryBackend extends MetadataBackend {
 
   override def dropTable(id: ObjectIdentifier, purge: Boolean): TableInfo =
     Option(tables.remove(id.levels)).getOrElse(throw GraftError.TableNotFound(id))
+
+  // ---- persistence hooks for FileBackend ----
+  protected def snapshotNamespaces: Seq[(Seq[String], Map[String, String])] =
+    namespaces.asScala.toSeq
+  protected def snapshotTables: Seq[TableInfo] = tables.values.asScala.toSeq
+  protected def restoreNamespace(levels: Seq[String], props: Map[String, String]): Unit =
+    namespaces.put(levels, props)
+  protected def restoreTable(info: TableInfo): Unit =
+    tables.put(info.id.levels, info)
 }

@@ -86,9 +86,13 @@ trait MetadataBackend {
 object MetadataBackend {
   private val shortNames = scala.collection.concurrent.TrieMap[String, () => MetadataBackend](
     "memory" -> (() => new MemoryBackend),
+    "file" -> (() => new FileBackend),
     "iceberg" -> (() => new graft.backend.rest.IcebergRestBackend),
     "unity" -> (() => new graft.backend.rest.UnityBackend),
-    "polaris" -> (() => new graft.backend.rest.PolarisBackend))
+    "polaris" -> (() => new graft.backend.rest.PolarisBackend),
+    "hive2" -> (() => new Hive2Backend),
+    "hive3" -> (() => new Hive3Backend),
+    "glue" -> (() => new GlueBackend))
 
   /** Register a shortname → factory, like `register_namespace_impl`. */
   def register(shortName: String, factory: () => MetadataBackend): Unit =

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.backend._
+import graft.core.{GraftError, ObjectIdentifier}
+
+class FileBackendSpec extends AnyFunSuite {
+
+  test("file backend persists catalog across instances (atomic JSON)") {
+    val file = java.nio.file.Files.createTempDirectory("graft-file-be")
+      .resolve("catalog.json").toString
+    val b1 = new FileBackend
+    b1.initialize(Map("path" -> file, "root" -> "/tmp/fb-wh"))
+    val ns = ObjectIdentifier.of("db")
+    b1.createNamespace(ns, Map("k" -> "v"), CreateMode.Create)
+    val t = ns.child("t")
+    b1.declareTable(t, Some("/data/t"), Map("c" -> "1"),
+      Some("""{"fields":[{"name":"id","nullable":true,"type":{"name":"int","bitWidth":64,"isSigned":true}}]}"""))
+
+    // a brand-new instance reads the same file
+    val b2 = new FileBackend
+    b2.initialize(Map("path" -> file, "root" -> "/tmp/fb-wh"))
+    assert(b2.describeNamespace(ns) == Map("k" -> "v"))
+    val info = b2.describeTable(t)
+    assert(info.location == "/data/t")
+    assert(info.properties("table_type") == "lance" && info.properties("c") == "1")
+    assert(info.schemaJson.exists(_.contains("bitWidth")))
+    assert(b2.listTables(ns) == Seq(t))
+
+    // mutations through b2 visible to a third instance
+    b2.dropTable(t, purge = false)
+    val b3 = new FileBackend
+    b3.initialize(Map("path" -> file))
+    intercept[GraftError.TableNotFound](b3.describeTable(t))
+    assert(b3.namespaceExists(ns))
+  }
+
+  test("registry resolves all backend shortnames") {
+    for (name <- Seq("memory", "file", "iceberg", "unity", "polaris",
+        "hive2", "hive3", "glue"))
+      assert(MetadataBackend.create(name) != null, name)
+    intercept[Exception](MetadataBackend.create("nope.missing.Class"))
+    // FQCN path, as the reference's connect-by-classpath contract
+    assert(MetadataBackend.create("graft.backend.MemoryBackend").isInstanceOf[MemoryBackend])
+    intercept[GraftError.InvalidInput](MetadataBackend.create("java.lang.String"))
+  }
+
+  test("hive/glue stubs: config + depth validation before ServiceUnavailable") {
+    val h2 = new Hive2Backend
+    h2.initialize(Map("hive.metastore.uris" -> "thrift://hms:9083",
+      "client.pool-size" -> "5"))
+    assert(h2.backendId.contains("thrift://hms:9083"))
+    // wrong depth fails with InvalidInput BEFORE any RPC attempt
+    intercept[GraftError.InvalidInput](
+      h2.describeNamespace(ObjectIdentifier.of("cat", "db")))
+    // right depth reaches the (absent) service -> code-17 ServiceUnavailable
+    intercept[GraftError.ServiceUnavailable](
+      h2.describeNamespace(ObjectIdentifier.of("db")))
+
+    val h3 = new Hive3Backend
+    h3.initialize(Map.empty)
+    intercept[GraftError.InvalidInput](
+      h3.describeNamespace(ObjectIdentifier.of("a", "b", "c")))
+    intercept[GraftError.ServiceUnavailable](
+      h3.describeNamespace(ObjectIdentifier.of("hive", "db")))
+
+    val glue = new GlueBackend
+    intercept[GraftError.InvalidInput] {
+      glue.initialize(Map("client.pool-size" -> "0"))
+    }
+  }
+}

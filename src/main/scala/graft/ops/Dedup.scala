@@ -112,42 +112,44 @@ object Dedup {
     // sf0.1 and scales as one shuffle of (doc, seed, min) triples.
     val aConsts = Dedup.permA(numHashes)
     val bConsts = Dedup.permB(numHashes)
-    val hashRows = sh
+    // all k permutation minima as k parallel aggregates of ONE groupBy over
+    // the exploded shingle rows (no seed explode, map-side partial mins)
+    val minAggs = (0 until numHashes).map(s =>
+      min(pmod(lit(aConsts(s)) * col("__h32") + lit(bConsts(s)),
+        lit(Dedup.MersennePrime))).as(s"__mh$s"))
+    val sig = sh
       .select(col("__id"), explode(col("__sh")).as("__g"))
       .select(col("__id"),
         conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
           .cast("long").as("__h32"))
-      .select(col("__id"), explode(sequence(lit(0), lit(numHashes - 1))).as("__s"),
-        col("__h32"))
-      .select(col("__id"), col("__s"),
-        pmod(element_at(lit(aConsts), col("__s") + 1) * col("__h32") +
-          element_at(lit(bConsts), col("__s") + 1), lit(Dedup.MersennePrime)).as("__h"))
-    val sig = hashRows.groupBy(col("__id"), col("__s")).agg(min(col("__h")).as("__mh"))
-    // band signature: seed-ordered concat of the band's row hashes
-    val banded = sig
-      .withColumn("__band_id", (col("__s") / rowsPerBand).cast("int"))
-      .groupBy(col("__id"), col("__band_id"))
-      // seed-ordered '_'-separated concat (variable-length ints need the
-      // separator to keep band signatures prefix-unambiguous)
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__s"), col("__mh")))),
-        x => x.getField("__mh").cast("string")), "_").as("__band_sig"))
+      .groupBy(col("__id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+    // band signature: seed-ordered '_'-separated concat (variable-length
+    // ints need the separator to keep signatures prefix-unambiguous)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"__mh${b * rowsPerBand + r}")): _*).as("band_sig"))
+    }
+    val banded = sig.select(col("__id"), explode(array(bandStructs: _*)).as("__band"))
+      .select(col("__id"), col("__band.band_id").as("__band_id"),
+        col("__band.band_sig").as("__band_sig"))
 
-    // cap pathological buckets (stop-shingle boilerplate) before the join
-    val bucketed = banded
-      .withColumn("__bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band_id"), col("__band_sig"))))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
-
-    val a = bucketed.select(col("__id").as("__ida"),
-      col("__band_id"), col("__band_sig"))
-    val b = bucketed.select(col("__id").as("__idb"),
-      col("__band_id"), col("__band_sig"))
-    val cand = a.join(b, Seq("__band_id", "__band_sig"))
-      .filter(col("__ida") < col("__idb"))
-      .select(col("__ida"), col("__idb")).distinct()
+    // One aggregation per bucket replaces the window-count cap + self-join:
+    // collect the (sorted) member ids, drop pathological buckets
+    // (stop-shingle boilerplate) above maxBucket, and emit the i<j pairs
+    // directly from each bucket. Buckets are bounded by the cap, so the
+    // pair expansion is O(cap²) worst case per bucket — never a cross join,
+    // and two fewer shuffles than the join formulation.
+    val cand = banded
+      .groupBy(col("__band_id"), col("__band_sig"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("__ida"), col("__p.b").as("__idb"))
+      .distinct()
 
     val sa = sh.select(col("__id").as("__ida"), col("__sh").as("__sha"))
     val sb = sh.select(col("__id").as("__idb"), col("__sh").as("__shb"))

@@ -78,7 +78,27 @@ trait MetadataBackend {
     * (`GlueNamespace.getDefaultTableLocation:602-617`). */
   def defaultTableLocation(root: String, id: ObjectIdentifier): String =
     (root.stripSuffix("/") +: id.levels).mkString("/") + ".lance"
+
+  /** Paginated listings with the spec's offset-token contract
+    * (`PageUtil.java:21-51`, default page 100). Backends with native
+    * server-side tokens (Glue-style) may override; the default paginates the
+    * full sorted listing client-side, exactly like the reference's
+    * Hive adapters. */
+  def listNamespacesPaged(parent: ObjectIdentifier, pageToken: Option[String],
+      limit: Option[Int]): Page[ObjectIdentifier] = {
+    val (items, next) = graft.core.TableUtil.page(listNamespaces(parent), pageToken, limit)
+    Page(items, next)
+  }
+
+  def listTablesPaged(ns: ObjectIdentifier, pageToken: Option[String],
+      limit: Option[Int]): Page[ObjectIdentifier] = {
+    val (items, next) = graft.core.TableUtil.page(listTables(ns), pageToken, limit)
+    Page(items, next)
+  }
 }
+
+/** One page of a listing + continuation token (spec pagination shape). */
+final case class Page[T](items: Seq[T], nextToken: Option[String])
 
 /** Backend registry, the analog of the reference's
   * `register_namespace_impl` shortname registry

@@ -186,4 +186,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     !TableUtil.hasStorageComponents(info.location,
       spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
   }
+
+  /** Spec-parity listing with `include_declared` semantics
+    * (`table_utils.py:17-19`): `includeDeclared=false` drops tables whose
+    * storage has no data yet. The probe is the reference's documented N+1
+    * scale hazard (SURVEY.md §4) — it runs once per listed table on the
+    * driver; callers listing huge namespaces should keep the default
+    * `includeDeclared=true`. */
+  def listTables(namespace: Array[String], includeDeclared: Boolean): Array[Identifier] = {
+    val all = listTables(namespace)
+    if (includeDeclared) all
+    else all.filterNot(isOnlyDeclared)
+  }
+
+  /** Paginated listing surface (spec `pageToken`/`limit`). */
+  def listTablesPaged(namespace: Array[String], pageToken: Option[String],
+      limit: Option[Int]): graft.backend.Page[Identifier] = mapped {
+    val page = backend.listTablesPaged(oid(namespace), pageToken, limit)
+    graft.backend.Page(
+      page.items.map(id => Identifier.of(id.parent.levels.toArray, id.name)),
+      page.nextToken)
+  }
 }

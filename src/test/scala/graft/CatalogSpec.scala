@@ -102,6 +102,29 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE graft.a")
   }
 
+  test("include_declared filtering and paginated listings") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pg")
+    (1 to 5).foreach(i => spark.sql(s"CREATE TABLE graft.pg.t$i (id BIGINT)"))
+    spark.sql("INSERT INTO graft.pg.t2 VALUES (1)")
+    spark.sql("INSERT INTO graft.pg.t4 VALUES (2)")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ns = Array("pg")
+    assert(cat.listTables(ns, includeDeclared = true).length == 5)
+    // only materialized tables when include_declared=false
+    assert(cat.listTables(ns, includeDeclared = false).map(_.name()).sorted.toSeq
+      == Seq("t2", "t4"))
+    // offset-token pagination
+    val p1 = cat.listTablesPaged(ns, None, Some(2))
+    assert(p1.items.map(_.name()) == Seq("t1", "t2") && p1.nextToken.contains("2"))
+    val p2 = cat.listTablesPaged(ns, p1.nextToken, Some(2))
+    assert(p2.items.map(_.name()) == Seq("t3", "t4"))
+    val p3 = cat.listTablesPaged(ns, p2.nextToken, Some(2))
+    assert(p3.items.map(_.name()) == Seq("t5") && p3.nextToken.isEmpty)
+    assert(cat != null && Identifier.of(ns, "t1") != null)
+  }
+
   test("declared-table probe (spec is_only_declared)") {
     import org.apache.spark.sql.connector.catalog.Identifier
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")

@@ -59,6 +59,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-source stream: readStream over parquet dir matches batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val events = sampleEvents.toDF()
+    // two "arriving" files
+    events.filter($"event_id" < 100).write.parquet(s"$dir/batch1")
+    events.filter($"event_id" >= 100).write.parquet(s"$dir/batch2")
+    val src = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val query = EventStreams.windowedStats(src)
+      .writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_win")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = EventStreams.windowedStats(events)
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("stateful sessionization: stream output matches batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = sampleEvents

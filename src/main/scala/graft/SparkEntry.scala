@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ CatalogQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
-      MultimodalQueries.all ++ TemporalQueries.all
+      MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CatalogQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++
-      MultimodalQueries.oracles ++ TemporalQueries.oracles
+      MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles
 }

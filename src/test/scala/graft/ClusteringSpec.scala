@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, DedupClustering, Skew}
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components match a union-find ground truth") {
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21, plus a long chain to
+    // exercise multi-iteration convergence
+    val chain = (100L until 140L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val got = DedupClustering.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+
+    // union-find ground truth computed driver-side
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap ++
+      got.keys.filterNot(parent.contains).map(k => k -> k)
+    assert(got == expected.filter { case (k, _) => got.contains(k) })
+    assert(got(4L) == 1L && got(12L) == 10L && got(139L) == 100L)
+  }
+
+  test("collapseNearDups keeps one survivor per near-dup cluster") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val collapsed = DedupClustering.collapseNearDups(docs, "doc_id", "text",
+      threshold = 0.8)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val removed = docs.count() - collapsed.count()
+    // every surviving set contains no near-dup pair
+    val kept = collapsed.select("doc_id").as[Long].collect().toSet
+    assert(!pairs.exists { case (a, b) => kept.contains(a) && kept.contains(b) })
+    // nothing removed without evidence
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(removed <= inPairs.size)
+  }
+
+  test("salted distinct equals plain countDistinct (incl. skewed key)") {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderpriority".as("k"), $"o_custkey".as("v"))
+    // inject a hot key with many duplicate values
+    val hot = spark.range(10000).select(lit("HOT").as("k"), ($"id" % 37).as("v"))
+    val df = base.unionByName(hot)
+    val salted = Skew.saltedCountDistinct(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy($"k").agg(countDistinct($"v").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == exact)
+    assert(salted("HOT") == 37L)
+  }
+
+  test("approx sketches are within tolerance of exact values") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val approx = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)
+      .select("l_returnflag", "approx_nd_part").as[(String, Long)].collect().toMap
+    val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: ${approx(k)} vs $n")
+    }
+  }
+}

@@ -82,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup: watermarked dropDuplicates removes replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val events = sampleEvents.take(50)
+      stream.addData(events)
+      stream.addData(events.take(25)) // replayed duplicates
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == events.map(_.event_id).sorted.toSeq)
+    } finally query.stop()
+  }
+
   test("stateful sessionization: stream output matches batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = sampleEvents

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN: the memory-scaling tier of the similarity
+  * family. Vectors are split into `m` subvectors; each subvector is
+  * replaced by the id of its nearest codebook centroid → a d-float vector
+  * becomes m small ints (64 floats → 8 codes here, 32× compression). Search
+  * uses asymmetric distance computation (ADC): per query, one tiny
+  * (m × k) table of query-subvector↔centroid distances; a candidate's
+  * approximate distance is the sum of m table lookups.
+  *
+  * Spark-first shape (no index server, no UDF):
+  *  - the codebook is a tiny model (m·k·(d/m) floats) — broadcast;
+  *  - encoding = explode(subspace) → broadcast-join centroids → min_by —
+  *    one narrow pass over the corpus;
+  *  - ADC scoring = equi-join codes⋈distance-table on (subspace, code) +
+  *    partial-agg sum — shuffle keys are (query, candidate), never a
+  *    full-vector movement; at 100 TB only the 8-byte codes shuffle.
+  *
+  * The codebook here is seeded from the first k corpus vectors per
+  * subspace (deterministic stand-in for a k-means job; the query plans are
+  * identical with trained centroids).
+  */
+object ProductQuantization {
+
+  /** Subvector slice s (0-based) of an array column, given subDim. */
+  private def sub(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /** Squared L2 between two float arrays (left fold, double precision). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** Codebook rows (s, c, cvec): centroid c of subspace s = subvector of
+    * the c-th lowest-id corpus vector. */
+  def seedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    val rows = for {
+      s <- 0 until m
+      c <- 0 until k
+    } yield (s, c, seeds(c).slice(s * subDim, (s + 1) * subDim))
+    corpus.sparkSession.createDataFrame(rows).toDF("s", "c", "cvec")
+  }
+
+  /** Encode every corpus vector to its m nearest-centroid codes. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val subDim = dim / m
+    corpus.select(col(idCol).as("__id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), sub(col(vecCol), s, subDim).as("sv"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.s").as("s"), col("__e.sv").as("sv"))
+      .join(broadcast(codebook), Seq("s"))
+      .groupBy(col("__id"), col("s"))
+      .agg(min_by(col("c"), l2sq(col("sv"), col("cvec"))).as("code"))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+  }
+
+  /** ADC top-k: approximate L2² ranking via code lookups, then exact
+    * cosine re-rank of the top `rerank` candidates.
+    * @return (qid, rank, vec_id, score) like the other search ops. */
+  def searchADC(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      codebook: DataFrame, m: Int, k: Int = 10, rerank: Int = 50): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val subDim = dim / m
+    val codes = encode(corpus, idCol, vecCol, codebook, m)
+
+    // per-query distance table: (qid, s, c, partial L2²)
+    val dtable = queries.select(col(qidCol).as("qid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), sub(col(qvecCol), s, subDim).as("qsv"))): _*)).as("__e"))
+      .select(col("qid"), col("__e.s").as("s"), col("__e.qsv").as("qsv"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("c"), l2sq(col("qsv"), col("cvec")).as("partial"))
+
+    // candidate scoring: explode codes, look up partials, sum per (qid, id)
+    val exploded = codes.select(col(idCol).as("vec_id"),
+      posexplode(col("codes")).as(Seq("s", "c")))
+    val approx = exploded.join(broadcast(dtable), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("partial")).as("approx_l2sq"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_l2sq"), col("vec_id"))
+    val candidates = approx.withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vec_id"))
+
+    // exact re-rank of the shortlist
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    candidates
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v")), "vec_id")
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("__q"), col("__v")), 6).as("score"))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+}

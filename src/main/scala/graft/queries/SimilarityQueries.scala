@@ -79,10 +79,25 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Product-quantization ANN with exact re-rank (approximate; recall vs
+    * brute force asserted in PQSpec — rows-only in the gate). */
+  def q43PqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codebook = graft.ops.ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    graft.ops.ProductQuantization.searchADC(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", codebook, m = 8, k = 10, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
-    "q42_ivf_topk" -> (q42IvfTopK _))
+    "q42_ivf_topk" -> (q42IvfTopK _),
+    "q43_pq_topk" -> (q43PqTopK _))
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,

@@ -16,14 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ CatalogQueries.all ++ TextQueries.all ++
+    RelationalQueries.all ++ RelationalQueries2.all ++ CatalogQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
       MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CatalogQueries.oracles ++ TextQueries.oracles ++
+    RelationalQueries.oracles ++ RelationalQueries2.oracles ++ CatalogQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++
       MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of relational coverage (SURVEY.md §2.3): outer-join
+  * variants, pattern matching, union-all aggregation, date arithmetic and
+  * nested subqueries — same Spark-first + broadcast-dimension discipline as
+  * [[RelationalQueries]]. */
+object RelationalQueries2 {
+
+  /** LEFT OUTER join preserving customers with no orders + null-safe agg. */
+  def q23LeftOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_big_orders"),
+        count(lit(1)).as("n_rows"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, count(o_orderkey) AS n_big_orders,
+      | count(*) AS n_rows, round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
+      |FROM customer LEFT OUTER JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 250000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** LIKE / regexp pattern filters (string-matching pushdown surface). */
+  def q24Patterns(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%widget%") ||
+        col("p_type").rlike("^(PROMO|LARGE)$"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  val q24Sql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE p_name LIKE '%widget%' OR regexp_matches(p_type, '^(PROMO|LARGE)$')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** UNION ALL of two differently-filtered scans, aggregated after. */
+  def q25UnionAll(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_orderstatus"), lit("high").as("band"), col("o_totalprice"))
+    val lo = Tables.orders(s, d).filter(col("o_totalprice") < 10000)
+      .select(col("o_orderstatus"), lit("low").as("band"), col("o_totalprice"))
+    hi.unionAll(lo)
+      .groupBy(col("o_orderstatus"), col("band"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_orderstatus"), col("band"))
+  }
+
+  val q25Sql: String =
+    """SELECT o_orderstatus, band, count(*) AS n, round(avg(o_totalprice),2) AS avg_price
+      |FROM (
+      |  SELECT o_orderstatus, 'high' AS band, o_totalprice FROM orders WHERE o_totalprice > 300000
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'low' AS band, o_totalprice FROM orders WHERE o_totalprice < 10000)
+      |GROUP BY o_orderstatus, band ORDER BY o_orderstatus, band""".stripMargin
+
+  /** Date arithmetic: order→ship latency per ship month. */
+  def q26DateArithmetic(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("lag_days")), 4).as("avg_lag"),
+        max(col("lag_days")).as("max_lag"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q26Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS n,
+      | round(avg(CAST(datediff('day', CAST(o_orderdate AS TIMESTAMP), CAST(l_shipdate AS TIMESTAMP)) AS BIGINT)), 4) AS avg_lag,
+      | CAST(max(datediff('day', CAST(o_orderdate AS TIMESTAMP), CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS max_lag
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey % 50 = 0
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  /** Nested aggregation subquery: nations whose supplier count exceeds the
+    * all-nation average (HAVING over a scalar subquery). */
+  def q27NestedAgg(s: SparkSession, d: String): DataFrame = {
+    val perNation = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    val avgCount = perNation.agg(avg(col("n_supp")).as("a"))
+    perNation.join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(avgCount))
+      .filter(col("n_supp") >= col("a"))
+      .select(col("n_name"), col("n_supp"))
+      .orderBy(col("n_name"))
+  }
+
+  val q27Sql: String =
+    """SELECT n_name, n_supp FROM (
+      |  SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) t
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_supp >= (SELECT avg(cnt) FROM (
+      |  SELECT count(*) AS cnt FROM supplier GROUP BY s_nationkey))
+      |ORDER BY n_name""".stripMargin
+
+  /** Window frame variants: range-between moving average + lead/lag. */
+  def q28WindowFrames(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") % 200 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2).as("ma3"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3,
+      | round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_price,
+      | round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS next_price,
+      | CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS quartile
+      |FROM orders WHERE o_custkey % 200 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Array/map construction + higher-order SQL functions over groups. */
+  def q29ArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .select(
+        col("n_regionkey").cast("long").as("region"),
+        size(col("nations")).cast("long").as("n"),
+        element_at(col("nations"), 1).as("first_nation"),
+        array_join(slice(col("nations"), 1, 3), ",").as("top3"))
+      .orderBy(col("region"))
+
+  val q29Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS region,
+      | CAST(len(nations) AS BIGINT) AS n,
+      | nations[1] AS first_nation,
+      | array_to_string(nations[1:3], ',') AS top3
+      |FROM (SELECT n_regionkey, list_sort(list(n_name)) AS nations
+      |      FROM nation GROUP BY n_regionkey)
+      |ORDER BY region""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_left_outer" -> (q23LeftOuter _),
+    "q24_patterns" -> (q24Patterns _),
+    "q25_union_all" -> (q25UnionAll _),
+    "q26_date_arithmetic" -> (q26DateArithmetic _),
+    "q27_nested_agg" -> (q27NestedAgg _),
+    "q28_window_frames" -> (q28WindowFrames _),
+    "q29_array_agg" -> (q29ArrayAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q23_left_outer" -> q23Sql,
+    "q24_patterns" -> q24Sql,
+    "q25_union_all" -> q25Sql,
+    "q26_date_arithmetic" -> q26Sql,
+    "q27_nested_agg" -> q27Sql,
+    "q28_window_frames" -> q28Sql,
+    "q29_array_agg" -> q29Sql)
+}

@@ -15,3 +15,30 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Arrow IPC ⇄ DataFrame through Spark's internal converters (the same
+  * machinery PySpark's createDataFrame-from-Arrow uses). */
+object ArrowBridge {
+  import org.apache.spark.TaskContext
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.classic.SparkSession
+  import org.apache.spark.sql.execution.arrow.ArrowConverters
+  import org.apache.spark.sql.types.StructType
+
+  /** Decode one Arrow IPC stream (schema + record batches) into a
+    * DataFrame; the embedded schema is authoritative. Decoding happens on
+    * the driver (op-12 payloads are table-creation sized); rows are copied
+    * out of the reused Arrow-backed buffers before distribution. */
+  def ipcStreamToDataFrame(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    val (it, schema) =
+      ArrowConverters.fromBatchWithSchemaIterator(Iterator(bytes), TaskContext.get())
+    val rows = it.map(_.copy()).toIndexedSeq
+    spark.internalCreateDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
+      schema)
+  }
+
+  /** Schema embedded in an IPC stream, without materializing rows. */
+  def ipcStreamSchema(bytes: Array[Byte]): StructType =
+    ArrowConverters.fromBatchWithSchemaIterator(Iterator(bytes), TaskContext.get())._2
+}

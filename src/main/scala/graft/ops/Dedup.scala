@@ -26,15 +26,7 @@ object Dedup {
   def permB(n: Int): Array[Long] =
     Array.tabulate(n)(i => (987654321L * (i + 1) + 5555L) % MersennePrime)
 
-  /** Small corpora often arrive as one parquet file = one partition, which
-    * serializes the per-row shingle/hash work; fan out to the cluster's
-    * parallelism first. No-op (and no extra shuffle) when the input is
-    * already wide — at 100 TB the scan is thousands of partitions and this
-    * never fires. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame = TextFunctions.widen(df)
 
   /** Distinct word k-shingles of normalized text. Documents shorter than k
     * tokens contribute their whole text as a single shingle. */

@@ -25,12 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fan single-file corpora out to full parallelism before per-row vector
-    * math (no-op on already-wide inputs; see Dedup.widen). */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame = TextFunctions.widen(df)
 
   /** Left-fold dot product of two float vectors in double precision
     * (composable form; kept as the readable spec of the numerics). */

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Fan a narrow (often single-file) input out to full parallelism before
+    * per-row-heavy columnar work; no-op when the scan is already wide. At
+    * 100 TB scans arrive in thousands of partitions and this never fires. */
+  def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Whitespace tokenization after lowercase+trim. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 

@@ -89,13 +89,44 @@ object TextQueries {
       | count(*) AS n
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Repetition ratio (1 - distinct 3-grams / total 3-grams): the classic
+    * degenerate-text signal for corpus filtering. */
+  def q37Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2)))
+    graft.ops.TextFunctions.widen(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id"),
+        when(size(toks) < 3, 0.0).otherwise(
+          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+          .as("repetition"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT doc_id,
+      | CASE WHEN len(toks) < 3 THEN 0.0 ELSE
+      |   round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) END AS repetition
+      |FROM (
+      |  SELECT doc_id, toks,
+      |    list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents WHERE doc_id % 5 = 0))
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_lang_id" -> (q31LangId _),
-    "q32_fingerprint" -> (q32Fingerprint _))
+    "q32_fingerprint" -> (q32Fingerprint _),
+    "q37_repetition" -> (q37Repetition _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
     "q31_lang_id" -> q31Sql,
-    "q32_fingerprint" -> q32Sql)
+    "q32_fingerprint" -> q32Sql,
+    "q37_repetition" -> q37Sql)
 }

@@ -53,6 +53,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("bucketed tables: co-located join with no shuffle exchange") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a previous JVM's managed-table dirs survive the in-memory catalog
+    for (t <- Seq("b_orders", "b_customer")) {
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketing pre-partitions both sides: the join itself needs no exchange
+    val joinSection = plan.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(o_custkey") &&
+      !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join must not reshuffle join keys:\n$plan")
+  }
+
   test("q40: query side broadcast for similarity search") {
     val plan = executed(graft.queries.SimilarityQueries.q40CosineTopK(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)

@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_cosine takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "graft_jaccard",
+        "graft_jaccard(a, b) - Jaccard similarity of two string arrays (as sets)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_jaccard takes exactly 2 arguments")
+        JaccardSimilarity(children.head, children(1))
+      }))
   }
 }

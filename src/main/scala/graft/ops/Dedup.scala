@@ -47,8 +47,14 @@ object Dedup {
       s => array_min(transform(shingleCol,
         g => md5(concat(g, lit(":"), s.cast("string")).cast("binary")))))
 
-  /** Jaccard similarity of two (already-distinct) arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Jaccard similarity of two (already-distinct) string arrays, via the
+    * codegen'd single-pass expression (LSH verification hot path). */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.JaccardSimilarity(a, b)
+
+  /** Composable reference formulation; identical values on distinct
+    * arrays (set semantics both ways). */
+  def jaccardComposable(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }

@@ -153,7 +153,34 @@ object RelationalQueries2 {
       |      FROM nation GROUP BY n_regionkey)
       |ORDER BY region""".stripMargin
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube) with grouping() markers. */
+  def q76GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+        |         g_status, g_prio""".stripMargin)
+  }
+
+  val q76Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      | CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      | count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |         g_status, g_prio""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_grouping_sets" -> (q76GroupingSets _),
     "q23_left_outer" -> (q23LeftOuter _),
     "q24_patterns" -> (q24Patterns _),
     "q25_union_all" -> (q25UnionAll _),
@@ -163,6 +190,7 @@ object RelationalQueries2 {
     "q29_array_agg" -> (q29ArrayAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q76_grouping_sets" -> q76Sql,
     "q23_left_outer" -> q23Sql,
     "q24_patterns" -> q24Sql,
     "q25_union_all" -> q25Sql,

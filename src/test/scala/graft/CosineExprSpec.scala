@@ -53,6 +53,26 @@ class CosineExprSpec extends SparkSpec {
       df.select(CosineSimilarity($"d", $"f")).collect())
   }
 
+  test("graft_jaccard expression == composable array_intersect formulation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+    val sh = docs.select($"doc_id", graft.ops.Dedup.shingles($"text").as("sh"))
+    val a = sh.select($"doc_id".as("ida"), $"sh".as("sa"))
+    val b = sh.select($"doc_id".as("idb"), $"sh".as("sb"))
+    val pairs = a.join(b, $"ida" < $"idb" && $"idb" < $"ida" + 5)
+    val diff = pairs.select(
+        graft.functions.JaccardSimilarity($"sa", $"sb").as("fast"),
+        graft.ops.Dedup.jaccardComposable($"sa", $"sb").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0)
+    // SQL registration + set semantics with duplicates and empties
+    val r = spark.sql(
+      """SELECT graft_jaccard(array('a','b','a'), array('b','c')) AS j1,
+        |       graft_jaccard(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>)) AS j2,
+        |       graft_jaccard(array('x'), array('x')) AS j3""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
+  }
+
   test("whole-stage codegen handles the expression (no fallback)") {
     val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
     val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))

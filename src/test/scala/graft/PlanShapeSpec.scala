@@ -83,6 +83,23 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed join must not reshuffle join keys:\n$plan")
   }
 
+  test("partitioned write + read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = graft.queries.Tables.events(spark, sfDir)
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter("day = date'2024-01-02'")
+      .groupBy("event_type").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    // only one day's files are scanned — the partition filter is in the
+    // scan, not a post-scan Filter on day
+    assert(!plan.matches("(?s).*Filter .*day.*ColumnarToRow.*"), plan)
+  }
+
   test("q40: query side broadcast for similarity search") {
     val plan = executed(graft.queries.SimilarityQueries.q40CosineTopK(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)

@@ -157,6 +157,43 @@ class IcebergRestBackend extends MetadataBackend {
     }
   }
 
+  /** Server-side pagination: the Iceberg REST `pageToken`/`pageSize`
+    * contract passes straight through (Glue-style native tokens,
+    * `GlueNamespace.java:122-134`), falling back to the client-side offset
+    * pager when the server ignores paging. */
+  override def listTablesPaged(ns: ObjectIdentifier, pageToken: Option[String],
+      limit: Option[Int]): graft.backend.Page[ObjectIdentifier] = {
+    if (ns.depth < 2) throw GraftError.InvalidInput(s"need warehouse + namespace: $ns")
+    val params = Map.newBuilder[String, String]
+    pageToken.foreach(params += "pageToken" -> _)
+    limit.foreach(l => params += "pageSize" -> l.toString)
+    val resp = try client.get(
+      s"${prefixPath(ns.levels.head)}/namespaces/${encodeNs(ns.levels.tail)}/tables",
+      params.result())
+    catch { case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(ns) }
+    val names = (resp \ "identifiers" match {
+      case JArray(items) => items.flatMap(i => i \ "name" match {
+        case JString(n) => Some(n); case _ => None
+      })
+      case _ => Nil
+    }).distinct.sorted.map(ns.child)
+    resp \ "next-page-token" match {
+      // native server paging: the response already IS one page
+      case JString(t) if t.nonEmpty => graft.backend.Page(names, Some(t))
+      case _ =>
+        // server ignored paging (returned everything, no token) →
+        // client-side offset pagination over the full sorted listing;
+        // numeric tokens are ours, anything else came from the server's
+        // final native page and means "done"
+        if (pageToken.exists(!_.forall(_.isDigit))) graft.backend.Page(names, None)
+        else {
+          val (items, tok) = graft.core.TableUtil.page(
+            names, pageToken.filter(_.forall(_.isDigit)), limit)
+          graft.backend.Page(items, tok)
+        }
+    }
+  }
+
   override def tableExists(id: ObjectIdentifier): Boolean =
     try { describeTable(id); true } catch { case _: GraftError => false }
 

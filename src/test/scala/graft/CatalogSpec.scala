@@ -125,6 +125,42 @@ class CatalogSpec extends SparkSpec {
     assert(cat != null && Identifier.of(ns, "t1") != null)
   }
 
+  test("error paths map to Spark analysis exceptions") {
+    intercept[AnalysisException](spark.table("graft.no_such_ns.t").collect())
+    intercept[AnalysisException](
+      spark.sql("CREATE TABLE graft.no_such_ns.t (id BIGINT)"))
+    intercept[AnalysisException](spark.sql("DESCRIBE NAMESPACE graft.no_such_ns"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.errs")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.errs.t (id BIGINT)")
+    intercept[AnalysisException](spark.sql("CREATE TABLE graft.errs.t (id BIGINT)"))
+    // unsupported surface: rename + alter throw, not corrupt
+    intercept[Exception](spark.sql("ALTER TABLE graft.errs.t ADD COLUMN x INT"))
+    assert(!spark.sql("DROP TABLE graft.errs.t").isStreaming) // drops cleanly
+    spark.sql("DROP NAMESPACE graft.errs")
+  }
+
+  test("concurrent DDL against the memory backend stays consistent") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.conc")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val creates = (1 to 24).map { i =>
+      Future(spark.sql(s"CREATE TABLE graft.conc.t$i (id BIGINT)"))
+    }
+    Await.result(Future.sequence(creates), 120.seconds)
+    // duplicate creates all fail, none corrupt
+    val dupes = (1 to 24).map { i =>
+      Future(try { spark.sql(s"CREATE TABLE graft.conc.t$i (id BIGINT)"); 1 }
+        catch { case _: Exception => 0 })
+    }
+    val succeeded = Await.result(Future.sequence(dupes), 120.seconds).sum
+    pool.shutdown()
+    assert(succeeded == 0)
+    assert(spark.sql("SHOW TABLES IN graft.conc").count() == 24)
+  }
+
   test("declared-table probe (spec is_only_declared)") {
     import org.apache.spark.sql.connector.catalog.Identifier
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")

@@ -104,5 +104,11 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executed(graft.queries.SimilarityQueries.q40CosineTopK(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("graft_cosine"), "custom codegen expression in the plan")
+    // Catalyst's WindowGroupLimit pushes the rank<=k filter below the
+    // shuffle: only per-partition top-k survivors move. This is why no
+    // custom TopKPerKey SparkPlan exists in this engine — the declarative
+    // window + filter already compiles to the bounded-heap plan
+    // (SURVEY.md §7.3: prefer built-ins over custom strategies).
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak: run the heavy operators on a 10×-replicated sf0.1 corpus
+  * (ids shifted per replica; purely in-memory union — no files written) to
+  * confirm the plans scale linearly rather than quadratically. Not part of
+  * the gate; results are recorded in BASELINE.md. */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"SOAK $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  -> $r")
+      r
+    }
+
+    val docs1 = spark.read.parquet(s"$d/documents.parquet")
+    val docs10 = (0 until 10).map(i =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    println(s"docs10 rows=${docs10.count()}")
+
+    time("minhash_lsh_50k_docs")(
+      graft.ops.Dedup.minhashNearDupPairs(docs10, "doc_id", "text").count())
+    time("simhash_50k_docs")(
+      graft.ops.Dedup.simhashTable(docs10, "doc_id", "text").count())
+    time("exact_dedup_50k_docs")(
+      graft.ops.Dedup.exactDedup(docs10, "doc_id", "text").count())
+
+    val emb1 = spark.read.parquet(s"$d/embeddings.parquet")
+    val emb10 = (0 until 10).map(i =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val queries = emb1.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    time("brute_cosine_20q_x_20k")(
+      graft.ops.Similarity.bruteForceTopK(emb10, "vec_id", "embedding",
+        queries, "qid", "qvec", 10).count())
+
+    val ev1 = graft.queries.Tables.events(spark, d)
+    val ev10 = (0 until 10).map(i =>
+      ev1.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    time("sessionize_1M_events")(
+      graft.streaming.EventStreams.sessionizeBatch(ev10).count())
+
+    spark.stop()
+  }
+}

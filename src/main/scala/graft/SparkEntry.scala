@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ RelationalQueries2.all ++ CatalogQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
-      MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all
+      MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all ++
+      PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++ CatalogQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++
-      MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles
+      MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextFunctions}
+
+/** Capstone: the full curation pipeline the extension operators exist for —
+  * quality-score → language-gate → exact-dedup → corpus accounting — as ONE
+  * composed DataFrame plan (each stage narrow or single-shuffle), oracled
+  * end-to-end in SQL. A 100 TB curation run is exactly this plan with more
+  * input files. */
+object PipelineQueries {
+
+  def q80CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    // injected duplicates prove the dedup stage does real work
+    val docs = Tables.documents(s, d)
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+
+    val scored = TextFunctions.widen(corpus).select(
+      col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("pred_lang"),
+      col("text"))
+    val gated = scored
+      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+    val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+    deduped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  val q80Sql: String = {
+    def score(lex: String) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains([$lex], t)))"
+    val se = score("'the','a','and','of','to','in','is'")
+    val ss = score("'el','la','de','que','y','en','un'")
+    val sf = score("'le','la','de','et','un','que','pour'")
+    val sd = score("'der','die','und','das','ein','zu','ist'")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, source, text FROM documents WHERE doc_id % 11 = 0
+       |), scored AS (
+       |  SELECT doc_id, source, text,
+       |    round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
+       |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)/100.0, 1.0)*0.4
+       |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
+       |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS quality,
+       |    CASE WHEN greatest($se,$ss,$sf,$sd) <= 0 THEN 'und'
+       |         WHEN $se = greatest($se,$ss,$sf,$sd) THEN 'en'
+       |         WHEN $ss = greatest($se,$ss,$sf,$sd) THEN 'es'
+       |         WHEN $sf = greatest($se,$ss,$sf,$sd) THEN 'fr'
+       |         WHEN $sd = greatest($se,$ss,$sf,$sd) THEN 'de'
+       |         ELSE 'und' END AS pred_lang
+       |  FROM corpus
+       |), gated AS (
+       |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
+       |), keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
+       |SELECT source, count(*) AS n_kept, round(avg(quality), 6) AS avg_quality
+       |FROM gated JOIN keep USING (fp, doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_curation_pipeline" -> (q80CurationPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "q80_curation_pipeline" -> q80Sql)
+}

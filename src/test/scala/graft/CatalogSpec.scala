@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.{AnalysisException, Row}
 
 /** End-to-end DSv2 catalog behavior over the memory backend — the Spark
   * equivalents of the reference's 13-operation suites (SURVEY.md §5). */
@@ -123,6 +123,37 @@ class CatalogSpec extends SparkSpec {
     val p3 = cat.listTablesPaged(ns, p2.nextToken, Some(2))
     assert(p3.items.map(_.name()) == Seq("t5") && p3.nextToken.isEmpty)
     assert(cat != null && Identifier.of(ns, "t1") != null)
+  }
+
+  test("nested schema survives the catalog's JSON Arrow codec round trip") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.schemas")
+    spark.sql(
+      """CREATE TABLE graft.schemas.nested (
+        |  id BIGINT NOT NULL,
+        |  embedding ARRAY<FLOAT>,
+        |  meta MAP<STRING, STRING>,
+        |  doc STRUCT<title: STRING, tags: ARRAY<STRING>, score: DECIMAL(10,2)>,
+        |  blob BINARY,
+        |  ts TIMESTAMP
+        |)""".stripMargin)
+    val schema = spark.table("graft.schemas.nested").schema
+    assert(!schema("id").nullable)
+    assert(schema("embedding").dataType.sql == "ARRAY<FLOAT>")
+    assert(schema("meta").dataType.sql == "MAP<STRING, STRING>")
+    assert(schema("doc").dataType.sql ==
+      "STRUCT<title: STRING, tags: ARRAY<STRING>, score: DECIMAL(10,2)>")
+    assert(schema("blob").dataType.sql == "BINARY")
+    // write + read through the declared schema
+    spark.sql(
+      """INSERT INTO graft.schemas.nested VALUES
+        |(1, array(CAST(0.5 AS FLOAT)), map('k','v'),
+        | named_struct('title','t','tags',array('a','b'),'score',CAST(9.50 AS DECIMAL(10,2))),
+        | CAST('bytes' AS BINARY), TIMESTAMP '2024-01-01 00:00:00')""".stripMargin)
+    val row = spark.table("graft.schemas.nested").head()
+    assert(row.getAs[Row]("doc").getAs[scala.collection.Seq[String]]("tags")
+      .toSeq == Seq("a", "b"))
+    spark.sql("DROP TABLE graft.schemas.nested PURGE")
+    spark.sql("DROP NAMESPACE graft.schemas")
   }
 
   test("error paths map to Spark analysis exceptions") {

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto-front) operator: rows not dominated by any other row —
+  * dominated = every dimension ≥ and at least one > (minimization). The
+  * retrieved literature integrates this as a dedicated Spark SQL operator
+  * (PAPERS.md: "Integration of Skyline Queries into Spark SQL", EDBT 2023);
+  * for two dimensions the semantics compose into a sort-based relational
+  * plan, so per the custom-operator preference order no new SparkPlan is
+  * needed:
+  *
+  *  1. per-x group: only min-y rows can survive (same-x, larger-y rows are
+  *     dominated) — one aggregation;
+  *  2. sweeping x ascending, a group's min-y survives iff it is strictly
+  *     below every smaller-x group's min-y — one running-min window.
+  *
+  * Cost: one shuffle on x + one window sort — n log n vs the naive O(n²)
+  * dominance join (which the oracle uses as ground truth).
+  */
+object Skyline {
+
+  /** 2-D skyline minimizing (xCol, yCol); returns the original rows.
+    * Duplicate skyline points all survive (equal points don't dominate).
+    * The sweep window runs over the per-x minima (|distinct x| rows after
+    * the aggregation) — at very high x-cardinality, sweep per partition
+    * first and re-sweep the surviving union (same two-phase shape as the
+    * per-partition skyline algorithms in the literature). */
+  def skyline2Min(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val minPerX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__min_y"))
+    val wSweep = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = minPerX
+      .withColumn("__prev_min", min(col("__min_y")).over(wSweep))
+      // strict <: an equal earlier min dominates via its strictly-smaller x
+      .filter(col("__prev_min").isNull || col("__min_y") < col("__prev_min"))
+      .select(col(xCol).as("__sky_x"), col("__min_y").as("__sky_y"))
+    df.join(frontier,
+      df(xCol) === col("__sky_x") && df(yCol) === col("__sky_y"))
+      .select(df.columns.map(df(_)): _*)
+  }
+}

@@ -31,10 +31,29 @@ object SkewQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Skyline: Pareto-front of parts minimizing (p_size, p_retailprice).
+    * Oracle = the naive NOT EXISTS dominance definition. */
+  def q81Skyline(s: SparkSession, d: String): DataFrame =
+    graft.ops.Skyline.skyline2Min(
+        Tables.part(s, d).select(col("p_partkey"), col("p_size"),
+          col("p_retailprice")),
+        "p_size", "p_retailprice")
+      .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))
+
+  val q81Sql: String =
+    """SELECT p_partkey, p_size, p_retailprice FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+      |    AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
+      |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_salted_distinct" -> (q72SaltedDistinct _),
-    "q73_approx_sketches" -> (q73ApproxSketches _))
+    "q73_approx_sketches" -> (q73ApproxSketches _),
+    "q81_skyline" -> (q81Skyline _))
 
   val oracles: Map[String, String] = Map(
-    "q72_salted_distinct" -> q72Sql)
+    "q72_salted_distinct" -> q72Sql,
+    "q81_skyline" -> q81Sql)
 }

@@ -30,12 +30,25 @@ object ArrowBridge {
     * the driver (op-12 payloads are table-creation sized); rows are copied
     * out of the reused Arrow-backed buffers before distribution. */
   def ipcStreamToDataFrame(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
-    val (it, schema) =
+    val (it, schemaOrNull) =
       ArrowConverters.fromBatchWithSchemaIterator(Iterator(bytes), TaskContext.get())
     val rows = it.map(_.copy()).toIndexedSeq
+    // zero-batch streams (the reference's canonical schema-only payload)
+    // leave the converter's schema null — read it from the stream header
+    val schema = Option(schemaOrNull).getOrElse(readStreamSchema(bytes))
     spark.internalCreateDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
       schema)
+  }
+
+  private def readStreamSchema(bytes: Array[Byte]): StructType = {
+    val allocator = org.apache.spark.sql.util.ArrowUtils.rootAllocator
+      .newChildAllocator("graft-ipc-schema", 0, Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(bytes), allocator)
+    try org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(
+      reader.getVectorSchemaRoot.getSchema)
+    finally { reader.close(); allocator.close() }
   }
 
   /** Schema embedded in an IPC stream, without materializing rows. */

@@ -54,6 +54,30 @@ class ArrowIngestSpec extends SparkSpec {
     assert(rows(3).isNullAt(2)) // nulls survive the IPC roundtrip
   }
 
+  test("schema-only IPC stream (reference's canonical empty payload)") {
+    // TestHelper.java:65-77: the spec's hello-world payload is an IPC
+    // stream with a schema and ZERO batches
+    val allocator = new RootAllocator()
+    val schema = new Schema(List(
+      new Field("id", FieldType.nullable(new ArrowType.Int(32, true)), null),
+      new Field("name", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava)
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val out = new ByteArrayOutputStream()
+    val writer = new ArrowStreamWriter(root, null, out)
+    writer.start(); writer.end(); writer.close()
+    root.close(); allocator.close()
+
+    val df = ArrowIngest.ipcToDataFrame(spark, out.toByteArray)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.count() == 0)
+    // declared-table flow: schema-only payload creates an empty table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.arrow")
+    ArrowIngest.createTableWithData(spark, "graft.arrow.empty_t", out.toByteArray)
+    assert(spark.table("graft.arrow.empty_t").count() == 0)
+    assert(spark.table("graft.arrow.empty_t").schema.fieldNames.toSeq == Seq("id", "name"))
+  }
+
   test("op-12 createTable with initial Arrow data through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.arrow")
     ArrowIngest.createTableWithData(spark, "graft.arrow.ingested", buildIpc())

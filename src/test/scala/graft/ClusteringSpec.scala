@@ -62,6 +62,26 @@ class ClusteringSpec extends SparkSpec {
     assert(salted("HOT") == 37L)
   }
 
+  test("skyline equals naive dominance join, incl. duplicate points") {
+    val df = Seq(
+      (1L, 1, 10.0), (2L, 1, 10.0), // duplicate skyline points both survive
+      (3L, 1, 12.0),                // dominated within same x
+      (4L, 2, 8.0), (5L, 2, 9.0),
+      (6L, 3, 8.0),                 // y ties earlier x=2 min -> dominated
+      (7L, 5, 3.0), (8L, 9, 2.9), (9L, 9, 50.0)
+    ).toDF("id", "x", "y")
+    val fast = graft.ops.Skyline.skyline2Min(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val a = df.select($"id".as("ia"), $"x".as("xa"), $"y".as("ya"))
+    val b = df.select($"id".as("ib"), $"x".as("xb"), $"y".as("yb"))
+    val dominated = a.join(b,
+        $"xb" <= $"xa" && $"yb" <= $"ya" && ($"xb" < $"xa" || $"yb" < $"ya"))
+      .select($"ia").distinct().as[Long].collect().toSet
+    val expected = df.select("id").as[Long].collect().toSet -- dominated
+    assert(fast == expected, s"fast=$fast expected=$expected")
+    assert(fast.contains(1L) && fast.contains(2L) && !fast.contains(6L))
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val approx = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)

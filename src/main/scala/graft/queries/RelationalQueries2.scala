@@ -179,8 +179,34 @@ object RelationalQueries2 {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
       |         g_status, g_prio""".stripMargin
 
+  /** TPC-H Q22 pattern: wealthy-but-inactive customers — scalar subquery
+    * threshold + anti join, grouped by nation. */
+  def q82WealthyInactive(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q82Sql: String =
+    """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_grouping_sets" -> (q76GroupingSets _),
+    "q82_wealthy_inactive" -> (q82WealthyInactive _),
     "q23_left_outer" -> (q23LeftOuter _),
     "q24_patterns" -> (q24Patterns _),
     "q25_union_all" -> (q25UnionAll _),
@@ -191,6 +217,7 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q76_grouping_sets" -> q76Sql,
+    "q82_wealthy_inactive" -> q82Sql,
     "q23_left_outer" -> q23Sql,
     "q24_patterns" -> q24Sql,
     "q25_union_all" -> q25Sql,

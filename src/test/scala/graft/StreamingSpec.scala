@@ -82,6 +82,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val cdf = clicks.toDF().withWatermark("ts", "1 hour")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val pdf = purchases.toDF().withWatermark("ts", "1 hour")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val joined = cdf.join(pdf,
+      expr("c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 10 MINUTES AND c_ts"))
+    val query = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val all = sampleEvents
+      val (cs, ps) = all.partition(_.event_id % 2 == 0)
+      clicks.addData(cs); purchases.addData(ps)
+      query.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("c_id", "p_id").as[(Long, Long)].collect().toSet
+      val batch = cs.toDF()
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .join(ps.toDF().select($"event_id".as("p_id"), $"user_id".as("p_user"),
+          $"ts".as("p_ts")),
+          expr("c_user = p_user AND p_ts BETWEEN c_ts - INTERVAL 10 MINUTES AND c_ts"))
+        .select("c_id", "p_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates removes replays") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

@@ -149,6 +149,9 @@ object Dedup {
       .select(col("__p.a").as("__ida"), col("__p.b").as("__idb"))
       .distinct()
 
+    // no broadcast hint on cand: at 100 TB candidate sets can exceed any
+    // broadcast budget (a hint would force it); AQE converts these joins to
+    // broadcast at runtime whenever the candidate side is actually small
     val sa = sh.select(col("__id").as("__ida"), col("__sh").as("__sha"))
     val sb = sh.select(col("__id").as("__idb"), col("__sh").as("__shb"))
     cand.join(sa, "__ida").join(sb, "__idb")

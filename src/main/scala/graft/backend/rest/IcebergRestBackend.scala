@@ -106,9 +106,12 @@ class IcebergRestBackend extends MetadataBackend {
     }
   }
 
-  override def namespaceExists(id: ObjectIdentifier): Boolean =
-    try { describeNamespace(id); true }
-    catch { case _: GraftError.NamespaceNotFound => false }
+  override def namespaceExists(id: ObjectIdentifier): Boolean = {
+    if (id.depth < 2) return id.levels.headOption.contains(warehouse)
+    // HEAD probe, the REST-native existence check (no body transferred)
+    client.head(
+      s"${prefixPath(id.levels.head)}/namespaces/${encodeNs(id.levels.tail)}")
+  }
 
   override def describeNamespace(id: ObjectIdentifier): Map[String, String] = {
     if (id.depth < 2) {

@@ -27,6 +27,22 @@ object JsonArrowSchema {
   def toJson(schema: StructType): String =
     JsonMethods.compact(JsonMethods.render(schemaToJValue(schema)))
 
+  /** Reference-exact wire compatibility: nested types WITHOUT children
+    * (`schema.py:128-133` drops list element / struct fields / map kv).
+    * Use only when a reference reader must parse the payload; [[toJson]]
+    * keeps full fidelity and [[fromJson]] accepts both shapes. */
+  def toJsonCompat(schema: StructType): String = {
+    def strip(jv: JValue): JValue = jv match {
+      case JObject(fields) => JObject(fields.flatMap {
+        case ("children", _) => None
+        case (k, v) => Some(k -> strip(v))
+      })
+      case JArray(items) => JArray(items.map(strip))
+      case other => other
+    }
+    JsonMethods.compact(JsonMethods.render(strip(schemaToJValue(schema))))
+  }
+
   def fromJson(json: String): StructType =
     jValueToSchema(JsonMethods.parse(json))
 

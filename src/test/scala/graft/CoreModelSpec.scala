@@ -87,6 +87,25 @@ class CoreModelSpec extends AnyFunSuite {
       JsonArrowSchema.fromJson("""{"fields":[{"name":"x","type":{"name":"zzz"}}]}"""))
   }
 
+  test("compat wire format drops nested children like the reference") {
+    val schema = StructType(Seq(
+      StructField("tags", ArrayType(StringType)),
+      StructField("doc", StructType(Seq(StructField("a", IntegerType)))),
+      StructField("kv", MapType(StringType, LongType)),
+      StructField("id", LongType)))
+    val compat = JsonArrowSchema.toJsonCompat(schema)
+    assert(!compat.contains("children"))
+    // still parseable by our decoder (lossy corners land on the documented
+    // fallbacks: list->array<string>, struct->empty, map->string/string)
+    val back = JsonArrowSchema.fromJson(compat)
+    assert(back("tags").dataType == ArrayType(StringType))
+    assert(back("doc").dataType == StructType(Nil))
+    assert(back("kv").dataType == MapType(StringType, StringType))
+    assert(back("id").dataType == LongType) // flat types round-trip exactly
+    // full-fidelity form still round-trips completely
+    assert(JsonArrowSchema.fromJson(JsonArrowSchema.toJson(schema)) == schema)
+  }
+
   test("memory backend: 13-op semantics") {
     val b = new MemoryBackend
     b.initialize(Map("root" -> "/tmp/graft-test-wh"))

@@ -36,6 +36,19 @@ class FileBackendSpec extends AnyFunSuite {
     assert(b3.namespaceExists(ns))
   }
 
+  test("Graft.registerCatalog wires a live session to a new catalog") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val dir = java.nio.file.Files.createTempDirectory("graft-live")
+    graft.Graft.registerCatalog(spark, "live_cat", "file",
+      Map("path" -> s"$dir/cat.json", "root" -> dir.toString))
+    spark.sql("CREATE NAMESPACE live_cat.db")
+    spark.sql("CREATE TABLE live_cat.db.t (id BIGINT)")
+    spark.sql("INSERT INTO live_cat.db.t VALUES (7)")
+    assert(spark.table("live_cat.db.t").head().getLong(0) == 7L)
+    assert(java.nio.file.Files.exists(dir.resolve("cat.json")))
+  }
+
   test("registry resolves all backend shortnames") {
     for (name <- Seq("memory", "file", "iceberg", "unity", "polaris",
         "hive2", "hive3", "glue"))

@@ -61,6 +61,18 @@ trait MetadataBackend {
   /** Op 7: restrict-only drop; returns final property snapshot. */
   def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String]
 
+  /** In-place property update (ALTER NAMESPACE SET/UNSET). The default
+    * describe-then-overwrite is safe only for backends whose Overwrite is a
+    * plain put (memory/file); service backends MUST override with their
+    * native property-update endpoint — drop-and-recreate would fail on
+    * non-empty namespaces and can lose the namespace on a partial failure. */
+  def updateNamespaceProperties(id: ObjectIdentifier,
+      updates: Map[String, String], removals: Set[String]): Map[String, String] = {
+    val current = describeNamespace(id)
+    val next = current -- removals ++ updates
+    createNamespace(id, next, CreateMode.Overwrite)
+  }
+
   /** Op 8: sorted Lance tables in a namespace (table_type filter applied). */
   def listTables(ns: ObjectIdentifier): Seq[ObjectIdentifier]
   /** Op 9. */

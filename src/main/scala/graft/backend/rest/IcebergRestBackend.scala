@@ -41,7 +41,10 @@ class IcebergRestBackend extends MetadataBackend {
   private def encodeNs(ns: Seq[String]): String =
     quote(ns.map(quote).mkString("\u001f"))
 
-  /** Memoized `/v1/config?warehouse=` prefix resolution. */
+  /** Memoized `/v1/config?warehouse=` prefix resolution. A server that
+    * returns no prefix serves prefix-less paths (`/v1/namespaces`); a
+    * multi-segment prefix keeps its `/` separators (each segment encoded
+    * individually). */
   private def prefixPath(warehouse: String): String = {
     val p = prefixCache.getOrElseUpdate(warehouse, {
       val cfg = client.get("/v1/config", Map("warehouse" -> warehouse))
@@ -49,11 +52,12 @@ class IcebergRestBackend extends MetadataBackend {
         case JString(pre) => pre
         case _ => (cfg \ "defaults" \ "prefix") match {
           case JString(pre) => pre
-          case _ => warehouse
+          case _ => ""
         }
       }
     })
-    s"/v1/${quote(p)}"
+    if (p.isEmpty) "/v1"
+    else "/v1/" + p.split('/').map(quote).mkString("/")
   }
 
   private def warehouse: String = conf.getOrElse("warehouse",
@@ -127,14 +131,34 @@ class IcebergRestBackend extends MetadataBackend {
     }
   }
 
+  /** Native in-place property update:
+    * `POST /namespaces/{ns}/properties {removals, updates}`. */
+  override def updateNamespaceProperties(id: ObjectIdentifier,
+      updates: Map[String, String], removals: Set[String]): Map[String, String] = {
+    if (id.depth < 2)
+      throw GraftError.InvalidInput(s"iceberg namespace needs warehouse + path: $id")
+    try {
+      client.post(
+        s"${prefixPath(id.levels.head)}/namespaces/${encodeNs(id.levels.tail)}/properties",
+        JObject(
+          "removals" -> JArray(removals.toList.sorted.map(JString(_))),
+          "updates" -> JObject(updates.map { case (k, v) => k -> (JString(v): JValue) }.toList)))
+      describeNamespace(id)
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
+    }
+  }
+
   override def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String] =
     try {
       val snapshot = describeNamespace(id)
       client.delete(s"${prefixPath(id.levels.head)}/namespaces/${encodeNs(id.levels.tail)}")
       snapshot
     } catch {
-      // idempotent-on-404 like IcebergNamespace.java:292-294
-      case _: GraftError.NamespaceNotFound | _: RestError if mode == DropMode.Skip => Map.empty
+      // idempotent-on-404 like IcebergNamespace.java:292-294 — but ONLY
+      // not-found is skippable; transport/5xx errors must surface
+      case _: GraftError.NamespaceNotFound if mode == DropMode.Skip => Map.empty
+      case e: RestError if e.isNotFound && mode == DropMode.Skip => Map.empty
       case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
     }
 
@@ -174,12 +198,17 @@ class IcebergRestBackend extends MetadataBackend {
       s"${prefixPath(ns.levels.head)}/namespaces/${encodeNs(ns.levels.tail)}/tables",
       params.result())
     catch { case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(ns) }
+    // same lance predicate as the unpaged listing; on native server pages
+    // this post-filter can under-fill a page — the reference's documented
+    // quirk (`GlueNamespace.java:227-230`, SURVEY.md §4), kept as-is
     val names = (resp \ "identifiers" match {
       case JArray(items) => items.flatMap(i => i \ "name" match {
         case JString(n) => Some(n); case _ => None
       })
       case _ => Nil
     }).distinct.sorted.map(ns.child)
+      .filter(id => try TableUtil.isLanceTable(describeTable(id).properties)
+                    catch { case _: GraftError => false })
     resp \ "next-page-token" match {
       // native server paging: the response already IS one page
       case JString(t) if t.nonEmpty => graft.backend.Page(names, Some(t))
@@ -187,7 +216,9 @@ class IcebergRestBackend extends MetadataBackend {
         // server ignored paging (returned everything, no token) →
         // client-side offset pagination over the full sorted listing;
         // numeric tokens are ours, anything else came from the server's
-        // final native page and means "done"
+        // final native page and means "done". (Known limit: a server whose
+        // native tokens are purely numeric AND whose final page omits the
+        // token is indistinguishable from our own offsets.)
         if (pageToken.exists(!_.forall(_.isDigit))) graft.backend.Page(names, None)
         else {
           val (items, tok) = graft.core.TableUtil.page(

@@ -93,6 +93,23 @@ class PolarisBackend extends MetadataBackend {
     catch { case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id) }
   }
 
+  /** Iceberg-style in-place property update under the catalog prefix. */
+  override def updateNamespaceProperties(id: ObjectIdentifier,
+      updates: Map[String, String], removals: Set[String]): Map[String, String] = {
+    if (id.depth < 2)
+      throw GraftError.InvalidInput(s"polaris namespace needs catalog + path: $id")
+    try {
+      client.post(
+        s"/v1/${quote(catalogOf(id))}/namespaces/${encodeNs(id.levels.tail)}/properties",
+        JObject(
+          "removals" -> JArray(removals.toList.sorted.map(JString(_))),
+          "updates" -> JObject(updates.map { case (k, v) => k -> (JString(v): JValue) }.toList)))
+      describeNamespace(id)
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
+    }
+  }
+
   override def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String] =
     try {
       val snapshot = describeNamespace(id)

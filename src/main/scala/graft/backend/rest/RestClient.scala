@@ -47,6 +47,9 @@ class RestClient(
   def delete(path: String, params: Map[String, String] = Map.empty): JValue =
     execute("DELETE", path, params, None)
 
+  def patch(path: String, body: JValue): JValue =
+    execute("PATCH", path, Map.empty, Some(body))
+
   def head(path: String): Boolean =
     try { execute("HEAD", path, Map.empty, None); true }
     catch { case e: RestError if e.isNotFound => false }

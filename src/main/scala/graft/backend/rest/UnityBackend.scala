@@ -91,6 +91,21 @@ class UnityBackend extends MetadataBackend {
     case _ => throw GraftError.InvalidInput(s"unity namespace depth 1 or 2, got $id")
   }
 
+  /** Unity updates schema properties via PATCH on the full name. */
+  override def updateNamespaceProperties(id: ObjectIdentifier,
+      updates: Map[String, String], removals: Set[String]): Map[String, String] = {
+    requireDepth(id, 2, "namespace")
+    val next = describeNamespace(id) -- removals ++ updates
+    try {
+      client.patch(s"/schemas/${id.toDelimited()}",
+        JObject("properties" ->
+          JObject(next.map { case (k, v) => k -> (JString(v): JValue) }.toList)))
+      next
+    } catch {
+      case e: RestError if e.isNotFound => throw GraftError.NamespaceNotFound(id)
+    }
+  }
+
   override def dropNamespace(id: ObjectIdentifier, mode: DropMode): Map[String, String] = {
     requireDepth(id, 2, "namespace")
     try {

@@ -100,15 +100,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = mapped {
-    val id = oid(namespace)
-    val current = backend.describeNamespace(id)
-    val updated = changes.foldLeft(current) {
-      case (props, set: NamespaceChange.SetProperty) =>
-        props + (set.property() -> set.value())
-      case (props, rm: NamespaceChange.RemoveProperty) => props - rm.property()
-      case (props, _) => props
-    }
-    backend.createNamespace(id, updated, CreateMode.Overwrite)
+    val updates = changes.collect {
+      case set: NamespaceChange.SetProperty => set.property() -> set.value()
+    }.toMap
+    val removals = changes.collect {
+      case rm: NamespaceChange.RemoveProperty => rm.property()
+    }.toSet
+    backend.updateNamespaceProperties(oid(namespace), updates, removals)
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =

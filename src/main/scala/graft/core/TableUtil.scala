@@ -65,7 +65,11 @@ object TableUtil {
   /** Offset-encoded client-side pagination (`hive2/PageUtil.java:21-51`):
     * token = integer start index into the sorted listing, default page 100. */
   def page[T](sorted: Seq[T], pageToken: Option[String], limit: Option[Int]): (Seq[T], Option[String]) = {
-    val start = pageToken.map(_.toInt).getOrElse(0)
+    val start = pageToken.map(t =>
+      try t.toInt catch {
+        case _: NumberFormatException =>
+          throw GraftError.InvalidInput(s"malformed page token '$t'")
+      }).getOrElse(0)
     val size = limit.getOrElse(100)
     val slice = sorted.slice(start, start + size)
     val next = if (start + size < sorted.size) Some((start + size).toString) else None

@@ -21,8 +21,11 @@ object DedupClustering {
     *         themselves by definition). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+    // id type is preserved (numeric or string); labels propagate by the
+    // natural ordering of the id type — no lossy casts (string ids would
+    // silently become null under cast("long"))
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
       .localCheckpoint()
 

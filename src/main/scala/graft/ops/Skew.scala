@@ -18,6 +18,7 @@ object Skew {
   def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 32): DataFrame =
     df.select(col(keyCol), col(valueCol))
+      .filter(col(valueCol).isNotNull) // COUNT(DISTINCT v) ignores nulls
       .withColumn("__salt", pmod(hash(col(valueCol)), lit(buckets)))
       .groupBy(col(keyCol), col("__salt"), col(valueCol)).agg(lit(1).as("__one"))
       .groupBy(col(keyCol), col("__salt"))

@@ -35,22 +35,26 @@ object TemporalJoins {
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTimeCol: String, rightTimeCol: String,
       rightCols: Map[String, String]): DataFrame = {
+    // carry the matched right ROW atomically (one struct), not column by
+    // column: per-column last(ignoreNulls) would skip a legitimately-null
+    // field of the latest row and stitch values from different rows
     val leftTagged = left
       .withColumn("__t", col(leftTimeCol))
       .withColumn("__side", lit(1))
-      .withColumns(rightCols.map { case (_, out) => out -> lit(null) })
+      .withColumn("__r", lit(null))
     val rightTagged = right.select(
-      (col(keyCol) +: col(rightTimeCol).as("__t") +: lit(0).as("__side") +:
-        rightCols.map { case (in, out) => col(in).as(out) }.toSeq): _*)
+      col(keyCol), col(rightTimeCol).as("__t"), lit(0).as("__side"),
+      struct(rightCols.map { case (in, out) => col(in).as(out) }.toSeq: _*).as("__r"))
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.values.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val filled = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    rightCols.values.foldLeft(filled.filter(col("__side") === 1)) {
+      (df, out) => df.withColumn(out, col(s"__r.$out"))
+    }.drop("__t", "__side", "__r")
   }
 
   /** Binned range join: `points` rows matched into `intervals` rows sharing

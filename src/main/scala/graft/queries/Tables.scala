@@ -33,6 +33,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integral division: long/long with `/` is double-valued in Spark and
+    // rounds epoch-nanos (>2^53) to ~256 ns — `div` truncates exactly like
+    // DuckDB's ns→us read
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

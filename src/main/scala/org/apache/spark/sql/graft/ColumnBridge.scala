@@ -52,6 +52,5 @@ object ArrowBridge {
   }
 
   /** Schema embedded in an IPC stream, without materializing rows. */
-  def ipcStreamSchema(bytes: Array[Byte]): StructType =
-    ArrowConverters.fromBatchWithSchemaIterator(Iterator(bytes), TaskContext.get())._2
+  def ipcStreamSchema(bytes: Array[Byte]): StructType = readStreamSchema(bytes)
 }

@@ -156,6 +156,21 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP NAMESPACE graft.schemas")
   }
 
+  test("ALTER NAMESPACE SET/UNSET properties updates in place") {
+    spark.sql("CREATE NAMESPACE graft.alter_ns WITH DBPROPERTIES ('a'='1','b'='2')")
+    spark.sql("CREATE TABLE graft.alter_ns.t (id BIGINT)") // non-empty
+    spark.sql("ALTER NAMESPACE graft.alter_ns SET DBPROPERTIES ('c'='3','a'='9')")
+    spark.sql("ALTER NAMESPACE graft.alter_ns UNSET DBPROPERTIES ('b')")
+    val props = spark.sql("DESCRIBE NAMESPACE EXTENDED graft.alter_ns").collect()
+      .find(_.getString(0) == "Properties").map(_.getString(1)).getOrElse("")
+    assert(props.contains("a,9") || props.contains("(a,9)"), props)
+    assert(props.contains("c,3") || props.contains("(c,3)"), props)
+    assert(!props.contains("b,2"))
+    assert(spark.sql("SHOW TABLES IN graft.alter_ns").count() == 1) // untouched
+    spark.sql("DROP TABLE graft.alter_ns.t")
+    spark.sql("DROP NAMESPACE graft.alter_ns")
+  }
+
   test("error paths map to Spark analysis exceptions") {
     intercept[AnalysisException](spark.table("graft.no_such_ns.t").collect())
     intercept[AnalysisException](

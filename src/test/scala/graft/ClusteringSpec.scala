@@ -48,6 +48,23 @@ class ClusteringSpec extends SparkSpec {
     assert(removed <= inPairs.size)
   }
 
+  test("connected components work with string ids (no lossy cast)") {
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupClustering.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(String, String)].collect().toMap
+    assert(got("doc-a") == "doc-a" && got("doc-b") == "doc-a" && got("doc-c") == "doc-a")
+    assert(got("doc-x") == "doc-x" && got("doc-y") == "doc-x")
+  }
+
+  test("salted distinct ignores nulls like COUNT(DISTINCT)") {
+    val df = Seq(("k1", Some(1L)), ("k1", None), ("k1", Some(2L)),
+      ("k2", None)).toDF("k", "v")
+    val salted = graft.ops.Skew.saltedCountDistinct(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    assert(salted == Map("k1" -> 2L)) // k2 has only nulls -> no row, like SQL
+  }
+
   test("salted distinct equals plain countDistinct (incl. skewed key)") {
     val base = spark.read.parquet(s"$sfDir/orders.parquet")
       .select($"o_orderpriority".as("k"), $"o_custkey".as("v"))

@@ -33,6 +33,19 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("asof join carries the matched row atomically, including its nulls") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Option(5.0), Option("early")),
+      (10L, ts("2024-01-01 11:00:00"), Option.empty[Double], Option("late"))
+    ).toDF("k", "rt", "v", "tag")
+    val out = TemporalJoins.asofJoin(left, right, "k", "t", "rt",
+        Map("v" -> "last_v", "tag" -> "last_tag")).head()
+    // the 11:00 row is the match; its null v must NOT fall back to 5.0
+    assert(out.isNullAt(out.fieldIndex("last_v")))
+    assert(out.getAs[String]("last_tag") == "late")
+  }
+
   test("range join binned: inclusive bounds, bin-boundary spanning") {
     val intervals = Seq(
       (1L, 100L, 100L, 200L),  // exact-boundary interval

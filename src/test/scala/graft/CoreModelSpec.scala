@@ -43,6 +43,7 @@ class CoreModelSpec extends AnyFunSuite {
     assert(p2.head == "t100" && tok2.contains("200"))
     val (p3, tok3) = TableUtil.page(items, tok2, Some(100))
     assert(p3.size == 50 && tok3.isEmpty)
+    intercept[GraftError.InvalidInput](TableUtil.page(items, Some("not-a-token"), None))
   }
 
   test("JSON Arrow schema roundtrip preserves nested types") {

@@ -19,7 +19,10 @@ object Bench {
     // Execute each query's plan AS WRITTEN and stream all result rows.
     // (df.count() would let Catalyst prune every column and skip the
     // projection work — toRdd runs the already-optimized plan unrewritten.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }

@@ -24,16 +24,30 @@ object Skyline {
 
   /** 2-D skyline minimizing (xCol, yCol); returns the original rows.
     * Duplicate skyline points all survive (equal points don't dominate).
-    * The sweep window runs over the per-x minima (|distinct x| rows after
-    * the aggregation) — at very high x-cardinality, sweep per partition
-    * first and re-sweep the surviving union (same two-phase shape as the
-    * per-partition skyline algorithms in the literature). */
+    *
+    * The sweep is a distributed prefix-min, never a single-partition
+    * window: range-partition the per-x minima on x (partition i holds
+    * strictly smaller x than partition i+1; x is distinct after the
+    * aggregation), run the running min per partition, and fold in the
+    * minima of all earlier partitions via a tiny (numPartitions-row)
+    * theta self-join — the two-phase shape of the per-partition skyline
+    * algorithms in the literature, so the plan holds at any x-cardinality. */
   def skyline2Min(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val minPerX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__min_y"))
-    val wSweep = Window.orderBy(col(xCol))
+    val parts = minPerX.repartitionByRange(col(xCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = minPerX
-      .withColumn("__prev_min", min(col("__min_y")).over(wSweep))
+    val local = parts.withColumn("__local_prev", min(col("__min_y")).over(wLocal))
+    // min of every strictly-earlier partition: numPartitions rows total
+    val partMins = parts.groupBy(col("__pid")).agg(min(col("__min_y")).as("__pmin"))
+    val prefix = partMins.select(col("__pid"))
+      .join(partMins.select(col("__pid").as("__pid2"), col("__pmin")),
+        col("__pid2") < col("__pid"), "left")
+      .groupBy(col("__pid")).agg(min(col("__pmin")).as("__earlier_min"))
+    val frontier = local.join(broadcast(prefix), Seq("__pid"))
+      // least() skips nulls, so first-partition / first-row cases fold in
+      .withColumn("__prev_min", least(col("__local_prev"), col("__earlier_min")))
       // strict <: an equal earlier min dominates via its strictly-smaller x
       .filter(col("__prev_min").isNull || col("__min_y") < col("__prev_min"))
       .select(col(xCol).as("__sky_x"), col("__min_y").as("__sky_y"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -37,6 +38,70 @@ object Dedup {
       i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
     array_distinct(when(size(toks) >= k, grams)
       .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Relational (id, shingle) rows — the scale path that [[shingles]]'
+    * column form is not. posexplode the token array once, build each word
+    * k-gram with window `lead` over (doc, position): every expression is
+    * whole-stage codegen'd and the only data movement is one shuffle keyed
+    * on the doc id. Documents with fewer than k tokens contribute their
+    * whole text as a single shingle (same fallback as [[shingles]]).
+    *
+    * Rows are NOT distinct-ed: minhash minima are multiset-invariant and
+    * [[graft.functions.JaccardSimilarity]] applies set semantics itself;
+    * consumers needing the set as an array use [[shingleSets]].
+    *
+    * Why not the higher-order-function form in pipelines: HOF lambdas are
+    * interpreted row-at-a-time, and the token-array subtree referenced via
+    * `element_at(toks, i+j)` is re-evaluated per element access outside
+    * projection CSE (e.g. under a Generate), turning shingling quadratic in
+    * document length — profiled at 10× the cost of this plan at sf0.1. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = widen(df).select(col(idCol).as("__id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val nTok = coalesce(size(col("__toks")), lit(0))
+    val whole = toks.filter(nTok < k)
+      .select(col("__id"), concat_ws(" ", col("__toks")).as("__g"))
+    kgramRows(toks.filter(nTok >= k), k).select(col("__id"), col("__g"))
+      .unionByName(whole)
+  }
+
+  /** Word k-grams of docs with ≥ k tokens, relationally: expects
+    * (__id, __toks), returns (__id, __g) with one gram row per start
+    * position. Shared by [[shingleRows]] and the repetition-ratio signal. */
+  def kgramRows(toksDf: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    toksDf
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        posexplode(col("__toks")).as(Seq("__pos", "__t")))
+      .select(col("__id"), col("__pos"), col("__n"),
+        concat_ws(" ",
+          col("__t") +: (1 until k).map(j => lead(col("__t"), j).over(w)): _*).as("__g"))
+      .filter(col("__pos") <= col("__n") - k)
+      .select(col("__id"), col("__g"))
+  }
+
+  /** Distinct shingle sets as arrays, built from [[shingleRows]] — one
+    * aggregation keyed on the doc id (map-side combined). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    shingleRows(df, idCol, textCol, k)
+      .groupBy(col("__id")).agg(collect_set(col("__g")).as("__sh"))
+
+  /** md5-derived 32-bit shingle hash (codegen'd): first 8 hex chars of
+    * md5 → long. The permutation base for the one-hash minhash family. */
+  def shingleHash(g: Column): Column =
+    conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** The `numHashes` one-hash-trick minhash aggregates — min of the linear
+    * permutation (a·h+b) mod p per seed — over a hashed-shingle column.
+    * All seeds are parallel aggregates of ONE groupBy (partial/map-side
+    * combinable), so the signature costs a single shuffle of doc keys. */
+  def minhashAggs(h: Column, numHashes: Int): Seq[Column] = {
+    val aConsts = permA(numHashes)
+    val bConsts = permB(numHashes)
+    (0 until numHashes).map(s =>
+      min(pmod(lit(aConsts(s)) * h + lit(bConsts(s)),
+        lit(MersennePrime))).as(s"__mh$s"))
   }
 
   /** MinHash signature: for seed s, min over shingles of md5(shingle+":"+s).
@@ -98,28 +163,15 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = widen(df).select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
-
-    // Relational minhash, not nested higher-order lambdas: explode shingles,
-    // hash each shingle ONCE (md5 → 32-bit int, whole-stage codegen'd),
-    // derive the k minhash values by linear permutations (a·h+b) mod p —
-    // the standard one-hash trick — then a map-side-combinable min per
-    // (doc, seed). The lambda formulation of [[minhashSignature]] is
-    // row-at-a-time interpreted AND gets inlined (hence recomputed) into
-    // every band access by CollapseProject; this plan is ~100× faster at
-    // sf0.1 and scales as one shuffle of (doc, seed, min) triples.
-    val aConsts = Dedup.permA(numHashes)
-    val bConsts = Dedup.permB(numHashes)
-    // all k permutation minima as k parallel aggregates of ONE groupBy over
-    // the exploded shingle rows (no seed explode, map-side partial mins)
-    val minAggs = (0 until numHashes).map(s =>
-      min(pmod(lit(aConsts(s)) * col("__h32") + lit(bConsts(s)),
-        lit(Dedup.MersennePrime))).as(s"__mh$s"))
-    val sig = sh
-      .select(col("__id"), explode(col("__sh")).as("__g"))
-      .select(col("__id"),
-        conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
-          .cast("long").as("__h32"))
+    // Relational minhash end to end: shingle ROWS (codegen'd window k-grams,
+    // never an interpreted lambda — see [[shingleRows]]), hash each shingle
+    // ONCE, then all permutation minima as parallel aggregates of ONE
+    // groupBy (no seed explode, map-side partial mins) — one shuffle of
+    // (doc, seed-min) rows regardless of corpus size.
+    val rows = shingleRows(df, idCol, textCol, k)
+    val minAggs = minhashAggs(col("__h32"), numHashes)
+    val sig = rows
+      .select(col("__id"), shingleHash(col("__g")).as("__h32"))
       .groupBy(col("__id"))
       .agg(minAggs.head, minAggs.tail: _*)
     // band signature: seed-ordered '_'-separated concat (variable-length
@@ -152,8 +204,9 @@ object Dedup {
     // no broadcast hint on cand: at 100 TB candidate sets can exceed any
     // broadcast budget (a hint would force it); AQE converts these joins to
     // broadcast at runtime whenever the candidate side is actually small
-    val sa = sh.select(col("__id").as("__ida"), col("__sh").as("__sha"))
-    val sb = sh.select(col("__id").as("__idb"), col("__sh").as("__shb"))
+    val sets = rows.groupBy(col("__id")).agg(collect_set(col("__g")).as("__sh"))
+    val sa = sets.select(col("__id").as("__ida"), col("__sh").as("__sha"))
+    val sb = sets.select(col("__id").as("__idb"), col("__sh").as("__shb"))
     cand.join(sa, "__ida").join(sb, "__idb")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
@@ -246,7 +299,7 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = widen(df).select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+    val sh = shingleSets(df, idCol, textCol, k)
     val a = sh.select(col("__id").as("doc_a"), col("__sh").as("__sha"))
     val b = sh.select(col("__id").as("doc_b"), col("__sh").as("__shb"))
     a.join(b, col("doc_a") < col("doc_b"))

@@ -34,8 +34,16 @@ object Skyline {
     * algorithms in the literature, so the plan holds at any x-cardinality. */
   def skyline2Min(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val minPerX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__min_y"))
+    // Persisted because __pid must be IDENTICAL in the two subtrees fanning
+    // out below (`local` and `partMins`): repartitionByRange samples range
+    // boundaries from its input, so a recomputed exchange could assign the
+    // same row a different pid and silently corrupt the prefix minima.
+    // Without the persist, consistency rides on exchange reuse being
+    // enabled (default-on). The table is per-x minima — |distinct x| rows,
+    // small by construction — so caching it is cheap at any input scale.
     val parts = minPerX.repartitionByRange(col(xCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local_prev", min(col("__min_y")).over(wLocal))

@@ -90,18 +90,25 @@ object TextQueries {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Repetition ratio (1 - distinct 3-grams / total 3-grams): the classic
-    * degenerate-text signal for corpus filtering. */
+    * degenerate-text signal for corpus filtering. Relational gram rows
+    * (codegen'd window k-grams via [[graft.ops.Dedup.kgramRows]], then one
+    * count/count-distinct aggregation per doc) — the interpreted
+    * higher-order-function form re-tokenizes per gram and goes quadratic
+    * in document length. */
   def q37Repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2)))
-    graft.ops.TextFunctions.widen(
+    val base = graft.ops.TextFunctions.widen(
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
-      .select(col("doc_id"),
-        when(size(toks) < 3, 0.0).otherwise(
-          round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+      .select(col("doc_id").as("__id"), tokens(col("text")).as("__toks"))
+      .select(col("__id"), col("__toks"),
+        coalesce(size(col("__toks")), lit(0)).as("__n"))
+    val stats = graft.ops.Dedup.kgramRows(base.filter(col("__n") >= 3), 3)
+      .groupBy(col("__id"))
+      .agg(countDistinct(col("__g")).as("__d"), count(lit(1)).as("__c"))
+    base.select(col("__id"), col("__n"))
+      .join(stats, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        when(col("__n") < 3, 0.0).otherwise(
+          round(lit(1.0) - col("__d").cast("double") / col("__c"), 6))
           .as("repetition"))
       .orderBy(col("doc_id"))
   }

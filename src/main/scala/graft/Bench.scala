@@ -29,21 +29,29 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> runs.min
+      // A query that threw must not report its time-to-exception as a
+      // (possibly fastest) run: any failed run poisons the query to the -1
+      // sentinel so failure is visible in the JSON, not only on stderr.
+      name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     // a filtered run is labeled so it can't be mistaken for (or overwrite)
     // a full benchmark result
     val onlyJson = only
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min"$onlyJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min"$onlyJson$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

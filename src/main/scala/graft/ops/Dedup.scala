@@ -57,8 +57,13 @@ object Dedup {
     * projection CSE (e.g. under a Generate), turning shingling quadratic in
     * document length — profiled at 10× the cost of this plan at sf0.1. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = widen(df).select(col(idCol).as("__id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+    // Null doc ids are dropped, not passed through: kgramRows windows on
+    // __id, so null-id rows would all land in ONE window partition and
+    // lead() would build k-grams spanning unrelated documents. A null id
+    // also can't participate in any downstream pair/semi-join anyway.
+    val toks = widen(df).filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
     val nTok = coalesce(size(col("__toks")), lit(0))
     val whole = toks.filter(nTok < k)
       .select(col("__id"), concat_ws(" ", col("__toks")).as("__g"))

@@ -22,28 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  /** 2-D skyline minimizing (xCol, yCol); returns the original rows.
+  /** Number of sweep buckets for the distributed prefix-min. */
+  private val SweepBuckets = 32
+
+  /** 2-D skyline minimizing numeric (xCol, yCol); returns the original rows.
     * Duplicate skyline points all survive (equal points don't dominate).
     *
     * The sweep is a distributed prefix-min, never a single-partition
-    * window: range-partition the per-x minima on x (partition i holds
-    * strictly smaller x than partition i+1; x is distinct after the
-    * aggregation), run the running min per partition, and fold in the
-    * minima of all earlier partitions via a tiny (numPartitions-row)
-    * theta self-join — the two-phase shape of the per-partition skyline
-    * algorithms in the literature, so the plan holds at any x-cardinality. */
+    * window: bucket the per-x minima into x-ranges (bucket i holds
+    * x ≤ bucket i+1's; x is distinct after the aggregation), run the
+    * running min per bucket, and fold in the minima of all earlier
+    * buckets via a tiny (SweepBuckets-row) theta self-join — the
+    * two-phase shape of the per-partition skyline algorithms in the
+    * literature, so the plan holds at any x-cardinality.
+    *
+    * Bucket ids are DERIVED (rank of x among approx-percentile boundaries
+    * of the per-x minima), not read off `spark_partition_id()` after a
+    * `repartitionByRange`: the physical id is nondeterministic under
+    * recomputation, and pinning it required a persist that leaked cache
+    * entries across invocations in long-lived sessions (round-3 advice).
+    * A derived id is stable however many times a subtree is recomputed,
+    * so the plan needs no cache at all. */
   def skyline2Min(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val minPerX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__min_y"))
-    // Persisted because __pid must be IDENTICAL in the two subtrees fanning
-    // out below (`local` and `partMins`): repartitionByRange samples range
-    // boundaries from its input, so a recomputed exchange could assign the
-    // same row a different pid and silently corrupt the prefix minima.
-    // Without the persist, consistency rides on exchange reuse being
-    // enabled (default-on). The table is per-x minima — |distinct x| rows,
-    // small by construction — so caching it is cheap at any input scale.
-    val parts = minPerX.repartitionByRange(col(xCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fracs = (1 until SweepBuckets).map(i => lit(i.toDouble / SweepBuckets))
+    val bounds = minPerX.agg(percentile_approx(
+      col(xCol).cast("double"), array(fracs: _*), lit(10000)).as("__bounds"))
+    // __pid = how many boundaries x exceeds: monotone in x, ties share a
+    // bucket. The boundary array is 31 elements — the fold is O(1) per row.
+    val parts = minPerX.crossJoin(broadcast(bounds))
+      .withColumn("__pid", aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col(xCol).cast("double") > b, 1).otherwise(0)))
+      .drop("__bounds")
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local_prev", min(col("__min_y")).over(wLocal))

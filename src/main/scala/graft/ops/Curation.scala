@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII redaction,
+  * deterministic train/val/test splits, hash-based stratified sampling,
+  * sequence packing (via a distributed prefix sum), domain mixing
+  * (weighted replication), and train/test decontamination.
+  *
+  * The reference engine (lance-namespace-impls) stops at catalog + scan;
+  * these are the operations a 100 TB pretraining pipeline runs ON the
+  * tables the catalog serves, built to the same rules as [[Dedup]]:
+  * pure DataFrame plans over codegen'd functions, no UDFs, no driver
+  * collects, and every randomized choice replaced by a salted md5 hash so
+  * results are reproducible run-to-run and engine-portable (the DuckDB
+  * oracle mirrors each expression bit-for-bit).
+  */
+object Curation {
+
+  // --- PII redaction -------------------------------------------------------
+  // Patterns are RE2-safe (no lookarounds, no backrefs) so the same string
+  // works in Java regex (Spark) and RE2 (DuckDB/most scrubbing pipelines).
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+
+  /** Replace emails, IPv4s, and phone-shaped numbers with typed tokens.
+    * Email runs first: the other two patterns are all-digit and can't
+    * overlap an address, so the order is only about not re-scanning
+    * replacement tokens. Pure per-row codegen'd work — no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match counts per PII class (audit/reporting side of redaction). */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long")
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
+  // --- Deterministic hash buckets ------------------------------------------
+
+  /** Salted uniform bucket in [0, buckets): first 8 hex chars of
+    * md5(salt ":" id) as an integer, mod buckets. Deterministic across
+    * runs, partitionings, and engines — the property that makes splits
+    * and samples reproducible and join-free at any scale. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(
+      conv(substring(md5(concat(lit(salt + ":"), id.cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Train/val/test assignment by hash bucket of the doc id — the standard
+    * leakage-safe split (membership depends only on the id, so re-running
+    * over a grown corpus never moves an old doc across splits). */
+  def splitAssign(id: Column, trainPct: Int = 98, valPct: Int = 1): Column = {
+    val b = hashBucket(id, "split", 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Keep-this-row predicate for deterministic sampling at `ppm` parts per
+    * million. Rates are integer ppm, not doubles: a double→int cast floors
+    * in Spark but rounds in DuckDB, so portable pipelines pin the integer.
+    * Per-stratum rates are just a ppm column (e.g. a CASE over the stratum
+    * key or a broadcast-joined rate table). */
+  def sampleKeep(id: Column, ppm: Column, salt: String = "sample"): Column =
+    hashBucket(id, salt, 1000000) < ppm
+
+  /** Deterministic corpus shuffle key: globally reordering a corpus for
+    * training is `orderBy(shuffleKey)` — a range-partitioned sort, the
+    * scalable way to "shuffle" 100 TB reproducibly. */
+  def shuffleKey(id: Column, salt: String = "shuffle"): Column =
+    md5(concat(lit(salt + ":"), id.cast("string")).cast("binary"))
+
+  // --- Distributed prefix sum + sequence packing ---------------------------
+
+  /** Number of scan buckets for the two-phase prefix sum. */
+  private val ScanBuckets = 32
+
+  /** Exclusive prefix sum of `valCol` in ascending `ordCol` order (ordCol
+    * numeric and distinct — a key), appended as `outCol`. NEVER a
+    * single-partition window: rows are bucketed by approx-percentile
+    * boundaries of ordCol (derived ids, stable under recomputation — same
+    * scheme as [[Skyline]]), each bucket computes its local running sum,
+    * and earlier buckets' totals fold in via a ScanBuckets-row theta join.
+    * Two small shuffles, no persist, holds at any row count. */
+  def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
+      outCol: String): DataFrame = {
+    val fracs = (1 until ScanBuckets).map(i => lit(i.toDouble / ScanBuckets))
+    val bounds = df.agg(percentile_approx(
+      col(ordCol).cast("double"), array(fracs: _*), lit(10000)).as("__bounds"))
+    val parts = df.crossJoin(broadcast(bounds))
+      .withColumn("__pid", aggregate(col("__bounds"), lit(0),
+        (acc, b) => acc + when(col(ordCol).cast("double") > b, 1).otherwise(0)))
+      .drop("__bounds")
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__local", sum(col(valCol)).over(wLocal))
+    val partTotals = parts.groupBy(col("__pid")).agg(sum(col(valCol)).as("__tot"))
+    val prefix = partTotals.select(col("__pid"))
+      .join(partTotals.select(col("__pid").as("__pid2"), col("__tot")),
+        col("__pid2") < col("__pid"), "left")
+      .groupBy(col("__pid")).agg(sum(col("__tot")).as("__earlier"))
+    local.join(broadcast(prefix), Seq("__pid"))
+      .withColumn(outCol,
+        coalesce(col("__local"), lit(0L)) + coalesce(col("__earlier"), lit(0L)))
+      .drop("__pid", "__local", "__earlier")
+  }
+
+  /** Sequence packing: assign docs (in ascending id order) to fixed
+    * token-budget bins — bin = exclusive-prefix-tokens div budget. This is
+    * the streaming-concatenation packing LLM data loaders use (documents
+    * are laid end-to-end and cut every `budget` tokens; a doc straddling a
+    * boundary starts the next bin's count, it is not re-fitted), chosen
+    * over first-fit because it is order-deterministic and embarrassingly
+    * parallel — first-fit bin state is inherently sequential. Integer
+    * `div`, not `/`: long/long `/` is double-valued in Spark and loses
+    * exactness past 2^53 total tokens (100 TB is past it). */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long): DataFrame =
+    exclusivePrefixSum(df, idCol, tokCol, "__start")
+      .withColumn("bin", expr(s"__start div $budget"))
+      .drop("__start")
+
+  // --- Domain mixing -------------------------------------------------------
+
+  /** Replicate each row `timesCol` times (epoch-level upsampling for
+    * domain mixing), adding `copy` = 1..times. explode(sequence(...)) is
+    * codegen'd row-local work — no shuffle; output size is exactly the
+    * weighted corpus. Fractional final epochs compose as
+    * replicate(floor(w)) ∪ sampleKeep(frac(w)·1e6). */
+  def replicate(df: DataFrame, timesCol: Column): DataFrame =
+    df.withColumn("copy", explode(sequence(lit(1), timesCol)))
+
+  // --- Decontamination -----------------------------------------------------
+
+  /** Ids of corpus docs sharing at least one word k-gram with any benchmark
+    * doc (train/test contamination). Both sides shingle via
+    * [[Dedup.shingleRows]] (codegen'd window k-grams); the flag is one
+    * semi-join on the gram value. No broadcast hint: benchmark gram sets
+    * are usually broadcast-able and AQE will do it, but a hint would force
+    * it even for benchmark suites larger than the broadcast budget. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    val benchGrams = Dedup.shingleRows(bench, idCol, textCol, k)
+      .select(col("__g")).distinct()
+    Dedup.shingleRows(corpus, idCol, textCol, k)
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+  }
+}

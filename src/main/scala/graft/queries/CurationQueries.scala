@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, Dedup, TextFunctions}
+
+/** Gate coverage for the corpus-curation operator family over `documents`.
+  *
+  * Every randomized choice (split, sample, shuffle) is a salted md5 hash,
+  * so each oracle replays the identical bytes in DuckDB and the compare is
+  * exact. Where the corpus lacks a phenomenon (PII strings, incoming
+  * duplicates), the query synthesizes it deterministically inside the plan
+  * — same device as q33 — and the oracle does the identical construction.
+  */
+object CurationQueries {
+
+  /** PII redaction audit: inject deterministic emails/IPs/phone numbers,
+    * then count matches per class and docs changed by redaction. */
+  def q38PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val t = concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call 555-"), (id % 900 + 100).cast("string"), lit("-"),
+          (id % 9000 + 1000).cast("string"))).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("source"), t.as("t"))
+      .groupBy(col("source"))
+      .agg(
+        sum(Curation.emailCount(col("t"))).as("n_emails"),
+        sum(Curation.ipv4Count(col("t"))).as("n_ips"),
+        sum(Curation.phoneCount(col("t"))).as("n_phones"),
+        sum(when(Curation.redactPii(col("t")) =!= col("t"), 1L).otherwise(0L))
+          .as("n_redacted"))
+      .orderBy(col("source"))
+  }
+
+  val q38Sql: String =
+    s"""WITH pii AS (
+      |  SELECT source, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(sum(len(regexp_extract_all(t, '${Curation.EmailPattern}'))) AS BIGINT) AS n_emails,
+      |  CAST(sum(len(regexp_extract_all(t, '${Curation.Ipv4Pattern}'))) AS BIGINT) AS n_ips,
+      |  CAST(sum(len(regexp_extract_all(t, '${Curation.PhonePattern}'))) AS BIGINT) AS n_phones,
+      |  CAST(sum(CASE WHEN regexp_replace(regexp_replace(regexp_replace(t,
+      |      '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+      |      '${Curation.Ipv4Pattern}', '<IP>', 'g'),
+      |      '${Curation.PhonePattern}', '<PHONE>', 'g') <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+      |FROM pii GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic 98/1/1 train/val/test split by hashed doc id. */
+  def q39TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(Curation.splitAssign(col("doc_id")).as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+
+  val q39Sql: String =
+    """SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM (SELECT CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b,
+      |             lang, n_chars FROM documents)
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Sequence packing into 2048-token bins via the distributed exclusive
+    * prefix sum (never a single-partition window). */
+  def q44PackSequences(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("tok"))
+    Curation.packSequences(toks, "doc_id", "tok", 2048L)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("bin"))
+  }
+
+  val q44Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, tok,
+      |    COALESCE(sum(tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin
+      |  FROM toks)
+      |SELECT bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM packed GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Domain mixing: upsample low-resource languages by integer weights
+    * (en×1, es×2, fr×2, de×3, zh×4) via row replication. */
+  def q45DomainMix(s: SparkSession, d: String): DataFrame =
+    Curation.replicate(Tables.documents(s, d),
+        expr("CASE WHEN lang='en' THEN 1 WHEN lang='es' THEN 2 " +
+          "WHEN lang='fr' THEN 2 WHEN lang='de' THEN 3 ELSE 4 END"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("copy")).cast("long").as("max_copy"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val q45Sql: String =
+    """SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+      |  CAST(max(i) AS BIGINT) AS max_copy, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents,
+      |  UNNEST(generate_series(1, CASE WHEN lang='en' THEN 1 WHEN lang='es' THEN 2
+      |    WHEN lang='fr' THEN 2 WHEN lang='de' THEN 3 ELSE 4 END)) AS t(i)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Stratified deterministic sampling: keep 10% of English, 50% of the
+    * rest, by salted hash of the doc id — reproducible, join-free. */
+  def q46StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("keep", Curation.sampleKeep(col("doc_id"),
+        expr("CASE WHEN lang='en' THEN 100000 ELSE 500000 END")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+
+  val q46Sql: String =
+    """SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM (SELECT lang, n_chars,
+      |  CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+      |    < CASE WHEN lang='en' THEN 100000 ELSE 500000 END AS keep
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Deterministic corpus shuffle: first 30 docs in salted-hash order.
+    * At scale the full shuffle is `orderBy(shuffleKey)` (a range-
+    * partitioned sort); the gate pins the key order via global top-30. */
+  def q49CorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), Curation.shuffleKey(col("doc_id")).as("shuffle_key"))
+      .orderBy(col("shuffle_key")).limit(30)
+    keyed.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("shuffle_key"))).cast("long").as("pos"),
+      col("doc_id"), col("shuffle_key"))
+  }
+
+  val q49Sql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS pos,
+      |  doc_id, shuffle_key
+      |FROM (SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |      FROM documents ORDER BY shuffle_key LIMIT 30) ORDER BY pos""".stripMargin
+
+  /** Incremental dedup: a synthetic incoming batch (every doc_id % 9,
+    * re-keyed; the even half mutated by a suffix) deduped against the
+    * existing corpus by content fingerprint — unmutated docs drop. */
+  def q53IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val incoming = docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" fresh suffix")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+    val corpusFp = docs
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    incoming
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .join(corpusFp.withColumn("dup", lit(1L)), Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"),
+        sum(when(col("dup").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q53Sql: String =
+    """WITH incoming AS (
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN text || ' fresh suffix' ELSE text END AS text,
+      |    source
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |corpus_fp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT source, count(*) AS n_incoming,
+      |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM corpus_fp) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM corpus_fp) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+      |FROM (SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |      FROM incoming)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Train/test decontamination: corpus docs sharing any word 5-gram with
+    * the benchmark set (doc_id < 10), counted per source. */
+  def q54Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val flagged = Curation.contaminatedIds(corpus, bench, "doc_id", "text", k = 5)
+    corpus
+      .join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val q54Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 5 THEN
+      |      list_transform(range(1, greatest(len(tk)-4, 1)+1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+      |    ELSE [array_to_string(tk, ' ')] END) AS g
+      |  FROM toks),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM grams
+      |  WHERE doc_id >= 10 AND g IN (SELECT g FROM grams WHERE doc_id < 10))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM documents WHERE doc_id >= 10
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_pii_redact" -> (q38PiiRedact _),
+    "q39_train_split" -> (q39TrainSplit _),
+    "q44_pack_sequences" -> (q44PackSequences _),
+    "q45_domain_mix" -> (q45DomainMix _),
+    "q46_stratified_sample" -> (q46StratifiedSample _),
+    "q49_corpus_shuffle" -> (q49CorpusShuffle _),
+    "q53_incremental_dedup" -> (q53IncrementalDedup _),
+    "q54_decontaminate" -> (q54Decontaminate _))
+
+  val oracles: Map[String, String] = Map(
+    "q38_pii_redact" -> q38Sql,
+    "q39_train_split" -> q39Sql,
+    "q44_pack_sequences" -> q44Sql,
+    "q45_domain_mix" -> q45Sql,
+    "q46_stratified_sample" -> q46Sql,
+    "q49_corpus_shuffle" -> q49Sql,
+    "q53_incremental_dedup" -> q53Sql,
+    "q54_decontaminate" -> q54Sql)
+}

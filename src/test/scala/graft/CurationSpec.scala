@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** Properties of the curation operators beyond what the oracle gate pins:
+  * redaction completeness/idempotence, split/sample determinism and rates,
+  * distributed-prefix-sum equivalence to a single-partition scan, packing
+  * contiguity, replication cardinality, and decontamination planting. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii removes every PII match and is idempotent") {
+    val df = Seq(
+      "mail bob.smith+x@foo.co.uk then ip 10.0.3.7 then 555-123-4567 done",
+      "no pii here at all",
+      "double a@b.io c@d.org and 1.2.3.4 5.6.7.8").toDF("t")
+      .withColumn("r", Curation.redactPii(col("t")))
+    val left = df.select(
+      sum(Curation.emailCount(col("r"))) +
+        sum(Curation.ipv4Count(col("r"))) +
+        sum(Curation.phoneCount(col("r")))).as[Long].head()
+    assert(left == 0, s"PII left after redaction: $left")
+    val notIdempotent = df
+      .filter(Curation.redactPii(col("r")) =!= col("r")).count()
+    assert(notIdempotent == 0)
+    val r = df.filter(col("t").startsWith("mail")).select("r").as[String].head()
+    assert(r == "mail <EMAIL> then ip <IP> then <PHONE> done")
+  }
+
+  test("splitAssign is deterministic and near the 98/1/1 target") {
+    val ids = spark.range(20000).toDF("id")
+    val counts = ids.select(Curation.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 19000 && counts("val") > 50 && counts("test") > 50)
+    assert(counts.values.sum == 20000)
+    // same id always lands in the same split, independent of partitioning
+    val a = ids.repartition(7).select(col("id"), Curation.splitAssign(col("id")).as("s"))
+    val b = ids.repartition(3).select(col("id"), Curation.splitAssign(col("id")).as("s2"))
+    assert(a.join(b, "id").filter(col("s") =!= col("s2")).count() == 0)
+  }
+
+  test("sampleKeep hits the requested rate within tolerance") {
+    val n = spark.range(50000).toDF("id")
+      .filter(Curation.sampleKeep(col("id"), lit(250000))).count()
+    assert(math.abs(n - 12500) < 800, s"kept $n of 50000 at 25%")
+  }
+
+  test("exclusivePrefixSum equals the single-partition window scan") {
+    // non-uniform ord values (quadratic gaps) exercise uneven buckets
+    val df = spark.range(5000).toDF("i")
+      .select((col("i") * col("i") % 100003).as("ord"), (col("i") % 97).as("v"))
+      .groupBy("ord").agg(sum("v").as("v")) // make ord a key
+    val got = Curation.exclusivePrefixSum(df, "ord", "v", "ps")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = df.withColumn("ps2", coalesce(sum("v").over(w), lit(0L)))
+    assert(got.join(want, "ord").filter(col("ps") =!= col("ps2")).count() == 0)
+    assert(got.count() == df.count())
+  }
+
+  test("packSequences bins are contiguous in id order and budget-aligned") {
+    val docs = spark.range(2000).toDF("id")
+      .select(col("id"), (col("id") % 300 + 10).as("tok"))
+    val packed = Curation.packSequences(docs, "id", "tok", 4096L)
+    val bins = packed.groupBy("bin")
+      .agg(min("id").as("lo"), max("id").as("hi"), sum("tok").as("tot"))
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect()
+    // contiguity: bin i's ids all precede bin i+1's
+    bins.sliding(2).foreach {
+      case Array((_, _, hi, _), (_, lo, _, _)) => assert(hi < lo)
+      case _ =>
+    }
+    // streaming packing: every bin's token sum stays under budget + one doc
+    val maxTok = 309L
+    bins.dropRight(1).foreach { case (b, _, _, tot) =>
+      assert(tot <= 4096 + maxTok, s"bin $b overflows: $tot") }
+    assert(bins.map(_._4).sum == docs.agg(sum("tok")).as[Long].head())
+  }
+
+  test("replicate emits exactly weight copies with copy index") {
+    val df = Seq(("a", 1), ("b", 3), ("c", 2)).toDF("k", "w")
+    val out = Curation.replicate(df, col("w"))
+    assert(out.count() == 6)
+    assert(out.filter(col("k") === "b").agg(max("copy")).as[Int].head() == 3)
+    assert(out.filter(col("k") === "b").agg(countDistinct("copy")).as[Long].head() == 3)
+  }
+
+  test("contaminatedIds flags planted overlap only") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (10L, "intro words then the quick brown fox jumps over it ends"),
+      (11L, "completely different vocabulary with zero shared phrases here"),
+      (12L, "quick brown fox appears but only four gram not five")).toDF("id", "text")
+    val flagged = Curation.contaminatedIds(corpus, bench, "id", "text", k = 5)
+      .as[Long].collect().toSet
+    assert(flagged == Set(10L), s"flagged=$flagged")
+  }
+}

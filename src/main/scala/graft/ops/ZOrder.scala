@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering: interleave the bits of two dimension keys
+  * so a single range-partitioned sort co-locates rows that are close in
+  * BOTH dimensions. The point at 100 TB: parquet row-group min/max stats
+  * on z-sorted data prune multi-dimensional range predicates that a
+  * single-column sort can only prune on its leading column — the standard
+  * lakehouse OPTIMIZE/CLUSTER BY technique.
+  *
+  * Everything here is integer arithmetic over codegen'd built-ins (shifts,
+  * masks, sums) — no UDFs — and bit-identical to the arithmetic form
+  * `sum_b ((x div 2^b) mod 2) * 2^(2b)`, which is what the DuckDB oracle
+  * replays.
+  */
+object ZOrder {
+
+  /** Interleave the low `bits` bits of non-negative x (even positions) and
+    * y (odd positions) into a single z-value. 2*bits ≤ 62. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val terms = (0 until bits).flatMap { b =>
+      Seq(
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+    terms.reduce(_ + _).cast("long")
+  }
+
+  /** Order-preserving quantization of a numeric column into [0, 2^bits):
+    * rank against approx-percentile boundaries (derived, deterministic —
+    * same scheme as [[Curation.exclusivePrefixSum]]). Equal values always
+    * land in the same cell; boundaries ride one broadcast row. Use to
+    * z-order doubles/skewed keys where a fixed modulus would fold distant
+    * values into the same cell. */
+  def quantize(df: DataFrame, valCol: String, outCol: String, bits: Int = 8): DataFrame = {
+    val cells = 1 << bits
+    val fracs = (1 until cells).map(i => lit(i.toDouble / cells))
+    val bounds = df.agg(percentile_approx(
+      col(valCol).cast("double"), array(fracs: _*), lit(10000)).as("__zb"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol, aggregate(col("__zb"), lit(0L),
+        (acc, b) => acc + when(col(valCol).cast("double") > b, 1L).otherwise(0L)))
+      .drop("__zb")
+  }
+
+  /** Cluster a table for 2-D range pruning: append the z-value of the two
+    * (already non-negative integer) dimension keys and range-partition-sort
+    * by it. `repartitionByRange` + in-partition sort is exactly the shape
+    * a distributed OPTIMIZE ZORDER write needs — every output file gets a
+    * tight z-range, hence tight min/max on BOTH dimensions. */
+  def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int = 16,
+      numFiles: Int = 0): DataFrame = {
+    val z = df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    val parted =
+      if (numFiles > 0) z.repartitionByRange(numFiles, col("__z"))
+      else z.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+}

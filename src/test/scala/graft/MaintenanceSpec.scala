@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Maintenance, ZOrder}
+
+/** File-layout maintenance (compaction, clustered writes) and z-order
+  * locality — the parts of the maintenance family the SQL oracle can't
+  * express. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue matches a bit-twiddling reference implementation") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val zs = rows.toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 16)).as[Long].collect()
+    rows.zip(zs).foreach { case ((x, y), z) =>
+      assert(z == ref(x, y), s"($x,$y): got $z want ${ref(x, y)}") }
+  }
+
+  test("z-order clustering gives tighter 2-D partition bounding boxes than x-sort") {
+    val n = 64
+    val grid = spark.range(n.toLong * n).toDF("i")
+      .select((col("i") % n).as("x"), (col("i") / n).cast("long").as("y"))
+    def avgArea(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .agg(avg("area")).as[Double].head()
+    val zArea = avgArea(ZOrder.clusterByZ(grid, "x", "y", bits = 6, numFiles = 16))
+    val xArea = avgArea(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    // x-sorted partitions span all of y (area ~ 4*64=256); z-ordered
+    // partitions are near-square tiles (area ~ 256/16*16 = 256? no: 4096/16
+    // rows per partition => ideal tile 16x16 = 256 cells but tight on BOTH
+    // dims; x-sort boxes are 4x64. Same area, different shape — so compare
+    // the max side length, the quantity stats pruning actually feels.
+    def maxSide(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(greatest(max("x") - min("x") + 1, max("y") - min("y") + 1).as("s"))
+        .agg(avg("s")).as[Double].head()
+    val zSide = maxSide(ZOrder.clusterByZ(grid, "x", "y", bits = 6, numFiles = 16))
+    val xSide = maxSide(grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x")))
+    assert(zSide * 2 < xSide, s"z avg max-side $zSide vs x-sort $xSide")
+    assert(zArea <= xArea * 1.5, s"z area $zArea vs x area $xArea")
+  }
+
+  test("quantize is order-preserving and lands in [0, 2^bits)") {
+    val df = spark.range(4000).toDF("i")
+      .select((col("i") * col("i") % 999983).cast("double").as("v")).distinct()
+    val q = ZOrder.quantize(df, "v", "cell", bits = 6)
+    val range = q.agg(min("cell"), max("cell")).as[(Long, Long)].head()
+    assert(range._1 >= 0 && range._2 < 64, s"cells out of range: $range")
+    // order-preserving: no pair with v1 < v2 but cell1 > cell2
+    val a = q.select(col("v").as("v1"), col("cell").as("c1"))
+    val b = q.select(col("v").as("v2"), col("cell").as("c2"))
+    val inversions = a.join(b, col("v1") < col("v2") && col("c1") > col("c2")).count()
+    assert(inversions == 0)
+  }
+
+  test("compact rewrites many small files into the computed file count") {
+    val src = warehouse.resolve("frag").toString
+    val dest = warehouse.resolve("compacted").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartition(50).write.mode("overwrite").parquet(src)
+    assert(Maintenance.dataFileCount(spark, src) >= 50)
+    val bytes = Maintenance.dataBytes(spark, src)
+    val n = Maintenance.compact(spark, src, dest, Seq("doc_id"),
+      targetFileBytes = math.max(1L, bytes / 3))
+    assert(n >= 2 && n <= 4, s"expected ~3 files, planned $n")
+    assert(Maintenance.dataFileCount(spark, dest) == n)
+    val out = spark.read.parquet(dest)
+    assert(out.count() == docs.count())
+    assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)
+  }
+
+  test("compacted files have non-overlapping sort-key ranges") {
+    val src = warehouse.resolve("frag2").toString
+    val dest = warehouse.resolve("compacted2").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(20).write.mode("overwrite").parquet(src)
+    val bytes = Maintenance.dataBytes(spark, src)
+    Maintenance.compact(spark, src, dest, Seq("o_orderkey"),
+      targetFileBytes = math.max(1L, bytes / 4))
+    val stats = Maintenance.fileStats(spark.read.parquet(dest), "o_orderkey")
+      .orderBy("min_v").as[(String, Long, Long, Long)].collect()
+    assert(stats.length >= 2)
+    stats.sliding(2).foreach {
+      case Array((_, _, hiA, _), (_, loB, _, _)) =>
+        assert(hiA <= loB, s"overlapping file ranges: $hiA > $loB")
+      case _ =>
+    }
+  }
+}

@@ -170,15 +170,19 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // Relational minhash end to end: shingle ROWS (codegen'd window k-grams,
     // never an interpreted lambda — see [[shingleRows]]), hash each shingle
-    // ONCE, then all permutation minima as parallel aggregates of ONE
-    // groupBy (no seed explode, map-side partial mins) — one shuffle of
-    // (doc, seed-min) rows regardless of corpus size.
+    // ONCE, then all permutation minima AND the verification shingle set as
+    // parallel aggregates of ONE groupBy (no seed explode, map-side partial
+    // everything) — one shuffle of doc-keyed rows regardless of corpus
+    // size. Folding collect_set into the same aggregation (instead of a
+    // second groupBy over a re-shingled subtree) halves the shingle/window
+    // work: the expensive pre-shuffle stages run once and exchange reuse
+    // shares them between the banding and verification consumers.
     val rows = shingleRows(df, idCol, textCol, k)
     val minAggs = minhashAggs(col("__h32"), numHashes)
     val sig = rows
-      .select(col("__id"), shingleHash(col("__g")).as("__h32"))
+      .select(col("__id"), col("__g"), shingleHash(col("__g")).as("__h32"))
       .groupBy(col("__id"))
-      .agg(minAggs.head, minAggs.tail: _*)
+      .agg(minAggs.head, (minAggs.tail :+ collect_set(col("__g")).as("__sh")): _*)
     // band signature: seed-ordered '_'-separated concat (variable-length
     // ints need the separator to keep signatures prefix-unambiguous)
     val bandStructs = (0 until bands).map { b =>
@@ -209,9 +213,8 @@ object Dedup {
     // no broadcast hint on cand: at 100 TB candidate sets can exceed any
     // broadcast budget (a hint would force it); AQE converts these joins to
     // broadcast at runtime whenever the candidate side is actually small
-    val sets = rows.groupBy(col("__id")).agg(collect_set(col("__g")).as("__sh"))
-    val sa = sets.select(col("__id").as("__ida"), col("__sh").as("__sha"))
-    val sb = sets.select(col("__id").as("__idb"), col("__sh").as("__shb"))
+    val sa = sig.select(col("__id").as("__ida"), col("__sh").as("__sha"))
+    val sb = sig.select(col("__id").as("__idb"), col("__sh").as("__shb"))
     cand.join(sa, "__ida").join(sb, "__idb")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)

@@ -87,6 +87,27 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("k") === "b").agg(countDistinct("copy")).as[Long].head() == 3)
   }
 
+  test("curation SQL functions are registered via the extension") {
+    val r = spark.sql(
+      "SELECT graft_redact_pii('a@b.io and 1.2.3.4') AS r, graft_split(42) AS s, " +
+        "graft_zvalue(3, 1) AS z").as[(String, String, Long)].head()
+    assert(r._1 == "<EMAIL> and <IP>")
+    assert(Set("train", "val", "test").contains(r._2))
+    // z(3,1) = x bits 11 at even positions, y bit 1 at odd position 1: 0b0111
+    assert(r._3 == 7L)
+    // the raw-Catalyst SQL builders must agree with the Column forms
+    val ids = spark.range(2000).toDF("id")
+    ids.createOrReplaceTempView("__ids")
+    val viaSql = spark.sql(
+      "SELECT id, graft_split(id) AS s, graft_zvalue(id, id + 7) AS z FROM __ids")
+    val viaCol = ids.select(col("id"),
+      Curation.splitAssign(col("id")).as("s2"),
+      graft.ops.ZOrder.zValue(col("id"), col("id") + 7, 16).as("z2"))
+    val diff = viaSql.join(viaCol, "id")
+      .filter(col("s") =!= col("s2") || col("z") =!= col("z2")).count()
+    assert(diff == 0)
+  }
+
   test("contaminatedIds flags planted overlap only") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(

@@ -45,6 +45,26 @@ object ScaleSoak {
       graft.ops.Similarity.bruteForceTopK(emb10, "vec_id", "embedding",
         queries, "qid", "qvec", 10).count())
 
+    time("prefix_sum_50k_docs")(
+      graft.ops.Curation.exclusivePrefixSum(
+        docs10.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", "ps")
+        .agg(max(col("ps"))).collect()(0).getLong(0))
+    time("pack_sequences_50k_docs")(
+      graft.ops.Curation.packSequences(
+        docs10.select(col("doc_id"),
+          graft.ops.TextFunctions.tokenCount(col("text")).as("tok")),
+        "doc_id", "tok", 2048L)
+        .agg(countDistinct(col("bin"))).collect()(0).getLong(0))
+    time("decontaminate_50k_docs")(
+      graft.ops.Curation.contaminatedIds(
+        docs10.filter(col("doc_id") >= 10), docs10.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 5).count())
+    time("zorder_cluster_50k_docs")(
+      graft.ops.ZOrder.clusterByZ(
+        docs10.select(pmod(col("doc_id"), lit(65536L)).as("x"),
+          pmod(col("n_chars"), lit(65536L)).as("y")),
+        "x", "y", bits = 16, numFiles = 32).count())
+
     val ev1 = graft.queries.Tables.events(spark, d)
     val ev10 = (0 until 10).map(i =>
       ev1.withColumn("event_id", col("event_id") + lit(i * 10000000L))

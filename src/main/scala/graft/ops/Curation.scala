@@ -89,20 +89,16 @@ object Curation {
 
   /** Exclusive prefix sum of `valCol` in ascending `ordCol` order (ordCol
     * numeric and distinct — a key), appended as `outCol`. NEVER a
-    * single-partition window: rows are bucketed by approx-percentile
-    * boundaries of ordCol (derived ids, stable under recomputation — same
-    * scheme as [[Skyline]]), each bucket computes its local running sum,
-    * and earlier buckets' totals fold in via a ScanBuckets-row theta join.
-    * Two small shuffles, no persist, holds at any row count. */
+    * single-partition window: rows are bucketed by once-collected
+    * percentile boundaries of ordCol ([[Buckets]] — literal bounds, so the
+    * id is identical in every fan-out subtree by construction), each
+    * bucket computes its local running sum, and earlier buckets' totals
+    * fold in via a ScanBuckets-row theta join. Two small shuffles, no
+    * persist, holds at any row count. */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
       outCol: String): DataFrame = {
-    val fracs = (1 until ScanBuckets).map(i => lit(i.toDouble / ScanBuckets))
-    val bounds = df.agg(percentile_approx(
-      col(ordCol).cast("double"), array(fracs: _*), lit(10000)).as("__bounds"))
-    val parts = df.crossJoin(broadcast(bounds))
-      .withColumn("__pid", aggregate(col("__bounds"), lit(0),
-        (acc, b) => acc + when(col(ordCol).cast("double") > b, 1).otherwise(0)))
-      .drop("__bounds")
+    val bounds = Buckets.boundaries(df, ordCol, ScanBuckets)
+    val parts = df.withColumn("__pid", Buckets.bucketId(col(ordCol), bounds))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local", sum(col(valCol)).over(wLocal))
@@ -138,9 +134,11 @@ object Curation {
     * domain mixing), adding `copy` = 1..times. explode(sequence(...)) is
     * codegen'd row-local work — no shuffle; output size is exactly the
     * weighted corpus. Fractional final epochs compose as
-    * replicate(floor(w)) ∪ sampleKeep(frac(w)·1e6). */
+    * replicate(floor(w)) ∪ sampleKeep(frac(w)·1e6) — which is why weights
+    * < 1 must yield ZERO rows: sequence(1, 0) would default to step -1 and
+    * emit [1, 0], so the guard maps them to null, which explode drops. */
   def replicate(df: DataFrame, timesCol: Column): DataFrame =
-    df.withColumn("copy", explode(sequence(lit(1), timesCol)))
+    df.withColumn("copy", explode(when(timesCol >= 1, sequence(lit(1), timesCol))))
 
   // --- Decontamination -----------------------------------------------------
 

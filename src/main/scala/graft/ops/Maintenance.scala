@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
+  /** Data file = not a metadata sidecar: excludes _SUCCESS/_metadata,
+    * hidden dotfiles, and local-FS .crc checksums — the same set for byte
+    * and count accounting so the two always describe the same files. */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".") && !name.endsWith(".crc")
+
   /** Total bytes of data files under a table directory (driver-side
     * listing — metadata only, never reads data). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
@@ -26,7 +32,7 @@ object Maintenance {
       var total = 0L
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) total += f.getLen
+        if (isDataFile(f.getPath.getName)) total += f.getLen
       }
       total
     }
@@ -42,8 +48,7 @@ object Maintenance {
       var n = 0
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.endsWith(".crc")) n += 1
+        if (isDataFile(f.getPath.getName)) n += 1
       }
       n
     }
@@ -54,7 +59,10 @@ object Maintenance {
     * in-partition sort → non-overlapping per-file key ranges). The file
     * count derives from the CURRENT compressed size — the one number a
     * driver can know without scanning — so output files land near the
-    * target regardless of input fragmentation. Returns the file count. */
+    * target regardless of input fragmentation. Returns the number of data
+    * files actually written (can be below the plan when the sort key has
+    * fewer distinct values than planned ranges — empty range partitions
+    * write no file). */
   def compact(spark: SparkSession, srcDir: String, destDir: String,
       sortCols: Seq[String], targetFileBytes: Long = 128L << 20): Int = {
     val bytes = dataBytes(spark, srcDir)
@@ -66,7 +74,7 @@ object Maintenance {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nFiles)
     clustered.write.mode(SaveMode.Overwrite).parquet(destDir)
-    nFiles
+    dataFileCount(spark, destDir)
   }
 
   /** Per-file min/max of a column (the stats pruning actually uses),

@@ -36,24 +36,18 @@ object Skyline {
     * two-phase shape of the per-partition skyline algorithms in the
     * literature, so the plan holds at any x-cardinality.
     *
-    * Bucket ids are DERIVED (rank of x among approx-percentile boundaries
-    * of the per-x minima), not read off `spark_partition_id()` after a
-    * `repartitionByRange`: the physical id is nondeterministic under
-    * recomputation, and pinning it required a persist that leaked cache
-    * entries across invocations in long-lived sessions (round-3 advice).
-    * A derived id is stable however many times a subtree is recomputed,
-    * so the plan needs no cache at all. */
+    * Bucket ids are DERIVED (rank of x among once-collected percentile
+    * boundaries of the per-x minima — [[Buckets]]), not read off
+    * `spark_partition_id()` after a `repartitionByRange`: the physical id
+    * is nondeterministic under recomputation, and pinning it required a
+    * persist that leaked cache entries across invocations in long-lived
+    * sessions (round-3 advice). Literal boundaries make the id identical
+    * in every fan-out subtree by construction, so the plan needs no cache
+    * and no exchange-reuse assumption. */
   def skyline2Min(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val minPerX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("__min_y"))
-    val fracs = (1 until SweepBuckets).map(i => lit(i.toDouble / SweepBuckets))
-    val bounds = minPerX.agg(percentile_approx(
-      col(xCol).cast("double"), array(fracs: _*), lit(10000)).as("__bounds"))
-    // __pid = how many boundaries x exceeds: monotone in x, ties share a
-    // bucket. The boundary array is 31 elements — the fold is O(1) per row.
-    val parts = minPerX.crossJoin(broadcast(bounds))
-      .withColumn("__pid", aggregate(col("__bounds"), lit(0),
-        (acc, b) => acc + when(col(xCol).cast("double") > b, 1).otherwise(0)))
-      .drop("__bounds")
+    val bounds = Buckets.boundaries(minPerX, xCol, SweepBuckets)
+    val parts = minPerX.withColumn("__pid", Buckets.bucketId(col(xCol), bounds))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(xCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local_prev", min(col("__min_y")).over(wLocal))

@@ -30,20 +30,13 @@ object ZOrder {
   }
 
   /** Order-preserving quantization of a numeric column into [0, 2^bits):
-    * rank against approx-percentile boundaries (derived, deterministic —
-    * same scheme as [[Curation.exclusivePrefixSum]]). Equal values always
-    * land in the same cell; boundaries ride one broadcast row. Use to
-    * z-order doubles/skewed keys where a fixed modulus would fold distant
-    * values into the same cell. */
+    * rank against once-collected percentile boundaries ([[Buckets]] —
+    * literal bounds, deterministic in every consumer plan). Equal values
+    * always land in the same cell. Use to z-order doubles/skewed keys
+    * where a fixed modulus would fold distant values into the same cell. */
   def quantize(df: DataFrame, valCol: String, outCol: String, bits: Int = 8): DataFrame = {
-    val cells = 1 << bits
-    val fracs = (1 until cells).map(i => lit(i.toDouble / cells))
-    val bounds = df.agg(percentile_approx(
-      col(valCol).cast("double"), array(fracs: _*), lit(10000)).as("__zb"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn(outCol, aggregate(col("__zb"), lit(0L),
-        (acc, b) => acc + when(col(valCol).cast("double") > b, 1L).otherwise(0L)))
-      .drop("__zb")
+    val bounds = Buckets.boundaries(df, valCol, 1 << bits)
+    df.withColumn(outCol, Buckets.bucketId(col(valCol), bounds).cast("long"))
   }
 
   /** Cluster a table for 2-D range pruning: append the z-value of the two

@@ -83,6 +83,11 @@ class CurationSpec extends SparkSpec {
     val df = Seq(("a", 1), ("b", 3), ("c", 2)).toDF("k", "w")
     val out = Curation.replicate(df, col("w"))
     assert(out.count() == 6)
+    // weight 0 (the floor of a fractional epoch) must drop the row, not
+    // emit the descending-sequence [1, 0] pair
+    val zeroes = Curation.replicate(
+      Seq(("a", 0), ("b", 2), ("c", -3)).toDF("k", "w"), col("w"))
+    assert(zeroes.select("k").as[String].collect().toSeq.sorted == Seq("b", "b"))
     assert(out.filter(col("k") === "b").agg(max("copy")).as[Int].head() == 3)
     assert(out.filter(col("k") === "b").agg(countDistinct("copy")).as[Long].head() == 3)
   }

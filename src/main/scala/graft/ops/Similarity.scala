@@ -65,6 +65,46 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("score"))
   }
 
+  /** Lloyd's k-means for IVF cell centroids, Spark-first: each iteration
+    * is one broadcast-join assignment pass over the corpus plus a
+    * (cell, dim)-keyed mean — map-side combinable, two narrow shuffles —
+    * and the kCells×dim means (a few KB) are collected and re-broadcast
+    * as literals, the same driver-aggregate shape MLlib's k-means uses.
+    * Deterministic end to end: seeding is the kCells corpus vectors with
+    * the smallest salted md5 of their id (no RNG), ties in assignment
+    * break on cell id. A cell that loses all members keeps its previous
+    * centroid. Returns (cid int, cvec array<float>). */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = widen(corpus).select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    var cents: Map[Int, Seq[Float]] = vecs
+      .orderBy(md5(concat(lit("ivf:"), col("__id").cast("string")).cast("binary")))
+      .limit(kCells)
+      .select(col("__v")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => i -> v }.toMap
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
+      val wAssign = Window.partitionBy(col("__id"))
+        .orderBy(col("__sim").desc, col("cid"))
+      val means = vecs.join(broadcast(cdf))
+        .select(col("__id"), col("__v"), col("cid"),
+          cosine(col("__v"), col("cvec")).as("__sim"))
+        .withColumn("__rn", row_number().over(wAssign))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val updated = means.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3.toFloat).toSeq
+      }
+      cents = cents ++ updated
+    }
+    cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
+  }
+
   /** IVF-style ANN: assign corpus vectors to nearest of `centroids`;
     * each query probes its `nprobe` nearest cells only.
     * Returns the same shape as [[bruteForceTopK]]; recall < 1 by design —

@@ -64,8 +64,9 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force is
-    * asserted in SimilaritySpec). Centroids = vec_id % 50 == 0. */
+  /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force
+    * is asserted in OpsSpec). Cells come from the deterministic Lloyd's
+    * training pass ([[Similarity.trainCentroids]]), not raw seed vectors. */
   def q42IvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
@@ -73,8 +74,7 @@ object SimilarityQueries {
         emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "qid", "qvec",
-        emb.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        Similarity.trainCentroids(emb, "vec_id", "embedding", kCells = 10, iters = 2),
         "cid", "cvec", k = 10, nprobe = 4)
       .orderBy(col("qid"), col("rank"))
   }

@@ -122,6 +122,29 @@ class OpsSpec extends SparkSpec {
     assert(approx.size == exact.size)
   }
 
+  test("ivf trained centroids: deterministic, right shape, recall holds") {
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      kCells = 8, iters = 2)
+    val rows = trained.collect()
+    assert(rows.length == 8)
+    val dim = emb.select($"embedding").as[Seq[Float]].head().size
+    assert(rows.forall(_.getAs[Seq[Float]]("cvec").size == dim))
+    // deterministic: a second training run yields identical centroids
+    val again = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      kCells = 8, iters = 2).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", trained, "cid", "cvec", k = 10, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained-IVF recall $recall")
+  }
+
   test("cosine LSH pairs: subset of brute-force pairs at same threshold") {
     val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -93,13 +93,33 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-label embedding centroids (the supervised flavor of the IVF
+    * training pass): posexplode to (label, dim) keys, one map-side-
+    * combinable mean — the only shuffle carries (label, dim, partial)
+    * triples, never vectors. Oracle-checked, unlike the rows-only ANN
+    * queries: the aggregation arithmetic itself is pinned. */
+  def q57LabelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("label"), (col("p") + 1).cast("long").as("pos"), col("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .orderBy(col("label"), col("pos"))
+
+  val q57Sql: String =
+    """SELECT label, i AS pos, round(avg(embedding[i]), 6) AS m
+      |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+      |GROUP BY label, i ORDER BY label, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
     "q42_ivf_topk" -> (q42IvfTopK _),
-    "q43_pq_topk" -> (q43PqTopK _))
+    "q43_pq_topk" -> (q43PqTopK _),
+    "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
-    "q41_cosine_neardup" -> q41Sql)
+    "q41_cosine_neardup" -> q41Sql,
+    "q57_label_centroids" -> q57Sql)
 }

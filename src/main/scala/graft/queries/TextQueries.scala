@@ -125,15 +125,35 @@ object TextQueries {
       |        FROM documents WHERE doc_id % 5 = 0))
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary profile: top terms by document frequency — the
+    * stats stopword lists, IDF weights, and quality heuristics are built
+    * from. One explode + one aggregation; countDistinct(doc) and count(*)
+    * share the shuffle. */
+  def q56Vocab(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextFunctions.widen(Tables.documents(s, d))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+
+  val q56Sql: String =
+    """SELECT t AS token, count(DISTINCT doc_id) AS df, count(*) AS tf
+      |FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |      FROM documents)
+      |GROUP BY t ORDER BY df DESC, token LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_lang_id" -> (q31LangId _),
     "q32_fingerprint" -> (q32Fingerprint _),
-    "q37_repetition" -> (q37Repetition _))
+    "q37_repetition" -> (q37Repetition _),
+    "q56_vocab" -> (q56Vocab _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
     "q31_lang_id" -> q31Sql,
     "q32_fingerprint" -> q32Sql,
-    "q37_repetition" -> q37Sql)
+    "q37_repetition" -> q37Sql,
+    "q56_vocab" -> q56Sql)
 }

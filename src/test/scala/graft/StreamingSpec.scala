@@ -130,6 +130,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curation: stateless redact/split/quality matches batch") {
+    import graft.ops.{Curation, TextFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        Curation.redactPii(col("text")).as("clean"),
+        Curation.splitAssign(col("doc_id")).as("split"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"the a of doc $i mail user$i@example.com from 10.0.0.$i end"))
+    val stream = MemoryStream[(Long, String)]
+    val query = curate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs)
+      query.processAllAvailable()
+      val got = spark.table("curate_out")
+        .as[(Long, String, String, Double)].collect().sortBy(_._1)
+      val want = curate(docs.toDF("doc_id", "text"))
+        .as[(Long, String, String, Double)].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+      assert(got.forall(r => !r._2.contains("@") && r._2.contains("<EMAIL>")))
+    } finally query.stop()
+  }
+
   test("stateful sessionization: stream output matches batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = sampleEvents

@@ -111,4 +111,46 @@ class PlanShapeSpec extends SparkSpec {
     // (SURVEY.md §7.3: prefer built-ins over custom strategies).
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("q44 prefix-sum packing: every exchange is partitioned, none single-partition") {
+    val plan = executed(
+      graft.queries.CurationQueries.q44PackSequences(spark, sfDir))
+    // the whole point of the two-phase scan: a naive cumulative window
+    // would show 'Exchange SinglePartition' feeding a Window
+    val windowFeeds = plan.linesIterator.sliding(8).exists(w =>
+      w.exists(_.contains("Window")) && w.exists(_.contains("SinglePartition")))
+    assert(!windowFeeds, s"single-partition window detected:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  // AQE's toString appends the initial plan after the final one — strip it
+  // so assertions see only what actually ran ('*(n)' marks codegen stages)
+  private def finalOnly(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  test("q38 redaction: per-row PII work stays inside whole-stage codegen") {
+    val plan = finalOnly(
+      executed(graft.queries.CurationQueries.q38PiiRedact(spark, sfDir)))
+    assert(plan.contains("*("), plan)
+    // redaction is a scan-side projection + partial agg: one hash exchange
+    // for the source-keyed aggregation + one range exchange for the sort
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("q54 decontamination: gram match is a semi join, benchmark side broadcast by AQE") {
+    val plan = executed(graft.queries.CurationQueries.q54Decontaminate(spark, sfDir))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q55 z-order: pure projection over the scan — no join, no extra exchange") {
+    val plan = finalOnly(
+      executed(graft.queries.MaintenanceQueries.q55ZOrder(spark, sfDir)))
+    assert(!plan.contains("Join"), s"z-value must not join:\n$plan")
+    assert(plan.contains("*("), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the final sort may exchange:\n$plan")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TextFunctions}
+import graft.ops.TextFunctions
 
 /** Capstone: the full curation pipeline the extension operators exist for —
   * quality-score → language-gate → exact-dedup → corpus accounting — as ONE
@@ -23,10 +23,18 @@ object PipelineQueries {
       col("doc_id"), col("source"),
       TextFunctions.qualityScore(col("text")).as("quality"),
       TextFunctions.langId(col("text")).as("pred_lang"),
-      col("text"))
+      TextFunctions.fingerprint(col("text")).as("__fp"))
     val gated = scored
       .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
-    val deduped = Dedup.exactDedup(gated, "doc_id", "text")
+    // dedup as min-id-per-fingerprint window over the already-scored rows:
+    // text is dropped BEFORE the shuffle (only (id, source, quality, fp)
+    // moves) and the expensive score/langid pass runs exactly once —
+    // Dedup.exactDedup's semi-join form would recompute the scored subtree
+    // on the join-back side
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
     deduped.groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         round(avg(col("quality")), 6).as("avg_quality"))

@@ -143,17 +143,50 @@ object TextQueries {
       |      FROM documents)
       |GROUP BY t ORDER BY df DESC, token LIMIT 20""".stripMargin
 
+  /** TF-IDF document scores for a doc sample, with document frequencies
+    * computed over the FULL corpus: explode once, df + tf as two
+    * aggregations over the shared token rows, one join keyed on the token.
+    * The corpus size rides in as a broadcast 1-row aggregate, never a
+    * driver-side constant baked into the plan. */
+  def q58Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = graft.ops.TextFunctions.widen(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = toks.filter(col("doc_id") % 25 === 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tf") * log(col("n").cast("double") / col("df"))), 6)
+        .as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents),
+      |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+      |       WHERE doc_id % 25 = 0 GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  round(sum(tf * ln((SELECT count(*) FROM documents) / df)), 6) AS tfidf
+      |FROM tf JOIN dfreq USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> (q30TextStats _),
     "q31_lang_id" -> (q31LangId _),
     "q32_fingerprint" -> (q32Fingerprint _),
     "q37_repetition" -> (q37Repetition _),
-    "q56_vocab" -> (q56Vocab _))
+    "q56_vocab" -> (q56Vocab _),
+    "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
     "q30_text_stats" -> q30Sql,
     "q31_lang_id" -> q31Sql,
     "q32_fingerprint" -> q32Sql,
     "q37_repetition" -> q37Sql,
-    "q56_vocab" -> q56Sql)
+    "q56_vocab" -> q56Sql,
+    "q58_tfidf" -> q58Sql)
 }

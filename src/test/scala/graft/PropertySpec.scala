@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Buckets, Curation, Dedup, ZOrder}
+
+/** Randomized invariants over generated inputs (ScalaCheck generators with
+  * a fixed seed, evaluated in one Spark batch per property — not one job
+  * per sample). Complements the example-based specs: these hold for ANY
+  * input, not just the fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, Seed(i.toLong)))
+  }
+
+  test("zValue matches the bit-twiddling reference on random 16-bit pairs") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val pairs = samples(Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)), 300)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
+    // z-order is a bijection: distinct pairs -> distinct z
+    assert(got.map(_._3).distinct.length == pairs.distinct.length)
+  }
+
+  test("hashBucket lands in range and is independent of partitioning") {
+    val ids = samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 500)
+    val df = ids.toDF("id")
+    val b = df.select(Curation.hashBucket(col("id"), "p", 97).as("b"))
+      .as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 97))
+    val b2 = df.repartition(13)
+      .select(col("id"), Curation.hashBucket(col("id"), "p", 97).as("b"))
+      .as[(Long, Long)].collect().toMap
+    ids.zip(b).foreach { case (id, x) => assert(b2(id) == x) }
+  }
+
+  test("codegen'd Jaccard equals the composable set formulation on random arrays") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val arr = Gen.listOfN(6, word).map(_.distinct)
+    val pairs = samples(Gen.zip(arr, arr), 200)
+      .filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val df = pairs.toDF("a", "b")
+      .select(
+        Dedup.jaccard(col("a"), col("b")).as("j1"),
+        Dedup.jaccardComposable(col("a"), col("b")).as("j2"))
+      .as[(Double, Double)].collect()
+    df.foreach { case (j1, j2) => assert(math.abs(j1 - j2) < 1e-12, s"$j1 vs $j2") }
+  }
+
+  test("bucketId is monotone and complete for random boundary sets") {
+    val bounds = samples(Gen.chooseNum(-1000.0, 1000.0), 31).sorted
+    val vals = samples(Gen.chooseNum(-2000.0, 2000.0), 400)
+    val out = vals.toDF("v")
+      .select(col("v"), Buckets.bucketId(col("v"), bounds).as("b"))
+      .as[(Double, Int)].collect().sortBy(_._1)
+    assert(out.forall { case (_, b) => b >= 0 && b <= bounds.length })
+    out.sliding(2).foreach {
+      case Array((_, b1), (_, b2)) => assert(b1 <= b2, "bucket id must be monotone")
+      case _ =>
+    }
+  }
+
+  test("redactPii never leaves a match for any concatenation of pii snippets") {
+    val pii = Gen.oneOf(
+      "x@y.io", "a.b-c@d.org", "10.0.0.1", "255.255.255.255", "555-123-4567",
+      "555 987 6543", "plain words", "v1.2.3.4suffix")
+    val texts = samples(Gen.listOfN(4, pii).map(_.mkString(" ")), 150)
+    val left = texts.toDF("t")
+      .select(Curation.redactPii(col("t")).as("r"))
+      .select(sum(Curation.emailCount(col("r")) + Curation.ipv4Count(col("r")) +
+        Curation.phoneCount(col("r"))).as("n"))
+      .as[Long].head()
+    assert(left == 0, s"$left residual PII matches after redaction")
+  }
+}

@@ -204,7 +204,44 @@ object RelationalQueries2 {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** First-class pivot (wide aggregation): avg order value by priority,
+    * pivoted over order status. Explicit pivot values keep the plan
+    * single-pass (no distinct-value pre-query) — the at-scale form. */
+  def q59Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(avg(col("o_totalprice")), 6))
+      .orderBy(col("o_orderpriority"))
+
+  val q59Sql: String =
+    """SELECT o_orderpriority,
+      | round(avg(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 6) AS F,
+      | round(avg(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 6) AS O,
+      | round(avg(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 6) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles per group (the non-approximate
+    * counterpart of q73's sketches): single aggregation, percentile()
+    * holds the group's values — use q73's approx path when groups are
+    * 100 TB-cardinality. */
+  def q74Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
+  val q74Sql: String =
+    """SELECT o_orderpriority,
+      | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_pivot" -> (q59Pivot _),
+    "q74_percentiles" -> (q74Percentiles _),
     "q76_grouping_sets" -> (q76GroupingSets _),
     "q82_wealthy_inactive" -> (q82WealthyInactive _),
     "q23_left_outer" -> (q23LeftOuter _),
@@ -216,6 +253,8 @@ object RelationalQueries2 {
     "q29_array_agg" -> (q29ArrayAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q59_pivot" -> q59Sql,
+    "q74_percentiles" -> q74Sql,
     "q76_grouping_sets" -> q76Sql,
     "q82_wealthy_inactive" -> q82Sql,
     "q23_left_outer" -> q23Sql,

@@ -239,8 +239,56 @@ object RelationalQueries2 {
       | round(quantile_cont(o_totalprice, 0.9), 6) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Analytic-window suite beyond q07/q28: lag, ntile, percent_rank over
+    * priority-partitioned order streams — one shuffle on the partition
+    * key, every function shares the same window sort. */
+  def q63WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 193 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val q63Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | CAST(ntile(4) OVER w AS INT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pr
+      |FROM orders WHERE o_orderkey % 193 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Unpivot (wide → long), the inverse of q59: melt the per-status
+    * averages back into (status, avg_price) rows. */
+  def q64Unpivot(s: SparkSession, d: String): DataFrame =
+    q59Pivot(s, d).unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "status", "avg_price")
+      .orderBy(col("o_orderpriority"), col("status"))
+
+  val q64Sql: String =
+    """WITH piv AS (
+      |  SELECT o_orderpriority,
+      |    round(avg(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 6) AS f,
+      |    round(avg(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 6) AS o,
+      |    round(avg(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 6) AS p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, avg_price FROM (
+      |  SELECT o_orderpriority, 'F' AS status, f AS avg_price FROM piv
+      |  UNION ALL SELECT o_orderpriority, 'O', o FROM piv
+      |  UNION ALL SELECT o_orderpriority, 'P', p FROM piv)
+      |ORDER BY o_orderpriority, status""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_pivot" -> (q59Pivot _),
+    "q63_window_suite" -> (q63WindowSuite _),
+    "q64_unpivot" -> (q64Unpivot _),
     "q74_percentiles" -> (q74Percentiles _),
     "q76_grouping_sets" -> (q76GroupingSets _),
     "q82_wealthy_inactive" -> (q82WealthyInactive _),
@@ -254,6 +302,8 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q59_pivot" -> q59Sql,
+    "q63_window_suite" -> q63Sql,
+    "q64_unpivot" -> q64Sql,
     "q74_percentiles" -> q74Sql,
     "q76_grouping_sets" -> q76Sql,
     "q82_wealthy_inactive" -> q82Sql,

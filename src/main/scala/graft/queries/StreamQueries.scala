@@ -61,12 +61,46 @@ object StreamQueries {
       | count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Time-series gap filling (resampling): a dense hourly grid from the
+    * data's own start, crossed with the type dimension, left-joined to the
+    * actual per-hour counts — missing hours surface as explicit zeros.
+    * The grid is generated from a 1-row aggregate (no driver constants);
+    * at 100 TB the grid side stays tiny (hours × types) and broadcasts
+    * while the counts side is one map-side-combinable aggregation. */
+  def q65GapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val start = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"))
+    val grid = start.select(explode(sequence(col("h0"),
+      col("h0") + expr("INTERVAL 71 HOURS"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev.crossJoin(broadcast(start))
+      .filter(col("ts") < col("h0") + expr("INTERVAL 72 HOURS"))
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    broadcast(grid.crossJoin(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q65Sql: String =
+    """WITH h0 AS (SELECT date_trunc('hour', min(ts)) AS v FROM events),
+      |grid AS (SELECT unnest(generate_series(v, v + INTERVAL 71 HOUR, INTERVAL 1 HOUR)) AS h FROM h0),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |counts AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |  FROM events, h0 WHERE ts < h0.v + INTERVAL 72 HOUR GROUP BY 1, 2)
+      |SELECT event_type, h, coalesce(n, 0) AS n
+      |FROM grid CROSS JOIN types LEFT JOIN counts USING (h, event_type)
+      |ORDER BY event_type, h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_gapfill" -> (q65GapFill _),
     "q50_event_window" -> (q50EventWindow _),
     "q51_sessionize" -> (q51Sessionize _),
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q65_gapfill" -> q65Sql,
     "q50_event_window" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q52_type_stats" -> q52Sql)

@@ -113,6 +113,18 @@ class CurationSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("empty inputs: bucketed scans and curation ops return empty, not errors") {
+    val emptyDocs = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Curation.exclusivePrefixSum(emptyDocs, "id", "v", "ps").count() == 0)
+    assert(Curation.packSequences(emptyDocs, "id", "v", 100L).count() == 0)
+    assert(Curation.replicate(emptyDocs, lit(3)).count() == 0)
+    val emptyXY = Seq.empty[(Long, Double, Double)].toDF("id", "x", "y")
+    assert(graft.ops.Skyline.skyline2Min(emptyXY, "x", "y").count() == 0)
+    assert(graft.ops.ZOrder.quantize(emptyXY, "x", "cell").count() == 0)
+    val emptyText = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.ops.Dedup.minhashNearDupPairs(emptyText, "id", "text").count() == 0)
+  }
+
   test("contaminatedIds flags planted overlap only") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(

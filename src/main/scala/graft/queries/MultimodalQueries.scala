@@ -45,11 +45,39 @@ object MultimodalQueries {
       |FROM documents
       |GROUP BY 1 ORDER BY mime""".stripMargin
 
+  /** Frame sampling over binary payloads: every 4th 4-byte chunk via
+    * [[Multimodal.sampleFrames]]'s binary substring slices, checksummed
+    * per frame. The oracle mirrors the byte arithmetic on the hex-string
+    * form (DuckDB's substring is VARCHAR-only): byte position p ↔ hex
+    * position 2p-1, 4 bytes ↔ 8 hex chars, Spark's hex() is uppercase. */
+  def q66FrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.attachMedia(
+          Tables.documents(s, d).filter(col("doc_id") % 25 === 0), "doc_id"),
+        "media", stride = 4)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(hex(col("frame")).cast("binary")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val q66Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), CAST(doc_id % 4 + 1 AS INT)) AS hx
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |f AS (
+      |  SELECT doc_id, unnest(range(0, greatest(CAST(len(hx)/32 AS INT) - 1, 0) + 1)) AS i, hx
+      |  FROM m)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  md5(upper(substr(hx, 1 + CAST(i*32 AS INT), 8))) AS frame_md5
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_checksum" -> (q60MediaChecksum _),
-    "q61_media_stats" -> (q61MediaStats _))
+    "q61_media_stats" -> (q61MediaStats _),
+    "q66_frame_sample" -> (q66FrameSample _))
 
   val oracles: Map[String, String] = Map(
     "q60_media_checksum" -> q60Sql,
-    "q61_media_stats" -> q61Sql)
+    "q61_media_stats" -> q61Sql,
+    "q66_frame_sample" -> q66Sql)
 }

@@ -93,14 +93,57 @@ object StreamQueries {
       |FROM grid CROSS JOIN types LEFT JOIN counts USING (h, event_type)
       |ORDER BY event_type, h""".stripMargin
 
+  /** Event funnel: view → click (≤24h later) → purchase (≤24h after the
+    * click), counting users surviving each stage. Each stage is one
+    * user-keyed aggregation joined to the previous stage's per-user
+    * timestamps — the shuffles all key on user_id, so the funnel runs in
+    * three narrow-keyed passes at any event volume. */
+  def q67Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ts") > col("view_ts") &&
+        col("ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    views.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  val q67Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      |        AND e.ts <= v.view_ts + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      |      FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      |        AND e.ts <= c.click_ts + INTERVAL 24 HOUR
+      |      GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_gapfill" -> (q65GapFill _),
+    "q67_funnel" -> (q67Funnel _),
     "q50_event_window" -> (q50EventWindow _),
     "q51_sessionize" -> (q51Sessionize _),
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
     "q65_gapfill" -> q65Sql,
+    "q67_funnel" -> q67Sql,
     "q50_event_window" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q52_type_stats" -> q52Sql)

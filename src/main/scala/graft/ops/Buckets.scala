@@ -27,9 +27,20 @@ object Buckets {
   }
 
   /** Bucket id of a value = how many boundaries it exceeds: monotone in
-    * the value, ties share a bucket. A literal when-chain — pure codegen'd
-    * scalar work, no broadcast join, no higher-order functions. */
-  def bucketId(value: Column, bounds: Seq[Double]): Column =
-    bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(value.cast("double") > lit(b), 1).otherwise(0))
+    * the value, ties share a bucket. Literal when-terms summed with a
+    * BALANCED reduction — expression depth is O(log n), so Catalyst's
+    * recursive transforms never stack-overflow on large boundary sets
+    * (a left fold would nest n Adds). Pure codegen'd scalar work, no
+    * broadcast join, no higher-order functions. */
+  def bucketId(value: Column, bounds: Seq[Double]): Column = {
+    require(bounds.length <= 4095,
+      s"bucketId supports at most 4095 boundaries, got ${bounds.length}")
+    if (bounds.isEmpty) lit(0)
+    else balancedSum(bounds.map(b =>
+      when(value.cast("double") > lit(b), 1).otherwise(0)))
+  }
+
+  private def balancedSum(terms: Seq[Column]): Column =
+    if (terms.size == 1) terms.head
+    else balancedSum(terms.grouped(2).map(_.reduce(_ + _)).toSeq)
 }

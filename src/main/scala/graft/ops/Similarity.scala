@@ -88,6 +88,10 @@ object Similarity {
       val cdf = cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
       val wAssign = Window.partitionBy(col("__id"))
         .orderBy(col("__sim").desc, col("cid"))
+      // sums as decimals, not doubles: decimal addition is associative, so
+      // the merge-fetch order of partial aggregates can't wiggle the mean
+      // in its last ulp — training output is bit-stable on any cluster
+      // (the same merge-order hazard Buckets documents for percentiles)
       val means = vecs.join(broadcast(cdf))
         .select(col("__id"), col("__v"), col("cid"),
           cosine(col("__v"), col("cvec")).as("__sim"))
@@ -95,10 +99,11 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .as[(Int, Int, Double)].collect()
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, java.math.BigDecimal, Long)].collect()
       val updated = means.groupBy(_._1).map { case (cid, rows) =>
-        cid -> rows.sortBy(_._2).map(_._3.toFloat).toSeq
+        cid -> rows.sortBy(_._2)
+          .map(r => (r._3.doubleValue() / r._4).toFloat).toSeq
       }
       cents = cents ++ updated
     }

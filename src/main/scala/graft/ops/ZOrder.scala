@@ -35,6 +35,8 @@ object ZOrder {
     * always land in the same cell. Use to z-order doubles/skewed keys
     * where a fixed modulus would fold distant values into the same cell. */
   def quantize(df: DataFrame, valCol: String, outCol: String, bits: Int = 8): DataFrame = {
+    // 2^12 cells = 4095 boundaries, Buckets.bucketId's expression cap
+    require(bits >= 1 && bits <= 12, s"quantize bits out of range: $bits")
     val bounds = Buckets.boundaries(df, valCol, 1 << bits)
     df.withColumn(outCol, Buckets.bucketId(col(valCol), bounds).cast("long"))
   }

@@ -64,9 +64,11 @@ object StreamQueries {
   /** Time-series gap filling (resampling): a dense hourly grid from the
     * data's own start, crossed with the type dimension, left-joined to the
     * actual per-hour counts — missing hours surface as explicit zeros.
-    * The grid is generated from a 1-row aggregate (no driver constants);
-    * at 100 TB the grid side stays tiny (hours × types) and broadcasts
-    * while the counts side is one map-side-combinable aggregation. */
+    * The grid is generated from a 1-row aggregate (no driver constants).
+    * The BROADCAST side is the counts aggregate: its cardinality is at
+    * most the dense grid's (hours × types), and Spark can only broadcast
+    * the non-preserved side of an outer join — a hint on the preserved
+    * grid side would be silently dropped and force a shuffle join. */
   def q65GapFill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val start = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"))
@@ -77,8 +79,8 @@ object StreamQueries {
       .filter(col("ts") < col("h0") + expr("INTERVAL 72 HOURS"))
       .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
-    broadcast(grid.crossJoin(types))
-      .join(counts, Seq("h", "event_type"), "left")
+    grid.crossJoin(types)
+      .join(broadcast(counts), Seq("h", "event_type"), "left")
       .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("event_type"), col("h"))
   }

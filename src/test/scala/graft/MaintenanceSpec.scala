@@ -72,10 +72,13 @@ class MaintenanceSpec extends SparkSpec {
     docs.repartition(50).write.mode("overwrite").parquet(src)
     assert(Maintenance.dataFileCount(spark, src) >= 50)
     val bytes = Maintenance.dataBytes(spark, src)
-    val n = Maintenance.compact(spark, src, dest, Seq("doc_id"),
-      targetFileBytes = math.max(1L, bytes / 3))
-    assert(n >= 2 && n <= 4, s"expected ~3 files, planned $n")
-    assert(Maintenance.dataFileCount(spark, dest) == n)
+    val target = math.max(1L, bytes / 3)
+    val planned = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+    val n = Maintenance.compact(spark, src, dest, Seq("doc_id"), target)
+    // doc_id has plenty of distinct values, so every planned range is
+    // non-empty and the files actually written must equal the plan
+    assert(n == planned, s"wrote $n files, planned $planned")
+    assert(n >= 2 && n <= 4, s"expected ~3 files, got $n")
     val out = spark.read.parquet(dest)
     assert(out.count() == docs.count())
     assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)

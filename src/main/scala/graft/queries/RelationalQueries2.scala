@@ -285,9 +285,30 @@ object RelationalQueries2 {
       |  UNION ALL SELECT o_orderpriority, 'P', p FROM piv)
       |ORDER BY o_orderpriority, status""".stripMargin
 
+  /** Fixed-width 20-bucket histogram with data-derived bounds: the min/max
+    * ride in as a broadcast 1-row aggregate (exact, fold-order-free), the
+    * bucket id is pure codegen'd arithmetic, counts are one map-side-
+    * combinable aggregation. */
+  def q75Histogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val mm = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .select(least(floor((col("o_totalprice") - col("lo")) /
+        ((col("hi") - col("lo")) / 20)).cast("long"), lit(19L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val q75Sql: String =
+    """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bucket,
+      |  count(*) AS n
+      |FROM orders, mm GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_pivot" -> (q59Pivot _),
     "q63_window_suite" -> (q63WindowSuite _),
+    "q75_histogram" -> (q75Histogram _),
     "q64_unpivot" -> (q64Unpivot _),
     "q74_percentiles" -> (q74Percentiles _),
     "q76_grouping_sets" -> (q76GroupingSets _),
@@ -303,6 +324,7 @@ object RelationalQueries2 {
   val oracles: Map[String, String] = Map(
     "q59_pivot" -> q59Sql,
     "q63_window_suite" -> q63Sql,
+    "q75_histogram" -> q75Sql,
     "q64_unpivot" -> q64Sql,
     "q74_percentiles" -> q74Sql,
     "q76_grouping_sets" -> q76Sql,

@@ -136,9 +136,39 @@ object StreamQueries {
       |       (SELECT count(*) FROM c) AS n_click,
       |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
 
+  /** Cohort retention: users grouped by first-activity week, counted in
+    * each subsequent active week. Two user-keyed aggregations; week
+    * arithmetic in epoch seconds (`div`, exact at any range — both
+    * truncations align to the same week start so differences are exact
+    * multiples of 604800). */
+  def q68Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_ts"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_ts"),
+        expr("(CAST(date_trunc('week', ts) AS LONG) - CAST(cohort_ts AS LONG)) div 604800")
+          .as("week_n"))
+      .distinct()
+      .groupBy(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort"), col("week_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort"), col("week_n"))
+  }
+
+  val q68Sql: String =
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT e.user_id, f.cohort,
+      |    CAST(epoch(date_trunc('week', e.ts)) - epoch(f.cohort) AS BIGINT) // 604800 AS week_n
+      |  FROM events e JOIN first f USING (user_id))
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_n, count(*) AS n_active
+      |FROM act GROUP BY 1, 2 ORDER BY cohort, week_n""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_gapfill" -> (q65GapFill _),
     "q67_funnel" -> (q67Funnel _),
+    "q68_retention" -> (q68Retention _),
     "q50_event_window" -> (q50EventWindow _),
     "q51_sessionize" -> (q51Sessionize _),
     "q52_type_stats" -> (q52TypeStats _))
@@ -146,6 +176,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "q65_gapfill" -> q65Sql,
     "q67_funnel" -> q67Sql,
+    "q68_retention" -> q68Sql,
     "q50_event_window" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q52_type_stats" -> q52Sql)

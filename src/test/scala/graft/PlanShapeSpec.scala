@@ -145,6 +145,14 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q65 gap fill: counts side actually broadcasts (hint on the buildable side)") {
+    val plan = finalOnly(
+      executed(graft.queries.StreamQueries.q65GapFill(spark, sfDir)))
+    // the left-outer grid join must be a broadcast join — a hint on the
+    // preserved side is silently dropped and degrades to a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q55 z-order: pure projection over the scan — no join, no extra exchange") {
     val plan = finalOnly(
       executed(graft.queries.MaintenanceQueries.q55ZOrder(spark, sfDir)))

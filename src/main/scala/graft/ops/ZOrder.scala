@@ -29,6 +29,20 @@ object ZOrder {
     terms.reduce(_ + _).cast("long")
   }
 
+  /** k-dimensional Morton code: bit b of dimension d lands at position
+    * b*k + d. Generalizes [[zValue]] (its bit layout is the k=2 case);
+    * k*bits ≤ 62. Same codegen'd shift/mask/sum construction. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.length
+    require(k >= 1 && bits >= 1 && k * bits <= 62,
+      s"zValueN needs 1+ dims and k*bits <= 62, got k=$k bits=$bits")
+    val terms = for {
+      b <- 0 until bits
+      (dim, d) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(dim, b).bitwiseAND(lit(1L)), b * k + d)
+    terms.reduce(_ + _).cast("long")
+  }
+
   /** Order-preserving quantization of a numeric column into [0, 2^bits):
     * rank against once-collected percentile boundaries ([[Buckets]] —
     * literal bounds, deterministic in every consumer plan). Equal values

@@ -23,6 +23,25 @@ class MaintenanceSpec extends SparkSpec {
       assert(z == ref(x, y), s"($x,$y): got $z want ${ref(x, y)}") }
   }
 
+  test("zValueN generalizes zValue and interleaves 3 dims correctly") {
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (3 * b)) |
+          (((y >> b) & 1L) << (3 * b + 1)) | (((z >> b) & 1L) << (3 * b + 2))
+      }
+    val rows = Seq((1L, 2L, 4L), (7L, 7L, 7L), (0L, 0L, 1L), (1023L, 512L, 33L))
+    val got = rows.toDF("x", "y", "z")
+      .select(
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 10).as("m3"),
+        ZOrder.zValueN(Seq(col("x"), col("y")), 16).as("m2"),
+        ZOrder.zValue(col("x"), col("y"), 16).as("m2ref"))
+      .as[(Long, Long, Long)].collect()
+    rows.zip(got).foreach { case ((x, y, z), (m3, m2, m2ref)) =>
+      assert(m3 == ref3(x, y, z, 10), s"($x,$y,$z)")
+      assert(m2 == m2ref, "k=2 zValueN must equal zValue")
+    }
+  }
+
   test("z-order clustering gives tighter 2-D partition bounding boxes than x-sort") {
     val n = 64
     val grid = spark.range(n.toLong * n).toDF("i")

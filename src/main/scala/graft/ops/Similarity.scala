@@ -99,7 +99,7 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(col("x")).as("n"))
         .as[(Int, Int, java.math.BigDecimal, Long)].collect()
       val updated = means.groupBy(_._1).map { case (cid, rows) =>
         cid -> rows.sortBy(_._2)

@@ -18,20 +18,17 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Interleave the low `bits` bits of non-negative x (even positions) and
-    * y (odd positions) into a single z-value. 2*bits ≤ 62. */
+    * y (odd positions) into a single z-value: the k=2 case of [[zValueN]].
+    * 2*bits ≤ 62. */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    val terms = (0 until bits).flatMap { b =>
-      Seq(
-        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b),
-        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-    }
-    terms.reduce(_ + _).cast("long")
+    zValueN(Seq(x, y), bits)
   }
 
   /** k-dimensional Morton code: bit b of dimension d lands at position
-    * b*k + d. Generalizes [[zValue]] (its bit layout is the k=2 case);
-    * k*bits ≤ 62. Same codegen'd shift/mask/sum construction. */
+    * b*k + d; k*bits ≤ 62. Codegen'd shift/mask/sum construction. Dims
+    * are cast to long FIRST: Java masks a shift count to 5 bits on ints,
+    * so `shiftright(intCol, 33)` would re-read low bits instead of 0. */
   def zValueN(dims: Seq[Column], bits: Int): Column = {
     val k = dims.length
     require(k >= 1 && bits >= 1 && k * bits <= 62,
@@ -39,7 +36,7 @@ object ZOrder {
     val terms = for {
       b <- 0 until bits
       (dim, d) <- dims.zipWithIndex
-    } yield shiftleft(shiftright(dim, b).bitwiseAND(lit(1L)), b * k + d)
+    } yield shiftleft(shiftright(dim.cast("long"), b).bitwiseAND(lit(1L)), b * k + d)
     terms.reduce(_ + _).cast("long")
   }
 

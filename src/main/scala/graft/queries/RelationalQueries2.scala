@@ -292,16 +292,20 @@ object RelationalQueries2 {
   def q75Histogram(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val mm = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    // hi == lo (degenerate bounds) must not divide by zero — ANSI mode
+    // throws on double x/0.0; every value then belongs in bucket 0
     o.crossJoin(broadcast(mm))
-      .select(least(floor((col("o_totalprice") - col("lo")) /
-        ((col("hi") - col("lo")) / 20)).cast("long"), lit(19L)).as("bucket"))
+      .select(when(col("hi") === col("lo"), 0L)
+        .otherwise(least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / 20)).cast("long"), lit(19L))).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
   }
 
   val q75Sql: String =
     """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-      |SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bucket,
+      |SELECT CASE WHEN hi = lo THEN 0 ELSE
+      |    least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) END AS bucket,
       |  count(*) AS n
       |FROM orders, mm GROUP BY 1 ORDER BY bucket""".stripMargin
 

@@ -147,6 +147,42 @@ object CurationQueries {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Quality-proportional (weighted) sampling: each doc's keep rate is
+    * floor(quality × 0.8 × 1e6) ppm, so high-quality docs survive more
+    * often — the computed-ppm path of [[Curation.sampleKeep]], still
+    * join-free and reproducible. */
+  def q47WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val scored = TextFunctions.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    scored
+      .withColumn("keep", Curation.sampleKeep(col("doc_id"),
+        floor(col("q") * 800000).cast("long"), "wsample"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(avg(when(col("keep"), col("q"))), 6).as("kept_avg_q"))
+      .orderBy(col("lang"))
+  }
+
+  val q47Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
+      |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
+      |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
+      |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS q
+      |  FROM documents),
+      |k AS (
+      |  SELECT lang, q,
+      |    CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+      |      < CAST(floor(q * 800000) AS BIGINT) AS keep
+      |  FROM scored)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(avg(CASE WHEN keep THEN q END), 6) AS kept_avg_q
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Deterministic corpus shuffle: first 30 docs in salted-hash order.
     * At scale the full shuffle is `orderBy(shuffleKey)` (a range-
     * partitioned sort); the gate pins the key order via global top-30. */
@@ -243,6 +279,7 @@ object CurationQueries {
     "q44_pack_sequences" -> (q44PackSequences _),
     "q45_domain_mix" -> (q45DomainMix _),
     "q46_stratified_sample" -> (q46StratifiedSample _),
+    "q47_weighted_sample" -> (q47WeightedSample _),
     "q49_corpus_shuffle" -> (q49CorpusShuffle _),
     "q53_incremental_dedup" -> (q53IncrementalDedup _),
     "q54_decontaminate" -> (q54Decontaminate _))
@@ -253,6 +290,7 @@ object CurationQueries {
     "q44_pack_sequences" -> q44Sql,
     "q45_domain_mix" -> q45Sql,
     "q46_stratified_sample" -> q46Sql,
+    "q47_weighted_sample" -> q47Sql,
     "q49_corpus_shuffle" -> q49Sql,
     "q53_incremental_dedup" -> q53Sql,
     "q54_decontaminate" -> q54Sql)

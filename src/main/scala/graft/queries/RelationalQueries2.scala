@@ -309,10 +309,28 @@ object RelationalQueries2 {
       |  count(*) AS n
       |FROM orders, mm GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Ordered string aggregation (listagg): nation names per region,
+    * sorted then joined — deterministic regardless of row arrival order
+    * (collect_list alone is partition-order-dependent; the sort_array
+    * makes it reproducible, the portable analog of ORDER BY in
+    * string_agg/listagg). */
+  def q78StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  val q78Sql: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_pivot" -> (q59Pivot _),
     "q63_window_suite" -> (q63WindowSuite _),
     "q75_histogram" -> (q75Histogram _),
+    "q78_string_agg" -> (q78StringAgg _),
     "q64_unpivot" -> (q64Unpivot _),
     "q74_percentiles" -> (q74Percentiles _),
     "q76_grouping_sets" -> (q76GroupingSets _),
@@ -329,6 +347,7 @@ object RelationalQueries2 {
     "q59_pivot" -> q59Sql,
     "q63_window_suite" -> q63Sql,
     "q75_histogram" -> q75Sql,
+    "q78_string_agg" -> q78Sql,
     "q64_unpivot" -> q64Sql,
     "q74_percentiles" -> q74Sql,
     "q76_grouping_sets" -> q76Sql,

@@ -165,10 +165,30 @@ object StreamQueries {
       |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_n, count(*) AS n_active
       |FROM act GROUP BY 1, 2 ORDER BY cohort, week_n""".stripMargin
 
+  /** Sliding 1-hour windows every 15 minutes: Spark's window() with a
+    * slide emits each event into 4 overlapping windows; the oracle mirrors
+    * by exploding offsets 0..3 off the 15-minute bucket. Same plan shape
+    * under Structured Streaming (q50's tumbling case generalized). */
+  def q69SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  val q69Sql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |    - k * INTERVAL 15 MINUTE) AS BIGINT) AS win_start,
+      |  event_type, count(*) AS n
+      |FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_gapfill" -> (q65GapFill _),
     "q67_funnel" -> (q67Funnel _),
     "q68_retention" -> (q68Retention _),
+    "q69_sliding_window" -> (q69SlidingWindow _),
     "q50_event_window" -> (q50EventWindow _),
     "q51_sessionize" -> (q51Sessionize _),
     "q52_type_stats" -> (q52TypeStats _))
@@ -177,6 +197,7 @@ object StreamQueries {
     "q65_gapfill" -> q65Sql,
     "q67_funnel" -> q67Sql,
     "q68_retention" -> q68Sql,
+    "q69_sliding_window" -> q69Sql,
     "q50_event_window" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q52_type_stats" -> q52Sql)

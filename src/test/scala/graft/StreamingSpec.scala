@@ -156,6 +156,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("parquet sink: writeStream with checkpoint lands exactly the input rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = warehouse.resolve("stream_sink").toString
+    val ckpt = warehouse.resolve("stream_ckpt").toString
+    val stream = MemoryStream[Event]
+    val query = stream.toDF()
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      stream.addData(sampleEvents.take(80))
+      query.processAllAvailable()
+      stream.addData(sampleEvents.drop(80))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == sampleEvents.size)
+    assert(got.select("event_id").as[Long].collect().sorted.toSeq ==
+      sampleEvents.map(_.event_id).sorted.toSeq)
+    // exactly-once across micro-batches: no duplicated event ids
+    assert(got.select("event_id").distinct().count() == sampleEvents.size)
+  }
+
   test("stateful sessionization: stream output matches batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = sampleEvents

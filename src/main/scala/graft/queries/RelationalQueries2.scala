@@ -326,8 +326,31 @@ object RelationalQueries2 {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Argmax per group without a window: max over a lexicographically
+    * ordered struct (balance, key, name) gives the top customer per
+    * segment in ONE map-side-combinable aggregation — the shuffle carries
+    * one struct per group per partition, vs a window's full sorted
+    * partition. Tie-safe: the custkey tiebreak is inside the struct. */
+  def q62ArgMax(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("c_acctbal"), col("c_custkey"), col("c_name"))).as("m"))
+      .select(col("c_mktsegment"),
+        round(col("m.c_acctbal"), 2).as("top_bal"),
+        col("m.c_custkey").as("top_cust"),
+        col("m.c_name").as("top_name"))
+      .orderBy(col("c_mktsegment"))
+
+  val q62Sql: String =
+    """SELECT c_mktsegment,
+      |  round((max(struct_pack(bal := c_acctbal, ck := c_custkey, nm := c_name))).bal, 2) AS top_bal,
+      |  (max(struct_pack(bal := c_acctbal, ck := c_custkey, nm := c_name))).ck AS top_cust,
+      |  (max(struct_pack(bal := c_acctbal, ck := c_custkey, nm := c_name))).nm AS top_name
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_pivot" -> (q59Pivot _),
+    "q62_argmax" -> (q62ArgMax _),
     "q63_window_suite" -> (q63WindowSuite _),
     "q75_histogram" -> (q75Histogram _),
     "q78_string_agg" -> (q78StringAgg _),
@@ -345,6 +368,7 @@ object RelationalQueries2 {
 
   val oracles: Map[String, String] = Map(
     "q59_pivot" -> q59Sql,
+    "q62_argmax" -> q62Sql,
     "q63_window_suite" -> q63Sql,
     "q75_histogram" -> q75Sql,
     "q78_string_agg" -> q78Sql,

@@ -111,8 +111,39 @@ object SimilarityQueries {
       |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 
+  /** Vector L2-norm statistics per label over deterministically scaled
+    * embeddings (the fixture vectors are unit-norm, so scaling by
+    * vec_id%5+1 makes the distribution non-trivial). Fully relational:
+    * posexplode to (vec, dim) rows, one sum-of-squares aggregation per
+    * vector, one stats aggregation per label — no interpreted
+    * higher-order functions in the norm path. */
+  def q48VectorNorms(s: SparkSession, d: String): DataFrame = {
+    val sq = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % 5 + 1).cast("double").as("s"),
+        explode(col("embedding")).as("x"))
+    sq.groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum(col("x").cast("double") * col("s") * col("x") * col("s")))
+        .as("nrm"))
+      .groupBy(col("label"))
+      .agg(round(avg(col("nrm")), 6).as("avg_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  val q48Sql: String =
+    """WITH sq AS (
+      |  SELECT vec_id, label, CAST(vec_id % 5 + 1 AS DOUBLE) AS s,
+      |         unnest(embedding) AS x
+      |  FROM embeddings)
+      |SELECT label, round(avg(nrm), 6) AS avg_norm, round(max(nrm), 6) AS max_norm
+      |FROM (SELECT label, sqrt(sum(CAST(x AS DOUBLE)*s*x*s)) AS nrm
+      |      FROM sq GROUP BY vec_id, label)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
+    "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
     "q42_ivf_topk" -> (q42IvfTopK _),
     "q43_pq_topk" -> (q43PqTopK _),
@@ -120,6 +151,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_cosine_topk" -> q40Sql,
+    "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,
     "q57_label_centroids" -> q57Sql)
 }

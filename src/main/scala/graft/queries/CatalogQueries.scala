@@ -65,11 +65,35 @@ object CatalogQueries {
       |WHERE o.o_totalprice > 150000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Write-path round trip through the catalog (spec op 12, the
+    * create-with-data flow): declare a managed table, INSERT OVERWRITE a
+    * curated projection through GraftTable's truncate-capable write
+    * builder, and aggregate reading BACK through the catalog. OVERWRITE
+    * (not append) keeps the query idempotent across gate/bench re-runs. */
+  def q83CatalogRoundtrip(s: SparkSession, d: String): DataFrame = {
+    ensureTable(s, d, "lineitem") // registers catalog + namespace
+    s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("__q83_src")
+    s.sql("""CREATE TABLE IF NOT EXISTS graft.tpch.docs_curated
+            | (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    s.sql("""INSERT OVERWRITE graft.tpch.docs_curated
+            |SELECT doc_id, lang, n_chars FROM __q83_src WHERE doc_id % 2 = 0""".stripMargin)
+    s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+            |FROM graft.tpch.docs_curated
+            |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q83Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_catalog_scan" -> (q21CatalogScan _),
-    "q22_catalog_join" -> (q22CatalogJoin _))
+    "q22_catalog_join" -> (q22CatalogJoin _),
+    "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
-    "q22_catalog_join" -> q22Sql)
+    "q22_catalog_join" -> q22Sql,
+    "q83_catalog_roundtrip" -> q83Sql)
 }

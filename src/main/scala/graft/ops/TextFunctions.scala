@@ -60,12 +60,32 @@ object TextFunctions {
     * punctuation sanity. Deterministic; thresholds chosen once and mirrored
     * in the oracle SQL — the *shape* (cheap columnar signals combined
     * linearly) is what matters for the 100 TB pipeline. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Unrounded quality score: pure double arithmetic in a fixed order, so
+    * any engine computing the same expression gets the bit-identical
+    * value. Thresholding decisions (e.g. weighted sampling rates) must
+    * use THIS form — round(…,6) is display-friendly but Spark (BigDecimal
+    * HALF_UP) and other engines can disagree on half-cases, and a
+    * disagreement amplified through floor()+comparison flips row
+    * membership instead of one displayed cell. */
+  def qualityScoreRaw(text: Column): Column = {
     val lenCredit = least(length(text).cast("double") / 500.0, lit(1.0))
     val tokCredit = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
-    round(lenCredit * 0.4 + tokCredit * 0.4 + (lit(1.0) - punctPenalty) * 0.2, 6)
+    lenCredit * 0.4 + tokCredit * 0.4 + (lit(1.0) - punctPenalty) * 0.2
   }
+
+  /** DuckDB mirror of [[qualityScoreRaw]] — single source for every
+    * oracle that replays the quality formula. */
+  val qualityRawSql: String =
+    """least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
+      |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
+      |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
+      |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2""".stripMargin
+
+  /** DuckDB mirror of [[qualityScore]]. */
+  val qualitySql: String = s"round($qualityRawSql, 6)"
 
   private val langLexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),

@@ -16,7 +16,11 @@ object CatalogQueries {
   private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
     s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.backend", "memory")
-    s.conf.set("spark.sql.catalog.graft.root", "/tmp/graft-warehouse")
+    // run-scoped root: q83 WRITES managed data under it, and a fixed
+    // shared path would let concurrent gate/bench runs (or two users on
+    // one box) clobber each other's overwrite snapshots
+    s.conf.set("spark.sql.catalog.graft.root",
+      s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
     if (!s.catalog.tableExists(s"graft.tpch.$table"))
       s.sql(s"CREATE TABLE graft.tpch.$table LOCATION '$d/$table.parquet'")
@@ -72,7 +76,7 @@ object CatalogQueries {
     * (not append) keeps the query idempotent across gate/bench re-runs. */
   def q83CatalogRoundtrip(s: SparkSession, d: String): DataFrame = {
     ensureTable(s, d, "lineitem") // registers catalog + namespace
-    s.read.parquet(s"$d/documents.parquet").createOrReplaceTempView("__q83_src")
+    Tables.documents(s, d).createOrReplaceTempView("__q83_src")
     s.sql("""CREATE TABLE IF NOT EXISTS graft.tpch.docs_curated
             | (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
     s.sql("""INSERT OVERWRITE graft.tpch.docs_curated

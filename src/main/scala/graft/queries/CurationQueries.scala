@@ -150,37 +150,38 @@ object CurationQueries {
   /** Quality-proportional (weighted) sampling: each doc's keep rate is
     * floor(quality × 0.8 × 1e6) ppm, so high-quality docs survive more
     * often — the computed-ppm path of [[Curation.sampleKeep]], still
-    * join-free and reproducible. */
+    * join-free and reproducible. The keep threshold uses the UNROUNDED
+    * score ([[TextFunctions.qualityScoreRaw]]): raw doubles are
+    * bit-identical across engines, while round(…,6) half-cases can
+    * diverge and a divergence amplified through floor()+comparison would
+    * flip row membership, not just a displayed cell. */
   def q47WeightedSample(s: SparkSession, d: String): DataFrame = {
     val scored = TextFunctions.widen(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
-        TextFunctions.qualityScore(col("text")).as("q"))
+        TextFunctions.qualityScoreRaw(col("text")).as("qraw"))
     scored
       .withColumn("keep", Curation.sampleKeep(col("doc_id"),
-        floor(col("q") * 800000).cast("long"), "wsample"))
+        floor(col("qraw") * 800000).cast("long"), "wsample"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        round(avg(when(col("keep"), col("q"))), 6).as("kept_avg_q"))
+        round(avg(when(col("keep"), col("qraw"))), 6).as("kept_avg_q"))
       .orderBy(col("lang"))
   }
 
   val q47Sql: String =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT doc_id, lang,
-      |    round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
-      |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
-      |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
-      |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS q
+      |    (${TextFunctions.qualityRawSql}) AS qraw
       |  FROM documents),
       |k AS (
-      |  SELECT lang, q,
+      |  SELECT lang, qraw,
       |    CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
-      |      < CAST(floor(q * 800000) AS BIGINT) AS keep
+      |      < CAST(floor(qraw * 800000) AS BIGINT) AS keep
       |  FROM scored)
       |SELECT lang, count(*) AS n_total,
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  round(avg(CASE WHEN keep THEN q END), 6) AS kept_avg_q
+      |  round(avg(CASE WHEN keep THEN qraw END), 6) AS kept_avg_q
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Deterministic corpus shuffle: first 30 docs in salted-hash order.

@@ -54,10 +54,7 @@ object PipelineQueries {
        |  SELECT doc_id + 5000000, source, text FROM documents WHERE doc_id % 11 = 0
        |), scored AS (
        |  SELECT doc_id, source, text,
-       |    round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
-       |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)/100.0, 1.0)*0.4
-       |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
-       |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS quality,
+       |    ${graft.ops.TextFunctions.qualitySql} AS quality,
        |    CASE WHEN greatest($se,$ss,$sf,$sd) <= 0 THEN 'und'
        |         WHEN $se = greatest($se,$ss,$sf,$sd) THEN 'en'
        |         WHEN $ss = greatest($se,$ss,$sf,$sd) THEN 'es'

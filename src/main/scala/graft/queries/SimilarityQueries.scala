@@ -114,8 +114,8 @@ object SimilarityQueries {
   /** Vector L2-norm statistics per label over deterministically scaled
     * embeddings (the fixture vectors are unit-norm, so scaling by
     * vec_id%5+1 makes the distribution non-trivial). Fully relational:
-    * posexplode to (vec, dim) rows, one sum-of-squares aggregation per
-    * vector, one stats aggregation per label — no interpreted
+    * explode to one row per vector element, one sum-of-squares
+    * aggregation per vector, one stats aggregation per label — no interpreted
     * higher-order functions in the norm path. */
   def q48VectorNorms(s: SparkSession, d: String): DataFrame = {
     val sq = Tables.embeddings(s, d)

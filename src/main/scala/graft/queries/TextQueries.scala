@@ -40,10 +40,7 @@ object TextQueries {
       | round(CAST(list_reduce(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
       |        t -> CAST(strlen(t) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
       |   / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS avg_tok_len,
-      | round(least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
-      |   + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
-      |   + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
-      |       CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2, 6) AS quality
+      | """.stripMargin + graft.ops.TextFunctions.qualitySql + """ AS quality
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY doc_id""".stripMargin
 

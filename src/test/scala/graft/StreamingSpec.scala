@@ -156,27 +156,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("parquet sink: writeStream with checkpoint lands exactly the input rows") {
+  test("parquet sink: restart from checkpoint neither drops nor replays rows") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = warehouse.resolve("stream_sink").toString
     val ckpt = warehouse.resolve("stream_ckpt").toString
     val stream = MemoryStream[Event]
-    val query = stream.toDF()
+    def start() = stream.toDF()
       .withColumn("hour", date_trunc("hour", col("ts")))
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    try {
-      stream.addData(sampleEvents.take(80))
-      query.processAllAvailable()
-      stream.addData(sampleEvents.drop(80))
-      query.processAllAvailable()
-    } finally query.stop()
+    // batch 1, then STOP and restart a NEW query on the same checkpoint —
+    // recovery is where a broken sink re-commits batch 0 (the duplicate
+    // risk the checkpoint exists to prevent); a single continuous run
+    // can't exercise it
+    val q1 = start()
+    try { stream.addData(sampleEvents.take(80)); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { stream.addData(sampleEvents.drop(80)); q2.processAllAvailable() }
+    finally q2.stop()
     val got = spark.read.parquet(outDir)
     assert(got.count() == sampleEvents.size)
     assert(got.select("event_id").as[Long].collect().sorted.toSeq ==
       sampleEvents.map(_.event_id).sorted.toSeq)
-    // exactly-once across micro-batches: no duplicated event ids
     assert(got.select("event_id").distinct().count() == sampleEvents.size)
   }
 

@@ -63,9 +63,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def mapped[T](f: => T): T =
     try f catch {
       case GraftError.NamespaceNotFound(id) =>
-        throw new NoSuchNamespaceException(id.levels.toArray)
+        throw new NoSuchNamespaceException(id.levels.toIndexedSeq)
       case GraftError.TableNotFound(id) =>
-        throw new NoSuchTableException(id.levels.toArray)
+        throw new NoSuchTableException(id.levels.toIndexedSeq)
       case GraftError.NamespaceAlreadyExists(id) =>
         throw new NamespaceAlreadyExistsException(id.levels.toArray)
       case GraftError.TableAlreadyExists(id) =>

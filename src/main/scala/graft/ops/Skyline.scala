@@ -65,6 +65,6 @@ object Skyline {
       .select(col(xCol).as("__sky_x"), col("__min_y").as("__sky_y"))
     df.join(frontier,
       df(xCol) === col("__sky_x") && df(yCol) === col("__sky_y"))
-      .select(df.columns.map(df(_)): _*)
+      .select(df.columns.toIndexedSeq.map(df(_)): _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, TableCatalog, TableInfo}
 import org.apache.spark.sql.types.StructType
 
 /** Catalog-operation microbench against the BASELINE.md targets:
@@ -21,6 +21,11 @@ object CatalogBench {
       .asInstanceOf[TableCatalog with org.apache.spark.sql.connector.catalog.SupportsNamespaces]
     cat.createNamespace(Array("db"), java.util.Collections.emptyMap())
     val schema = StructType.fromDDL("id BIGINT, text STRING")
+    val columns = schema.fields.map(f => V2Column.create(f.name, f.dataType))
+    def tableInfo = new TableInfo.Builder()
+      .withColumns(columns)
+      .withProperties(java.util.Collections.singletonMap("table_type", "lance"))
+      .build()
 
     def p50(label: String, n: Int)(f: Int => Unit): Unit = {
       val times = (0 until n).map { i =>
@@ -30,13 +35,11 @@ object CatalogBench {
     }
 
     // warm the code paths once
-    cat.createTable(Identifier.of(Array("db"), "warm"), schema,
-      Array.empty, java.util.Collections.singletonMap("table_type", "lance"))
+    cat.createTable(Identifier.of(Array("db"), "warm"), tableInfo)
     cat.loadTable(Identifier.of(Array("db"), "warm"))
 
     p50("createTable (declared)", 1000) { i =>
-      cat.createTable(Identifier.of(Array("db"), s"t$i"), schema,
-        Array.empty, java.util.Collections.singletonMap("table_type", "lance"))
+      cat.createTable(Identifier.of(Array("db"), s"t$i"), tableInfo)
     }
     p50("describeTable (loadTable)", 1000) { i =>
       cat.loadTable(Identifier.of(Array("db"), s"t$i"))

@@ -348,9 +348,37 @@ object RelationalQueries2 {
       |  (max(struct_pack(bal := c_acctbal, ck := c_custkey, nm := c_name))).nm AS top_name
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Recursive CTE (Spark 4's UnionLoop): per-level accounting of a
+    * binary-tree hierarchy synthesized over doc ids (parent of i is
+    * (i-1) div 2). Each recursion step is one join against the previous
+    * level — the iterative-join shape org-chart / BOM traversals take. */
+  def q77Recursive(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("__q77_docs")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM __q77_docs d JOIN tree t ON (d.doc_id - 1) DIV 2 = t.doc_id
+        |  WHERE d.doc_id > 0)
+        |SELECT depth, count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q77Sql: String =
+    """WITH RECURSIVE tree AS (
+      |  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+      |  UNION ALL
+      |  SELECT d.doc_id, t.depth + 1
+      |  FROM documents d JOIN tree t ON (d.doc_id - 1) // 2 = t.doc_id
+      |  WHERE d.doc_id > 0)
+      |SELECT depth, count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi
+      |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_pivot" -> (q59Pivot _),
     "q62_argmax" -> (q62ArgMax _),
+    "q77_recursive" -> (q77Recursive _),
     "q63_window_suite" -> (q63WindowSuite _),
     "q75_histogram" -> (q75Histogram _),
     "q78_string_agg" -> (q78StringAgg _),
@@ -369,6 +397,7 @@ object RelationalQueries2 {
   val oracles: Map[String, String] = Map(
     "q59_pivot" -> q59Sql,
     "q62_argmax" -> q62Sql,
+    "q77_recursive" -> q77Sql,
     "q63_window_suite" -> q63Sql,
     "q75_histogram" -> q75Sql,
     "q78_string_agg" -> q78Sql,

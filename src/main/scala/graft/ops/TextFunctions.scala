@@ -79,10 +79,10 @@ object TextFunctions {
   /** DuckDB mirror of [[qualityScoreRaw]] — single source for every
     * oracle that replays the quality formula. */
   val qualityRawSql: String =
-    """least(CAST(strlen(text) AS DOUBLE)/500.0, 1.0)*0.4
+    """least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4
       |      + least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.4
-      |      + (1.0 - least(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
-      |          CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END * 5.0, 1.0))*0.2""".stripMargin
+      |      + (1.0 - least(CASE WHEN length(text)=0 THEN 0.0 ELSE
+      |          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text) END * 5.0, 1.0))*0.2""".stripMargin
 
   /** DuckDB mirror of [[qualityScore]]. */
   val qualitySql: String = s"round($qualityRawSql, 6)"
@@ -107,6 +107,20 @@ object TextFunctions {
     scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
       acc.when(score === best, lang)
     }.otherwise("und")
+  }
+
+  /** DuckDB mirror of [[langId]], generated from the SAME lexicon table so
+    * the two can't drift — single source for every oracle that replays
+    * language ID (q31, q80). */
+  val langIdSql: String = {
+    def score(lex: Seq[String]) =
+      "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains([${lex.map(w => s"'$w'").mkString(",")}], t)))"
+    val scores = langLexicons.map { case (lang, lex) => lang -> score(lex) }
+    val best = scores.map(_._2).mkString("greatest(", ",", ")")
+    s"CASE WHEN $best <= 0 THEN 'und' " +
+      scores.map { case (lang, sc) => s"WHEN $sc = $best THEN '$lang'" }.mkString(" ") +
+      " ELSE 'und' END"
   }
 
   /** Content fingerprint for exact dedup: md5 of

@@ -11,16 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogQueries {
 
+  /** Run-scoped warehouse root: q83 WRITES managed data under it, and a
+    * fixed shared path would let concurrent gate/bench runs (or two users
+    * on one box) clobber each other's overwrite snapshots. The JVM cleans
+    * its own root on exit — otherwise every run would leak a directory. */
+  private lazy val warehouseRoot: String = {
+    val root = s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(root))
+    }))
+    root
+  }
+
   /** Idempotent per-session registration of the graft catalog (memory
     * backend) + a namespace + an external table over the sf dir's parquet. */
   private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
     s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.backend", "memory")
-    // run-scoped root: q83 WRITES managed data under it, and a fixed
-    // shared path would let concurrent gate/bench runs (or two users on
-    // one box) clobber each other's overwrite snapshots
-    s.conf.set("spark.sql.catalog.graft.root",
-      s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
+    s.conf.set("spark.sql.catalog.graft.root", warehouseRoot)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
     if (!s.catalog.tableExists(s"graft.tpch.$table"))
       s.sql(s"CREATE TABLE graft.tpch.$table LOCATION '$d/$table.parquet'")

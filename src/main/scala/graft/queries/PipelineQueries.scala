@@ -19,13 +19,16 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 5000000L))
 
+    // the gate thresholds on the RAW score (bit-identical across engines);
+    // the rounded form is display-only — see qualityScoreRaw's contract
     val scored = TextFunctions.widen(corpus).select(
       col("doc_id"), col("source"),
       TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.qualityScoreRaw(col("text")).as("__qraw"),
       TextFunctions.langId(col("text")).as("pred_lang"),
       TextFunctions.fingerprint(col("text")).as("__fp"))
     val gated = scored
-      .filter(col("quality") >= 0.5 && col("pred_lang") === "en")
+      .filter(col("__qraw") >= 0.5 && col("pred_lang") === "en")
     // dedup as min-id-per-fingerprint window over the already-scored rows:
     // text is dropped BEFORE the shuffle (only (id, source, quality, fp)
     // moves) and the expensive score/langid pass runs exactly once —
@@ -41,13 +44,7 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
-  val q80Sql: String = {
-    def score(lex: String) =
-      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains([$lex], t)))"
-    val se = score("'the','a','and','of','to','in','is'")
-    val ss = score("'el','la','de','que','y','en','un'")
-    val sf = score("'le','la','de','et','un','que','pour'")
-    val sd = score("'der','die','und','das','ein','zu','ist'")
+  val q80Sql: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
@@ -55,21 +52,16 @@ object PipelineQueries {
        |), scored AS (
        |  SELECT doc_id, source, text,
        |    ${graft.ops.TextFunctions.qualitySql} AS quality,
-       |    CASE WHEN greatest($se,$ss,$sf,$sd) <= 0 THEN 'und'
-       |         WHEN $se = greatest($se,$ss,$sf,$sd) THEN 'en'
-       |         WHEN $ss = greatest($se,$ss,$sf,$sd) THEN 'es'
-       |         WHEN $sf = greatest($se,$ss,$sf,$sd) THEN 'fr'
-       |         WHEN $sd = greatest($se,$ss,$sf,$sd) THEN 'de'
-       |         ELSE 'und' END AS pred_lang
+       |    (${graft.ops.TextFunctions.qualityRawSql}) AS qraw,
+       |    ${graft.ops.TextFunctions.langIdSql} AS pred_lang
        |  FROM corpus
        |), gated AS (
        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-       |  FROM scored WHERE quality >= 0.5 AND pred_lang = 'en'
+       |  FROM scored WHERE qraw >= 0.5 AND pred_lang = 'en'
        |), keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
        |SELECT source, count(*) AS n_kept, round(avg(quality), 6) AS avg_quality
        |FROM gated JOIN keep USING (fp, doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_pipeline" -> (q80CurationPipeline _))

@@ -31,14 +31,14 @@ object TextQueries {
     """SELECT doc_id,
       | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
       | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
-      | round(CASE WHEN strlen(text)=0 THEN 0.0 ELSE
-      |   CAST(strlen(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/strlen(text) END, 6) AS punct_ratio,
+      | round(CASE WHEN length(text)=0 THEN 0.0 ELSE
+      |   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text) END, 6) AS punct_ratio,
       | round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+'))=0 THEN 0.0 ELSE
       |   CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |        t -> list_contains(['the','a','an','and','of','to','in','is','it','that'], t))) AS DOUBLE)
       |   / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 6) AS stop_ratio,
       | round(CAST(list_reduce(list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
-      |        t -> CAST(strlen(t) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
+      |        t -> CAST(length(t) AS BIGINT)), (a,b) -> a+b) AS DOUBLE)
       |   / len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS avg_tok_len,
       | """.stripMargin + graft.ops.TextFunctions.qualitySql + """ AS quality
       |FROM documents WHERE doc_id % 10 = 0
@@ -53,23 +53,11 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
-  val q31Sql: String = {
-    def score(lex: String) =
-      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains([$lex], t)))"
-    val se = score("'the','a','and','of','to','in','is'")
-    val ss = score("'el','la','de','que','y','en','un'")
-    val sf = score("'le','la','de','et','un','que','pour'")
-    val sd = score("'der','die','und','das','ein','zu','ist'")
+  val q31Sql: String =
     s"""SELECT lang,
-       | CASE WHEN greatest($se,$ss,$sf,$sd) <= 0 THEN 'und'
-       |      WHEN $se = greatest($se,$ss,$sf,$sd) THEN 'en'
-       |      WHEN $ss = greatest($se,$ss,$sf,$sd) THEN 'es'
-       |      WHEN $sf = greatest($se,$ss,$sf,$sd) THEN 'fr'
-       |      WHEN $sd = greatest($se,$ss,$sf,$sd) THEN 'de'
-       |      ELSE 'und' END AS pred,
+       | ${graft.ops.TextFunctions.langIdSql} AS pred,
        | count(*) AS n
        |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
-  }
 
   /** Content fingerprints: md5 of normalized text, for exact dedup;
     * returns per-source distinct-fingerprint counts. */

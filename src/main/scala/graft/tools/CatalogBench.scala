@@ -22,7 +22,7 @@ object CatalogBench {
     cat.createNamespace(Array("db"), java.util.Collections.emptyMap())
     val schema = StructType.fromDDL("id BIGINT, text STRING")
     val columns = schema.fields.map(f => V2Column.create(f.name, f.dataType))
-    def tableInfo = new TableInfo.Builder()
+    val tableInfo = new TableInfo.Builder()
       .withColumns(columns)
       .withProperties(java.util.Collections.singletonMap("table_type", "lance"))
       .build()

@@ -222,6 +222,59 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs between an INCOMING batch and
+    * an existing corpus only — corpus×corpus pairs are never generated
+    * (they were handled when the corpus was ingested), so daily ingestion
+    * pays O(incoming × collision rate), not a full re-pairing. Same
+    * signature scheme as [[minhashNearDupPairs]]; the band join is
+    * incoming-vs-corpus with the (usually much smaller) incoming side
+    * eligible for AQE broadcast. Returns (incoming_id, corpus_id,
+    * jaccard). */
+  def minhashNearDupAgainst(
+      corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def sigSets(df: DataFrame): DataFrame = {
+      val rows = shingleRows(df, idCol, textCol, k)
+      val minAggs = minhashAggs(col("__h32"), numHashes)
+      rows.select(col("__id"), col("__g"), shingleHash(col("__g")).as("__h32"))
+        .groupBy(col("__id"))
+        .agg(minAggs.head, (minAggs.tail :+ collect_set(col("__g")).as("__sh")): _*)
+    }
+    def banded(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"__mh${b * rowsPerBand + r}")): _*).as("band_sig"))
+      }
+      sig.select(col("__id"), explode(array(bandStructs: _*)).as("__band"))
+        .select(col("__id"), col("__band.band_id").as("__band_id"),
+          col("__band.band_sig").as("__band_sig"))
+    }
+    val corpSig = sigSets(corpus)
+    val incSig = sigSets(incoming)
+    // bucket-size cap applies to the corpus side (boilerplate buckets);
+    // candidates are only cross-set, never corpus-internal
+    val corpBands = banded(corpSig)
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__band_id"), col("__band_sig"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("__id").as("__idc"), col("__band_id"), col("__band_sig"))
+    val cand = banded(incSig).select(col("__id").as("__idi"),
+        col("__band_id"), col("__band_sig"))
+      .join(corpBands, Seq("__band_id", "__band_sig"))
+      .select(col("__idi"), col("__idc")).distinct()
+    val si = incSig.select(col("__id").as("__idi"), col("__sh").as("__shi"))
+    val sc = corpSig.select(col("__id").as("__idc"), col("__sh").as("__shc"))
+    cand.join(si, "__idi").join(sc, "__idc")
+      .withColumn("jaccard", jaccard(col("__shi"), col("__shc")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__idi").as("incoming_id"), col("__idc").as("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Relational 32-bit SimHash: explode tokens → one md5-derived 32-bit
     * hash per token (codegen'd) → explode bit positions → ±1 votes →
     * map-side-combinable sum per (doc, bit) → reassemble the hash. Produces

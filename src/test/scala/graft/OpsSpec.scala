@@ -53,6 +53,30 @@ class OpsSpec extends SparkSpec {
         s"recall ${found.size}/${truth.size}")
   }
 
+  test("incremental minhash: finds cross-set near-dups, never corpus-internal pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter($"doc_id" < 400)
+    // incoming: fresh ids, half are near-copies of corpus docs (same text
+    // with a short suffix), half are corpus-disjoint doc texts
+    val nearCopies = corpus.filter($"doc_id" % 40 === 0)
+      .select(($"doc_id" + 900000L).as("doc_id"),
+        concat($"text", lit(" tail marker")).as("text"))
+    val fresh = docs.filter($"doc_id" >= 450)
+      .select(($"doc_id" + 800000L).as("doc_id"), $"text")
+    val incoming = nearCopies.unionByName(fresh)
+    val pairs = Dedup.minhashNearDupAgainst(corpus, incoming, "doc_id", "text",
+      threshold = 0.5)
+      .select("incoming_id", "corpus_id").as[(Long, Long)].collect()
+    // every pair crosses the sets
+    assert(pairs.forall { case (i, c) => i >= 800000L && c < 400L })
+    // each planted near-copy is matched back to its source doc
+    val expected = corpus.filter($"doc_id" % 40 === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val unrecovered = expected.filterNot(e =>
+      pairs.exists(p => p._1 == e + 900000L && p._2 == e))
+    assert(unrecovered.isEmpty, s"planted copies not recovered: $unrecovered")
+  }
+
   test("simhash: identical docs collide; banded pairs = exact hamming pairs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "changed" else s"word$i").mkString(" ")

@@ -123,10 +123,13 @@ object Curation {
     * `div`, not `/`: long/long `/` is double-valued in Spark and loses
     * exactness past 2^53 total tokens (100 TB is past it). */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
-      budget: Long): DataFrame =
+      budget: Long): DataFrame = {
+    require(!df.columns.contains("bin"),
+      "packSequences: input must not already have a 'bin' column (reserved output)")
     exclusivePrefixSum(df, idCol, tokCol, "__start")
       .withColumn("bin", expr(s"__start div $budget"))
       .drop("__start")
+  }
 
   // --- Domain mixing -------------------------------------------------------
 
@@ -137,8 +140,11 @@ object Curation {
     * replicate(floor(w)) ∪ sampleKeep(frac(w)·1e6) — which is why weights
     * < 1 must yield ZERO rows: sequence(1, 0) would default to step -1 and
     * emit [1, 0], so the guard maps them to null, which explode drops. */
-  def replicate(df: DataFrame, timesCol: Column): DataFrame =
+  def replicate(df: DataFrame, timesCol: Column): DataFrame = {
+    require(!df.columns.contains("copy"),
+      "replicate: input must not already have a 'copy' column (reserved output)")
     df.withColumn("copy", explode(when(timesCol >= 1, sequence(lit(1), timesCol))))
+  }
 
   // --- Decontamination -----------------------------------------------------
 

@@ -21,6 +21,16 @@ object Maintenance {
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".") && !name.endsWith(".crc")
 
+  /** True when `maybeAncestor` is a path prefix of `p` (qualified paths). */
+  private def isAncestor(maybeAncestor: Path, p: Path): Boolean = {
+    var cur = p.getParent
+    while (cur != null) {
+      if (cur == maybeAncestor) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
   /** Total bytes of data files under a table directory (driver-side
     * listing — metadata only, never reads data). */
   def dataBytes(spark: SparkSession, dir: String): Long = {
@@ -65,6 +75,15 @@ object Maintenance {
     * write no file). */
   def compact(spark: SparkSession, srcDir: String, destDir: String,
       sortCols: Seq[String], targetFileBytes: Long = 128L << 20): Int = {
+    // Overwrite of destDir happens while srcDir is being lazily read —
+    // same (or nested) paths would delete the input mid-scan.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val srcQ = new Path(srcDir).getFileSystem(hc)
+      .makeQualified(new Path(srcDir))
+    val dstQ = new Path(destDir).getFileSystem(hc)
+      .makeQualified(new Path(destDir))
+    require(srcQ != dstQ && !isAncestor(srcQ, dstQ) && !isAncestor(dstQ, srcQ),
+      s"compact: destDir must not equal or nest with srcDir ($srcQ vs $dstQ)")
     val bytes = dataBytes(spark, srcDir)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(srcDir)

@@ -100,7 +100,8 @@ object CurationQueries {
       |    COALESCE(sum(tok) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin
       |  FROM toks)
-      |SELECT bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS bin_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM packed GROUP BY bin ORDER BY bin""".stripMargin
 

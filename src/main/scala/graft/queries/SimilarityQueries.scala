@@ -103,11 +103,17 @@ object SimilarityQueries {
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("label"), (col("p") + 1).cast("long").as("pos"), col("x"))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("m"))
+      // decimal sum, not avg(float): decimal addition is associative, so
+      // the partial-merge fetch order can't wiggle the mean at the
+      // round(…,6) boundary (same hazard Similarity.trainCentroids pins)
+      .agg(round(sum(col("x").cast("decimal(30,15)")).cast("double")
+        / count(lit(1)), 6).as("m"))
       .orderBy(col("label"), col("pos"))
 
   val q57Sql: String =
-    """SELECT label, i AS pos, round(avg(embedding[i]), 6) AS m
+    """SELECT label, i AS pos,
+      |  round(CAST(sum(CAST(embedding[i] AS DECIMAL(30,15))) AS DOUBLE)
+      |    / count(*), 6) AS m
       |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
       |GROUP BY label, i ORDER BY label, pos""".stripMargin
 

@@ -228,9 +228,12 @@ object RelationalQueries2 {
   def q74Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
-      .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+      // one array-percentile agg, not one buffer per quantile: the group's
+      // values are collected (and merge-sorted) once for both cut points
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("ps"))
+      .select(col("o_orderpriority"),
+        round(col("ps").getItem(0), 6).as("p50"),
+        round(col("ps").getItem(1), 6).as("p90"))
       .orderBy(col("o_orderpriority"))
 
   val q74Sql: String =

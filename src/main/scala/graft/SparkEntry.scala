@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.all ++ RelationalQueries2.all ++ CatalogQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
       MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all ++
-      PipelineQueries.all ++ CurationQueries.all ++ MaintenanceQueries.all
+      PipelineQueries.all ++ CurationQueries.all ++ MaintenanceQueries.all ++
+      MutationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ RelationalQueries2.oracles ++ CatalogQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++
       MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles ++
-      PipelineQueries.oracles ++ CurationQueries.oracles ++ MaintenanceQueries.oracles
+      PipelineQueries.oracles ++ CurationQueries.oracles ++ MaintenanceQueries.oracles ++
+      MutationQueries.oracles
 }

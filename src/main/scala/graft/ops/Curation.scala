@@ -162,4 +162,29 @@ object Curation {
       .join(benchGrams, Seq("__g"), "left_semi")
       .select(col("__id").as(idCol)).distinct()
   }
+
+  /** [[contaminatedIds]] with a Bloom-style hash-bucket prefilter for the
+    * 100 TB shape: the benchmark gram set is summarized as its distinct
+    * xxhash64-mod-`bits` buckets (≤ `bits` longs — broadcastable no matter
+    * how large the corpus), and corpus grams reach the exact gram
+    * semi-join only when their bucket is occupied. Semantically identical
+    * to the exact operator — the prefilter can only drop grams the exact
+    * join would drop (no false negatives; false positives at rate
+    * ≈ benchGrams/bits proceed to the exact join and are dropped there).
+    * The win at scale: the shuffled gram volume of the exact join falls to
+    * the prefilter hit rate, and the prefilter itself is a broadcast hash
+    * join — no shuffle of the corpus side at all. */
+  def contaminatedIdsBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      bits: Int = 1 << 20): DataFrame = {
+    val benchGrams = Dedup.shingleRows(bench, idCol, textCol, k)
+      .select(col("__g")).distinct()
+    val bucket = pmod(xxhash64(col("__g")), lit(bits.toLong))
+    val occupied = benchGrams.select(bucket.as("__b")).distinct()
+    Dedup.shingleRows(corpus, idCol, textCol, k)
+      .withColumn("__b", bucket)
+      .join(broadcast(occupied), Seq("__b"), "left_semi")
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .select(col("__id").as(idCol)).distinct()
+  }
 }

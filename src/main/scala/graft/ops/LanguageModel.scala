@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language modeling for data curation: a bigram
+  * transition model trained on the corpus itself, used to score documents
+  * by average transition probability ("coherence") — the classic cheap
+  * fluency proxy for filtering degenerate or shuffled text, alongside
+  * [[TextFunctions]]' repetition and quality signals.
+  *
+  * Scale: bigram extraction is shuffle-free (array slicing per row, no
+  * window); model training is one map-side-combinable count aggregation
+  * keyed by (w1, w2); scoring is two hash joins on token keys. Nothing is
+  * collected to the driver, so the model may be arbitrarily larger than
+  * one machine — which a 100 TB corpus's bigram table is.
+  */
+object LanguageModel {
+
+  /** (id, w1, w2) bigram rows — consecutive token pairs per document,
+    * extracted by zipping the token array with itself shifted by one
+    * (`arrays_zip(slice, slice)`: codegen'd array ops, no interpreted
+    * lambda, no per-doc window shuffle). Docs with < 2 tokens emit no
+    * rows. */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"), n.as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("__id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), col("__n") - 1),
+          slice(col("__t"), lit(2), col("__n") - 1))).as("__bg"))
+      .select(col("__id"), col("__bg").getField("0").as("w1"),
+        col("__bg").getField("1").as("w2"))
+  }
+
+  /** Bigram conditional-probability model over the corpus:
+    * (w1, w2, p = count(w1 w2) / count(w1 ·)) where the denominator counts
+    * w1 as a bigram head — so probabilities per w1 sum to exactly 1. */
+  def bigramModel(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = bigramRows(corpus, idCol, textCol)
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val head = pair.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    pair.join(head, Seq("w1"))
+      .select(col("w1"), col("w2"), (col("__c2") / col("__c1")).as("p"))
+  }
+
+  /** Per-document coherence: mean transition probability of the doc's
+    * bigrams under [[bigramModel]] trained on `corpus`. The mean is a
+    * decimal(27,15) sum over the (deterministic, IEEE-identical) double
+    * probabilities divided by the bigram count — associative, so partial
+    * merge order can't wiggle the score (the repo-wide float-avg rule).
+    * Output: (idCol, n_bigrams, coherence). */
+  def coherence(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramRows(docs, idCol, textCol)
+      .join(bigramModel(corpus, idCol, textCol), Seq("w1", "w2"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(coalesce(col("p"), lit(0.0)).cast("decimal(27,15)"))
+          .cast("double") / count(lit(1))).as("coherence"))
+      .withColumnRenamed("__id", idCol)
+}

@@ -275,7 +275,45 @@ object CurationQueries {
       |FROM documents WHERE doc_id >= 10
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Decontamination through the Bloom-bucket prefilter (doc_id < 15
+    * benchmark, word 4-grams): must agree with the exact oracle — the
+    * prefilter is a pure pre-pruning step, so the oracle needs no notion
+    * of it. Distinct split/k from q54 so the two gates don't share a
+    * result by accident. */
+  def q86BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") < 15)
+    val corpus = docs.filter(col("doc_id") >= 15)
+    val flagged = Curation.contaminatedIdsBloom(corpus, bench, "doc_id",
+      "text", k = 4, bits = 1 << 16)
+    corpus
+      .join(flagged.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val q86Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 4 THEN
+      |      list_transform(range(1, greatest(len(tk)-3, 1)+1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      |    ELSE [array_to_string(tk, ' ')] END) AS g
+      |  FROM toks),
+      |flagged AS (
+      |  SELECT DISTINCT doc_id FROM grams
+      |  WHERE doc_id >= 15 AND g IN (SELECT g FROM grams WHERE doc_id < 15))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM flagged) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM documents WHERE doc_id >= 15
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_bloom_decontaminate" -> (q86BloomDecontaminate _),
     "q38_pii_redact" -> (q38PiiRedact _),
     "q39_train_split" -> (q39TrainSplit _),
     "q44_pack_sequences" -> (q44PackSequences _),
@@ -287,6 +325,7 @@ object CurationQueries {
     "q54_decontaminate" -> (q54Decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "q86_bloom_decontaminate" -> q86Sql,
     "q38_pii_redact" -> q38Sql,
     "q39_train_split" -> q39Sql,
     "q44_pack_sequences" -> q44Sql,

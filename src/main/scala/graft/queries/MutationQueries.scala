@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Mutations
+
+/** Copy-on-write mutation gates: MERGE-style upsert and SCD-2 history,
+  * the table-evolution operators a catalog-backed lakehouse pipeline
+  * needs between full rewrites (SURVEY.md §2.1 ops 11–13 cover declare /
+  * overwrite / drop; these are the row-level semantics on top). */
+object MutationQueries {
+
+  /** MERGE upsert into `customer`: keys ending 0–2 get a balance bump and
+    * an UPDATED segment, keys ending 3 are re-inserted under shifted keys
+    * as NEW customers; output is the full post-merge table — the gate
+    * pins every row the merge touches and every row it must not touch. */
+  def q84MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val updates = cust.filter(col("c_custkey") % 10 < 3)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + lit(100.0)).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+    val inserts = cust.filter(col("c_custkey") % 10 === 3)
+      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"))
+    Mutations.upsert(cust, updates.unionByName(inserts), Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q84Sql: String =
+    """WITH inc AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 < 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey,
+      |    0.0, 'NEW'
+      |  FROM customer WHERE c_custkey % 10 = 3)
+      |SELECT
+      |  COALESCE(i.c_custkey, e.c_custkey) AS c_custkey,
+      |  CASE WHEN i.c_custkey IS NOT NULL THEN i.c_name ELSE e.c_name END AS c_name,
+      |  CASE WHEN i.c_custkey IS NOT NULL THEN i.c_nationkey ELSE e.c_nationkey END AS c_nationkey,
+      |  CASE WHEN i.c_custkey IS NOT NULL THEN i.c_acctbal ELSE e.c_acctbal END AS c_acctbal,
+      |  CASE WHEN i.c_custkey IS NOT NULL THEN i.c_mktsegment ELSE e.c_mktsegment END AS c_mktsegment
+      |FROM customer e FULL OUTER JOIN inc i ON e.c_custkey = i.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SCD-2 history of each user's event_type stream (users < 20): one row
+    * per run of equal values with µs validity bounds and a current flag. */
+  def q85Scd2(s: SparkSession, d: String): DataFrame =
+    Mutations.scd2(
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      "user_id", Seq("ts", "event_id"), "event_type")
+      .select(col("user_id"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("event_type"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+
+  val q85Sql: String =
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id, event_type
+      |  FROM events WHERE user_id < 20),
+      |marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER w AS prev, lag(1) OVER w AS has_prev
+      |  FROM src
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type FROM marked
+      |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+      |  lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w2 AS valid_to_us,
+      |  event_type,
+      |  lead(ts) OVER w2 IS NULL AS is_current
+      |FROM runs
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_merge_upsert" -> (q84MergeUpsert _),
+    "q85_scd2" -> (q85Scd2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q84_merge_upsert" -> q84Sql,
+    "q85_scd2" -> q85Sql)
+}

@@ -378,7 +378,53 @@ object RelationalQueries2 {
       |SELECT depth, count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi
       |FROM tree GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Per-group z-score outlier detection with bit-stable moments: mean
+    * and population std come from exact decimal sums (double-cast once),
+    * so the 2.5σ threshold is the same double on any partial-merge order;
+    * the per-row flag is then one broadcast join — two passes total, both
+    * map-side-combinable. */
+  def q88ZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val st = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,12)"))
+          .cast("double").as("s1"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast("decimal(38,12)")).cast("double").as("s2"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(greatest(col("s2") / col("n")
+          - (col("s1") / col("n")) * (col("s1") / col("n")), lit(0.0)))
+          .as("std"))
+    o.join(broadcast(st), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"),
+        sum(when(abs(col("o_totalprice") - col("mean")) > col("std") * 2.5,
+          1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("mean")), 6).as("mean"),
+        round(max(col("std")), 6).as("std"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q88Sql: String =
+    """WITH st AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS s2
+      |  FROM orders GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, n, s1 / n AS mean,
+      |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+      |  FROM st)
+      |SELECT o.o_orderpriority, max(m.n) AS n,
+      |  CAST(sum(CASE WHEN abs(o.o_totalprice - m.mean) > m.std * 2.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(max(m.mean), 6) AS mean, round(max(m.std), 6) AS std
+      |FROM orders o JOIN m USING (o_orderpriority)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_zscore_outliers" -> (q88ZscoreOutliers _),
     "q59_pivot" -> (q59Pivot _),
     "q62_argmax" -> (q62ArgMax _),
     "q77_recursive" -> (q77Recursive _),
@@ -398,6 +444,7 @@ object RelationalQueries2 {
     "q29_array_agg" -> (q29ArrayAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q88_zscore_outliers" -> q88Sql,
     "q59_pivot" -> q59Sql,
     "q62_argmax" -> q62Sql,
     "q77_recursive" -> q77Sql,

@@ -159,7 +159,42 @@ object TextQueries {
       |  round(sum(tf * ln((SELECT count(*) FROM documents) / df)), 6) AS tfidf
       |FROM tf JOIN dfreq USING (t) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM coherence scoring: model trained on the whole corpus,
+    * docs < 100 scored by mean transition probability (decimal-sum mean —
+    * see [[graft.ops.LanguageModel.coherence]]). */
+  def q87BigramCoherence(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.LanguageModel
+      .coherence(docs.filter(col("doc_id") < 100), docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("coherence"), 6).as("coherence"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+      |  WHERE len(a) >= 2),
+      |pair AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |head AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM pair GROUP BY w1),
+      |model AS (SELECT p.w1, p.w2, p.c2 / h.c1 AS p
+      |          FROM pair p JOIN head h USING (w1)),
+      |scored AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(COALESCE(m.p, 0.0) AS DECIMAL(27,15))) AS DOUBLE)
+      |      / count(*) AS coherence
+      |  FROM bg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+      |  WHERE b.doc_id < 100
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams, round(coherence, 6) AS coherence
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bigram_coherence" -> (q87BigramCoherence _),
     "q30_text_stats" -> (q30TextStats _),
     "q31_lang_id" -> (q31LangId _),
     "q32_fingerprint" -> (q32Fingerprint _),
@@ -168,6 +203,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q87_bigram_coherence" -> q87Sql,
     "q30_text_stats" -> q30Sql,
     "q31_lang_id" -> q31Sql,
     "q32_fingerprint" -> q32Sql,

@@ -49,6 +49,43 @@ object Mutations {
     e.join(i, cond, "full_outer").select(picked: _*)
   }
 
+  /** CDC snapshot diff: classify every key of two table snapshots as
+    * `added` / `deleted` / `updated` (any non-key column differs,
+    * null-safely) — `unchanged` keys are dropped, so the output is the
+    * change feed a downstream incremental consumer replays. Row values
+    * are the new snapshot's for added/updated and the old snapshot's for
+    * deleted. One shuffle per side on the keys, nothing on the driver. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"snapshotDiff: schemas must match (${oldDf.columns.mkString(",")} vs " +
+        s"${newDf.columns.mkString(",")})")
+    require(keys.nonEmpty && keys.forall(oldDf.columns.contains),
+      s"snapshotDiff: keys $keys must be columns of the inputs")
+    require(Seq("change_type", "__old", "__new")
+      .forall(r => !oldDf.columns.contains(r)),
+      "snapshotDiff: change_type/__old/__new are reserved column names")
+    val nonKeys = oldDf.columns.toSeq.filterNot(keys.contains)
+    val o = oldDf.withColumn("__old", lit(1)).alias("__o")
+    val n = newDf.withColumn("__new", lit(1)).alias("__n")
+    val cond = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k")).reduce(_ && _)
+    val sameRow =
+      if (nonKeys.isEmpty) lit(true)
+      else struct(nonKeys.map(c => col(s"__o.$c")): _*) <=>
+        struct(nonKeys.map(c => col(s"__n.$c")): _*)
+    val changeType = when(col("__o.__old").isNull, lit("added"))
+      .when(col("__n.__new").isNull, lit("deleted"))
+      .when(!sameRow, lit("updated"))
+    val picked = oldDf.columns.toSeq.map { c =>
+      when(col("__n.__new").isNotNull, col(s"__n.$c"))
+        .otherwise(col(s"__o.$c")).as(c)
+    }
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: picked: _*)
+  }
+
   /** SCD type-2 history build: collapse a keyed, ordered change stream to
     * one row per run of equal `attrCol` values, with `valid_from` /
     * `valid_to` (null = open) taken from the first `ordCols` column and

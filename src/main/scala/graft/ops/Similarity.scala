@@ -46,6 +46,31 @@ object Similarity {
   def cosineComposable(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Symmetric int8 scalar quantization of an embedding column, the 4×
+    * memory cut in front of ANN re-ranking: per-vector scale = max |x|,
+    * q_i = round(x_i · 127 / scale) ∈ [-127, 127]. Fully relational
+    * (posexplode → per-vector max via one map-side-combinable agg → join
+    * back), never a nested higher-order-function pair — `aggregate` +
+    * `transform` over the same array is interpreted AND re-evaluated per
+    * element once CollapseProject inlines it (the repo-wide HOF trap).
+    * Output: one row per (id, pos) with the quantized value and scale;
+    * callers regroup with collect_list over a (id, pos) sort or aggregate
+    * stats directly. All-zero vectors quantize to 0 (no ANSI div-by-zero). */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val rows = widen(df)
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val scales = rows.groupBy(col("__id"))
+      .agg(max(abs(col("x"))).as("scale"))
+    rows.join(scales, Seq("__id"))
+      .select(col("__id").as(idCol), col("pos"),
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(round(col("x") * 127.0 / col("scale"), 0).cast("int"))
+          .as("q"),
+        col("scale"))
+  }
+
   /** Exact top-k by cosine for each query vector.
     * @param queries (qid, qvec) — small, broadcast
     * @param corpus  (id, vec) — large, streamed */

@@ -81,11 +81,58 @@ object MutationQueries {
       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** CDC between two customer snapshots: balance bumps (updated), keys
+    * ending 4 dropped (deleted), keys ending 3 re-inserted shifted
+    * (added); unchanged rows must NOT appear. */
+  def q89SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val newSnap = cust.filter(col("c_custkey") % 10 =!= 4)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 < 3, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 3)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")))
+    Mutations.snapshotDiff(cust, newSnap, Seq("c_custkey"))
+      .select(col("change_type"), col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"), col("change_type"))
+  }
+
+  val q89Sql: String =
+    """WITH newsnap AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 10 < 3 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 <> 4
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 3)
+      |SELECT * FROM (
+      |  SELECT CASE WHEN o.c_custkey IS NULL THEN 'added'
+      |              WHEN n.c_custkey IS NULL THEN 'deleted'
+      |              WHEN (o.c_name IS DISTINCT FROM n.c_name)
+      |                OR (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+      |                OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+      |                OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+      |              THEN 'updated' END AS change_type,
+      |    COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+      |    CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal
+      |         ELSE o.c_acctbal END AS c_acctbal
+      |  FROM customer o FULL OUTER JOIN newsnap n
+      |    ON o.c_custkey = n.c_custkey)
+      |WHERE change_type IS NOT NULL
+      |ORDER BY c_custkey, change_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_merge_upsert" -> (q84MergeUpsert _),
-    "q85_scd2" -> (q85Scd2 _))
+    "q85_scd2" -> (q85Scd2 _),
+    "q89_snapshot_diff" -> (q89SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q84_merge_upsert" -> q84Sql,
-    "q85_scd2" -> q85Sql)
+    "q85_scd2" -> q85Sql,
+    "q89_snapshot_diff" -> q89Sql)
 }

@@ -147,7 +147,38 @@ object SimilarityQueries {
       |      FROM sq GROUP BY vec_id, label)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Int8 scalar quantization stats for vectors < 50: per-vector dims,
+    * quantized-value sum/min/max and the symmetric scale — pins the
+    * quantization arithmetic itself (rounding mode, scale choice,
+    * zero-vector guard) against the oracle. */
+  def q90Int8Quant(s: SparkSession, d: String): DataFrame =
+    Similarity.int8Quantize(Tables.embeddings(s, d), "vec_id", "embedding")
+      .filter(col("vec_id") < 50)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("q")).cast("long").as("q_sum"),
+        min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        round(max(col("scale")), 6).as("scale"))
+      .orderBy(col("vec_id"))
+
+  val q90Sql: String =
+    """WITH xs AS (
+      |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+      |  WHERE vec_id < 50),
+      |sc AS (SELECT vec_id, max(abs(x)) AS scale FROM xs GROUP BY vec_id),
+      |q AS (
+      |  SELECT xs.vec_id,
+      |    CASE WHEN sc.scale = 0 THEN 0
+      |         ELSE CAST(round(xs.x * 127.0 / sc.scale) AS INTEGER) END AS q,
+      |    sc.scale
+      |  FROM xs JOIN sc USING (vec_id))
+      |SELECT vec_id, count(*) AS n_dims, CAST(sum(q) AS BIGINT) AS q_sum,
+      |  min(q) AS q_min, max(q) AS q_max, round(max(scale), 6) AS scale
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_int8_quant" -> (q90Int8Quant _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
@@ -156,6 +187,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q90_int8_quant" -> q90Sql,
     "q40_cosine_topk" -> q40Sql,
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,

@@ -52,6 +52,40 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies added/deleted/updated and drops unchanged") {
+    val newSnap = Seq(
+      (1L, "a", 10.0),   // unchanged → absent from output
+      (2L, "b", 25.0),   // updated
+      (4L, "d", 40.0)    // added; 3 deleted
+    ).toDF("k", "name", "v")
+    val out = graft.ops.Mutations.snapshotDiff(dim, newSnap, Seq("k"))
+      .select("change_type", "k", "v").as[(String, Long, Double)]
+      .collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("updated", 2L, 25.0), ("deleted", 3L, 30.0), ("added", 4L, 40.0)))
+    // diff(x, x) is empty; null-valued cells compare null-safely
+    assert(graft.ops.Mutations.snapshotDiff(dim, dim, Seq("k")).count() == 0)
+    val withNull = Seq((1L, null.asInstanceOf[String], 10.0)).toDF("k", "name", "v")
+    assert(graft.ops.Mutations
+      .snapshotDiff(withNull, withNull, Seq("k")).count() == 0)
+  }
+
+  test("int8Quantize: range bounds, max maps to ±127, zero vector safe") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(2.0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.int8Quantize(vecs, "vec_id", "embedding")
+      .select("vec_id", "pos", "q").as[(Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(q.toSeq == Seq(
+      (1L, 0L, 64), (1L, 1L, -127), (1L, 2L, 32),
+      (2L, 0L, 0), (2L, 1L, 0), (2L, 2L, 0),
+      (3L, 0L, 127)))
+    assert(q.forall(r => r._3 >= -127 && r._3 <= 127))
+  }
+
   test("scd2 collapses runs and reconstructs the original attribute path") {
     val events = Seq(
       (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"), (1L, 4L, "y"),

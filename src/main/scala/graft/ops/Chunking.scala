@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking — the RAG / training-pipeline primitive the
+  * reference's data plane feeds (documents → fixed-budget model inputs).
+  * Reference analog: the corpus tables the namespace serves (see
+  * `docs/src/hive2.md` table layout); chunking itself is an extension op.
+  *
+  * Everything is a single narrow projection + explode: no key shuffle
+  * (only `widen`'s round-robin on under-partitioned input), so it scales
+  * embarrassingly — 100 TB of documents chunk at scan speed.
+  * The per-row chunk count is computed arithmetically (never by iterating
+  * the token array twice), and `slice` is a codegen'd builtin, so the hot
+  * path stays inside whole-stage codegen (no interpreted HOF lambdas —
+  * the repo-wide CollapseProject trap).
+  */
+object Chunking {
+
+  /** Overlapping token windows: starts 0, stride, 2·stride, …; the last
+    * chunk is the first one whose window reaches the end of the document
+    * (tail tokens are always covered exactly once by the final window).
+    *
+    * Output: (`__id`, `chunk_id`, `n_toks`, `chunk_text`); `chunk_id` and
+    * `n_toks` are long (engine-portable types), `chunk_text` the
+    * space-joined window.
+    *
+    * @param stride window start step; `stride == chunkSize` gives
+    *               non-overlapping segments */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunk: chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"chunk: stride must be in [1, chunkSize], got $stride")
+    // nChunks = 1 + ceil(max(n - chunkSize, 0) / stride), integrally:
+    // documents shorter than one window still emit exactly one chunk.
+    // Column `/` is double division; operands are small ints so the
+    // quotient is exact and floor() recovers the integral ceil-div.
+    val n = size(col("__toks"))
+    val nChunks = (lit(1) + floor(
+      (greatest(n - chunkSize, lit(0)) + lit(stride - 1)) / lit(stride)))
+      .cast("int")
+    TextFunctions.widen(df)
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("__c"))
+      .select(col("__id"),
+        col("__c").cast("long").as("chunk_id"),
+        size(slice(col("__toks"), col("__c") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_toks"),
+        array_join(
+          slice(col("__toks"), col("__c") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Non-overlapping fixed-width segments (stride = chunkSize). */
+  def segments(df: DataFrame, idCol: String, textCol: String,
+      segSize: Int): DataFrame =
+    chunk(df, idCol, textCol, segSize, segSize)
+
+  /** Corpus-level exact segment dedup (the C4/CCNet "repeated lines"
+    * pass at segment granularity): every distinct segment keeps exactly
+    * one winner occurrence — the minimum (doc, position) across the whole
+    * corpus — and all other occurrences are flagged dropped.
+    *
+    * One hash-shuffle on the segment fingerprint (only (hash, packed-pos)
+    * pairs move, never text), then a broadcast-or-hash join back — the
+    * minimal movement for corpus-wide dedup, same shape as
+    * [[Dedup.exactDedup]]. Winner order is encoded as
+    * `doc_id * 1e6 + seg_id` (documents are assumed < 1e6 segments long —
+    * 8M tokens at segSize 8; enforced).
+    *
+    * Output: one row per segment occurrence:
+    * (doc_id, seg_id, seg_hash, kept). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segSize: Int): DataFrame = {
+    val segs = segments(df, idCol, textCol, segSize)
+      .select(col("__id").as("doc_id"), col("chunk_id").as("seg_id"),
+        md5(col("chunk_text").cast("binary")).as("seg_hash"))
+    val packed: Column = col("doc_id") * 1000000L + col("seg_id")
+    val winners = segs
+      .withColumn("__ord", packed)
+      .groupBy(col("seg_hash")).agg(min(col("__ord")).as("__win"))
+    segs.join(winners, Seq("seg_hash"))
+      .select(col("doc_id"), col("seg_id"), col("seg_hash"),
+        (packed === col("__win")).as("kept"))
+  }
+}

@@ -223,4 +223,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup (semantic dedup): within each pre-assigned cluster, vectors
+    * whose cosine ≥ `threshold` are duplicates; every duplicate component
+    * keeps only its minimum id. The cluster column (a k-means cell from
+    * [[trainCentroids]], a label, an LSH bucket) bounds the pair search —
+    * the join shuffles on the cluster key, never a corpus cross join, so
+    * at 100 TB the cost is Σ|cluster|² not |corpus|². Transitive chains
+    * (a≈b≈c with cos(a,c) < τ) collapse to ONE survivor via
+    * [[DedupClustering.connectedComponents]], matching the paper's
+    * cluster-then-prune semantics rather than naive pair-wins.
+    *
+    * @return the surviving rows of `corpus` (schema unchanged) */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val wide = widen(corpus)
+    val a = wide.select(col(clusterCol).as("__c"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = wide.select(col(clusterCol).as("__c"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = DedupClustering.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Matryoshka search: brute-force cosine top-k over the first `dims`
+    * components only. MRL-trained embeddings keep most of their signal in
+    * the prefix, so truncating cuts the dot-product cost (and the shuffled
+    * bytes of any downstream exchange) by dims/D with modest recall loss.
+    * Cosine self-normalizes, so no re-normalization pass is needed. */
+  def matryoshkaTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dims: Int, k: Int = 10): DataFrame = {
+    require(dims >= 1, s"matryoshkaTopK: dims must be >= 1, got $dims")
+    bruteForceTopK(
+      corpus.withColumn(vecCol, slice(col(vecCol), 1, dims)), idCol, vecCol,
+      queries.withColumn(qvecCol, slice(col(qvecCol), 1, dims)), qidCol, qvecCol,
+      k)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Chunking
+
+/** Gate coverage for the chunking family over `documents`: overlapping
+  * token-window chunking (the RAG / context-budget primitive) and
+  * corpus-level exact segment dedup (the C4-style repeated-lines pass).
+  * Both are shuffle-free or single-shuffle plans — see [[graft.ops.Chunking]].
+  */
+object ChunkQueries {
+
+  /** 32-token windows, stride 24 (8-token overlap); chunks are reported as
+    * an 8-hex signature so the gate pins the exact window contents without
+    * hauling text through the compare. */
+  def q92Chunking(s: SparkSession, d: String): DataFrame =
+    Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .select(col("__id").as("doc_id"), col("chunk_id"), col("n_toks"),
+        substring(md5(col("chunk_text").cast("binary")), 1, 8).as("chunk_sig"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q92Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+      |), n AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+      |), c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, 1 + (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+      |  FROM n
+      |)
+      |SELECT doc_id, chunk_id,
+      |  len(list_slice(toks, chunk_id*24+1, chunk_id*24+32)) AS n_toks,
+      |  substr(md5(array_to_string(list_slice(toks, chunk_id*24+1, chunk_id*24+32), ' ')), 1, 8) AS chunk_sig
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Corpus-wide 8-token segment dedup: per document, how many segments it
+    * holds and how many it wins (first occurrence by (doc, position)). */
+  def q95SegmentDedup(s: SparkSession, d: String): DataFrame =
+    Chunking.segmentDedup(Tables.documents(s, d), "doc_id", "text", segSize = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("doc_id"))
+
+  val q95Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+      |), n AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+      |), seg AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, 1 + (greatest(n - 8, 0) + 7) // 8)) AS seg_id
+      |  FROM n
+      |), h AS (
+      |  SELECT doc_id, seg_id,
+      |    md5(array_to_string(list_slice(toks, seg_id*8+1, seg_id*8+8), ' ')) AS seg_hash
+      |  FROM seg
+      |), win AS (SELECT seg_hash, min(doc_id*1000000 + seg_id) AS w FROM h GROUP BY seg_hash)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  CAST(sum(CASE WHEN doc_id*1000000 + seg_id = w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM h JOIN win USING (seg_hash)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_chunking" -> (q92Chunking _),
+    "q95_segment_dedup" -> (q95SegmentDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "q92_chunking" -> q92Sql,
+    "q95_segment_dedup" -> q95Sql)
+}

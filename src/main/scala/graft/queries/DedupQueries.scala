@@ -48,7 +48,9 @@ object DedupQueries {
         k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val q34Sql: String = {
+  /** The q34 pair set as a reusable subquery (no ORDER BY) — q91 builds
+    * its component graph from the same pairs. */
+  private[queries] val q34Pairs: String = {
     val a = graft.ops.Dedup.permA(12).mkString("[", ",", "]")
     val b = graft.ops.Dedup.permB(12).mkString("[", ",", "]")
     s"""WITH tok AS (
@@ -81,8 +83,9 @@ object DedupQueries {
       |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
       |FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id
       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-      |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5""".stripMargin
+
+  val q34Sql: String = q34Pairs + "\nORDER BY doc_a, doc_b"
 
   /** Per-document 32-bit SimHash (sampled) — pins the exact bit pattern. */
   def q35Simhash(s: SparkSession, d: String): DataFrame =
@@ -135,15 +138,58 @@ object DedupQueries {
       |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over the q34 near-dup pairs plus a deterministic
+    * chain link (i → i+13 for every 13th doc) — the chain forms a 39-edge
+    * path, so the gate exercises pointer jumping's O(log diameter)
+    * convergence, not just 2-cliques. Output: per-cluster membership. */
+  def q91Components(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val ids = docs.select(col("doc_id"))
+    val chain = ids.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 13L).as("doc_b"))
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    graft.ops.DedupClustering
+      .connectedComponents(mh.unionByName(chain), "doc_a", "doc_b")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q91Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$q34Pairs
+       |), chain AS (
+       |  SELECT d.doc_id AS doc_a, d.doc_id + 13 AS doc_b
+       |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 13
+       |  WHERE d.doc_id % 13 = 0
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_a, doc_b FROM chain
+       |), und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+       |verts AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+       |), lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, count(*) AS n_members, max(id) AS max_id
+       |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
-    "q36_ngram_jaccard" -> (q36NgramJaccard _))
+    "q36_ngram_jaccard" -> (q36NgramJaccard _),
+    "q91_components" -> (q91Components _))
 
   val oracles: Map[String, String] = Map(
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,
-    "q36_ngram_jaccard" -> q36Sql)
+    "q36_ngram_jaccard" -> q36Sql,
+    "q91_components" -> q91Sql)
 }

@@ -177,8 +177,74 @@ object SimilarityQueries {
       |  min(q) AS q_min, max(q) AS q_max, round(max(scale), 6) AS scale
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup over label clusters at cos ≥ 0.35: transitive near-dup
+    * components collapse to their min id; survivors summarized per label.
+    * The pair search is label-bounded (shuffle on the cluster key, never a
+    * corpus cross join) and chains merge via connected components — the
+    * full cluster-then-prune semantics, oracle-pinned. */
+  def q93SemDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", threshold = 0.35)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(size(col("embedding")).cast("long")).as("sum_dims"))
+      .orderBy(col("label"))
+
+  val q93Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.35
+       |), und AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+       |), lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM lbl WHERE id <> cluster_id)
+       |SELECT label, count(*) AS n_survivors, CAST(sum(len(embedding)) AS BIGINT) AS sum_dims
+       |FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = e.vec_id)
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  /** Matryoshka top-10: brute-force cosine over the first 16 of 64 dims —
+    * the 4× cheaper prefix search MRL embeddings are trained for. */
+  def q94Matryoshka(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", dims = 16, k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q94Sql: String =
+    s"""WITH t AS (
+       |  SELECT vec_id, list_slice(embedding, 1, 16) AS embedding FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    round($cosExpr, 6) AS score
+       |  FROM t q JOIN t e ON q.vec_id < 3 AND e.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_int8_quant" -> (q90Int8Quant _),
+    "q93_semdedup" -> (q93SemDedup _),
+    "q94_matryoshka" -> (q94Matryoshka _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
@@ -188,6 +254,8 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q90_int8_quant" -> q90Sql,
+    "q93_semdedup" -> q93Sql,
+    "q94_matryoshka" -> q94Sql,
     "q40_cosine_topk" -> q40Sql,
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,

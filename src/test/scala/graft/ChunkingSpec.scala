@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Chunking, Similarity}
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("chunk: short doc emits exactly one truncated chunk") {
+    val got = Chunking.chunk(docs(1L -> "a b c"), "doc_id", "text", 8, 4)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("chunk_id") == 0L)
+    assert(got.head.getAs[Long]("n_toks") == 3L)
+    assert(got.head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("chunk: strided windows overlap and cover the tail exactly once") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = Chunking.chunk(docs(1L -> text), "doc_id", "text", 4, 3)
+      .orderBy("chunk_id").collect()
+    // n=10, size=4, stride=3 → starts 0,3,6 then 9? ceil((10-4)/3)=2 → 3 chunks
+    assert(got.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // every token appears in some window; tail token in the last
+    assert(got.last.getAs[Long]("n_toks") == 4L)
+  }
+
+  test("chunk: exact multiple of stride lands the final window on the end") {
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val got = Chunking.chunk(docs(1L -> text), "doc_id", "text", 4, 4)
+      .orderBy("chunk_id").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("n_toks") == 4L))
+  }
+
+  test("segmentDedup: repeated segment keeps only the first (doc, pos)") {
+    val d = docs(
+      1L -> "x x x x y y y y",   // segs: [x×4], [y×4]
+      2L -> "y y y y z z z z",   // [y×4] loses to doc 1, [z×4] wins
+      3L -> "x x x x")           // [x×4] loses to doc 1
+    val got = Chunking.segmentDedup(d, "doc_id", "text", 4)
+      .orderBy("doc_id", "seg_id").collect()
+    val kept = got.filter(_.getAs[Boolean]("kept"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_id"))).toSet
+    assert(kept == Set((1L, 0L), (1L, 1L), (2L, 1L)))
+    assert(got.length == 5)
+  }
+
+  test("segmentDedup: duplicate segments within one doc keep only the first") {
+    val d = docs(7L -> "a a a a b b b b a a a a")
+    val kept = Chunking.segmentDedup(d, "doc_id", "text", 4)
+      .filter(col("kept")).select("seg_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L))
+  }
+
+  test("semDedup: transitive chain collapses to one survivor per component") {
+    // cluster 0: v1≈v2≈v3 (chain), v4 far; cluster 1: untouched
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.8f, 0.2f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 0),
+      (5L, Array(0.5f, 0.5f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", "label", 0.97)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("semDedup: clusters bound the search — identical vectors in different clusters both survive") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", "label", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("matryoshkaTopK: ranks by prefix-dims cosine only") {
+    // full-vector nearest to q is v2; 2-dim prefix nearest is v1
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.0f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1.0f, 0.0f, 0.9f, 0.0f)))
+      .toDF("qid", "qvec")
+    val got = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", dims = 2, k = 2)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("vec_id") == 1L)
+    val full = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 2).orderBy("rank").collect()
+    assert(full.head.getAs[Long]("vec_id") == 2L)
+  }
+
+  test("chunk plan has no key shuffle (only widen's round-robin)") {
+    val d = graft.queries.Tables(spark, sfDir, "documents")
+    val plan = Chunking.chunk(d, "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"unexpected key shuffle:\n$plan")
+  }
+}

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,31 +12,77 @@ import org.apache.spark.sql.functions._
   * smallest id reachable through its edges) until a fixpoint. Iterations are
   * keyed joins — shuffle on vertex id — and converge in O(log(diameter))
   * rounds for near-dup graphs, whose components are tiny cliques in
-  * practice. `localCheckpoint` every round truncates lineage so 20
-  * iterations don't build a 20-deep plan.
+  * practice. Every round is materialized through [[cut]] so 20 iterations
+  * build neither a 20-deep plan nor a 4^20-bit size estimate.
   */
 object DedupClustering {
 
+  /** Materialize a frame and cut BOTH lineage and statistics.
+    *
+    * `localCheckpoint()` alone keeps the origin plan's sizeInBytes
+    * estimate, and a join's estimate is the PRODUCT of its children's —
+    * so across k checkpointed join-iterations the BigInt estimate's bit
+    * length grows ~4^k and the driver ends up spending minutes inside
+    * BigInteger Toom-Cook multiplication during planning (observed via
+    * jstack on the sf0.1 gate). Rebuilding the frame from the
+    * checkpointed RDD resets the estimate, keeping every iteration's
+    * planning cost constant. The row round-trip costs one
+    * serialize/deserialize pass over the (small) label frame, never the
+    * corpus. */
+  private def cut(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** @param pairs  (aCol, bCol) undirected edges
+    * @param driverMaxEdges  when the (deduplicated, undirected) edge set
+    *        fits under this bound it is collected and solved with exact
+    *        union-find on the driver: a dedup pair set is ≪ the corpus
+    *        (it only names the near-duplicates), so even a 100 TB corpus
+    *        usually yields an edge set of millions, and one collect beats
+    *        ~10 shuffle rounds of label propagation. Pass 0 to force the
+    *        distributed loop (graphs whose edges genuinely don't fit).
     * @return (id, cluster_id) with cluster_id = min id in the component;
     *         isolated ids never in `pairs` are absent (their cluster is
     *         themselves by definition). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverMaxEdges: Long = 4000000L): DataFrame = {
     // id type is preserved (numeric or string); labels propagate by the
     // natural ordering of the id type — no lossy casts (string ids would
     // silently become null under cast("long"))
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val edges = cut(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
+    if (edges.count() <= driverMaxEdges) return driverUnionFind(edges)
 
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    var labels = cut(edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
+
+    // one pointer-jumping hop: every vertex adopts the label OF its label,
+    // halving chain depth — two hops per round quarter it, so a diameter-D
+    // path converges in ~log4(D)+1 rounds instead of D
+    def jump(frame: DataFrame): DataFrame = {
+      val parents = frame
+        .select(col("id").as("__pid"), col("cluster_id").as("__plabel"))
+      frame.join(parents, col("cluster_id") === col("__pid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__plabel"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+    // order-independent label-set fingerprint: labels only ever decrease,
+    // so the (id, label) multiset is stable iff no label changed — a
+    // bit_xor of row hashes detects that in ONE narrow aggregate instead
+    // of a join + count per round (works for string ids too, which a
+    // plain sum(label) would not; xor can't overflow under ANSI mode,
+    // and ids are unique so no two identical rows cancel)
+    def fingerprint(frame: DataFrame): Long =
+      frame.agg(coalesce(
+          expr("bit_xor(xxhash64(id, cluster_id))"), lit(0L)))
+        .head.getLong(0)
 
     var converged = false
     var iter = 0
+    var lastFp = fingerprint(labels)
     while (!converged && iter < maxIter) {
       // each vertex adopts min(own label, neighbors' labels)
       val viaNeighbors = edges
@@ -45,22 +93,58 @@ object DedupClustering {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-      // pointer jumping: also adopt the label OF the label, halving chain
-      // depth each round → O(log diameter) convergence instead of O(diameter)
-      val parents = viaEdges
-        .select(col("id").as("__pid"), col("cluster_id").as("__plabel"))
-      val updated = viaEdges.join(parents, col("cluster_id") === col("__pid"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__plabel"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      val changed = updated.alias("u").join(labels.alias("l"), "id")
-        .filter(col("u.cluster_id") =!= col("l.cluster_id")).limit(1).count()
+      val updated = cut(jump(jump(viaEdges)))
+      val fp = fingerprint(updated)
       labels = updated
-      converged = changed == 0
+      converged = fp == lastFp
+      lastFp = fp
       iter += 1
     }
     labels
+  }
+
+  /** Exact union-find (path compression + union by size) over a collected
+    * edge list; labels each component with its minimum member under the id
+    * type's natural ordering — identical semantics to the distributed
+    * loop, minus its per-round scheduling cost. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("a").dataType
+    val collected = edges.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    val sz = scala.collection.mutable.HashMap.empty[Any, Int]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    collected.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) {
+        val (sa, sb) = (sz.getOrElse(ra, 1), sz.getOrElse(rb, 1))
+        val (big, small) = if (sa >= sb) (ra, rb) else (rb, ra)
+        parent(small) = big
+        sz(big) = sa + sb
+      }
+    }
+    // component label = MIN member (matches the propagation fixpoint)
+    val cmp = (x: Any, y: Any) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    val ids = collected.iterator.map(_.get(0)).toSet
+    ids.foreach { id =>
+      val root = find(id)
+      if (!minOf.contains(root) || cmp(id, minOf(root))) minOf(root) = id
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      ids.toSeq.map(id =>
+        org.apache.spark.sql.Row(id, minOf(find(id)))).asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /** End-to-end near-dup collapse: MinHash-LSH pairs → components → keep the

@@ -48,6 +48,19 @@ class ClusteringSpec extends SparkSpec {
     assert(removed <= inPairs.size)
   }
 
+  test("distributed label-propagation path matches driver union-find path") {
+    val chain = (100L until 160L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val driver = DedupClustering.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupClustering.connectedComponents(pairs, "doc_a", "doc_b",
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == driver)
+    assert(dist(159L) == 100L)
+  }
+
   test("connected components work with string ids (no lossy cast)") {
     val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
       .toDF("doc_a", "doc_b")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Gate coverage for the catalog integration layer (SURVEY.md §2.1): runs the
   * reference lifecycle — register catalog, create namespace, register table at
@@ -102,13 +103,61 @@ object CatalogQueries {
       |FROM documents WHERE doc_id % 2 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Once-per-session bucketed copies of lineitem/orders, co-bucketed on
+    * the join key (8 buckets, bucket-sorted). This is THE scale seam for
+    * repeated fact-fact joins: both sides' bucketing satisfies the join's
+    * distribution requirement, so the sort-merge join runs with NO
+    * exchange — at 100 TB that deletes the dominant shuffle of every
+    * downstream orderkey join, paid once at write time. */
+  private def ensureBucketed(s: SparkSession, d: String): Unit = {
+    if (!s.catalog.tableExists("graft_b_orders")) {
+      Tables.orders(s, d).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$warehouseRoot/b_orders")
+        .mode("overwrite").saveAsTable("graft_b_orders")
+    }
+    if (!s.catalog.tableExists("graft_b_lineitem")) {
+      Tables.lineitem(s, d).write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$warehouseRoot/b_lineitem")
+        .mode("overwrite").saveAsTable("graft_b_lineitem")
+    }
+  }
+
+  /** Shuffle-free bucketed join: revenue per order priority over the
+    * co-bucketed copies. hint("merge") pins SMJ so the plan exercises the
+    * bucketed-distribution path (a broadcast would also skip the shuffle,
+    * but only while one side stays small — bucketing is the answer that
+    * survives both sides growing 1000×). PlanShapeSpec asserts the
+    * executed plan contains no Exchange. */
+  def q79BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    ensureBucketed(s, d)
+    s.table("graft_b_lineitem").hint("merge")
+      .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,6)")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q79Sql: String =
+    """SELECT o_orderpriority,
+      |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_catalog_scan" -> (q21CatalogScan _),
     "q22_catalog_join" -> (q22CatalogJoin _),
+    "q79_bucketed_join" -> (q79BucketedJoin _),
     "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
     "q22_catalog_join" -> q22Sql,
+    "q79_bucketed_join" -> q79Sql,
     "q83_catalog_roundtrip" -> q83Sql)
 }

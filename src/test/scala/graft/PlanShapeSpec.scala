@@ -128,6 +128,16 @@ class PlanShapeSpec extends SparkSpec {
   private def finalOnly(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("q79: gate bucketed join is SMJ with no join-key exchange") {
+    val df = graft.queries.CatalogQueries.q79BucketedJoin(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed gate join must not reshuffle join keys:\n$plan")
+  }
+
   test("q38 redaction: per-row PII work stays inside whole-stage codegen") {
     val plan = finalOnly(
       executed(graft.queries.CurationQueries.q38PiiRedact(spark, sfDir)))

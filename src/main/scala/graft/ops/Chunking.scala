@@ -65,12 +65,12 @@ object Chunking {
     * one winner occurrence — the minimum (doc, position) across the whole
     * corpus — and all other occurrences are flagged dropped.
     *
-    * One hash-shuffle on the segment fingerprint (only (hash, packed-pos)
-    * pairs move, never text), then a broadcast-or-hash join back — the
+    * One hash-shuffle on the segment fingerprint (only (hash, doc, pos)
+    * triples move, never text), then a broadcast-or-hash join back — the
     * minimal movement for corpus-wide dedup, same shape as
-    * [[Dedup.exactDedup]]. Winner order is encoded as
-    * `doc_id * 1e6 + seg_id` (documents are assumed < 1e6 segments long —
-    * 8M tokens at segSize 8; enforced).
+    * [[Dedup.exactDedup]]. Winner order is the lexicographic struct
+    * (doc, pos) min — exact for any orderable id type and any document
+    * length (no packed-arithmetic overflow ceiling).
     *
     * Output: one row per segment occurrence:
     * (doc_id, seg_id, seg_hash, kept). */
@@ -79,12 +79,11 @@ object Chunking {
     val segs = segments(df, idCol, textCol, segSize)
       .select(col("__id").as("doc_id"), col("chunk_id").as("seg_id"),
         md5(col("chunk_text").cast("binary")).as("seg_hash"))
-    val packed: Column = col("doc_id") * 1000000L + col("seg_id")
+    val pos: Column = struct(col("doc_id"), col("seg_id"))
     val winners = segs
-      .withColumn("__ord", packed)
-      .groupBy(col("seg_hash")).agg(min(col("__ord")).as("__win"))
+      .groupBy(col("seg_hash")).agg(min(pos).as("__win"))
     segs.join(winners, Seq("seg_hash"))
       .select(col("doc_id"), col("seg_id"), col("seg_hash"),
-        (packed === col("__win")).as("kept"))
+        (pos === col("__win")).as("kept"))
   }
 }

@@ -49,11 +49,18 @@ object DedupClustering {
       maxIter: Int = 20, driverMaxEdges: Long = 4000000L): DataFrame = {
     // id type is preserved (numeric or string); labels propagate by the
     // natural ordering of the id type — no lossy casts (string ids would
-    // silently become null under cast("long"))
-    val edges = cut(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // silently become null under cast("long")). Canonical (min, max)
+    // orientation + distinct gives the true undirected edge count — the
+    // count the driver bound is documented against, and half the volume a
+    // both-directions collect would haul.
+    val canon = cut(pairs.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
       .distinct())
-    if (edges.count() <= driverMaxEdges) return driverUnionFind(edges)
+    if (canon.count() <= driverMaxEdges) return driverUnionFind(canon)
+    val edges = cut(canon
+      .unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
 
     var labels = cut(edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
@@ -70,15 +77,22 @@ object DedupClustering {
             .as("cluster_id"))
     }
     // order-independent label-set fingerprint: labels only ever decrease,
-    // so the (id, label) multiset is stable iff no label changed — a
-    // bit_xor of row hashes detects that in ONE narrow aggregate instead
-    // of a join + count per round (works for string ids too, which a
-    // plain sum(label) would not; xor can't overflow under ANSI mode,
-    // and ids are unique so no two identical rows cancel)
+    // so the (id, label) set is stable iff no label changed — a bit_xor
+    // of row hashes detects that in ONE narrow aggregate instead of a
+    // join + count per round (works for string ids too, which a plain
+    // sum(label) would not; xor can't overflow under ANSI mode). Changed
+    // rows whose old/new hashes xor-cancel could fake a match (~2^-64 per
+    // round), so a fingerprint match is CONFIRMED with one exact
+    // changed-row check before the loop exits — the expensive join runs
+    // once at convergence, not every round.
     def fingerprint(frame: DataFrame): Long =
       frame.agg(coalesce(
           expr("bit_xor(xxhash64(id, cluster_id))"), lit(0L)))
         .head.getLong(0)
+    def provablyStable(prev: DataFrame, next: DataFrame): Boolean =
+      next.alias("u").join(prev.alias("l"), "id")
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).isEmpty
 
     var converged = false
     var iter = 0
@@ -95,18 +109,32 @@ object DedupClustering {
             .as("cluster_id"))
       val updated = cut(jump(jump(viaEdges)))
       val fp = fingerprint(updated)
+      converged = fp == lastFp && provablyStable(labels, updated)
       labels = updated
-      converged = fp == lastFp
       lastFp = fp
       iter += 1
     }
     labels
   }
 
+  /** Keep only each component's minimum-id row of `corpus`: the shared
+    * pruning tail of every dedup entry point (near-dup text collapse,
+    * SemDeDup) — one place owns the survivor rule. */
+  private[ops] def pruneByComponents(corpus: DataFrame, pairs: DataFrame,
+      aCol: String, bCol: String, idCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact union-find (path compression + union by size) over a collected
-    * edge list; labels each component with its minimum member under the id
-    * type's natural ordering — identical semantics to the distributed
-    * loop, minus its per-round scheduling cost. */
+    * (canonical, undirected) edge list; labels each component with its
+    * minimum member under SPARK's ordering for the id type — identical
+    * semantics to the distributed loop, minus its per-round scheduling
+    * cost. Strings compare as UTF-8 bytes (what least()/min do), NOT
+    * Java's UTF-16 code units — the two differ for supplementary
+    * characters, and the two paths must agree. */
   private def driverUnionFind(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema("a").dataType
@@ -130,11 +158,18 @@ object DedupClustering {
         sz(big) = sa + sb
       }
     }
-    // component label = MIN member (matches the propagation fixpoint)
-    val cmp = (x: Any, y: Any) =>
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // component label = MIN member (matches the propagation fixpoint);
+    // strings by unsigned UTF-8 bytes to match Spark's binary collation
+    val cmp = (x: Any, y: Any) => (x, y) match {
+      case (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
-    val ids = collected.iterator.map(_.get(0)).toSet
+    val ids = collected.iterator
+      .flatMap(r => Iterator(r.get(0), r.get(1))).toSet
     ids.foreach { id =>
       val root = find(id)
       if (!minOf.contains(root) || cmp(id, minOf(root))) minOf(root) = id
@@ -152,9 +187,6 @@ object DedupClustering {
   def collapseNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8): DataFrame = {
     val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
-    val clusters = connectedComponents(pairs, "doc_a", "doc_b")
-    val losers = clusters.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    pruneByComponents(df, pairs, "doc_a", "doc_b", idCol)
   }
 }

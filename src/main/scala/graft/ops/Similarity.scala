@@ -245,10 +245,7 @@ object Similarity {
     val pairs = a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))
       .filter(cosine(col("__va"), col("__vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val losers = DedupClustering.connectedComponents(pairs, "id_a", "id_b")
-      .filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
-    corpus.join(losers, Seq(idCol), "left_anti")
+    DedupClustering.pruneByComponents(corpus, pairs, "id_a", "id_b", idCol)
   }
 
   /** Matryoshka search: brute-force cosine top-k over the first `dims`

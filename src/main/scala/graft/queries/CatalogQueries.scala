@@ -109,18 +109,29 @@ object CatalogQueries {
     * distribution requirement, so the sort-merge join runs with NO
     * exchange — at 100 TB that deletes the dominant shuffle of every
     * downstream orderkey join, paid once at write time. */
+  /** Table names are keyed on the SOURCE DIR: a session that runs q79 at
+    * two scale factors must not reuse the first SF's materialized copies
+    * against the second SF's oracle. */
+  private def bucketedName(base: String, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${base}_$tag"
+  }
+
   private def ensureBucketed(s: SparkSession, d: String): Unit = {
-    if (!s.catalog.tableExists("graft_b_orders")) {
+    val (ot, lt) = (bucketedName("graft_b_orders", d),
+      bucketedName("graft_b_lineitem", d))
+    if (!s.catalog.tableExists(ot)) {
       Tables.orders(s, d).write
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$warehouseRoot/b_orders")
-        .mode("overwrite").saveAsTable("graft_b_orders")
+        .option("path", s"$warehouseRoot/$ot")
+        .mode("overwrite").saveAsTable(ot)
     }
-    if (!s.catalog.tableExists("graft_b_lineitem")) {
+    if (!s.catalog.tableExists(lt)) {
       Tables.lineitem(s, d).write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$warehouseRoot/b_lineitem")
-        .mode("overwrite").saveAsTable("graft_b_lineitem")
+        .option("path", s"$warehouseRoot/$lt")
+        .mode("overwrite").saveAsTable(lt)
     }
   }
 
@@ -132,8 +143,9 @@ object CatalogQueries {
     * executed plan contains no Exchange. */
   def q79BucketedJoin(s: SparkSession, d: String): DataFrame = {
     ensureBucketed(s, d)
-    s.table("graft_b_lineitem").hint("merge")
-      .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+    s.table(bucketedName("graft_b_lineitem", d)).hint("merge")
+      .join(s.table(bucketedName("graft_b_orders", d)),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))

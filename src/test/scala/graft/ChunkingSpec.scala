@@ -84,10 +84,12 @@ class ChunkingSpec extends SparkSpec {
   }
 
   test("matryoshkaTopK: ranks by prefix-dims cosine only") {
-    // full-vector nearest to q is v2; 2-dim prefix nearest is v1
+    // full-vector nearest to q is v2; 2-dim prefix nearest is v1 — and the
+    // prefix scores differ strictly (1.0 vs ~0.89), so this pins prefix
+    // ranking, not the vec_id tie-break
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
-      (2L, Array(0.6f, 0.0f, 0.8f, 0.0f))
+      (2L, Array(0.6f, 0.3f, 0.8f, 0.0f))
     ).toDF("vec_id", "embedding")
     val q = Seq((10L, Array(1.0f, 0.0f, 0.9f, 0.0f)))
       .toDF("qid", "qvec")

@@ -29,7 +29,7 @@ object DedupClustering {
     * planning cost constant. The row round-trip costs one
     * serialize/deserialize pass over the (small) label frame, never the
     * corpus. */
-  private def cut(df: DataFrame): DataFrame = {
+  private[ops] def cut(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     df.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }

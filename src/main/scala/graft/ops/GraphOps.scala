@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph measures over edge frames — the corpus-weighting side
+  * of a training-data pipeline (PageRank over a link/interaction graph is
+  * the classic quality prior for web-scale corpora).
+  *
+  * Same execution shape as [[DedupClustering]]: each iteration is a keyed
+  * join + map-side-combinable aggregate (shuffle on vertex id), rounds are
+  * materialized through [[DedupClustering.cut]] so neither lineage nor the
+  * multiplicative join-size estimate grows, and every floating-point
+  * reduction is a decimal sum so results are bit-stable under Spark's
+  * nondeterministic partial-merge order (the repo-wide reproducibility
+  * rule for trained/iterated artifacts).
+  */
+object GraphOps {
+
+  /** Damped PageRank with a fixed iteration count.
+    *
+    * Simple variant without dangling-mass redistribution: callers supply
+    * an edge set where every vertex has out-degree ≥ 1 (symmetric/
+    * undirected graphs satisfy this by construction); ranks of a
+    * dangling-free graph sum to 1 every iteration.
+    *
+    * @param edges directed (srcCol, dstCol) edges, pre-deduplicated
+    * @return (vertex, rank) for every vertex appearing in `edges` */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
+    val e = DedupClustering.cut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val verts = DedupClustering.cut(
+      e.select(col("src").as("vertex"))
+        .unionByName(e.select(col("dst").as("vertex"))).distinct())
+    val n = verts.count()
+    // out-degree rides along each edge so the per-iteration join is a
+    // single equi-join on src (degree never recomputed inside the loop)
+    val withDeg = DedupClustering.cut(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
+
+    var ranks = DedupClustering.cut(
+      verts.withColumn("rank", lit(1.0) / n))
+    for (_ <- 1 to iters) {
+      // contributions shuffle once on dst; decimal addition is associative,
+      // so the merge order can't wiggle low bits run-to-run
+      val in = withDeg
+        .join(ranks, col("src") === col("vertex"))
+        .groupBy(col("dst"))
+        .agg(sum((col("rank") / col("outdeg")).cast("decimal(38,18)"))
+          .as("in_sum"))
+      ranks = DedupClustering.cut(
+        verts.join(in, col("vertex") === col("dst"), "left")
+          .select(col("vertex"),
+            (lit((1.0 - damping)) / n + lit(damping) *
+              coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank")))
+    }
+    ranks
+  }
+}

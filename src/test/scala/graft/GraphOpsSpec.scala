@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric graph ranks sum to 1 every run") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    assert(ranks.size == 4)
+  }
+
+  test("pageRank: uniform cycle stays uniform") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(cycle, "src", "dst", iters = 4)
+      .as[(String, Double)].collect().toMap
+    val third = 1.0 / 3
+    assert(ranks.values.forall(r => math.abs(r - third) < 1e-12))
+  }
+
+  test("pageRank: star hub outranks its leaves") {
+    val spokes = (1 to 6).map(i => ("hub", s"leaf$i"))
+    val pairs = spokes.toDF("src", "dst")
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("hub") > ranks("leaf1") * 3)
+    assert((1 to 6).map(i => ranks(s"leaf$i")).distinct.size == 1)
+  }
+
+  test("pageRank: iters=0 returns the uniform prior") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iters = 0)
+      .as[(String, Double)].collect().toMap
+    assert(ranks == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: deterministic across runs (decimal sums)") {
+    val docs = graft.queries.Tables(spark, sfDir, "orders")
+    val li = graft.queries.Tables(spark, sfDir, "lineitem")
+    def run() = graft.queries.GraphQueries.q96Pagerank(spark, sfDir)
+      .as[(String, Double)].collect().toMap
+    assert(run() == run())
+  }
+}

@@ -193,7 +193,45 @@ object TextQueries {
       |SELECT doc_id, n_bigrams, round(coherence, 6) AS coherence
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-12
+    * token vocabulary — the tokenizer-fit metric a pipeline tracks when
+    * deciding whether a vocab covers a new data source. One token
+    * explode feeds both the vocab aggregation and the per-doc coverage
+    * join; the vocab is tiny by construction so its join side broadcasts. */
+  def q97OovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.ops.TextFunctions.widen(Tables.documents(s, d))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(12)
+      .select(col("token"), lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_vocab"))
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1.0) - col("n_vocab").cast("double") / col("n_toks"), 6)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS tf FROM toks GROUP BY token
+      |    ORDER BY tf DESC, token LIMIT 12)
+      |), j AS (
+      |  SELECT t.doc_id, CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS iv
+      |  FROM toks t LEFT JOIN vocab v USING (token)
+      |)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  round(CAST(1 AS DOUBLE) - CAST(sum(iv) AS DOUBLE)/count(*), 6) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_oov_rate" -> (q97OovRate _),
     "q87_bigram_coherence" -> (q87BigramCoherence _),
     "q30_text_stats" -> (q30TextStats _),
     "q31_lang_id" -> (q31LangId _),
@@ -203,6 +241,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q97_oov_rate" -> q97Sql,
     "q87_bigram_coherence" -> q87Sql,
     "q30_text_stats" -> q30Sql,
     "q31_lang_id" -> q31Sql,

@@ -65,6 +65,30 @@ object ScaleSoak {
           pmod(col("n_chars"), lit(65536L)).as("y")),
         "x", "y", bits = 16, numFiles = 32).count())
 
+    time("chunk_50k_docs")(
+      graft.ops.Chunking.chunk(docs10, "doc_id", "text", 32, 24).count())
+    time("segment_dedup_50k_docs")(
+      graft.ops.Chunking.segmentDedup(docs10, "doc_id", "text", 8)
+        .filter(col("kept")).count())
+    time("collapse_near_dups_50k")(
+      graft.ops.DedupClustering.collapseNearDups(docs10, "doc_id", "text",
+        threshold = 0.5).count())
+    // 10x replication multiplies EDGES (not just vertices): every doc's
+    // replicas form near-dup groups, so this soaks the CC path too
+    time("semdedup_20k_vecs")(
+      graft.ops.Similarity.semDedup(emb10, "vec_id", "embedding", "label",
+        threshold = 0.35).count())
+    val pr1 = spark.read.parquet(s"$d/orders.parquet")
+      .join(spark.read.parquet(s"$d/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+    val prEdges = pr1.unionByName(
+      pr1.select(col("dst").as("src"), col("src").as("dst")))
+    time("pagerank_3it_600k_edges")(
+      graft.ops.GraphOps.pageRank(prEdges, "src", "dst", iters = 3)
+        .agg(round(sum(col("rank")), 6)).collect()(0).getDouble(0))
+
     val ev1 = graft.queries.Tables.events(spark, d)
     val ev10 = (0 until 10).map(i =>
       ev1.withColumn("event_id", col("event_id") + lit(i * 10000000L))

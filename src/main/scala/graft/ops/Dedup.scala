@@ -357,6 +357,35 @@ object Dedup {
     * (e.g. a sample, a partition key). The caller controls block size — this
     * is the exact-verification primitive, not the at-scale candidate
     * generator (that's [[minhashNearDupPairs]]). */
+  /** Exact n-gram Jaccard pairs via an INVERTED-INDEX join — the form of
+    * [[ngramJaccardPairs]] that survives corpus scale. Instead of an
+    * all-pairs product, candidate pairs materialize only where documents
+    * actually share a shingle: shuffle on the shingle, count shared
+    * distinct shingles per pair (map-side combinable), then one small
+    * join against per-doc set sizes closes the Jaccard formula
+    * |A∩B| / (|A|+|B|−|A∩B|). Exact — no LSH approximation — with cost
+    * Σ_g df(g)² over shingles instead of |docs|²; a hyper-frequent
+    * shingle is the skew channel, which real systems cap with positional
+    * prefix filtering (documented, not applied: results here stay exact). */
+  def ngramJaccardIndexPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, k)
+      .select(col("__id"), col("__g")).distinct()
+    val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = rows.select(col("__id").as("doc_a"), col("__g"))
+      .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("__id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3): DataFrame = {

@@ -179,17 +179,51 @@ object DedupQueries {
        |SELECT cluster_id, count(*) AS n_members, max(id) AS max_id
        |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Exact all-corpus Jaccard ≥ 0.5 via the inverted-index join — the
+    * at-scale counterpart of q36's blocked all-pairs form, and an exact
+    * superset check on q34's LSH candidates. */
+  def q98JaccardIndex(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardIndexPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val q98Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM tok
+      |), r AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+      |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM r a JOIN r b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sz na ON inter.doc_a = na.doc_id
+      |JOIN sz nb ON inter.doc_b = nb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
     "q36_ngram_jaccard" -> (q36NgramJaccard _),
-    "q91_components" -> (q91Components _))
+    "q91_components" -> (q91Components _),
+    "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,
     "q36_ngram_jaccard" -> q36Sql,
-    "q91_components" -> q91Sql)
+    "q91_components" -> q91Sql,
+    "q98_jaccard_index" -> q98Sql)
 }

@@ -61,6 +61,19 @@ class ClusteringSpec extends SparkSpec {
     assert(dist(159L) == 100L)
   }
 
+  test("inverted-index Jaccard equals the all-pairs form exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 80)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val allPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.2).collect().map(key).toSet
+    val indexed = Dedup.ngramJaccardIndexPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.2).collect().map(key).toSet
+    assert(indexed == allPairs)
+    assert(allPairs.nonEmpty || indexed.isEmpty) // same emptiness either way
+  }
+
   test("connected components work with string ids (no lossy cast)") {
     val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
       .toDF("doc_a", "doc_b")

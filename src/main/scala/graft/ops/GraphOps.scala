@@ -58,4 +58,51 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Semi-supervised label propagation: seed vertices hold fixed labels;
+    * every round each vertex adopts the MAJORITY label among its labeled
+    * in-neighbors, ties broken by the smaller label — fully deterministic
+    * (integer vote counts, total-ordered tie-break), so the result is
+    * oracle-pinnable unlike classic randomized LPA. Seeds are clamped.
+    * One shuffle per round on the destination vertex; votes are map-side
+    * combinable counts.
+    *
+    * @param seeds (vertexCol, labelCol) fixed assignments
+    * @return (vertex, label) for every vertex in `edges`; label is null
+    *         where no labeled vertex is reachable within `iters` hops */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, vertexCol: String, labelCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
+    val e = DedupClustering.cut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val verts = DedupClustering.cut(
+      e.select(col("src").as("vertex"))
+        .unionByName(e.select(col("dst").as("vertex"))).distinct())
+    val seed = seeds.select(col(vertexCol).as("vertex"),
+      col(labelCol).as("__seed"))
+    // (vertex, __seed [static clamp], __lbl [current assignment])
+    var labels = DedupClustering.cut(
+      verts.join(seed, Seq("vertex"), "left")
+        .withColumn("__lbl", col("__seed")))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.filter(col("__lbl").isNotNull)
+          .select(col("vertex").as("src"), col("__lbl")), Seq("src"))
+        .groupBy(col("dst"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+      // arg-max via struct min: (-count, label) orders by majority first,
+      // then smallest label — one aggregate, no window
+      val winners = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__lbl").as("l")))
+          .as("__w"))
+        .select(col("dst").as("vertex"), col("__w").getField("l").as("__win"))
+      labels = DedupClustering.cut(
+        labels.join(winners, Seq("vertex"), "left")
+          .select(col("vertex"), col("__seed"),
+            coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl")))
+    }
+    labels.select(col("vertex"), col("__lbl").as("label"))
+  }
 }

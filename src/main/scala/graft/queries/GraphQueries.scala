@@ -15,15 +15,21 @@ import graft.ops.GraphOps
   */
 object GraphQueries {
 
-  def q96Pagerank(s: SparkSession, d: String): DataFrame = {
+  /** Symmetrized customer↔supplier interaction edges — one edge per
+    * (customer, supplier) pair connected through an order's lineitems. */
+  private def interactionEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-    val edges = pairs.unionByName(
+    pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    GraphOps.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+  }
+
+  def q96Pagerank(s: SparkSession, d: String): DataFrame = {
+    GraphOps.pageRank(interactionEdges(s, d), "src", "dst",
+        iters = 3, damping = 0.85)
       .select(col("vertex"), round(col("rank"), 9).as("rank"))
       .orderBy(col("vertex"))
   }
@@ -52,9 +58,54 @@ object GraphQueries {
        |SELECT v AS vertex, round(p3.r, 9) AS rank FROM p3 ORDER BY vertex""".stripMargin
   }
 
+  /** Two rounds of clamped majority label propagation: suppliers seeded
+    * with s_suppkey % 5, customers (and back-propagated suppliers) adopt
+    * the majority label of labeled neighbors, smaller label winning ties.
+    * Deterministic by construction (integer votes, total-ordered
+    * tie-break), so the full 1,600-vertex assignment hash-matches. */
+  def q99LabelProp(s: SparkSession, d: String): DataFrame = {
+    val seeds = Tables.supplier(s, d)
+      .select(concat(lit("s"), col("s_suppkey")).as("vertex"),
+        (col("s_suppkey") % 5).as("label"))
+    GraphOps.labelPropagation(interactionEdges(s, d), "src", "dst",
+        seeds, "vertex", "label", iters = 2)
+      .orderBy(col("vertex"))
+  }
+
+  val q99Sql: String = {
+    def step(prev: Int, cur: Int): String =
+      s"""v$cur AS (
+         |  SELECT e.dst AS v, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l$prev l ON e.src = l.v AND l.lbl IS NOT NULL
+         |  GROUP BY 1, 2
+         |), w$cur AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |    FROM v$cur) WHERE rn = 1
+         |), l$cur AS (
+         |  SELECT verts.v, coalesce(s.lbl, w$cur.lbl, l$prev.lbl) AS lbl
+         |  FROM verts
+         |  LEFT JOIN seeds s ON verts.v = s.v
+         |  LEFT JOIN w$cur ON verts.v = w$cur.v
+         |  LEFT JOIN l$prev ON verts.v = l$prev.v
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |seeds AS (SELECT 's' || s_suppkey AS v, s_suppkey % 5 AS lbl FROM supplier),
+       |l0 AS (SELECT verts.v, s.lbl FROM verts LEFT JOIN seeds s ON verts.v = s.v),
+       |${step(0, 1)},
+       |${step(1, 2)}
+       |SELECT v AS vertex, lbl AS label FROM l2 ORDER BY vertex""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q96_pagerank" -> (q96Pagerank _))
+    "q96_pagerank" -> (q96Pagerank _),
+    "q99_label_prop" -> (q99LabelProp _))
 
   val oracles: Map[String, String] = Map(
-    "q96_pagerank" -> q96Sql)
+    "q96_pagerank" -> q96Sql,
+    "q99_label_prop" -> q99Sql)
 }

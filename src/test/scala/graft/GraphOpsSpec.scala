@@ -40,6 +40,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks == Map("a" -> 0.5, "b" -> 0.5))
   }
 
+  test("labelPropagation: seeds clamp, majority wins, smaller label breaks ties") {
+    // x seeded 1, y seeded 2; m has neighbors x (1) and y (2) -> tie -> 1;
+    // z only reaches y -> 2; x/y stay clamped after back-propagation
+    val pairs = Seq(("x", "m"), ("y", "m"), ("y", "z")).toDF("src", "dst")
+    val edges = pairs.unionByName(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(("x", 1), ("y", 2)).toDF("vertex", "label")
+    val got = graft.ops.GraphOps
+      .labelPropagation(edges, "src", "dst", seeds, "vertex", "label", iters = 2)
+      .as[(String, Option[Int])].collect().toMap
+    assert(got == Map("x" -> Some(1), "y" -> Some(2),
+      "m" -> Some(1), "z" -> Some(2)))
+  }
+
+  test("labelPropagation: unreachable vertices stay null") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("p", "q"), ("q", "p"))
+      .toDF("src", "dst")
+    val seeds = Seq(("a", 7)).toDF("vertex", "label")
+    val got = graft.ops.GraphOps
+      .labelPropagation(edges, "src", "dst", seeds, "vertex", "label", iters = 3)
+      .as[(String, Option[Int])].collect().toMap
+    assert(got("b") == Some(7) && got("p").isEmpty && got("q").isEmpty)
+  }
+
   test("pageRank: deterministic across runs (decimal sums)") {
     val docs = graft.queries.Tables(spark, sfDir, "orders")
     val li = graft.queries.Tables(spark, sfDir, "lineitem")

@@ -353,10 +353,6 @@ object Dedup {
       .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"), col("hamming"))
   }
 
-  /** Blocked n-gram Jaccard: all-pairs similarity within explicit blocks
-    * (e.g. a sample, a partition key). The caller controls block size — this
-    * is the exact-verification primitive, not the at-scale candidate
-    * generator (that's [[minhashNearDupPairs]]). */
   /** Exact n-gram Jaccard pairs via an INVERTED-INDEX join — the form of
     * [[ngramJaccardPairs]] that survives corpus scale. Instead of an
     * all-pairs product, candidate pairs materialize only where documents
@@ -386,6 +382,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Blocked n-gram Jaccard: all-pairs similarity within explicit blocks
+    * (e.g. a sample, a partition key). The caller controls block size — this
+    * is the exact-verification primitive, not the at-scale candidate
+    * generator (that's [[minhashNearDupPairs]] or
+    * [[ngramJaccardIndexPairs]]). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3): DataFrame = {

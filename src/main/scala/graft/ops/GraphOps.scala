@@ -67,6 +67,11 @@ object GraphOps {
     * One shuffle per round on the destination vertex; votes are map-side
     * combinable counts.
     *
+    * Inputs are normalized defensively: edges are deduplicated (majority
+    * is defined on the simple graph — a repeated edge must not double a
+    * neighbor's vote) and conflicting seed rows for one vertex collapse
+    * to the smallest label (deterministic, consistent with the tie rule).
+    *
     * @param seeds (vertexCol, labelCol) fixed assignments
     * @return (vertex, label) for every vertex in `edges`; label is null
     *         where no labeled vertex is reachable within `iters` hops */
@@ -75,12 +80,13 @@ object GraphOps {
       iters: Int = 2): DataFrame = {
     require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
     val e = DedupClustering.cut(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val verts = DedupClustering.cut(
       e.select(col("src").as("vertex"))
         .unionByName(e.select(col("dst").as("vertex"))).distinct())
     val seed = seeds.select(col(vertexCol).as("vertex"),
       col(labelCol).as("__seed"))
+      .groupBy(col("vertex")).agg(min(col("__seed")).as("__seed"))
     // (vertex, __seed [static clamp], __lbl [current assignment])
     var labels = DedupClustering.cut(
       verts.join(seed, Seq("vertex"), "left")

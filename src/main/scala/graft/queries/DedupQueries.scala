@@ -48,20 +48,25 @@ object DedupQueries {
         k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Shared DuckDB (tok, sh) CTE pair — THE definition of the k=3 word
+    * shingle construction every dedup oracle in this file builds on. */
+  private def shingleCtes(where: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents$where
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM tok
+       |)""".stripMargin
+
   /** The q34 pair set as a reusable subquery (no ORDER BY) — q91 builds
     * its component graph from the same pairs. */
   private[queries] val q34Pairs: String = {
     val a = graft.ops.Dedup.permA(12).mkString("[", ",", "]")
     val b = graft.ops.Dedup.permB(12).mkString("[", ",", "]")
-    s"""WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
-      |), sh AS (
-      |  SELECT doc_id, CASE WHEN len(toks) >= 3
-      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
-      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |    ELSE [array_to_string(toks, ' ')] END AS shingles
-      |  FROM tok
-      |), mh AS (
+    s"""WITH ${shingleCtes("")}, mh AS (
       |  SELECT doc_id, shingles,
       |    list_transform(range(0, 12), s ->
       |      list_aggregate(list_transform(shingles, g ->
@@ -122,14 +127,7 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   val q36Sql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, CASE WHEN len(toks) >= 3
-      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
-      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |    ELSE [array_to_string(toks, ' ')] END AS shingles
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-      |        FROM documents WHERE doc_id < 60)
-      |)
+    s"""WITH ${shingleCtes(" WHERE doc_id < 60")}
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
@@ -188,15 +186,7 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
 
   val q98Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
-      |), sh AS (
-      |  SELECT doc_id, CASE WHEN len(toks) >= 3
-      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
-      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-      |    ELSE [array_to_string(toks, ' ')] END AS shingles
-      |  FROM tok
-      |), r AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+    s"""WITH ${shingleCtes("")}, r AS (SELECT doc_id, unnest(shingles) AS g FROM sh
       |), sz AS (SELECT doc_id, len(shingles) AS n FROM sh
       |), inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

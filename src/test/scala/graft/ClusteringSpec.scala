@@ -70,8 +70,8 @@ class ClusteringSpec extends SparkSpec {
       k = 3, threshold = 0.2).collect().map(key).toSet
     val indexed = Dedup.ngramJaccardIndexPairs(docs, "doc_id", "text",
       k = 3, threshold = 0.2).collect().map(key).toSet
+    assert(allPairs.nonEmpty, "fixture yields no pairs — equality test is vacuous")
     assert(indexed == allPairs)
-    assert(allPairs.nonEmpty || indexed.isEmpty) // same emptiness either way
   }
 
   test("connected components work with string ids (no lossy cast)") {

@@ -382,6 +382,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs via the same inverted-index join:
+    * |A∩B| / |A| ≥ threshold flags "A is (mostly) contained in B" — the
+    * subset-duplicate case Jaccard under-scores when |B| ≫ |A| (a doc
+    * embedded inside a larger one dilutes the union). Emits both
+    * directions per unordered pair when both clear the threshold, since
+    * containment(A,B) ≠ containment(B,A). Same Σ df(g)² cost profile as
+    * [[ngramJaccardIndexPairs]]. */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, k)
+      .select(col("__id"), col("__g")).distinct()
+    val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = rows.select(col("__id").as("doc_a"), col("__g"))
+      .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+      .withColumn("containment", col("__i").cast("double") / col("__na"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Blocked n-gram Jaccard: all-pairs similarity within explicit blocks
     * (e.g. a sample, a partition key). The caller controls block size — this
     * is the exact-verification primitive, not the at-scale candidate

@@ -50,9 +50,9 @@ object DedupQueries {
 
   /** Shared DuckDB (tok, sh) CTE pair — THE definition of the k=3 word
     * shingle construction every dedup oracle in this file builds on. */
-  private def shingleCtes(where: String): String =
+  private def shingleCtes(where: String, from: String = "documents"): String =
     s"""tok AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents$where
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM $from$where
        |), sh AS (
        |  SELECT doc_id, CASE WHEN len(toks) >= 3
        |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
@@ -201,7 +201,44 @@ object DedupQueries {
       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Containment dedup over a corpus with injected truncations: every
+    * 11th doc reappears as its own 20-token prefix (re-keyed) — the
+    * subset-duplicate shape Jaccard under-scores. Containment ≥ 0.9 must
+    * recover each (prefix ⊂ source) pair. */
+  def q100Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val trunc = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(graft.ops.TextFunctions.tokens(col("text")), 1, 20), " ")
+          .as("text"))
+    Dedup.ngramContainmentPairs(docs.unionByName(trunc), "doc_id", "text",
+        k = 3, threshold = 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q100Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, 20), ' ')
+       |  FROM documents WHERE doc_id % 11 = 0
+       |), ${shingleCtes("", "corpus")},
+       |r AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM r a JOIN r b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i AS DOUBLE) / na.n, 6) AS containment
+       |FROM inter JOIN sz na ON inter.doc_a = na.doc_id
+       |WHERE CAST(i AS DOUBLE) / na.n >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_containment" -> (q100Containment _),
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
@@ -210,6 +247,7 @@ object DedupQueries {
     "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
+    "q100_containment" -> q100Sql,
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,

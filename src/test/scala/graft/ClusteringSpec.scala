@@ -74,6 +74,20 @@ class ClusteringSpec extends SparkSpec {
     assert(indexed == allPairs)
   }
 
+  test("containment is asymmetric: prefix⊂source scores 1.0, not the reverse") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, prefix)).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // all 10 of the prefix's 3-grams appear in the long doc
+    assert(got((2L, 1L)) == 1.0)
+    // but only 10 of the long doc's 38 3-grams appear in the prefix
+    assert(!got.contains((1L, 2L)))
+  }
+
   test("connected components work with string ids (no lossy cast)") {
     val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
       .toDF("doc_a", "doc_b")

@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   * the classic quality prior for web-scale corpora).
   *
   * Same execution shape as [[DedupClustering]]: each iteration is a keyed
-  * join + map-side-combinable aggregate (shuffle on vertex id), rounds are
-  * materialized through [[DedupClustering.cut]] so neither lineage nor the
-  * multiplicative join-size estimate grows, and every floating-point
-  * reduction is a decimal sum so results are bit-stable under Spark's
-  * nondeterministic partial-merge order (the repo-wide reproducibility
-  * rule for trained/iterated artifacts).
+  * join + map-side-combinable aggregate (shuffle on vertex id), and every
+  * floating-point reduction is a decimal sum so results are bit-stable
+  * under Spark's nondeterministic partial-merge order (the repo-wide
+  * reproducibility rule for trained/iterated artifacts). Rounds are
+  * materialized with plain localCheckpoint: unlike the UNBOUNDED loop in
+  * [[DedupClustering]] (which needs the stats-resetting
+  * [[DedupClustering.cut]]), these loops run a FIXED handful of rounds,
+  * so the multiplicative size estimate only reaches ~4^iters of the
+  * honest scan size — harmless — and skipping cut()'s row round-trip
+  * saves a serialize/deserialize pass per round.
   */
 object GraphOps {
 
@@ -29,19 +33,19 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
-    val e = DedupClustering.cut(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val verts = DedupClustering.cut(
-      e.select(col("src").as("vertex"))
-        .unionByName(e.select(col("dst").as("vertex"))).distinct())
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val verts = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint()
     val n = verts.count()
     // out-degree rides along each edge so the per-iteration join is a
     // single equi-join on src (degree never recomputed inside the loop)
-    val withDeg = DedupClustering.cut(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src")))
+    val withDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
 
-    var ranks = DedupClustering.cut(
-      verts.withColumn("rank", lit(1.0) / n))
+    var ranks = verts.withColumn("rank", lit(1.0) / n).localCheckpoint()
     for (_ <- 1 to iters) {
       // contributions shuffle once on dst; decimal addition is associative,
       // so the merge order can't wiggle low bits run-to-run
@@ -50,11 +54,11 @@ object GraphOps {
         .groupBy(col("dst"))
         .agg(sum((col("rank") / col("outdeg")).cast("decimal(38,18)"))
           .as("in_sum"))
-      ranks = DedupClustering.cut(
-        verts.join(in, col("vertex") === col("dst"), "left")
-          .select(col("vertex"),
-            (lit((1.0 - damping)) / n + lit(damping) *
-              coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank")))
+      ranks = verts.join(in, col("vertex") === col("dst"), "left")
+        .select(col("vertex"),
+          (lit((1.0 - damping)) / n + lit(damping) *
+            coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
@@ -79,18 +83,17 @@ object GraphOps {
       seeds: DataFrame, vertexCol: String, labelCol: String,
       iters: Int = 2): DataFrame = {
     require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
-    val e = DedupClustering.cut(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val verts = DedupClustering.cut(
-      e.select(col("src").as("vertex"))
-        .unionByName(e.select(col("dst").as("vertex"))).distinct())
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint()
+    val verts = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint()
     val seed = seeds.select(col(vertexCol).as("vertex"),
       col(labelCol).as("__seed"))
       .groupBy(col("vertex")).agg(min(col("__seed")).as("__seed"))
     // (vertex, __seed [static clamp], __lbl [current assignment])
-    var labels = DedupClustering.cut(
-      verts.join(seed, Seq("vertex"), "left")
-        .withColumn("__lbl", col("__seed")))
+    var labels = verts.join(seed, Seq("vertex"), "left")
+      .withColumn("__lbl", col("__seed")).localCheckpoint()
     for (_ <- 1 to iters) {
       val votes = e
         .join(labels.filter(col("__lbl").isNotNull)
@@ -104,10 +107,10 @@ object GraphOps {
         .agg(min(struct((-col("__c")).as("nc"), col("__lbl").as("l")))
           .as("__w"))
         .select(col("dst").as("vertex"), col("__w").getField("l").as("__win"))
-      labels = DedupClustering.cut(
-        labels.join(winners, Seq("vertex"), "left")
-          .select(col("vertex"), col("__seed"),
-            coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl")))
+      labels = labels.join(winners, Seq("vertex"), "left")
+        .select(col("vertex"), col("__seed"),
+          coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl"))
+        .localCheckpoint()
     }
     labels.select(col("vertex"), col("__lbl").as("label"))
   }

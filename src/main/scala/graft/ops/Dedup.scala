@@ -363,16 +363,26 @@ object Dedup {
     * Σ_g df(g)² over shingles instead of |docs|²; a hyper-frequent
     * shingle is the skew channel, which real systems cap with positional
     * prefix filtering (documented, not applied: results here stay exact). */
-  def ngramJaccardIndexPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.3): DataFrame = {
+  /** Shared inverted-index machinery: distinct (doc, shingle) rows, per-doc
+    * set sizes, and shared-shingle pair counts filtered by `pairPred`
+    * (ordered `<` for symmetric measures, `=!=` for asymmetric ones). */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, pairPred: (Column, Column) => Column)
+      : (DataFrame, DataFrame) = {
     val rows = shingleRows(df, idCol, textCol, k)
       .select(col("__id"), col("__g")).distinct()
     val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = rows.select(col("__id").as("doc_a"), col("__g"))
       .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(pairPred(col("doc_a"), col("doc_b")))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    (sizes, inter)
+  }
+
+  def ngramJaccardIndexPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val (sizes, inter) = shingleIndex(df, idCol, textCol, k, _ < _)
     inter
       .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
       .join(sizes.select(col("__id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
@@ -392,13 +402,7 @@ object Dedup {
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol, k)
-      .select(col("__id"), col("__g")).distinct()
-    val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val inter = rows.select(col("__id").as("doc_a"), col("__g"))
-      .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    val (sizes, inter) = shingleIndex(df, idCol, textCol, k, _ =!= _)
     inter
       .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
       .withColumn("containment", col("__i").cast("double") / col("__na"))

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Checkpoint unless the frame is already a materialized RDD scan — a
+    * caller that hands us a checkpointed/cached edge set must not pay for
+    * (and store) a second copy in the block manager. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
+
   /** Damped PageRank with a fixed iteration count.
     *
     * Simple variant without dangling-mass redistribution: callers supply
@@ -33,8 +42,8 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    val e = materialize(edges)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val verts = e.select(col("src").as("vertex"))
       .unionByName(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()

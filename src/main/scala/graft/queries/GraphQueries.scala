@@ -20,11 +20,15 @@ object GraphQueries {
     * Graph construction is index prep (a serving system builds the graph
     * once and runs many measures over it), so the materialized edge set
     * is memoized per (session, dir); q96 and q99 share it. */
+  // keyed by the session REFERENCE (SparkSession equality is identity):
+  // an identityHashCode key could collide with a later session at the
+  // same address after GC and hand out checkpoint blocks of a stopped
+  // context. Stale-session entries are few (sessions per JVM) and tiny.
   private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), DataFrame]
+    .empty[(SparkSession, String), DataFrame]
 
   private def interactionEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    edgeCache.getOrElseUpdate((s, d), {
       val pairs = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("src"),

@@ -128,6 +128,15 @@ class PlanShapeSpec extends SparkSpec {
   private def finalOnly(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("q98: inverted-index Jaccard plans no product join") {
+    val df = graft.queries.DedupQueries.q98JaccardIndex(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"index join must not degrade to a product:\n$plan")
+  }
+
   test("q79: gate bucketed join is SMJ with no join-key exchange") {
     val df = graft.queries.CatalogQueries.q79BucketedJoin(spark, sfDir)
     df.collect()

@@ -32,6 +32,33 @@ class PropertySpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == pairs.distinct.length)
   }
 
+  test("chunking laws hold on random docs: full coverage, stride starts, tail once") {
+    val docGen = Gen.chooseNum(1, 90).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((8, 8), (8, 5), (16, 3))) {
+      val chunks = graft.ops.Chunking.chunk(docs, "doc_id", "text", size, stride)
+        .select(col("__id"), col("chunk_id"), col("n_toks"))
+        .as[(Long, Long, Long)].collect()
+      val byDoc = chunks.groupBy(_._1)
+      val nToks = docs.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(
+            graft.ops.TextFunctions.tokens(col("text"))).cast("long"))
+        .as[(Long, Long)].collect().toMap
+      byDoc.foreach { case (id, cs) =>
+        val n = nToks(id)
+        val expected = 1 + math.ceil(math.max(n - size, 0).toDouble / stride).toLong
+        assert(cs.length == expected, s"doc $id n=$n $size/$stride")
+        // last chunk reaches the end exactly: its start + n_toks == n
+        val last = cs.maxBy(_._2)
+        assert(last._2 * stride + last._3 == n, s"doc $id tail")
+        // every non-final window is full-size
+        cs.filter(_._2 < last._2).foreach(c => assert(c._3 == size))
+      }
+    }
+  }
+
   test("hashBucket lands in range and is independent of partitioning") {
     val ids = samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 500)
     val df = ids.toDF("id")

@@ -20,7 +20,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ StreamQueries.all ++
       MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all ++
       PipelineQueries.all ++ CurationQueries.all ++ MaintenanceQueries.all ++
-      MutationQueries.all ++ ChunkQueries.all ++ GraphQueries.all
+      MutationQueries.all ++ ChunkQueries.all ++ GraphQueries.all ++
+      RetrievalQueries.all ++ ResolutionQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++
       MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles ++
       PipelineQueries.oracles ++ CurationQueries.oracles ++ MaintenanceQueries.oracles ++
-      MutationQueries.oracles ++ ChunkQueries.oracles ++ GraphQueries.oracles
+      MutationQueries.oracles ++ ChunkQueries.oracles ++ GraphQueries.oracles ++
+      RetrievalQueries.oracles ++ ResolutionQueries.oracles
 }

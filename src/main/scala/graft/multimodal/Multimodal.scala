@@ -80,6 +80,15 @@ object Multimodal {
         sequence(lit(0), greatest((length(col(mediaCol)) / (4 * stride)).cast("int") - 1, lit(0))),
         i => substring(col(mediaCol), lit(1) + i * (4 * stride), lit(4))))
 
+  /** Parse a fixed-layout binary container header without leaving
+    * codegen: byte slices of the media column decoded as big-endian
+    * unsigned 32-bit words (substring on BINARY is a byte slice; hex →
+    * base-16 conv is the engine-portable bytes→integer path). This is
+    * the typed-decode seam a real container format (RIFF/PNG/ISO-BMFF
+    * boxes) needs — same plan, different offsets. */
+  def headerWord(mediaCol: Column, byteOffset: Int): Column =
+    conv(hex(substring(mediaCol, byteOffset + 1, 4)), 16, 10).cast("long")
+
   /** Media corpus statistics grouped by mime type — the accounting query a
     * curation pipeline runs before training. */
   def mediaStats(df: DataFrame): DataFrame =

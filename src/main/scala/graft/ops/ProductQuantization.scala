@@ -103,6 +103,15 @@ object ProductQuantization {
       .select(col("qid"), col("vec_id"))
 
     // exact re-rank of the shortlist
+    rerankExact(candidates, corpus, idCol, vecCol, queries, qidCol, qvecCol, k)
+  }
+
+  /** Exact cosine re-rank of a (qid, vec_id) shortlist — the final stage
+    * shared by every ANN variant. The shortlist is rerank·|queries| rows;
+    * full vectors are fetched only for it. */
+  private def rerankExact(candidates: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val wFinal = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
     candidates
@@ -113,5 +122,79 @@ object ProductQuantization {
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** IVF-PQ: the production ANN composition. IVF cells prune WHICH
+    * vectors are scored (queries probe `nprobe` cells), PQ codes prune
+    * WHAT is read to score them (m bytes per vector instead of d floats),
+    * and the exact re-rank repairs quantization error on the shortlist.
+    *
+    * At 100 TB this is the only tier whose working set fits: the scored
+    * stream is (probed fraction of corpus) × (m-byte codes); full vectors
+    * surface only for rerank·|queries| rows. Both the cell index and the
+    * codebook are tiny broadcast tables; the corpus-side plan is one
+    * narrow assignment pass + one encode pass (both offline-amortizable —
+    * a serving system materializes `assigned ⋈ codes` as the index), and
+    * the per-query work is an equi-join on (cell, subspace, code).
+    *
+    * @param centroids IVF cells (cidCol, cvecCol), e.g. from
+    *                  [[Similarity.trainCentroids]]
+    * @param codebook  PQ codebook (s, c, cvec) from [[seedCodebook]]
+    * @return (qid, rank, vec_id, score) — exact cosine on the shortlist */
+  def searchIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      codebook: DataFrame, m: Int, k: Int = 10, nprobe: Int = 2,
+      rerank: Int = 50): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val subDim = dim / m
+    val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
+
+    // offline index side: cell assignment + PQ codes per vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(cells))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosine(col("__v"), col("__c")).as("__sim"))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val indexed = encode(corpus, idCol, vecCol, codebook, m)
+      .select(col(idCol).as("vec_id"), col("codes"))
+      .join(assigned, Seq("vec_id"))
+
+    // query side: nprobe cells + the (s, c) distance table
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))
+      .join(broadcast(cells))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("__q"), col("__c")).as("__sim"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val dtable = queries.select(col(qidCol).as("qid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), sub(col(qvecCol), s, subDim).as("qsv"))): _*)).as("__e"))
+      .select(col("qid"), col("__e.s").as("s"), col("__e.qsv").as("qsv"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("c"), l2sq(col("qsv"), col("cvec")).as("partial"))
+
+    // ADC over probed cells only
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_l2sq"), col("vec_id"))
+    val candidates = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .join(broadcast(dtable), Seq("qid", "s", "c"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("partial")).as("approx_l2sq"))
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vec_id"))
+
+    rerankExact(candidates, corpus, idCol, vecCol, queries, qidCol, qvecCol, k)
   }
 }

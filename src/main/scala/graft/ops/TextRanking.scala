@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance ranking and rank fusion for retrieval-style corpus
+  * queries: Okapi BM25, reciprocal rank fusion (hybrid keyword+vector
+  * search), and deterministic negative sampling for contrastive training
+  * pairs.
+  *
+  * The reference engine (lance-namespace-impls) serves tables to search
+  * systems but ranks nothing itself; these give the Spark-side engine the
+  * ranking layer a training-data pipeline needs (mining hard negatives,
+  * building retrieval eval sets, hybrid near-dup triage). Same rules as
+  * the rest of graft.ops: pure DataFrame plans over codegen'd functions,
+  * no UDFs, no driver collects; every floating-point reduction is a
+  * decimal sum so partial-merge order can't wiggle low bits, and every
+  * "random" choice is a salted md5 so the DuckDB oracle replays it
+  * bit-for-bit.
+  */
+object TextRanking {
+
+  /** Okapi BM25 scores of every document against a bag of query terms.
+    *
+    * One token explode feeds both aggregates (df over the full corpus,
+    * tf per document), both keyed on the term so the filter to the tiny
+    * query vocabulary happens BEFORE any shuffle; corpus size and total
+    * token count ride in as a broadcast 1-row aggregate, never a
+    * driver-side constant. idf = ln(1 + (N - df + ½)/(df + ½)) (the
+    * Lucene-style floor-at-zero variant), tf term = tf·(k1+1)/(tf +
+    * k1·(1 - b + b·dl/avgdl)). Per-document summation over matched terms
+    * is a decimal sum — associative, so bit-stable under Spark's
+    * nondeterministic partial-merge order.
+    *
+    * At 100 TB: the exploded token stream is the only wide plan node and
+    * it is filtered to query terms at the scan side of the shuffle; df
+    * and the 1-row corpus stats broadcast to the tf side, so the whole
+    * query is one shuffle keyed on doc id.
+    *
+    * @return (idCol, score) — one row per document containing ≥1 query
+    *         term; callers rank/truncate (absent docs score 0)
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val base = TextFunctions.widen(docs)
+      .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val toks = base
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isInCollection(queryTerms))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    // df(t) = rows per term in the (id, term) aggregate — derived from tf
+    // instead of a second scan+explode of the corpus; the two branches
+    // share one Exchange (ReuseExchange), so BM25 costs two scans total
+    // (token stream + the 1-row corpus stats)
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfTerm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__id"))
+      .agg(sum((idf * tfTerm).cast("decimal(38,18)")).cast("double").as("score"))
+      .select(col("__id").as(idCol), col("score"))
+  }
+
+  /** DuckDB mirror of the BM25 score expression pipeline, parameterized
+    * the same way — single source for every oracle that replays it. The
+    * caller supplies the terms as a SQL list literal. */
+  def bm25Sql(termsList: String, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |lens AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+       |toks AS (
+       |  SELECT id, dl, t
+       |  FROM (SELECT id, dl, unnest(tk) AS t FROM base JOIN lens USING (id))
+       |  WHERE list_contains($termsList, t)),
+       |tf AS (SELECT id, t, count(*) AS tf, max(dl) AS dl FROM toks GROUP BY id, t),
+       |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+       |SELECT id, CAST(sum(CAST(
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |    (tf * ${k1 + 1.0} / (tf + $k1 * (1.0 - $b + $b * dl / (CAST(sumdl AS DOUBLE) / n))))
+       |  AS DECIMAL(38,18))) AS DOUBLE) AS score
+       |FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+       |GROUP BY id""".stripMargin
+
+  /** Rank-truncate a scored frame: global top-n by (score desc, id) with
+    * an explicit 1-based rank column. The truncation is a
+    * TakeOrderedAndProject (scalable — per-partition top-n then a single
+    * reduce); the row_number window only ever sees the ≤n survivors, so
+    * the classic single-partition-window hazard can't bite. */
+  def rankTopN(scored: DataFrame, idCol: String, scoreCol: String,
+      n: Int): DataFrame = {
+    val top = scored.orderBy(col(scoreCol).desc, col(idCol)).limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
+        .cast("long"))
+  }
+
+  /** Reciprocal rank fusion over any number of (id, rank) lists:
+    * rrf(d) = Σ_lists 1/(k + rank_list(d)), the standard way to hybridize
+    * keyword and vector retrieval without score calibration. Missing
+    * entries contribute nothing. Decimal sum for bit-stability; one
+    * union + one aggregate, no window. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String, k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "reciprocalRankFusion: need >= 1 ranking")
+    rankings
+      .map(_.select(col(idCol).as("__id"),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol))).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col("__id"))
+      .agg(sum(col("__c").cast("decimal(38,18)")).cast("double").as("rrf"),
+        count(lit(1)).cast("long").as("n_lists"))
+      .select(col("__id").as(idCol), col("rrf"), col("n_lists"))
+  }
+
+  /** Deterministic negative sampling for contrastive pairs: for each
+    * query id, the k corpus ids with the smallest salted hash
+    * md5(salt:qid:cand) — uniform, reproducible, and join-free to audit
+    * (membership depends only on ids and the salt, so regenerating over
+    * a grown corpus never silently reshuffles old pairs; compare
+    * [[Curation.hashBucket]]). The per-query rank-truncated window is the
+    * [[Similarity.bruteForceTopK]] shape: queries broadcast, corpus
+    * streams, survivors shuffle once keyed on the query id. */
+  def negativeSample(corpus: DataFrame, idCol: String,
+      queryIds: DataFrame, qidCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    val cands = TextFunctions.widen(corpus).select(col(idCol).as("__cand"))
+      .crossJoin(broadcast(queryIds.select(col(qidCol).as("__qid"))))
+      .filter(col("__cand") =!= col("__qid"))
+      .withColumn("__h", md5(concat(lit(salt + ":"),
+        col("__qid").cast("string"), lit(":"),
+        col("__cand").cast("string")).cast("binary")))
+    cands
+      .withColumn("neg_rank",
+        row_number().over(Window.partitionBy(col("__qid"))
+          .orderBy(col("__h"), col("__cand"))).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("__qid").as(qidCol), col("neg_rank"),
+        col("__cand").as("neg_id"), col("__h").as("neg_key"))
+  }
+}

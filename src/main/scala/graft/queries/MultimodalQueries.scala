@@ -71,13 +71,35 @@ object MultimodalQueries {
       |  md5(upper(substr(hx, 1 + CAST(i*32 AS INT), 8))) AS frame_md5
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Typed binary header decode: the first two big-endian 32-bit words
+    * of each payload via [[Multimodal.headerWord]] byte slices — the
+    * container-header parse (magic, box length) done entirely in
+    * codegen'd column expressions. The oracle decodes the same bytes on
+    * the hex-string form (8 hex chars per word). */
+  def q107MediaHeader(s: SparkSession, d: String): DataFrame =
+    Multimodal.attachMedia(
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0), "doc_id")
+      .select(col("doc_id"),
+        Multimodal.headerWord(col("media"), 0).as("hdr_word0"),
+        Multimodal.headerWord(col("media"), 4).as("hdr_word1"))
+      .orderBy(col("doc_id"))
+
+  val q107Sql: String =
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hdr_word0,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) AS hdr_word1
+      |FROM documents WHERE doc_id % 25 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_checksum" -> (q60MediaChecksum _),
     "q61_media_stats" -> (q61MediaStats _),
-    "q66_frame_sample" -> (q66FrameSample _))
+    "q66_frame_sample" -> (q66FrameSample _),
+    "q107_media_header" -> (q107MediaHeader _))
 
   val oracles: Map[String, String] = Map(
     "q60_media_checksum" -> q60Sql,
     "q61_media_stats" -> q61Sql,
-    "q66_frame_sample" -> q66Sql)
+    "q66_frame_sample" -> q66Sql,
+    "q107_media_header" -> q107Sql)
 }

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profiling, Resolution}
+
+/** Gate coverage for entity resolution (blocked sorted-neighborhood
+  * fuzzy key matching), triangle counting, and single-pass column
+  * profiling. All integer/string outputs — exact oracle compares.
+  */
+object ResolutionQueries {
+
+  /** Fuzzy record linkage over part names: originals (partkey < 150)
+    * plus planted mutants (even keys, last character rewritten, re-keyed
+    * +10000), paired by blocked sorted-neighborhood (4-char prefix
+    * blocks, window 7) and verified with Levenshtein ≤ 2. Recovers the
+    * planted original↔mutant pairs plus exact-duplicate names. */
+  def q103FuzzyNames(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d).filter(col("p_partkey") < 150)
+      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+    val mutants = base.filter(col("rec_id") % 2 === 0)
+      .select((col("rec_id") + 10000L).as("rec_id"),
+        regexp_replace(col("name"), ".$", "x").as("name"))
+    Resolution.blockedFuzzyPairs(base.unionByName(mutants), "rec_id", "name",
+        substring(col("name"), 1, 4), window = 7, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q103Sql: String =
+    """WITH recs AS (
+      |  SELECT p_partkey AS rec_id, p_name AS name FROM part WHERE p_partkey < 150
+      |  UNION ALL
+      |  SELECT p_partkey + 10000, regexp_replace(p_name, '.$', 'x')
+      |  FROM part WHERE p_partkey < 150 AND p_partkey % 2 = 0),
+      |pos AS (
+      |  SELECT rec_id, name, substr(name, 1, 4) AS b,
+      |    CAST(row_number() OVER (PARTITION BY substr(name, 1, 4)
+      |      ORDER BY name, rec_id) AS BIGINT) AS p
+      |  FROM recs)
+      |SELECT a.rec_id AS id_a, c.rec_id AS id_b, a.name AS key_a, c.name AS key_b,
+      |  CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+      |FROM pos a JOIN pos c ON a.b = c.b AND c.p > a.p AND c.p <= a.p + 7
+      |WHERE levenshtein(a.name, c.name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Triangle census of the supplier co-occurrence graph (suppliers
+    * sharing an order, every 10th order): vertex/edge/wedge/triangle
+    * counts and the global clustering coefficient. */
+  def q104Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+    Resolution.triangleStats(edges, "src", "dst")
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), round(col("clustering"), 6).as("clustering"))
+  }
+
+  val q104Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem WHERE l_orderkey % 10 = 0),
+      |e AS (
+      |  SELECT DISTINCT x.sk AS a, y.sk AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+      |deg AS (
+      |  SELECT v, count(*) AS d
+      |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |w AS (
+      |  SELECT count(*) AS n_vertices,
+      |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |t AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |m AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+      |  round(CASE WHEN n_wedges = 0 THEN 0.0
+      |             ELSE 3.0 * n_triangles / n_wedges END, 6) AS clustering
+      |FROM w, m, t""".stripMargin
+
+  /** Single-pass column profile of lineitem (nulls, exact distincts,
+    * native-typed min/max) — the new-table-drop quality report. */
+  private val ProfileCols =
+    Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  def q105Profile(s: SparkSession, d: String): DataFrame =
+    Profiling.profile(Tables.lineitem(s, d), ProfileCols)
+      .orderBy(col("column"))
+
+  val q105Sql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_fuzzy_names" -> (q103FuzzyNames _),
+    "q104_triangles" -> (q104Triangles _),
+    "q105_profile" -> (q105Profile _))
+
+  val oracles: Map[String, String] = Map(
+    "q103_fuzzy_names" -> q103Sql,
+    "q104_triangles" -> q104Sql,
+    "q105_profile" -> q105Sql)
+}

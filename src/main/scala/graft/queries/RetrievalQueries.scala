@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, TextRanking}
+
+/** Gate coverage for the retrieval/ranking family: BM25 keyword scoring,
+  * hybrid keyword+vector reciprocal rank fusion, and deterministic
+  * negative sampling. Every float reduction on both sides is a decimal
+  * sum and every ordering carries an id tie-break, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object RetrievalQueries {
+
+  /** The fixed keyword query for the BM25 gates: one rare term ("dup"
+    * appears only in the planted duplicate docs — high idf) and two
+    * common ones, so the score actually discriminates. */
+  private val Terms = Seq("dup", "vector", "spark")
+  private val TermsSql = Terms.map(t => s"'$t'").mkString("[", ",", "]")
+
+  /** Top-20 documents by BM25 for a 3-term keyword query. */
+  def q101Bm25(s: SparkSession, d: String): DataFrame =
+    TextRanking.bm25(Tables.documents(s, d), "doc_id", "text", Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+
+  val q101Sql: String =
+    s"""WITH scored AS (${TextRanking.bm25Sql(TermsSql)})
+       |SELECT id AS doc_id, round(score, 6) AS bm25
+       |FROM scored ORDER BY bm25 DESC, id LIMIT 20""".stripMargin
+
+  /** Same left-fold cosine text as q40's oracle, pinned to query vector 0. */
+  private val cosExpr =
+    """list_reduce(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
+      |     * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
+
+  /** Hybrid search: BM25 top-50 fused with cosine top-50 (query vector
+    * vec_id=0, ids shared between `documents` and `embeddings`) via
+    * reciprocal rank fusion; top-20 by fused score. */
+  def q102HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val kw = TextRanking.rankTopN(
+      TextRanking.bm25(Tables.documents(s, d), "doc_id", "text", Terms)
+        .select(col("doc_id").as("id"), round(col("score"), 6).as("score")),
+      "id", "score", 50)
+      .select(col("id"), col("rank"))
+    val emb = Tables.embeddings(s, d)
+    val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 50)
+      .select(col("vec_id").as("id"), col("rank").cast("long").as("rank"))
+    TextRanking.reciprocalRankFusion(Seq(kw, sem), "id", "rank")
+      .select(col("id"), round(col("rrf"), 9).as("rrf"), col("n_lists"))
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+  }
+
+  val q102Sql: String =
+    s"""WITH bm AS (${TextRanking.bm25Sql(TermsSql)}),
+       |kw AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY round(score, 6) DESC, id) AS BIGINT) AS rank
+       |  FROM bm QUALIFY rank <= 50),
+       |sem0 AS (
+       |  SELECT e.vec_id AS id, round($cosExpr, 6) AS score
+       |  FROM embeddings q JOIN embeddings e ON q.vec_id = 0 AND e.vec_id <> 0),
+       |sem AS (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank
+       |  FROM sem0 QUALIFY rank <= 50),
+       |u AS (
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM kw
+       |  UNION ALL
+       |  SELECT id, 1.0 / (60.0 + rank) AS c FROM sem)
+       |SELECT id, round(CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 9) AS rrf,
+       |  count(*) AS n_lists
+       |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+
+  /** Deterministic negative sampling: 5 hash-chosen negatives for each of
+    * the first 5 docs (contrastive-pair mining, reproducible run-to-run). */
+  def q106NegativeSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextRanking.negativeSample(docs, "doc_id",
+        docs.filter(col("doc_id") < 5).select(col("doc_id").as("qid")),
+        "qid", k = 5)
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
+  val q106Sql: String =
+    """WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id < 5),
+      |c AS (
+      |  SELECT qid, doc_id AS cand,
+      |    md5('neg:' || CAST(qid AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents CROSS JOIN q WHERE doc_id <> qid)
+      |SELECT qid,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY h, cand) AS BIGINT) AS neg_rank,
+      |  cand AS neg_id, h AS neg_key
+      |FROM c QUALIFY neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bm25" -> (q101Bm25 _),
+    "q102_hybrid_rrf" -> (q102HybridRrf _),
+    "q106_negative_sample" -> (q106NegativeSample _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_bm25" -> q101Sql,
+    "q102_hybrid_rrf" -> q102Sql,
+    "q106_negative_sample" -> q106Sql)
+}

@@ -261,7 +261,25 @@ object SimilarityQueries {
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF-PQ composition (cells prune the scored set, codes prune the
+    * bytes read, exact re-rank repairs the shortlist) — approximate like
+    * q42/q43, so rows-only in the gate; recall floor pinned in PQSpec. */
+  def q108IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codebook = graft.ops.ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    graft.ops.ProductQuantization.searchIvfPq(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec",
+        trainedCentroids(s, emb, d), "cid", "cvec",
+        codebook, m = 8, k = 10, nprobe = 6, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_ivfpq" -> (q108IvfPq _),
     "q90_int8_quant" -> (q90Int8Quant _),
     "q93_semdedup" -> (q93SemDedup _),
     "q94_matryoshka" -> (q94Matryoshka _),

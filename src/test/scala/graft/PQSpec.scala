@@ -51,4 +51,32 @@ class PQSpec extends SparkSpec {
         codebook, 8, 3, 50).select("score").as[Double].collect()
     assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
   }
+
+  test("IVF-PQ: k per query, candidates ⊆ probed cells, recall vs ADC-only") {
+    val cells = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      kCells = 8, iters = 1)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = PQ.searchIvfPq(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", cells, "cid", "cvec",
+      codebook, m = 8, k = 10, nprobe = 8, rerank = 100)
+    val rows = got.select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (1L to 10L) })
+    // with nprobe = all cells, IVF prunes nothing: results must equal the
+    // plain ADC search (the composition's correctness law)
+    val adc = PQ.searchADC(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        codebook, m = 8, k = 10, rerank = 100)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    assert(rows.sorted.toSeq == adc.sorted.toSeq)
+    // partial probing still finds most of what full probing finds
+    val partial = PQ.searchIvfPq(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", cells, "cid", "cvec",
+        codebook, m = 8, k = 10, nprobe = 4, rerank = 100)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val full = rows.map(t => (t._1, t._3)).toSet
+    val recall = (full & partial).size.toDouble / full.size
+    assert(recall >= 0.5, s"IVF-PQ nprobe=4/8 recall $recall")
+  }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Profiling, Resolution, TextRanking}
+
+/** Laws for the round-5 operator families: BM25 / reciprocal rank fusion
+  * / negative sampling ([[TextRanking]]), blocked fuzzy matching and
+  * triangle counting ([[Resolution]]), and single-pass profiling
+  * ([[Profiling]]). */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tiny = Seq(
+    (0L, "apple apple apple pie"),
+    (1L, "apple pie"),
+    (2L, "banana split"),
+    (3L, "pie crust pie")).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
+    val got = TextRanking.bm25(tiny, "doc_id", "text", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=4, sumdl=11, avgdl=2.75; df(apple)=2; idf=ln(1+(4-2+0.5)/(2+0.5))=ln(2)
+    def okapi(tf: Long, dl: Long): Double =
+      math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5)) *
+        (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.75)))
+    assert(got.keySet === Set(0L, 1L))
+    assert(math.abs(got(0L) - okapi(3, 4)) < 1e-12)
+    assert(math.abs(got(1L) - okapi(1, 2)) < 1e-12)
+  }
+
+  test("bm25: rarer terms out-score common terms at equal tf/dl") {
+    // "banana" df=1 vs "pie" df=3; doc 2 holds banana, docs 0/1/3 hold pie
+    val banana = TextRanking.bm25(tiny, "doc_id", "text", Seq("banana"))
+      .collect().head.getDouble(1)
+    val pie = TextRanking.bm25(tiny, "doc_id", "text", Seq("pie"))
+      .filter(s"doc_id = 1").collect().head.getDouble(1)
+    assert(banana > pie, s"idf discrimination: $banana should beat $pie")
+  }
+
+  test("rankTopN truncates to n with dense 1-based ranks in score order") {
+    val scored = Seq((1L, 3.0), (2L, 9.0), (3L, 5.0), (4L, 9.0))
+      .toDF("id", "score")
+    val got = TextRanking.rankTopN(scored, "id", "score", 3)
+      .orderBy(col("rank")).collect().map(r => (r.getLong(2), r.getLong(0)))
+    // ties (ids 2,4 at 9.0) break on id; rank column is (rank, id)
+    assert(got.toSeq === Seq((1L, 2L), (2L, 4L), (3L, 3L)))
+  }
+
+  test("rrf: an item in both lists beats an item in one at the same rank") {
+    val l1 = Seq((10L, 1L), (11L, 2L)).toDF("id", "rank")
+    val l2 = Seq((11L, 1L), (12L, 2L)).toDF("id", "rank")
+    val got = TextRanking.reciprocalRankFusion(Seq(l1, l2), "id", "rank")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(11L)._2 === 2L)
+    assert(math.abs(got(11L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(10L)._1 - 1.0 / 61) < 1e-15)
+    assert(got(11L)._1 > got(10L)._1 && got(11L)._1 > got(12L)._1)
+  }
+
+  test("negativeSample: k per query, positive excluded, deterministic") {
+    val corpus = spark.range(0, 50).select(col("id").as("doc_id"))
+    val qs = Seq(3L, 7L).toDF("qid")
+    val a = TextRanking.negativeSample(corpus, "doc_id", qs, "qid", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = TextRanking.negativeSample(corpus, "doc_id", qs, "qid", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.count(_._1 == 3L) === 4 && a.count(_._1 == 7L) === 4)
+    assert(!a.exists(t => t._1 === t._3), "query id must not be its own negative")
+    // a different salt draws a different sample
+    val c = TextRanking.negativeSample(corpus, "doc_id", qs, "qid", 4, "neg2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(c.toSeq !== a.toSeq)
+  }
+
+  test("blockedFuzzyPairs recovers planted mutants and honors window/maxDist") {
+    val recs = Seq(
+      (1L, "alpha centauri"), (2L, "alpha centaurx"),   // dist 1, same block
+      (3L, "alpha delta"),                              // dist > 2 from both
+      (4L, "gamma ray"), (5L, "gamma rat")).toDF("rec_id", "name")
+    val pairs = Resolution.blockedFuzzyPairs(recs, "rec_id", "name",
+        substring(col("name"), 1, 4), window = 5, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(pairs.map(t => (t._1, t._2)).toSet === Set((1L, 2L), (5L, 4L)))
+    assert(pairs.forall(_._3 <= 2))
+    // window = 0 is rejected; maxDist 0 keeps only exact duplicates
+    intercept[IllegalArgumentException] {
+      Resolution.blockedFuzzyPairs(recs, "rec_id", "name", col("name"), 0, 2)
+    }
+    val exact = Resolution.blockedFuzzyPairs(
+      recs.unionByName(Seq((6L, "gamma ray")).toDF("rec_id", "name")),
+      "rec_id", "name", substring(col("name"), 1, 4), 5, 0)
+    assert(exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((4L, 6L)))
+  }
+
+  test("blockedFuzzyPairs misses cross-block matches (documented recall loss)") {
+    val recs = Seq((1L, "abcd x"), (2L, "zbcd x")).toDF("rec_id", "name")
+    val got = Resolution.blockedFuzzyPairs(recs, "rec_id", "name",
+      substring(col("name"), 1, 4), 5, 2)
+    assert(got.count() === 0, "first-char mutation crosses prefix blocks")
+  }
+
+  test("triangleStats: K4, path, and edge normalization") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val k4row = Resolution.triangleStats(k4, "src", "dst").collect().head
+    assert((k4row.getLong(0), k4row.getLong(1), k4row.getLong(2),
+      k4row.getLong(3), k4row.getDouble(4)) === ((4L, 6L, 12L, 4L, 1.0)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Resolution.triangleStats(path, "src", "dst")
+      .collect().head.getLong(3) === 0L)
+    // duplicates, reversals, self-loops collapse before counting
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val m = Resolution.triangleStats(messy, "src", "dst").collect().head
+    assert((m.getLong(1), m.getLong(3)) === ((3L, 1L)))
+  }
+
+  test("profile: exact nulls/distincts and native-type min/max in one pass") {
+    val df = Seq[(java.lang.Long, String)]((9L, "b"), (10L, null), (null, "a"),
+      (10L, "a")).toDF("num", "str")
+    val got = Profiling.profile(df, Seq("num", "str"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    // native numeric min/max: 9 < 10 even though "10" < "9" lexically
+    assert(got("num") === ((4L, 1L, 2L, "9", "10")))
+    assert(got("str") === ((4L, 1L, 2L, "a", "b")))
+  }
+}

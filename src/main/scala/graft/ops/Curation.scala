@@ -82,6 +82,32 @@ object Curation {
   def shuffleKey(id: Column, salt: String = "shuffle"): Column =
     md5(concat(lit(salt + ":"), id.cast("string")).cast("binary"))
 
+  /** Weighted sampling WITHOUT replacement, k per stratum, deterministic:
+    * the Efraimidis–Spirakis exponential-jitter key. Each row draws
+    * u ∈ (0,1) from its salted hash (bucket midpoint, so u is never 0 or
+    * 1) and is ranked by -ln(u)/w ascending — the k smallest keys are a
+    * bona-fide weight-proportional sample without replacement, unlike the
+    * Bernoulli [[sampleKeep]] whose output size is only expected, not
+    * exact. Hash-derived u makes the draw reproducible and join-free at
+    * any scale; the rank-truncated per-stratum window compiles to
+    * WindowGroupLimit (per-partition top-k before the shuffle), so no
+    * stratum ever materializes fully sorted.
+    *
+    * @param weight strictly positive weight expression
+    * @return input columns + (`pos` 1..k within stratum, `wkey` the
+    *         jitter key) for the k winners per stratum */
+  def weightedSampleTopK(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, k: Int, salt: String = "wtopk"): DataFrame = {
+    require(k >= 1, s"weightedSampleTopK: k must be >= 1, got $k")
+    val u = (hashBucket(col(idCol), salt, 1000000) + lit(0.5)) / lit(1000000.0)
+    val key = -log(u) / weight
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("wkey"), col(idCol))
+    df.withColumn("wkey", key)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+  }
+
   // --- Distributed prefix sum + sequence packing ---------------------------
 
   /** Number of scan buckets for the two-phase prefix sum. */

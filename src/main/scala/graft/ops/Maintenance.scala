@@ -98,6 +98,43 @@ object Maintenance {
 
   /** Per-file min/max of a column (the stats pruning actually uses),
     * computed distributedly via the input_file_name of each row. */
+  /** Order-independent bucket checksums of a keyed table: each row folds
+    * into its hash bucket as a 60-bit integer fingerprint (first 15 hex
+    * chars of md5 over the key + content columns), summed exactly as
+    * decimal — addition is commutative/associative, so the checksum is
+    * identical for ANY row order or partitioning, which is what makes it
+    * comparable across engines, snapshots, and clusters.
+    *
+    * This is the Merkle-tree leaf level of anti-entropy table sync: to
+    * reconcile a 100 TB table against a replica, exchange `buckets`
+    * checksum rows (KBs) instead of the table, then re-read ONLY the
+    * buckets whose checksums disagree — see [[diffBuckets]].
+    *
+    * @return (bucket, n_rows, checksum) — one row per non-empty bucket */
+  def bucketChecksums(df: DataFrame, idCol: String, contentCols: Seq[String],
+      buckets: Int): DataFrame = {
+    // "\u0001"-separated so ("ab","c") and ("a","bc") cannot collide;
+    // concat_ws skips nulls on both engines (null ≡ absent, documented)
+    val fp = conv(substring(md5(concat_ws("\u0001",
+        (idCol +: contentCols).map(c => col(c).cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    df.groupBy(Curation.hashBucket(col(idCol), "sync", buckets).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(fp.cast("decimal(38,0)")).as("checksum"))
+  }
+
+  /** Buckets where two snapshots disagree (full outer on the bucket id:
+    * a bucket missing from one side, a row-count change, or any content
+    * change all surface). The return is the work list for the row-level
+    * re-read — the anti-entropy protocol touches only these buckets. */
+  def diffBuckets(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("bucket"), col("n_rows").as("n_a"), col("checksum").as("ck_a"))
+    val r = b.select(col("bucket"), col("n_rows").as("n_b"), col("checksum").as("ck_b"))
+    l.join(r, Seq("bucket"), "full_outer")
+      .filter(col("n_a").isNull || col("n_b").isNull ||
+        col("n_a") =!= col("n_b") || col("ck_a") =!= col("ck_b"))
+  }
+
   def fileStats(df: DataFrame, statCol: String): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),

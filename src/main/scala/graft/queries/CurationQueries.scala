@@ -185,6 +185,30 @@ object CurationQueries {
       |  round(avg(CASE WHEN keep THEN qraw END), 6) AS kept_avg_q
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement: exactly 5 docs per language,
+    * weight-proportional to n_chars, via the deterministic
+    * Efraimidis–Spirakis key ([[Curation.weightedSampleTopK]]). Unlike
+    * Bernoulli q46/q47 the sample size is exact, and the oracle replays
+    * the identical hash→jitter-key arithmetic. */
+  def q109WeightedTopK(s: SparkSession, d: String): DataFrame =
+    Curation.weightedSampleTopK(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", col("n_chars"), k = 5)
+      .select(col("lang"), col("pos"), col("doc_id"),
+        round(col("wkey") * 1000000.0, 6).as("wkey_ppm"))
+      .orderBy(col("lang"), col("pos"))
+
+  val q109Sql: String =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |    -ln((CAST('0x' || substr(md5('wtopk:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+      |      / n_chars AS wkey
+      |  FROM documents)
+      |SELECT lang,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY wkey, doc_id) AS BIGINT) AS pos,
+      |  doc_id, round(wkey * 1000000.0, 6) AS wkey_ppm
+      |FROM keyed QUALIFY pos <= 5 ORDER BY lang, pos""".stripMargin
+
   /** Deterministic corpus shuffle: first 30 docs in salted-hash order.
     * At scale the full shuffle is `orderBy(shuffleKey)` (a range-
     * partitioned sort); the gate pins the key order via global top-30. */
@@ -320,6 +344,7 @@ object CurationQueries {
     "q45_domain_mix" -> (q45DomainMix _),
     "q46_stratified_sample" -> (q46StratifiedSample _),
     "q47_weighted_sample" -> (q47WeightedSample _),
+    "q109_weighted_topk" -> (q109WeightedTopK _),
     "q49_corpus_shuffle" -> (q49CorpusShuffle _),
     "q53_incremental_dedup" -> (q53IncrementalDedup _),
     "q54_decontaminate" -> (q54Decontaminate _))
@@ -332,6 +357,7 @@ object CurationQueries {
     "q45_domain_mix" -> q45Sql,
     "q46_stratified_sample" -> q46Sql,
     "q47_weighted_sample" -> q47Sql,
+    "q109_weighted_topk" -> q109Sql,
     "q49_corpus_shuffle" -> q49Sql,
     "q53_incremental_dedup" -> q53Sql,
     "q54_decontaminate" -> q54Sql)

@@ -40,9 +40,55 @@ object MaintenanceQueries {
       |ORDER BY o_orderkey""".stripMargin
   }
 
+  /** Anti-entropy table sync: bucket checksums of the corpus vs a
+    * deterministically mutated snapshot (every 17th doc re-texted, every
+    * 29th dropped), diffed — returns exactly the buckets holding changed
+    * rows, with both sides' counts and checksums. The oracle rebuilds the
+    * same 60-bit row fingerprints and decimal sums in SQL; the full-outer
+    * bucket compare is the Merkle-leaf exchange a 100 TB replica sync
+    * ships instead of the table. */
+  def q110BucketDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val snapshot = docs.filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+    val a = graft.ops.Maintenance.bucketChecksums(
+      docs.select(col("doc_id"), col("text")), "doc_id", Seq("text"), 64)
+    val b = graft.ops.Maintenance.bucketChecksums(snapshot, "doc_id", Seq("text"), 64)
+    graft.ops.Maintenance.diffBuckets(a, b)
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("ck_a").cast("string").as("ck_a"),
+        col("ck_b").cast("string").as("ck_b"))
+      .orderBy(col("bucket"))
+  }
+
+  val q110Sql: String =
+    """WITH snap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 29 <> 0),
+      |ck_a AS (
+      |  SELECT CAST('0x' || substr(md5('sync:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
+      |    count(*) AS n_a,
+      |    sum(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_a
+      |  FROM documents GROUP BY 1),
+      |ck_b AS (
+      |  SELECT CAST('0x' || substr(md5('sync:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
+      |    count(*) AS n_b,
+      |    sum(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_b
+      |  FROM snap GROUP BY 1)
+      |SELECT bucket, n_a, n_b,
+      |  CAST(ck_a AS VARCHAR) AS ck_a, CAST(ck_b AS VARCHAR) AS ck_b
+      |FROM ck_a FULL OUTER JOIN ck_b USING (bucket)
+      |WHERE n_a IS NULL OR n_b IS NULL OR n_a <> n_b OR ck_a <> ck_b
+      |ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_bucket_diff" -> (q110BucketDiff _),
     "q55_zorder" -> (q55ZOrder _))
 
   val oracles: Map[String, String] = Map(
+    "q110_bucket_diff" -> q110Sql,
     "q55_zorder" -> q55Sql)
 }

@@ -125,6 +125,26 @@ class CurationSpec extends SparkSpec {
     assert(graft.ops.Dedup.minhashNearDupPairs(emptyText, "id", "text").count() == 0)
   }
 
+  test("weightedSampleTopK: exact k per stratum, no replacement, weight bias") {
+    val rows = (1L to 200L).map(i =>
+      (i, if (i <= 100) "a" else "b", if (i == 7L) 1000000000L else 10L))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Curation.weightedSampleTopK(df, "id", "grp", col("w"), k = 5)
+      .select("grp", "id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 5)
+    assert(got.map(_._2).distinct.length == 10, "without replacement")
+    // a weight 8 orders of magnitude above its peers is (for any of the
+    // 1e6 possible u draws) certain to be selected
+    assert(got.exists(_._2 == 7L), "overwhelming weight must win a slot")
+    // deterministic across invocations; different salt → different draw
+    val again = Curation.weightedSampleTopK(df, "id", "grp", col("w"), 5)
+      .select("grp", "id").as[(String, Long)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    val other = Curation.weightedSampleTopK(df, "id", "grp", col("w"), 5, "s2")
+      .select("grp", "id").as[(String, Long)].collect()
+    assert(other.sorted.toSeq != got.sorted.toSeq)
+  }
+
   test("contaminatedIds flags planted overlap only") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Maintenance, ZOrder}
+import graft.ops.{Curation, Maintenance, ZOrder}
 
 /** File-layout maintenance (compaction, clustered writes) and z-order
   * locality — the parts of the maintenance family the SQL oracle can't
@@ -101,6 +101,25 @@ class MaintenanceSpec extends SparkSpec {
     val out = spark.read.parquet(dest)
     assert(out.count() == docs.count())
     assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)
+  }
+
+  test("bucketChecksums: order/partitioning invariant; diffBuckets pinpoints edits") {
+    val base = (1L to 500L).map(i => (i, s"content $i")).toDF("id", "v")
+    val a = Maintenance.bucketChecksums(base, "id", Seq("v"), 32)
+    // same rows, different physical order and partitioning → same sums
+    val shuffled = Maintenance.bucketChecksums(
+      base.orderBy(rand(42)).repartition(7), "id", Seq("v"), 32)
+    assert(a.orderBy("bucket").collect().toSeq ==
+      shuffled.orderBy("bucket").collect().toSeq)
+    assert(Maintenance.diffBuckets(a, shuffled).count() == 0)
+    // one edited row + one deleted row → only their buckets differ
+    val mutated = base.filter($"id" =!= 400L)
+      .withColumn("v", when($"id" === 123L, lit("EDITED")).otherwise($"v"))
+    val b = Maintenance.bucketChecksums(mutated, "id", Seq("v"), 32)
+    val diff = Maintenance.diffBuckets(a, b).select("bucket").as[Long].collect().toSet
+    val bucketOf = base.filter($"id".isin(123L, 400L))
+      .select(Curation.hashBucket($"id", "sync", 32)).as[Long].collect().toSet
+    assert(diff == bucketOf, s"diff=$diff expected=$bucketOf")
   }
 
   test("compacted files have non-overlapping sort-key ranges") {

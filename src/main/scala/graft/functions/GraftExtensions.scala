@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_jaccard takes exactly 2 arguments")
         JaccardSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bounded_lev"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_bounded_lev",
+        "graft_bounded_lev(a, b, k) - Levenshtein distance if <= k, else k+1 " +
+          "(banded DP, early exit)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "graft_bounded_lev takes exactly 3 arguments")
+        BoundedLevenshtein(children.head, children(1), children(2))
+      }))
     // Column-composition operators surfaced to SQL as raw Catalyst trees
     // built from the SAME built-in expression classes the Column forms
     // compose (a Column can't round-trip through a function builder — the

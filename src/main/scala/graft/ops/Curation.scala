@@ -172,6 +172,43 @@ object Curation {
     df.withColumn("copy", explode(when(timesCol >= 1, sequence(lit(1), timesCol))))
   }
 
+  // --- Training-sequence assembly ------------------------------------------
+
+  /** Assemble per-user chronological event histories — the
+    * "logs → training sequences" step of a behavioral-LM pipeline. Each
+    * user keeps their most recent `maxLen` events, oldest→newest.
+    *
+    * Scale shape: events are rank-truncated per user BEFORE any
+    * collection (row_number over (ts, id) descending, keep ≤ maxLen), so
+    * the grouped state is bounded even for bot-grade heavy hitters; the
+    * final collect_list holds at most maxLen structs per user, and the
+    * array sort is per-row work. One shuffle, keyed on the user.
+    *
+    * @return (userCol, n_events [kept], first_ts, last_ts [epoch µs],
+    *         history: ARRAY<STRING> of "epochµs:event") */
+  def userHistories(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, eventCol: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"userHistories: maxLen must be >= 1, got $maxLen")
+    // ordering by epoch-µs is ordering by the timestamp (unix_micros is
+    // monotone), so the rank can run after the projection
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__tsu").desc, col("__eid").desc)
+    val kept = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__tsu"),
+        col(idCol).as("__eid"), col(eventCol).cast("string").as("__ev"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+    kept.groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__tsu")).as("first_ts"),
+        max(col("__tsu")).as("last_ts"),
+        transform(
+          sort_array(collect_list(struct(col("__tsu"), col("__eid"), col("__ev")))),
+          e => concat(e.getField("__tsu").cast("string"), lit(":"),
+            e.getField("__ev"))).as("history"))
+  }
+
   // --- Decontamination -----------------------------------------------------
 
   /** Ids of corpus docs sharing at least one word k-gram with any benchmark

@@ -184,7 +184,33 @@ object StreamQueries {
       |FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** Per-user training-sequence assembly: each sampled user's 20 most
+    * recent events as a chronological "epochµs:type" array
+    * ([[graft.ops.Curation.userHistories]] — rank-truncated BEFORE
+    * collection, so per-user state is bounded at any scale). */
+  def q111UserHistory(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.userHistories(
+        Tables.events(s, d).filter(col("user_id") % 20 === 0),
+        "user_id", "ts", "event_id", "event_type", maxLen = 20)
+      // the gate compare hashes scalar cells — arrays ride as a joined
+      // string, the q29 device
+      .select(col("user_id"), col("n_events"), col("first_ts"),
+        col("last_ts"), array_join(col("history"), "|").as("history"))
+      .orderBy(col("user_id"))
+
+  val q111Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id % 20 = 0)
+      |SELECT user_id, count(*) AS n_events,
+      |  min(tsu) AS first_ts, max(tsu) AS last_ts,
+      |  string_agg(CAST(tsu AS VARCHAR) || ':' || event_type, '|' ORDER BY tsu, event_id) AS history
+      |FROM ranked WHERE rn <= 20
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_user_history" -> (q111UserHistory _),
     "q65_gapfill" -> (q65GapFill _),
     "q67_funnel" -> (q67Funnel _),
     "q68_retention" -> (q68Retention _),
@@ -194,6 +220,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q111_user_history" -> q111Sql,
     "q65_gapfill" -> q65Sql,
     "q67_funnel" -> q67Sql,
     "q68_retention" -> q68Sql,

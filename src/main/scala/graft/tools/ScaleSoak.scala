@@ -89,6 +89,44 @@ object ScaleSoak {
       graft.ops.GraphOps.pageRank(prEdges, "src", "dst", iters = 3)
         .agg(round(sum(col("rank")), 6)).collect()(0).getDouble(0))
 
+    time("bm25_50k_docs")(
+      graft.ops.TextRanking.bm25(docs10, "doc_id", "text",
+        Seq("dup", "vector", "spark")).count())
+    time("negative_sample_20q_x_50k")(
+      graft.ops.TextRanking.negativeSample(docs10, "doc_id",
+        docs1.filter(col("doc_id") < 20).select(col("doc_id").as("qid")),
+        "qid", k = 10).count())
+    time("weighted_topk_50k_docs")(
+      graft.ops.Curation.weightedSampleTopK(
+        docs10.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", col("n_chars"), k = 100).count())
+    time("bucket_checksums_50k_docs")(
+      graft.ops.Maintenance.bucketChecksums(
+        docs10.select(col("doc_id"), col("text")), "doc_id", Seq("text"),
+        1024).count())
+    // fuzzy pairs at 10×: replicas share names → every block fills its
+    // window; candidates stay O(n·window) by construction
+    val parts10 = {
+      val p1 = spark.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      (0 until 10).map(i =>
+        p1.withColumn("rec_id", col("rec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+    }
+    time("fuzzy_pairs_200k_records")(
+      graft.ops.Resolution.blockedFuzzyPairs(parts10, "rec_id", "name",
+        substring(col("name"), 1, 4), window = 7, maxDist = 2).count())
+    time("ivfpq_5q_x_20k_vecs")({
+      val cells = graft.ops.Similarity.trainCentroids(
+        emb10, "vec_id", "embedding", kCells = 10, iters = 1)
+      val codebook = graft.ops.ProductQuantization.seedCodebook(
+        emb10, "vec_id", "embedding", m = 8, k = 16)
+      graft.ops.ProductQuantization.searchIvfPq(
+        emb10, "vec_id", "embedding", queries.filter(col("qid") < 5),
+        "qid", "qvec", cells, "cid", "cvec", codebook,
+        m = 8, k = 10, nprobe = 4, rerank = 100).count()
+    })
+
     val ev1 = graft.queries.Tables.events(spark, d)
     val ev10 = (0 until 10).map(i =>
       ev1.withColumn("event_id", col("event_id") + lit(i * 10000000L))

@@ -16,6 +16,13 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Public aliases for `private[sql]` type-coercion types, so custom
+  * expressions outside the sql package tree can implement
+  * `ImplicitCastInputTypes.inputTypes` (Spark 4 hid `AbstractDataType`). */
+object TypeBridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+}
+
 /** Arrow IPC ⇄ DataFrame through Spark's internal converters (the same
   * machinery PySpark's createDataFrame-from-Arrow uses). */
 object ArrowBridge {

@@ -73,6 +73,37 @@ class CosineExprSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
   }
 
+  test("graft_bounded_lev: exact ≤ bound, capped above, built-in equivalence") {
+    // randomized cross-check against Spark's built-in levenshtein: the
+    // bounded value must equal the unbounded one whenever that is <= k,
+    // and be exactly k+1 otherwise
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "abcx"
+    def word() = (0 until rnd.nextInt(12)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = (1 to 300).map(_ => (word(), word()))
+    for (k <- Seq(0, 1, 2, 3)) {
+      val got = pairs.toDF("a", "b").select(
+          graft.functions.BoundedLevenshtein($"a", $"b", lit(k)).as("bl"),
+          levenshtein($"a", $"b").as("full"))
+        .as[(Int, Int)].collect()
+      got.foreach { case (bl, full) =>
+        if (full <= k) assert(bl == full, s"k=$k: bounded $bl != exact $full")
+        else assert(bl == k + 1, s"k=$k: expected cap ${k + 1}, got $bl (full $full)")
+      }
+    }
+    // SQL registration, nulls, degenerate bounds
+    val r = spark.sql(
+      """SELECT graft_bounded_lev('kitten', 'sitting', 3) AS d1,
+        |       graft_bounded_lev('kitten', 'sitting', 2) AS d2,
+        |       graft_bounded_lev(NULL, 'x', 2) AS d3,
+        |       graft_bounded_lev('', 'ab', 2) AS d4,
+        |       graft_bounded_lev('same', 'same', 0) AS d5""".stripMargin).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3)
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) == 2 && r.getInt(4) == 0)
+  }
+
   test("whole-stage codegen handles the expression (no fallback)") {
     val a = emb.select($"vec_id".as("ida"), $"embedding".as("va"))
     val b = emb.select($"vec_id".as("idb"), $"embedding".as("vb"))

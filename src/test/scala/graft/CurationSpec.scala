@@ -145,6 +145,25 @@ class CurationSpec extends SparkSpec {
     assert(other.sorted.toSeq != got.sorted.toSeq)
   }
 
+  test("userHistories truncates to the most recent maxLen, oldest-first") {
+    val ev = (1L to 30L).map(i =>
+      (7L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000 + i)),
+        i, s"e$i")) :+
+      (8L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(5)), 99L, "solo")
+    val df = ev.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Curation.userHistories(df, "user_id", "ts", "event_id",
+        "event_type", maxLen = 10)
+      .orderBy("user_id").collect()
+    val u7 = got(0)
+    assert(u7.getLong(1) == 10, "kept exactly maxLen")
+    val hist = u7.getSeq[String](4)
+    // most recent 10 of 30 events, in chronological order
+    assert(hist.map(_.split(":")(1)).toSeq == (21 to 30).map(i => s"e$i"))
+    assert(u7.getLong(2) == 1021L * 1000000 && u7.getLong(3) == 1030L * 1000000)
+    val u8 = got(1)
+    assert(u8.getLong(1) == 1 && u8.getSeq[String](4) == Seq("5000000:solo"))
+  }
+
   test("contaminatedIds flags planted overlap only") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
     val corpus = Seq(

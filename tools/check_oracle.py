@@ -16,11 +16,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types for compare
+    # canonicalize types for compare (ndarray: pandas reads parquet lists
+    # as numpy arrays, which neither hash nor sort)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list,)) else v)
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 

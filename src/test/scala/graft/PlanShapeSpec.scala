@@ -180,4 +180,31 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"only the final sort may exchange:\n$plan")
   }
+
+  test("q101 bm25: df and corpus stats broadcast, top-k is TakeOrdered, no product") {
+    val plan = executed(graft.queries.RetrievalQueries.q101Bm25(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"tf⋈df must broadcast, not shuffle:\n$plan")
+  }
+
+  test("q103 fuzzy pairs: banded equi-join (no product), bounded-lev verify in codegen") {
+    val plan = executed(graft.queries.ResolutionQueries.q103FuzzyNames(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must stay an equi-join on (block, band):\n$plan")
+    assert(plan.contains("graft_bounded_lev"), plan)
+  }
+
+  test("q110 bucket diff: two aggregated sides meet in one small full-outer join") {
+    val plan = executed(graft.queries.MaintenanceQueries.q110BucketDiff(spark, sfDir))
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both sides pre-aggregate (partial_) before their exchanges — the
+    // join only ever sees `buckets` rows per side
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")), plan)
+  }
 }

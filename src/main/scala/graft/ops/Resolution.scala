@@ -71,6 +71,32 @@ object Resolution {
       .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"), col("dist"))
   }
 
+  /** Multi-pass blocking: union of [[blockedFuzzyPairs]] runs under
+    * several independent blocking keys, deduplicated on the pair. The
+    * standard recovery for single-pass blocking's recall loss — a match
+    * split by one key (e.g. a typo in the prefix) is almost never split
+    * by an orthogonal one (a suffix or a sorted-token key). Cost is the
+    * sum of the passes (each linear in n·window); dedup is one
+    * aggregate keyed on the pair. Canonical pair orientation: the pair
+    * is emitted as (min id, max id) so the same match found in two
+    * passes under opposite block orders collapses. */
+  def multiPassFuzzyPairs(df: DataFrame, idCol: String, keyCol: String,
+      blockExprs: Seq[Column], window: Int, maxDist: Int): DataFrame = {
+    require(blockExprs.nonEmpty, "multiPassFuzzyPairs: need >= 1 blocking key")
+    blockExprs
+      .map(blockedFuzzyPairs(df, idCol, keyCol, _, window, maxDist))
+      .reduce(_ unionByName _)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") <= col("id_b"), col("key_a")).otherwise(col("key_b")).as("key_a"),
+        when(col("id_a") <= col("id_b"), col("key_b")).otherwise(col("key_a")).as("key_b"),
+        col("dist"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("key_a")).as("key_a"), min(col("key_b")).as("key_b"),
+        min(col("dist")).as("dist"))
+  }
+
   /** Exact triangle count and global clustering coefficient of an
     * undirected graph given as canonical edges (src < dst, deduplicated —
     * enforced here defensively since a duplicate or reversed edge would

@@ -44,6 +44,65 @@ object ResolutionQueries {
       |WHERE levenshtein(a.name, c.name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Multi-pass fuzzy linkage: even-keyed mutants rewrite the FIRST
+    * character (invisible to the prefix block of q103), odd-keyed
+    * mutants the last (invisible to an ignore-first-char key). Pass 1
+    * blocks on the 4-char prefix, pass 2 on the name minus its first
+    * character; the union-dedup recovers both planted families — the
+    * standard recall repair for single-pass blocking. */
+  def q112MultiPassFuzzy(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d).filter(col("p_partkey") < 150)
+      .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+    val mutants = base
+      .select((col("rec_id") + 10000L).as("rec_id"),
+        when(col("rec_id") % 2 === 0,
+          regexp_replace(col("name"), "^.", "z"))
+          .otherwise(regexp_replace(col("name"), ".$", "x")).as("name"))
+    val recs = base.unionByName(mutants)
+    Resolution.multiPassFuzzyPairs(recs, "rec_id", "name",
+        Seq(substring(col("name"), 1, 4),
+          col("name").substr(lit(2), length(col("name")))),
+        window = 7, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q112Sql: String =
+    """WITH recs AS (
+      |  SELECT p_partkey AS rec_id, p_name AS name FROM part WHERE p_partkey < 150
+      |  UNION ALL
+      |  SELECT p_partkey + 10000,
+      |    CASE WHEN p_partkey % 2 = 0 THEN regexp_replace(p_name, '^.', 'z')
+      |         ELSE regexp_replace(p_name, '.$', 'x') END
+      |  FROM part WHERE p_partkey < 150),
+      |pos1 AS (
+      |  SELECT rec_id, name, substr(name, 1, 4) AS b,
+      |    CAST(row_number() OVER (PARTITION BY substr(name, 1, 4)
+      |      ORDER BY name, rec_id) AS BIGINT) AS p
+      |  FROM recs),
+      |pos2 AS (
+      |  SELECT rec_id, name, substr(name, 2, length(name)) AS b,
+      |    CAST(row_number() OVER (PARTITION BY substr(name, 2, length(name))
+      |      ORDER BY name, rec_id) AS BIGINT) AS p
+      |  FROM recs),
+      |raw AS (
+      |  SELECT a.rec_id AS ia, c.rec_id AS ib, a.name AS ka, c.name AS kb,
+      |    CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist
+      |  FROM pos1 a JOIN pos1 c ON a.b = c.b AND c.p > a.p AND c.p <= a.p + 7
+      |  WHERE levenshtein(a.name, c.name) <= 2
+      |  UNION ALL
+      |  SELECT a.rec_id, c.rec_id, a.name, c.name,
+      |    CAST(levenshtein(a.name, c.name) AS BIGINT)
+      |  FROM pos2 a JOIN pos2 c ON a.b = c.b AND c.p > a.p AND c.p <= a.p + 7
+      |  WHERE levenshtein(a.name, c.name) <= 2),
+      |canon AS (
+      |  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+      |    CASE WHEN ia <= ib THEN ka ELSE kb END AS key_a,
+      |    CASE WHEN ia <= ib THEN kb ELSE ka END AS key_b, dist
+      |  FROM raw)
+      |SELECT id_a, id_b, min(key_a) AS key_a, min(key_b) AS key_b,
+      |  min(dist) AS dist
+      |FROM canon GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
   /** Triangle census of the supplier co-occurrence graph (suppliers
     * sharing an order, every 10th order): vertex/edge/wedge/triangle
     * counts and the global clustering coefficient. */
@@ -100,11 +159,13 @@ object ResolutionQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_fuzzy_names" -> (q103FuzzyNames _),
+    "q112_multipass_fuzzy" -> (q112MultiPassFuzzy _),
     "q104_triangles" -> (q104Triangles _),
     "q105_profile" -> (q105Profile _))
 
   val oracles: Map[String, String] = Map(
     "q103_fuzzy_names" -> q103Sql,
+    "q112_multipass_fuzzy" -> q112Sql,
     "q104_triangles" -> q104Sql,
     "q105_profile" -> q105Sql)
 }

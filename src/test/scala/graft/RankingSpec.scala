@@ -102,6 +102,26 @@ class RankingSpec extends SparkSpec {
     assert(got.count() === 0, "first-char mutation crosses prefix blocks")
   }
 
+  test("multiPassFuzzyPairs: orthogonal keys recover what one pass misses") {
+    val recs = Seq(
+      (1L, "alpha beta"), (2L, "zlpha beta"),   // first-char mutant
+      (3L, "gamma rho"), (4L, "gamma rhx"),     // last-char mutant
+      (5L, "unrelated thing")).toDF("rec_id", "name")
+    val prefix = substring(col("name"), 1, 4)
+    val tail = col("name").substr(lit(2), length(col("name")))
+    def pairs(ks: Seq[org.apache.spark.sql.Column]) =
+      Resolution.multiPassFuzzyPairs(recs, "rec_id", "name", ks, 5, 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(Seq(prefix)) === Set((3L, 4L)), "prefix alone misses first-char")
+    assert(pairs(Seq(tail)) === Set((1L, 2L)), "tail alone misses last-char")
+    assert(pairs(Seq(prefix, tail)) === Set((1L, 2L), (3L, 4L)))
+    // dedup law: a pair found by both passes appears once with its dist
+    val dup = Seq((1L, "same name"), (2L, "same name")).toDF("rec_id", "name")
+    val got = Resolution.multiPassFuzzyPairs(dup, "rec_id", "name",
+      Seq(prefix, tail), 5, 2).collect()
+    assert(got.length == 1 && got.head.getLong(4) == 0L)
+  }
+
   test("triangleStats: K4, path, and edge normalization") {
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
       .toDF("src", "dst")

@@ -85,6 +85,37 @@ object EventStreams {
       }
   }
 
+  case class HistState(recent: List[(Long, Long, String)]) // (tsµs, id, type), newest-first
+  case class History(user_id: Long, n_events: Long, first_ts: Long,
+      last_ts: Long, history: Seq[String])
+
+  /** Streaming twin of [[graft.ops.Curation.userHistories]]: a bounded
+    * per-user buffer of the `maxLen` most recent events, maintained with
+    * mapGroupsWithState and re-emitted (Update mode) whenever the user
+    * sees traffic. State is O(maxLen) per user BY CONSTRUCTION — the
+    * merge truncates before updating, so a bot user costs the same state
+    * as anyone else; the batch operator gets the same bound from its
+    * rank-truncate-before-collect. The final emission per user equals
+    * the batch result on the same events (StreamingSpec pins this). */
+  def userHistoriesStream(events: Dataset[Event], maxLen: Int): Dataset[History] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[HistState, History](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[HistState]) =>
+          def micros(e: Event): Long = {
+            val inst = e.ts.toInstant
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          }
+          val incoming = batch.map(e => (micros(e), e.event_id, e.event_type))
+          val merged = (state.getOption.map(_.recent).getOrElse(Nil) ++ incoming)
+            .sortBy(t => (-t._1, -t._2)).take(maxLen)
+          state.update(HistState(merged))
+          val chrono = merged.reverse
+          History(userId, chrono.size.toLong, chrono.head._1, chrono.last._1,
+            chrono.map(t => s"${t._1}:${t._3}"))
+      }
+  }
+
   /** Per-type stats with JSON prop extraction (semi-structured path). */
   def typeStats(events: DataFrame): DataFrame =
     events

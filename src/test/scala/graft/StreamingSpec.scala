@@ -207,4 +207,39 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally query.stop()
   }
+
+  test("stateful user histories: final stream state matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = sampleEvents
+    val stream = MemoryStream[Event]
+    val query = EventStreams.userHistoriesStream(stream.toDS(), maxLen = 10)
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("update").start()
+    try {
+      // two triggers, split mid-stream: the buffer must merge across them
+      val (first, second) = events.splitAt(events.size / 2)
+      stream.addData(first); query.processAllAvailable()
+      stream.addData(second); query.processAllAvailable()
+      // Update mode re-emits a row per (trigger, active user): the final
+      // snapshot per user is the one with the greatest (last_ts,
+      // n_events) — monotone across triggers for this in-order feed, and
+      // independent of memory-sink row order
+      val streamed = spark.table("hist_out")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("first_ts"), col("last_ts"), col("history")),
+          struct(col("last_ts"), col("n_events"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.first_ts").as("first_ts"), col("s.last_ts").as("last_ts"),
+          array_join(col("s.history"), "|").as("h"))
+        .orderBy("user_id").collect().toSeq
+      val batch = graft.ops.Curation.userHistories(
+          events.toDF(), "user_id", "ts", "event_id", "event_type", maxLen = 10)
+        .select(col("user_id"), col("n_events"), col("first_ts"),
+          col("last_ts"), array_join(col("history"), "|").as("h"))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch, s"stream=${streamed.take(2)} batch=${batch.take(2)}")
+      assert(batch.nonEmpty && batch.forall(_.getLong(1) <= 10))
+    } finally query.stop()
+  }
 }

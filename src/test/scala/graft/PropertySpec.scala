@@ -97,6 +97,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-pass fuzzy pairs = brute-force lev≤k pairs on random names (coarse keys)") {
+    // with a single-character blocking alphabet the block keys are coarse
+    // enough that the window covers whole blocks — blocking then loses no
+    // recall and the result must EQUAL the quadratic ground truth
+    val nameGen = Gen.chooseNum(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val recs = samples(nameGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = recs.toDF("rec_id", "name")
+    val w = recs.size // window spans any block entirely
+    val got = graft.ops.Resolution.multiPassFuzzyPairs(df, "rec_id", "name",
+        Seq(substring(col("name"), 1, 1), length(col("name")).cast("string")),
+        window = w, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // ground truth restricted to the pairs these keys CAN see: a
+    // substitution preserves the length key, but an insert/delete at
+    // position 0 changes both keys, so those (rare) pairs are legitimate
+    // blocking misses and are excluded from the expected set
+    val truth = (for {
+      (ia, ka) <- recs; (ib, kb) <- recs if ia < ib
+      if lev(ka, kb) <= 1
+      if ka.head == kb.head || ka.length == kb.length
+    } yield (ia, ib)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("bucket checksums detect any random single-row edit") {
+    val rows = (1L to 300L).map(i => (i, s"payload $i"))
+    val base = graft.ops.Maintenance.bucketChecksums(
+      rows.toDF("id", "v"), "id", Seq("v"), 16).orderBy("bucket").collect()
+    val editIds = samples(Gen.chooseNum(1L, 300L), 20).distinct
+    editIds.foreach { id =>
+      val mutated = rows.map { case (i, v) =>
+        (i, if (i == id) v + "!" else v) }.toDF("id", "v")
+      val b = graft.ops.Maintenance.bucketChecksums(mutated, "id", Seq("v"), 16)
+        .orderBy("bucket").collect()
+      val differing = base.zip(b).count { case (x, y) => x != y }
+      assert(differing == 1, s"edit of id=$id must flip exactly its bucket")
+    }
+  }
+
   test("redactPii never leaves a match for any concatenation of pii snippets") {
     val pii = Gen.oneOf(
       "x@y.io", "a.b-c@d.org", "10.0.0.1", "255.255.255.255", "555-123-4567",

@@ -15,6 +15,13 @@ object ArrowIngest {
     org.apache.spark.sql.graft.ArrowBridge.ipcStreamToDataFrame(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], ipcStream)
 
+  /** Reverse direction: encode a DataFrame as one self-contained Arrow
+    * IPC stream — catalog export / cross-engine handoff of an op-12
+    * payload. Round-trips with [[ipcToDataFrame]] (fidelity pinned in
+    * ArrowIngestSpec, nulls and empty frames included). */
+  def dataFrameToIpc(df: DataFrame): Array[Byte] =
+    org.apache.spark.sql.graft.ArrowBridge.dataFrameToIpcStream(df)
+
   /** Spec op 12 in one call: CREATE TABLE from the IPC schema, then append
     * the IPC rows. Table must not already exist. */
   def createTableWithData(spark: SparkSession, tableName: String,

@@ -60,4 +60,28 @@ object ArrowBridge {
 
   /** Schema embedded in an IPC stream, without materializing rows. */
   def ipcStreamSchema(bytes: Array[Byte]): StructType = readStreamSchema(bytes)
+
+  /** Encode a DataFrame as one Arrow IPC stream (schema + batches) — the
+    * reverse of [[ipcStreamToDataFrame]], for serving spec-op-12 payloads
+    * back out (catalog export, cross-engine handoff). Driver-side like
+    * the decode: op-12 payloads are table-creation sized by contract.
+    * A single batch carries all rows so the result is one self-contained
+    * stream; empty frames encode as a schema-only stream. */
+  def dataFrameToIpcStream(df: DataFrame): Array[Byte] = {
+    val schema = df.schema
+    val rows = df.queryExecution.executedPlan.executeCollect()
+    if (rows.isEmpty)
+      ArrowConverters.createEmptyArrowBatch(schema, "UTC",
+        errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    else {
+      val chunks = ArrowConverters.toBatchWithSchemaIterator(
+        rows.iterator, schema, Long.MaxValue, Long.MaxValue, "UTC",
+        errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+      val all = chunks.toSeq
+      // one batch by construction (no record/size cap) — concatenating
+      // multiple schema-bearing chunks would not be a single valid stream
+      require(all.size == 1, s"expected one arrow chunk, got ${all.size}")
+      all.head
+    }
+  }
 }

@@ -87,4 +87,23 @@ class ArrowIngestSpec extends SparkSpec {
     // schema round-tripped through the catalog's JSON Arrow codec
     assert(spark.table("graft.arrow.ingested").schema("score").dataType.typeName == "double")
   }
+
+  test("export: DataFrame → IPC → DataFrame round-trips values, nulls, empty") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, null, null), (null, "c", -0.25))
+      .toDF("id", "name", "score")
+    val back = ArrowIngest.ipcToDataFrame(spark, ArrowIngest.dataFrameToIpc(df))
+    assert(back.schema == df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // schema-only stream for an empty frame, decodable like the
+    // reference's canonical empty payload
+    val empty = ArrowIngest.ipcToDataFrame(spark,
+      ArrowIngest.dataFrameToIpc(df.limit(0)))
+    assert(empty.schema == df.schema && empty.count() == 0)
+    // and the exported bytes feed op-12 table creation directly
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.arrow")
+    ArrowIngest.createTableWithData(spark, "graft.arrow.exported",
+      ArrowIngest.dataFrameToIpc(df))
+    assert(spark.table("graft.arrow.exported").count() == 3)
+  }
 }

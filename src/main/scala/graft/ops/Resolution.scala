@@ -114,12 +114,41 @@ object Resolution {
     *         clustering) where clustering = 3·triangles/wedges (0 when
     *         the graph has no wedges)
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleStatsOriented(edges, srcCol, dstCol, byDegree = false)
+
+  /** [[triangleStats]] with the hub-resilient orientation: edges point
+    * from the lower-(degree, id) endpoint to the higher, so a hub's
+    * out-degree — and therefore the wedge fan-out of the e1⋈e2 join — is
+    * bounded by O(√m) regardless of how skewed the degree distribution
+    * is (the classic compact-forward guarantee: total wedges ≤ O(m^1.5)).
+    * Same triangle count as the id orientation — every triangle has
+    * exactly one source under any total order on vertices — but the
+    * join's skew channel is gone; this is the variant to run when the
+    * graph has celebrities. */
+  def triangleStatsDegreeOrdered(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    triangleStatsOriented(edges, srcCol, dstCol, byDegree = true)
+
+  private def triangleStatsOriented(edges: DataFrame, srcCol: String,
+      dstCol: String, byDegree: Boolean): DataFrame = {
+    val undirected = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+    val e = (if (!byDegree) undirected else {
+      // re-orient by (degree, id): the struct key is a total order, so
+      // exactly one direction survives per edge
+      val deg = undirected.select(col("a").as("v"))
+        .unionByName(undirected.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keyed = undirected
+        .join(deg.select(col("v").as("a"), struct(col("d"), col("v")).as("__ka")), Seq("a"))
+        .join(deg.select(col("v").as("b"), struct(col("d"), col("v")).as("__kb")), Seq("b"))
+      keyed.select(
+        when(col("__ka") < col("__kb"), col("a")).otherwise(col("b")).as("a"),
+        when(col("__ka") < col("__kb"), col("b")).otherwise(col("a")).as("b"))
+    }).localCheckpoint()
     val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val wedges = deg.agg(

@@ -122,6 +122,39 @@ object TextRanking {
       .select(col("__id").as(idCol), col("rrf"), col("n_lists"))
   }
 
+  /** Per-document keyword extraction: the k highest-tf·idf terms of each
+    * document (df over the FULL corpus, documents to tag selectable by
+    * `docFilter`). Each term's score is a single product — tf·ln(N/df) —
+    * so no float accumulation exists to destabilize; ranking ties break
+    * on the term. Same two-aggregate shape as [[bm25]] (one exploded
+    * token shuffle; df derived from the corpus tf aggregate; corpus size
+    * broadcast as a 1-row aggregate), with the per-doc top-k as a
+    * rank-truncated window (WindowGroupLimit). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, docFilter: Column = lit(true)): DataFrame = {
+    require(k >= 1, s"topTerms: k must be >= 1, got $k")
+    val toks = TextFunctions.widen(docs)
+      .select(col(idCol).as("__id"), col(textCol).as("__text"),
+        docFilter.as("__keep"))
+      .select(col("__id"), col("__keep"),
+        explode(TextFunctions.tokens(col("__text"))).as("__t"))
+    val tfAll = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"), first(col("__keep")).as("__keep"))
+    val dfreq = tfAll.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tfAll.filter(col("__keep"))
+      .join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(n))
+      .select(col("__id"), col("__t"),
+        (col("__tf") * log(col("__n").cast("double") / col("__df"))).as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(col("score").desc, col("__t"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank"), col("__t").as("term"),
+        col("score"))
+  }
+
   /** Deterministic negative sampling for contrastive pairs: for each
     * query id, the k corpus ids with the smallest salted hash
     * md5(salt:qid:cand) — uniform, reproducible, and join-free to audit

@@ -78,6 +78,33 @@ object RetrievalQueries {
        |  count(*) AS n_lists
        |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin
 
+  /** Keyword extraction: top-3 tf·idf terms per sampled document, df over
+    * the full corpus ([[TextRanking.topTerms]]) — the topic-tagging
+    * primitive of a curation pipeline. */
+  def q113Keywords(s: SparkSession, d: String): DataFrame =
+    TextRanking.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3,
+        docFilter = col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  val q113Sql: String =
+    """WITH toks AS (
+      |  SELECT id, t FROM (
+      |    SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |    FROM documents)),
+      |tf AS (SELECT id, t, count(*) AS tf FROM toks GROUP BY id, t),
+      |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT id, t, tf * ln(CAST(n AS DOUBLE) / df) AS score
+      |  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+      |  WHERE id % 25 = 0)
+      |SELECT id AS doc_id,
+      |  CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, t) AS BIGINT) AS rank,
+      |  t AS term, round(score, 6) AS score
+      |FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Deterministic negative sampling: 5 hash-chosen negatives for each of
     * the first 5 docs (contrastive-pair mining, reproducible run-to-run). */
   def q106NegativeSample(s: SparkSession, d: String): DataFrame = {
@@ -102,10 +129,12 @@ object RetrievalQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
-    "q106_negative_sample" -> (q106NegativeSample _))
+    "q106_negative_sample" -> (q106NegativeSample _),
+    "q113_keywords" -> (q113Keywords _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
-    "q106_negative_sample" -> q106Sql)
+    "q106_negative_sample" -> q106Sql,
+    "q113_keywords" -> q113Sql)
 }

@@ -38,6 +38,21 @@ class RankingSpec extends SparkSpec {
     assert(banana > pie, s"idf discrimination: $banana should beat $pie")
   }
 
+  test("topTerms: rare terms outrank common ones; k and df-scope honored") {
+    // "apple" df=2, "pie" df=3, "banana"/"split" df=1
+    val got = TextRanking.topTerms(tiny, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.count(_._1 == 2L) == 2)
+    // doc 2's rarest terms rank above nothing else; doc 0: apple (tf 3,
+    // df 2) must beat pie (tf 1, df 3)
+    assert(got.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("apple", "pie"))
+    // ubiquitous terms score ln(N/df)=ln(1)=0 when df=N
+    val all4 = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val z = TextRanking.topTerms(all4, "doc_id", "text", 1).collect()
+    assert(z.forall(_.getDouble(3) == 0.0))
+  }
+
   test("rankTopN truncates to n with dense 1-based ranks in score order") {
     val scored = Seq((1L, 3.0), (2L, 9.0), (3L, 5.0), (4L, 9.0))
       .toDF("id", "score")

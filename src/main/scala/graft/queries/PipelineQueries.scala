@@ -63,9 +63,76 @@ object PipelineQueries {
        |FROM gated JOIN keep USING (fp, doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Retrieval capstone: BM25-rank the corpus for a keyword query, then
+    * DIVERSIFY the top-50 — drop any result whose text is a 3-gram-
+    * Jaccard near-duplicate (≥ 0.5) of a higher-ranked result — and
+    * return the survivors among the top 50. The suppression rule is the
+    * non-chained one (any higher-ranked near-dup suppresses) so it is a
+    * pure anti-join, deterministic and oracle-replayable; serving stacks
+    * use exactly this shape to de-redundify retrieval shortlists. The
+    * near-dup verify runs only within the 50-row shortlist: at any
+    * corpus scale the quadratic stage is capped at shortlist². */
+  def q114DiversifiedSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // planted duplicates ensure the suppression stage does real work
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+    val ranked = graft.ops.TextRanking.rankTopN(
+      graft.ops.TextRanking.bm25(corpus, "doc_id", "text",
+          Seq("dup", "vector", "spark"))
+        .select(col("doc_id").as("id"), round(col("score"), 6).as("score")),
+      "id", "score", 50)
+    val shortlist = ranked
+      .join(corpus.select(col("doc_id").as("id"), col("text")), Seq("id"))
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        shortlist.select(col("id"), col("text")), "id", "text",
+        k = 3, threshold = 0.5)
+    val suppressed = pairs
+      .join(ranked.select(col("id").as("doc_a"), col("rank").as("__ra")), Seq("doc_a"))
+      .join(ranked.select(col("id").as("doc_b"), col("rank").as("__rb")), Seq("doc_b"))
+      .select(when(col("__ra") < col("__rb"), col("doc_b"))
+        .otherwise(col("doc_a")).as("id")).distinct()
+    ranked.join(suppressed, Seq("id"), "left_anti")
+      .select(col("rank"), col("id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val q114Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 50 = 0
+       |), bm AS (${graft.ops.TextRanking.bm25Sql("['dup','vector','spark']")
+            .replace("FROM documents", "FROM corpus")}
+       |), ranked AS (
+       |  SELECT id, round(score, 6) AS score,
+       |    CAST(row_number() OVER (ORDER BY round(score, 6) DESC, id) AS BIGINT) AS rank
+       |  FROM bm QUALIFY rank <= 50
+       |), tok AS (
+       |  SELECT r.id, regexp_split_to_array(lower(trim(c.text)), '\\s+') AS toks
+       |  FROM corpus c JOIN ranked r ON c.doc_id = r.id
+       |), sh AS (
+       |  SELECT id, CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM tok
+       |), sup AS (
+       |  SELECT DISTINCT CASE WHEN ra.rank < rb.rank THEN b.id ELSE a.id END AS id
+       |  FROM sh a JOIN sh b ON a.id < b.id
+       |  JOIN ranked ra ON ra.id = a.id JOIN ranked rb ON rb.id = b.id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |    / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+       |SELECT rank, id, score FROM ranked
+       |WHERE id NOT IN (SELECT id FROM sup)
+       |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_curation_pipeline" -> (q80CurationPipeline _))
+    "q80_curation_pipeline" -> (q80CurationPipeline _),
+    "q114_diversified_search" -> (q114DiversifiedSearch _))
 
   val oracles: Map[String, String] = Map(
-    "q80_curation_pipeline" -> q80Sql)
+    "q80_curation_pipeline" -> q80Sql,
+    "q114_diversified_search" -> q114Sql)
 }

@@ -78,11 +78,14 @@ object PipelineQueries {
     val corpus = docs.unionByName(
       docs.filter(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 7000000L))
+    // the 50-row shortlist is referenced four times downstream (text
+    // join, both suppression sides, final anti-join) — materialize it
+    // once or the whole BM25 subtree re-executes per reference
     val ranked = graft.ops.TextRanking.rankTopN(
       graft.ops.TextRanking.bm25(corpus, "doc_id", "text",
           Seq("dup", "vector", "spark"))
         .select(col("doc_id").as("id"), round(col("score"), 6).as("score")),
-      "id", "score", 50)
+      "id", "score", 50).localCheckpoint()
     val shortlist = ranked
       .join(corpus.select(col("doc_id").as("id"), col("text")), Seq("id"))
     val pairs = graft.ops.Dedup.ngramJaccardPairs(

@@ -122,10 +122,20 @@ object Curation {
     * fold in via a ScanBuckets-row theta join. Two small shuffles, no
     * persist, holds at any row count. */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    exclusivePrefixSum(df, ordCol, ordCol, valCol, outCol)
+
+  /** [[exclusivePrefixSum]] over a possibly NON-distinct `ordCol`:
+    * `tieCol` (numeric, distinct within equal ordCol values) completes
+    * the total order. Bucketing still keys on ordCol alone — rows with
+    * equal ordCol land in one bucket, so the in-bucket (ordCol, tieCol)
+    * window never splits a tie group across the bucket-prefix join. */
+  def exclusivePrefixSum(df: DataFrame, ordCol: String, tieCol: String,
+      valCol: String, outCol: String): DataFrame = {
     val bounds = Buckets.boundaries(df, ordCol, ScanBuckets)
     val parts = df.withColumn("__pid", Buckets.bucketId(col(ordCol), bounds))
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col(ordCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local", sum(col(valCol)).over(wLocal))
     val partTotals = parts.groupBy(col("__pid")).agg(sum(col(valCol)).as("__tot"))
@@ -155,6 +165,30 @@ object Curation {
     exclusivePrefixSum(df, idCol, tokCol, "__start")
       .withColumn("bin", expr(s"__start div $budget"))
       .drop("__start")
+  }
+
+  /** Length-grouped batching: documents sorted by token count (ties on
+    * id) and cut into fixed-size batches, so each batch holds
+    * similar-length sequences and padding-to-batch-max waste is
+    * minimized — the dynamic-batching step every LLM trainer runs.
+    * Global positions come from the bucketed [[exclusivePrefixSum]] (a
+    * count prefix), never a single-partition window.
+    *
+    * @return one row per batch: (batch, n_docs, min_tok, max_tok,
+    *         sum_tok, padding_waste = max_tok·n_docs − sum_tok) */
+  def lengthGroupedBatches(df: DataFrame, idCol: String, tokCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"lengthGroupedBatches: batchSize >= 1, got $batchSize")
+    val pos = exclusivePrefixSum(
+      df.select(col(idCol), col(tokCol)).withColumn("__one", lit(1L)),
+      tokCol, idCol, "__one", "__pos")
+    pos.withColumn("batch", expr(s"__pos div $batchSize"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(tokCol)).as("min_tok"), max(col(tokCol)).as("max_tok"),
+        sum(col(tokCol)).as("sum_tok"))
+      .withColumn("padding_waste",
+        col("max_tok") * col("n_docs") - col("sum_tok"))
   }
 
   // --- Domain mixing -------------------------------------------------------

@@ -185,6 +185,31 @@ object CurationQueries {
       |  round(avg(CASE WHEN keep THEN qraw END), 6) AS kept_avg_q
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Length-grouped batching: 32-doc batches over (token count, id)
+    * order, with the padding-waste accounting that motivates the
+    * operator ([[Curation.lengthGroupedBatches]]). */
+  def q115LengthBatching(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("tok"))
+    Curation.lengthGroupedBatches(toks, "doc_id", "tok", batchSize = 32)
+      .orderBy(col("batch"))
+  }
+
+  val q115Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |pos AS (
+      |  SELECT tok,
+      |    (row_number() OVER (ORDER BY tok, doc_id) - 1) // 32 AS batch
+      |  FROM toks)
+      |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_docs,
+      |  min(tok) AS min_tok, max(tok) AS max_tok,
+      |  CAST(sum(tok) AS BIGINT) AS sum_tok,
+      |  CAST(max(tok) * count(*) - sum(tok) AS BIGINT) AS padding_waste
+      |FROM pos GROUP BY batch ORDER BY batch""".stripMargin
+
   /** Weighted sampling WITHOUT replacement: exactly 5 docs per language,
     * weight-proportional to n_chars, via the deterministic
     * Efraimidis–Spirakis key ([[Curation.weightedSampleTopK]]). Unlike
@@ -345,6 +370,7 @@ object CurationQueries {
     "q46_stratified_sample" -> (q46StratifiedSample _),
     "q47_weighted_sample" -> (q47WeightedSample _),
     "q109_weighted_topk" -> (q109WeightedTopK _),
+    "q115_length_batching" -> (q115LengthBatching _),
     "q49_corpus_shuffle" -> (q49CorpusShuffle _),
     "q53_incremental_dedup" -> (q53IncrementalDedup _),
     "q54_decontaminate" -> (q54Decontaminate _))
@@ -358,6 +384,7 @@ object CurationQueries {
     "q46_stratified_sample" -> q46Sql,
     "q47_weighted_sample" -> q47Sql,
     "q109_weighted_topk" -> q109Sql,
+    "q115_length_batching" -> q115Sql,
     "q49_corpus_shuffle" -> q49Sql,
     "q53_incremental_dedup" -> q53Sql,
     "q54_decontaminate" -> q54Sql)

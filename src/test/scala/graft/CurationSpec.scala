@@ -145,6 +145,26 @@ class CurationSpec extends SparkSpec {
     assert(other.sorted.toSeq != got.sorted.toSeq)
   }
 
+  test("lengthGroupedBatches: full batches, length-sorted, exact waste, tie-safe") {
+    // many duplicate token counts exercise the non-distinct order path
+    val rows = (1L to 100L).map(i => (i, (i % 10) + 1))
+    val got = Curation.lengthGroupedBatches(rows.toDF("id", "tok"), "id", "tok", 16)
+      .orderBy("batch").collect()
+    assert(got.map(_.getLong(1)).sum == 100)
+    assert(got.dropRight(1).forall(_.getLong(1) == 16), "all but last batch full")
+    // batches tile the sorted token sequence: each batch's max <= next's min
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2),
+        s"batch overlap: ${a.getLong(3)} > ${b.getLong(2)}")
+      case _ =>
+    }
+    // waste equals the hand-computed padding over the globally sorted list
+    val sorted = rows.map(_._2).sorted
+    val expectWaste = sorted.grouped(16)
+      .map(g => g.max * g.size - g.sum).sum
+    assert(got.map(_.getLong(5)).sum == expectWaste)
+  }
+
   test("userHistories truncates to the most recent maxLen, oldest-first") {
     val ev = (1L to 30L).map(i =>
       (7L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000 + i)),

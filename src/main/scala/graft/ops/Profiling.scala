@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Column profiling: per-column null counts, exact distinct counts, and
   * min/max — the data-quality / schema-drift report a pipeline runs over
@@ -41,5 +42,29 @@ object Profiling {
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Schema drift between two table versions: one row per changed
+    * column — `added`, `removed`, `retyped` (old/new SQL types shown),
+    * or `renullabled`. The report a pipeline gates a new drop on before
+    * q105-style content profiling; driver-side (schemas are metadata). */
+  def schemaDiff(spark: SparkSession, before: StructType,
+      after: StructType): DataFrame = {
+    val b = before.fields.map(f => f.name -> f).toMap
+    val a = after.fields.map(f => f.name -> f).toMap
+    val rows =
+      a.keySet.diff(b.keySet).toSeq.sorted.map(n =>
+        (n, "added", null: String, a(n).dataType.sql)) ++
+      b.keySet.diff(a.keySet).toSeq.sorted.map(n =>
+        (n, "removed", b(n).dataType.sql, null: String)) ++
+      a.keySet.intersect(b.keySet).toSeq.sorted.flatMap { n =>
+        if (b(n).dataType != a(n).dataType)
+          Some((n, "retyped", b(n).dataType.sql, a(n).dataType.sql))
+        else if (b(n).nullable != a(n).nullable)
+          Some((n, "renullabled", b(n).nullable.toString, a(n).nullable.toString))
+        else None
+      }
+    import spark.implicits._
+    rows.toDF("column", "change", "before", "after")
   }
 }

@@ -169,6 +169,27 @@ class RankingSpec extends SparkSpec {
     assert(ra == rb, s"id=$ra degree=$rb")
   }
 
+  test("schemaDiff reports adds/removes/retypes/nullability and nothing else") {
+    import org.apache.spark.sql.types._
+    val before = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("gone", StringType),
+      StructField("widened", IntegerType),
+      StructField("loosened", StringType, nullable = false),
+      StructField("same", DoubleType)))
+    val after = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("widened", LongType),
+      StructField("loosened", StringType, nullable = true),
+      StructField("same", DoubleType),
+      StructField("fresh", DateType)))
+    val got = Profiling.schemaDiff(spark, before, after)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("fresh", "added"), ("gone", "removed"),
+      ("widened", "retyped"), ("loosened", "renullabled")))
+    assert(Profiling.schemaDiff(spark, before, before).count() == 0)
+  }
+
   test("profile: exact nulls/distincts and native-type min/max in one pass") {
     val df = Seq[(java.lang.Long, String)]((9L, "b"), (10L, null), (null, "a"),
       (10L, "a")).toDF("num", "str")

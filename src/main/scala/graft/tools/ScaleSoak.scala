@@ -3,10 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale soak: run the heavy operators on a 10×-replicated sf0.1 corpus
+/** Scale soak: run the heavy operators on a replicated sf0.1 corpus
   * (ids shifted per replica; purely in-memory union — no files written) to
   * confirm the plans scale linearly rather than quadratically. Not part of
-  * the gate; results are recorded in BASELINE.md. */
+  * the gate; results are recorded in BASELINE.md.
+  *
+  * `SOAK_FACTOR` (default 10) controls the replication. Factors above 10
+  * run only the linear-time subset — pair-producing operators (LSH,
+  * fuzzy pairs, CC collapse) have output sizes that grow with the clone
+  * count, which measures output volume, not operator scaling. */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,6 +20,8 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
+    val factor = sys.env.getOrElse("SOAK_FACTOR", "10").toInt
+    val full = factor <= 10
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -23,12 +30,12 @@ object ScaleSoak {
     }
 
     val docs1 = spark.read.parquet(s"$d/documents.parquet")
-    val docs10 = (0 until 10).map(i =>
+    val docs10 = (0 until factor).map(i =>
       docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
       .reduce(_ unionByName _)
-    println(s"docs10 rows=${docs10.count()}")
+    println(s"docs${factor} rows=${docs10.count()}")
 
-    time("minhash_lsh_50k_docs")(
+    if (full) time("minhash_lsh_50k_docs")(
       graft.ops.Dedup.minhashNearDupPairs(docs10, "doc_id", "text").count())
     time("simhash_50k_docs")(
       graft.ops.Dedup.simhashTable(docs10, "doc_id", "text").count())
@@ -55,7 +62,7 @@ object ScaleSoak {
           graft.ops.TextFunctions.tokenCount(col("text")).as("tok")),
         "doc_id", "tok", 2048L)
         .agg(countDistinct(col("bin"))).collect()(0).getLong(0))
-    time("decontaminate_50k_docs")(
+    if (full) time("decontaminate_50k_docs")(
       graft.ops.Curation.contaminatedIds(
         docs10.filter(col("doc_id") >= 10), docs10.filter(col("doc_id") < 10),
         "doc_id", "text", k = 5).count())
@@ -67,15 +74,15 @@ object ScaleSoak {
 
     time("chunk_50k_docs")(
       graft.ops.Chunking.chunk(docs10, "doc_id", "text", 32, 24).count())
-    time("segment_dedup_50k_docs")(
+    if (full) time("segment_dedup_50k_docs")(
       graft.ops.Chunking.segmentDedup(docs10, "doc_id", "text", 8)
         .filter(col("kept")).count())
-    time("collapse_near_dups_50k")(
+    if (full) time("collapse_near_dups_50k")(
       graft.ops.DedupClustering.collapseNearDups(docs10, "doc_id", "text",
         threshold = 0.5).count())
     // 10x replication multiplies EDGES (not just vertices): every doc's
     // replicas form near-dup groups, so this soaks the CC path too
-    time("semdedup_20k_vecs")(
+    if (full) time("semdedup_20k_vecs")(
       graft.ops.Similarity.semDedup(emb10, "vec_id", "embedding", "label",
         threshold = 0.35).count())
     val pr1 = spark.read.parquet(s"$d/orders.parquet")
@@ -113,10 +120,10 @@ object ScaleSoak {
         p1.withColumn("rec_id", col("rec_id") + lit(i * 1000000L)))
         .reduce(_ unionByName _)
     }
-    time("fuzzy_pairs_200k_records")(
+    if (full) time("fuzzy_pairs_200k_records")(
       graft.ops.Resolution.blockedFuzzyPairs(parts10, "rec_id", "name",
         substring(col("name"), 1, 4), window = 7, maxDist = 2).count())
-    time("ivfpq_5q_x_20k_vecs")({
+    if (full) time("ivfpq_5q_x_20k_vecs")({
       val cells = graft.ops.Similarity.trainCentroids(
         emb10, "vec_id", "embedding", kCells = 10, iters = 1)
       val codebook = graft.ops.ProductQuantization.seedCodebook(

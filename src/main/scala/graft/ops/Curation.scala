@@ -99,6 +99,9 @@ object Curation {
   def weightedSampleTopK(df: DataFrame, idCol: String, strataCol: String,
       weight: Column, k: Int, salt: String = "wtopk"): DataFrame = {
     require(k >= 1, s"weightedSampleTopK: k must be >= 1, got $k")
+    require(!df.columns.contains("wkey") && !df.columns.contains("pos"),
+      "weightedSampleTopK: input must not already have wkey/pos columns " +
+        "(reserved outputs)")
     val u = (hashBucket(col(idCol), salt, 1000000) + lit(0.5)) / lit(1000000.0)
     val key = -log(u) / weight
     val w = Window.partitionBy(col(strataCol))

@@ -132,10 +132,13 @@ object Resolution {
 
   private def triangleStatsOriented(edges: DataFrame, srcCol: String,
       dstCol: String, byDegree: Boolean): DataFrame = {
-    val undirected = edges.select(
+    val canonical = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // the degree path reads the canonical set three times (both degree
+    // union branches + the re-orientation join) — materialize it once
+    val undirected = if (byDegree) canonical.localCheckpoint() else canonical
     val e = (if (!byDegree) undirected else {
       // re-orient by (degree, id): the struct key is a total order, so
       // exactly one direction survives per edge

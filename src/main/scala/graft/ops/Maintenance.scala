@@ -139,4 +139,28 @@ object Maintenance {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
         count(lit(1)).as("rows"))
+
+  /** Clustering-quality report: for each file, how many OTHER files'
+    * [min, max] key ranges overlap its own. Overlap is what defeats
+    * min/max data skipping — a point lookup touches every overlapping
+    * file — so `avg_overlap` is the "should I run [[compact]]?" signal
+    * a table-maintenance scheduler polls. Freshly [[compact]]ed output
+    * scores 0 (ranges are disjoint by construction); an unclustered
+    * multi-writer table scores ~(files − 1). The pairwise interval join
+    * runs on file METADATA (one row per file), never on data. */
+  def overlapReport(df: DataFrame, statCol: String): DataFrame = {
+    val stats = fileStats(df, statCol).localCheckpoint()
+    val other = stats.select(col("file").as("__f2"),
+      col("min_v").as("__mn2"), col("max_v").as("__mx2"))
+    val overlaps = stats.join(other,
+        col("file") =!= col("__f2") &&
+        col("min_v") <= col("__mx2") && col("__mn2") <= col("max_v"), "left")
+      .groupBy(col("file"), col("min_v"), col("max_v"), col("rows"))
+      .agg(count(col("__f2")).as("n_overlapping"))
+    overlaps.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rows")).as("n_rows"),
+      round(avg(col("n_overlapping")), 4).as("avg_overlap"),
+      max(col("n_overlapping")).as("max_overlap"))
+  }
 }

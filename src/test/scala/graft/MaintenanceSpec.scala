@@ -122,6 +122,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(diff == bucketOf, s"diff=$diff expected=$bucketOf")
   }
 
+  test("overlapReport: 0 after compaction, positive for unclustered writes") {
+    val src = warehouse.resolve("ovl_src").toString
+    val dest = warehouse.resolve("ovl_dst").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // random repartition interleaves doc_id ranges across files
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    val before = Maintenance.overlapReport(spark.read.parquet(src), "doc_id")
+      .collect().head
+    assert(before.getLong(0) >= 8 && before.getDouble(2) > 0.0,
+      s"unclustered files must overlap: $before")
+    val bytes = Maintenance.dataBytes(spark, src)
+    Maintenance.compact(spark, src, dest, Seq("doc_id"),
+      targetFileBytes = math.max(1L, bytes / 4))
+    val after = Maintenance.overlapReport(spark.read.parquet(dest), "doc_id")
+      .collect().head
+    assert(after.getDouble(2) == 0.0 && after.getLong(3) == 0L,
+      s"compacted ranges must be disjoint: $after")
+    assert(after.getLong(1) == before.getLong(1), "row counts preserved")
+  }
+
   test("compacted files have non-overlapping sort-key ranges") {
     val src = warehouse.resolve("frag2").toString
     val dest = warehouse.resolve("compacted2").toString

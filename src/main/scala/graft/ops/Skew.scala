@@ -26,6 +26,24 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("n_distinct"))
 
+  /** Heavy-key diagnostic — the report that decides WHETHER to salt:
+    * the k most frequent keys with their share of all rows (count /
+    * total via a broadcast 1-row aggregate) and the uniform share for
+    * contrast. A key whose share is many multiples of `uniform_share`
+    * concentrates that fraction of the shuffle on one reducer; feed
+    * those keys to [[saltedCountDistinct]]/[[saltedSum]] or AQE skew
+    * handling. One map-side-combinable count + a TakeOrdered top-k. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        round(lit(1.0) / col("__nkeys"), 6).as("uniform_share"))
+      .orderBy(col("n").desc, col(keyCol)).limit(k)
+  }
+
   /** Salted sum for hot-key additive aggregation: pre-aggregate on
     * (key, random-ish salt from a row attribute), then combine. With
     * algebraic aggregates Spark's partial aggregation already does this;

@@ -48,12 +48,36 @@ object SkewQueries {
       |    AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
       |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin
 
+  /** Heavy-key report over event types: the diagnostic that precedes
+    * salting ([[Skew.skewReport]]). Synthetic skew injected by mapping
+    * every third event to one hot type, so the report has something to
+    * find; the oracle replays the share arithmetic. */
+  def q116SkewReport(s: SparkSession, d: String): DataFrame =
+    Skew.skewReport(
+      Tables.events(s, d).select(
+        when(col("event_id") % 3 === 0, lit("hot"))
+          .otherwise(col("event_type")).as("etype")),
+      "etype", k = 5)
+
+  val q116Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot' ELSE event_type END AS etype
+      |  FROM events),
+      |counts AS (SELECT etype, count(*) AS n FROM keyed GROUP BY etype),
+      |t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM counts)
+      |SELECT etype, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+      |  round(1.0 / nkeys, 6) AS uniform_share
+      |FROM counts CROSS JOIN t
+      |ORDER BY n DESC, etype LIMIT 5""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_salted_distinct" -> (q72SaltedDistinct _),
     "q73_approx_sketches" -> (q73ApproxSketches _),
+    "q116_skew_report" -> (q116SkewReport _),
     "q81_skyline" -> (q81Skyline _))
 
   val oracles: Map[String, String] = Map(
     "q72_salted_distinct" -> q72Sql,
+    "q116_skew_report" -> q116Sql,
     "q81_skyline" -> q81Sql)
 }

@@ -261,6 +261,64 @@ object SimilarityQueries {
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** Parameterized DuckDB mirror of the exact left-fold cosine between
+    * `$a.$av` and `$b.$bv` — the device that lets multi-stage vector
+    * plans (assignment, probing, scoring) be written as plain SQL. */
+  private def cosSql(a: String, av: String, b: String, bv: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.$av)+1),
+       |      i -> CAST($a.$av[i] AS DOUBLE) * CAST($b.$bv[i] AS DOUBLE)), (x,y) -> x+y)
+       |  / (sqrt(list_reduce(list_transform(range(1, len($a.$av)+1),
+       |      i -> CAST($a.$av[i] AS DOUBLE) * CAST($a.$av[i] AS DOUBLE)), (x,y) -> x+y))
+       |   * sqrt(list_reduce(list_transform(range(1, len($b.$bv)+1),
+       |      i -> CAST($b.$bv[i] AS DOUBLE) * CAST($b.$bv[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+
+  /** IVF with SEEDED centroids (vectors 0..9 as cells): unlike trained
+    * q42 this makes the ENTIRE ANN query path — corpus→cell assignment,
+    * query→nprobe probing, within-cell scoring, top-k — SQL-expressible,
+    * so the oracle hash-checks it end to end instead of rows-only. */
+  def q117IvfSeeded(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+        "cid", "cvec", k = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q117Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 103)
+       |  WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    round(${cosSql("p", "qvec", "a", "embedding")}, 6) AS score
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** IVF-PQ composition (cells prune the scored set, codes prune the
     * bytes read, exact re-rank repairs the shortlist) — approximate like
     * q42/q43, so rows-only in the gate; recall floor pinned in PQSpec. */
@@ -279,6 +337,7 @@ object SimilarityQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_ivf_seeded" -> (q117IvfSeeded _),
     "q108_ivfpq" -> (q108IvfPq _),
     "q90_int8_quant" -> (q90Int8Quant _),
     "q93_semdedup" -> (q93SemDedup _),
@@ -291,6 +350,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q117_ivf_seeded" -> q117Sql,
     "q90_int8_quant" -> q90Sql,
     "q93_semdedup" -> q93Sql,
     "q94_matryoshka" -> q94Sql,

@@ -64,11 +64,14 @@ object BoundedLevenshtein {
     * Values saturate at bound+1 so arithmetic can't overflow and every
     * cell > bound is interchangeable. Called from generated code. */
   def compute(au: UTF8String, bu: UTF8String, bound: Int): Int = {
-    val k = math.max(bound, 0)
     val a = au.toString
     val b = bu.toString
     val la = a.length
     val lb = b.length
+    // clamp to max(|a|,|b|) — the distance can't exceed it, so the
+    // result is unchanged, and inf = k + 1 can't overflow for
+    // pathological bounds like graft_bounded_lev(a, b, 2147483647)
+    val k = math.min(math.max(bound, 0), math.max(la, lb))
     val inf = k + 1
     if (math.abs(la - lb) > k) return inf
     if (la == 0) return lb // ≤ k by the gap check

@@ -103,7 +103,12 @@ object Curation {
       "weightedSampleTopK: input must not already have wkey/pos columns " +
         "(reserved outputs)")
     val u = (hashBucket(col(idCol), salt, 1000000) + lit(0.5)) / lit(1000000.0)
-    val key = -log(u) / weight
+    // runtime guard, not just doc: weight = 0 would key to +Inf and a
+    // negative weight to a negative key that sorts FIRST (inverted
+    // bias, silently guaranteed a slot) — fail the job instead
+    val key = when(assert_true(weight > 0,
+        lit("weightedSampleTopK: weight must be strictly positive")).isNull,
+      -log(u) / weight)
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("wkey"), col(idCol))
     df.withColumn("wkey", key)

@@ -113,10 +113,14 @@ object Maintenance {
     * @return (bucket, n_rows, checksum) — one row per non-empty bucket */
   def bucketChecksums(df: DataFrame, idCol: String, contentCols: Seq[String],
       buckets: Int): DataFrame = {
-    // "\u0001"-separated so ("ab","c") and ("a","bc") cannot collide;
-    // concat_ws skips nulls on both engines (null ≡ absent, documented)
+    // "\u0001"-separated so ("ab","c") and ("a","bc") cannot collide.
+    // NULL is encoded per column (a "\u0000" cell, while values carry a
+    // "v" prefix) rather than skipped: concat_ws drops NULLs
+    // positionally, so ('a', NULL, 'b') and ('a', 'b', NULL) would hash
+    // identically and a sync could miss a value moving across columns.
     val fp = conv(substring(md5(concat_ws("\u0001",
-        (idCol +: contentCols).map(c => col(c).cast("string")): _*)
+        (idCol +: contentCols).map(c =>
+          coalesce(concat(lit("v"), col(c).cast("string")), lit("\u0000"))): _*)
         .cast("binary")), 1, 15), 16, 10).cast("long")
     df.groupBy(Curation.hashBucket(col(idCol), "sync", buckets).as("bucket"))
       .agg(count(lit(1)).as("n_rows"),

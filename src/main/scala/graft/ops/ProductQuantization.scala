@@ -56,6 +56,7 @@ object ProductQuantization {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     corpus.select(col(idCol).as("__id"),
         explode(array((0 until m).map(s =>
@@ -78,6 +79,7 @@ object ProductQuantization {
       queries: DataFrame, qidCol: String, qvecCol: String,
       codebook: DataFrame, m: Int, k: Int = 10, rerank: Int = 50): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val codes = encode(corpus, idCol, vecCol, codebook, m)
 
@@ -92,10 +94,13 @@ object ProductQuantization {
     // candidate scoring: explode codes, look up partials, sum per (qid, id)
     val exploded = codes.select(col(idCol).as("vec_id"),
       posexplode(col("codes")).as(Seq("s", "c")))
+    // decimal partial sum: associative, so partial-merge fetch order
+    // can't wiggle low bits and flip a rerank-boundary candidate
     val approx = exploded.join(broadcast(dtable), Seq("s", "c"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("partial")).as("approx_l2sq"))
+      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
+        .as("approx_l2sq"))
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("approx_l2sq"), col("vec_id"))
     val candidates = approx.withColumn("__rn", row_number().over(wApprox))
@@ -148,19 +153,22 @@ object ProductQuantization {
       codebook: DataFrame, m: Int, k: Int = 10, nprobe: Int = 2,
       rerank: Int = 50): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
     val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
 
-    // offline index side: cell assignment + PQ codes per vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("cid"))
+    // offline index side: cell assignment + PQ codes per vector.
+    // argmax via max_by, not a row_number window: the aggregate is
+    // map-side combinable, so partials collapse to one row per vector
+    // BEFORE the shuffle instead of exchanging |corpus|×kCells rows.
+    // Ordering (sim, -cid) is a total order per group (cid unique), so
+    // the result is deterministic: highest sim, ties to the lowest cid.
     val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(broadcast(cells))
       .select(col("vec_id"), col("cid"),
         Similarity.cosine(col("__v"), col("__c")).as("__sim"))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"))
     val indexed = encode(corpus, idCol, vecCol, codebook, m)
       .select(col(idCol).as("vec_id"), col("codes"))
       .join(assigned, Seq("vec_id"))
@@ -190,7 +198,8 @@ object ProductQuantization {
       .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
       .join(broadcast(dtable), Seq("qid", "s", "c"))
       .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("partial")).as("approx_l2sq"))
+      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
+        .as("approx_l2sq"))
       .withColumn("__rn", row_number().over(wApprox))
       .filter(col("__rn") <= rerank)
       .select(col("qid"), col("vec_id"))

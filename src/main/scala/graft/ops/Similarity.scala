@@ -111,8 +111,11 @@ object Similarity {
       .zipWithIndex.map { case (v, i) => i -> v }.toMap
     for (_ <- 1 to iters) {
       val cdf = cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
-      val wAssign = Window.partitionBy(col("__id"))
-        .orderBy(col("__sim").desc, col("cid"))
+      // nearest-centroid argmax via max_by, not a row_number window: the
+      // aggregate is map-side combinable, so partials collapse to one
+      // row per vector BEFORE the shuffle instead of exchanging
+      // |corpus|×kCells rows. Ordering (sim, -cid) is a total order per
+      // group (cid unique) → deterministic: best sim, ties to lowest cid.
       // sums as decimals, not doubles: decimal addition is associative, so
       // the merge-fetch order of partial aggregates can't wiggle the mean
       // in its last ulp — training output is bit-stable on any cluster
@@ -120,9 +123,11 @@ object Similarity {
       val means = vecs.join(broadcast(cdf))
         .select(col("__id"), col("__v"), col("cid"),
           cosine(col("__v"), col("cvec")).as("__sim"))
-        .withColumn("__rn", row_number().over(wAssign))
-        .filter(col("__rn") === 1)
-        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("__id"))
+        .agg(max_by(struct(col("cid"), col("__v")),
+          struct(col("__sim"), -col("cid"))).as("__best"))
+        .select(col("__best.cid").as("cid"),
+          posexplode(col("__best.__v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(col("x")).as("n"))
         .as[(Int, Int, java.math.BigDecimal, Long)].collect()
@@ -146,15 +151,18 @@ object Similarity {
       k: Int = 10, nprobe: Int = 2): DataFrame = {
     val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
 
-    // one narrow pass: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("cid"))
+    // one narrow pass: nearest centroid per corpus vector. max_by, not
+    // a row_number window — map-side combinable, so partials collapse
+    // to one row per vector before the shuffle instead of exchanging
+    // |corpus|×kCells rows; (sim, -cid) is a total order per group
+    // (cid unique) → deterministic: best sim, ties to the lowest cid.
     val assigned = widen(corpus).select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
       .join(broadcast(cells))
       .select(col("vec_id"), col("__v"), col("cid"), cosine(col("__v"), col("__c")).as("__sim"))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("__v"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("__v")),
+        struct(col("__sim"), -col("cid"))).as("__best"))
+      .select(col("vec_id"), col("__best.__v").as("__v"), col("__best.cid").as("cid"))
 
     // per query: nprobe nearest cells
     val wProbe = Window.partitionBy(col("qid"))

@@ -71,12 +71,12 @@ object MaintenanceQueries {
       |ck_a AS (
       |  SELECT CAST('0x' || substr(md5('sync:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
       |    count(*) AS n_a,
-      |    sum(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_a
+      |    sum(CAST(CAST('0x' || substr(md5(coalesce('v' || CAST(doc_id AS VARCHAR), chr(0)) || chr(1) || coalesce('v' || text, chr(0))), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_a
       |  FROM documents GROUP BY 1),
       |ck_b AS (
       |  SELECT CAST('0x' || substr(md5('sync:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS bucket,
       |    count(*) AS n_b,
-      |    sum(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_b
+      |    sum(CAST(CAST('0x' || substr(md5(coalesce('v' || CAST(doc_id AS VARCHAR), chr(0)) || chr(1) || coalesce('v' || text, chr(0))), 1, 15) AS BIGINT) AS DECIMAL(38,0))) AS ck_b
       |  FROM snap GROUP BY 1)
       |SELECT bucket, n_a, n_b,
       |  CAST(ck_a AS VARCHAR) AS ck_a, CAST(ck_b AS VARCHAR) AS ck_b

@@ -198,6 +198,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("graft_bounded_lev"), plan)
   }
 
+  test("q42 ivf: centroid assignment is a partial max_by aggregate, not a window") {
+    val plan = finalOnly(
+      executed(graft.queries.SimilarityQueries.q42IvfTopK(spark, sfDir)))
+    // the argmax collapses to one row per vector map-side; a row_number
+    // window here would exchange |corpus|×kCells rows before ranking
+    assert(plan.contains("partial_max_by"),
+      s"expected map-side-combinable max_by assignment:\n$plan")
+  }
+
   test("q110 bucket diff: two aggregated sides meet in one small full-outer join") {
     val plan = executed(graft.queries.MaintenanceQueries.q110BucketDiff(spark, sfDir))
     assert(plan.contains("FullOuter"), plan)

@@ -2,11 +2,12 @@ package graft.backend
 
 import graft.core.{GraftError, ObjectIdentifier}
 
-/** Config surface of the service-client backends the reference ships (Hive
-  * 2.x/3.x metastore thrift, AWS Glue). This container has no metastore
-  * service, thrift client jars, or AWS SDK, so these adapters parse and
-  * validate their reference-documented configuration, enforce the
-  * reference's identifier-depth policy, and fail every RPC with the spec's
+/** Config surface of the service-client backends without a usable client
+  * in this build (Hive 3.x metastore, AWS Glue — no Hive 3 jars or AWS SDK
+  * exist here; Hive 2.x has a LIVE implementation in
+  * [[graft.backend.hive.Hive2Backend]]). These adapters parse and validate
+  * their reference-documented configuration, enforce the reference's
+  * identifier-depth policy, and fail every RPC with the spec's
   * ServiceUnavailable error (code 17) — an honest stub with the full
   * config/validation surface, swappable for a live client without touching
   * the catalog layer.
@@ -67,15 +68,6 @@ abstract class ServiceStubBackend(name: String, uriKey: String) extends Metadata
   }
   override def dropTable(id: ObjectIdentifier, purge: Boolean): TableInfo =
     unavailable("dropTable")
-}
-
-/** Hive 2.x metastore: 1-level namespaces = databases
-  * (`Hive2Namespace.java:118`); identifiers lowercased (`:156`). */
-class Hive2Backend extends ServiceStubBackend("hive2", "hive.metastore.uris") {
-  override protected def validateNamespaceDepth(id: ObjectIdentifier): Unit =
-    if (id.depth != 1)
-      throw GraftError.InvalidInput(
-        s"hive2 namespaces are exactly 1 level (database), got $id")
 }
 
 /** Hive 3.x metastore: ≤2 levels catalog.database (`Hive3Namespace.java:110`);

@@ -122,7 +122,7 @@ object MetadataBackend {
     "iceberg" -> (() => new graft.backend.rest.IcebergRestBackend),
     "unity" -> (() => new graft.backend.rest.UnityBackend),
     "polaris" -> (() => new graft.backend.rest.PolarisBackend),
-    "hive2" -> (() => new Hive2Backend),
+    "hive2" -> (() => new graft.backend.hive.Hive2Backend),
     "hive3" -> (() => new Hive3Backend),
     "glue" -> (() => new GlueBackend))
 

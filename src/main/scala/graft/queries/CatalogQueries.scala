@@ -27,11 +27,22 @@ object CatalogQueries {
     root
   }
 
+  /** Backend seam for the catalog gates: q21/q22/q83 run against the
+    * memory backend by default, but a test (or a user with a live
+    * metastore) can point them at any registered backend — e.g.
+    * `("hive2", Map("hive.metastore.uris" -> ...))` — and the SAME gate
+    * queries drive the 13-op lifecycle through it. Must be set before the
+    * session's first catalog call (Spark caches catalog instances). */
+  @volatile var backendOverride: Option[(String, Map[String, String])] = None
+
   /** Idempotent per-session registration of the graft catalog (memory
     * backend) + a namespace + an external table over the sf dir's parquet. */
   private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
+    val (backend, opts) =
+      backendOverride.getOrElse(("memory", Map.empty[String, String]))
     s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.backend", "memory")
+    s.conf.set("spark.sql.catalog.graft.backend", backend)
+    opts.foreach { case (k, v) => s.conf.set(s"spark.sql.catalog.graft.$k", v) }
     s.conf.set("spark.sql.catalog.graft.root", warehouseRoot)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
     if (!s.catalog.tableExists(s"graft.tpch.$table"))

@@ -60,16 +60,18 @@ class FileBackendSpec extends AnyFunSuite {
   }
 
   test("hive/glue stubs: config + depth validation before ServiceUnavailable") {
-    val h2 = new Hive2Backend
-    h2.initialize(Map("hive.metastore.uris" -> "thrift://hms:9083",
-      "client.pool-size" -> "5"))
-    assert(h2.backendId.contains("thrift://hms:9083"))
+    val h2 = new graft.backend.hive.Hive2Backend
+    h2.initialize(Map("client.pool-size" -> "5"))
+    assert(h2.backendId.contains("<unconfigured>"))
     // wrong depth fails with InvalidInput BEFORE any RPC attempt
     intercept[GraftError.InvalidInput](
       h2.describeNamespace(ObjectIdentifier.of("cat", "db")))
-    // right depth reaches the (absent) service -> code-17 ServiceUnavailable
+    // no metastore URI configured -> code-17 ServiceUnavailable, never an
+    // implicit embedded Derby metastore booted in the working directory
     intercept[GraftError.ServiceUnavailable](
       h2.describeNamespace(ObjectIdentifier.of("db")))
+    intercept[GraftError.InvalidInput](
+      h2.initialize(Map("client.pool-size" -> "0")))
 
     val h3 = new Hive3Backend
     h3.initialize(Map.empty)

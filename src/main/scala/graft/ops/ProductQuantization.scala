@@ -64,7 +64,10 @@ object ProductQuantization {
       .select(col("__id"), col("__e.s").as("s"), col("__e.sv").as("sv"))
       .join(broadcast(codebook), Seq("s"))
       .groupBy(col("__id"), col("s"))
-      .agg(min_by(col("c"), l2sq(col("sv"), col("cvec"))).as("code"))
+      // (dist, c) struct ordering: exact-tie distances break to the
+      // lowest code id — encoding is deterministic, oracle-replayable
+      .agg(min_by(col("c"), struct(l2sq(col("sv"), col("cvec")), col("c")))
+        .as("code"))
       .groupBy(col("__id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))

@@ -140,6 +140,59 @@ object ResolutionQueries {
       |             ELSE 3.0 * n_triangles / n_wedges END, 6) AS clustering
       |FROM w, m, t""".stripMargin
 
+  /** Triangle census on a deliberately HUB-SKEWED graph via the
+    * degree-ordered orientation — the variant that survives celebrities.
+    * The graph: every customer links to hub A, every even customer also
+    * to hub B, customers chain to their successor, and the hubs link to
+    * each other. Hub degrees are O(|customers|), so the id-oriented
+    * wedge join would fan out quadratically at the hubs; orienting by
+    * (degree, id) points every customer edge AT the hub, capping each
+    * vertex's out-degree — the O(m^1.5) compact-forward bound. The
+    * oracle replays the census with the naive oriented join (orientation
+    * never changes the count), so the scale-safe path is hash-pinned. */
+  def q118TrianglesSkewed(s: SparkSession, d: String): DataFrame = {
+    val ck = Tables.customer(s, d).select(col("c_custkey").as("c"))
+    val hubA = lit(10000000L)
+    val hubB = lit(10000001L)
+    val edges = ck.select(col("c").as("src"), hubA.as("dst"))
+      .unionByName(ck.filter(col("c") % 2 === 0)
+        .select(col("c").as("src"), hubB.as("dst")))
+      .unionByName(ck.select(col("c").as("src"), (col("c") + 1).as("dst")))
+      .unionByName(s.range(1).select(hubA.as("src"), hubB.as("dst")))
+    Resolution.triangleStatsDegreeOrdered(edges, "src", "dst")
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), round(col("clustering"), 6).as("clustering"))
+  }
+
+  val q118Sql: String =
+    """WITH ck AS (SELECT c_custkey AS c FROM customer),
+      |edges0 AS (
+      |  SELECT c AS src, CAST(10000000 AS BIGINT) AS dst FROM ck
+      |  UNION ALL
+      |  SELECT c, CAST(10000001 AS BIGINT) FROM ck WHERE c % 2 = 0
+      |  UNION ALL
+      |  SELECT c, c + 1 FROM ck
+      |  UNION ALL
+      |  SELECT CAST(10000000 AS BIGINT), CAST(10000001 AS BIGINT)),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges0 WHERE src <> dst),
+      |deg AS (
+      |  SELECT v, count(*) AS d
+      |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |w AS (
+      |  SELECT count(*) AS n_vertices,
+      |    CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+      |t AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |m AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+      |  round(CASE WHEN n_wedges = 0 THEN 0.0
+      |             ELSE 3.0 * n_triangles / n_wedges END, 6) AS clustering
+      |FROM w, m, t""".stripMargin
+
   /** Single-pass column profile of lineitem (nulls, exact distincts,
     * native-typed min/max) — the new-table-drop quality report. */
   private val ProfileCols =
@@ -161,11 +214,13 @@ object ResolutionQueries {
     "q103_fuzzy_names" -> (q103FuzzyNames _),
     "q112_multipass_fuzzy" -> (q112MultiPassFuzzy _),
     "q104_triangles" -> (q104Triangles _),
+    "q118_triangles_skewed" -> (q118TrianglesSkewed _),
     "q105_profile" -> (q105Profile _))
 
   val oracles: Map[String, String] = Map(
     "q103_fuzzy_names" -> q103Sql,
     "q112_multipass_fuzzy" -> q112Sql,
     "q104_triangles" -> q104Sql,
+    "q118_triangles_skewed" -> q118Sql,
     "q105_profile" -> q105Sql)
 }

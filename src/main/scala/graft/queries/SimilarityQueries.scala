@@ -319,6 +319,83 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** The PQ query path with a FULL hash-match oracle: the codebook is
+    * seeded deterministically (subvectors of the k lowest-id corpus
+    * vectors — [[graft.ops.ProductQuantization.seedCodebook]]), encoding
+    * breaks distance ties to the lowest code, and ADC partials sum as
+    * decimals, so the entire encode → distance-table → ADC → exact-rerank
+    * pipeline is SQL-expressible and DuckDB replays it bit-for-bit. The
+    * companion of q117 (which pins IVF the same way): together they leave
+    * only genuinely engine-specific sketches (q73) rows-only. */
+  def q119PqSeeded(s: SparkSession, d: String): DataFrame = q43PqTopK(s, d)
+
+  private val M = 8
+  private val CodebookK = 16
+
+  val q119Sql: String = {
+    // exact mirrors of Spark's folds: left fold, double precision,
+    // 0.0-seeded (IEEE: 0.0 + x == x, so the seedless DuckDB fold matches)
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, len($a)+1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc,x) -> acc+x)""".stripMargin
+    val cos =
+      """list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
+        |   * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
+    s"""WITH params AS (
+       |  SELECT CAST(len(embedding) // $M AS INT) AS sd FROM embeddings LIMIT 1),
+       |sdim AS (SELECT unnest(range(0, $M)) AS s),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $CodebookK)),
+       |codebook AS (
+       |  SELECT sdim.s, seeds.c,
+       |    seeds.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS cvec
+       |  FROM seeds CROSS JOIN params p CROSS JOIN sdim),
+       |subs AS (
+       |  SELECT e.vec_id, sdim.s,
+       |    e.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS sv
+       |  FROM embeddings e CROSS JOIN params p CROSS JOIN sdim),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT subs.vec_id, subs.s, cb.c,
+       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s
+       |        ORDER BY ${l2("subs.sv", "cb.cvec")}, cb.c) AS rn
+       |    FROM subs JOIN codebook cb USING (s))
+       |  WHERE rn = 1),
+       |dtable AS (
+       |  SELECT q.vec_id AS qid, cb.s, cb.c,
+       |    ${l2("q.sv", "cb.cvec")} AS partial
+       |  FROM subs q JOIN codebook cb USING (s)
+       |  WHERE q.vec_id < 5),
+       |approx AS (
+       |  SELECT d.qid, c.vec_id,
+       |    CAST(sum(CAST(d.partial AS DECIMAL(38,18))) AS DOUBLE) AS al2
+       |  FROM codes c JOIN dtable d ON d.s = c.s AND d.c = c.code
+       |  WHERE c.vec_id <> d.qid
+       |  GROUP BY d.qid, c.vec_id),
+       |cands AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY al2, vec_id) AS rn
+       |    FROM approx)
+       |  WHERE rn <= 100),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id, round($cos, 6) AS score
+       |  FROM cands cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   /** IVF-PQ composition (cells prune the scored set, codes prune the
     * bytes read, exact re-rank repairs the shortlist) — approximate like
     * q42/q43, so rows-only in the gate; recall floor pinned in PQSpec. */
@@ -338,6 +415,7 @@ object SimilarityQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_ivf_seeded" -> (q117IvfSeeded _),
+    "q119_pq_seeded" -> (q119PqSeeded _),
     "q108_ivfpq" -> (q108IvfPq _),
     "q90_int8_quant" -> (q90Int8Quant _),
     "q93_semdedup" -> (q93SemDedup _),
@@ -351,6 +429,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q117_ivf_seeded" -> q117Sql,
+    "q119_pq_seeded" -> q119Sql,
     "q90_int8_quant" -> q90Sql,
     "q93_semdedup" -> q93Sql,
     "q94_matryoshka" -> q94Sql,

@@ -184,6 +184,40 @@ class IcebergRestBackend extends MetadataBackend {
     }
   }
 
+  /** Server-side namespace pagination: forwards the catalog's native
+    * `pageToken`/`pageSize` (`IcebergNamespace.java:148-201`), falling
+    * back to the client-side offset pager when the server ignores paging
+    * — same contract as [[listTablesPaged]]. */
+  override def listNamespacesPaged(parent: ObjectIdentifier, pageToken: Option[String],
+      limit: Option[Int]): graft.backend.Page[ObjectIdentifier] = {
+    if (parent.isRoot) // level 1 is the warehouse itself — one-item page
+      return graft.backend.Page(Seq(ObjectIdentifier.of(warehouse)), None)
+    val params = Map.newBuilder[String, String]
+    val rest = parent.levels.tail
+    if (rest.nonEmpty) params += "parent" -> rest.mkString("\u001f")
+    pageToken.foreach(params += "pageToken" -> _)
+    limit.foreach(l => params += "pageSize" -> l.toString)
+    val resp = client.get(s"${prefixPath(parent.levels.head)}/namespaces", params.result())
+    val names = (resp \ "namespaces" match {
+      case JArray(items) => items.map {
+        case JArray(parts) => parent.levels.head +: parts.collect { case JString(s) => s }
+        case JString(s) => Seq(parent.levels.head, s)
+        case _ => Nil
+      }.filter(_.nonEmpty)
+      case _ => Nil
+    }).map(ObjectIdentifier(_)).sortBy(_.toDelimited())
+    resp \ "next-page-token" match {
+      case JString(t) if t.nonEmpty => graft.backend.Page(names, Some(t))
+      case _ =>
+        if (pageToken.exists(!_.forall(_.isDigit))) graft.backend.Page(names, None)
+        else {
+          val (items, tok) = graft.core.TableUtil.page(
+            names, pageToken.filter(_.forall(_.isDigit)), limit)
+          graft.backend.Page(items, tok)
+        }
+    }
+  }
+
   /** Server-side pagination: the Iceberg REST `pageToken`/`pageSize`
     * contract passes straight through (Glue-style native tokens,
     * `GlueNamespace.java:122-134`), falling back to the client-side offset

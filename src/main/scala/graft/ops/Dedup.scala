@@ -158,6 +158,18 @@ object Dedup {
     * bucket-size cap (`maxBucket`) drops pathological buckets the way
     * production dedup pipelines drop stop-shingles.
     */
+  /** @param skewSafe opt-in hot-bucket-resilient band phase: the default
+    *   path collects every bucket's members before applying `maxBucket`,
+    *   so one boilerplate bucket with millions of members still lands on
+    *   a single reducer (memory + straggler) before being dropped. The
+    *   skew-safe path runs the bucket CENSUS first — counts are map-side
+    *   combinable, so a hot key reaches its reducer as a handful of
+    *   partial counts, never rows (the [[Skew.skewReport]] diagnosis
+    *   applied inline) — drops over-cap buckets before any member
+    *   moves, and collects the survivors in a salted two-level
+    *   aggregate. Identical pair set by construction (OpsSpec pins it);
+    *   one extra count shuffle, which is what it costs to be immune to
+    *   boilerplate at 100 TB. */
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -166,7 +178,8 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      skewSafe: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Relational minhash end to end: shingle ROWS (codegen'd window k-grams,
     // never an interpreted lambda — see [[shingleRows]]), hash each shingle
@@ -200,10 +213,33 @@ object Dedup {
     // directly from each bucket. Buckets are bounded by the cap, so the
     // pair expansion is O(cap²) worst case per bucket — never a cross join,
     // and two fewer shuffles than the join formulation.
-    val cand = banded
-      .groupBy(col("__band_id"), col("__band_sig"))
-      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucket))
+    val buckets =
+      if (!skewSafe)
+        banded.groupBy(col("__band_id"), col("__band_sig"))
+          .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+          .filter(size(col("__ids")).between(2, maxBucket))
+      else {
+        // census first: partial-agg counts never concentrate a hot key's
+        // ROWS; over-cap (boilerplate) buckets exit here, pre-collect
+        val admissible = banded
+          .groupBy(col("__band_id"), col("__band_sig"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n").between(2, maxBucket))
+          .select(col("__band_id"), col("__band_sig"))
+        // semi-join filters banded to admissible buckets (AQE broadcasts
+        // the admissible side when small, splits the skewed probe when
+        // not — either way the dropped hot rows never reach a collect);
+        // then a salted two-level collect: each (bucket, salt) partial
+        // holds ≤ cap/salts members, the final flatten ≤ cap
+        val salts = 8
+        banded.join(admissible, Seq("__band_id", "__band_sig"), "left_semi")
+          .groupBy(col("__band_id"), col("__band_sig"),
+            pmod(hash(col("__id")), lit(salts)).as("__salt"))
+          .agg(collect_list(col("__id")).as("__part"))
+          .groupBy(col("__band_id"), col("__band_sig"))
+          .agg(sort_array(flatten(collect_list(col("__part")))).as("__ids"))
+      }
+    val cand = buckets
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + 2, size(col("__ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("__p"))

@@ -29,6 +29,53 @@ object ScaleSoak {
       r
     }
 
+    // SOAK_REALISTIC=1: the pair-producing operators (LSH, fuzzy pairs,
+    // CC collapse) on a corpus with SPARSE duplicates. Clone replication
+    // is wrong for these — every clone group is a near-dup clique, so
+    // output grows quadratically with the factor and measures result
+    // volume, not operator scaling. Here each replica gets its words
+    // reshuffled (same vocabulary, disjoint k-shingles → NOT a near-dup)
+    // except a ~2% planted slot rate that keeps the text verbatim — the
+    // realistic shape: half a million distinct documents hiding a few
+    // thousand true duplicate pairs.
+    if (sys.env.get("SOAK_REALISTIC").contains("1")) {
+      val base = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val reps = (0 until factor).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      val corpus = reps.withColumn("text",
+        when(pmod(hash(col("doc_id"), lit("dupslot")), lit(50)) === 0, col("text"))
+          .otherwise(array_join(shuffle(split(col("text"), " ")), " ")))
+        .localCheckpoint() // freeze the nondeterministic shuffle() once
+      println(s"realistic corpus rows=${corpus.count()}")
+      time("lsh_sparse_dups")(
+        graft.ops.Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+          skewSafe = true).count())
+      time("cc_collapse_sparse")(
+        graft.ops.DedupClustering.collapseNearDups(corpus, "doc_id", "text",
+          threshold = 0.5).count())
+      // fuzzy linkage: every replica's name is salted out of edit range
+      // except a ~3% planted typo rate (last char swapped — stays in its
+      // sorted-neighborhood block, lands within maxDist)
+      val p1 = spark.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
+      val partsN = (0 until factor).map(i =>
+        p1.withColumn("rec_id", col("rec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("name",
+          when(pmod(hash(col("rec_id"), lit("typo")), lit(33)) === 0,
+            concat(substring(col("name"), 1, 20), lit("x")))
+          .otherwise(concat(col("name"), lit("_"),
+            substring(md5(col("rec_id").cast("string").cast("binary")), 1, 8))))
+      println(s"realistic names rows=${partsN.count()}")
+      time("fuzzy_pairs_sparse")(
+        graft.ops.Resolution.blockedFuzzyPairs(partsN, "rec_id", "name",
+          substring(col("name"), 1, 4), window = 7, maxDist = 2).count())
+      spark.stop()
+      return
+    }
+
     val docs1 = spark.read.parquet(s"$d/documents.parquet")
     val docs10 = (0 until factor).map(i =>
       docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))

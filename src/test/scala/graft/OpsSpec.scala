@@ -53,6 +53,31 @@ class OpsSpec extends SparkSpec {
         s"recall ${found.size}/${truth.size}")
   }
 
+  test("minhash skew-safe path: identical pairs under planted boilerplate") {
+    // plant a hot bucket: 120 exact copies of one document — every band
+    // signature collides, the classic boilerplate skew channel
+    val boiler = docs.limit(1).select(lit(0L).as("one"))
+      .crossJoin(spark.range(120).select(($"id" + 2000000L).as("doc_id")))
+      .crossJoin(docs.limit(1).select($"text"))
+      .select($"doc_id", $"text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(boiler)
+    def pairs(skewSafe: Boolean, cap: Int) =
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
+          maxBucket = cap, skewSafe = skewSafe)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // cap below the boilerplate bucket: both paths drop it, identical sets
+    val capped = pairs(skewSafe = false, cap = 100)
+    assert(pairs(skewSafe = true, cap = 100) == capped)
+    assert(!capped.exists { case (a, b) => a >= 2000000L && b >= 2000000L },
+      "over-cap boilerplate bucket must be dropped")
+    // cap above it: both paths keep it, identical sets again
+    val kept = pairs(skewSafe = false, cap = 1000)
+    assert(pairs(skewSafe = true, cap = 1000) == kept)
+    assert(kept.exists { case (a, b) => a >= 2000000L && b >= 2000000L },
+      "boilerplate pairs present under a generous cap")
+  }
+
   test("incremental minhash: finds cross-set near-dups, never corpus-internal pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val corpus = docs.filter($"doc_id" < 400)

@@ -2,13 +2,14 @@ package graft.backend
 
 import graft.core.{GraftError, ObjectIdentifier}
 
-/** Config surface of the service-client backends without a usable client
-  * in this build (Hive 3.x metastore, AWS Glue — no Hive 3 jars or AWS SDK
-  * exist here; Hive 2.x has a LIVE implementation in
-  * [[graft.backend.hive.Hive2Backend]]). These adapters parse and validate
-  * their reference-documented configuration, enforce the reference's
-  * identifier-depth policy, and fail every RPC with the spec's
-  * ServiceUnavailable error (code 17) — an honest stub with the full
+/** Config surface of the one service backend without a usable client in
+  * this build: the Hive 3.x metastore (its catalog-level thrift API needs
+  * Hive 3 jars; only Hive 2.3 ships here — Hive 2.x has a LIVE
+  * implementation in [[graft.backend.hive.Hive2Backend]], and Glue a live
+  * wire-protocol one in [[graft.backend.glue.GlueRestBackend]]). The stub
+  * parses and validates its reference-documented configuration, enforces
+  * the reference's identifier-depth policy, and fails every RPC with the
+  * spec's ServiceUnavailable error (code 17) — honest, with the full
   * config/validation surface, swappable for a live client without touching
   * the catalog layer.
   */
@@ -79,12 +80,3 @@ class Hive3Backend extends ServiceStubBackend("hive3", "hive.metastore.uris") {
         s"hive3 namespaces are 1 (catalog) or 2 (catalog.database) levels, got $id")
 }
 
-/** AWS Glue: flat 1-level namespaces = Glue databases
-  * (`GlueNamespace.java:395-403`); `storage.`-prefixed config forwarded to
-  * the data layer (`GlueNamespaceConfig.java:83-84`). */
-class GlueBackend extends ServiceStubBackend("glue", "region") {
-  override protected def validateNamespaceDepth(id: ObjectIdentifier): Unit =
-    if (id.depth != 1)
-      throw GraftError.InvalidInput(
-        s"glue namespaces are exactly 1 level (database), got $id")
-}

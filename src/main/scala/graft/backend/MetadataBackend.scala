@@ -124,7 +124,7 @@ object MetadataBackend {
     "polaris" -> (() => new graft.backend.rest.PolarisBackend),
     "hive2" -> (() => new graft.backend.hive.Hive2Backend),
     "hive3" -> (() => new Hive3Backend),
-    "glue" -> (() => new GlueBackend))
+    "glue" -> (() => new graft.backend.glue.GlueRestBackend))
 
   /** Register a shortname → factory, like `register_namespace_impl`. */
   def register(shortName: String, factory: () => MetadataBackend): Unit =

@@ -80,9 +80,16 @@ class FileBackendSpec extends AnyFunSuite {
     intercept[GraftError.ServiceUnavailable](
       h3.describeNamespace(ObjectIdentifier.of("hive", "db")))
 
-    val glue = new GlueBackend
+    val glue = new graft.backend.glue.GlueRestBackend
     intercept[GraftError.InvalidInput] {
       glue.initialize(Map("client.pool-size" -> "0"))
     }
+    // unconfigured glue (no region/endpoint) is loud, like hive2
+    val glue2 = new graft.backend.glue.GlueRestBackend
+    glue2.initialize(Map.empty)
+    intercept[GraftError.InvalidInput](
+      glue2.describeNamespace(ObjectIdentifier.of("a", "b")))
+    intercept[GraftError.ServiceUnavailable](
+      glue2.describeNamespace(ObjectIdentifier.of("db")))
   }
 }

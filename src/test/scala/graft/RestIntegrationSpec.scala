@@ -89,6 +89,19 @@ class RestIntegrationSpec extends AnyFunSuite {
     lifecycle(b, ObjectIdentifier.of(cat, "graft_it_db"))
   }
 
+  test("glue: live-service lifecycle (gated on GRAFT_IT_GLUE_ENDPOINT)") {
+    // a Glue-compatible endpoint: moto, LocalStack, or real AWS
+    val uri = reachable("GRAFT_IT_GLUE_ENDPOINT")
+    assume(uri.isDefined, "no live Glue-compatible endpoint — skipping")
+    val b = MetadataBackend.create("glue")
+    b.initialize(Map("endpoint" -> uri.get,
+      "region" -> sys.env.getOrElse("GRAFT_IT_GLUE_REGION", "us-east-1"),
+      "root" -> s"/tmp/graft-it-${ProcessHandle.current().pid()}") ++
+      sys.env.get("GRAFT_IT_GLUE_ACCESS_KEY_ID").map("access_key_id" -> _) ++
+      sys.env.get("GRAFT_IT_GLUE_SECRET_ACCESS_KEY").map("secret_access_key" -> _))
+    lifecycle(b, ObjectIdentifier.of("graft_it_db"))
+  }
+
   test("hive2: live external metastore lifecycle (gated on GRAFT_IT_HIVE2_URI)") {
     val uri = reachable("GRAFT_IT_HIVE2_URI")
     assume(uri.isDefined, "no live external Hive metastore — skipping " +

@@ -48,6 +48,30 @@ object LanguageModel {
       .select(col("w1"), col("w2"), (col("__c2") / col("__c1")).as("p"))
   }
 
+  /** One BPE merge-training step, distributed: count adjacent-character
+    * pairs inside every (lowercased, whitespace-split) word across the
+    * corpus and rank merge candidates by frequency. This is the hot
+    * inner loop of byte-pair-encoding tokenizer training — every
+    * iteration re-counts pairs over the full corpus, so at 100 TB the
+    * count IS the job — and it is one map-side-combinable aggregation
+    * over exploded (word, offset) rows: no window, no driver state, the
+    * only shuffle carries (pair, partial-count). Ordering
+    * (count desc, pair) is total, so the top-k merge list is
+    * deterministic and oracle-replayable.
+    * @return (pair, n) — the `topK` most frequent adjacent pairs */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"bpePairCounts: topK must be >= 1, got $topK")
+    df.filter(col(idCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-document coherence: mean transition probability of the doc's
     * bigrams under [[bigramModel]] trained on `corpus`. The mean is a
     * decimal(27,15) sum over the (deterministic, IEEE-identical) double

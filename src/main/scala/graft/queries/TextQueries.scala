@@ -230,7 +230,27 @@ object TextQueries {
       |  round(CAST(1 AS DOUBLE) - CAST(sum(iv) AS DOUBLE)/count(*), 6) AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** One distributed BPE merge step: the 20 most frequent adjacent
+    * character pairs inside words, corpus-wide — the inner loop of
+    * tokenizer training as a single map-side-combinable aggregation.
+    * (count desc, pair) is a total order, so the cut is oracle-exact. */
+  def q120BpePairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.bpePairCounts(
+      Tables.documents(s, d), "doc_id", "text", topK = 20)
+
+  val q120Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+      |  FROM (SELECT w FROM words WHERE length(w) >= 2) t,
+      |       UNNEST(range(1, length(w))) AS u(i))
+      |SELECT pair, count(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_bpe_pairs" -> (q120BpePairs _),
     "q97_oov_rate" -> (q97OovRate _),
     "q87_bigram_coherence" -> (q87BigramCoherence _),
     "q30_text_stats" -> (q30TextStats _),
@@ -241,6 +261,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q120_bpe_pairs" -> q120Sql,
     "q97_oov_rate" -> q97Sql,
     "q87_bigram_coherence" -> q87Sql,
     "q30_text_stats" -> q30Sql,

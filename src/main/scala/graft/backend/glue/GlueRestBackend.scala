@@ -99,10 +99,26 @@ class GlueRestBackend extends MetadataBackend {
         val text = Option(resp.body()).getOrElse("")
         if (code >= 200 && code < 300)
           return if (text.isEmpty) JNothing else JsonMethods.parse(text)
-        if (code >= 400 && code < 500) throw GlueApiError(glueType(text), text)
-        lastErr = GlueApiError(glueType(text), s"HTTP $code: $text")
+        val tpe = glueType(text)
+        if (code >= 400 && code < 500) tpe match {
+          // AWS returns throttling as HTTP 400 — it is transient
+          // backpressure and must retry with backoff, like the SDK does
+          case "ThrottlingException" | "TooManyRequestsException" =>
+            lastErr = GlueApiError(tpe, text)
+          // call sites map these two to the matching GraftError
+          case "EntityNotFoundException" | "AlreadyExistsException" =>
+            throw GlueApiError(tpe, text)
+          // everything else maps to the spec taxonomy HERE so no raw
+          // wire exception ever escapes to the catalog layer
+          case "InvalidInputException" | "ValidationException" =>
+            throw GraftError.InvalidInput(s"AWSGlue.$target: ${text.take(300)}")
+          case other =>
+            throw GraftError.ServiceUnavailable(
+              s"AWSGlue.$target failed ($other): ${text.take(300)}")
+        } else lastErr = GlueApiError(tpe, s"HTTP $code: $text")
       } catch {
         case e: GlueApiError => throw e
+        case e: GraftError => throw e
         case e: java.io.IOException => lastErr = e
       }
     }
@@ -219,6 +235,15 @@ class GlueRestBackend extends MetadataBackend {
         case CreateMode.Create => throw GraftError.NamespaceAlreadyExists(id)
         case CreateMode.ExistOk => ()
         case CreateMode.Overwrite =>
+          // restrict-only like dropNamespace: Glue's DeleteDatabase
+          // CASCADES, so an unguarded overwrite of a non-empty database
+          // would destroy every table's metadata — the hive2 backend
+          // refuses the same operation, and so must this one
+          val tables = allTables(name)
+          if (tables.nonEmpty)
+            throw GraftError.InvalidInput(
+              s"cannot overwrite non-empty namespace $id " +
+                s"(${tables.size} tables; drop them first)")
           call("DeleteDatabase", withCatalogId("Name" -> JString(name))); create()
       }
     }

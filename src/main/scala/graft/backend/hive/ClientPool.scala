@@ -45,11 +45,26 @@ abstract class ClientPool[C](poolSize: Int) extends AutoCloseable {
     } finally release(client)
   }
 
-  private def get(): C = synchronized {
-    if (closed) throw new IllegalStateException("client pool is closed")
-    while (idle.isEmpty && currentSize >= poolSize) wait()
-    if (idle.nonEmpty) idle.removeHead()
-    else { currentSize += 1; newClient() }
+  /** Take an idle client or, if under capacity, RESERVE a slot under the
+    * monitor and connect OUTSIDE it — a slow thrift connect must not
+    * stall releases, and a FAILED connect must give its slot back (and
+    * wake a waiter), or poolSize transient outages would permanently
+    * brick the pool into wait(). The wait loop also re-checks `closed`
+    * so close() unblocks waiters with an error instead of a hang. */
+  private def get(): C = {
+    val pooled: Option[C] = synchronized {
+      while (!closed && idle.isEmpty && currentSize >= poolSize) wait()
+      if (closed) throw new IllegalStateException("client pool is closed")
+      if (idle.nonEmpty) Some(idle.removeHead())
+      else { currentSize += 1; None } // slot reserved; connect outside the lock
+    }
+    pooled.getOrElse {
+      try newClient()
+      catch { case e: Throwable =>
+        synchronized { currentSize -= 1; notify() } // give the slot back
+        throw e
+      }
+    }
   }
 
   private def release(client: C): Unit = synchronized {

@@ -223,8 +223,15 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
     withClient("updateNamespaceProperties") { client =>
       val d = getDatabaseOrNull(client, db(id))
       if (d == null) throw GraftError.NamespaceNotFound(id)
-      updates.get(DescriptionKey).foreach(d.setDescription)
-      updates.get(LocationUriKey).foreach(d.setLocationUri)
+      // HMS 2.3's alter_database persists ONLY parameters and owner
+      // (ObjectStore.alterDatabase) — description/location changes would
+      // be silently dropped server-side, so refuse them loudly instead
+      val immutable = Set(DescriptionKey, LocationUriKey)
+      val touched = (updates.keySet ++ removals).intersect(immutable)
+      if (touched.nonEmpty)
+        throw GraftError.InvalidInput(
+          s"HMS 2.x alter_database cannot change ${touched.mkString(", ")} " +
+            "(only parameters and owner are alterable)")
       val params = new java.util.HashMap[String, String](
         Option(d.getParameters).getOrElse(java.util.Collections.emptyMap()))
       removals.foreach(params.remove)

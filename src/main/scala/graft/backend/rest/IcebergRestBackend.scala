@@ -209,6 +209,10 @@ class IcebergRestBackend extends MetadataBackend {
     resp \ "next-page-token" match {
       case JString(t) if t.nonEmpty => graft.backend.Page(names, Some(t))
       case _ =>
+        // same known limit as listTablesPaged below: a server whose
+        // native tokens are purely numeric AND whose final page omits
+        // the token is indistinguishable from our own offsets, so that
+        // final page would be re-sliced (possibly empty) here
         if (pageToken.exists(!_.forall(_.isDigit))) graft.backend.Page(names, None)
         else {
           val (items, tok) = graft.core.TableUtil.page(

@@ -229,6 +229,20 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.dropNamespace(ns, DropMode.Fail)
   }
 
+  test("overwrite mode refuses a non-empty database (Glue DeleteDatabase cascades)") {
+    val b = newBackend()
+    val ns = ObjectIdentifier.of("ow_db")
+    b.createNamespace(ns, Map("gen" -> "1"), CreateMode.Create)
+    b.declareTable(ns.child("t"), None, Map.empty, None)
+    intercept[GraftError.InvalidInput](
+      b.createNamespace(ns, Map.empty, CreateMode.Overwrite))
+    assert(b.listTables(ns).map(_.name) == Seq("t"), "table must survive")
+    b.dropTable(ns.child("t"), purge = false)
+    b.createNamespace(ns, Map("gen" -> "2"), CreateMode.Overwrite) // empty → ok
+    assert(b.describeNamespace(ns)("gen") == "2")
+    b.dropNamespace(ns, DropMode.Fail)
+  }
+
   test("end-to-end Spark SQL through the glue catalog") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

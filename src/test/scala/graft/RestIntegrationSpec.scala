@@ -28,12 +28,19 @@ import graft.core.ObjectIdentifier
 class RestIntegrationSpec extends AnyFunSuite {
 
   /** None when the env var is unset or the endpoint socket is closed —
-    * the gate condition for each suite. */
+    * the gate condition for each suite. Default ports follow the scheme
+    * (thrift 9083, http 80, https 443): probing 443 for a portless
+    * thrift:// or http:// URI would silently cancel against a LIVE
+    * service — exactly the green-washing this suite exists to avoid. */
   private def reachable(envVar: String): Option[String] =
     sys.env.get(envVar).filter { raw =>
       try {
         val u = URI.create(raw.replaceFirst("^thrift://", "tcp://"))
-        val port = if (u.getPort > 0) u.getPort else 443
+        val port =
+          if (u.getPort > 0) u.getPort
+          else if (raw.startsWith("thrift://")) 9083
+          else if (u.getScheme == "http") 80
+          else 443
         val s = new Socket()
         try { s.connect(new InetSocketAddress(u.getHost, port), 2000); true }
         finally s.close()

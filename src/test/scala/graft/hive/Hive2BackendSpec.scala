@@ -137,16 +137,44 @@ class Hive2BackendSpec extends AnyFunSuite {
     val b = newBackend()
     try {
       val ns = ObjectIdentifier.of("ns_alter")
-      b.createNamespace(ns, Map("a" -> "1", "b" -> "2"), CreateMode.Create)
+      b.createNamespace(ns,
+        Map("a" -> "1", "b" -> "2", "database.description" -> "desc"),
+        CreateMode.Create)
       b.declareTable(ns.child("keepme"), None, Map.empty, None) // non-empty!
       val updated = b.updateNamespaceProperties(ns,
         updates = Map("c" -> "3", "a" -> "9"), removals = Set("b"))
       assert(updated("a") == "9" && updated("c") == "3" && !updated.contains("b"))
       // the namespace was altered, not dropped-and-recreated: table survives
       assert(b.listTables(ns).map(_.name) == Seq("keepme"))
+      // HMS 2.x alter_database cannot change description/location — the
+      // server would silently drop the change, so the backend refuses
+      intercept[GraftError.InvalidInput](b.updateNamespaceProperties(ns,
+        updates = Map.empty, removals = Set("database.description")))
+      intercept[GraftError.InvalidInput](b.updateNamespaceProperties(ns,
+        updates = Map("database.location-uri" -> "/elsewhere"), removals = Set.empty))
       b.dropTable(ns.child("keepme"), purge = false)
       b.dropNamespace(ns, DropMode.Fail)
     } finally b.close()
+  }
+
+  test("client pool: failed connects release their slot; close unblocks") {
+    var fails = 2
+    val pool = new graft.backend.hive.ClientPool[String](1) {
+      override protected def newClient(): String = {
+        if (fails > 0) { fails -= 1; throw new RuntimeException("connect refused") }
+        "client"
+      }
+      override protected def reconnect(c: String): String = c
+      override protected def closeClient(c: String): Unit = ()
+      override protected def isConnectionException(e: Exception): Boolean = false
+    }
+    // a failed connect must give its slot back — with poolSize=1, a
+    // leaked slot would make the SECOND call hang forever in wait()
+    intercept[RuntimeException](pool.run(identity))
+    intercept[RuntimeException](pool.run(identity))
+    assert(pool.run(_ + "!") == "client!")
+    pool.close()
+    intercept[IllegalStateException](pool.run(identity))
   }
 
   test("client pool: bounded size survives concurrent catalog traffic") {

@@ -292,11 +292,21 @@ object Dedup {
     val corpSig = sigSets(corpus)
     val incSig = sigSets(incoming)
     // bucket-size cap applies to the corpus side (boilerplate buckets);
-    // candidates are only cross-set, never corpus-internal
-    val corpBands = banded(corpSig)
-      .withColumn("__bn", count(lit(1))
-        .over(Window.partitionBy(col("__band_id"), col("__band_sig"))))
+    // candidates are only cross-set, never corpus-internal. Census-first
+    // like the skew-safe batch path: a count().over(band) window would
+    // buffer a hot bucket's rows on ONE task just to count them, while
+    // the groupBy census is map-side combinable (the hot key reaches its
+    // reducer as partial counts). The banded frame is materialized once
+    // (localCheckpoint) since both the census and the probe read it — a
+    // production ingestion pipeline persists this LSH index anyway.
+    val allCorpBands = banded(corpSig).localCheckpoint()
+    val admissible = allCorpBands
+      .groupBy(col("__band_id"), col("__band_sig"))
+      .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
+      .select(col("__band_id"), col("__band_sig"))
+    val corpBands = allCorpBands
+      .join(admissible, Seq("__band_id", "__band_sig"), "left_semi")
       .select(col("__id").as("__idc"), col("__band_id"), col("__band_sig"))
     val cand = banded(incSig).select(col("__id").as("__idi"),
         col("__band_id"), col("__band_sig"))

@@ -396,9 +396,110 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
-  /** IVF-PQ composition (cells prune the scored set, codes prune the
-    * bytes read, exact re-rank repairs the shortlist) — approximate like
-    * q42/q43, so rows-only in the gate; recall floor pinned in PQSpec. */
+  /** IVF-PQ with BOTH stages seeded (q117's cells + q119's codebook), so
+    * the full production composition — cell assignment, nprobe probing,
+    * PQ encode, ADC scoring over probed cells only, exact rerank — is
+    * deterministic and the oracle hash-checks it end to end. With q117
+    * and q119 this closes the ANN family: only q73's engine-specific
+    * sketches remain legitimately rows-only. */
+  def q121IvfPqSeeded(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codebook = graft.ops.ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = M, k = CodebookK)
+    graft.ops.ProductQuantization.searchIvfPq(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec",
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+        "cid", "cvec",
+        codebook, m = M, k = 10, nprobe = 3, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q121Sql: String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, len($a)+1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc,x) -> acc+x)""".stripMargin
+    s"""WITH params AS (
+       |  SELECT CAST(len(embedding) // $M AS INT) AS sd FROM embeddings LIMIT 1),
+       |sdim AS (SELECT unnest(range(0, $M)) AS s),
+       |cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id < 5)
+       |  WHERE rn <= 3),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $CodebookK)),
+       |codebook AS (
+       |  SELECT sdim.s, seeds.c,
+       |    seeds.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS cvec
+       |  FROM seeds CROSS JOIN params p CROSS JOIN sdim),
+       |subs AS (
+       |  SELECT e.vec_id, sdim.s,
+       |    e.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS sv
+       |  FROM embeddings e CROSS JOIN params p CROSS JOIN sdim),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT subs.vec_id, subs.s, cb.c,
+       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s
+       |        ORDER BY ${l2("subs.sv", "cb.cvec")}, cb.c) AS rn
+       |    FROM subs JOIN codebook cb USING (s))
+       |  WHERE rn = 1),
+       |dtable AS (
+       |  SELECT q.vec_id AS qid, cb.s, cb.c,
+       |    ${l2("q.sv", "cb.cvec")} AS partial
+       |  FROM subs q JOIN codebook cb USING (s)
+       |  WHERE q.vec_id < 5),
+       |approx AS (
+       |  SELECT p.qid, a.vec_id,
+       |    CAST(sum(CAST(d.partial AS DECIMAL(38,18))) AS DOUBLE) AS al2
+       |  FROM probes p
+       |  JOIN assigned a USING (cid)
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN dtable d ON d.qid = p.qid AND d.s = c.s AND d.c = c.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY p.qid, a.vec_id),
+       |cands AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY al2, vec_id) AS rn
+       |    FROM approx)
+       |  WHERE rn <= 100),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM cands cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** IVF-PQ composition with TRAINED cells (cells prune the scored set,
+    * codes prune the bytes read, exact re-rank repairs the shortlist) —
+    * approximate like q42/q43, so rows-only in the gate; recall floor
+    * pinned in PQSpec, and q121 hash-checks the same code path with
+    * seeded cells + codebook. */
   def q108IvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val codebook = graft.ops.ProductQuantization.seedCodebook(
@@ -416,6 +517,7 @@ object SimilarityQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_ivf_seeded" -> (q117IvfSeeded _),
     "q119_pq_seeded" -> (q119PqSeeded _),
+    "q121_ivfpq_seeded" -> (q121IvfPqSeeded _),
     "q108_ivfpq" -> (q108IvfPq _),
     "q90_int8_quant" -> (q90Int8Quant _),
     "q93_semdedup" -> (q93SemDedup _),
@@ -430,6 +532,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q117_ivf_seeded" -> q117Sql,
     "q119_pq_seeded" -> q119Sql,
+    "q121_ivfpq_seeded" -> q121Sql,
     "q90_int8_quant" -> q90Sql,
     "q93_semdedup" -> q93Sql,
     "q94_matryoshka" -> q94Sql,

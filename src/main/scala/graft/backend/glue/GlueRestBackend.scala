@@ -102,7 +102,11 @@ class GlueRestBackend extends MetadataBackend {
         val tpe = glueType(text)
         if (code >= 400 && code < 500) tpe match {
           // AWS returns throttling as HTTP 400 — it is transient
-          // backpressure and must retry with backoff, like the SDK does
+          // backpressure and must retry with backoff, like the SDK does.
+          // A proxy/LB sheds load as a bare 429 with a non-Glue body
+          // (glueType = "") — equally transient, equally retried.
+          case _ if code == 429 =>
+            lastErr = GlueApiError(tpe, s"HTTP 429: $text")
           case "ThrottlingException" | "TooManyRequestsException" =>
             lastErr = GlueApiError(tpe, text)
           // call sites map these two to the matching GraftError

@@ -225,12 +225,20 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
       if (d == null) throw GraftError.NamespaceNotFound(id)
       // HMS 2.3's alter_database persists ONLY parameters and owner
       // (ObjectStore.alterDatabase) — description/location changes would
-      // be silently dropped server-side, so refuse them loudly instead
-      val immutable = Set(DescriptionKey, LocationUriKey)
-      val touched = (updates.keySet ++ removals).intersect(immutable)
-      if (touched.nonEmpty)
+      // be silently dropped server-side, so refuse REAL mutations loudly.
+      // A no-op "update" to the current value passes: callers routinely
+      // replay describeNamespace() output (merge-and-write, Spark's
+      // ALTER NAMESPACE SET PROPERTIES), and that must keep working.
+      val current = Map(
+        DescriptionKey -> Option(d.getDescription),
+        LocationUriKey -> Option(d.getLocationUri))
+      val mutated = current.keys.filter { k =>
+        (updates.contains(k) && !current(k).contains(updates(k))) ||
+          (removals.contains(k) && current(k).isDefined)
+      }
+      if (mutated.nonEmpty)
         throw GraftError.InvalidInput(
-          s"HMS 2.x alter_database cannot change ${touched.mkString(", ")} " +
+          s"HMS 2.x alter_database cannot change ${mutated.mkString(", ")} " +
             "(only parameters and owner are alterable)")
       val params = new java.util.HashMap[String, String](
         Option(d.getParameters).getOrElse(java.util.Collections.emptyMap()))

@@ -296,10 +296,14 @@ object Dedup {
     // like the skew-safe batch path: a count().over(band) window would
     // buffer a hot bucket's rows on ONE task just to count them, while
     // the groupBy census is map-side combinable (the hot key reaches its
-    // reducer as partial counts). The banded frame is materialized once
-    // (localCheckpoint) since both the census and the probe read it — a
-    // production ingestion pipeline persists this LSH index anyway.
-    val allCorpBands = banded(corpSig).localCheckpoint()
+    // reducer as partial counts). The banded subtree is read by both the
+    // census and the probe; it stays LAZY on purpose — signatures are
+    // deterministic md5 folds, so recompute is always safe, whereas a
+    // checkpoint here would run an eager job at plan-construction time,
+    // make executor loss unrecoverable, and pin blocks for the session.
+    // A production ingestion pipeline materializes this LSH index as a
+    // table instead.
+    val allCorpBands = banded(corpSig)
     val admissible = allCorpBands
       .groupBy(col("__band_id"), col("__band_sig"))
       .agg(count(lit(1)).as("__bn"))

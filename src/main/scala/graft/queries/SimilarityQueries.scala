@@ -332,21 +332,20 @@ object SimilarityQueries {
   private val M = 8
   private val CodebookK = 16
 
-  val q119Sql: String = {
-    // exact mirrors of Spark's folds: left fold, double precision,
-    // 0.0-seeded (IEEE: 0.0 + x == x, so the seedless DuckDB fold matches)
-    def l2(a: String, b: String): String =
-      s"""list_reduce(list_transform(range(1, len($a)+1),
-         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc,x) -> acc+x)""".stripMargin
-    val cos =
-      """list_reduce(list_transform(range(1, len(q.embedding)+1),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
-        |  / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
-        |   * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
-    s"""WITH params AS (
+  /** DuckDB mirror of `ProductQuantization.l2sq` — left fold, double
+    * precision, 0.0-seeded (IEEE: 0.0 + x == x, so the seedless DuckDB
+    * fold matches Spark's `aggregate(..., lit(0.0), _+_)`). */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a)+1),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc,x) -> acc+x)""".stripMargin
+
+  /** The seeded-PQ CTE block (subspace params, first-$CodebookK codebook,
+    * corpus subvectors, deterministic codes, per-query distance table for
+    * qid < 5) — the SINGLE source q119 and q121 both splice, so the two
+    * oracles can never silently fork on the encode/ADC semantics. */
+  private val PqCtes: String =
+    s"""params AS (
        |  SELECT CAST(len(embedding) // $M AS INT) AS sd FROM embeddings LIMIT 1),
        |sdim AS (SELECT unnest(range(0, $M)) AS s),
        |seeds AS (
@@ -364,14 +363,24 @@ object SimilarityQueries {
        |  SELECT vec_id, s, c AS code FROM (
        |    SELECT subs.vec_id, subs.s, cb.c,
        |      row_number() OVER (PARTITION BY subs.vec_id, subs.s
-       |        ORDER BY ${l2("subs.sv", "cb.cvec")}, cb.c) AS rn
+       |        ORDER BY ${l2Sql("subs.sv", "cb.cvec")}, cb.c) AS rn
        |    FROM subs JOIN codebook cb USING (s))
        |  WHERE rn = 1),
        |dtable AS (
        |  SELECT q.vec_id AS qid, cb.s, cb.c,
-       |    ${l2("q.sv", "cb.cvec")} AS partial
+       |    ${l2Sql("q.sv", "cb.cvec")} AS partial
        |  FROM subs q JOIN codebook cb USING (s)
-       |  WHERE q.vec_id < 5),
+       |  WHERE q.vec_id < 5)""".stripMargin
+
+  val q119Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
+        |   * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
+    s"""WITH $PqCtes,
        |approx AS (
        |  SELECT d.qid, c.vec_id,
        |    CAST(sum(CAST(d.partial AS DECIMAL(38,18))) AS DOUBLE) AS al2
@@ -419,13 +428,7 @@ object SimilarityQueries {
   }
 
   val q121Sql: String = {
-    def l2(a: String, b: String): String =
-      s"""list_reduce(list_transform(range(1, len($a)+1),
-         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
-         |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc,x) -> acc+x)""".stripMargin
-    s"""WITH params AS (
-       |  SELECT CAST(len(embedding) // $M AS INT) AS sd FROM embeddings LIMIT 1),
-       |sdim AS (SELECT unnest(range(0, $M)) AS s),
+    s"""WITH $PqCtes,
        |cents AS (
        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
        |  FROM embeddings WHERE vec_id < 10),
@@ -444,29 +447,6 @@ object SimilarityQueries {
        |    FROM embeddings q CROSS JOIN cents c
        |    WHERE q.vec_id < 5)
        |  WHERE rn <= 3),
-       |seeds AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $CodebookK)),
-       |codebook AS (
-       |  SELECT sdim.s, seeds.c,
-       |    seeds.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS cvec
-       |  FROM seeds CROSS JOIN params p CROSS JOIN sdim),
-       |subs AS (
-       |  SELECT e.vec_id, sdim.s,
-       |    e.embedding[(sdim.s*p.sd+1):((sdim.s+1)*p.sd)] AS sv
-       |  FROM embeddings e CROSS JOIN params p CROSS JOIN sdim),
-       |codes AS (
-       |  SELECT vec_id, s, c AS code FROM (
-       |    SELECT subs.vec_id, subs.s, cb.c,
-       |      row_number() OVER (PARTITION BY subs.vec_id, subs.s
-       |        ORDER BY ${l2("subs.sv", "cb.cvec")}, cb.c) AS rn
-       |    FROM subs JOIN codebook cb USING (s))
-       |  WHERE rn = 1),
-       |dtable AS (
-       |  SELECT q.vec_id AS qid, cb.s, cb.c,
-       |    ${l2("q.sv", "cb.cvec")} AS partial
-       |  FROM subs q JOIN codebook cb USING (s)
-       |  WHERE q.vec_id < 5),
        |approx AS (
        |  SELECT p.qid, a.vec_id,
        |    CAST(sum(CAST(d.partial AS DECIMAL(38,18))) AS DOUBLE) AS al2

@@ -35,10 +35,11 @@ class RestIntegrationSpec extends AnyFunSuite {
   private def reachable(envVar: String): Option[String] =
     sys.env.get(envVar).filter { raw =>
       try {
-        val u = URI.create(raw.replaceFirst("^thrift://", "tcp://"))
+        val lower = raw.toLowerCase // schemes are case-insensitive
+        val u = URI.create(lower.replaceFirst("^thrift://", "tcp://"))
         val port =
           if (u.getPort > 0) u.getPort
-          else if (raw.startsWith("thrift://")) 9083
+          else if (lower.startsWith("thrift://")) 9083
           else if (u.getScheme == "http") 80
           else 443
         val s = new Socket()

@@ -152,6 +152,11 @@ class Hive2BackendSpec extends AnyFunSuite {
         updates = Map.empty, removals = Set("database.description")))
       intercept[GraftError.InvalidInput](b.updateNamespaceProperties(ns,
         updates = Map("database.location-uri" -> "/elsewhere"), removals = Set.empty))
+      // ...but REPLAYING the current values (describe → merge → write,
+      // Spark's ALTER NAMESPACE pattern) is a no-op and must pass
+      val replayed = b.updateNamespaceProperties(ns,
+        updates = b.describeNamespace(ns) + ("k2" -> "v2"), removals = Set.empty)
+      assert(replayed("k2") == "v2" && replayed("database.description") == "desc")
       b.dropTable(ns.child("keepme"), purge = false)
       b.dropNamespace(ns, DropMode.Fail)
     } finally b.close()

@@ -146,6 +146,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("skew-safe LSH equals the default path on random corpora and caps") {
+    // random docs drawn from a tiny vocabulary → many genuine near-dup
+    // pairs AND organically hot band buckets, the regime where the two
+    // band-phase implementations could diverge if the census were wrong
+    val docGen = Gen.chooseNum(4, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.mkString(" ")))
+    val docs = samples(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (cap <- Seq(5, 40, 1000)) {
+      def run(skewSafe: Boolean) =
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+            k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5,
+            maxBucket = cap, skewSafe = skewSafe)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(run(skewSafe = true) == run(skewSafe = false), s"cap=$cap")
+    }
+  }
+
+  test("bpePairCounts matches a brute-force pair count on random word lists") {
+    val docGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+        .map(_.mkString(" ")))
+    val texts = samples(docGen, 80)
+    val expected = texts
+      .flatMap(_.toLowerCase.trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => w.substring(i, i + 2)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topRef = expected.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = graft.ops.LanguageModel.bpePairCounts(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == topRef)
+  }
+
   test("redactPii never leaves a match for any concatenation of pii snippets") {
     val pii = Gen.oneOf(
       "x@y.io", "a.b-c@d.org", "10.0.0.1", "255.255.255.255", "555-123-4567",

@@ -248,7 +248,11 @@ class GlueRestBackend extends MetadataBackend {
             throw GraftError.InvalidInput(
               s"cannot overwrite non-empty namespace $id " +
                 s"(${tables.size} tables; drop them first)")
-          call("DeleteDatabase", withCatalogId("Name" -> JString(name))); create()
+          // isNotFound here means another client dropped it first —
+          // exactly the state Overwrite wants; fall through to create
+          try call("DeleteDatabase", withCatalogId("Name" -> JString(name)))
+          catch { case e: GlueApiError if e.isNotFound => () }
+          create()
       }
     }
     describeNamespace(id)
@@ -273,8 +277,13 @@ class GlueRestBackend extends MetadataBackend {
     requireDepth1(id)
     val current = describeNamespace(id)
     val next = current -- removals ++ updates
-    call("UpdateDatabase", withCatalogId(
+    // re-map isNotFound here too: the database can vanish between the
+    // describe above and the mutation, and no raw wire exception may
+    // escape to the catalog layer
+    try call("UpdateDatabase", withCatalogId(
       "Name" -> JString(id.name), "DatabaseInput" -> dbInput(id.name, next)))
+    catch { case e: GlueApiError if e.isNotFound =>
+      throw GraftError.NamespaceNotFound(id) }
     describeNamespace(id)
   }
 
@@ -291,7 +300,14 @@ class GlueRestBackend extends MetadataBackend {
           throw GraftError.InvalidInput(
             s"namespace $id is not empty (restrict drop): ${tables.size} tables")
         val props = describeDb(db)
-        call("DeleteDatabase", withCatalogId("Name" -> JString(id.name)))
+        // a database dropped between the existence check above and this
+        // delete is a satisfied drop under Skip and a NamespaceNotFound
+        // under Fail — never a raw wire exception
+        try call("DeleteDatabase", withCatalogId("Name" -> JString(id.name)))
+        catch { case e: GlueApiError if e.isNotFound => mode match {
+          case DropMode.Fail => throw GraftError.NamespaceNotFound(id)
+          case DropMode.Skip => return Map.empty
+        } }
         props
     }
   }
@@ -344,6 +360,13 @@ class GlueRestBackend extends MetadataBackend {
         .flatMap(t => strOpt(t \ "Name"))
       case _ => Nil
     }
+    // the per-page sort assumes the server pages in global name order
+    // (real Glue does: GetTables pages are lexicographic, so sorting
+    // within a page is a no-op that also normalizes fakes). Against a
+    // Glue-compatible server with unordered NextToken pages, the
+    // concatenation of pages would differ from the globally sorted
+    // unpaged listTables — a documented divergence, matching the
+    // reference's pass-through behavior (GlueNamespace.java:227-230).
     Page(names.sorted.map(ns.child), strOpt(resp \ "NextToken"))
   }
 

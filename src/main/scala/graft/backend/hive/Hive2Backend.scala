@@ -150,6 +150,15 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
         case CreateMode.Create => throw GraftError.NamespaceAlreadyExists(id)
         case CreateMode.ExistOk => return describeDb(existing)
         case CreateMode.Overwrite =>
+          // restrict-only, matching dropNamespace and the Glue backend's
+          // taxonomy: without this pre-check the cascade=false drop's
+          // InvalidOperationException would surface as ServiceUnavailable
+          // (code 17, reads as retryable) instead of InvalidInput
+          val tables = client.getAllTables(name).asScala
+          if (tables.nonEmpty)
+            throw GraftError.InvalidInput(
+              s"cannot overwrite non-empty namespace $id " +
+                s"(${tables.size} tables; drop them first)")
           client.dropDatabase(name, false, true, false)
       }
       val d = new Database()
@@ -263,22 +272,34 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
       // fast path: server-side parameter filter — ONE RPC returning only
       // matching NAMES (measured: 1,001-table listing 754 ms → the
       // transfer of 1,001 full Table objects becomes a name list). The
-      // filter matches the canonical lowercase marker every writer
-      // (this repo, the reference's adapters) stores; metastores with
-      // filtering disabled fall back to the batched object fetch, which
-      // is still one RPC, not the reference's getTable-per-table N+1.
-      try client.listTableNamesByFilter(name,
-          "hive_filter_field_params__table_type = \"lance\"", -1)
-        .asScala.toSeq.map(ns.child).sortBy(_.toDelimited())
-      catch { case _: org.apache.hadoop.hive.metastore.api.MetaException |
-                   _: org.apache.hadoop.hive.metastore.api.InvalidOperationException =>
-        val all = client.getAllTables(name)
-        if (all.isEmpty) Nil
-        else client.getTableObjectsByName(name, all).asScala.toSeq
+      // filter is exact-match on the canonical lowercase marker every
+      // writer (this repo, the reference's adapters) stores, but point
+      // lookups (isLanceTable) accept ANY case — so names the filter
+      // missed are batch-verified against the case-insensitive predicate
+      // below, and listings can never disagree with describeTable. A
+      // lance-only database pays one extra name-list RPC; a database
+      // mixing in N non-canonical tables pays one batched fetch of those
+      // N. Metastores with filtering disabled fall back to the batched
+      // object fetch, which is still one RPC, not the reference's
+      // getTable-per-table N+1.
+      def batchedLance(names: Seq[String]): Seq[String] =
+        if (names.isEmpty) Nil
+        else client.getTableObjectsByName(name, names.asJava).asScala.toSeq
           .filter(t => TableUtil.isLanceTable(
             Option(t.getParameters).map(_.asScala.toMap).getOrElse(Map.empty)))
-          .map(t => ns.child(t.getTableName))
-          .sortBy(_.toDelimited())
+          .map(_.getTableName)
+      try {
+        val matched = client.listTableNamesByFilter(name,
+            "hive_filter_field_params__table_type = \"lance\"", -1)
+          .asScala.toSeq
+        val residual = client.getAllTables(name).asScala.toSeq.diff(matched)
+        (matched ++ batchedLance(residual))
+          .map(ns.child).sortBy(_.toDelimited())
+      }
+      catch { case _: org.apache.hadoop.hive.metastore.api.MetaException |
+                   _: org.apache.hadoop.hive.metastore.api.InvalidOperationException =>
+        batchedLance(client.getAllTables(name).asScala.toSeq)
+          .map(ns.child).sortBy(_.toDelimited())
       }
     }
   }

@@ -102,19 +102,30 @@ object Resolution {
     * enforced here defensively since a duplicate or reversed edge would
     * double-count).
     *
-    * Triangles enumerate via the oriented-join method: for edges kept in
-    * ascending-id orientation, (a,b)⋈(b,c)⋈(a,c) finds each triangle
-    * exactly once. Two self-joins = two shuffles on the join vertex; at
-    * web scale the standard refinement is orienting by degree instead of
-    * id (caps wedge fan-out at O(m^1.5) regardless of hubs) — same plan,
-    * different orientation key — but id orientation is deterministic and
-    * oracle-pinnable, which the gate needs.
+    * Triangles enumerate via the oriented-join method: (a,b)⋈(b,c)⋈(a,c)
+    * finds each triangle exactly once under any total order on vertices.
+    * The default orientation is by (degree, id) — the compact-forward
+    * refinement that caps the wedge fan-out of the e1⋈e2 join at
+    * O(m^1.5) regardless of hubs, which is the orientation to run at
+    * scale (a celebrity vertex in the id orientation fans out
+    * quadratically). The census is orientation-invariant, so the choice
+    * affects only the join's skew channel, never the counts; the
+    * id-oriented twin stays available as [[triangleStatsIdOrdered]] for
+    * equivalence testing.
     *
     * @return single row (n_vertices, n_edges, n_wedges, n_triangles,
     *         clustering) where clustering = 3·triangles/wedges (0 when
     *         the graph has no wedges)
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleStatsOriented(edges, srcCol, dstCol, byDegree = true)
+
+  /** [[triangleStats]] with the ascending-id orientation: deterministic
+    * and cheapest on hub-free graphs (no degree computation), but the
+    * wedge join fans out quadratically at high-degree vertices — the
+    * spec-level equivalence twin, not the scale path. */
+  def triangleStatsIdOrdered(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
     triangleStatsOriented(edges, srcCol, dstCol, byDegree = false)
 
   /** [[triangleStats]] with the hub-resilient orientation: edges point

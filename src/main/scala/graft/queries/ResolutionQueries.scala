@@ -105,7 +105,9 @@ object ResolutionQueries {
 
   /** Triangle census of the supplier co-occurrence graph (suppliers
     * sharing an order, every 10th order): vertex/edge/wedge/triangle
-    * counts and the global clustering coefficient. */
+    * counts and the global clustering coefficient. Runs the default
+    * (degree-ordered, hub-safe) orientation; the oracle replays the
+    * census with the naive join — orientation never changes counts. */
   def q104Triangles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()

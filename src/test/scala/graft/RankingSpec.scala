@@ -157,16 +157,19 @@ class RankingSpec extends SparkSpec {
     // hub graph: star center 1 + triangle (2,3,4) + chord through the hub
     val hub = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
       (2L, 3L), (3L, 4L), (2L, 4L)).toDF("src", "dst")
-    val a = Resolution.triangleStats(hub, "src", "dst").collect().head
+    val a = Resolution.triangleStatsIdOrdered(hub, "src", "dst").collect().head
     val b = Resolution.triangleStatsDegreeOrdered(hub, "src", "dst").collect().head
     assert(a == b, s"id=$a degree=$b")
     // random graphs: both orientations agree on every census field
     val rnd = new scala.util.Random(7)
     val edges = (1 to 120).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
       .filter(t => t._1 != t._2).toDF("src", "dst")
-    val ra = Resolution.triangleStats(edges, "src", "dst").collect().head
+    val ra = Resolution.triangleStatsIdOrdered(edges, "src", "dst").collect().head
     val rb = Resolution.triangleStatsDegreeOrdered(edges, "src", "dst").collect().head
     assert(ra == rb, s"id=$ra degree=$rb")
+    // the default now IS the degree-ordered path
+    val d = Resolution.triangleStats(hub, "src", "dst").collect().head
+    assert(d == b, s"default=$d degree=$b")
   }
 
   test("schemaDiff reports adds/removes/retypes/nullability and nothing else") {

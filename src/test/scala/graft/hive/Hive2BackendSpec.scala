@@ -115,12 +115,23 @@ class Hive2BackendSpec extends AnyFunSuite {
 
       assert(b.listTables(ns).map(_.name) == Seq("t1", "t2"))
 
-      // a non-lance HMS table in the same database is filtered out
-      hms.hiveConf // (table created through a raw pooled client)
+      // a non-lance HMS table in the same database is filtered out, and a
+      // lance table whose marker was written UPPERCASE by a foreign client
+      // is NOT: listTables must agree with the case-insensitive point
+      // lookups (describeTable/tableExists) even though the server-side
+      // param filter is exact-match — the residual batch-check covers it
+      hms.hiveConf // (tables created through a raw pooled client)
       val raw = new HiveClientPoolForTest(hms)
-      try raw.createPlainTable("ns_tbl", "not_lance") finally raw.close()
-      assert(b.listTables(ns).map(_.name) == Seq("t1", "t2"),
-        "listTables must filter to table_type=lance")
+      try {
+        raw.createPlainTable("ns_tbl", "not_lance")
+        raw.createPlainTable("ns_tbl", "shouty_lance",
+          Map("table_type" -> "LANCE"))
+      } finally raw.close()
+      assert(b.listTables(ns).map(_.name) == Seq("shouty_lance", "t1", "t2"),
+        "listTables must filter to table_type=lance, case-insensitively")
+      assert(b.tableExists(ns.child("shouty_lance")),
+        "point lookup and listing must agree")
+      b.dropTable(ns.child("shouty_lance"), purge = false)
 
       val droppedInfo = b.dropTable(ns.child("t2"), purge = true)
       assert(droppedInfo.location.endsWith("/data/elsewhere/t2"))
@@ -128,8 +139,12 @@ class Hive2BackendSpec extends AnyFunSuite {
       intercept[GraftError.TableNotFound](b.dropTable(ns.child("t2"), purge = false))
 
       b.dropTable(ns.child("t1"), purge = false)
-      // non-lance table still blocks the restrict drop
+      // non-lance table still blocks the restrict drop, AND blocks an
+      // Overwrite re-create — as InvalidInput (caller error), not the
+      // code-17 ServiceUnavailable the raw cascade=false drop would raise
       intercept[GraftError.InvalidInput](b.dropNamespace(ns, DropMode.Fail))
+      intercept[GraftError.InvalidInput](
+        b.createNamespace(ns, Map.empty, CreateMode.Overwrite))
     } finally b.close()
   }
 
@@ -212,7 +227,8 @@ class Hive2BackendSpec extends AnyFunSuite {
 /** Raw HMS access for planting non-lance tables (test fixture only). */
 class HiveClientPoolForTest(hms: LocalHiveMetastore) extends AutoCloseable {
   private val pool = new graft.backend.hive.HiveClientPool(1, hms.hiveConf)
-  def createPlainTable(db: String, name: String): Unit = pool.run { c =>
+  def createPlainTable(db: String, name: String,
+      params: Map[String, String] = Map.empty): Unit = pool.run { c =>
     val t = new org.apache.hadoop.hive.metastore.api.Table()
     t.setDbName(db); t.setTableName(name)
     t.setTableType("EXTERNAL_TABLE")
@@ -222,7 +238,9 @@ class HiveClientPoolForTest(hms: LocalHiveMetastore) extends AutoCloseable {
     sd.setCols(new java.util.ArrayList())
     sd.setSerdeInfo(new org.apache.hadoop.hive.metastore.api.SerDeInfo())
     t.setSd(sd)
-    t.setParameters(new java.util.HashMap())
+    val p = new java.util.HashMap[String, String]()
+    params.foreach { case (k, v) => p.put(k, v) }
+    t.setParameters(p)
     c.createTable(t)
   }
   override def close(): Unit = pool.close()

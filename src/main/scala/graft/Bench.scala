@@ -51,7 +51,18 @@ object Bench {
     val onlyJson = only
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min"$onlyJson$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min"$onlyJson$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
+    // kept 61 of 121 queries), so a FULL run also persists the complete
+    // per-query map itself — round-over-round comparison needs every query,
+    // not a sample. Filtered (SPARK_GRAFT_ONLY) runs don't write: a partial
+    // map must never overwrite the complete artifact.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_r7.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

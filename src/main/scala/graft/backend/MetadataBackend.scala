@@ -79,6 +79,25 @@ trait MetadataBackend {
   def tableExists(id: ObjectIdentifier): Boolean
   /** Op 10. */
   def describeTable(id: ObjectIdentifier): TableInfo
+  /** Batched op 10: describe many tables in as few RPCs as the backend
+    * allows. Tables that vanished between list and describe are skipped,
+    * not errors — a bulk caller (the `include_declared=false` listing
+    * filter) must not abort on a concurrent drop. Default is the serial
+    * loop; backends with a real batch RPC (hive2's
+    * `getTableObjectsByName`) override it to one round trip.
+    *
+    * Contract note: this is a bulk METADATA read — implementations MAY
+    * defer the per-table storage probe and leave `isOnlyDeclared` at its
+    * default, because a caller that needs declared-detection over a bulk
+    * listing should probe the returned `location`s itself, in parallel
+    * (as `GraftCatalog.listTables(include_declared=false)` does). A
+    * serial FS walk per table inside the batch would undo the RPC win. */
+  def describeTables(ids: Seq[ObjectIdentifier]): Seq[TableInfo] =
+    ids.flatMap { id =>
+      try Some(describeTable(id))
+      catch { case _: graft.core.GraftError.TableNotFound => None }
+    }
+
   /** Ops 11/12: register table metadata (schema optional = declare-only). */
   def declareTable(id: ObjectIdentifier, location: Option[String],
       properties: Map[String, String], schemaJson: Option[String]): TableInfo

@@ -185,16 +185,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
   }
 
+  /** Bounded daemon pool + short-TTL location cache backing the bulk
+    * declared-probe below. The pool is shared across calls (the listing
+    * may be polled); daemon threads so an un-closed catalog never pins
+    * the JVM. */
+  private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => { val t = new Thread(r, "graft-probe"); t.setDaemon(true); t })
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+  private val describeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.backend.TableInfo)]()
+  private def probeTtlMs: Long =
+    conf.get("probe.cache.ttl-ms").map(_.toLong).getOrElse(30000L)
+
+  /** Bulk describes with the same short TTL as the probes: a polled
+    * `include_declared=false` listing pays the backend's metadata fetch
+    * once per TTL window, not once per call. Only tables the fresh
+    * listing still contains are served from cache, so drops are always
+    * visible; location/property changes land within one TTL. */
+  private def describeTablesCached(
+      ids: Seq[ObjectIdentifier]): Seq[graft.backend.TableInfo] = {
+    val ttl = probeTtlMs
+    if (ttl <= 0) backend.describeTables(ids)
+    else {
+      val now = System.currentTimeMillis()
+      val (hits, misses) = ids.partition { id =>
+        val h = describeCache.get(id.toDelimited().toLowerCase)
+        h != null && now - h._1 < ttl
+      }
+      val fetched = if (misses.isEmpty) Nil else backend.describeTables(misses)
+      fetched.foreach(i =>
+        describeCache.put(i.id.toDelimited().toLowerCase, (now, i)))
+      hits.map(id => describeCache.get(id.toDelimited().toLowerCase)._2) ++ fetched
+    }
+  }
+
+  private def hasDataCached(location: String,
+      hconf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val ttl = probeTtlMs
+    if (ttl <= 0) TableUtil.hasStorageComponents(location, hconf)
+    else {
+      val now = System.currentTimeMillis()
+      val hit = probeCache.get(location)
+      if (hit != null && now - hit._1 < ttl) hit._2
+      else {
+        val r = TableUtil.hasStorageComponents(location, hconf)
+        probeCache.put(location, (now, r))
+        r
+      }
+    }
+  }
+
   /** Spec-parity listing with `include_declared` semantics
     * (`table_utils.py:17-19`): `includeDeclared=false` drops tables whose
-    * storage has no data yet. The probe is the reference's documented N+1
-    * scale hazard (SURVEY.md §4) — it runs once per listed table on the
-    * driver; callers listing huge namespaces should keep the default
-    * `includeDeclared=true`. */
+    * storage has no data yet.
+    *
+    * The reference runs this as a serial describe+open per listed table
+    * (`LanceTableUtil.java:48-60`) — the SURVEY.md §4 N+1 scale hazard:
+    * at 10k tables, 10k sequential metastore+FS round trips on the
+    * driver. Here the describes collapse to the backend's bulk RPC
+    * (`describeTables`, one `getTableObjectsByName` on hive2) and the
+    * storage probes fan out over a bounded 16-thread driver pool with a
+    * short-TTL per-location cache (`probe.cache.ttl-ms`, default 30 s,
+    * 0 disables) — so a polled listing pays the FS walk once per TTL,
+    * not once per call. Tables dropped between list and describe are
+    * omitted, matching the serial path's behavior. */
   def listTables(namespace: Array[String], includeDeclared: Boolean): Array[Identifier] = {
     val all = listTables(namespace)
-    if (includeDeclared) all
-    else all.filterNot(isOnlyDeclared)
+    if (includeDeclared || all.isEmpty) all
+    else {
+      val infos = mapped(describeTablesCached(all.map(oid).toIndexedSeq))
+      // Hadoop confs are built caller-side: SparkSession.active is
+      // thread-local and must not be touched from the pool.
+      val hconfs = infos.map(_.storageOptions).distinct
+        .map(so => so -> spark.sessionState.newHadoopConfWithOptions(so)).toMap
+      val futures = infos.map { info =>
+        info -> probePool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            hasDataCached(info.location, hconfs(info.storageOptions))
+        })
+      }
+      val withData = futures.collect {
+        case (info, f) if f.get() => info.id.toDelimited().toLowerCase
+      }.toSet
+      all.filter(id => withData.contains(oid(id).toDelimited().toLowerCase))
+    }
   }
 
   /** Paginated listing surface (spec `pageToken`/`limit`). */

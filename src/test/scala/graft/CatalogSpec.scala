@@ -207,6 +207,61 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft.conc").count() == 24)
   }
 
+  test("bulk include_declared=false probe: ttl=0 sees writes immediately; ttl caches") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    def freshCat(ttlMs: String) = {
+      val c = new graft.catalog.GraftCatalog
+      c.initialize("gprobe", new CaseInsensitiveStringMap(
+        Map("backend" -> "memory", "root" -> root,
+          "probe.cache.ttl-ms" -> ttlMs).asJava))
+      c.createNamespace(Array("ns"), Map.empty[String, String].asJava)
+      (1 to 3).foreach { i =>
+        c.createTable(Identifier.of(Array("ns"), s"t$i"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType))),
+          Array.empty, Map.empty[String, String].asJava)
+      }
+      c
+    }
+    def materialize(i: Int): Unit = {
+      val dir = new java.io.File(s"$root/ns/t$i.lance"); dir.mkdirs()
+      java.nio.file.Files.write(dir.toPath.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    // ttl=0: every probe hits the filesystem, so writes show up immediately
+    val c0 = freshCat("0")
+    assert(c0.listTables(Array("ns"), includeDeclared = false).isEmpty)
+    materialize(1)
+    assert(c0.listTables(Array("ns"), includeDeclared = false)
+      .map(_.name()).toSeq == Seq("t1"))
+    materialize(3)
+    assert(c0.listTables(Array("ns"), includeDeclared = false)
+      .map(_.name()).sorted.toSeq == Seq("t1", "t3"))
+    // long ttl: the first listing's negative probe is served from cache,
+    // so a write inside the ttl window is (by design) not yet visible
+    val root2 = java.nio.file.Files.createTempDirectory("graft-probe2").toString
+    val c1 = new graft.catalog.GraftCatalog
+    c1.initialize("gprobe2", new CaseInsensitiveStringMap(
+      Map("backend" -> "memory", "root" -> root2,
+        "probe.cache.ttl-ms" -> "600000").asJava))
+    c1.createNamespace(Array("ns"), Map.empty[String, String].asJava)
+    c1.createTable(Identifier.of(Array("ns"), "tc"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))),
+      Array.empty, Map.empty[String, String].asJava)
+    assert(c1.listTables(Array("ns"), includeDeclared = false).isEmpty)
+    val dir = new java.io.File(s"$root2/ns/tc.lance"); dir.mkdirs()
+    java.nio.file.Files.write(dir.toPath.resolve("part-0.parquet"),
+      Array[Byte](1))
+    assert(c1.listTables(Array("ns"), includeDeclared = false).isEmpty,
+      "within ttl the cached negative probe is served")
+  }
+
   test("declared-table probe (spec is_only_declared)") {
     import org.apache.spark.sql.connector.catalog.Identifier
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")

@@ -148,6 +148,33 @@ class Hive2BackendSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("describeTables: one batched RPC, skips vanished and non-lance names") {
+    val b = newBackend()
+    try {
+      val ns = ObjectIdentifier.of("ns_bulk")
+      b.createNamespace(ns, Map.empty, CreateMode.Create)
+      (1 to 4).foreach(i => b.declareTable(ns.child(s"bt$i"), None,
+        Map("k" -> s"v$i"), None))
+      val raw = new HiveClientPoolForTest(hms)
+      try raw.createPlainTable("ns_bulk", "plain") finally raw.close()
+
+      val asked = Seq(ns.child("bt2"), ns.child("bt1"), ns.child("gone"),
+        ns.child("plain"), ns.child("bt4"))
+      val got = b.describeTables(asked)
+      // input order preserved; missing + non-lance silently skipped
+      assert(got.map(_.id.name) == Seq("bt2", "bt1", "bt4"))
+      assert(got.map(_.properties("k")) == Seq("v2", "v1", "v4"))
+      // bulk describes defer the storage probe (trait contract): the
+      // metadata must match the serial describe minus isOnlyDeclared
+      val serial = b.describeTable(ns.child("bt2"))
+      val bulk = got.head
+      assert(bulk.location == serial.location &&
+        bulk.properties == serial.properties &&
+        bulk.storageOptions == serial.storageOptions)
+      (1 to 4).foreach(i => b.dropTable(ns.child(s"bt$i"), purge = false))
+    } finally b.close()
+  }
+
   test("updateNamespaceProperties uses native alterDatabase (in-place)") {
     val b = newBackend()
     try {

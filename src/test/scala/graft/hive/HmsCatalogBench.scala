@@ -37,6 +37,41 @@ object HmsCatalogBench {
     val listed = b.listTables(ns)
     println(f"HMSBENCH listTables(${listed.size}) once ${(System.nanoTime() - t0) / 1e6}%8.3f ms")
     p50("listTables warm", 20)(_ => b.listTables(ns))
+
+    // include_declared=false listing: the reference's serial
+    // describe+probe per table (`LanceTableUtil.java:48-60`) vs the bulk
+    // path (one batched getTableObjectsByName + parallel cached probes).
+    def once(label: String)(f: => Int): Double = {
+      val t = System.nanoTime(); val n = f
+      val ms = (System.nanoTime() - t) / 1e6
+      println(f"HMSBENCH $label%-34s ${ms}%10.3f ms  ($n tables)")
+      ms
+    }
+    val serialMs = once("listTables declOnly SERIAL") {
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      listed.count { id =>
+        val info = b.describeTable(id)
+        graft.core.TableUtil.hasStorageComponents(info.location, hconf)
+      }
+    }
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.conf.set("spark.sql.catalog.ghms", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghms.backend", "hive2")
+    spark.conf.set("spark.sql.catalog.ghms.hive.metastore.uris",
+      s"thrift://localhost:${hms.port}")
+    spark.conf.set("spark.sql.catalog.ghms.root", hms.warehouseDir)
+    // match the embedded server's 5 worker threads so describe chunks overlap
+    spark.conf.set("spark.sql.catalog.ghms.client.pool-size", "5")
+    val cat = spark.sessionState.catalogManager.catalog("ghms")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val bulkCold = once("listTables declOnly BULK cold")(
+      cat.listTables(Array("hms_bench"), includeDeclared = false).length)
+    once("listTables declOnly BULK warm")(
+      cat.listTables(Array("hms_bench"), includeDeclared = false).length)
+    println(f"HMSBENCH declOnly serial/bulk-cold speedup ${serialMs / bulkCold}%8.1fx")
+    spark.stop()
+
     p50("dropTable", nTables)(i => b.dropTable(ns.child(s"t$i"), purge = false))
     b.dropTable(ns.child("warm"), purge = false)
     b.dropNamespace(ns, graft.backend.DropMode.Fail)

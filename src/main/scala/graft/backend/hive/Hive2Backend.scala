@@ -139,6 +139,13 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
     else if (parent.depth == 1) Nil // databases have no children
     else { requireDepth1(parent); Nil }
 
+  /** Pattern-based database listing (`get_databases`). The Hive 3 adapter
+    * uses this with a catalog-qualified pattern (`@cat#*`) to list the
+    * databases of a non-default catalog through the 2.x-compatible wire
+    * (HMS 3.x `parseDbName` compatibility path). */
+  private[hive] def listDatabasesByPattern(pattern: String): Seq[String] =
+    withClient("listDatabases")(_.getDatabases(pattern).asScala.toSeq)
+
   override def createNamespace(id: ObjectIdentifier, properties: Map[String, String],
       mode: CreateMode): Map[String, String] = {
     if (id.isRoot) throw GraftError.InvalidInput("cannot create root namespace")

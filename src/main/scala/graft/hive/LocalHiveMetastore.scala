@@ -24,6 +24,7 @@ import org.apache.thrift.transport.{TServerSocket, TTransportFactory}
 class LocalHiveMetastore {
   private var server: TServer = _
   private var baseHandler: HiveMetaStore.HMSHandler = _
+  private var serverConf: HiveConf = _
   private val executor = Executors.newSingleThreadExecutor()
   var hiveConf: HiveConf = _
   var warehouseDir: String = _
@@ -51,7 +52,7 @@ class LocalHiveMetastore {
     conf.set("javax.jdo.option.ConnectionURL", s"jdbc:derby:$derbyPath;create=true")
     hiveConf = conf
 
-    val serverConf = new HiveConf(conf)
+    serverConf = new HiveConf(conf)
     baseHandler = new HiveMetaStore.HMSHandler("graft embedded metastore", serverConf)
     val handler = RetryingHMSHandler.getProxy(serverConf, baseHandler, false)
     val args = new TThreadPoolServer.Args(socket)
@@ -69,6 +70,17 @@ class LocalHiveMetastore {
     executor.shutdown()
     if (baseHandler != null) baseHandler.shutdown()
   }
+
+  /** The raw Derby-backed handler — lets protocol-level test fronts make
+    * in-process metadata peeks (e.g. catalog-emptiness checks) without a
+    * second client connection. */
+  def rawHandler: HiveMetaStore.HMSHandler = baseHandler
+
+  /** A fresh thrift processor over the SAME handler, so a test can boot
+    * a second server front (e.g. the Hive 3 catalog front) on another
+    * port sharing this Derby store. */
+  def newProcessor(): org.apache.thrift.TProcessor =
+    new TSetIpAddressProcessor(RetryingHMSHandler.getProxy(serverConf, baseHandler, false))
 }
 
 /** JVM-singleton metastore shared by hive suites (Derby single-boot). */

@@ -114,6 +114,36 @@ object CatalogQueries {
       |FROM documents WHERE doc_id % 2 = 0
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q122: the q83 write-path round trip on the LIVE hive2 backend — boots
+    * the embedded Derby-backed thrift metastore in-process (JVM singleton)
+    * and drives the full DDL + INSERT OVERWRITE + read-back lifecycle
+    * through the real `HiveMetaStoreClient` wire, so the live metastore
+    * path has a CORRECTNESS row against the DuckDB oracle, not only
+    * ScalaTest specs. A separate catalog name keeps it independent of the
+    * memory-backend gates (q21/q22/q83) regardless of run order. */
+  def q122HmsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val hms = graft.hive.LocalHiveMetastore.instance
+    s.conf.set("spark.sql.catalog.graft_hms", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_hms.backend", "hive2")
+    s.conf.set("spark.sql.catalog.graft_hms.hive.metastore.uris",
+      s"thrift://localhost:${hms.port}")
+    s.conf.set("spark.sql.catalog.graft_hms.root", warehouseRoot)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_hms.tpch")
+    Tables.documents(s, d).createOrReplaceTempView("__q122_src")
+    s.sql("""CREATE TABLE IF NOT EXISTS graft_hms.tpch.docs_hms
+            | (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+    s.sql("""INSERT OVERWRITE graft_hms.tpch.docs_hms
+            |SELECT doc_id, lang, n_chars FROM __q122_src WHERE doc_id % 3 = 0""".stripMargin)
+    s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+            |FROM graft_hms.tpch.docs_hms
+            |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q122Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Once-per-session bucketed copies of lineitem/orders, co-bucketed on
     * the join key (8 buckets, bucket-sorted). This is THE scale seam for
     * repeated fact-fact joins: both sides' bucketing satisfies the join's
@@ -176,11 +206,13 @@ object CatalogQueries {
     "q21_catalog_scan" -> (q21CatalogScan _),
     "q22_catalog_join" -> (q22CatalogJoin _),
     "q79_bucketed_join" -> (q79BucketedJoin _),
-    "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _))
+    "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _),
+    "q122_hms_roundtrip" -> (q122HmsRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
     "q22_catalog_join" -> q22Sql,
     "q79_bucketed_join" -> q79Sql,
-    "q83_catalog_roundtrip" -> q83Sql)
+    "q83_catalog_roundtrip" -> q83Sql,
+    "q122_hms_roundtrip" -> q122Sql)
 }

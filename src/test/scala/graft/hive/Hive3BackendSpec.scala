@@ -58,6 +58,92 @@ class Hive3BackendSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  private lazy val h3 = LocalHive3Metastore.instance
+
+  private def newFrontBackend() = {
+    val b = new graft.backend.hive.Hive3Backend
+    b.initialize(Map(
+      "hive.metastore.uris" -> s"thrift://localhost:${h3.port}",
+      "root" -> hms.warehouseDir,
+      "client.pool-size" -> "2"))
+    b
+  }
+
+  test("second catalog end-to-end over the catalog-aware front") {
+    val b = newFrontBackend()
+    try {
+      val cat = ObjectIdentifier.of("spark_cat")
+      b.createNamespace(cat, Map("description" -> "second catalog"),
+        CreateMode.Create)
+      assert(b.listNamespaces(ObjectIdentifier.root)
+        .map(_.levels.head).contains("spark_cat"))
+      assert(b.namespaceExists(cat))
+      val props = b.describeNamespace(cat)
+      assert(props("description") == "second catalog")
+      assert(props.contains("catalog.location.uri"))
+      b.createNamespace(cat, Map.empty, CreateMode.ExistOk) // no-op
+      intercept[GraftError.NamespaceAlreadyExists](
+        b.createNamespace(cat, Map.empty, CreateMode.Create))
+
+      // database inside the second catalog — real Derby-backed database
+      // addressed through the @cat#db compat encoding
+      val ns = ObjectIdentifier.of("spark_cat", "lakedb")
+      b.createNamespace(ns, Map("team" -> "graft"), CreateMode.Create)
+      assert(b.namespaceExists(ns))
+      assert(b.describeNamespace(ns)("team") == "graft")
+      assert(b.listNamespaces(cat) == Seq(ns))
+      // catalog isolation both ways: the default catalog's listing never
+      // shows the second catalog's database, and vice versa
+      assert(!b.listNamespaces(ObjectIdentifier.of("hive"))
+        .exists(_.levels.last == "lakedb"))
+      assert(!b.namespaceExists(ObjectIdentifier.of("hive", "lakedb")))
+
+      // table lifecycle in the second catalog
+      val t = ns.child("t1")
+      val info = b.declareTable(t, None, Map("k" -> "v"), None)
+      assert(info.id == ObjectIdentifier.of("spark_cat", "lakedb", "t1"),
+        "returned ids are catalog-qualified")
+      assert(b.tableExists(t))
+      assert(!b.tableExists(ObjectIdentifier.of("hive", "lakedb", "t1")))
+      assert(b.listTables(ns) == Seq(t))
+      assert(b.describeTable(t).properties("k") == "v")
+      assert(b.describeTables(Seq(t)).map(_.id) ==
+        Seq(ObjectIdentifier.of("spark_cat", "lakedb", "t1")))
+
+      // restrict drops: a catalog holding databases refuses to go
+      intercept[GraftError.InvalidInput](b.dropNamespace(cat, DropMode.Fail))
+      b.dropTable(t, purge = false)
+      b.dropNamespace(ns, DropMode.Fail)
+      val dropped = b.dropNamespace(cat, DropMode.Fail)
+      assert(dropped("description") == "second catalog")
+      assert(!b.namespaceExists(cat))
+      b.dropNamespace(ObjectIdentifier.of("spark_cat"), DropMode.Skip) // no-op
+      intercept[GraftError.NamespaceNotFound](
+        b.dropNamespace(ObjectIdentifier.of("spark_cat"), DropMode.Fail))
+    } finally b.close()
+  }
+
+  test("catalog name hygiene and missing-catalog errors on the front") {
+    val b = newFrontBackend()
+    try {
+      intercept[GraftError.InvalidInput](
+        b.createNamespace(ObjectIdentifier.of("sp@rk", "db"),
+          Map.empty, CreateMode.Create))
+      intercept[GraftError.NamespaceNotFound](
+        b.createNamespace(ObjectIdentifier.of("ghost_cat", "db"),
+          Map.empty, CreateMode.Create))
+      intercept[GraftError.NamespaceNotFound](
+        b.listTables(ObjectIdentifier.of("ghost_cat", "db")))
+      assert(!b.namespaceExists(ObjectIdentifier.of("ghost_cat", "db")))
+      assert(!b.tableExists(ObjectIdentifier.of("ghost_cat", "db", "t")))
+      intercept[GraftError.NamespaceNotFound](
+        b.describeNamespace(ObjectIdentifier.of("ghost_cat")))
+      // default catalog is addressable and described via get_catalog
+      assert(b.describeNamespace(ObjectIdentifier.of("hive"))
+        .contains("catalog.location.uri"))
+    } finally b.close()
+  }
+
   test("non-default catalogs fail loudly; depth policy enforced") {
     val b = newBackend()
     try {
@@ -66,13 +152,15 @@ class Hive3BackendSpec extends AnyFunSuite {
           Map.empty, CreateMode.Create))
       intercept[GraftError.ServiceUnavailable](
         b.listTables(ObjectIdentifier.of("not_hive", "db")))
-      // 1-level create (a catalog) is invalid input, not an RPC
-      intercept[GraftError.InvalidInput](
-        b.createNamespace(ObjectIdentifier.of("hive"), Map.empty, CreateMode.Create))
+      // 1-level create (a catalog) needs the catalog wire — loud code-17
+      // on this pre-3.0 server, never a silent no-op
+      intercept[GraftError.ServiceUnavailable](
+        b.createNamespace(ObjectIdentifier.of("newcat"), Map.empty, CreateMode.Create))
       intercept[GraftError.InvalidInput](
         b.describeNamespace(ObjectIdentifier.of("a", "b", "c")))
-      // depth-1 non-default catalog: not found, never an implicit create
-      intercept[GraftError.NamespaceNotFound](
+      // depth-1 non-default catalog: the pre-3.0 server cannot answer
+      // whether it exists — loud, not a guessy not-found
+      intercept[GraftError.ServiceUnavailable](
         b.describeNamespace(ObjectIdentifier.of("other_cat")))
     } finally b.close()
   }

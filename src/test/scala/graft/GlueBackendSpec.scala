@@ -31,6 +31,12 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
   @volatile private var lastAuth: Option[String] = None
   @volatile private var sawBadAuth: Option[String] = None
   @volatile private var sigMismatch: Option[String] = None
+  // fault injection + wire observation for the conformance rows
+  @volatile private var injectRemaining: Int = 0
+  @volatile private var injectCode: Int = 400
+  @volatile private var injectType: String = ""
+  @volatile private var requestCount: Int = 0
+  private val maxResultsLog = new java.util.concurrent.CopyOnWriteArrayList[Int]()
 
   /** Server-side SigV4 verification: parse SignedHeaders out of the
     * Authorization header, re-sign the request with the shared secret,
@@ -77,10 +83,12 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def str(jv: JValue): Option[String] =
     jv match { case JString(s) if s.nonEmpty => Some(s); case _ => None }
 
-  /** Native NextToken paging: token = "gtok<offset>". */
+  /** Native NextToken paging: token = "gtok<offset>". Records every
+    * MaxResults so tests can pin the reference's min(remaining, 100)
+    * page cap (`GlueNamespace.java:82,127`). */
   private def page[T](items: List[T], body: JValue): (List[T], Option[String]) = {
     val size = (body \ "MaxResults") match {
-      case JInt(n) => n.toInt
+      case JInt(n) => maxResultsLog.add(n.toInt); n.toInt
       case _ => 100
     }
     val off = str(body \ "NextToken").map(_.stripPrefix("gtok").toInt).getOrElse(0)
@@ -106,7 +114,16 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val target = Option(ex.getRequestHeaders.getFirst("X-Amz-Target")).getOrElse("")
       val body = JsonMethods.parse(new String(raw, StandardCharsets.UTF_8))
-      route(ex, target.stripPrefix("AWSGlue."), body)
+      requestCount += 1
+      if (injectRemaining > 0) {
+        injectRemaining -= 1
+        if (injectType.isEmpty) {
+          // a proxy/LB shedding load: bare 429, non-Glue body
+          val b = "slow down".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(injectCode, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        } else err(ex, injectCode, injectType, "injected fault")
+      } else route(ex, target.stripPrefix("AWSGlue."), body)
     } catch { case e: Exception => err(ex, 500, "InternalServiceException", e.toString) })
     server.start()
   }
@@ -335,6 +352,111 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     b.createNamespace(ns, Map("gen" -> "2"), CreateMode.Overwrite) // empty → ok
     assert(b.describeNamespace(ns)("gen") == "2")
     b.dropNamespace(ns, DropMode.Fail)
+  }
+
+  test("page cap conformance: MaxResults never exceeds 100, native pages accumulate") {
+    val b = newBackend()
+    val ns = ObjectIdentifier.of("cap_db")
+    b.createNamespace(ns, Map.empty, CreateMode.Create)
+    b.declareTable(ns.child("t000"), None, Map.empty, None)
+    // plant 249 more lance tables directly (same wire shape)
+    val template = tbls(("cap_db", "t000"))
+    (1 to 249).foreach { i =>
+      val name = f"t$i%03d"
+      tbls(("cap_db", name)) =
+        template merge JObject("Name" -> JString(name))
+    }
+    maxResultsLog.clear()
+    // unpaged listing must drive the native NextToken loop to completion
+    // with the reference's min(remaining, 100) fetch cap
+    // (`GlueNamespace.java:82,217-233`) — never one giant MaxResults
+    val all = b.listTables(ns)
+    assert(all.size == 250)
+    assert(maxResultsLog.size() >= 3, "250 tables need >= 3 capped pages")
+    maxResultsLog.forEach(m => assert(m <= 100, s"MaxResults $m exceeds the cap"))
+    // a paged call with limit > 100 sends the capped fetch size too
+    maxResultsLog.clear()
+    val p = b.listTablesPaged(ns, None, Some(250))
+    assert(maxResultsLog.size() == 1 && maxResultsLog.get(0) == 100)
+    assert(p.items.size == 100 && p.nextToken.isDefined,
+      "an over-cap limit yields one capped native page + token")
+    (0 to 249).foreach(i => tbls.remove(("cap_db", f"t$i%03d")))
+    b.dropNamespace(ns, DropMode.Fail)
+  }
+
+  test("throttling conformance: HTTP-400 ThrottlingException retries then succeeds") {
+    val b = newBackend()
+    val ns = ObjectIdentifier.of("thr_db")
+    b.createNamespace(ns, Map("k" -> "v"), CreateMode.Create)
+    try {
+      // 2 throttles then success: with max_retries=3 the 3rd attempt lands
+      injectCode = 400; injectType = "ThrottlingException"
+      val before = requestCount
+      injectRemaining = 2
+      assert(b.describeNamespace(ns)("k") == "v")
+      assert(requestCount - before == 3, "2 throttled + 1 successful attempt")
+
+      // TooManyRequestsException is the same transient class
+      injectType = "TooManyRequestsException"
+      injectRemaining = 1
+      assert(b.namespaceExists(ns))
+
+      // sustained throttling exhausts retries -> code-17, not a hang
+      injectType = "ThrottlingException"
+      injectRemaining = 10
+      intercept[GraftError.ServiceUnavailable](b.describeNamespace(ns))
+    } finally { injectRemaining = 0; b.dropNamespace(ns, DropMode.Fail) }
+  }
+
+  test("throttling conformance: a bare 429 from a proxy/LB is retried too") {
+    val b = newBackend()
+    val ns = ObjectIdentifier.of("thr429_db")
+    b.createNamespace(ns, Map.empty, CreateMode.Create)
+    try {
+      injectCode = 429; injectType = "" // non-Glue body
+      injectRemaining = 2
+      assert(b.namespaceExists(ns), "429s must be retried like throttling")
+    } finally { injectRemaining = 0; injectCode = 400; b.dropNamespace(ns, DropMode.Fail) }
+  }
+
+  test("error taxonomy conformance (GlueToLanceErrorConverter.java:26-57)") {
+    val b = newBackend()
+    val ns = ObjectIdentifier.of("tax_db")
+    b.createNamespace(ns, Map.empty, CreateMode.Create)
+    b.declareTable(ns.child("t"), None, Map.empty, None)
+    try {
+      // EntityNotFound -> the not-found pair (codes 1/3)
+      intercept[GraftError.NamespaceNotFound](
+        b.describeNamespace(ObjectIdentifier.of("ghost")))
+      intercept[GraftError.TableNotFound](b.describeTable(ns.child("ghost")))
+      // AlreadyExists -> the conflict pair (codes 2/4)
+      intercept[GraftError.NamespaceAlreadyExists](
+        b.createNamespace(ns, Map.empty, CreateMode.Create))
+      intercept[GraftError.TableAlreadyExists](
+        b.declareTable(ns.child("t"), None, Map.empty, None))
+      // InvalidInput/Validation -> code 5 (caller error, not retried)
+      injectCode = 400; injectType = "InvalidInputException"; injectRemaining = 1
+      val before = requestCount
+      intercept[GraftError.InvalidInput](b.describeNamespace(ns))
+      assert(requestCount - before == 1, "caller errors must not retry")
+      injectType = "ValidationException"; injectRemaining = 1
+      intercept[GraftError.InvalidInput](b.describeNamespace(ns))
+      // AccessDenied (any other 4xx type) -> code 17, fail-fast
+      injectType = "AccessDeniedException"; injectRemaining = 1
+      val before2 = requestCount
+      intercept[GraftError.ServiceUnavailable](b.describeNamespace(ns))
+      assert(requestCount - before2 == 1, "access denial must not retry")
+      // 5xx InternalServiceException -> retried, then code 17
+      injectCode = 500; injectType = "InternalServiceException"
+      injectRemaining = 10
+      val before3 = requestCount
+      intercept[GraftError.ServiceUnavailable](b.describeNamespace(ns))
+      assert(requestCount - before3 == 4, "3 retries + the first attempt")
+    } finally {
+      injectRemaining = 0; injectCode = 400; injectType = ""
+      b.dropTable(ns.child("t"), purge = false)
+      b.dropNamespace(ns, DropMode.Fail)
+    }
   }
 
   test("end-to-end Spark SQL through the glue catalog") {

@@ -76,6 +76,40 @@ object ScaleSoak {
       return
     }
 
+    // SOAK_GRAPH=1: the graph family at ~100× the gate's graph size on a
+    // hub-planted generator. 2M vertices with ~6 seeded pseudo-random
+    // edges each (12M directed rows) plus 5 planted celebrity hubs of
+    // ~20k neighbors — the degree profile that kills the id-oriented
+    // triangle join (a 20k-degree hub = 2×10⁸ wedge pairs under id
+    // orientation) and that the degree-ordered default must shrug off.
+    // PageRank and label propagation run on the same graph so the
+    // iterative-loop plans (checkpoint-cut lineage, aggregate arg-max)
+    // get their scaling receipt on record too.
+    if (sys.env.get("SOAK_GRAPH").contains("1")) {
+      val n = 2000000L
+      val rand = spark.range(0, n * 6).select(
+        pmod(hash(col("id"), lit("gsrc")), lit(n)).as("src"),
+        pmod(hash(col("id"), lit("gdst")), lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val hubs = spark.range(0, n, 20).select(
+        pmod(col("id"), lit(5)).as("src"), col("id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val edges = rand.unionByName(hubs).localCheckpoint()
+      println(s"graph edges=${edges.count()} (5 hubs of ~${n / 20 / 5} neighbors)")
+      time("pagerank_3it_12M_edges")(
+        graft.ops.GraphOps.pageRank(edges, "src", "dst", iters = 3)
+          .agg(round(sum(col("rank")), 4)).collect()(0).getDouble(0))
+      val seeds = spark.range(0, n, 1000).select(col("id").as("vertex"),
+        pmod(col("id"), lit(100)).as("label"))
+      time("labelprop_2it_12M_edges")(
+        graft.ops.GraphOps.labelPropagation(edges, "src", "dst",
+          seeds, "vertex", "label").count())
+      time("triangles_degord_12M_hubbed")(
+        graft.ops.Resolution.triangleStats(edges, "src", "dst").count())
+      spark.stop()
+      return
+    }
+
     val docs1 = spark.read.parquet(s"$d/documents.parquet")
     val docs10 = (0 until factor).map(i =>
       docs1.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))

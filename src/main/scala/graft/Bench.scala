@@ -64,5 +64,7 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     }
     spark.stop()
+    // same as Verify: q122's embedded metastore must not pin the JVM
+    sys.exit(0)
   }
 }

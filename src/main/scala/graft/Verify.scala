@@ -46,5 +46,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // q122 boots the embedded thrift metastore in-process; even with its
+    // threads daemonized, exit explicitly so the gate JVM can never hang
+    // on a stray non-daemon service thread
+    sys.exit(0)
   }
 }

@@ -350,8 +350,8 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
     * parallel pool — one serial FS walk per table here would undo
     * everything the batched RPC saves. Vanished and non-lance names are
     * skipped. */
-  override def describeTables(ids: Seq[ObjectIdentifier]): Seq[TableInfo] =
-    ids.groupBy(_.parent).toSeq.flatMap { case (ns, grouped) =>
+  override def describeTables(ids: Seq[ObjectIdentifier]): Seq[TableInfo] = {
+    val byId = ids.groupBy(_.parent).toSeq.flatMap { case (ns, grouped) =>
       requireDepth1(ns)
       val d = db(ns)
       val names = grouped.map(_.name.toLowerCase).distinct
@@ -383,11 +383,15 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
         }
       grouped.flatMap { id =>
         byName.get(id.name.toLowerCase).flatMap { t =>
-          try Some(toTableInfo(id, t, probeStorage = false))
+          try Some(id -> toTableInfo(id, t, probeStorage = false))
           catch { case _: GraftError => None }
         }
       }
-    }
+    }.toMap
+    // groupBy scrambles cross-namespace order — restore caller order
+    // (the trait default preserves it; positional callers rely on that)
+    ids.flatMap(byId.get)
+  }
 
   override def declareTable(id: ObjectIdentifier, location: Option[String],
       properties: Map[String, String], schemaJson: Option[String]): TableInfo = {

@@ -195,13 +195,26 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
     }
   }
 
+  /** Re-raise a catalog-RPC-on-pre-3.0-server condition as the spec's
+    * code-17 — [[CatalogsUnsupported]] must never escape raw. */
+  private def wireCat[T](f: => T): T =
+    try f catch { case CatalogsUnsupported(m) => throw GraftError.ServiceUnavailable(m) }
+
   /** `Hive3Namespace.createCatalog:431-469`: tri-modal create with the
-    * location defaulting under the warehouse root. */
+    * location defaulting under the warehouse root. On a pre-3.0 server
+    * the implicit default catalog still "exists": ExistOk is a no-op and
+    * Create fails AlreadyExists, consistent with namespaceExists /
+    * describeNamespace; only an actual catalog mutation needs the
+    * catalog wire and fails code-17 there. */
   private def createCatalog(name: String, properties: Map[String, String],
       mode: CreateMode): Map[String, String] = {
     val existing =
       try getCatalogOrNull(name)
-      catch { case CatalogsUnsupported(m) => throw GraftError.ServiceUnavailable(m) }
+      catch {
+        case CatalogsUnsupported(m) =>
+          if (name == DefaultCatalog) Some(HmsCatalog(DefaultCatalog, None, ""))
+          else throw GraftError.ServiceUnavailable(m)
+      }
     existing match {
       case Some(c) => mode match {
         case CreateMode.Create =>
@@ -213,16 +226,18 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
           if (dbs.nonEmpty)
             throw GraftError.InvalidInput(
               s"cannot overwrite non-empty catalog $name (${dbs.size} databases)")
-          catalogs().dropCatalog(name)
+          wireCat(catalogs().dropCatalog(name))
       }
       case None => ()
     }
     val loc = properties.getOrElse("catalog.location.uri",
       s"${root.stripSuffix("/")}/$name")
     val desc = properties.get("description")
-    catalogs().createCatalog(HmsCatalog(name, desc, loc))
-    describeCatalogProps(
-      getCatalogOrNull(name).getOrElse(HmsCatalog(name, desc, loc)))
+    wireCat {
+      catalogs().createCatalog(HmsCatalog(name, desc, loc))
+      describeCatalogProps(
+        getCatalogOrNull(name).getOrElse(HmsCatalog(name, desc, loc)))
+    }
   }
 
   override def namespaceExists(id: ObjectIdentifier): Boolean = {
@@ -267,7 +282,10 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
             throw GraftError.InvalidInput(
               s"catalog $cat is not empty (restrict drop): ${dbs.size} databases")
           val props = describeCatalogProps(c)
-          catalogs().dropCatalog(cat)
+          wireCat(catalogs().dropCatalog(cat))
+          // a self-drop must not leave the positive existence cache
+          // serving the dropped catalog
+          knownCatalogs.remove(cat); ()
           props
       }
     } else inner.dropNamespace(innerNs(id), mode)
@@ -303,8 +321,9 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
 
   override def describeTables(ids: Seq[ObjectIdentifier]): Seq[TableInfo] = {
     ids.foreach(requireTableId)
-    val byInner = ids.map(id => innerTable(id) -> id).toMap
-    inner.describeTables(byInner.keys.toSeq).map(info =>
+    val innerIds = ids.map(innerTable) // preserves caller order
+    val byInner = innerIds.zip(ids).toMap
+    inner.describeTables(innerIds).map(info =>
       info.copy(id = byInner(info.id).lowered))
   }
 

@@ -199,6 +199,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def probeTtlMs: Long =
     conf.get("probe.cache.ttl-ms").map(_.toLong).getOrElse(30000L)
 
+  /** Exact, unambiguous cache key: levels joined on a separator that
+    * cannot appear in SQL identifiers, case preserved — `a.b`.`t` and
+    * `a`.`b`.`t` must not collide, and case-sensitive backends (memory,
+    * file) must not alias `T` with `t`. Case-normalizing backends
+    * (hive-family) return ids already lowered, and the listing ids being
+    * keyed come from the same backend, so exact matching is right for
+    * both families. */
+  private def cacheKey(id: ObjectIdentifier): String =
+    id.levels.mkString("")
+
+  /** Drop entries past their TTL so churn (create/drop cycles, moved
+    * locations) cannot grow the caches without bound — TTL gates
+    * freshness on read, this sweep bounds memory. */
+  private def sweepExpired(now: Long, ttl: Long): Unit = {
+    probeCache.forEach((k, v) => if (now - v._1 >= ttl) { probeCache.remove(k, v); () })
+    describeCache.forEach((k, v) => if (now - v._1 >= ttl) { describeCache.remove(k, v); () })
+  }
+
   /** Bulk describes with the same short TTL as the probes: a polled
     * `include_declared=false` listing pays the backend's metadata fetch
     * once per TTL window, not once per call. Only tables the fresh
@@ -210,14 +228,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ttl <= 0) backend.describeTables(ids)
     else {
       val now = System.currentTimeMillis()
+      sweepExpired(now, ttl)
       val (hits, misses) = ids.partition { id =>
-        val h = describeCache.get(id.toDelimited().toLowerCase)
+        val h = describeCache.get(cacheKey(id))
         h != null && now - h._1 < ttl
       }
       val fetched = if (misses.isEmpty) Nil else backend.describeTables(misses)
-      fetched.foreach(i =>
-        describeCache.put(i.id.toDelimited().toLowerCase, (now, i)))
-      hits.map(id => describeCache.get(id.toDelimited().toLowerCase)._2) ++ fetched
+      fetched.foreach(i => describeCache.put(cacheKey(i.id), (now, i)))
+      hits.map(id => describeCache.get(cacheKey(id))._2) ++ fetched
     }
   }
 
@@ -267,9 +285,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         })
       }
       val withData = futures.collect {
-        case (info, f) if f.get() => info.id.toDelimited().toLowerCase
+        case (info, f) if f.get() => cacheKey(info.id)
       }.toSet
-      all.filter(id => withData.contains(oid(id).toDelimited().toLowerCase))
+      all.filter(id => withData.contains(cacheKey(oid(id))))
     }
   }
 

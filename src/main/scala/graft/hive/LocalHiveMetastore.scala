@@ -25,7 +25,13 @@ class LocalHiveMetastore {
   private var server: TServer = _
   private var baseHandler: HiveMetaStore.HMSHandler = _
   private var serverConf: HiveConf = _
-  private val executor = Executors.newSingleThreadExecutor()
+  // all server threads are daemons: an embedded metastore must never pin
+  // a host JVM (the gate mains exit after their run; specs hold the
+  // singleton for the JVM's life either way)
+  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
+    (r: Runnable) => { val t = new Thread(r, name); t.setDaemon(true); t }
+  private val executor =
+    Executors.newSingleThreadExecutor(daemonFactory("graft-hms-serve"))
   var hiveConf: HiveConf = _
   var warehouseDir: String = _
   var port: Int = _
@@ -59,8 +65,10 @@ class LocalHiveMetastore {
       .processor(new TSetIpAddressProcessor(handler))
       .transportFactory(new TTransportFactory())
       .protocolFactory(new TBinaryProtocol.Factory())
-      .minWorkerThreads(2)
-      .maxWorkerThreads(5)
+      .executorService(new java.util.concurrent.ThreadPoolExecutor(
+        2, 5, 60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.SynchronousQueue[Runnable](),
+        daemonFactory("graft-hms-worker")))
     server = new TThreadPoolServer(args)
     executor.submit(new Runnable { override def run(): Unit = server.serve() })
   }

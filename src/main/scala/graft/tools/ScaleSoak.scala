@@ -91,8 +91,11 @@ object ScaleSoak {
         pmod(hash(col("id"), lit("gsrc")), lit(n)).as("src"),
         pmod(hash(col("id"), lit("gdst")), lit(n)).as("dst"))
         .filter(col("src") =!= col("dst"))
+      // NOTE: ids from range(0, n, 20) are all ≡ 0 (mod 5), so the hub
+      // must be chosen from id/20 — pmod(id, 5) would plant a single
+      // 100k-degree hub instead of five 20k ones
       val hubs = spark.range(0, n, 20).select(
-        pmod(col("id"), lit(5)).as("src"), col("id").as("dst"))
+        pmod(floor(col("id") / 20), lit(5)).as("src"), col("id").as("dst"))
         .filter(col("src") =!= col("dst"))
       val edges = rand.unionByName(hubs).localCheckpoint()
       println(s"graph edges=${edges.count()} (5 hubs of ~${n / 20 / 5} neighbors)")

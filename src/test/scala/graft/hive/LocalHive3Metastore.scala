@@ -36,7 +36,10 @@ class LocalHive3Metastore(base: LocalHiveMetastore) {
   import LocalHive3Metastore._
 
   private var server: TServer = _
-  private val executor = Executors.newSingleThreadExecutor()
+  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
+    (r: Runnable) => { val t = new Thread(r, name); t.setDaemon(true); t }
+  private val executor =
+    Executors.newSingleThreadExecutor(daemonFactory("graft-hms3-serve"))
   var port: Int = _
 
   def start(): Unit = {
@@ -50,8 +53,10 @@ class LocalHive3Metastore(base: LocalHiveMetastore) {
       .processor(processor)
       .transportFactory(new TTransportFactory())
       .protocolFactory(new TBinaryProtocol.Factory())
-      .minWorkerThreads(2)
-      .maxWorkerThreads(5)
+      .executorService(new java.util.concurrent.ThreadPoolExecutor(
+        2, 5, 60L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.SynchronousQueue[Runnable](),
+        daemonFactory("graft-hms3-worker")))
     server = new TThreadPoolServer(args)
     executor.submit(new Runnable { override def run(): Unit = server.serve() })
   }
@@ -85,7 +90,14 @@ object LocalHive3Metastore {
   private[hive] def isMangled(s: String): Boolean = s.startsWith("zc3_")
 
   /** Inbound decorator: replays the already-consumed message header and
-    * rewrites every string through the catalog-name encoding. */
+    * rewrites every string through the catalog-name encoding.
+    *
+    * Test-front simplification, on purpose: the rewrite applies to EVERY
+    * inbound string, not only db-name fields (a schemaless decorator
+    * cannot know field roles), so a property VALUE that happens to match
+    * `@name#...` would be mangled too — real HMS 3.x parses the prefix
+    * only in name positions. No suite data uses that shape; keep it that
+    * way or teach the front per-method field maps. */
   private final class RewritingInProtocol(in: TProtocol, stashed: TMessage)
       extends TProtocolDecorator(in) {
     private var first = true

@@ -157,6 +157,54 @@ object Curation {
       .drop("__pid", "__local", "__earlier")
   }
 
+  /** Temperature-scaled source-mixture sampling under a global token
+    * budget — the data-mixing step of multi-corpus training: a source
+    * holding share p of the corpus tokens gets budget share
+    * p^(1/T) / Σ p^(1/T). T=1 keeps natural proportions, T>1 flattens
+    * toward uniform over sources (upsampling the small ones), T<1
+    * sharpens toward the big sources. Deterministic and join-free in its
+    * admission rule: each source admits documents in multiplicative-hash
+    * priority order (hash(id), id) until the source's token quota is
+    * filled — same corpus, same budget, same sample, on any cluster.
+    *
+    * Scale shape: the only windows run over one row PER SOURCE (tiny
+    * frame); the per-document cumulative sum rides the bucketed
+    * [[exclusivePrefixSum]] on a combined (source-index << 32 | hash)
+    * key, with earlier-sources' totals subtracted from the global prefix
+    * — so the classic mixing skew (one giant source = one hot window
+    * partition) is designed out. Quota shares are rounded to 12 decimals
+    * before the budget multiply so floating-point ulp noise cannot move
+    * an integer quota boundary between engines.
+    */
+  def temperatureMixtureSample(df: DataFrame, idCol: String, srcCol: String,
+      tokCol: String, budget: Long, temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val wAll = Window.orderBy(col(srcCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = Window.orderBy(col(srcCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val quotas = df.groupBy(col(srcCol)).agg(sum(col(tokCol)).as("__toks"))
+      .withColumn("__w",
+        pow(col("__toks").cast("double") / sum(col("__toks")).over(wAll),
+          lit(1.0 / temperature)))
+      .withColumn("__quota",
+        floor(lit(budget.toDouble) *
+          round(col("__w") / sum(col("__w")).over(wAll), 12)).cast("long"))
+      .withColumn("__sidx", row_number().over(Window.orderBy(col(srcCol))).cast("long"))
+      .withColumn("__bef", coalesce(sum(col("__toks")).over(wBefore), lit(0L)))
+      .select(col(srcCol), col("__quota"), col("__sidx"), col("__bef"))
+    // source-major global order: sidx dominates, Knuth-hash priority
+    // (< 2^31) breaks within source, idCol breaks hash collisions
+    val keyed = df.join(broadcast(quotas), Seq(srcCol))
+      .withColumn("__ord", col("__sidx") * lit(4294967296L) +
+        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
+    exclusivePrefixSum(keyed, "__ord", idCol, tokCol, "__gpre")
+      .withColumn("__cum", col("__gpre") - col("__bef") + col(tokCol))
+      .filter(col("__cum") <= col("__quota"))
+      .drop("__ord", "__gpre", "__cum", "__quota", "__sidx", "__bef")
+  }
+
   /** Sequence packing: assign docs (in ascending id order) to fixed
     * token-budget bins — bin = exclusive-prefix-tokens div budget. This is
     * the streaming-concatenation packing LLM data loaders use (documents

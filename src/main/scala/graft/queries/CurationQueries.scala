@@ -126,6 +126,40 @@ object CurationQueries {
       |    WHEN lang='fr' THEN 2 WHEN lang='de' THEN 3 ELSE 4 END)) AS t(i)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Temperature-scaled source mixing under a 500k-token budget
+    * (T = 0.7 sharpens toward the bigger sources): the multi-corpus
+    * data-mixing step, deterministic by hash-priority admission.
+    * Aggregated per source so the oracle hash-compares the realized
+    * mixture (doc counts + token sums), which pins quota computation,
+    * ordering, and the cumulative-sum admission all at once. */
+  def q123MixtureSample(s: SparkSession, d: String): DataFrame =
+    Curation.temperatureMixtureSample(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", budget = 500000L, temperature = 0.7)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+
+  val q123Sql: String =
+    """WITH stats AS (
+      |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS toks FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, POWER(toks / (SELECT SUM(toks) FROM stats), 1.0/0.7) AS wt FROM stats),
+      |q AS (
+      |  SELECT source,
+      |    CAST(FLOOR(500000.0 * ROUND(wt / (SELECT SUM(wt) FROM w), 12)) AS BIGINT) AS quota
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id, source, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT c.source, COUNT(*) AS n_docs, CAST(SUM(c.n_chars) AS BIGINT) AS sum_chars
+      |FROM c JOIN q ON c.source = q.source
+      |WHERE c.cum <= q.quota
+      |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   /** Stratified deterministic sampling: keep 10% of English, 50% of the
     * rest, by salted hash of the doc id — reproducible, join-free. */
   def q46StratifiedSample(s: SparkSession, d: String): DataFrame =
@@ -373,7 +407,8 @@ object CurationQueries {
     "q115_length_batching" -> (q115LengthBatching _),
     "q49_corpus_shuffle" -> (q49CorpusShuffle _),
     "q53_incremental_dedup" -> (q53IncrementalDedup _),
-    "q54_decontaminate" -> (q54Decontaminate _))
+    "q54_decontaminate" -> (q54Decontaminate _),
+    "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
     "q86_bloom_decontaminate" -> q86Sql,
@@ -387,5 +422,6 @@ object CurationQueries {
     "q115_length_batching" -> q115Sql,
     "q49_corpus_shuffle" -> q49Sql,
     "q53_incremental_dedup" -> q53Sql,
-    "q54_decontaminate" -> q54Sql)
+    "q54_decontaminate" -> q54Sql,
+    "q123_mixture_sample" -> q123Sql)
 }

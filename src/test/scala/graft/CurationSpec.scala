@@ -194,4 +194,59 @@ class CurationSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(flagged == Set(10L), s"flagged=$flagged")
   }
+
+  test("temperatureMixtureSample: quota law, maximality, determinism, T limits") {
+    import spark.implicits._
+    // three sources with very different token masses: big=10k docs of 100
+    // tokens, mid=1k of 100, small=100 of 100 → shares 0.9009/0.0901/0.009
+    val docs = ((1L to 10000L).map(i => (i, "big", 100L)) ++
+      (20001L to 21000L).map(i => (i, "mid", 100L)) ++
+      (30001L to 30100L).map(i => (i, "small", 100L)))
+      .toDF("id", "src", "tok")
+    val budget = 100000L
+
+    def quotasFor(t: Double): Map[String, Long] = {
+      val byToks = Map("big" -> 1000000.0, "mid" -> 100000.0, "small" -> 10000.0)
+      val tot = byToks.values.sum
+      val w = byToks.map { case (s, v) => s -> math.pow(v / tot, 1.0 / t) }
+      val ws = w.values.sum
+      w.map { case (s, v) =>
+        s -> math.floor(budget.toDouble *
+          BigDecimal(v / ws).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong }
+    }
+
+    for (t <- Seq(0.7, 1.0, 4.0)) {
+      val sampled = Curation.temperatureMixtureSample(
+        docs, "id", "src", "tok", budget, t)
+      val sums = sampled.groupBy("src").agg(
+          org.apache.spark.sql.functions.sum("tok").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val quota = quotasFor(t)
+      for ((s, (toks, _)) <- sums)
+        assert(toks <= quota(s), s"T=$t source $s: $toks > quota ${quota(s)}")
+      // maximality: one more 100-token doc would overflow (unless the
+      // source is exhausted — quota above its total mass)
+      val totals = Map("big" -> 1000000L, "mid" -> 100000L, "small" -> 10000L)
+      for ((s, q) <- quota) {
+        val got = sums.get(s).map(_._1).getOrElse(0L)
+        assert(got == math.min((q / 100L) * 100L, totals(s)),
+          s"T=$t source $s: admitted $got of quota $q (total ${totals(s)})")
+      }
+      // determinism: bit-identical id sets across runs
+      val ids1 = sampled.select("id").as[Long].collect().sorted.toSeq
+      val ids2 = Curation.temperatureMixtureSample(
+          docs, "id", "src", "tok", budget, t)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids1 == ids2, s"T=$t nondeterministic sample")
+    }
+    // T=1 keeps natural proportions; large T flattens toward uniform
+    val q1 = quotasFor(1.0); val q4 = quotasFor(4.0)
+    assert(math.abs(q1("big") - 90090L) < 100 && math.abs(q1("small") - 900L) < 100)
+    assert(q4("small") > 15000L, s"T=4 should upsample small: ${q4("small")}")
+    // budget covering everything returns the corpus unchanged
+    assert(Curation.temperatureMixtureSample(
+      docs, "id", "src", "tok", 10000000L, 1.0).count() == docs.count())
+  }
 }

@@ -128,6 +128,25 @@ class PlanShapeSpec extends SparkSpec {
   private def finalOnly(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("q123 mixture sampling: document-scale cumulative sum is never single-partition") {
+    val df = graft.queries.CurationQueries.q123MixtureSample(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // the per-document cumulative path must ride the bucketed prefix sum
+    // (__pid-partitioned window); single-partition exchanges are only
+    // legal feeding the per-SOURCE quota frame, whose input is the
+    // constant-size hash aggregate over sources
+    assert(plan.contains("__pid"), s"bucketed prefix path missing:\n$plan")
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.slice(i + 1, i + 9).mkString("\n")
+        assert(child.contains("HashAggregate"),
+          s"single-partition exchange over non-aggregated input at line $i:\n$plan")
+      }
+  }
+
   test("q98: inverted-index Jaccard plans no product join") {
     val df = graft.queries.DedupQueries.q98JaccardIndex(spark, sfDir)
     df.collect()

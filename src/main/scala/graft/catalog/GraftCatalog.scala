@@ -207,7 +207,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * keyed come from the same backend, so exact matching is right for
     * both families. */
   private def cacheKey(id: ObjectIdentifier): String =
-    id.levels.mkString("")
+    id.levels.mkString("\u001f")
 
   /** Drop entries past their TTL so churn (create/drop cycles, moved
     * locations) cannot grow the caches without bound — TTL gates
@@ -229,13 +229,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else {
       val now = System.currentTimeMillis()
       sweepExpired(now, ttl)
-      val (hits, misses) = ids.partition { id =>
+      // capture hit VALUES at partition time: a concurrent caller's sweep
+      // may remove an entry between this scan and any later re-fetch
+      val hitVals = Seq.newBuilder[graft.backend.TableInfo]
+      val misses = Seq.newBuilder[ObjectIdentifier]
+      ids.foreach { id =>
         val h = describeCache.get(cacheKey(id))
-        h != null && now - h._1 < ttl
+        if (h != null && now - h._1 < ttl) hitVals += h._2 else misses += id
       }
-      val fetched = if (misses.isEmpty) Nil else backend.describeTables(misses)
+      val missing = misses.result()
+      val fetched = if (missing.isEmpty) Nil else backend.describeTables(missing)
       fetched.foreach(i => describeCache.put(cacheKey(i.id), (now, i)))
-      hits.map(id => describeCache.get(cacheKey(id))._2) ++ fetched
+      hitVals.result() ++ fetched
     }
   }
 

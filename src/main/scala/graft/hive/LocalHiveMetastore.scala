@@ -28,10 +28,8 @@ class LocalHiveMetastore {
   // all server threads are daemons: an embedded metastore must never pin
   // a host JVM (the gate mains exit after their run; specs hold the
   // singleton for the JVM's life either way)
-  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
-    (r: Runnable) => { val t = new Thread(r, name); t.setDaemon(true); t }
-  private val executor =
-    Executors.newSingleThreadExecutor(daemonFactory("graft-hms-serve"))
+  private val executor = Executors.newSingleThreadExecutor(
+    LocalHiveMetastore.daemonFactory("graft-hms-serve"))
   var hiveConf: HiveConf = _
   var warehouseDir: String = _
   var port: Int = _
@@ -68,7 +66,7 @@ class LocalHiveMetastore {
       .executorService(new java.util.concurrent.ThreadPoolExecutor(
         2, 5, 60L, java.util.concurrent.TimeUnit.SECONDS,
         new java.util.concurrent.SynchronousQueue[Runnable](),
-        daemonFactory("graft-hms-worker")))
+        LocalHiveMetastore.daemonFactory("graft-hms-worker")))
     server = new TThreadPoolServer(args)
     executor.submit(new Runnable { override def run(): Unit = server.serve() })
   }
@@ -93,6 +91,11 @@ class LocalHiveMetastore {
 
 /** JVM-singleton metastore shared by hive suites (Derby single-boot). */
 object LocalHiveMetastore {
+
+  /** Daemon thread factory shared by the embedded server fronts. */
+  private[hive] def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
+    (r: Runnable) => { val t = new Thread(r, name); t.setDaemon(true); t }
+
   lazy val instance: LocalHiveMetastore = {
     val m = new LocalHiveMetastore
     m.start()

@@ -195,10 +195,15 @@ object Curation {
       .withColumn("__bef", coalesce(sum(col("__toks")).over(wBefore), lit(0L)))
       .select(col(srcCol), col("__quota"), col("__sidx"), col("__bef"))
     // source-major global order: sidx dominates, Knuth-hash priority
-    // (< 2^31) breaks within source, idCol breaks hash collisions
+    // (< 2^31) breaks within source, idCol breaks hash collisions. The
+    // inner pmod folds the id below 2^20 BEFORE the multiply so the
+    // product never overflows Long — Spark would wrap silently but a SQL
+    // oracle (DuckDB) errors on BIGINT overflow, and the two engines
+    // must order identically for any id.
     val keyed = df.join(broadcast(quotas), Seq(srcCol))
       .withColumn("__ord", col("__sidx") * lit(4294967296L) +
-        pmod(col(idCol) * lit(2654435761L), lit(2147483648L)))
+        pmod(pmod(col(idCol), lit(1048573L)) * lit(2654435761L),
+          lit(2147483648L)))
     exclusivePrefixSum(keyed, "__ord", idCol, tokCol, "__gpre")
       .withColumn("__cum", col("__gpre") - col("__bef") + col(tokCol))
       .filter(col("__cum") <= col("__quota"))

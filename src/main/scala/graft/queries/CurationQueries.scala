@@ -152,7 +152,7 @@ object CurationQueries {
       |c AS (
       |  SELECT doc_id, source, n_chars,
       |    SUM(n_chars) OVER (PARTITION BY source
-      |      ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+      |      ORDER BY ((doc_id % 1048573) * 2654435761) % 2147483648, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM documents)
       |SELECT c.source, COUNT(*) AS n_docs, CAST(SUM(c.n_chars) AS BIGINT) AS sum_chars

@@ -36,10 +36,8 @@ class LocalHive3Metastore(base: LocalHiveMetastore) {
   import LocalHive3Metastore._
 
   private var server: TServer = _
-  private def daemonFactory(name: String): java.util.concurrent.ThreadFactory =
-    (r: Runnable) => { val t = new Thread(r, name); t.setDaemon(true); t }
-  private val executor =
-    Executors.newSingleThreadExecutor(daemonFactory("graft-hms3-serve"))
+  private val executor = Executors.newSingleThreadExecutor(
+    LocalHiveMetastore.daemonFactory("graft-hms3-serve"))
   var port: Int = _
 
   def start(): Unit = {
@@ -56,7 +54,7 @@ class LocalHive3Metastore(base: LocalHiveMetastore) {
       .executorService(new java.util.concurrent.ThreadPoolExecutor(
         2, 5, 60L, java.util.concurrent.TimeUnit.SECONDS,
         new java.util.concurrent.SynchronousQueue[Runnable](),
-        daemonFactory("graft-hms3-worker")))
+        LocalHiveMetastore.daemonFactory("graft-hms3-worker")))
     server = new TThreadPoolServer(args)
     executor.submit(new Runnable { override def run(): Unit = server.serve() })
   }

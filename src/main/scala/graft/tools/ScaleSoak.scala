@@ -76,6 +76,27 @@ object ScaleSoak {
       return
     }
 
+    // SOAK_MIX=1: the temperature mixture sampler on the clone-replicated
+    // corpus (clone replication preserves the source distribution, which
+    // is exactly what the sampler keys on). Budget = 10% of the corpus
+    // tokens; the op is two bucketed prefix-sum shuffles + a broadcast of
+    // one row per source, so wall time should track the factor linearly.
+    if (sys.env.get("SOAK_MIX").contains("1")) {
+      val base = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val corpus = (0 until factor).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      val total = corpus.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      println(s"mixture corpus rows=${corpus.count()} tokens=$total")
+      time(s"mixture_sample_${factor}x")(
+        graft.ops.Curation.temperatureMixtureSample(corpus, "doc_id",
+          "source", "n_chars", budget = total / 10, temperature = 0.7)
+          .agg(count(lit(1)), sum(col("n_chars"))).collect()(0).toString)
+      spark.stop()
+      return
+    }
+
     // SOAK_GRAPH=1: the graph family at ~100× the gate's graph size on a
     // hub-planted generator. 2M vertices with ~6 seeded pseudo-random
     // edges each (12M directed rows) plus 5 planted celebrity hubs of

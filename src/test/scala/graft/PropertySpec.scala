@@ -183,6 +183,44 @@ class PropertySpec extends SparkSpec {
     assert(got == topRef)
   }
 
+  test("mixture sampling laws on random corpora: quota bound, budget monotone") {
+    val rowGen = Gen.zip(
+      Gen.chooseNum(0L, 500000L),                  // doc id
+      Gen.chooseNum(0, 4).map(i => s"src$i"),      // source
+      Gen.chooseNum(1L, 400L))                     // token count
+    for (seedBase <- Seq(0, 1000)) {
+      val rows = samples(rowGen, 400).zipWithIndex
+        .map { case ((id, s, t), i) => (id * 1000 + i + seedBase, s, t) } // unique ids
+      val df = rows.toDF("id", "src", "tok")
+      val total = rows.map(_._3).sum
+      val sampleSmall = Curation.temperatureMixtureSample(
+        df, "id", "src", "tok", total / 5, 0.8)
+        .select(col("id")).as[Long].collect().toSet
+      val sampleBig = Curation.temperatureMixtureSample(
+        df, "id", "src", "tok", total / 2, 0.8)
+        .select(col("id")).as[Long].collect().toSet
+      // monotone: a bigger budget only ever ADDS documents (quotas grow,
+      // per-source admission order is fixed, so each prefix extends)
+      assert(sampleSmall.subsetOf(sampleBig),
+        s"budget growth removed docs: ${sampleSmall -- sampleBig}")
+      // quota bound, recomputed independently per source
+      val byToks = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val w = byToks.map { case (s, v) =>
+        s -> math.pow(v.toDouble / total, 1.0 / 0.8) }
+      val ws = w.values.sum
+      val sampled = Curation.temperatureMixtureSample(
+          df, "id", "src", "tok", total / 5, 0.8)
+        .groupBy("src").agg(org.apache.spark.sql.functions.sum("tok").as("s"))
+        .as[(String, Long)].collect().toMap
+      for ((s, toks) <- sampled) {
+        val quota = math.floor((total / 5).toDouble *
+          BigDecimal(w(s) / ws).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).toLong
+        assert(toks <= quota, s"source $s: $toks over quota $quota")
+      }
+    }
+  }
+
   test("redactPii never leaves a match for any concatenation of pii snippets") {
     val pii = Gen.oneOf(
       "x@y.io", "a.b-c@d.org", "10.0.0.1", "255.255.255.255", "555-123-4567",

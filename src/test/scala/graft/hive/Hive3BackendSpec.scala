@@ -123,6 +123,35 @@ class Hive3BackendSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("property updates and paged listings inside a second catalog") {
+    val b = newFrontBackend()
+    try {
+      val cat = ObjectIdentifier.of("page_cat")
+      b.createNamespace(cat, Map.empty, CreateMode.Create)
+      val ns = ObjectIdentifier.of("page_cat", "pdb")
+      b.createNamespace(ns, Map("k" -> "v1"), CreateMode.Create)
+      // native alterDatabase through the @cat#db encoding
+      val updated = b.updateNamespaceProperties(ns,
+        updates = Map("k" -> "v2", "extra" -> "1"), removals = Set.empty)
+      assert(updated("k") == "v2" && updated("extra") == "1")
+      assert(b.describeNamespace(ns)("k") == "v2")
+
+      (1 to 5).foreach(i => b.declareTable(ns.child(s"pt$i"), None, Map.empty, None))
+      val p1 = b.listTablesPaged(ns, None, Some(2))
+      assert(p1.items.map(_.levels) == Seq(
+        Seq("page_cat", "pdb", "pt1"), Seq("page_cat", "pdb", "pt2")),
+        "paged items stay catalog-qualified")
+      val p2 = b.listTablesPaged(ns, p1.nextToken, Some(2))
+      assert(p2.items.map(_.name) == Seq("pt3", "pt4"))
+      val p3 = b.listTablesPaged(ns, p2.nextToken, Some(2))
+      assert(p3.items.map(_.name) == Seq("pt5") && p3.nextToken.isEmpty)
+
+      (1 to 5).foreach(i => b.dropTable(ns.child(s"pt$i"), purge = false))
+      b.dropNamespace(ns, DropMode.Fail)
+      b.dropNamespace(cat, DropMode.Fail)
+    } finally b.close()
+  }
+
   test("catalog name hygiene and missing-catalog errors on the front") {
     val b = newFrontBackend()
     try {

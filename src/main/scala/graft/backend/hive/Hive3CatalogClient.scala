@@ -66,7 +66,7 @@ final class Hive3CatalogClient(host: String, port: Int, timeoutMs: Int)
 
   /** Sorted catalog names ([[CatalogsUnsupported]] on pre-3.0 servers). */
   def getCatalogs(): Seq[String] =
-    roundTrip("get_catalogs")(_ => ()) { p =>
+    roundTrip("get_catalogs", idempotent = true)(_ => ()) { p =>
       val (names, err) = readResult(p) { q =>
         // GetCatalogsResponse {1: list<string> names}
         var out = Seq.empty[String]
@@ -85,7 +85,7 @@ final class Hive3CatalogClient(host: String, port: Int, timeoutMs: Int)
 
   /** The catalog, or None when it does not exist. */
   def getCatalog(name: String): Option[HmsCatalog] =
-    roundTrip("get_catalog") { p =>
+    roundTrip("get_catalog", idempotent = true) { p =>
       writeStructField(p, 1) { q =>
         q.writeFieldBegin(new TField("name", TType.STRING, 1))
         q.writeString(name); q.writeFieldEnd()
@@ -148,9 +148,25 @@ final class Hive3CatalogClient(host: String, port: Int, timeoutMs: Int)
     GraftError.ServiceUnavailable(s"$op failed: $m")
 
   /** One request/response exchange. Any transport-level failure closes
-    * the socket (next call reconnects) and surfaces as code-17. */
-  private def roundTrip[R](method: String)(writeArgs: TProtocol => Unit)(
-      readReply: TProtocol => R): R = synchronized {
+    * the socket (next call reconnects) and surfaces as code-17 — except
+    * that IDEMPOTENT reads transparently reconnect-and-retry once, so a
+    * long-idle connection reaped by a firewall/LB does not fail the next
+    * `get_catalogs`/`get_catalog`. Mutations never auto-retry: a
+    * create/drop whose reply was lost may already have been applied, and
+    * replaying it would mask the real outcome. */
+  private def roundTrip[R](method: String, idempotent: Boolean = false)(
+      writeArgs: TProtocol => Unit)(readReply: TProtocol => R): R = synchronized {
+    try once(method)(writeArgs)(readReply)
+    catch {
+      // only transport failures carry a cause; server-answered errors
+      // (MetaException et al.) came over a healthy socket — no retry
+      case GraftError.ServiceUnavailable(_, cause) if idempotent && cause != null =>
+        once(method)(writeArgs)(readReply) // fresh socket via ensureOpen
+    }
+  }
+
+  private def once[R](method: String)(writeArgs: TProtocol => Unit)(
+      readReply: TProtocol => R): R = {
     try {
       ensureOpen()
       seqId += 1

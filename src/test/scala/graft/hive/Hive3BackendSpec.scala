@@ -173,6 +173,66 @@ class Hive3BackendSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("idempotent catalog reads survive a reaped connection; mutations fail fast") {
+    // flaky front: the FIRST accepted connection is closed immediately
+    // (a firewall/LB reaping an idle socket); later connections proxy to
+    // the real catalog-aware front
+    def newFlaky(): java.net.ServerSocket = {
+      val flaky = new java.net.ServerSocket(0)
+      @volatile var first = true
+      val acceptor = new Thread(() => {
+        while (!flaky.isClosed) {
+          try {
+            val s = flaky.accept()
+            if (first) { first = false; s.close() }
+            else {
+              val up = new java.net.Socket("localhost", h3.port)
+              def pipe(a: java.io.InputStream, b: java.io.OutputStream): Unit = {
+                val t = new Thread(() => {
+                  try {
+                    val buf = new Array[Byte](8192)
+                    var n = a.read(buf)
+                    while (n >= 0) { b.write(buf, 0, n); b.flush(); n = a.read(buf) }
+                  } catch { case _: Exception => }
+                  finally {
+                    try s.close() catch { case _: Exception => }
+                    try up.close() catch { case _: Exception => }
+                  }
+                })
+                t.setDaemon(true); t.start()
+              }
+              pipe(s.getInputStream, up.getOutputStream)
+              pipe(up.getInputStream, s.getOutputStream)
+            }
+          } catch { case _: Exception => }
+        }
+      })
+      acceptor.setDaemon(true); acceptor.start()
+      flaky
+    }
+
+    val flaky1 = newFlaky()
+    val reads = new graft.backend.hive.Hive3CatalogClient(
+      "localhost", flaky1.getLocalPort, 5000)
+    try assert(reads.getCatalogs().contains("hive"),
+      "read must transparently reconnect after the reaped first connection")
+    finally { reads.close(); flaky1.close() }
+
+    val flaky2 = newFlaky()
+    val writes = new graft.backend.hive.Hive3CatalogClient(
+      "localhost", flaky2.getLocalPort, 5000)
+    try intercept[GraftError.ServiceUnavailable](
+      writes.createCatalog(graft.backend.hive.HmsCatalog(
+        "never_created", None, "/tmp/x")))
+    finally { writes.close(); flaky2.close() }
+    // the mutation was NOT replayed behind the failure
+    val check = newFlaky()
+    val verify = new graft.backend.hive.Hive3CatalogClient(
+      "localhost", check.getLocalPort, 5000)
+    try assert(verify.getCatalog("never_created").isEmpty)
+    finally { verify.close(); check.close() }
+  }
+
   test("non-default catalogs fail loudly; depth policy enforced") {
     val b = newBackend()
     try {

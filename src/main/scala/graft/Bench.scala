@@ -24,44 +24,87 @@ object Bench {
     // contention (round-2 measured 4–13× swings on identical plans);
     // min-of-2 measures the plan, which is what the baseline targets bound.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // Host-noise instrumentation: a fixed q01-shape control query runs
+    // before the sweep, after every CONTROL_EVERY queries, and at the end,
+    // and its full trace lands in the artifact. Three rounds in a row a
+    // sustained co-tenant contention window made unchanged queries read
+    // 10–30× slow (r6 q99, r7 q79/q80) and cost a judge adjudication each
+    // time — with the control series, a window shows up IN the artifact as
+    // a control spike adjacent to the slow queries, so a reader can
+    // discount them without a rerun. Both raw runs per query are recorded
+    // for the same reason: min-of-2 absorbs a one-run blip, but a
+    // [42.1, 41.8] pair distinguishes "genuinely slow plan" from a
+    // [0.6, 41.8] scheduling artifact.
+    val controlName = SparkEntry.queries.keys.toSeq.sorted
+      .find(_.startsWith("q01")).getOrElse(SparkEntry.queries.keys.min)
+    val controlFn = SparkEntry.queries(controlName)
+    val ControlEvery = 10
+    val control = Seq.newBuilder[(String, Double)]
+    def runControl(after: String): Unit =
+      control += (after -> timeOnce(s"control:$controlName", controlFn)._2)
+
+    runControl("")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      val runs = (1 to 2).map(_ => timeOnce(name, fn))
+      if ((i + 1) % ControlEvery == 0) runControl(name)
       // A query that threw must not report its time-to-exception as a
       // (possibly fastest) run: any failed run poisons the query to the -1
       // sentinel so failure is visible in the JSON, not only on stderr.
-      name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val agg = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
+      (name, agg, runs.map(_._2))
+    }
+    runControl("end")
+
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val byName = results.map(r => r._1 -> r._2).toMap
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val runsJson = results.map { case (k, _, rs) =>
+      s"\"" + k + "\":[" + rs.map(f).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val controlJson = control.result().map { case (after, sec) =>
+      s"""{"after":"$after","sec":${f(sec)}}"""
+    }.mkString("[", ",", "]")
+    val failed = byName.filter(_._2 < 0).keys.toSeq.sorted
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = byName.values.filter(_ >= 0).sum
     // a filtered run is labeled so it can't be mistaken for (or overwrite)
     // a full benchmark result
     val onlyJson = only
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       .getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"agg":"min"$onlyJson$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
     // kept 61 of 121 queries), so a FULL run also persists the complete
     // per-query map itself — round-over-round comparison needs every query,
     // not a sample. Filtered (SPARK_GRAFT_ONLY) runs don't write: a partial
-    // map must never overwrite the complete artifact.
+    // map must never overwrite the complete artifact. The output path MUST
+    // be explicit (no hardcoded round tag): a default name silently
+    // overwrote the previous round's artifact otherwise.
     if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_r7.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
+      sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+        case Some(out) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(out),
+            (line + "\n").getBytes("UTF-8"))
+        case None =>
+          System.err.println(
+            "[bench] SPARK_GRAFT_BENCH_OUT unset — full artifact not written")
+      }
     }
     spark.stop()
     // same as Verify: q122's embedded metastore must not pin the JVM

@@ -383,8 +383,16 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
         }
       grouped.flatMap { id =>
         byName.get(id.name.toLowerCase).flatMap { t =>
+          // Skip exactly what the listing contract skips: non-lance tables
+          // (validateLanceTable's InvalidInput) and tables that vanished or
+          // carry no location (TableNotFound). Anything else — Internal,
+          // ServiceUnavailable — propagates, so bulk listings and the
+          // serial describeTable path cannot silently disagree on a table
+          // whose metadata is genuinely broken.
           try Some(id -> toTableInfo(id, t, probeStorage = false))
-          catch { case _: GraftError => None }
+          catch {
+            case _: GraftError.InvalidInput | _: GraftError.TableNotFound => None
+          }
         }
       }
     }.toMap

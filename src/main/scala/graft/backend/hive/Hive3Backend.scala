@@ -98,8 +98,11 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
     * `getCatalogOrThrowNotFoundException` pre-checks and keeping errors
     * honest on pre-3.0 servers — code-17, never a misleading
     * namespace-not-found) and then skip the extra RPC for the session.
-    * A catalog dropped underneath the cache surfaces as the underlying
-    * database/table error, which is what HMS itself would return. */
+    * This backend's OWN drops evict their entry (both drop sites), so a
+    * self-dropped catalog is honestly NamespaceNotFound on the next use;
+    * only a catalog dropped by a DIFFERENT client surfaces as the
+    * underlying database/table error, which is what HMS itself would
+    * return to that client too. */
   private val knownCatalogs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -227,6 +230,9 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
             throw GraftError.InvalidInput(
               s"cannot overwrite non-empty catalog $name (${dbs.size} databases)")
           wireCat(catalogs().dropCatalog(name))
+          // evict BEFORE the recreate below: if create_catalog then fails,
+          // the positive cache must not keep serving the dropped catalog
+          knownCatalogs.remove(name); ()
       }
       case None => ()
     }

@@ -178,6 +178,14 @@ final class Hive3CatalogClient(host: String, port: Int, timeoutMs: Int)
       prot.writeMessageEnd()
       prot.getTransport.flush()
       val msg = prot.readMessageBegin()
+      // A reply that does not echo the call's sequence id is a stale or
+      // duplicate frame from a previous exchange on this reused socket
+      // (e.g. a server that wrote a late second reply after a timeout).
+      // Parsing it as the current result would return the wrong call's
+      // data, so it is a transport failure: close + code-17, never parsed.
+      if (msg.seqid != seqId)
+        throw new org.apache.thrift.TException(
+          s"out-of-sequence reply: expected seqid $seqId, got ${msg.seqid}")
       val out =
         if (msg.`type` == TMessageType.EXCEPTION) {
           val ex = TApplicationException.readFrom(prot)

@@ -130,7 +130,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = mapped {
     val info = backend.describeTable(oid(ident))
-    new GraftTable(ident, info, info.schemaJson.map(JsonArrowSchema.fromJson), spark)
+    new GraftTable(ident, info, info.schemaJson.map(JsonArrowSchema.fromJson), spark,
+      onCommit = () => invalidateCached(info.id, info.location))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -143,7 +144,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
     val schemaJson = if (schema.isEmpty) None else Some(JsonArrowSchema.toJson(schema))
     val info = backend.declareTable(oid(ident), location, cleaned, schemaJson)
-    new GraftTable(ident, info, schemaJson.map(_ => schema), spark)
+    invalidateCached(info.id, info.location)
+    new GraftTable(ident, info, schemaJson.map(_ => schema), spark,
+      onCommit = () => invalidateCached(info.id, info.location))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -152,7 +155,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** Deregister: catalog entry removed, data kept — the REST backends' only
     * drop flavor (`IcebergNamespace.java:465-512`). */
   override def dropTable(ident: Identifier): Boolean =
-    try { backend.dropTable(oid(ident), purge = false); true }
+    try {
+      val info = backend.dropTable(oid(ident), purge = false)
+      invalidateCached(info.id, info.location)
+      true
+    }
     catch { case _: GraftError.TableNotFound => false }
 
   /** dropTable-with-data (`Hive2Namespace.java:589-593`): best-effort data
@@ -164,6 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     removed match {
       case None => false
       case Some(info) =>
+        invalidateCached(info.id, info.location)
         try {
           val hconf = spark.sessionState.newHadoopConfWithOptions(info.storageOptions)
           val p = new org.apache.hadoop.fs.Path(info.location)
@@ -198,6 +206,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, graft.backend.TableInfo)]()
   private def probeTtlMs: Long =
     conf.get("probe.cache.ttl-ms").map(_.toLong).getOrElse(30000L)
+
+  /** Read-your-writes for the probe/describe caches: every mutation and
+    * committed write through THIS catalog evicts its own entries, so a
+    * table materialized (or dropped and redeclared at a reused location)
+    * here is visible to the next `include_declared=false` listing
+    * immediately — matching the reference's always-fresh serial probe
+    * (`LanceTableUtil.java:48-60`) for self-inflicted changes. Writes by
+    * OTHER processes remain TTL-bounded (that staleness window is the
+    * price of the bulk probe path and is documented on `listTables`).
+    * Keyed by the backend-normalized id (hive lowercases) + location. */
+  private def invalidateCached(id: ObjectIdentifier, location: String): Unit = {
+    describeCache.remove(cacheKey(id))
+    probeCache.remove(location)
+  }
 
   /** Exact, unambiguous cache key: levels joined on a separator that
     * cannot appear in SQL identifiers, case preserved — `a.b`.`t` and

@@ -35,7 +35,8 @@ class GraftTable(
     ident: Identifier,
     info: TableInfo,
     declaredSchema: Option[StructType],
-    spark: SparkSession)
+    spark: SparkSession,
+    onCommit: () => Unit = () => ())
   extends Table with SupportsRead with SupportsWrite {
 
   private def scanOptions: CaseInsensitiveStringMap =
@@ -81,7 +82,8 @@ class GraftTable(
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     new GraftTable.TruncatableWriteBuilder(
       delegate.newWriteBuilder(writeInfo), info.location,
-      () => spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
+      () => spark.sessionState.newHadoopConfWithOptions(info.storageOptions),
+      onCommit)
 }
 
 object GraftTable {
@@ -99,7 +101,8 @@ object GraftTable {
     * Only full-table overwrite (filters = AlwaysTrue) is supported, which is
     * exactly what INSERT OVERWRITE / CREATE OR REPLACE plan. */
   private class TruncatableWriteBuilder(
-      delegate: WriteBuilder, location: String, hconf: () => Configuration)
+      delegate: WriteBuilder, location: String, hconf: () => Configuration,
+      onCommit: () => Unit)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
 
     private var truncateFirst = false
@@ -113,9 +116,30 @@ object GraftTable {
       truncate()
     }
 
+    /** Fires `onCommit` after the delegate commit so the owning catalog can
+      * evict its probe/describe caches — a write through this catalog must
+      * be visible to its own `include_declared=false` listings immediately,
+      * not after the probe TTL. */
+    private def notifying(innerBatch: BatchWrite,
+        beforeCommit: () => Unit = () => ()): BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        innerBatch.createBatchWriterFactory(info)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        beforeCommit()
+        innerBatch.commit(messages)
+        onCommit()
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        innerBatch.abort(messages)
+      override def useCommitCoordinator(): Boolean = innerBatch.useCommitCoordinator()
+    }
+
     override def build(): Write = {
       val inner = delegate.build()
-      if (!truncateFirst) inner
+      if (!truncateFirst) new Write {
+        override def toBatch: BatchWrite = notifying(inner.toBatch)
+        override def description(): String = inner.description()
+      }
       else new Write {
         override def toBatch: BatchWrite = {
           val p = new Path(location)
@@ -132,19 +156,10 @@ object GraftTable {
               }
               buf.result()
             }
-          val innerBatch = inner.toBatch
-          new BatchWrite {
-            override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-              innerBatch.createBatchWriterFactory(info)
-            override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              val fs2 = new Path(location).getFileSystem(hconf())
-              preexisting.foreach(f => try fs2.delete(f, false) catch { case _: Exception => () })
-              innerBatch.commit(messages)
-            }
-            override def abort(messages: Array[WriterCommitMessage]): Unit =
-              innerBatch.abort(messages)
-            override def useCommitCoordinator(): Boolean = innerBatch.useCommitCoordinator()
-          }
+          notifying(inner.toBatch, beforeCommit = () => {
+            val fs2 = new Path(location).getFileSystem(hconf())
+            preexisting.foreach(f => try fs2.delete(f, false) catch { case _: Exception => () })
+          })
         }
         override def description(): String = s"graft-truncate(${inner.description()})"
       }

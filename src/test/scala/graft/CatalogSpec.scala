@@ -262,6 +262,35 @@ class CatalogSpec extends SparkSpec {
       "within ttl the cached negative probe is served")
   }
 
+  test("own mutations and writes invalidate the probe caches (read-your-writes)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val root = java.nio.file.Files.createTempDirectory("graft-ryw").toString
+    spark.conf.set("spark.sql.catalog.gryw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gryw.backend", "memory")
+    spark.conf.set("spark.sql.catalog.gryw.root", root)
+    spark.conf.set("spark.sql.catalog.gryw.probe.cache.ttl-ms", "600000")
+    spark.sql("CREATE NAMESPACE gryw.ns")
+    spark.sql("CREATE TABLE gryw.ns.t (id BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog("gryw")
+      .asInstanceOf[graft.catalog.GraftCatalog]
+    val ns = Array("ns")
+    // declared-only, and the negative probe is now cached under a 10-min ttl
+    assert(cat.listTables(ns, includeDeclared = false).isEmpty)
+    // a write through THIS catalog evicts the cached negative probe on
+    // commit: the materialized table is visible immediately, not after the
+    // ttl (out-of-band writers stay ttl-bounded — previous test)
+    spark.sql("INSERT INTO gryw.ns.t VALUES (1)")
+    assert(cat.listTables(ns, includeDeclared = false).map(_.name()).toSeq
+      == Seq("t"), "own write must be visible within the ttl window")
+    // purge + redeclare at the reused location: both mutations evict the
+    // cached POSITIVE probe, so the fresh declared-only table is hidden
+    // immediately instead of riding the stale has-data entry
+    assert(cat.purgeTable(Identifier.of(ns, "t")))
+    spark.sql("CREATE TABLE gryw.ns.t (id BIGINT)")
+    assert(cat.listTables(ns, includeDeclared = false).isEmpty,
+      "redeclared-at-reused-location table must not inherit the stale probe")
+  }
+
   test("declared-table probe (spec is_only_declared)") {
     import org.apache.spark.sql.connector.catalog.Identifier
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")

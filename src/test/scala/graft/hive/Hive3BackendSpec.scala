@@ -173,6 +173,27 @@ class Hive3BackendSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("self-dropped catalog is evicted from the existence cache") {
+    val b = newFrontBackend()
+    try {
+      val cat = ObjectIdentifier.of("evict_cat")
+      b.createNamespace(cat, Map.empty, CreateMode.Create)
+      val ns = ObjectIdentifier.of("evict_cat", "d1")
+      // a db-level op inside the catalog warms the positive cache
+      b.createNamespace(ns, Map.empty, CreateMode.Create)
+      assert(b.listTables(ns).isEmpty)
+      b.dropNamespace(ns, DropMode.Fail)
+      b.dropNamespace(cat, DropMode.Fail)
+      // the self-drop evicted the cache entry: ops inside the dropped
+      // catalog must surface the CATALOG as missing, not the raw
+      // db-level error for the encoded '@evict_cat#…' name
+      val e = intercept[GraftError.NamespaceNotFound](
+        b.listTables(ObjectIdentifier.of("evict_cat", "d2")))
+      assert(e.id == cat, s"expected catalog-level not-found, got ${e.id}")
+      assert(!b.namespaceExists(cat))
+    } finally b.close()
+  }
+
   test("idempotent catalog reads survive a reaped connection; mutations fail fast") {
     // flaky front: the FIRST accepted connection is closed immediately
     // (a firewall/LB reaping an idle socket); later connections proxy to

@@ -89,7 +89,27 @@ class Hive3Backend extends MetadataBackend with AutoCloseable {
 
   /** HMS 3.x catalog-prefixed database name for the 2.x-compatible wire
     * (`MetaStoreUtils.prependCatalogToDbName`): plain name in the default
-    * catalog, `@catalog#database` elsewhere. */
+    * catalog, `@catalog#database` elsewhere.
+    *
+    * Where the server strips it — per RPC this backend sends through the
+    * 2.x client (the HIVE-18685 compat path, `MetaStoreUtils.parseDbName`
+    * in `HiveMetaStore$HMSHandler`, applied before the `isSetCatName` /
+    * `isSetCatalogName` defaulting):
+    *  - string db-name args: `get_database`, `drop_database`,
+    *    `alter_database` (arg 1), `get_all_tables`, `get_tables`,
+    *    `get_table`, `get_table_objects_by_name`,
+    *    `get_table_names_by_filter`, `drop_table`, and the
+    *    `get_databases("@cat#*")` pattern listing;
+    *  - STRUCT-carried names: `create_database` (`Database.name`,
+    *    IDL field 1), `create_table` (`Table.dbName`, IDL field 2),
+    *    `alter_database` (arg 2, `Database.name`).
+    * The test front (`LocalHive3Metastore.NameFieldPaths`) rewrites
+    * exactly these positions and THROWS on an encoded name anywhere
+    * else, so this list is executable: a new call site that assumes
+    * parseDbName where the front (our model of HMS 3.x) does not apply
+    * it fails the suite instead of silently passing. Validation against
+    * a genuine HMS >= 3.0 remains gated behind GRAFT_IT_*
+    * (`RestIntegrationSpec`) — no such endpoint exists in this sandbox. */
   private def encodeDb(cat: String, db: String): String =
     if (cat == DefaultCatalog) db else s"@$cat#$db"
 

@@ -87,21 +87,77 @@ object LocalHive3Metastore {
 
   private[hive] def isMangled(s: String): Boolean = s.startsWith("zc3_")
 
-  /** Inbound decorator: replays the already-consumed message header and
-    * rewrites every string through the catalog-name encoding.
+  /** The exact positions where real HMS 3.x strips the `@cat#db` prefix
+    * from a 2.x client's frames (the HIVE-18685 compat path:
+    * `MetaStoreUtils.parseDbName` applied by `HiveMetaStore$HMSHandler`
+    * to string db-name args, and to struct-carried names before the
+    * `isSetCatName` default kicks in). Keys are thrift method names; each
+    * value lists the field-id PATHS (root args field id, then nested
+    * struct field ids) of the name positions, per the public IDL:
+    * `Database.name` is field 1, `Table.dbName` is field 2.
     *
-    * Test-front simplification, on purpose: the rewrite applies to EVERY
-    * inbound string, not only db-name fields (a schemaless decorator
-    * cannot know field roles), so a property VALUE that happens to match
-    * `@name#...` would be mangled too — real HMS 3.x parses the prefix
-    * only in name positions. No suite data uses that shape; keep it that
-    * way or teach the front per-method field maps. */
+    * The front rewrites ONLY these positions. An `@cat#...`-shaped string
+    * arriving anywhere else throws, so a client that starts relying on
+    * parseDbName where HMS does not apply it fails the suite loudly
+    * instead of being quietly accommodated. (Stricter than a real server,
+    * which would pass e.g. a property VALUE of that shape through — no
+    * suite data uses that shape, and the loud failure is the point.) */
+  private val NameFieldPaths: Map[String, Set[List[Short]]] = Map(
+    "get_database" -> Set(List(1)),
+    "drop_database" -> Set(List(1)),
+    // alter_database(1: dbname, 2: Database newDb) — both carry names
+    "alter_database" -> Set(List(1), List(2, 1)),
+    // create_database(1: Database db) — Database.name is field 1
+    "create_database" -> Set(List(1, 1)),
+    "get_all_tables" -> Set(List(1)),
+    "get_tables" -> Set(List(1)),
+    "get_tables_by_type" -> Set(List(1)),
+    "get_table" -> Set(List(1)),
+    "get_table_objects_by_name" -> Set(List(1)),
+    "get_table_names_by_filter" -> Set(List(1)),
+    // create_table(1: Table tbl) — Table.dbName is field 2
+    "create_table" -> Set(List(1, 2)),
+    "create_table_with_environment_context" -> Set(List(1, 2)),
+    // alter_table(1: dbname, 2: tbl_name, 3: Table newTbl)
+    "alter_table" -> Set(List(1), List(3, 2)),
+    "alter_table_with_environment_context" -> Set(List(1), List(3, 2)),
+    "drop_table" -> Set(List(1)),
+    "drop_table_with_environment_context" -> Set(List(1)))
+
+  /** Inbound decorator: replays the already-consumed message header and
+    * rewrites the catalog-name encoding in EXACTLY the per-method name
+    * positions of [[NameFieldPaths]], tracked by walking the generated
+    * code's readStructBegin/readFieldBegin calls. */
   private final class RewritingInProtocol(in: TProtocol, stashed: TMessage)
       extends TProtocolDecorator(in) {
     private var first = true
+    private val namePaths: Set[List[Short]] =
+      NameFieldPaths.getOrElse(stashed.name, Set.empty)
+    // root args struct is entered by the generated reader immediately
+    // after the (replayed) message header; depth counts structs below it
+    private var depth = -1
+    private var path = List.empty[Short]
+
     override def readMessageBegin(): TMessage =
       if (first) { first = false; stashed } else super.readMessageBegin()
-    override def readString(): String = mangleIfEncoded(super.readString())
+    override def readStructBegin(): TStruct = { depth += 1; super.readStructBegin() }
+    override def readStructEnd(): Unit = { depth -= 1; super.readStructEnd() }
+    override def readFieldBegin(): TField = {
+      val f = super.readFieldBegin()
+      if (f.`type` != TType.STOP) path = path.take(depth) :+ f.id
+      f
+    }
+    override def readString(): String = {
+      val s = super.readString()
+      if (namePaths.contains(path.take(depth + 1))) mangleIfEncoded(s)
+      else s match {
+        case Encoded(_, _) => throw new IllegalStateException(
+          s"encoded catalog name '$s' at unmapped position ${stashed.name}/" +
+            s"${path.mkString(".")} — real HMS 3.x parseDbName does not " +
+            "apply there; fix the client or extend NameFieldPaths")
+        case other => other
+      }
+    }
   }
 
   private final class Hive3FrontProcessor(

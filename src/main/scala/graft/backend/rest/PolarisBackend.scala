@@ -151,7 +151,11 @@ class PolarisBackend extends MetadataBackend {
       // format must be lance (PolarisNamespace.java:357-362)
       (t \ "format") match {
         case JString(f) if f.equalsIgnoreCase("lance") => ()
-        case _ => throw GraftError.InvalidInput(s"table $id is not a Lance table")
+        case other =>
+          // reference wording incl. the offending format (PolarisNamespace.java:357-362)
+          val got = other match { case JString(f) => f; case _ => "<unset>" }
+          throw GraftError.InvalidInput(
+            s"table $id is not a Lance table (format: $got)")
       }
       val props = propsOf(t \ "properties")
       val location = (t \ "base-location", t \ "baseLocation") match {

@@ -152,6 +152,55 @@ class UnityBackend extends MetadataBackend {
     }
   }
 
+  /** The reference's Arrow→Unity type map (`UnityNamespace.java:505-558`,
+    * `convertArrowTypeToUnityType`/`...Json`), re-expressed over the Spark
+    * types our Arrow codec round-trips. Anything outside the eight mapped
+    * scalars — arrays, structs, decimals, binary — falls back to STRING,
+    * the reference's catch-all. Returns (type_name, type_json). */
+  private def unityType(dt: org.apache.spark.sql.types.DataType): (String, String) = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => ("STRING", """{"type":"string"}""")
+      case IntegerType => ("INT", """{"type":"integer"}""")
+      case LongType => ("LONG", """{"type":"long"}""")
+      case FloatType => ("FLOAT", """{"type":"float"}""")
+      case DoubleType => ("DOUBLE", """{"type":"double"}""")
+      case BooleanType => ("BOOLEAN", """{"type":"boolean"}""")
+      case DateType => ("DATE", """{"type":"date"}""")
+      case TimestampType | TimestampNTZType => ("TIMESTAMP", """{"type":"timestamp"}""")
+      case _ => ("STRING", """{"type":"string"}""")
+    }
+  }
+
+  /** Columns registered with the catalog: the declared schema mapped
+    * through [[unityType]] when one exists (`convertArrowSchemaToUnityColumns`,
+    * `UnityNamespace.java:489-503` — type_text carries the same uppercase
+    * name the reference sets), else the reference's single placeholder
+    * column (`UnityNamespace.java:336-345`). */
+  private def columnsFor(schemaJson: Option[String]): JArray = {
+    val declared = schemaJson.map(graft.schema.JsonArrowSchema.fromJson)
+      .filter(_.nonEmpty)
+    declared match {
+      case Some(st) => JArray(st.fields.toList.zipWithIndex.map { case (f, i) =>
+        val (tn, tj) = unityType(f.dataType)
+        JObject(
+          "name" -> JString(f.name),
+          "type_name" -> JString(tn),
+          "type_text" -> JString(tn),
+          "type_json" -> JString(tj),
+          "position" -> JInt(i),
+          "nullable" -> JBool(f.nullable))
+      })
+      case None => JArray(List(JObject(
+        "name" -> JString("__placeholder_id"),
+        "type_name" -> JString("LONG"),
+        "type_text" -> JString("LONG"),
+        "type_json" -> JString("""{"type":"long"}"""),
+        "position" -> JInt(0),
+        "nullable" -> JBool(true))))
+    }
+  }
+
   override def declareTable(id: ObjectIdentifier, location: Option[String],
       properties: Map[String, String], schemaJson: Option[String]): TableInfo = {
     requireDepth(id, 3, "table")
@@ -165,16 +214,10 @@ class UnityBackend extends MetadataBackend {
       "catalog_name" -> JString(id.levels.head),
       "schema_name" -> JString(id.levels(1)),
       "table_type" -> JString("EXTERNAL"),
-      // placeholder format + column, as the reference registers
-      // (UnityNamespace.java:333-345)
+      // placeholder format, as the reference registers
+      // (UnityNamespace.java:333-334)
       "data_source_format" -> JString("TEXT"),
-      "columns" -> JArray(List(JObject(
-        "name" -> JString("__placeholder_id"),
-        "type_name" -> JString("LONG"),
-        "type_text" -> JString("bigint"),
-        "type_json" -> JString("""{"name":"__placeholder_id","type":"long","nullable":true}"""),
-        "position" -> JInt(0),
-        "nullable" -> JBool(true)))),
+      "columns" -> columnsFor(schemaJson),
       "storage_location" -> JString(loc),
       "properties" -> JObject(props.map { case (k, v) => k -> (JString(v): JValue) }.toList))
     try {

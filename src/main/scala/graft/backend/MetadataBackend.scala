@@ -79,6 +79,22 @@ trait MetadataBackend {
   def tableExists(id: ObjectIdentifier): Boolean
   /** Op 10. */
   def describeTable(id: ObjectIdentifier): TableInfo
+
+  /** Op 10 with the request's `load_detailed_metadata` flag. Every
+    * reference implementation uniformly rejects `true` with InvalidInput
+    * (`Hive2Namespace.java:273-276`, `GlueNamespace.java:245-248`,
+    * `IcebergNamespace.java:406-408`, `UnityNamespace.java:376-378`,
+    * `PolarisNamespace.java:329-331`, `Hive3Namespace.java:290-292`) —
+    * the flag is reserved for server-side namespaces that can inline
+    * manifest data, which none of these metadata-only backends can.
+    * Final so every backend shares the one rejection. */
+  final def describeTable(id: ObjectIdentifier,
+      loadDetailedMetadata: Boolean): TableInfo = {
+    if (loadDetailedMetadata)
+      throw graft.core.GraftError.InvalidInput(
+        "load_detailed_metadata=true is not supported for this implementation")
+    describeTable(id)
+  }
   /** Batched op 10: describe many tables in as few RPCs as the backend
     * allows. Tables that vanished between list and describe are skipped,
     * not errors — a bulk caller (the `include_declared=false` listing

@@ -25,6 +25,13 @@ final case class RestError(status: Int, body: String)
   * timeouts, ≤3 retries with exponential backoff `delay·2^(n-1)` from 1 s,
   * and 4xx never retried (`RestClient.java:273-275`). Driver-side only —
   * catalog RPCs never ship to executors (SURVEY.md §3).
+  *
+  * Config keys (via [[RestClient.fromConfig]]): `connect_timeout_ms`
+  * (10000), `read_timeout_ms` (30000), `max_retries` (3),
+  * `retry_base_delay_ms` (1000), `token`. Backend-specific defaults may
+  * override these: Unity passes `read_timeout_ms=300000`, matching the
+  * reference's documented 5-minute Unity default (`docs/src/unity.md:19`)
+  * against the 30 s shared default here.
   */
 class RestClient(
     baseUri: String,

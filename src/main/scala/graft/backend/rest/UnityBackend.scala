@@ -27,7 +27,14 @@ class UnityBackend extends MetadataBackend {
       if (base.endsWith("/api/2.1/unity-catalog")) base
       else if (base.endsWith("/api/2.1")) s"$base/unity-catalog"
       else s"$base/api/2.1/unity-catalog"
-    client = RestClient.fromConfig(conf + ("uri" -> full), Seq("uri"))
+    // Unity diverges from the shared 30 s read-timeout default: the
+    // reference documents 300 s (`docs/src/unity.md:19`) because Unity
+    // table creation can block on cloud-storage validation. An explicit
+    // read_timeout_ms still wins.
+    val timeouts =
+      if (conf.contains("read_timeout_ms")) conf
+      else conf + ("read_timeout_ms" -> "300000")
+    client = RestClient.fromConfig(timeouts + ("uri" -> full), Seq("uri"))
   }
 
   override def backendId: String = s"unity(${conf.getOrElse("uri", "")})"

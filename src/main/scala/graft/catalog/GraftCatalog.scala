@@ -197,8 +197,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * declared-probe below. The pool is shared across calls (the listing
     * may be polled); daemon threads so an un-closed catalog never pins
     * the JVM. */
+  /** `probe.pool-size` caps concurrent storage probes (default 16). At
+    * 100 TB against a slow or rate-limited object store this is the dial
+    * between listing latency and store pressure; the pool is created on
+    * first use, so the option is read once per catalog instance. */
+  private def probePoolSize: Int =
+    math.max(1, conf.get("probe.pool-size").map(_.toInt).getOrElse(16))
   private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
-    16,
+    probePoolSize,
     (r: Runnable) => { val t = new Thread(r, "graft-probe"); t.setDaemon(true); t })
   private val probeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()

@@ -262,6 +262,41 @@ class CatalogSpec extends SparkSpec {
       "within ttl the cached negative probe is served")
   }
 
+  test("probe.pool-size=1 serializes the bulk probe without changing results") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft-pool1").toString
+    def freshCat(name: String, poolSize: String) = {
+      val c = new graft.catalog.GraftCatalog
+      c.initialize(name, new CaseInsensitiveStringMap(
+        Map("backend" -> "memory", "root" -> root,
+          "probe.pool-size" -> poolSize, "probe.cache.ttl-ms" -> "0").asJava))
+      c.createNamespace(Array("ns"), Map.empty[String, String].asJava)
+      (1 to 8).foreach { i =>
+        c.createTable(Identifier.of(Array("ns"), s"t$i"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType))),
+          Array.empty, Map.empty[String, String].asJava)
+      }
+      c
+    }
+    val c = freshCat("gpool", "1")
+    (1 to 8 by 2).foreach { i =>
+      val dir = new java.io.File(s"$root/ns/t$i.lance"); dir.mkdirs()
+      java.nio.file.Files.write(dir.toPath.resolve("part-0.parquet"),
+        Array[Byte](1))
+    }
+    // a single-thread pool must produce the same filtered listing as the
+    // default 16-thread pool — the knob trades latency, never correctness
+    assert(c.listTables(Array("ns"), includeDeclared = false)
+      .map(_.name()).sorted.toSeq == Seq("t1", "t3", "t5", "t7"))
+    // and a nonsensical size clamps to 1 rather than failing pool creation
+    assert(freshCat("gpool0", "0").listTables(Array("ns"), includeDeclared = false)
+      .map(_.name()).sorted.toSeq == Seq("t1", "t3", "t5", "t7"))
+  }
+
   test("own mutations and writes invalidate the probe caches (read-your-writes)") {
     import org.apache.spark.sql.connector.catalog.Identifier
     val root = java.nio.file.Files.createTempDirectory("graft-ryw").toString

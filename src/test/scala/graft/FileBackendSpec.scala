@@ -49,6 +49,22 @@ class FileBackendSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(dir.resolve("cat.json")))
   }
 
+  test("describeTable(load_detailed_metadata=true) is uniformly rejected") {
+    // the reference rejects the flag in every implementation with the same
+    // wording (Hive2Namespace.java:273-276, GlueNamespace.java:245-248, ...)
+    val b = new MemoryBackend
+    b.initialize(Map("root" -> "/tmp/mm-wh"))
+    val ns = ObjectIdentifier.of("db")
+    b.createNamespace(ns, Map.empty, CreateMode.Create)
+    val t = ns.child("t")
+    b.declareTable(t, Some("/data/t"), Map.empty, None)
+    // flag unset → plain describe
+    assert(b.describeTable(t, loadDetailedMetadata = false).location == "/data/t")
+    val e = intercept[GraftError.InvalidInput](
+      b.describeTable(t, loadDetailedMetadata = true))
+    assert(e.detail.contains("load_detailed_metadata=true is not supported"))
+  }
+
   test("registry resolves all backend shortnames") {
     for (name <- Seq("memory", "file", "iceberg", "unity", "polaris",
         "hive2", "hive3", "glue"))

@@ -97,6 +97,71 @@ object ScaleSoak {
       return
     }
 
+    // SOAK_RETRIEVAL=1: the retrieval capstones (q114 diversified search,
+    // q102 RRF) at 100× corpus scale. The claim to receipt: the BM25 →
+    // top-50 stage is the only part that sees the corpus (one exploded
+    // token shuffle, linear in rows), while the diversify stage — 3-gram
+    // Jaccard pairs + suppression anti-join — is capped at shortlist²
+    // (50²) AT ANY CORPUS SIZE, so its wall time must stay flat between
+    // 10× and 100×. Stages are timed separately so the receipt shows
+    // which one moved. RRF is one union + one aggregate over the
+    // concatenated rank lists; fusing two FULL-corpus rankings (500k rows
+    // each at 100×) bounds its scaling linearly in list volume.
+    if (sys.env.get("SOAK_RETRIEVAL").contains("1")) {
+      val base = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val corpus = (0 until factor).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      println(s"retrieval corpus rows=${corpus.count()}")
+      // stage 1 (linear in corpus rows): BM25 scoring, the top-50
+      // truncation, and the one corpus scan that fetches the survivors'
+      // text — everything that ever touches all N rows
+      val (ranked, shortlist) = time(s"bm25_top50_fetch_${factor}x") {
+        val r = graft.ops.TextRanking.rankTopN(
+          graft.ops.TextRanking.bm25(corpus, "doc_id", "text",
+              Seq("dup", "vector", "spark"))
+            .select(col("doc_id").as("id"), round(col("score"), 6).as("score")),
+          "id", "score", 50).localCheckpoint()
+        val sl = r.join(corpus.select(col("doc_id").as("id"), col("text")),
+          Seq("id")).localCheckpoint()
+        (r, sl)
+      }
+      // stage 2 (shortlist²-capped): pairs + suppression + anti-join
+      // never see the corpus — wall time must be flat from 10× to 100×
+      time(s"diversify_shortlist50_${factor}x") {
+        val pairs = graft.ops.Dedup.ngramJaccardPairs(
+          shortlist.select(col("id"), col("text")), "id", "text",
+          k = 3, threshold = 0.5)
+        val suppressed = pairs
+          .join(ranked.select(col("id").as("doc_a"), col("rank").as("__ra")),
+            Seq("doc_a"))
+          .join(ranked.select(col("id").as("doc_b"), col("rank").as("__rb")),
+            Seq("doc_b"))
+          .select(when(col("__ra") < col("__rb"), col("doc_b"))
+            .otherwise(col("doc_a")).as("id")).distinct()
+        ranked.join(suppressed, Seq("id"), "left_anti").count()
+      }
+      // two deterministic full-corpus rankings (keyword-ish vs length-ish)
+      // — RRF's cost is the union + aggregate over every ranked row, the
+      // worst case a hybrid-retrieval caller can hand it
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s").desc, col("doc_id"))
+      def fullRanking(s: org.apache.spark.sql.Column) = corpus
+        .select(col("doc_id"), s.as("s"))
+        .repartition(1) // rank assignment only; timed op is the fusion
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val rkA = fullRanking(hash(col("text")).cast("long")).localCheckpoint()
+      val rkB = fullRanking(col("n_chars")).localCheckpoint()
+      time(s"rrf_2fulllists_${factor}x")(
+        graft.ops.TextRanking.reciprocalRankFusion(
+          Seq(rkA, rkB), "doc_id", "rank")
+          .agg(count(lit(1)), round(sum(col("rrf")), 4)).collect()(0).toString)
+      spark.stop()
+      return
+    }
+
     // SOAK_GRAPH=1: the graph family at ~100× the gate's graph size on a
     // hub-planted generator. 2M vertices with ~6 seeded pseudo-random
     // edges each (12M directed rows) plus 5 planted celebrity hubs of

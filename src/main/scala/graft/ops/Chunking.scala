@@ -86,4 +86,36 @@ object Chunking {
       .select(col("doc_id"), col("seg_id"), col("seg_hash"),
         (pos === col("__win")).as("kept"))
   }
+
+  /** Intra-document repeated-segment removal with text reassembly — the
+    * C4-style preprocessing step that strips a document's OWN repetition
+    * (boilerplate runs, copy-paste loops) while [[segmentDedup]] handles
+    * repetition ACROSS documents. The token stream is tiled into
+    * consecutive non-overlapping k-token segments (last tile may be
+    * short); a tile whose content equals an earlier tile in the same
+    * document is dropped (first occurrence kept, order preserved) and the
+    * survivors are re-joined into the deduped text.
+    *
+    * Scale: the whole operator is per-row array arithmetic — tile
+    * construction, first-occurrence filter (`array_position` against the
+    * tile list == own index), and reassembly all happen inside one
+    * projection. ZERO shuffles at any corpus size; the in-row cost is
+    * O(tiles²) with tiles = len/k, bounded by document length, not corpus
+    * size.
+    *
+    * Output: (idCol, n_tiles, n_kept, text_dedup). */
+  def intraDocTileDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"intraDocTileDedup: k must be >= 1, got $k")
+    val nTiles = ceil(size(col("__t")).cast("double") / k).cast("int")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__tiles", transform(sequence(lit(0), nTiles - 1),
+        i => array_join(slice(col("__t"), i * k + 1, lit(k)), " ")))
+      .withColumn("__kept", filter(col("__tiles"),
+        (t, i) => array_position(col("__tiles"), t) === (i + 1).cast("long")))
+      .select(col(idCol),
+        size(col("__tiles")).cast("long").as("n_tiles"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_dedup"))
+  }
 }

@@ -82,6 +82,35 @@ object Curation {
   def shuffleKey(id: Column, salt: String = "shuffle"): Column =
     md5(concat(lit(salt + ":"), id.cast("string")).cast("binary"))
 
+  /** Deterministic epoch shuffle + exactly-balanced shard assignment —
+    * the data-loader prep step: every row gets a seeded permutation rank
+    * and a round-robin shard, so S downstream writers each receive a
+    * uniformly-shuffled slice whose sizes differ by at most one row.
+    * shuffle_key = md5("epoch<seed>:" + id); the global 0-based rank is
+    * the count of rows ordered before (key-prefix-as-60-bit-int, id) —
+    * computed by the bucketed [[exclusivePrefixSum]], NOT a global
+    * row_number window, so no single-partition sort exists at any scale.
+    * shard = rank mod S (exact balance by construction — a hash-mod shard
+    * would only balance in expectation), pos = rank div S (the row's
+    * offset within its shard, already in shuffled order).
+    *
+    * The 15-hex-char numeric prefix orders identically to the full hex
+    * key (fixed-width lowercase hex is lexicographic-equals-numeric);
+    * rank ties beyond it break on id, mirrored verbatim by the oracle. */
+  def epochShardAssign(df: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"epochShardAssign: numShards must be >= 1, got $numShards")
+    val keyed = df
+      .select(col(idCol), shuffleKey(col(idCol), s"epoch$seed").as("shuffle_key"))
+      .withColumn("__kn", conv(substring(col("shuffle_key"), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("__one", lit(1L))
+    exclusivePrefixSum(keyed, "__kn", idCol, "__one", "__rank")
+      .select(col(idCol), col("shuffle_key"),
+        pmod(col("__rank"), lit(numShards.toLong)).as("shard"),
+        floor(col("__rank") / numShards).cast("long").as("pos"))
+  }
+
   /** Weighted sampling WITHOUT replacement, k per stratum, deterministic:
     * the Efraimidis–Spirakis exponential-jitter key. Each row draws
     * u ∈ (0,1) from its salted hash (bucket midpoint, so u is never 0 or

@@ -142,6 +142,30 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-source duplicate-overlap matrix — the corpus-health report
+    * answering "which source pairs ship the same documents?": for every
+    * ordered source pair (src_a < src_b), the count of distinct content
+    * fingerprints present in BOTH. This is what decides which crawl feeds
+    * to dedup against each other first at 100 TB.
+    *
+    * Shape: one fingerprint projection → distinct (fp, source) — the only
+    * corpus-sized shuffle, and it carries (16-byte fp, source) rows, not
+    * text. The fp self-join's fan-out is bounded by the source count per
+    * fingerprint (≤ total sources, a constant), so the pair stage emits at
+    * most C(|sources|, 2) rows per fingerprint — never |corpus|². */
+  def crossSourceOverlap(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String): DataFrame = {
+    val fps = widen(df)
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"),
+        col(srcCol).as("__src"))
+      .distinct()
+    fps.select(col("__fp"), col("__src").as("src_a"))
+      .join(fps.select(col("__fp"), col("__src").as("src_b")), Seq("__fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * Pipeline (each stage one shuffle, no O(n²) step):

@@ -63,11 +63,55 @@ object ChunkQueries {
       |FROM h JOIN win USING (seg_hash)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repeated-tile removal with reassembly (the in-doc
+    * counterpart of q95): every 5th document gets its first 4 tokens
+    * repeated 3× prepended — planted boilerplate the 4-token tiling must
+    * collapse to one occurrence — and the gate hash-pins the full deduped
+    * text, so tile boundaries, first-occurrence choice, and reassembly
+    * order are all on the hook. Zero-shuffle plan (per-row array ops). */
+  def q126IntradocDedup(s: SparkSession, d: String): DataFrame = {
+    val head = array_join(
+      slice(graft.ops.TextFunctions.tokens(col("text")), 1, 4), " ")
+    val corpus = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(repeat(concat(head, lit(" ")), 3), col("text")))
+        .otherwise(col("text")).as("text"))
+    Chunking.intraDocTileDedup(corpus, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val q126Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      repeat(array_to_string(
+      |        (regexp_split_to_array(lower(trim(text)), '\s+'))[1:4], ' ') || ' ', 3) || text
+      |    ELSE text END AS text
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+      |), tiles AS (
+      |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(t) / 4.0) AS INT)),
+      |    i -> array_to_string(t[i*4+1:i*4+4], ' ')) AS tl
+      |  FROM tok
+      |), kept AS (
+      |  SELECT doc_id, tl,
+      |    list_filter(list_transform(range(1, len(tl) + 1),
+      |      i -> CASE WHEN list_position(tl, tl[i]) = i THEN tl[i] ELSE NULL END),
+      |      x -> x IS NOT NULL) AS kp
+      |  FROM tiles)
+      |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tiles,
+      |  CAST(len(kp) AS BIGINT) AS n_kept,
+      |  array_to_string(kp, ' ') AS text_dedup
+      |FROM kept ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_chunking" -> (q92Chunking _),
-    "q95_segment_dedup" -> (q95SegmentDedup _))
+    "q95_segment_dedup" -> (q95SegmentDedup _),
+    "q126_intradoc_dedup" -> (q126IntradocDedup _))
 
   val oracles: Map[String, String] = Map(
     "q92_chunking" -> q92Sql,
-    "q95_segment_dedup" -> q95Sql)
+    "q95_segment_dedup" -> q95Sql,
+    "q126_intradoc_dedup" -> q126Sql)
 }

@@ -395,8 +395,32 @@ object CurationQueries {
       |FROM documents WHERE doc_id >= 15
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Epoch shuffle + balanced 16-shard assignment: the full per-document
+    * (shard, pos) map for seed 7 — every row's permutation rank and
+    * round-robin shard is hash-pinned, so the bucketed prefix-sum rank,
+    * the 60-bit key-prefix ordering, and the exact shard balance are all
+    * oracle-checked at once (the oracle's row_number replays the same
+    * (key-prefix, id) order; shard sizes differ by ≤ 1 by construction). */
+  def q124EpochShard(s: SparkSession, d: String): DataFrame =
+    Curation.epochShardAssign(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", seed = 7L, numShards = 16)
+      .orderBy(col("doc_id"))
+
+  val q124Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, shuffle_key,
+      |    CAST(row_number() OVER (ORDER BY substr(shuffle_key, 1, 15), doc_id) - 1 AS BIGINT) AS rank0
+      |  FROM keyed)
+      |SELECT doc_id, shuffle_key, rank0 % 16 AS shard, rank0 // 16 AS pos
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_bloom_decontaminate" -> (q86BloomDecontaminate _),
+    "q124_epoch_shard" -> (q124EpochShard _),
     "q38_pii_redact" -> (q38PiiRedact _),
     "q39_train_split" -> (q39TrainSplit _),
     "q44_pack_sequences" -> (q44PackSequences _),
@@ -412,6 +436,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q86_bloom_decontaminate" -> q86Sql,
+    "q124_epoch_shard" -> q124Sql,
     "q38_pii_redact" -> q38Sql,
     "q39_train_split" -> q39Sql,
     "q44_pack_sequences" -> q44Sql,

@@ -237,8 +237,42 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / na.n >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-source duplicate-overlap matrix: every doc_id % 7 is mirrored
+    * verbatim into the NEXT source (srcK → src(K+1 mod 20), re-keyed), so
+    * each adjacent source pair must report exactly its planted share —
+    * plus any natural cross-source duplicates the corpus already holds.
+    * The gate pins the full (src_a, src_b, n_shared) matrix. */
+  def q125SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+    val mirrored = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        concat(lit("src"), pmod(srcNum + 1, lit(20)).cast("string")).as("source"),
+        col("text"))
+    val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(mirrored)
+    Dedup.crossSourceOverlap(corpus, "doc_id", "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q125Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 7000000,
+      |    'src' || CAST((CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) + 1) % 20 AS VARCHAR),
+      |    text
+      |  FROM documents WHERE doc_id % 7 = 0
+      |), fp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f, source
+      |  FROM corpus)
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_containment" -> (q100Containment _),
+    "q125_source_overlap" -> (q125SourceOverlap _),
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
@@ -248,6 +282,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q100_containment" -> q100Sql,
+    "q125_source_overlap" -> q125Sql,
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,

@@ -102,6 +102,47 @@ class ChunkingSpec extends SparkSpec {
     assert(full.head.getAs[Long]("vec_id") == 2L)
   }
 
+  test("intraDocTileDedup drops repeated tiles, keeps first, reassembles") {
+    // "a b a b c d a b" with k=2 → tiles [ab, ab, cd, ab]: first kept,
+    // later repeats dropped, order of survivors preserved
+    val got = Chunking.intraDocTileDedup(
+        docs(1L -> "a b a b c d a b"), "doc_id", "text", k = 2)
+      .collect().head
+    assert(got.getAs[Long]("n_tiles") == 4L)
+    assert(got.getAs[Long]("n_kept") == 2L)
+    assert(got.getAs[String]("text_dedup") == "a b c d")
+  }
+
+  test("intraDocTileDedup: short partial tail tile is its own segment") {
+    // 5 tokens, k=2 → tiles [ab, cd, e]; the short tail "e" survives and
+    // a doc shorter than one tile round-trips unchanged
+    val got = Chunking.intraDocTileDedup(
+        docs(1L -> "a b c d e", 2L -> "x"), "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_tiles") == 3L)
+    assert(got(0).getAs[String]("text_dedup") == "a b c d e")
+    assert(got(1).getAs[Long]("n_tiles") == 1L)
+    assert(got(1).getAs[String]("text_dedup") == "x")
+    // a repetition-free doc is the identity: dedup(text) == normalized text
+    assert(got.forall(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_tiles")))
+  }
+
+  test("intraDocTileDedup scopes dedup to WITHIN a document") {
+    // identical docs: cross-doc repetition is q95's job, not this op's
+    val got = Chunking.intraDocTileDedup(
+        docs(1L -> "a b c d", 2L -> "a b c d"), "doc_id", "text", k = 2)
+      .collect()
+    assert(got.forall(_.getAs[Long]("n_kept") == 2L))
+  }
+
+  test("intraDocTileDedup plan has no key shuffle (pure per-row array ops)") {
+    val d = graft.queries.Tables(spark, sfDir, "documents")
+    val plan = Chunking.intraDocTileDedup(d, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"unexpected key shuffle:\n$plan")
+  }
+
   test("chunk plan has no key shuffle (only widen's round-robin)") {
     val d = graft.queries.Tables(spark, sfDir, "documents")
     val plan = Chunking.chunk(d, "doc_id", "text", 32, 24)

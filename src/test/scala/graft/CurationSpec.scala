@@ -60,6 +60,49 @@ class CurationSpec extends SparkSpec {
     assert(got.count() == df.count())
   }
 
+  test("epochShardAssign: permutation, exact balance, determinism, seeds differ") {
+    val ids = spark.range(1000).toDF("id")
+    val got = Curation.epochShardAssign(ids, "id", seed = 7L, numShards = 16)
+      .cache()
+    // under round-robin, rank = pos*S + shard: recovering 0..N-1 exactly
+    // proves (shard, pos) is a bijection over the whole input
+    val ranks = got.select((col("pos") * 16 + col("shard")).as("r"))
+      .orderBy("r").select("r").collect().map(_.getLong(0))
+    assert(ranks.toSeq == (0L until 1000L), "ranks are not a permutation")
+    // round-robin balance is exact: 1000 = 16*62 + 8 → 8 shards of 63
+    val sizes = got.groupBy("shard").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+    assert(sizes.sum == 1000 && sizes.length == 16)
+    // per-shard positions are contiguous from 0
+    val posOk = got.groupBy("shard")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(posOk == 0, "per-shard positions are not contiguous")
+    // same seed → identical assignment; different seed → different order
+    val again = Curation.epochShardAssign(ids, "id", seed = 7L, numShards = 16)
+    assert(got.join(again, Seq("id"))
+      .filter(got("shard") =!= again("shard") || got("pos") =!= again("pos"))
+      .count() == 0)
+    val other = Curation.epochShardAssign(ids, "id", seed = 8L, numShards = 16)
+    assert(got.join(other, Seq("id"))
+      .filter(got("shard") =!= other("shard") || got("pos") =!= other("pos"))
+      .count() > 0, "seed does not change the permutation")
+    got.unpersist()
+  }
+
+  test("epochShardAssign: numShards=1 degenerates to the pure shuffle order") {
+    val got = Curation.epochShardAssign(
+        spark.range(100).toDF("id"), "id", seed = 3L, numShards = 1)
+      .cache()
+    assert(got.filter(col("shard") =!= 0).count() == 0)
+    // pos order equals (key-prefix, id) order
+    val byPos = got.orderBy("pos").select("shuffle_key").collect()
+      .map(_.getString(0))
+    assert(byPos.toSeq == byPos.toSeq.sorted, "pos does not follow key order")
+    got.unpersist()
+  }
+
   test("packSequences bins are contiguous in id order and budget-aligned") {
     val docs = spark.range(2000).toDF("id")
       .select(col("id"), (col("id") % 300 + 10).as("tok"))

@@ -26,6 +26,28 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactDedup(deduped, "doc_id", "text").count() == deduped.count())
   }
 
+  test("crossSourceOverlap counts distinct shared fingerprints per pair") {
+    val df = Seq(
+      (1L, "A", "same doc"),
+      (2L, "B", "same  DOC"),    // normalizes equal to doc 1 → A∩B
+      (3L, "B", "other text"),
+      (4L, "C", "other text"),   // B∩C
+      (5L, "C", "same doc"),     // A∩C and a second B∩C member
+      (6L, "A", "same doc"),     // duplicate within A: must not inflate counts
+      (7L, "A", "only in a")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceOverlap(df, "doc_id", "source", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_shared")))
+    // pairs are unordered-once (src_a < src_b); "same doc" links all three
+    assert(got.toSeq == Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 2L)))
+  }
+
+  test("crossSourceOverlap: disjoint sources produce an empty matrix") {
+    val df = Seq((1L, "A", "x"), (2L, "B", "y")).toDF("doc_id", "source", "text")
+    assert(Dedup.crossSourceOverlap(df, "doc_id", "source", "text").count() == 0)
+  }
+
   test("exact dedup is whitespace/case insensitive via normalization") {
     val df = Seq(
       (1L, "Hello   World"),

@@ -147,6 +147,18 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("q124 epoch shard: the permutation rank is never a global window") {
+    val df = graft.queries.CurationQueries.q124EpochShard(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // the rank must ride the bucketed prefix sum — a row_number() over the
+    // whole corpus would plan 'Exchange SinglePartition' into a Window
+    assert(plan.contains("__pid"), s"bucketed prefix path missing:\n$plan")
+    val windowFeeds = plan.linesIterator.sliding(8).exists(w =>
+      w.exists(_.contains("Window")) && w.exists(_.contains("SinglePartition")))
+    assert(!windowFeeds, s"single-partition window detected:\n$plan")
+  }
+
   test("q98: inverted-index Jaccard plans no product join") {
     val df = graft.queries.DedupQueries.q98JaccardIndex(spark, sfDir)
     df.collect()

@@ -226,6 +226,10 @@ object ScaleSoak {
       graft.ops.Curation.exclusivePrefixSum(
         docs10.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", "ps")
         .agg(max(col("ps"))).collect()(0).getLong(0))
+    time("epoch_shard_50k_docs")(
+      graft.ops.Curation.epochShardAssign(
+        docs10.select(col("doc_id")), "doc_id", seed = 7L, numShards = 1024)
+        .agg(countDistinct(col("shard"))).collect()(0).getLong(0))
     time("pack_sequences_50k_docs")(
       graft.ops.Curation.packSequences(
         docs10.select(col("doc_id"),

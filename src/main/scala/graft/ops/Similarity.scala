@@ -232,6 +232,87 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic ±1 SRP hyperplane weights from md5 parity: plane p,
+    * 1-based dim d gets +1 iff the first hex digit of md5("p:d") is odd.
+    * Engine-portable — the JVM's MD5 and DuckDB's md5() agree on the hex,
+    * so the oracle re-derives the identical matrix inline in SQL. The
+    * matrix is tiny (planes × dims doubles) and rides into executors as a
+    * codegen constant, never a per-row hash. */
+  def srpPlaneWeights(planes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (1 to dims).map { d =>
+        md.reset()
+        val h = md.digest(s"$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first hex char = high nibble of byte 0; odd digits 1,3,5,7,9,b,d,f
+        if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Readable spec of [[graft.functions.SrpSignature]]'s numerics built
+    * only from org.apache.spark.sql.functions — bit-identical (same
+    * per-plane left fold, double precision). Interpreted HOFs: use the
+    * codegen'd expression in any hot path. */
+  def srpSignatureBitsComposable(vec: Column, weights: Seq[Seq[Double]]): Column = {
+    val w = typedLit(weights)
+    transform(sequence(lit(0), lit(weights.length - 1)), p =>
+      when(aggregate(
+        zip_with(vec, element_at(w, p + 1), (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Banded SRP-LSH near-dup pairs — the at-scale path for
+    * [[cosineNearDupPairs]] with tunable recall (vs [[cosineLshPairs]]'s
+    * single exact-signature bucket): `bands` independent slices of
+    * `rowsPerBand` sign bits each; two vectors are candidates iff they
+    * agree on ALL bits of at least one band (collision prob
+    * 1-(1-p^r)^b with p = 1-θ/π). Candidates are verified with exact
+    * cosine at `threshold`.
+    *
+    * Scale: the only shuffles are the (band, key) aggregation and the
+    * verify join — never a cross join. Bucket members are collected
+    * sorted and capped at `maxBucket` (a degenerate bucket — e.g. the
+    * all-zeros signature of near-zero vectors — is dropped the way
+    * boilerplate buckets are in the MinHash path), so pair expansion is
+    * O(cap²) per bucket worst case. Signatures are one codegen'd
+    * primitive loop per row ([[graft.functions.SrpSignature]]).
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos rounded to 6 dp */
+  def srpBandedNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bands: Int = 4, rowsPerBand: Int = 4,
+      threshold: Double = 0.3, maxBucket: Int = 1000): DataFrame = {
+    val weights = srpPlaneWeights(bands * rowsPerBand, dims)
+    val hashed = widen(corpus)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bits", graft.functions.SrpSignature(col("__v"), weights))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat((0 until rowsPerBand).map(r =>
+          element_at(col("__bits"), b * rowsPerBand + r + 1).cast("string")): _*)
+          .as("band_key"))
+    }
+    val banded = hashed
+      .select(col("__id"), explode(array(bandStructs: _*)).as("__band"))
+      .select(col("__id"), col("__band.band_id").as("__band_id"),
+        col("__band.band_key").as("__band_key"))
+    val cand = banded.groupBy(col("__band_id"), col("__band_key"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+      .distinct()
+    val va = hashed.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val vb = hashed.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** SemDeDup (semantic dedup): within each pre-assigned cluster, vectors
     * whose cosine ≥ `threshold` are duplicates; every duplicate component
     * keeps only its minimum id. The cluster column (a k-means cell from

@@ -64,6 +64,54 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Banded SRP-LSH near-dup over the FULL embeddings table — the at-scale
+    * analog of q41's all-pairs form (which caps its input at vec_id < 200
+    * precisely because it is quadratic). 16 md5-parity hyperplanes in
+    * 4 bands × 4 bits; candidates verified at cosine ≥ 0.30. The oracle is
+    * the SAME computation in SQL — signatures from the identical md5-parity
+    * weights, the identical band-collision rule, the identical left-fold
+    * cosine — so the hash match pins the whole LSH pipeline, not just the
+    * verify step. */
+  def q127SrpNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.srpBandedNearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 4, threshold = 0.30)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q127Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(0,16), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1,65), i ->
+       |        (CASE WHEN strpos('13579bdf', substr(md5(p::VARCHAR || ':' || i::VARCHAR),1,1)) > 0
+       |              THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)), (acc,x)->acc+x) >= 0
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, embedding, b AS band,
+       |    bits[b*4+1]::VARCHAR || bits[b*4+2] || bits[b*4+3] || bits[b*4+4] AS key
+       |  FROM sig, unnest(range(0,4)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, round($cos, 6) AS cos
+       |FROM (SELECT id_a, id_b, ea AS embedding FROM cand) a
+       |JOIN (SELECT id_a, id_b, eb AS embedding FROM cand) b
+       |  USING (id_a, id_b)
+       |WHERE $cos >= 0.30
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force
     * is asserted in OpsSpec). Cells come from the deterministic Lloyd's
     * training pass ([[Similarity.trainCentroids]]), not raw seed vectors. */
@@ -505,6 +553,7 @@ object SimilarityQueries {
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
+    "q127_srp_neardup" -> (q127SrpNearDup _),
     "q42_ivf_topk" -> (q42IvfTopK _),
     "q43_pq_topk" -> (q43PqTopK _),
     "q57_label_centroids" -> (q57LabelCentroids _))
@@ -519,5 +568,6 @@ object SimilarityQueries {
     "q40_cosine_topk" -> q40Sql,
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,
+    "q127_srp_neardup" -> q127Sql,
     "q57_label_centroids" -> q57Sql)
 }

@@ -225,6 +225,53 @@ class OpsSpec extends SparkSpec {
     assert(lsh.subsetOf(brute), s"LSH produced unverified pairs: ${lsh -- brute}")
   }
 
+  test("SRP signature: codegen expression == composable formulation; " +
+      "short/null vectors") {
+    val w = Similarity.srpPlaneWeights(16, 64)
+    assert(w.length == 16 && w.forall(_.length == 64))
+    assert(w.flatten.forall(x => x == 1.0 || x == -1.0))
+    val diff = emb.select(
+        graft.functions.SrpSignature($"embedding", w).as("fast"),
+        Similarity.srpSignatureBitsComposable($"embedding", w).as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff == 0)
+    // a shorter vector folds over its own length; null yields null
+    val edge = Seq((1L, Some(Seq(1.0f, -2.0f))), (2L, None))
+      .toDF("id", "v").select($"id", $"v".cast("array<float>").as("v"))
+    val out = edge.select($"id", graft.functions.SrpSignature($"v", w).as("bits"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[scala.collection.Seq[Int]]("bits").length == 16)
+    assert(out(2L).isNullAt(1))
+  }
+
+  test("SRP banded pairs: subset of brute force, exact cos on each pair, " +
+      "strictly higher recall than the single-bucket LSH") {
+    val brute = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val bandedRows = Similarity.srpBandedNearDupPairs(
+        emb, "vec_id", "embedding", dims = 64,
+        bands = 4, rowsPerBand = 4, threshold = 0.3)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect()
+    assert(bandedRows.nonEmpty)
+    assert(bandedRows.map(t => (t._1, t._2)).distinct.length == bandedRows.length)
+    bandedRows.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)), s"unverified pair ($a,$b)")
+      assert(brute((a, b)) == c, s"cos mismatch on ($a,$b)")
+    }
+    // all 16 bits as ONE band == the exact-signature bucket of
+    // cosineLshPairs: banding can only add candidates
+    val oneBand = Similarity.srpBandedNearDupPairs(
+        emb, "vec_id", "embedding", dims = 64,
+        bands = 1, rowsPerBand = 16, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val banded = bandedRows.map(t => (t._1, t._2)).toSet
+    assert(oneBand.subsetOf(banded))
+    assert(banded.size > oneBand.size,
+      s"banding added no recall: ${banded.size} vs ${oneBand.size}")
+  }
+
   test("text functions: deterministic edge cases") {
     val df = Seq(
       (1L, "The quick brown fox, and the lazy dog!"),

@@ -168,6 +168,16 @@ class PlanShapeSpec extends SparkSpec {
       s"index join must not degrade to a product:\n$plan")
   }
 
+  test("q127 SRP near-dup: bucket equi-joins only, signature in codegen") {
+    val df = graft.queries.SimilarityQueries.q127SrpNearDup(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH pipeline must never degrade to a product join:\n$plan")
+    assert(plan.contains("graft_srp_signature"), plan)
+  }
+
   test("q79: gate bucketed join is SMJ with no join-key exchange") {
     val df = graft.queries.CatalogQueries.q79BucketedJoin(spark, sfDir)
     df.collect()

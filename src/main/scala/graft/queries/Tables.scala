@@ -24,18 +24,24 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns]; Spark's TimestampType is
-    * microseconds. We read nanos as long (legacy conf set in the session
-    * builder of Verify/Bench and tests) and convert to a micros timestamp
-    * column, which matches DuckDB's value at micro precision.
+  /** `events.ts` has shipped as parquet timestamp[ns] (read as long via the
+    * legacy conf) in some data drops and timestamp[us] (read as
+    * TIMESTAMP_NTZ) in others — adapt to whichever physical type this drop
+    * carries and normalize to a session-tz TimestampType at micro
+    * precision, which matches DuckDB's TIMESTAMP value (sessions run UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.functions._
-    // integral division: long/long with `/` is double-valued in Spark and
-    // rounds epoch-nanos (>2^53) to ~256 ns — `div` truncates exactly like
-    // DuckDB's ns→us read
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      // integral division: long/long with `/` is double-valued in Spark and
+      // rounds epoch-nanos (>2^53) to ~256 ns — `div` truncates exactly like
+      // DuckDB's ns→us read
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

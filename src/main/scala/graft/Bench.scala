@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // events.ts normalization casts TIMESTAMP_NTZ through the session tz;
+      // pin UTC here like Verify does so a run outside the sbt fork (which
+      // passes -Duser.timezone=UTC) can't shift epoch values on a non-UTC
+      // host (ADVICE r8).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,18 +98,18 @@ object Bench {
     // kept 61 of 121 queries), so a FULL run also persists the complete
     // per-query map itself — round-over-round comparison needs every query,
     // not a sample. Filtered (SPARK_GRAFT_ONLY) runs don't write: a partial
-    // map must never overwrite the complete artifact. The output path MUST
-    // be explicit (no hardcoded round tag): a default name silently
-    // overwrote the previous round's artifact otherwise.
+    // map must never overwrite the complete artifact. The default target is
+    // a fixed SCRATCH name (documented ephemeral, overwritten every full
+    // run) that can never collide with a committed round artifact — round-
+    // named copies (bench_full_r{N}.json) are made explicitly at round
+    // close. r7 lost an artifact to a hardcoded round tag being rerun by
+    // the driver; r8 lost one to opt-in-only writing — this is the middle.
     if (only.isEmpty) {
-      sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
-        case Some(out) =>
-          java.nio.file.Files.write(java.nio.file.Paths.get(out),
-            (line + "\n").getBytes("UTF-8"))
-        case None =>
-          System.err.println(
-            "[bench] SPARK_GRAFT_BENCH_OUT unset — full artifact not written")
-      }
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_full_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact -> $out")
     }
     spark.stop()
     // same as Verify: q122's embedded metastore must not pin the JVM

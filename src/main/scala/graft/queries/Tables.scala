@@ -34,14 +34,21 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       // integral division: long/long with `/` is double-valued in Spark and
       // rounds epoch-nanos (>2^53) to ~256 ns — `div` truncates exactly like
       // DuckDB's ns→us read
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      // already session-tz micros — nothing to normalize
+      case TimestampType => raw
+      // any other physical type is schema drift in a data drop: fail fast at
+      // load with the observed type, not downstream with a confusing cast
+      // error or a silent oracle hash-mismatch (ADVICE r8)
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported physical type $other — expected " +
+          "timestamp[ns]-as-long, TIMESTAMP_NTZ(us), or TIMESTAMP")
     }
   }
 }

@@ -82,4 +82,18 @@ class TemporalJoinSpec extends SparkSpec {
       .select($"wid", $"pid").as[(Long, Long)].collect().toSet
     assert(binned == theta && theta.nonEmpty)
   }
+
+  test("events loader fails fast on an unexpected ts physical type") {
+    // schema drift in a data drop (ts as string) must throw at load with
+    // the observed type, not surface downstream as a confusing cast error
+    val dir = java.nio.file.Files.createTempDirectory("graft-evdrift")
+    spark.range(3).selectExpr("id as event_id", "id as user_id",
+        "'click' as event_type", "cast(id as string) as ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Tables.events(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("events.ts") &&
+      e.getMessage.contains("StringType"), e.getMessage)
+  }
 }

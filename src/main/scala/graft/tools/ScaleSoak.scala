@@ -77,6 +77,54 @@ object ScaleSoak {
       return
     }
 
+    // SOAK_SRP=1: the banded SRP-LSH embedding near-dup path (q127's op)
+    // at sparse-dup scale — the embedding analog of SOAK_REALISTIC. Each
+    // replica's vector is multiplied elementwise by a per-replica ±1 sign
+    // pattern: a sign-flipped copy has expected cosine ~0 against its base
+    // and against every other replica's flip (replicas are NOT near-dups),
+    // while elementwise ±1 flips preserve inner products WITHIN a replica,
+    // so the corpus keeps the base's realistic cluster structure. A ~2%
+    // planted slot rate keeps the vector verbatim — half a million
+    // distinct embeddings hiding a few thousand true cos=1 pairs.
+    if (sys.env.get("SOAK_SRP").contains("1")) {
+      val base = spark.read.parquet(s"$d/embeddings.parquet")
+      val rnd = new scala.util.Random(7)
+      val patterns: Seq[Seq[Double]] =
+        Seq.fill(factor)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+      val pat = typedLit(patterns)
+      val corpus = base
+        .crossJoin(spark.range(factor).select(col("id").as("__rep")))
+        .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+          col("embedding"), col("__rep"))
+        .withColumn("embedding",
+          when(pmod(hash(col("vec_id"), lit("dupslot")), lit(50)) === 0,
+            col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+              element_at(pat, col("__rep").cast("int") + 1),
+              (x, s) => x.cast("double") * s)
+            .cast("array<float>")))
+        .drop("__rep")
+        .localCheckpoint()
+      println(s"srp corpus rows=${corpus.count()}")
+      // Band width must grow with corpus size: the gate's 4-bit bands give
+      // 16 buckets per band — fine at 2k rows, degenerate at 500k (every
+      // bucket would blow the maxBucket cap and be dropped). Sizing rule
+      // r ≈ log2(N / targetBucketSize): 8 bands × 16 bits keeps buckets
+      // ~8 rows at 500k while exact duplicates (cos=1 → identical
+      // signature) still collide on every band.
+      // SOAK_SRP_THRESH: θ=0.30 (the gate's) sits only ~2.4σ above the
+      // sign-flip noise floor (cross-replica cosine std ≈ 1/√64 = 0.125),
+      // so verified-pair volume grows with candidate mass; θ=0.50 (4σ)
+      // is the sparse regime where output is the planted dups.
+      val thresh = sys.env.getOrElse("SOAK_SRP_THRESH", "0.30").toDouble
+      time(s"srp_neardup_${factor}x_t$thresh")(
+        graft.ops.Similarity.srpBandedNearDupPairs(corpus, "vec_id",
+          "embedding", dims = 64, bands = 8, rowsPerBand = 16,
+          threshold = thresh).count())
+      spark.stop()
+      return
+    }
+
     // SOAK_MIX=1: the temperature mixture sampler on the clone-replicated
     // corpus (clone replication preserves the source distribution, which
     // is exactly what the sampler keys on). Budget = 10% of the corpus

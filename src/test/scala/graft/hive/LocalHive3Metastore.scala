@@ -102,7 +102,7 @@ object LocalHive3Metastore {
     * instead of being quietly accommodated. (Stricter than a real server,
     * which would pass e.g. a property VALUE of that shape through — no
     * suite data uses that shape, and the loud failure is the point.) */
-  private val NameFieldPaths: Map[String, Set[List[Short]]] = Map(
+  private[hive] val NameFieldPaths: Map[String, Set[List[Short]]] = Map(
     "get_database" -> Set(List(1)),
     "drop_database" -> Set(List(1)),
     // alter_database(1: dbname, 2: Database newDb) — both carry names

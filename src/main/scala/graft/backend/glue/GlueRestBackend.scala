@@ -408,11 +408,20 @@ class GlueRestBackend extends MetadataBackend {
     val loc = location.getOrElse(defaultTableLocation(root, id))
     val params = TableUtil.mergeTableProperties(properties) ++
       schemaJson.map(SchemaParam -> _)
+    // Catalog-native columns: declared schema mapped to Glue's hive-style
+    // types (placeholder when none — `glue.py:416-422`), so Athena / the
+    // Glue console see the real column list; exact fidelity rides
+    // SchemaParam in Parameters.
+    val cols = JArray(graft.schema.CatalogColumns.columnsFor(schemaJson)
+      .toList.map { case (n, t) =>
+        JObject("Name" -> JString(n), "Type" -> JString(t))
+      })
     val input = JObject(
       "Name" -> JString(id.name),
       "TableType" -> JString("EXTERNAL_TABLE"),
       "Parameters" -> jprops(params),
-      "StorageDescriptor" -> JObject("Location" -> JString(loc)))
+      "StorageDescriptor" -> JObject(
+        "Columns" -> cols, "Location" -> JString(loc)))
     try call("CreateTable", withCatalogId(
       "DatabaseName" -> JString(id.parent.name), "TableInput" -> input))
     catch { case e: GlueApiError if e.isExists =>

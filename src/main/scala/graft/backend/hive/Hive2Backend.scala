@@ -432,7 +432,15 @@ class Hive2Backend extends MetadataBackend with AutoCloseable {
       } catch { case _: Exception => loc }
       val sd = new StorageDescriptor()
       sd.setLocation(sdLoc)
-      sd.setCols(new java.util.ArrayList()) // real schema rides in params
+      // Catalog-native columns: the declared schema mapped to hive types
+      // (placeholder when none — `hive2.py:490-498`), so non-graft HMS
+      // readers see the real column list; exact fidelity (nullability,
+      // ns timestamps, unsigned widening) still rides SchemaParam.
+      val cols = new java.util.ArrayList[org.apache.hadoop.hive.metastore.api.FieldSchema]()
+      graft.schema.CatalogColumns.columnsFor(schemaJson).foreach { case (n, t) =>
+        cols.add(new org.apache.hadoop.hive.metastore.api.FieldSchema(n, t, null))
+      }
+      sd.setCols(cols)
       sd.setInputFormat("graft.mapred.GraftInputFormat")
       sd.setOutputFormat("graft.mapred.GraftOutputFormat")
       val serde = new SerDeInfo()

@@ -228,6 +228,22 @@ class GlueBackendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.tableExists(t) && !b.tableExists(ns.child("nope")))
     assert(b.listTables(ns) == Seq(t))
 
+    // catalog-native columns on the wire: the declared schema mapped to
+    // Glue's hive-style types lands in StorageDescriptor.Columns (Athena/
+    // console-visible), not only in Parameters; a schema-less declare
+    // registers the reference's placeholder (glue.py:416-422)
+    def storedCols(tbl: String): Seq[(String, String)] =
+      (tbls(("gdb1", tbl)) \ "StorageDescriptor" \ "Columns") match {
+        case JArray(cs) => cs.map(c =>
+          ((c \ "Name").values.toString, (c \ "Type").values.toString))
+        case other => fail(s"no Columns: $other")
+      }
+    assert(storedCols("t1") == Seq(("id", "bigint")))
+    val tNoSchema = ns.child("t_noschema")
+    b.declareTable(tNoSchema, None, Map.empty, None)
+    assert(storedCols("t_noschema") == Seq(("__placeholder_id", "bigint")))
+    b.dropTable(tNoSchema, purge = false)
+
     // restrict-only drop
     intercept[GraftError.InvalidInput](b.dropNamespace(ns, DropMode.Fail))
     b.dropTable(t, purge = false)

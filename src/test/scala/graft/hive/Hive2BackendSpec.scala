@@ -113,6 +113,17 @@ class Hive2BackendSpec extends AnyFunSuite {
       assert(!described.properties.contains("EXTERNAL")) // impl detail stripped
       assert(b.tableExists(ns.child("t1")) && !b.tableExists(ns.child("nope")))
 
+      // catalog-native columns, declared schema → HMS loadTable identity:
+      // a NON-graft HMS reader sees the real mapped column list, not the
+      // reference's placeholder (hive2.py:490-498) — which is still what
+      // a schema-less declare registers
+      import scala.jdk.CollectionConverters._
+      def rawCols(t: String): Seq[(String, String)] =
+        hms.rawHandler.get_table("ns_tbl", t).getSd.getCols.asScala.toSeq
+          .map(f => (f.getName, f.getType))
+      assert(rawCols("t1") == Seq(("id", "bigint")))
+      assert(rawCols("t2") == Seq(("__placeholder_id", "bigint")))
+
       assert(b.listTables(ns).map(_.name) == Seq("t1", "t2"))
 
       // a non-lance HMS table in the same database is filtered out, and a

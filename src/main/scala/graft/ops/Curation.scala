@@ -333,6 +333,60 @@ object Curation {
             e.getField("__ev"))).as("history"))
   }
 
+  // --- Importance resampling (DSIR) ----------------------------------------
+
+  /** DSIR-style hashed-n-gram importance log-weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * every document scored by how much more likely its features are under
+    * a target distribution than under the raw corpus —
+    * log w(x) = Σ_f count_f(x) · (ln p_target(f) − ln p_raw(f)) — where
+    * features are word bigrams hashed into `buckets` buckets and both
+    * feature distributions are Laplace-smoothed bucket frequencies
+    * ((c+1)/(N+B)). Sampling ∝ w(x) then tilts a giant raw corpus toward
+    * a small high-quality target domain.
+    *
+    * Scale: one shuffle-free bigram extraction; per-(doc, bucket) counts
+    * aggregate map-side; the two distributions are `buckets`-row tables
+    * (bounded by B, not the corpus) built from the SAME per-doc counts
+    * (target side via a semi-join on target ids), and the final score is
+    * one broadcast join of the B-row log-ratio table back onto the
+    * per-doc counts. No driver collects. The log-weight sum rides the
+    * repo-wide decimal(27,15) rule so partial-merge order can't wiggle
+    * the doubles.
+    *
+    * Output: (idCol, n_feats, log_weight) — every doc that produced at
+    * least one bigram; docs with < 2 tokens emit nothing (no features ⇒
+    * weight undefined; callers treat them separately).
+    */
+  def dsirLogWeights(corpus: DataFrame, targetIds: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"dsirLogWeights: buckets must be >= 2, got $buckets")
+    val b = buckets.toLong
+    val docB = LanguageModel.bigramRows(corpus, idCol, textCol)
+      .select(col("__id"),
+        hashBucket(concat_ws(" ", col("w1"), col("w2")), "dsir", buckets).as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__c"))
+    val raw = docB.groupBy(col("__b")).agg(sum(col("__c")).as("__cr"))
+    val tgt = docB
+      .join(targetIds.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+      .groupBy(col("__b")).agg(sum(col("__c")).as("__ct"))
+    val nRaw = raw.agg(sum(col("__cr")).as("__nr"))
+    val nTgt = tgt.agg(sum(col("__ct")).as("__nt"))
+    // buckets absent from the raw table are absent from every doc too, so
+    // the left join loses nothing; absent target buckets smooth to 1/(N+B)
+    val ratio = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) / (col("__nt") + lit(b.toDouble))) -
+         log((col("__cr") + lit(1.0)) / (col("__nr") + lit(b.toDouble)))).as("__llr"))
+    docB.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum((col("__c") * col("__llr")).cast("decimal(27,15)"))
+          .cast("double").as("log_weight"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   // --- Decontamination -----------------------------------------------------
 
   /** Ids of corpus docs sharing at least one word k-gram with any benchmark

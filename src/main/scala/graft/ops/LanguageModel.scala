@@ -87,4 +87,43 @@ object LanguageModel {
         (sum(coalesce(col("p"), lit(0.0)).cast("decimal(27,15)"))
           .cast("double") / count(lit(1))).as("coherence"))
       .withColumnRenamed("__id", idCol)
+
+  /** Pointwise-mutual-information collocation mining: every adjacent word
+    * pair seen at least `minCount` times, scored by
+    * PMI = ln(c(w1,w2) · N / (c(w1,·) · c(·,w2))) over the corpus's bigram
+    * table (N = total bigrams; marginals are positional — w1 as head, w2
+    * as tail — so the three counts come from one bigram extraction).
+    * The classic collocation detector (Church & Hanks 1990), used in
+    * pipelines to find multi-word units worth protecting from tokenizer
+    * splits.
+    *
+    * Scale: one shuffle-free bigram extraction feeds three
+    * map-side-combinable aggregations; the two marginal tables are
+    * vocabulary-sized and join back onto the (already minCount-filtered)
+    * pair table by key — never onto the corpus. N rides along as a 1-row
+    * broadcast cross join. No driver collects; output is bounded by the
+    * pair-vocabulary, not the corpus.
+    *
+    * Output: (w1, w2, pair_count, pmi) — full scored table, ordered by
+    * (w1, w2); top-k selection is the caller's `.orderBy(...).limit(k)`.
+    */
+  def pmiCollocations(corpus: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"pmiCollocations: minCount must be >= 1, got $minCount")
+    val bg = bigramRows(corpus, idCol, textCol)
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val head = bg.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val tail = bg.groupBy(col("w2")).agg(count(lit(1)).as("__ct"))
+    val total = bg.agg(count(lit(1)).as("__n"))
+    pair.join(head, Seq("w1")).join(tail, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        // marginal product as double×long, not long×long: c1·ct overflows
+        // int64 once both marginals pass ~3e9 (a 100 TB corpus does), and
+        // the oracle mirrors this exact shape so the rounding is identical
+        log(col("pair_count").cast("double") * col("__n") /
+          (col("__c1").cast("double") * col("__ct"))).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
 }

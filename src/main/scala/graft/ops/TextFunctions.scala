@@ -127,4 +127,31 @@ object TextFunctions {
     * whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Character-level Shannon entropy in nats — the Gopher-style signal for
+    * degenerate text (repeated-char runs, binary junk, single-symbol spam
+    * all score near 0; natural prose sits ~3–4.3). Computed ENTIRELY
+    * per-row with codegen'd array functions — distinct chars × per-char
+    * count via `transform`/`filter` over the char array, O(alphabet·len)
+    * per row, zero shuffles at any corpus size (the explode+groupBy
+    * alternative shuffles one row per character — at 100 TB that is the
+    * whole corpus through the wire for a per-doc statistic).
+    *
+    * Each term −p·ln p is a fixed-shape double; the per-row fold
+    * accumulates decimal(27,15) (the repo-wide rule), so any engine
+    * summing the same terms in any order matches bit-for-bit. */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars)
+    val terms = transform(array_distinct(chars), c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      (p * log(p) * lit(-1.0)).cast("decimal(27,15)")
+    })
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(terms, lit(0).cast("decimal(27,15)"),
+        (acc, t) => (acc + t).cast("decimal(27,15)")).cast("double"))
+  }
+
+  def distinctCharCount(text: Column): Column =
+    size(array_distinct(split(text, ""))).cast("long")
 }

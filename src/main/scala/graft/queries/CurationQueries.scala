@@ -418,7 +418,51 @@ object CurationQueries {
       |SELECT doc_id, shuffle_key, rank0 % 16 AS shard, rank0 // 16 AS pos
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** DSIR importance log-weights ([[graft.ops.Curation.dsirLogWeights]]):
+    * target = the corpus's English slice, features = md5-bucketed word
+    * bigrams (1024 buckets), Laplace-smoothed log-ratio summed per doc
+    * through the decimal(27,15) rule. English docs must score positive on
+    * average and the rest negative — the gate pins every doc's weight, so
+    * the bucketing hash, both smoothed distributions, and the sum order
+    * discipline are all on the hook. */
+  def q129DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Curation.dsirLogWeights(docs,
+        docs.filter(col("lang") === "en").select(col("doc_id")),
+        "doc_id", "text", buckets = 1024)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("log_weight"), 6).as("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q129Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS f
+      |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+      |  WHERE len(a) >= 2),
+      |db AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('dsir:' || f), 1, 8) AS BIGINT) % 1024 AS b,
+      |    count(*) AS c
+      |  FROM bg GROUP BY doc_id, lang, b),
+      |raw AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+      |tgt AS (SELECT b, sum(c) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+      |nr AS (SELECT sum(cr) AS nr FROM raw),
+      |nt AS (SELECT sum(ct) AS nt FROM tgt),
+      |ratio AS (
+      |  SELECT b, ln((COALESCE(ct, 0) + 1.0) / (nt + 1024.0))
+      |          - ln((cr + 1.0) / (nr + 1024.0)) AS llr
+      |  FROM raw LEFT JOIN tgt USING (b), nr, nt)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |  round(CAST(sum(CAST(c * llr AS DECIMAL(27,15))) AS DOUBLE), 6) AS log_weight
+      |FROM db JOIN ratio USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_dsir_weights" -> (q129DsirWeights _),
     "q86_bloom_decontaminate" -> (q86BloomDecontaminate _),
     "q124_epoch_shard" -> (q124EpochShard _),
     "q38_pii_redact" -> (q38PiiRedact _),
@@ -435,6 +479,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q129_dsir_weights" -> q129Sql,
     "q86_bloom_decontaminate" -> q86Sql,
     "q124_epoch_shard" -> q124Sql,
     "q38_pii_redact" -> q38Sql,

@@ -249,7 +249,67 @@ object TextQueries {
       |SELECT pair, count(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** PMI collocation mining ([[graft.ops.LanguageModel.pmiCollocations]]):
+    * the full scored pair table at minCount 5, ordered by pair — the gate
+    * pins every count and every PMI value, so the three marginal
+    * aggregations and the fixed-shape double arithmetic are all on the
+    * hook (top-k display cuts are a caller-side orderBy/limit; pinning the
+    * whole table avoids tie-order instability at the cut). */
+  def q128PmiCollocations(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.pmiCollocations(
+        Tables.documents(s, d), "doc_id", "text", minCount = 5)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(col("pmi"), 6).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents),
+      |bg AS (
+      |  SELECT a[i] AS w1, a[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+      |  WHERE len(a) >= 2),
+      |pair AS (SELECT w1, w2, count(*) AS pair_count FROM bg
+      |         GROUP BY w1, w2 HAVING count(*) >= 5),
+      |head AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |tl AS (SELECT w2, count(*) AS ct FROM bg GROUP BY w2),
+      |tot AS (SELECT count(*) AS n FROM bg)
+      |SELECT w1, w2, pair_count,
+      |  round(ln(CAST(pair_count AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * ct)), 6) AS pmi
+      |FROM pair JOIN head USING (w1) JOIN tl USING (w2), tot
+      |ORDER BY w1, w2""".stripMargin
+
+  /** Character-level Shannon entropy per document
+    * ([[graft.ops.TextFunctions.charEntropy]]) — computed per-row with
+    * zero shuffles on the Spark side; the oracle replays it via
+    * explode+group (order-free because both sides sum the identical
+    * −p·ln p doubles as decimal(27,15)). */
+  def q130CharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_obs"),
+        distinctCharCount(col("text")).as("distinct_chars"),
+        round(charEntropy(col("text")), 6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+
+  val q130Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+      |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id)
+      |SELECT doc_id, n AS n_chars_obs,
+      |  CAST(count(*) AS BIGINT) AS distinct_chars,
+      |  round(CAST(sum(CAST(
+      |    (CAST(cnt AS DOUBLE)/n) * ln(CAST(cnt AS DOUBLE)/n) * -1.0
+      |    AS DECIMAL(27,15))) AS DOUBLE), 6) AS char_entropy
+      |FROM cc JOIN n USING (doc_id)
+      |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_pmi_collocations" -> (q128PmiCollocations _),
+    "q130_char_entropy" -> (q130CharEntropy _),
     "q120_bpe_pairs" -> (q120BpePairs _),
     "q97_oov_rate" -> (q97OovRate _),
     "q87_bigram_coherence" -> (q87BigramCoherence _),
@@ -261,6 +321,8 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q128_pmi_collocations" -> q128Sql,
+    "q130_char_entropy" -> q130Sql,
     "q120_bpe_pairs" -> q120Sql,
     "q97_oov_rate" -> q97Sql,
     "q87_bigram_coherence" -> q87Sql,

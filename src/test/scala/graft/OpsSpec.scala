@@ -26,6 +26,67 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactDedup(deduped, "doc_id", "text").count() == deduped.count())
   }
 
+  test("charEntropy: closed-form values, degenerate text scores 0") {
+    val rows = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, "abcd"))
+      .toDF("id", "t")
+      .select($"id", TextFunctions.charEntropy($"t").as("h"))
+      .orderBy($"id").collect().map(_.getDouble(1))
+    assert(math.abs(rows(0) - 0.0) < 1e-12)           // single symbol
+    assert(math.abs(rows(1) - math.log(2)) < 1e-9)     // two equiprobable
+    assert(math.abs(rows(2) - math.log(2)) < 1e-9)     // counts not positions
+    assert(math.abs(rows(3) - math.log(4)) < 1e-9)     // uniform over 4
+    // entropy never exceeds ln(distinct chars); real docs land inside
+    val bound = docs.select(TextFunctions.charEntropy($"text").as("h"),
+        TextFunctions.distinctCharCount($"text").as("d"))
+      .filter($"h" > log($"d".cast("double")) + lit(1e-9))
+    assert(bound.count() == 0)
+  }
+
+  test("pmiCollocations: closed-form PMI on a fixed corpus, minCount honored") {
+    // corpus of one doc: "a b a b a c" → bigrams (a,b)(b,a)(a,b)(b,a)(a,c)
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel.pmiCollocations(df, "doc_id", "text",
+      minCount = 1).collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // N=5; heads: a→3, b→2; tails: b→2, a→2, c→1
+    assert(got(("a", "b"))._1 == 2L)
+    assert(math.abs(got(("a", "b"))._2 - math.log(2.0 * 5 / (3.0 * 2))) < 1e-12)
+    assert(math.abs(got(("a", "c"))._2 - math.log(1.0 * 5 / (3.0 * 1))) < 1e-12)
+    assert(math.abs(got(("b", "a"))._2 - math.log(2.0 * 5 / (2.0 * 2))) < 1e-12)
+    // raising minCount drops the singleton pair
+    val cut = graft.ops.LanguageModel.pmiCollocations(df, "doc_id", "text",
+      minCount = 2).collect()
+    assert(cut.length == 2 && !cut.exists(_.getString(1) == "c"))
+  }
+
+  test("dsirLogWeights: tilts toward the target slice; <2-token docs emit nothing") {
+    val target = docs.filter($"lang" === "en").select($"doc_id")
+    val w = graft.ops.Curation.dsirLogWeights(docs, target, "doc_id", "text")
+    val j = w.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang" === "en").agg(avg($"log_weight")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the langs share one synthetic vocabulary, so the en bigram
+    // distribution sits close to the corpus distribution and smoothing can
+    // pull BOTH means below zero — the invariant is separation (importance
+    // sampling ranks en above the rest), not the sign of the mean
+    assert(j(true) > j(false) + 1.0,
+      s"target slice must outscore off-target decisively: $j")
+    // and the ranking property a resampler actually uses: the top-weight
+    // quintile is en-enriched vs the corpus base rate
+    val scored = w.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val q80 = scored.stat.approxQuantile("log_weight", Array(0.8), 0.001)(0)
+    val top = scored.filter($"log_weight" >= q80)
+    val topEn = top.filter($"lang" === "en").count().toDouble / top.count()
+    val baseEn = docs.filter($"lang" === "en").count().toDouble / docs.count()
+    assert(topEn > baseEn,
+      s"top-quintile en fraction $topEn must exceed base rate $baseEn")
+    // a doc with one token has no bigram features → absent, not zero
+    val tiny = docs.limit(1).select(lit(99999999L).as("doc_id"), lit("solo").as("text"))
+      .unionByName(docs.select($"doc_id", $"text"))
+    val w2 = graft.ops.Curation.dsirLogWeights(tiny, target, "doc_id", "text")
+    assert(w2.filter($"doc_id" === 99999999L).count() == 0)
+  }
+
   test("crossSourceOverlap counts distinct shared fingerprints per pair") {
     val df = Seq(
       (1L, "A", "same doc"),

@@ -128,6 +128,26 @@ class PlanShapeSpec extends SparkSpec {
   private def finalOnly(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("q130 char entropy: per-row codegen'd array ops — no shuffle except the final sort") {
+    val df = graft.queries.TextQueries.q130CharEntropy(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("Join"), s"entropy must not join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the final sort may exchange:\n$plan")
+  }
+
+  test("q129 DSIR: B-row log-ratio table broadcasts back onto per-doc counts") {
+    val df = graft.queries.CurationQueries.q129DsirWeights(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // the scoring join must be broadcast (ratio table is ≤ `buckets` rows,
+    // bounded regardless of corpus size); a SortMergeJoin here would
+    // shuffle the full per-doc feature table against a 1024-row side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q123 mixture sampling: document-scale cumulative sum is never single-partition") {
     val df = graft.queries.CurationQueries.q123MixtureSample(spark, sfDir)
     df.collect()

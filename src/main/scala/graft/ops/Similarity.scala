@@ -250,6 +250,44 @@ object Similarity {
     }
   }
 
+  /** Salted Rademacher (±1) matrix from md5 parity — same construction as
+    * [[srpPlaneWeights]] with a salt so independent operators (SRP
+    * hashing, JL projection) never share a matrix. Row p, column d is the
+    * parity of the first hex digit of md5("salt:p:d") — reproducible by
+    * any engine with md5, which is what makes the oracle exact. */
+  def rademacherMatrix(outDims: Int, inDims: Int, salt: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDims).map { p =>
+      (1 to inDims).map { d =>
+        md.reset()
+        val h = md.digest(s"$salt:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a Rademacher
+    * sign matrix (Achlioptas 2003: ±1 entries satisfy the JL lemma with
+    * the same distortion bound as Gaussians, and — unlike Gaussians —
+    * generate EXACTLY the same matrix on any engine via md5 parity, so
+    * the projection is oracle-checkable to the last bit). Embeddings
+    * project k-dim → `weights.length`-dim as proj_p = ⟨v, row_p⟩/√k;
+    * inner products and norms are preserved in expectation, so
+    * downstream cosine/ANN operators run unchanged on the short vectors
+    * at 1/4 the bytes.
+    *
+    * Pure per-row codegen'd array math — zero shuffles at any corpus
+    * size. The per-component left fold matches DuckDB's `list_reduce`
+    * order, the q127-proven device for float-exact array oracles. */
+  def rademacherProject(vec: Column, weights: Seq[Seq[Double]]): Column = {
+    val w = typedLit(weights)
+    val k = weights.length
+    transform(sequence(lit(0), lit(k - 1)), p =>
+      aggregate(
+        zip_with(vec, element_at(w, p + 1), (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x) / lit(math.sqrt(k.toDouble)))
+  }
+
   /** Readable spec of [[graft.functions.SrpSignature]]'s numerics built
     * only from org.apache.spark.sql.functions — bit-identical (same
     * per-plane left fold, double precision). Interpreted HOFs: use the

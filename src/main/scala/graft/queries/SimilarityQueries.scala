@@ -112,6 +112,31 @@ object SimilarityQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Johnson–Lindenstrauss projection 64 → 16 dims with the md5-parity
+    * Rademacher matrix ([[Similarity.rademacherProject]]): every vector's
+    * full projected array is pinned, so the matrix generation, the
+    * per-component fold order, and the √k scale are all on the hook. The
+    * oracle regenerates the identical matrix from md5 in SQL — the q127
+    * device, applied to dimensionality reduction instead of hashing. */
+  def q131JlProjection(s: SparkSession, d: String): DataFrame = {
+    val m = Similarity.rademacherMatrix(outDims = 16, inDims = 64, salt = "jl")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(Similarity.rademacherProject(col("embedding"), m),
+          x => round(x, 6)).as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q131Sql: String =
+    """SELECT vec_id,
+      |  list_transform(range(0, 16), p ->
+      |    round(list_reduce(list_transform(range(1, 65), i ->
+      |      (CASE WHEN strpos('13579bdf',
+      |         substr(md5('jl:' || p::VARCHAR || ':' || i::VARCHAR), 1, 1)) > 0
+      |        THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x) / sqrt(16.0), 6)) AS proj
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force
     * is asserted in OpsSpec). Cells come from the deterministic Lloyd's
     * training pass ([[Similarity.trainCentroids]]), not raw seed vectors. */
@@ -554,6 +579,7 @@ object SimilarityQueries {
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
     "q127_srp_neardup" -> (q127SrpNearDup _),
+    "q131_jl_projection" -> (q131JlProjection _),
     "q42_ivf_topk" -> (q42IvfTopK _),
     "q43_pq_topk" -> (q43PqTopK _),
     "q57_label_centroids" -> (q57LabelCentroids _))
@@ -569,5 +595,6 @@ object SimilarityQueries {
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,
     "q127_srp_neardup" -> q127Sql,
+    "q131_jl_projection" -> q131Sql,
     "q57_label_centroids" -> q57Sql)
 }

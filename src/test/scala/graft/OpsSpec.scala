@@ -87,6 +87,37 @@ class OpsSpec extends SparkSpec {
     assert(w2.filter($"doc_id" === 99999999L).count() == 0)
   }
 
+  test("rademacherProject: JL geometry — norms and pairwise distances preserved in expectation") {
+    val m = Similarity.rademacherMatrix(outDims = 16, inDims = 64, salt = "jl")
+    assert(m.length == 16 && m.forall(_.length == 64))
+    assert(m.flatten.forall(w => w == 1.0 || w == -1.0))
+    // deterministic: regeneration is identical
+    assert(m == Similarity.rademacherMatrix(16, 64, "jl"))
+    val sq = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0.0), (a, x) => a + x * x)
+    val proj = emb.select($"vec_id",
+      $"embedding".as("v"), Similarity.rademacherProject($"embedding", m).as("p"))
+    // E[‖Pv‖²] = ‖v‖²: the mean ratio over the corpus concentrates near 1
+    val normRatio = proj.select(
+        (sq($"p") / sq(transform($"v", x => x.cast("double")))).as("r"))
+      .agg(avg($"r")).collect()(0).getDouble(0)
+    assert(math.abs(normRatio - 1.0) < 0.15, s"mean norm ratio $normRatio")
+    // pairwise distance distortion over a 20-vector sample: k=16 gives a
+    // loose but bounded band; catastrophic collapse (ratio→0) or blowup
+    // would mean the matrix rows are correlated
+    val s20 = proj.filter($"vec_id" < 20)
+      .select($"vec_id".as("ia"), $"v".as("va"), $"p".as("pa"))
+    val t20 = proj.filter($"vec_id" < 20)
+      .select($"vec_id".as("ib"), $"v".as("vb"), $"p".as("pb"))
+    val dist = s20.join(t20, $"ia" < $"ib")
+      .select((sq(zip_with($"pa", $"pb", (a, b) => a - b)) /
+        sq(zip_with($"va", $"vb", (a, b) => a.cast("double") - b))).as("r"))
+    val Row(lo: Double, hi: Double, mean: Double) =
+      dist.agg(min($"r"), max($"r"), avg($"r")).collect()(0)
+    assert(lo > 0.25 && hi < 2.5, s"distance distortion out of band: [$lo, $hi]")
+    assert(math.abs(mean - 1.0) < 0.2, s"mean distance ratio $mean")
+  }
+
   test("crossSourceOverlap counts distinct shared fingerprints per pair") {
     val df = Seq(
       (1L, "A", "same doc"),

@@ -128,6 +128,29 @@ class PlanShapeSpec extends SparkSpec {
   private def finalOnly(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("catalog table: global min/max/count push down to the parquet footer scan") {
+    // at 100 TB a stats query (row count, column bounds) must read file
+    // footers, not data pages — Spark's parquet aggregate pushdown does
+    // exactly that, and it must survive the graft catalog's DSv2
+    // delegation (a catalog that breaks it would silently turn footer
+    // reads into full scans)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      graft.queries.CatalogQueries.q21CatalogScan(spark, sfDir).collect()
+      // timestamp bounds are excluded on purpose: parquet min/max stats for
+      // timestamps are not trusted by Spark's pushdown rule, and ONE
+      // unsupported aggregate disables pushdown for the whole query
+      val df = spark.sql(
+        "SELECT count(*), min(l_orderkey), max(l_orderkey) FROM graft.tpch.lineitem")
+      df.collect()
+      val plan = finalOnly(df.queryExecution.executedPlan.toString)
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed to the scan:\n$plan")
+      assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_orderkey)"),
+        plan)
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+  }
+
   test("q130 char entropy: per-row codegen'd array ops — no shuffle except the final sort") {
     val df = graft.queries.TextQueries.q130CharEntropy(spark, sfDir)
     df.collect()

@@ -151,6 +151,39 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (the unsalted-skew backstop)") {
+    // q72 is the *planned* answer to skew (salting); this pins the *runtime*
+    // answer — AQE detecting a hot key mid-query and splitting the skewed
+    // partition — so an operator that meets unplanned skew at 100 TB
+    // degrades to split subpartitions, not to one straggler executor.
+    // Thresholds are lowered to make the 200k-row fixture register as
+    // skewed; the MECHANISM under test is identical at any scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{when, lit, md5}
+      val big = spark.range(0, 200000).select(
+        when($"id" % 20 === 0, $"id" % 100).otherwise(lit(7L)).as("k"),
+        md5($"id".cast("string")).as("payload"))
+      val dim = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = big.join(dim, "k")
+      j.queryExecution.toRdd.count()
+      val plan = finalOnly(j.queryExecution.executedPlan.toString)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q130 char entropy: per-row codegen'd array ops — no shuffle except the final sort") {
     val df = graft.queries.TextQueries.q130CharEntropy(spark, sfDir)
     df.collect()

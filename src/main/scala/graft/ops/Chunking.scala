@@ -118,4 +118,50 @@ object Chunking {
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), " ").as("text_dedup"))
   }
+
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb "drop
+    * paragraphs that repeat across the corpus" pass): a segment whose
+    * DOCUMENT frequency exceeds `maxDf` is boilerplate — navigation
+    * chrome, licence headers, templated footers — and is removed from
+    * EVERY document it appears in, with the survivors re-joined in
+    * original order. Complements [[segmentDedup]] (which keeps one global
+    * winner per segment — dedup semantics) and [[intraDocTileDedup]]
+    * (which only sees a document's own repetition).
+    *
+    * Scale shape for 100 TB: segment construction is the zero-shuffle
+    * [[segments]] explode; the document-frequency census is one map-side-
+    * combinable aggregate keyed on the segment hash (`count(DISTINCT doc)`
+    * resolves to a two-phase partial); the boilerplate SET — segments with
+    * df > maxDf — is tiny BY DEFINITION (at most total-segments/maxDf
+    * entries, and real boilerplate is a handful of templates), so the
+    * flagging join is an explicit broadcast instead of a corpus shuffle;
+    * reassembly is one aggregate keyed on the doc id. Only (hash, doc)
+    * pairs and the per-doc segment lists ever move.
+    *
+    * Output: (doc_id, n_segs, n_kept, text_clean), one row per input
+    * document (docs whose every segment was boilerplate keep an empty
+    * string). */
+  def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
+      segSize: Int, maxDf: Int): DataFrame = {
+    require(segSize >= 1, s"boilerplateRemoval: segSize must be >= 1, got $segSize")
+    require(maxDf >= 1, s"boilerplateRemoval: maxDf must be >= 1, got $maxDf")
+    val segs = segments(df, idCol, textCol, segSize)
+      .select(col("__id").as("doc_id"), col("chunk_id").as("seg_id"),
+        col("chunk_text"),
+        md5(col("chunk_text").cast("binary")).as("__h"))
+    val boiler = segs.groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h"), lit(true).as("__boiler"))
+    segs.join(broadcast(boiler), Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips nulls, so dropped segments vanish before the
+        // in-group sort; the struct sorts on seg_id first → original order
+        array_join(transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("seg_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("text_clean"))
+  }
 }

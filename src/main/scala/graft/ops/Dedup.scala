@@ -501,4 +501,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Per-document k-gram novelty — the curation signal behind
+    * novelty-ordered training (a document whose k-grams are already
+    * covered by earlier documents adds little new surface): for each
+    * document, the fraction of its DISTINCT word k-grams whose corpus-wide
+    * first occurrence (minimum doc id) is this document. A gram unique to
+    * one document is novel for it; a gram shared across documents is novel
+    * only for the lowest id. Deterministic given the id order — no
+    * tie-breaking randomness.
+    *
+    * Scale shape for 100 TB: [[shingleRows]]' zero-key-shuffle gram
+    * extraction → per-doc distinct (one shuffle on (gram, doc)) → the
+    * first-occurrence census is a map-side-combinable `min(doc)` keyed on
+    * the gram → one join back on the gram and a final per-doc count
+    * aggregate. Every moving row is a (hash-sized gram, id) pair; nothing
+    * is ever all-pairs and no stage holds a document's text after
+    * extraction.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty) with novelty =
+    * n_novel/n_grams as an exact long/long IEEE division. */
+  def kgramNovelty(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val grams = shingleRows(df, idCol, textCol, k)
+      .select(col("__id"), col("__g")).distinct()
+    val firstSeen = grams.groupBy(col("__g"))
+      .agg(min(col("__id")).as("__first"))
+    grams.join(firstSeen, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
 }

@@ -105,13 +105,59 @@ object ChunkQueries {
       |  array_to_string(kp, ' ') AS text_dedup
       |FROM kept ORDER BY doc_id""".stripMargin
 
+  /** Corpus-frequency boilerplate removal (CCNet-style): every 3rd
+    * document gets a fixed 10-token template header prepended — with
+    * 5-token tiling the header is exactly 2 segments whose document
+    * frequency (~n/3) blows through maxDf=10, so the pass must strip it
+    * from EVERY planted document (unlike q95's keep-one-winner dedup)
+    * while the body segments, df=1, survive. The gate hash-pins the full
+    * reassembled text, putting tiling, the df census, the broadcast
+    * boilerplate join, and in-order reassembly all on the hook. */
+  def q132Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("subscribe to our newsletter for updates click here " +
+          "to unsubscribe "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Chunking.boilerplateRemoval(corpus, "doc_id", "text",
+        segSize = 5, maxDf = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val q132Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      'subscribe to our newsletter for updates click here to unsubscribe ' || text
+      |    ELSE text END AS text
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+      |), n AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+      |), seg AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, 1 + (greatest(n - 5, 0) + 4) // 5)) AS seg_id
+      |  FROM n
+      |), h AS (
+      |  SELECT doc_id, seg_id,
+      |    array_to_string(list_slice(toks, seg_id*5+1, seg_id*5+5), ' ') AS seg_text
+      |  FROM seg
+      |), freq AS (SELECT seg_text, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  CAST(sum(CASE WHEN df <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN df <= 10 THEN seg_text END, ' ' ORDER BY seg_id), '') AS text_clean
+      |FROM h JOIN freq USING (seg_text)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_chunking" -> (q92Chunking _),
     "q95_segment_dedup" -> (q95SegmentDedup _),
-    "q126_intradoc_dedup" -> (q126IntradocDedup _))
+    "q126_intradoc_dedup" -> (q126IntradocDedup _),
+    "q132_boilerplate" -> (q132Boilerplate _))
 
   val oracles: Map[String, String] = Map(
     "q92_chunking" -> q92Sql,
     "q95_segment_dedup" -> q95Sql,
-    "q126_intradoc_dedup" -> q126Sql)
+    "q126_intradoc_dedup" -> q126Sql,
+    "q132_boilerplate" -> q132Sql)
 }

@@ -270,9 +270,38 @@ object DedupQueries {
       |FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-document 3-gram novelty with planted clones: every 7th doc
+    * reappears verbatim under a HIGHER id, so each clone must score
+    * novelty 0 (every gram's first occurrence is its original) while the
+    * originals keep whatever novelty the raw corpus gives them — first-
+    * occurrence attribution, the per-doc distinct, and the exact
+    * n_novel/n_grams division are all pinned per document. */
+  def q133KgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val clones = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+    Dedup.kgramNovelty(docs.unionByName(clones), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0
+       |), ${shingleCtes("", "corpus")},
+       |r AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM r GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+       |FROM r JOIN f USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_containment" -> (q100Containment _),
     "q125_source_overlap" -> (q125SourceOverlap _),
+    "q133_kgram_novelty" -> (q133KgramNovelty _),
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
@@ -283,6 +312,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q100_containment" -> q100Sql,
     "q125_source_overlap" -> q125Sql,
+    "q133_kgram_novelty" -> q133Sql,
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,

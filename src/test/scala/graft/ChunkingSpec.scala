@@ -150,4 +150,54 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
       s"unexpected key shuffle:\n$plan")
   }
+
+  test("boilerplateRemoval: df>maxDf segments stripped from EVERY doc, " +
+      "order preserved") {
+    // "h1 h2" appears in 3 docs (df=3 > maxDf=2) → removed everywhere,
+    // including from doc 1 where it sits in the MIDDLE; unique body
+    // segments survive in original order.
+    val d = docs(
+      1L -> "a1 a2 h1 h2 b1 b2",
+      2L -> "h1 h2 c1 c2",
+      3L -> "h1 h2 d1 d2",
+      4L -> "e1 e2")
+    val got = Chunking.boilerplateRemoval(d, "doc_id", "text", 2, 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+      r.getAs[Long]("n_kept"), r.getAs[String]("text_clean"))).toSeq == Seq(
+      (1L, 3L, 2L, "a1 a2 b1 b2"),
+      (2L, 2L, 1L, "c1 c2"),
+      (3L, 2L, 1L, "d1 d2"),
+      (4L, 1L, 1L, "e1 e2")))
+  }
+
+  test("boilerplateRemoval: df counts DOCUMENTS, not occurrences; " +
+      "all-boilerplate doc keeps an empty row") {
+    // "x y" occurs 3× inside doc 1 but only in 2 distinct docs → df=2 ≤
+    // maxDf=2 → kept everywhere; "p q" spans 3 docs → dropped, leaving
+    // doc 4 (pure boilerplate) with an empty reassembly, not a lost row.
+    val d = docs(
+      1L -> "x y x y x y",
+      2L -> "x y z w",
+      3L -> "p q a b",
+      4L -> "p q",
+      5L -> "p q c d")
+    val got = Chunking.boilerplateRemoval(d, "doc_id", "text", 2, 2)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_kept"), r.getAs[String]("text_clean"))).toMap
+    assert(byId(1L) == (3L, "x y x y x y"))
+    assert(byId(2L) == (2L, "x y z w"))
+    assert(byId(4L) == (0L, ""))
+    assert(byId(3L) == (1L, "a b") && byId(5L) == (1L, "c d"))
+  }
+
+  test("boilerplateRemoval: clean corpus is untouched (identity)") {
+    val d = docs(1L -> "a b c d", 2L -> "e f g h")
+    val got = Chunking.boilerplateRemoval(d, "doc_id", "text", 2, 1)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("text_clean")).toSeq ==
+      Seq("a b c d", "e f g h"))
+    assert(got.forall(r => r.getAs[Long]("n_segs") == r.getAs[Long]("n_kept")))
+  }
 }

@@ -410,4 +410,38 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(langs(1L) == "es" && langs(2L) == "de" && langs(4L) == "und")
   }
+
+  test("kgramNovelty: clone scores 0, unique doc scores 1, shared gram " +
+      "goes to the min id") {
+    val df = Seq(
+      (1L, "a b c d"),     // grams: abc, bcd — both first here
+      (2L, "a b c d"),     // verbatim clone of 1 → novelty 0
+      (3L, "x y z w"),     // fully unique → novelty 1
+      (4L, "a b c q r"))   // abc first seen in doc 1; bcq/cqr novel
+      .toDF("doc_id", "text")
+    val got = Dedup.kgramNovelty(df, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((3L, 2L, 2.0 / 3.0)))
+  }
+
+  test("kgramNovelty: repeated gram within one doc counts once (distinct); " +
+      "short doc falls back to whole text") {
+    val df = Seq(
+      (1L, "a b c a b c"),  // grams incl. 'a b c'×2 → distinct set of 4
+      (2L, "hi"))           // < k tokens → single whole-text shingle
+      .toDF("doc_id", "text")
+    val got = Dedup.kgramNovelty(df, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    // doc1 windows: (a b c)(b c a)(c a b)(a b c) → 3 distinct grams
+    assert(got(0).getAs[Long]("n_grams") == 3L)
+    assert(got(0).getAs[Double]("novelty") == 1.0)
+    assert(got(1).getAs[Long]("n_grams") == 1L)
+    assert(got(1).getAs[Long]("n_novel") == 1L)
+  }
 }

@@ -333,4 +333,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_")), plan)
   }
+
+  test("q132 boilerplate removal: the df>maxDf set joins as a broadcast, " +
+      "never a corpus shuffle") {
+    val df = graft.queries.ChunkQueries.q132Boilerplate(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q133 k-gram novelty: census join is an equi-join, no product") {
+    val df = graft.queries.DedupQueries.q133KgramNovelty(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"first-occurrence join must stay an equi-join:\n$plan")
+    // the first-occurrence census is map-side combinable
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_min")), plan)
+  }
 }

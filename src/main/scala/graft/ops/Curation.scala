@@ -333,6 +333,44 @@ object Curation {
             e.getField("__ev"))).as("history"))
   }
 
+  /** Per-user exponentially time-decayed engagement score — the
+    * recency-weighted feature a behavioral ranking pipeline derives from
+    * raw event logs: score(u) = Σ value·2^(−age/halfLife), with age
+    * measured back from the corpus-wide newest event so the whole table
+    * shares one reference point and the score is a pure function of the
+    * data (re-runnable, cache-safe — no wall-clock dependence).
+    *
+    * Scale shape: the reference point is a 1-row max aggregate broadcast
+    * onto the scan; each event's decayed contribution is per-row double
+    * arithmetic cast to decimal(27,15) so the per-user sum is
+    * order-independent (the repo's decimal-sum rule — double addition
+    * isn't associative and partial-aggregation order varies run to run);
+    * the only shuffle keys on the user and is map-side combined.
+    *
+    * @param halfLifeDays contributions halve every this many days
+    * @return (userCol, n_events, last_seen_us, decay_score) */
+  def timeDecayedScores(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0,
+      s"timeDecayedScores: halfLifeDays must be > 0, got $halfLifeDays")
+    val ref = events.agg(max(unix_micros(col(tsCol))).as("__ref_us"))
+    // ln2/halfLife in MICROSECONDS⁻¹, built from the same double ops the
+    // oracle spells out (ln(2)/(86400e6·H)) so both engines evaluate the
+    // identical IEEE expression tree
+    val lambda = lit(math.log(2.0)) / (lit(86400e6) * lit(halfLifeDays))
+    events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__tsu"),
+        col(valueCol).cast("double").as("__v"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__w",
+        (col("__v") * exp(-lambda * (col("__ref_us") - col("__tsu"))
+          .cast("double"))).cast("decimal(27,15)"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__tsu")).as("last_seen_us"),
+        round(sum(col("__w")).cast("double"), 6).as("decay_score"))
+  }
+
   // --- Importance resampling (DSIR) ----------------------------------------
 
   /** DSIR-style hashed-n-gram importance log-weights (Xie et al. 2023,

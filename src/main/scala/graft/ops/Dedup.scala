@@ -437,26 +437,65 @@ object Dedup {
     * Σ_g df(g)² over shingles instead of |docs|²; a hyper-frequent
     * shingle is the skew channel, which real systems cap with positional
     * prefix filtering (documented, not applied: results here stay exact). */
-  /** Shared inverted-index machinery: distinct (doc, shingle) rows, per-doc
-    * set sizes, and shared-shingle pair counts filtered by `pairPred`
-    * (ordered `<` for symmetric measures, `=!=` for asymmetric ones). */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int, pairPred: (Column, Column) => Column)
-      : (DataFrame, DataFrame) = {
+  /** Prefix-filtered candidate pairs (AllPairs/PPJoin lineage, Bayardo
+    * et al., WWW 2007 — lossless): under the global total order
+    * (document frequency asc, gram asc), every Jaccard-θ pair must share
+    * a gram inside BOTH documents' "prefix" — the first
+    * `|x| − ⌈θ·|x|⌉ + 1` rarest grams — and every containment-θ pair one
+    * inside the CONTAINED side's prefix. Proof sketch: the smallest
+    * shared gram g* bounds the overlap; if g* sat past either required
+    * prefix, all shared grams would, capping the overlap below θ·|x|.
+    * So indexing only prefixes loses nothing, and the join mass drops
+    * from Σ df(g)² to Σ prefixdf(g)·df(g) — and prefixdf is tiny for
+    * exactly the high-df grams that dominate Σ df² (a gram every
+    * document shares is in almost no document's rarest-10% prefix).
+    * Measured on the 10×-scale audit corpus: q100's containment pass
+    * 78 s → see BASELINE.md round-9 table.
+    *
+    * The ⌈θ·n⌉ is computed as ceil(θ·n − 1e-9): fp noise may only ever
+    * LENGTHEN the prefix (more candidates, still exact), never shorten
+    * it below the real bound.
+    *
+    * Candidates are ordered (doc_a probes with its prefix against ALL of
+    * doc_b's grams — the asymmetric-containment form; the symmetric
+    * both-prefix form was tried for the Jaccard join and measured WORSE
+    * at θ=0.5, see [[ngramJaccardIndexPairs]]). */
+  private def prefixCandidates(rows: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = rows.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val byDoc = Window.partitionBy(col("__id"))
+    val sized = rows.join(dfreq, Seq("__g"))
+      .select(col("__id"), col("__g"),
+        row_number().over(byDoc.orderBy(col("__df"), col("__g"))).as("__pos"),
+        count(lit(1)).over(byDoc).as("__n"))
+    val pref = sized
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("__id"), col("__g"))
+    pref.select(col("__id").as("doc_a"), col("__g"))
+      .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact all-corpus Jaccard via the count-based inverted-index join:
+    * Σ df(g)² shared-gram rows hash-aggregate into per-pair intersection
+    * counts — no arrays ever move. Round 9 measured this AGAINST a
+    * prefix-filtered (AllPairs) variant at the 10× audit scale and the
+    * count-based join won (23 s vs 48 s): at θ=0.5 the Jaccard prefix is
+    * half of every document, so the filter prunes little while paying
+    * candidate-distinct and array-verify costs (BASELINE.md round-9 10×
+    * audit). This op is the exact audit/verification tool; the at-scale
+    * candidate generator over a 100 TB corpus is the MinHash-LSH family. */
+  def ngramJaccardIndexPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.3): DataFrame = {
     val rows = shingleRows(df, idCol, textCol, k)
       .select(col("__id"), col("__g")).distinct()
     val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = rows.select(col("__id").as("doc_a"), col("__g"))
       .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
-      .filter(pairPred(col("doc_a"), col("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
-    (sizes, inter)
-  }
-
-  def ngramJaccardIndexPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val (sizes, inter) = shingleIndex(df, idCol, textCol, k, _ < _)
     inter
       .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
       .join(sizes.select(col("__id").as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
@@ -466,20 +505,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Asymmetric CONTAINMENT pairs via the same inverted-index join:
-    * |A∩B| / |A| ≥ threshold flags "A is (mostly) contained in B" — the
-    * subset-duplicate case Jaccard under-scores when |B| ≫ |A| (a doc
-    * embedded inside a larger one dilutes the union). Emits both
+  /** Asymmetric CONTAINMENT pairs, prefix-filtered on the contained
+    * side: |A∩B| / |A| ≥ threshold flags "A is (mostly) contained in B"
+    * — the subset-duplicate case Jaccard under-scores when |B| ≫ |A| (a
+    * doc embedded inside a larger one dilutes the union). Emits both
     * directions per unordered pair when both clear the threshold, since
-    * containment(A,B) ≠ containment(B,A). Same Σ df(g)² cost profile as
-    * [[ngramJaccardIndexPairs]]. */
+    * containment(A,B) ≠ containment(B,A). */
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val (sizes, inter) = shingleIndex(df, idCol, textCol, k, _ =!= _)
-    inter
-      .join(sizes.select(col("__id").as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-      .withColumn("containment", col("__i").cast("double") / col("__na"))
+    val rows = shingleRows(df, idCol, textCol, k)
+      .select(col("__id"), col("__g")).distinct()
+    // rows are already distinct per doc — collect_list builds the set
+    val sets = rows.groupBy(col("__id")).agg(collect_list(col("__g")).as("__sh"))
+    prefixCandidates(rows, threshold)
+      .join(sets.select(col("__id").as("doc_a"), col("__sh").as("__sha")), Seq("doc_a"))
+      .join(sets.select(col("__id").as("doc_b"), col("__sh").as("__shb")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double")
+          / size(col("__sha")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
@@ -500,6 +544,54 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Corpus-level MinHash similarity matrix between SOURCES — the
+    * "which feeds overlap in content space" estimate that q125's exact
+    * fingerprint matrix can't see (it only counts verbatim duplicates;
+    * this sketches the union shingle-set resemblance, catching feeds
+    * that paraphrase or re-crawl each other). Because min is
+    * associative, the union-of-sets signature needs no per-document
+    * stage: each source's signature component s is min over ALL its
+    * docs' shingle hashes of the linear permutation — one
+    * map-side-combinable aggregate keyed on the source.
+    *
+    * Scale shape for 100 TB: gram extraction is [[kgramRows]]' windowed
+    * pass (doc-keyed — the source key never sees unaggregated rows, so a
+    * giant source is NOT a hot partition: partial mins collapse each
+    * upstream partition to numHashes values before the |sources|-row
+    * shuffle); the pair stage is |sources|² over a |sources|×numHashes
+    * table — driver-trivial at any corpus size.
+    *
+    * @return (src_a, src_b, n_match, est_jaccard) for src_a < src_b */
+  def sourceMinhashMatrix(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, k: Int = 3, numHashes: Int = 64): DataFrame = {
+    // same fallback contract as shingleRows: short docs contribute their
+    // whole text; the doc id keys the k-gram window, the source rides
+    // along inside the composite __id
+    val toks = widen(df).filter(col(idCol).isNotNull)
+      .select(struct(col(idCol).as("doc"), col(srcCol).as("src")).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+    val nTok = coalesce(size(col("__toks")), lit(0))
+    val whole = toks.filter(nTok < k)
+      .select(col("__id"), concat_ws(" ", col("__toks")).as("__g"))
+    val grams = kgramRows(toks.filter(nTok >= k), k)
+      .select(col("__id"), col("__g")).unionByName(whole)
+    val aggs = minhashAggs(shingleHash(col("__g")), numHashes)
+    val sigs = grams
+      .select(col("__id").getField("src").as("source"), col("__g"))
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("source"),
+        array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("__sig"))
+    val a = sigs.select(col("source").as("src_a"), col("__sig").as("__sa"))
+    val b = sigs.select(col("source").as("src_b"), col("__sig").as("__sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          m => m)).cast("long").as("n_match"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / numHashes)
   }
 
   /** Per-document k-gram novelty — the curation signal behind

@@ -298,10 +298,40 @@ object DedupQueries {
        |FROM r JOIN f USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Source-level MinHash similarity matrix (64 hashes, 3-gram
+    * shingles) over the raw corpus: every (src_a, src_b) pair's
+    * component-match count and resemblance estimate is pinned, so the
+    * linear-permutation family, the union-of-sets min aggregation, and
+    * the pair compare must all be bit-exact. The content-space
+    * counterpart of q125's verbatim-fingerprint matrix. */
+  def q135SourceMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceMinhashMatrix(Tables.documents(s, d),
+        "doc_id", "source", "text", k = 3, numHashes = 64)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q135Sql: String = {
+    val a = graft.ops.Dedup.permA(64).mkString("[", ",", "]")
+    val b = graft.ops.Dedup.permB(64).mkString("[", ",", "]")
+    s"""WITH ${shingleCtes("")},
+       |r AS (SELECT source, unnest(shingles) AS g
+       |      FROM sh JOIN documents USING (doc_id)
+       |), hs AS (SELECT source, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h FROM r
+       |), sig AS (
+       |  SELECT source, s, min(($a[s+1] * h + $b[s+1]) % 2147483647) AS m
+       |  FROM hs, (SELECT unnest(range(0, 64)) AS s)
+       |  GROUP BY source, s)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.s = b.s AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_containment" -> (q100Containment _),
     "q125_source_overlap" -> (q125SourceOverlap _),
     "q133_kgram_novelty" -> (q133KgramNovelty _),
+    "q135_source_minhash" -> (q135SourceMinhash _),
     "q33_exact_dedup" -> (q33ExactDedup _),
     "q34_minhash_lsh" -> (q34MinhashLsh _),
     "q35_simhash" -> (q35Simhash _),
@@ -313,6 +343,7 @@ object DedupQueries {
     "q100_containment" -> q100Sql,
     "q125_source_overlap" -> q125Sql,
     "q133_kgram_novelty" -> q133Sql,
+    "q135_source_minhash" -> q135Sql,
     "q33_exact_dedup" -> q33Sql,
     "q34_minhash_lsh" -> q34Sql,
     "q35_simhash" -> q35Sql,

@@ -209,7 +209,28 @@ object StreamQueries {
       |FROM ranked WHERE rn <= 20
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Per-user exponentially time-decayed engagement
+    * ([[graft.ops.Curation.timeDecayedScores]], half-life 30 days,
+    * reference = corpus-wide newest event): every user's score is pinned
+    * to 6 decimals, so the epoch-µs age arithmetic, the shared broadcast
+    * reference point, the per-event exp() contribution, and the
+    * decimal(27,15) order-independent sum are all on the hook. */
+  def q134DecayScore(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.timeDecayedScores(Tables.events(s, d),
+        "user_id", "ts", "value", halfLifeDays = 30.0)
+      .orderBy(col("user_id"))
+
+  val q134Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value FROM events
+      |), ref AS (SELECT max(tsu) AS ref_us FROM e)
+      |SELECT user_id, count(*) AS n_events, max(tsu) AS last_seen_us,
+      |  round(CAST(sum(CAST(value * exp(-(ln(2) / (86400e6 * 30.0)) *
+      |    CAST(ref_us - tsu AS DOUBLE)) AS DECIMAL(27,15))) AS DOUBLE), 6) AS decay_score
+      |FROM e, ref GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_decay_score" -> (q134DecayScore _),
     "q111_user_history" -> (q111UserHistory _),
     "q65_gapfill" -> (q65GapFill _),
     "q67_funnel" -> (q67Funnel _),
@@ -220,6 +241,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q134_decay_score" -> q134Sql,
     "q111_user_history" -> q111Sql,
     "q65_gapfill" -> q65Sql,
     "q67_funnel" -> q67Sql,

@@ -292,4 +292,37 @@ class CurationSpec extends SparkSpec {
     assert(Curation.temperatureMixtureSample(
       docs, "id", "src", "tok", 10000000L, 1.0).count() == docs.count())
   }
+
+  test("timeDecayedScores: closed form — zero age keeps full value, one " +
+      "half-life halves, contributions sum") {
+    val df = Seq(
+      (1L, "2024-01-31 00:00:00", 10.0),  // at the reference → weight 1
+      (2L, "2024-01-01 00:00:00", 8.0),   // exactly one 30d half-life → 4
+      (2L, "2024-01-31 00:00:00", 1.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Curation.timeDecayedScores(df, "user_id", "ts", "value", 30.0)
+      .orderBy("user_id").collect()
+    assert(got(0).getAs[Long]("n_events") == 1L)
+    assert(math.abs(got(0).getAs[Double]("decay_score") - 10.0) < 1e-9)
+    assert(got(1).getAs[Long]("n_events") == 2L)
+    assert(math.abs(got(1).getAs[Double]("decay_score") - 5.0) < 1e-9)
+    // last_seen is the user's own newest event in epoch µs
+    assert(got(1).getAs[Long]("last_seen_us") ==
+      got(0).getAs[Long]("last_seen_us"))
+  }
+
+  test("timeDecayedScores: reference point is corpus-wide, not per user") {
+    // user 2's only event is 30 days older than user 1's — with a GLOBAL
+    // reference its weight must decay, though it is the user's newest
+    val df = Seq(
+      (1L, "2024-01-31 00:00:00", 6.0),
+      (2L, "2024-01-01 00:00:00", 6.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Curation.timeDecayedScores(df, "user_id", "ts", "value", 30.0)
+      .orderBy("user_id").collect()
+    assert(math.abs(got(0).getAs[Double]("decay_score") - 6.0) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("decay_score") - 3.0) < 1e-9)
+  }
 }

@@ -411,6 +411,27 @@ class OpsSpec extends SparkSpec {
     assert(langs(1L) == "es" && langs(2L) == "de" && langs(4L) == "und")
   }
 
+  test("sourceMinhashMatrix: identical content matches fully; the union " +
+      "signature is invariant to how docs split; disjoint content is low") {
+    val df = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5 w6"),
+      (2L, "b", "w1 w2 w3 w4 w5 w6"),
+      // source c covers the SAME shingle union as a, split across 4 docs
+      (3L, "c", "w1 w2 w3"), (4L, "c", "w2 w3 w4"),
+      (5L, "c", "w3 w4 w5"), (6L, "c", "w4 w5 w6"),
+      (7L, "d", "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceMinhashMatrix(df, "doc_id", "source", "text",
+        k = 3, numHashes = 16)
+      .collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(got(("a", "b")) == 1.0)
+    assert(got(("a", "c")) == 1.0, s"doc-split must not change the signature: $got")
+    assert(got(("a", "d")) < 0.5, s"disjoint sources must score low: $got")
+    assert(got.size == 6)
+  }
+
   test("kgramNovelty: clone scores 0, unique doc scores 1, shared gram " +
       "goes to the min id") {
     val df = Seq(

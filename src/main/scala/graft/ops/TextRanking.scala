@@ -155,6 +155,46 @@ object TextRanking {
         col("score"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget question "what
+    * share of token OCCURRENCES does a top-k vocabulary cover?",
+    * answered at each requested k: rank terms by (count desc, term) and
+    * report the cumulative occurrence share at rank k. The cut points
+    * are well-defined under count ties (any order within a tie group
+    * yields the same cumulative sum at every rank), so the curve is
+    * deterministic even where the ranking itself is arbitrary.
+    *
+    * Scale shape: one term-count aggregate (map-side combined, vocab-
+    * sized output), then the cumulative sum and the rank both ride
+    * [[Curation.exclusivePrefixSum]]'s bucketed two-phase scan — a 100 TB
+    * corpus's vocabulary (typos, numbers, URLs make it corpus-sized in
+    * the tail) never lands in one window partition.
+    *
+    * @return (k, cum_tokens, coverage) — one row per requested k that is
+    *         ≤ the vocabulary size */
+  def vocabCoverageCurve(docs: DataFrame, idCol: String, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"vocabCoverageCurve: ks must be >= 1, got $ks")
+    val counts = TextFunctions.widen(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      // descending count = ascending negated count for the prefix scan
+      .select(col("__t"), col("__c"), (-col("__c")).as("__nc"),
+        lit(1L).as("__one"))
+    val withCum = graft.ops.Curation.exclusivePrefixSum(
+      counts, "__nc", "__t", "__c", "__cumBefore")
+    val withRank = graft.ops.Curation.exclusivePrefixSum(
+      withCum, "__nc", "__t", "__one", "__rankBefore")
+    val total = counts.agg(sum(col("__c")).as("__tot"))
+    withRank
+      .filter((col("__rankBefore") + 1).isInCollection(ks.map(_.toLong)))
+      .crossJoin(broadcast(total))
+      .select((col("__rankBefore") + 1).as("k"),
+        (col("__cumBefore") + col("__c")).as("cum_tokens"),
+        ((col("__cumBefore") + col("__c")).cast("double") / col("__tot"))
+          .as("coverage"))
+  }
+
   /** Deterministic negative sampling for contrastive pairs: for each
     * query id, the k corpus ids with the smallest salted hash
     * md5(salt:qid:cand) — uniform, reproducible, and join-free to audit

@@ -307,7 +307,36 @@ object TextQueries {
       |FROM cc JOIN n USING (doc_id)
       |GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary coverage curve at k ∈ {5, 10, 20, 30, 100}: cumulative
+    * share of token occurrences covered by the top-k terms (count desc,
+    * term tie-break; the synthetic corpus holds 31 distinct words, so the
+    * k=100 cut lands beyond the vocabulary and must emit no row on
+    * either engine). Rank and cumulative sum both ride the bucketed
+    * prefix scan — no vocab-sized window partition — and the cut values
+    * are tie-invariant, so the oracle's window formulation must agree
+    * exactly. */
+  def q136VocabCoverage(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextRanking.vocabCoverageCurve(Tables.documents(s, d),
+        "doc_id", "text", ks = Seq(5, 10, 20, 30, 100))
+      .orderBy(col("k"))
+
+  val q136Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents
+      |), tc AS (SELECT t, count(*) AS c FROM toks GROUP BY t
+      |), r AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk,
+      |    sum(c) OVER (ORDER BY c DESC, t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM tc
+      |), tot AS (SELECT sum(c) AS tot FROM tc)
+      |SELECT rk AS k, CAST(cum AS BIGINT) AS cum_tokens,
+      |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
+      |FROM r, tot WHERE rk IN (5, 10, 20, 30, 100) ORDER BY k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
     "q130_char_entropy" -> (q130CharEntropy _),
     "q120_bpe_pairs" -> (q120BpePairs _),
@@ -321,6 +350,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,
     "q130_char_entropy" -> q130Sql,
     "q120_bpe_pairs" -> q120Sql,

@@ -345,6 +345,28 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q134 decay score: the corpus-max reference broadcasts; the " +
+      "user aggregate is map-side combined") {
+    val df = graft.queries.StreamQueries.q134DecayScore(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"1-row reference must broadcast, not shuffle the events:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), plan)
+  }
+
+  test("q135 source minhash: signature mins are partial aggregates — a " +
+      "giant source is never a hot partition") {
+    val df = graft.queries.DedupQueries.q135SourceMinhash(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_min")),
+      s"per-seed mins must map-side combine before the source shuffle:\n$plan")
+  }
+
   test("q133 k-gram novelty: census join is an equi-join, no product") {
     val df = graft.queries.DedupQueries.q133KgramNovelty(spark, sfDir)
     df.collect()

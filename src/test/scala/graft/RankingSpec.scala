@@ -204,4 +204,23 @@ class RankingSpec extends SparkSpec {
     assert(got("num") === ((4L, 1L, 2L, "9", "10")))
     assert(got("str") === ((4L, 1L, 2L, "a", "b")))
   }
+
+  test("vocabCoverageCurve: closed-form cuts, tie-invariant cumulative, " +
+      "k beyond vocab emits nothing") {
+    // counts: a=4, b=2, c=2, d=1 (total 9); ties b/c at ranks 2-3
+    val docs = Seq((1L, "a a b c d"), (2L, "a a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextRanking
+      .vocabCoverageCurve(docs, "doc_id", "text", Seq(1, 2, 3, 4, 9))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"),
+        (r.getAs[Long]("cum_tokens"), r.getAs[Double]("coverage")))).toMap
+    assert(got(1L) == ((4L, 4.0 / 9)))
+    // rank-2 cut inside the b/c tie group: cumulative is 6 either way
+    assert(got(2L) == ((6L, 6.0 / 9)))
+    assert(got(3L) == ((8L, 8.0 / 9)))
+    assert(got(4L) == ((9L, 1.0)))
+    // k=9 exceeds the 4-term vocabulary: no row on either engine
+    assert(got.size == 4)
+  }
 }

@@ -286,7 +286,12 @@ object TextQueries {
     * explode+group (order-free because both sides sum the identical
     * −p·ln p doubles as decimal(27,15)). */
   def q130CharEntropy(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // widen: the char-level fold is the heaviest per-row expression in the
+    // gate (~2.8 ms/doc) and the sf0.1 table is ONE parquet file — without
+    // the round-robin it runs serially on a single input split (measured
+    // 13.9 s vs 1.4 s at sf0.1; at cluster scale splits are plentiful and
+    // widen is a no-op)
+    graft.ops.TextFunctions.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_obs"),
         distinctCharCount(col("text")).as("distinct_chars"),

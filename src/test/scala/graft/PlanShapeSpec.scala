@@ -184,13 +184,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q130 char entropy: per-row codegen'd array ops — no shuffle except the final sort") {
+  test("q130 char entropy: per-row codegen'd array ops — no shuffle except " +
+      "widen's round-robin and the final sort") {
     val df = graft.queries.TextQueries.q130CharEntropy(spark, sfDir)
     df.collect()
     val plan = finalOnly(df.queryExecution.executedPlan.toString)
     assert(!plan.contains("Join"), s"entropy must not join:\n$plan")
+    // no KEY shuffle: widen is RoundRobin, the sort is range — neither
+    // hash-partitions, so the heavy fold never lands on one hot key
+    assert(!plan.contains("hashpartitioning"), s"unexpected key shuffle:\n$plan")
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 1, s"only the final sort may exchange:\n$plan")
+    assert(exchanges <= 2, s"only widen + the final sort may exchange:\n$plan")
   }
 
   test("q129 DSIR: B-row log-ratio table broadcasts back onto per-doc counts") {

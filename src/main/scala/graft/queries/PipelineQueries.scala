@@ -131,11 +131,77 @@ object PipelineQueries {
        |WHERE id NOT IN (SELECT id FROM sup)
        |ORDER BY rank""".stripMargin
 
+  /** Training-priority scoreboard capstone: rank the corpus for training
+    * by information content × novelty — entropy-degenerate text scores
+    * low, and every 9th doc's planted verbatim clone gets novelty 0
+    * (its grams' first occurrence is the original), so clones are
+    * designed out of the top-k without a separate dedup pass. One
+    * composed plan: per-row char-entropy fold (zero shuffle) ⋈ the
+    * k-gram-novelty census (gram-keyed min) → priority product →
+    * TakeOrdered top-100 (never a global window over the corpus). The
+    * oracle replays every stage, so the fold, the census, the rounding
+    * ladder, and the (priority desc, id) tie order are all pinned. */
+  def q137Scoreboard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+    val novelty = graft.ops.Dedup.kgramNovelty(corpus, "doc_id", "text", 3)
+      .select(col("doc_id"), col("novelty"))
+    val quality = TextFunctions.widen(corpus)
+      .select(col("doc_id"),
+        round(TextFunctions.charEntropy(col("text")), 6).as("entropy"))
+    val scored = quality.join(novelty, Seq("doc_id"))
+      .withColumn("priority", round(col("entropy") * col("novelty"), 6))
+    graft.ops.TextRanking.rankTopN(scored, "doc_id", "priority", 100)
+      .select(col("rank"), col("doc_id"), col("priority"),
+        col("entropy"), col("novelty"))
+      .orderBy(col("rank"))
+  }
+
+  val q137Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 9 = 0
+      |), tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM tok
+      |), r AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+      |), f AS (SELECT g, min(doc_id) AS first_doc FROM r GROUP BY 1
+      |), nov AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) AS novelty
+      |  FROM r JOIN f USING (g) GROUP BY doc_id
+      |), ch AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c FROM corpus
+      |), cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+      |), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id
+      |), ent AS (
+      |  SELECT doc_id, round(CAST(sum(CAST(
+      |    (CAST(cnt AS DOUBLE)/n) * ln(CAST(cnt AS DOUBLE)/n) * -1.0
+      |    AS DECIMAL(27,15))) AS DOUBLE), 6) AS entropy
+      |  FROM cc JOIN n USING (doc_id) GROUP BY doc_id
+      |), scored AS (
+      |  SELECT doc_id, entropy, novelty, round(entropy * novelty, 6) AS priority
+      |  FROM ent JOIN nov USING (doc_id))
+      |SELECT CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, priority, entropy, novelty
+      |FROM scored ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_pipeline" -> (q80CurationPipeline _),
-    "q114_diversified_search" -> (q114DiversifiedSearch _))
+    "q114_diversified_search" -> (q114DiversifiedSearch _),
+    "q137_scoreboard" -> (q137Scoreboard _))
 
   val oracles: Map[String, String] = Map(
     "q80_curation_pipeline" -> q80Sql,
-    "q114_diversified_search" -> q114Sql)
+    "q114_diversified_search" -> q114Sql,
+    "q137_scoreboard" -> q137Sql)
 }

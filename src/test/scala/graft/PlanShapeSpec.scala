@@ -371,6 +371,17 @@ class PlanShapeSpec extends SparkSpec {
       s"per-seed mins must map-side combine before the source shuffle:\n$plan")
   }
 
+  test("q137 scoreboard: top-k is TakeOrdered over the scored corpus — " +
+      "never a corpus-wide window or product") {
+    val df = graft.queries.PipelineQueries.q137Scoreboard(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the corpus cut must be per-partition top-n + single reduce:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q133 k-gram novelty: census join is an equi-join, no product") {
     val df = graft.queries.DedupQueries.q133KgramNovelty(spark, sfDir)
     df.collect()

@@ -116,6 +116,54 @@ object EventStreams {
       }
   }
 
+  case class DecayState(scoreAtRef: Double, refTsUs: Long, n: Long)
+  case class DecayScore(user_id: Long, n_events: Long, last_seen_us: Long,
+    score_at_last: Double)
+
+  /** Incremental per-user time-decayed engagement — the streaming twin of
+    * [[graft.ops.Curation.timeDecayedScores]]. The state carries the score
+    * REFERENCED AT the user's newest-seen event: S(ref) = Σ v·2^(−(ref−t)/HL).
+    * A newer event moves the reference (S·2^(−Δ/HL) + v); an out-of-order
+    * straggler folds in place (S + v·2^(−(ref−t)/HL)) — both exact under the
+    * algebra, so arrival order never changes the final state's VALUE, only
+    * its double rounding. Decaying the final state to any global reference T
+    * reproduces the batch score (S·2^(−(T−ref)/HL)); StreamingSpec pins
+    * stream ≡ batch within fp tolerance (the online fold's summation order
+    * necessarily differs from the batch decimal sum).
+    *
+    * State is one double and two longs per user (the reference timestamp IS
+    * the max seen — it advances exactly on new maxima) — O(1) regardless of
+    * traffic, the cheapest possible stateful shape at any event volume. */
+  def decayedScoresStream(events: Dataset[Event],
+      halfLifeDays: Double): Dataset[DecayScore] = {
+    import events.sparkSession.implicits._
+    require(halfLifeDays > 0,
+      s"decayedScoresStream: halfLifeDays must be > 0, got $halfLifeDays")
+    val lambdaUs = math.log(2.0) / (86400e6 * halfLifeDays)
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[DecayState, DecayScore](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[DecayState]) =>
+          def micros(e: Event): Long = {
+            val inst = e.ts.toInstant
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+          }
+          var (s, ref, n) = state.getOption
+            .map(st => (st.scoreAtRef, st.refTsUs, st.n))
+            .getOrElse((0.0, Long.MinValue, 0L))
+          batch.toSeq.sortBy(e => (micros(e), e.event_id)).foreach { e =>
+            val t = micros(e)
+            if (ref == Long.MinValue) { s = e.value; ref = t }
+            else if (t >= ref) {
+              s = s * math.exp(-lambdaUs * (t - ref).toDouble) + e.value
+              ref = t
+            } else s = s + e.value * math.exp(-lambdaUs * (ref - t).toDouble)
+            n += 1
+          }
+          state.update(DecayState(s, ref, n))
+          DecayScore(userId, n, ref, s)
+      }
+  }
+
   /** Per-type stats with JSON prop extraction (semi-structured path). */
   def typeStats(events: DataFrame): DataFrame =
     events

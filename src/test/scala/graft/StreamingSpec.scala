@@ -208,6 +208,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decayed scores: final stream state reproduces the batch operator, " +
+      "including an out-of-order straggler trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = sampleEvents
+    val stream = MemoryStream[Event]
+    val query = EventStreams.decayedScoresStream(stream.toDS(), halfLifeDays = 30.0)
+      .writeStream.format("memory").queryName("decay_out")
+      .outputMode("update").start()
+    try {
+      // trigger 1: the NEWER half; trigger 2: the older half — the state
+      // must fold stragglers in place without moving its reference
+      val (older, newer) = events.splitAt(events.size / 2)
+      stream.addData(newer); query.processAllAvailable()
+      stream.addData(older); query.processAllAvailable()
+      val streamed = spark.table("decay_out")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("last_seen_us"), col("score_at_last")),
+          col("n_events")).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.last_seen_us").as("last_seen_us"),
+          col("s.score_at_last").as("score_at_last"))
+        .orderBy("user_id").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val batch = graft.ops.Curation.timeDecayedScores(
+          events.toDF(), "user_id", "ts", "value", halfLifeDays = 30.0)
+        .orderBy("user_id").collect()
+        .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("n_events"),
+          r.getAs[Long]("last_seen_us"), r.getAs[Double]("decay_score"))))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      val globalT = batch.values.map(_._2).max
+      val lambdaUs = math.log(2.0) / (86400e6 * 30.0)
+      streamed.foreach { case (u, (n, last, scoreAtLast)) =>
+        val (bn, blast, bscore) = batch(u)
+        assert(n == bn && last == blast, s"user $u counts/ts")
+        // decay the user's final state to the corpus-wide reference the
+        // batch op uses; fp orders differ (online fold vs decimal sum)
+        val atGlobal = scoreAtLast * math.exp(-lambdaUs * (globalT - last).toDouble)
+        assert(math.abs(atGlobal - bscore) < 1e-6,
+          s"user $u: stream→$atGlobal batch=$bscore")
+      }
+    } finally query.stop()
+  }
+
   test("stateful user histories: final stream state matches the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val events = sampleEvents

@@ -145,6 +145,45 @@ object Curation {
       .filter(col("pos") <= k)
   }
 
+  /** Per-source document cap + round-robin interleave — the RefinedWeb-
+    * style budget step: each source keeps at most `k` documents (chosen
+    * by a seeded per-source shuffle, so the survivors are an unbiased
+    * slice, not the head of ingest order) and the survivors are laid out
+    * round-robin across sources (all sources' rank-1 docs, then rank-2,
+    * …) so a sequential reader of the capped corpus sees every source
+    * immediately instead of megabatches of one domain.
+    *
+    * Scale: the per-source rank is a keyed window that compiles to
+    * WindowGroupLimit (per-partition top-k before the shuffle — no
+    * source ever materializes fully sorted); the source index is a
+    * window over ONE ROW PER SOURCE (the [[temperatureMixtureSample]]
+    * precedent); the global position rides the bucketed
+    * [[exclusivePrefixSum]] on (rank, source-index) — never a global
+    * row_number window. Output size is k·|sources| regardless of corpus
+    * size.
+    *
+    * @return (pos 0-based global round-robin position, srcCol, idCol,
+    *         rk 1-based rank within source) */
+  def sourceCapInterleave(df: DataFrame, idCol: String, srcCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"sourceCapInterleave: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("__sk"), col(idCol))
+    val capped = df
+      .select(col(idCol), col(srcCol),
+        shuffleKey(col(idCol), s"cap$seed").as("__sk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    val srcIdx = capped.groupBy(col(srcCol)).agg(count(lit(1)).as("__nsrc"))
+      .withColumn("__si",
+        row_number().over(Window.orderBy(col(srcCol))).cast("long"))
+      .select(col(srcCol), col("__si"))
+    val joined = capped.join(broadcast(srcIdx), Seq(srcCol))
+      .withColumn("__one", lit(1L))
+    exclusivePrefixSum(joined, "rk", "__si", "__one", "pos")
+      .select(col("pos"), col(srcCol), col(idCol), col("rk"))
+  }
+
   // --- Distributed prefix sum + sequence packing ---------------------------
 
   /** Number of scan buckets for the two-phase prefix sum. */

@@ -88,6 +88,51 @@ object LanguageModel {
           .cast("double") / count(lit(1))).as("coherence"))
       .withColumnRenamed("__id", idCol)
 
+  /** CCNet-style quality bucketing: each document is scored by its
+    * add-one-smoothed bigram cross-entropy under a model trained on
+    * `corpus` — H(d) = −(1/n) Σ ln((c(w1,w2)+1)/(c(w1,·)+V)), V = tail
+    * vocabulary — then the corpus is cut into equal-count thirds of the
+    * score: `head` (most fluent), `middle`, `tail`. This is the
+    * perplexity-tercile filter of CCNet (Wenzek et al. 2020), the
+    * standard first quality gate of web-corpus curation; smoothing makes
+    * the score well-defined for docs the model never saw, unlike the
+    * unsmoothed [[coherence]] mean.
+    *
+    * Determinism and scale: the per-doc sum follows the decimal(27,15)
+    * rule; terciles are RANK-based (floor(3·rank/n) on the bucketed
+    * [[Curation.exclusivePrefixSum]] rank over (rounded score, id)), not
+    * threshold-comparison-based — pure integer math, so no float-ulp can
+    * move a boundary doc, and no global row_number window exists at any
+    * scale. Model joins are keyed by token; V and n ride as 1-row
+    * broadcasts.
+    *
+    * @return (idCol, n_bigrams, xent, bucket ∈ head|middle|tail) */
+  def ccnetQualityBuckets(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pair = bigramRows(corpus, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val head = pair.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = pair.agg(countDistinct(col("w2")).as("__v"))
+    val nll = bigramRows(docs, idCol, textCol)
+      .join(pair, Seq("w1", "w2"), "left")
+      .join(head, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        (-log((coalesce(col("__c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")))).as("__nll"))
+    val perDoc = nll.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__nll").cast("decimal(27,15)")).cast("double") /
+          count(lit(1)), 6).as("xent"))
+    val n = perDoc.agg(count(lit(1)).as("__n"))
+    Curation.exclusivePrefixSum(
+        perDoc.withColumn("__one", lit(1L)), "xent", "__id", "__one", "__rank")
+      .crossJoin(broadcast(n))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("xent"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          expr("CAST((__rank * 3) div __n AS INT) + 1")).as("bucket"))
+  }
+
   /** Pointwise-mutual-information collocation mining: every adjacent word
     * pair seen at least `minCount` times, scored by
     * PMI = ln(c(w1,w2) · N / (c(w1,·) · c(·,w2))) over the corpus's bigram

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -42,6 +43,112 @@ object Profiling {
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Per-group robust outlier report via median / MAD — the
+    * scale-resistant anomaly screen (mean/stddev move with the outliers
+    * they're meant to find; the median absolute deviation doesn't).
+    * A value is an outlier when |x − median| > cutoff · 1.4826 · MAD
+    * (1.4826 scales MAD to σ under normality, so `cutoff` reads as a
+    * z-score).
+    *
+    * Determinism: median and MAD are exact per-group percentiles rounded
+    * to 6 dp BEFORE the deviation/threshold arithmetic, so every
+    * comparison runs on identically-rounded doubles in any engine.
+    *
+    * Scale: two keyed aggregations + two keyed joins — shuffles carry the
+    * group key, never a global sort. Exact per-group percentile holds
+    * while single groups fit an executor (true for keyed groups like
+    * supplier/host); unbounded groups would switch to approx_percentile.
+    *
+    * @return one row per group: (keyCol, n, med, mad, n_outliers) */
+  def robustOutliers(df: DataFrame, keyCol: String, valCol: String,
+      cutoff: Double = 3.0): DataFrame = {
+    require(cutoff > 0, s"robustOutliers: cutoff must be > 0, got $cutoff")
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("med"))
+    val dev = df.join(med, Seq(keyCol))
+      .withColumn("__absdev", round(abs(col(valCol) - col("med")), 6))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(round(expr("percentile(__absdev, 0.5)"), 6).as("mad"))
+    dev.join(mad, Seq(keyCol))
+      .groupBy(col(keyCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__absdev") >
+            round(lit(cutoff) * lit(1.4826) * col("mad"), 6), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(keyCol), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
+  /** Cross-group score calibration: each row gets its within-group
+    * percent-rank (ties broken on id, so the rank is total) and its
+    * within-group z-score — the standard move to make a per-source
+    * quality score comparable across heterogeneous sources before a
+    * global threshold or mixture is applied.
+    *
+    * Determinism: mean/variance come from exact decimal(38,0) sums of
+    * the integral score (sum and sum-of-squares), converted to double
+    * only for the final closed-form arithmetic — identical in any
+    * engine, no float accumulation order. percent_rank over a total
+    * order is exact rational (r−1)/(n−1).
+    *
+    * Scale: one keyed aggregation + one keyed join + one keyed window —
+    * every shuffle carries the group key. Requires an integral score
+    * column (exact sums); fractional scores would take the
+    * decimal(27,15) route.
+    *
+    * @return (idCol, grpCol, valCol, pr, z) */
+  def calibrateScores(df: DataFrame, idCol: String, grpCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(valCol), col(idCol))
+    val stats = df.groupBy(col(grpCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valCol).cast("decimal(38,0)")).as("__s"),
+      sum((col(valCol) * col(valCol)).cast("decimal(38,0)")).as("__ss"))
+    val sd = col("__s").cast("double")
+    val ssd = col("__ss").cast("double")
+    val mean = sd / col("__n")
+    val variance = (ssd - sd * sd / col("__n")) / (col("__n") - 1)
+    df.join(stats, Seq(grpCol))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .select(col(idCol), col(grpCol), col(valCol), col("pr"),
+        round((col(valCol) - mean) / sqrt(variance), 6).as("z"))
+  }
+
+  /** Time-bucketed volume anomaly detection: events are counted per
+    * (series, hour) and each hour's count is z-scored against that
+    * series' own hourly distribution; |z| > cutoff flags the hour — the
+    * monitoring query a pipeline runs over its ingest stream to catch
+    * traffic spikes and outages.
+    *
+    * Determinism: hourly counts are integers, so the per-series sums
+    * (count, sum, sum-of-squares) are exact; z is closed-form double
+    * arithmetic on exact integers, and the flag compares the 6
+    * dp-ROUNDED z so no engine-ulp can flip it.
+    *
+    * Scale: two map-side-combinable aggregations (the second over one
+    * row per series-hour — already tiny relative to the input) and one
+    * broadcast-sized join keyed by series.
+    *
+    * @return (typeCol, hour, n, z, is_anomaly) */
+  def hourlyAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      cutoff: Double = 2.0): DataFrame = {
+    require(cutoff > 0, s"hourlyAnomaly: cutoff must be > 0, got $cutoff")
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("__h"),
+      sum(col("n")).as("__s"),
+      sum(col("n") * col("n")).as("__ss"))
+    val sd = col("__s").cast("double")
+    val ssd = col("__ss").cast("double")
+    val mean = sd / col("__h")
+    val variance = (ssd - sd * sd / col("__h")) / (col("__h") - 1)
+    hourly.join(broadcast(stats), Seq(typeCol))
+      .withColumn("z", round((col("n") - mean) / sqrt(variance), 6))
+      .select(col(typeCol), col("hour"), col("n"), col("z"),
+        (abs(col("z")) > cutoff).as("is_anomaly"))
   }
 
   /** Schema drift between two table versions: one row per changed

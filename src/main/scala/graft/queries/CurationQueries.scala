@@ -461,7 +461,60 @@ object CurationQueries {
       |FROM db JOIN ratio USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-source cap + round-robin interleave ([[Curation
+    * .sourceCapInterleave]]): cap 12 per source, seed 7. The full
+    * (pos, source, doc_id, rk) layout is hash-pinned, so the seeded
+    * per-source shuffle, the WindowGroupLimit cap, and the prefix-sum
+    * round-robin position all replay against the oracle's windows. */
+  def q140SourceCap(s: SparkSession, d: String): DataFrame =
+    Curation.sourceCapInterleave(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 12, seed = 7L)
+      .orderBy(col("pos"))
+
+  val q140Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source,
+      |    md5('cap7:' || CAST(doc_id AS VARCHAR)) AS sk
+      |  FROM documents),
+      |capped AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY sk, doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM keyed QUALIFY rk <= 12)
+      |SELECT CAST(row_number() OVER (ORDER BY rk, source) - 1 AS BIGINT) AS pos,
+      |  source, doc_id, rk
+      |FROM capped ORDER BY pos""".stripMargin
+
+  /** Cross-source score calibration ([[graft.ops.Profiling
+    * .calibrateScores]]): every doc's within-source percent-rank and
+    * z-score of n_chars are hash-pinned — the exact-decimal-sums
+    * variance, the closed-form double arithmetic, and the tie-broken
+    * total order are all on the hook. */
+  def q141CalibrateScores(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profiling.calibrateScores(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars")
+      .orderBy(col("doc_id"))
+
+  val q141Sql: String =
+    """WITH stats AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(CAST(n_chars AS DECIMAL(38,0))) AS s,
+      |    sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS ss
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, d.source, n_chars,
+      |  round(percent_rank() OVER (PARTITION BY d.source
+      |    ORDER BY n_chars, doc_id), 6) AS pr,
+      |  round((n_chars - CAST(s AS DOUBLE) / n) /
+      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |      / (n - 1)), 6) AS z
+      |FROM documents d JOIN stats USING (source)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_source_cap" -> (q140SourceCap _),
+    "q141_calibrate_scores" -> (q141CalibrateScores _),
     "q129_dsir_weights" -> (q129DsirWeights _),
     "q86_bloom_decontaminate" -> (q86BloomDecontaminate _),
     "q124_epoch_shard" -> (q124EpochShard _),
@@ -479,6 +532,8 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q140_source_cap" -> q140Sql,
+    "q141_calibrate_scores" -> q141Sql,
     "q129_dsir_weights" -> q129Sql,
     "q86_bloom_decontaminate" -> q86Sql,
     "q124_epoch_shard" -> q124Sql,

@@ -212,7 +212,37 @@ object ResolutionQueries {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 
+  /** Median/MAD robust outlier screen ([[Profiling.robustOutliers]]) on
+    * l_extendedprice per supplier: every supplier's exact median, MAD,
+    * and outlier count are hash-pinned, so the per-group exact
+    * percentile, the 6 dp pre-rounding discipline, and the
+    * 3·1.4826·MAD threshold comparison must replay identically. */
+  def q139RobustOutliers(s: SparkSession, d: String): DataFrame =
+    Profiling.robustOutliers(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice")),
+        "l_suppkey", "l_extendedprice", cutoff = 3.0)
+      .orderBy(col("l_suppkey"))
+
+  val q139Sql: String =
+    """WITH med AS (
+      |  SELECT l_suppkey, round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+      |  FROM lineitem GROUP BY l_suppkey),
+      |dev AS (
+      |  SELECT l.l_suppkey, med,
+      |    round(abs(l_extendedprice - med), 6) AS absdev
+      |  FROM lineitem l JOIN med USING (l_suppkey)),
+      |mad AS (
+      |  SELECT l_suppkey, round(quantile_cont(absdev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY l_suppkey)
+      |SELECT d.l_suppkey, CAST(count(*) AS BIGINT) AS n, d.med, m.mad,
+      |  CAST(sum(CASE WHEN absdev > round(3.0 * 1.4826 * mad, 6)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (l_suppkey)
+      |GROUP BY d.l_suppkey, d.med, m.mad
+      |ORDER BY l_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_robust_outliers" -> (q139RobustOutliers _),
     "q103_fuzzy_names" -> (q103FuzzyNames _),
     "q112_multipass_fuzzy" -> (q112MultiPassFuzzy _),
     "q104_triangles" -> (q104Triangles _),
@@ -220,6 +250,7 @@ object ResolutionQueries {
     "q105_profile" -> (q105Profile _))
 
   val oracles: Map[String, String] = Map(
+    "q139_robust_outliers" -> q139Sql,
     "q103_fuzzy_names" -> q103Sql,
     "q112_multipass_fuzzy" -> q112Sql,
     "q104_triangles" -> q104Sql,

@@ -229,7 +229,37 @@ object StreamQueries {
       |    CAST(ref_us - tsu AS DOUBLE)) AS DECIMAL(27,15))) AS DOUBLE), 6) AS decay_score
       |FROM e, ref GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Hourly volume anomaly screen ([[graft.ops.Profiling
+    * .hourlyAnomaly]]): every (event_type, hour) count, its z-score
+    * against the type's own hourly distribution, and the |z| > 2 flag
+    * are hash-pinned — exact-integer sums feed the closed-form variance
+    * and the flag compares the ROUNDED z, so no engine-ulp can flip a
+    * boundary hour. */
+  def q142HourlyAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profiling.hourlyAnomaly(Tables.events(s, d),
+        "event_type", "ts", cutoff = 2.0)
+      .orderBy(col("event_type"), col("hour"))
+
+  val q142Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, hour),
+      |stats AS (
+      |  SELECT event_type, count(*) AS h, sum(n) AS s, sum(n * n) AS ss
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h.event_type, hour, n,
+      |  round((n - CAST(s AS DOUBLE) / hh.h) /
+      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
+      |      / (hh.h - 1)), 6) AS z,
+      |  abs(round((n - CAST(s AS DOUBLE) / hh.h) /
+      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
+      |      / (hh.h - 1)), 6)) > 2.0 AS is_anomaly
+      |FROM hourly h JOIN stats hh USING (event_type)
+      |ORDER BY event_type, hour""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_hourly_anomaly" -> (q142HourlyAnomaly _),
     "q134_decay_score" -> (q134DecayScore _),
     "q111_user_history" -> (q111UserHistory _),
     "q65_gapfill" -> (q65GapFill _),
@@ -241,6 +271,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q142_hourly_anomaly" -> q142Sql,
     "q134_decay_score" -> q134Sql,
     "q111_user_history" -> q111Sql,
     "q65_gapfill" -> q65Sql,

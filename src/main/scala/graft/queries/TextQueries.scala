@@ -340,7 +340,47 @@ object TextQueries {
       |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
       |FROM r, tot WHERE rk IN (5, 10, 20, 30, 100) ORDER BY k""".stripMargin
 
+  /** CCNet perplexity terciles ([[graft.ops.LanguageModel
+    * .ccnetQualityBuckets]]): every doc's add-one-smoothed bigram
+    * cross-entropy AND its head/middle/tail bucket are hash-pinned, so
+    * the smoothing arithmetic, the decimal-sum discipline, and the
+    * rank-based (not threshold-comparison) tercile cut must all agree
+    * with the oracle's replay. */
+  def q138CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.LanguageModel.ccnetQualityBuckets(docs, docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val q138Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+      |  FROM toks, UNNEST(range(1, len(a))) AS t(i)
+      |  WHERE len(a) >= 2),
+      |pair AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |hd AS (SELECT w1, sum(c2) AS c1 FROM pair GROUP BY w1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM pair),
+      |nll AS (
+      |  SELECT bg.doc_id, -ln((c2 + 1.0) / (c1 + v)) AS nll
+      |  FROM bg JOIN pair USING (w1, w2) JOIN hd USING (w1), v),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(CAST(sum(CAST(nll AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS xent
+      |  FROM nll GROUP BY doc_id),
+      |n AS (SELECT count(*) AS n FROM perdoc),
+      |r AS (
+      |  SELECT doc_id, n_bigrams, xent,
+      |    row_number() OVER (ORDER BY xent, doc_id) - 1 AS rank0
+      |  FROM perdoc)
+      |SELECT doc_id, n_bigrams, xent,
+      |  ['head','middle','tail'][CAST((rank0 * 3) // n AS INT) + 1] AS bucket
+      |FROM r, n ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
     "q130_char_entropy" -> (q130CharEntropy _),
@@ -355,6 +395,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q138_ccnet_buckets" -> q138Sql,
     "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,
     "q130_char_entropy" -> q130Sql,

@@ -325,4 +325,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("decay_score") - 6.0) < 1e-9)
     assert(math.abs(got(1).getAs[Double]("decay_score") - 3.0) < 1e-9)
   }
+
+  test("sourceCapInterleave: cap binds per source, pos is a round-robin " +
+      "permutation, and the layout is partitioning-invariant") {
+    val df = (Seq.tabulate(5)(i => (i.toLong, "A")) ++
+      Seq.tabulate(3)(i => (100L + i, "B")) ++ Seq((200L, "C")))
+      .toDF("doc_id", "source")
+    val got = Curation.sourceCapInterleave(df, "doc_id", "source", k = 2, seed = 3L)
+      .orderBy("pos").collect()
+    // kept: min(2,5)+min(2,3)+min(2,1) = 5; pos is 0..4 with no gaps
+    assert(got.map(_.getAs[Long]("pos")).toSeq == (0L until 5L))
+    // round-robin: ALL sources' rank-1 docs come before any rank-2 doc,
+    // source-name-ordered within the round
+    assert(got.take(3).map(r =>
+      (r.getAs[Long]("rk"), r.getAs[String]("source"))).toSeq ==
+      Seq((1L, "A"), (1L, "B"), (1L, "C")))
+    assert(got.drop(3).forall(_.getAs[Long]("rk") == 2L))
+    // survivors are the seeded-shuffle winners, not ingest order: same
+    // result under a different physical partitioning
+    val re = Curation.sourceCapInterleave(
+      df.repartition(7), "doc_id", "source", k = 2, seed = 3L)
+      .orderBy("pos").collect()
+    assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
 }

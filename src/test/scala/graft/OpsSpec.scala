@@ -465,4 +465,29 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_grams") == 1L)
     assert(got(1).getAs[Long]("n_novel") == 1L)
   }
+
+  test("ccnetQualityBuckets: fluent repeated text ranks head, unique-word " +
+      "gibberish ranks tail, terciles are equal-count") {
+    // 3 docs sharing one high-count bigram pattern + 3 docs of words the
+    // model sees once each: smoothing still separates them cleanly
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the bed"),
+      (4L, "qq ww ee rr tt yy"), (5L, "uu ii oo pp aa ss"),
+      (6L, "dd ff gg hh jj kk")).toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel
+      .ccnetQualityBuckets(corpus, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("n_bigrams")).toSeq == Seq.fill(6)(5L))
+    val byBucket = got.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    // rank-based terciles: exactly 2 docs per bucket
+    assert(byBucket.values.map(_.size).toSeq.sorted == Seq(2, 2, 2))
+    // every repeated-pattern doc scores below (more fluent than) every
+    // gibberish doc
+    val xent = got.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("xent")).toMap
+    assert(Seq(1L, 2L, 3L).map(xent).max < Seq(4L, 5L, 6L).map(xent).min)
+    assert(byBucket("tail").subsetOf(Set(4L, 5L, 6L)))
+  }
 }

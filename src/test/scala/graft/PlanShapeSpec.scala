@@ -382,6 +382,63 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q138 CCNet buckets: the tercile rank rides the bucketed prefix " +
+      "sum, never a corpus-wide window") {
+    val df = graft.queries.TextQueries.q138CcnetBuckets(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("__pid"), s"bucketed prefix path missing:\n$plan")
+    val windowFeeds = plan.linesIterator.sliding(8).exists(w =>
+      w.exists(_.contains("Window")) && w.exists(_.contains("SinglePartition")))
+    assert(!windowFeeds, s"single-partition window detected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q140 source cap: per-source top-k is WindowGroupLimit; the global " +
+      "round-robin position is never a global window") {
+    val df = graft.queries.CurationQueries.q140SourceCap(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // the cap filters rank<=k BELOW the shuffle — only survivors move
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("__pid"), s"bucketed prefix path missing:\n$plan")
+    // single-partition exchanges are legal only feeding the per-SOURCE
+    // index frame (constant-size aggregate input), per the q123 rule
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.slice(i + 1, i + 9).mkString("\n")
+        assert(child.contains("HashAggregate"),
+          s"single-partition exchange over non-aggregated input at line $i:\n$plan")
+      }
+  }
+
+  test("q139 robust outliers: keyed percentile aggregates and equi-joins " +
+      "only — no global sort, no product") {
+    val df = graft.queries.ResolutionQueries.q139RobustOutliers(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // both the median and MAD passes must partial-aggregate per supplier
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("percentile")), plan)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"nothing in this query may single-partition:\n$plan")
+  }
+
+  test("q142 hourly anomaly: the per-series stats join is broadcast onto " +
+      "the hourly counts") {
+    val df = graft.queries.StreamQueries.q142HourlyAnomaly(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"series-stats side is series-count-sized, must broadcast:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), plan)
+  }
+
   test("q133 k-gram novelty: census join is an equi-join, no product") {
     val df = graft.queries.DedupQueries.q133KgramNovelty(spark, sfDir)
     df.collect()

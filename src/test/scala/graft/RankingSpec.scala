@@ -223,4 +223,50 @@ class RankingSpec extends SparkSpec {
     // k=9 exceeds the 4-term vocabulary: no row on either engine
     assert(got.size == 4)
   }
+
+  test("robustOutliers: hand-computed median/MAD, zero-MAD and even-count " +
+      "interpolation edge groups") {
+    val df = (Seq(1, 2, 3, 4, 100).map(("a", _)) ++
+      Seq(5, 5, 5).map(("b", _)) ++ Seq(1, 2).map(("c", _)))
+      .toDF("k", "v").withColumn("v", col("v").cast("double"))
+    val got = Profiling.robustOutliers(df, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    // a: med 3, absdevs {2,1,0,1,97}, MAD 1, cutoff 4.4478 → only 97 flags
+    assert(got("a") == ((5L, 3.0, 1.0, 1L)))
+    // b: constant group → MAD 0, threshold 0, absdev 0 is NOT > 0 → clean
+    assert(got("b") == ((3L, 5.0, 0.0, 0L)))
+    // c: even count → interpolated median 1.5, MAD 0.5, nothing flags
+    assert(got("c") == ((2L, 1.5, 0.5, 0L)))
+  }
+
+  test("calibrateScores: exact percent-rank with id tiebreak and " +
+      "closed-form z from exact sums") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 7L)).toDF("id", "g", "v")
+    val got = Profiling.calibrateScores(df, "id", "g", "v")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Double]("pr"), r.getAs[Double]("z")))
+    // a: mean 20, sample sd 10 → z −1, 0, 1; pr 0, .5, 1
+    assert(got(0) == ((0.0, -1.0)) && got(1) == ((0.5, 0.0)) &&
+      got(2) == ((1.0, 1.0)))
+    // b: mean 6, sd √2 → z = ∓1/√2 rounded to 6 dp
+    assert(got(3) == ((0.0, -0.707107)) && got(4) == ((1.0, 0.707107)))
+  }
+
+  test("hourlyAnomaly: a planted volume spike flags, baseline hours don't") {
+    val base = (0 until 10).map(h =>
+      (s"2024-01-01 0$h:15:00".take(19), "x"))
+    val spike = (0 until 12).map(m => (f"2024-01-01 11:$m%02d:00", "x"))
+    val df = (base ++ spike).toDF("t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = Profiling.hourlyAnomaly(df, "event_type", "ts")
+      .orderBy("hour").collect()
+    assert(got.length == 11)
+    // counts: ten 1s + one 12 → mean 2, sample var 11; z(12) ≈ 3.015
+    assert(got.count(_.getAs[Boolean]("is_anomaly")) == 1)
+    val flagged = got.filter(_.getAs[Boolean]("is_anomaly")).head
+    assert(flagged.getAs[Long]("n") == 12L)
+    assert(math.abs(flagged.getAs[Double]("z") - 3.015113) < 1e-6)
+  }
 }

@@ -88,6 +88,77 @@ object LanguageModel {
           .cast("double") / count(lit(1))).as("coherence"))
       .withColumnRenamed("__id", idCol)
 
+  /** (id, w1, w2, w3) trigram rows — the [[bigramRows]] shape extended one
+    * token: three aligned slices zipped per row, codegen'd array ops, no
+    * shuffle. Docs with < 3 tokens emit no rows. */
+  def trigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), toks.as("__t"), n.as("__n"))
+      .filter(col("__n") >= 3)
+      .select(col("__id"),
+        explode(arrays_zip(
+          slice(col("__t"), lit(1), col("__n") - 2),
+          slice(col("__t"), lit(2), col("__n") - 2),
+          slice(col("__t"), lit(3), col("__n") - 2))).as("__tg"))
+      .select(col("__id"), col("__tg").getField("0").as("w1"),
+        col("__tg").getField("1").as("w2"), col("__tg").getField("2").as("w3"))
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007) — the LM scoring
+    * scheme DESIGNED for distributed corpus-scale models: no
+    * discounting/normalization pass (which needs global coordination),
+    * just relative frequencies with a fixed 0.4 back-off factor per
+    * level:
+    *   S(w3|w1,w2) = T(w1w2w3)/B(w1w2)            if the trigram was seen
+    *               = 0.4 · B(w2w3)/U(w2)          else if the bigram was
+    *               = 0.4² · (U(w3)+½)/N           else (½ = OOV floor).
+    * Per-doc fluency = mean ln S over the doc's trigram positions — the
+    * production-grade replacement for [[coherence]]'s unsmoothed bigram
+    * mean.
+    *
+    * Scale: count tables are corpus-vocabulary-bounded and every join is
+    * keyed on 1-3 tokens; N rides as a 1-row broadcast. The mean follows
+    * the decimal(27,15) sum rule. Docs with < 3 tokens emit no row.
+    *
+    * @return (idCol, n_trigrams, sb_score) */
+  def stupidBackoffScores(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = corpus.filter(col(idCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__u"))
+    val total = uni.agg(sum(col("__u")).as("__nn"))
+    val bi = bigramRows(corpus, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__b"))
+    val tri = trigramRows(corpus, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("__t"))
+    val score = trigramRows(docs, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__b").as("__b23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("__u").as("__u2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("__u").as("__u3")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        when(col("__t").isNotNull,
+            log(col("__t").cast("double") / col("__b")))
+          .when(col("__b23").isNotNull,
+            log(lit(0.4) * (col("__b23").cast("double") / col("__u2"))))
+          .otherwise(
+            // unigram floor; OOV words get half a count so the score
+            // stays finite (ln 0 would poison the decimal-sum mean)
+            log(lit(0.16) * ((coalesce(col("__u3"), lit(0L)).cast("double")
+              + 0.5) / col("__nn"))))
+          .as("__lns"))
+    score.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("__lns").cast("decimal(27,15)")).cast("double") /
+          count(lit(1)), 6).as("sb_score"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** CCNet-style quality bucketing: each document is scored by its
     * add-one-smoothed bigram cross-entropy under a model trained on
     * `corpus` — H(d) = −(1/n) Σ ln((c(w1,w2)+1)/(c(w1,·)+V)), V = tail

@@ -36,6 +36,49 @@ object ProductQuantization {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x)
 
+  /** Per-dimension affine int8 quantization audit — the OTHER embedding
+    * compression tier (4× vs PQ's 32×, but reconstruction good enough to
+    * search on directly, which is why vector stores default to it):
+    * each dimension d gets scale = (max_d − min_d)/255 from the corpus,
+    * values map to q = clamp(⌊(x − min_d)/scale + 0.5⌋, 0, 255), and the
+    * audit reports per-dimension reconstruction error of x̂ = min_d +
+    * q·scale. The report is what an engineer actually decides on: which
+    * dimensions lose how much.
+    *
+    * Determinism: the ⌊·+0.5⌋ rounding is spelled out (engines disagree
+    * on round-half semantics); error sums follow the decimal(27,15)
+    * rule. Constant dimensions (scale 0) quantize to 0 with zero error.
+    *
+    * Scale: posexplode → one map-side-combinable min/max aggregate per
+    * dimension (dim-count rows) → broadcast back onto the exploded
+    * stream → one more keyed aggregate. Nothing driver-side; the wide
+    * vector never shuffles.
+    *
+    * @return (dim, min_val, max_val, mean_abs_err, max_abs_err) */
+  def int8QuantizationAudit(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val vals = corpus.filter(col(idCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("dim").cast("long").as("dim"), col("__x").cast("double").as("__x"))
+    val ranges = vals.groupBy(col("dim"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .withColumn("__scale", (col("__mx") - col("__mn")) / 255.0)
+    val err = vals.join(broadcast(ranges), Seq("dim"))
+      .withColumn("__q",
+        when(col("__scale") === 0.0, lit(0.0))
+          .otherwise(least(greatest(
+            floor((col("__x") - col("__mn")) / col("__scale") + 0.5), lit(0.0)),
+            lit(255.0))))
+      .withColumn("__err",
+        abs(col("__mn") + col("__q") * col("__scale") - col("__x")))
+    err.groupBy(col("dim"))
+      .agg(round(min(col("__mn")), 6).as("min_val"),
+        round(max(col("__mx")), 6).as("max_val"),
+        round(sum(col("__err").cast("decimal(27,15)")).cast("double") /
+          count(lit(1)), 6).as("mean_abs_err"),
+        round(max(col("__err")), 6).as("max_abs_err"))
+  }
+
   /** Codebook rows (s, c, cvec): centroid c of subspace s = subvector of
     * the c-th lowest-id corpus vector. */
   def seedCodebook(corpus: DataFrame, idCol: String, vecCol: String,

@@ -567,7 +567,44 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-dimension affine int8 quantization audit
+    * ([[graft.ops.ProductQuantization.int8QuantizationAudit]]) — the
+    * corpus-TRAINED scalar-quantization tier (per-dim min/max, the
+    * FAISS-SQ8 scheme), vs q90's train-free per-vector symmetric scale.
+    * All 64 dims' ranges and reconstruction errors are hash-pinned, so
+    * the explicit ⌊·+0.5⌋ rounding, the clamp, and the decimal-sum mean
+    * error must replay identically. */
+  def q144Int8Audit(s: SparkSession, d: String): DataFrame =
+    graft.ops.ProductQuantization.int8QuantizationAudit(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("dim"))
+
+  val q144Sql: String =
+    """WITH vals AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      |  WHERE vec_id IS NOT NULL),
+      |ranges AS (
+      |  SELECT dim, min(x) AS mn, max(x) AS mx,
+      |    (max(x) - min(x)) / 255.0 AS scale
+      |  FROM vals GROUP BY dim),
+      |quant AS (
+      |  SELECT dim, mn, mx, scale, x,
+      |    CASE WHEN scale = 0 THEN 0.0
+      |      ELSE least(greatest(floor((x - mn) / scale + 0.5), 0.0), 255.0)
+      |    END AS q
+      |  FROM vals JOIN ranges USING (dim)),
+      |err AS (
+      |  SELECT dim, mn, mx, abs(mn + q * scale - x) AS e FROM quant)
+      |SELECT dim, round(min(mn), 6) AS min_val, round(max(mx), 6) AS max_val,
+      |  round(CAST(sum(CAST(e AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6)
+      |    AS mean_abs_err,
+      |  round(max(e), 6) AS max_abs_err
+      |FROM err GROUP BY dim ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_int8_audit" -> (q144Int8Audit _),
     "q117_ivf_seeded" -> (q117IvfSeeded _),
     "q119_pq_seeded" -> (q119PqSeeded _),
     "q121_ivfpq_seeded" -> (q121IvfPqSeeded _),
@@ -585,6 +622,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q144_int8_audit" -> q144Sql,
     "q117_ivf_seeded" -> q117Sql,
     "q119_pq_seeded" -> q119Sql,
     "q121_ivfpq_seeded" -> q121Sql,

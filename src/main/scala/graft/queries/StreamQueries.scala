@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
@@ -258,7 +259,47 @@ object StreamQueries {
       |FROM hourly h JOIN stats hh USING (event_type)
       |ORDER BY event_type, hour""".stripMargin
 
+  /** Linear multi-touch attribution: each purchase's value is split
+    * equally across the user's view/click touches in the 24 h before it;
+    * touchless purchases credit a synthetic `direct` channel. The classic
+    * marketing-analytics op the funnel (q67) and retention (q68) family
+    * was missing — per-conversion credit assignment, not path counting.
+    *
+    * Scale: the touch join is an equi-join on user_id with a range
+    * predicate (per-user fan-out bounded by touches-per-user-day, the
+    * q71 range-join discipline); the per-purchase touch count is a
+    * window keyed by purchase id — never global. Credit sums follow the
+    * decimal(27,15) rule, so partial-agg merge order can't wiggle them. */
+  def q145Attribution(s: SparkSession, d: String): DataFrame =
+    EventStreams.linearAttribution(Tables.events(s, d),
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowHours = 24)
+      .orderBy(col("channel"))
+
+  val q145Sql: String =
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT pid, value, touch_type
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 24 HOURS),
+      |c AS (
+      |  SELECT pid, value, touch_type,
+      |    count(touch_type) OVER (PARTITION BY pid) AS n_t
+      |  FROM j)
+      |SELECT COALESCE(touch_type, 'direct') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_credits,
+      |  round(CAST(sum(CAST(CASE WHEN touch_type IS NULL THEN value
+      |    ELSE value / n_t END AS DECIMAL(27,15))) AS DOUBLE), 6)
+      |    AS credited_value
+      |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_attribution" -> (q145Attribution _),
     "q142_hourly_anomaly" -> (q142HourlyAnomaly _),
     "q134_decay_score" -> (q134DecayScore _),
     "q111_user_history" -> (q111UserHistory _),
@@ -271,6 +312,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q145_attribution" -> q145Sql,
     "q142_hourly_anomaly" -> q142Sql,
     "q134_decay_score" -> q134Sql,
     "q111_user_history" -> q111Sql,

@@ -379,7 +379,58 @@ object TextQueries {
       |  ['head','middle','tail'][CAST((rank0 * 3) // n AS INT) + 1] AS bucket
       |FROM r, n ORDER BY doc_id""".stripMargin
 
+  /** Stupid Backoff fluency ([[graft.ops.LanguageModel
+    * .stupidBackoffScores]]): model trained on the even-id half, ALL
+    * docs scored — so held-out docs genuinely exercise the bigram and
+    * unigram back-off tiers and OOV words hit the half-count floor.
+    * Every doc's mean ln-score is hash-pinned: trigram extraction, the
+    * three-tier cascade, the 0.4/0.16 factors, and the decimal-sum mean
+    * all must replay identically. */
+  def q143StupidBackoff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ops.LanguageModel.stupidBackoffScores(docs,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val q143Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents),
+      |mtoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+      |uni AS (
+      |  SELECT t AS w, count(*) AS u
+      |  FROM (SELECT unnest(a) AS t FROM mtoks) GROUP BY t),
+      |tot AS (SELECT sum(u) AS nn FROM uni),
+      |bi AS (
+      |  SELECT a[i] AS w1, a[i+1] AS w2, count(*) AS b
+      |  FROM mtoks, UNNEST(range(1, len(a))) AS s(i)
+      |  WHERE len(a) >= 2 GROUP BY w1, w2),
+      |tri AS (
+      |  SELECT a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3, count(*) AS ct
+      |  FROM mtoks, UNNEST(range(1, len(a) - 1)) AS s(i)
+      |  WHERE len(a) >= 3 GROUP BY w1, w2, w3),
+      |pos AS (
+      |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS w3
+      |  FROM toks, UNNEST(range(1, len(a) - 1)) AS s(i)
+      |  WHERE len(a) >= 3),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN tri.ct IS NOT NULL THEN ln(CAST(tri.ct AS DOUBLE) / b12.b)
+      |         WHEN b23.b IS NOT NULL THEN ln(0.4 * (CAST(b23.b AS DOUBLE) / u2.u))
+      |         ELSE ln(0.16 * ((CAST(COALESCE(u3.u, 0) AS DOUBLE) + 0.5) / nn)) END AS lns
+      |  FROM pos
+      |  LEFT JOIN tri ON pos.w1 = tri.w1 AND pos.w2 = tri.w2 AND pos.w3 = tri.w3
+      |  LEFT JOIN bi b12 ON pos.w1 = b12.w1 AND pos.w2 = b12.w2
+      |  LEFT JOIN bi b23 ON pos.w2 = b23.w1 AND pos.w3 = b23.w2
+      |  LEFT JOIN uni u2 ON pos.w2 = u2.w
+      |  LEFT JOIN uni u3 ON pos.w3 = u3.w, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  round(CAST(sum(CAST(lns AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS sb_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_stupid_backoff" -> (q143StupidBackoff _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
@@ -395,6 +446,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q143_stupid_backoff" -> q143Sql,
     "q138_ccnet_buckets" -> q138Sql,
     "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,

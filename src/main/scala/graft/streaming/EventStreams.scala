@@ -57,6 +57,44 @@ object EventStreams {
       .drop("__sid")
   }
 
+  /** Linear multi-touch attribution (batch): each conversion's value is
+    * split equally across the same user's touch events inside the
+    * look-back window; conversions with no touches credit the synthetic
+    * `direct` channel. Per-conversion credit assignment — the
+    * complement of the funnel's path counting.
+    *
+    * Scale: the touch join is an equi-join on user with a time-range
+    * predicate (fan-out bounded by touches-per-user-window); the touch
+    * count is a window keyed by conversion id; credit sums follow the
+    * decimal(27,15) rule.
+    *
+    * @return (channel, n_credits, credited_value) */
+  def linearAttribution(events: DataFrame, conversionType: String,
+      touchTypes: Seq[String], windowHours: Int): DataFrame = {
+    require(windowHours >= 1, s"linearAttribution: windowHours >= 1, got $windowHours")
+    val conv = events.filter(col("event_type") === conversionType)
+      .select(col("event_id").as("__cid"), col("user_id"),
+        col("ts").as("__cts"), col("value"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("ts").as("__tts"),
+        col("event_type").as("__touch"))
+    val joined = conv.join(touch,
+      conv("user_id") === touch("user_id") &&
+        col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - expr(s"INTERVAL $windowHours HOURS"),
+      "left")
+    val w = Window.partitionBy(col("__cid"))
+    joined
+      .withColumn("__nt", count(col("__touch")).over(w))
+      .select(coalesce(col("__touch"), lit("direct")).as("channel"),
+        when(col("__touch").isNull, col("value"))
+          .otherwise(col("value") / col("__nt")).as("__credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("__credit").cast("decimal(27,15)")).cast("double"), 6)
+          .as("credited_value"))
+  }
+
   /** Streaming sessionization with explicit state:
     * flatMapGroupsWithState keyed on user, ProcessingTimeTimeout-free —
     * sessions are emitted when a new event arrives past the gap (plus a

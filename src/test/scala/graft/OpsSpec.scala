@@ -466,6 +466,48 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_novel") == 1L)
   }
 
+  test("stupidBackoffScores: each back-off tier scores its hand case, " +
+      "OOV hits the half-count floor") {
+    // model: trigrams {abc, bcd}, bigrams {ab, bc, cd}, unigrams N=4
+    val model = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),  // trigram tier: T(abc)/B(ab) = 1 → ln 1 = 0
+      (2L, "x b c"),  // bigram tier: 0.4·B(bc)/U(b) = 0.4
+      (3L, "a b d"),  // unigram tier: 0.16·(U(d)+½)/N = 0.06
+      (4L, "a b q"))  // OOV w3: 0.16·(0+½)/4 = 0.02
+      .toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel
+      .stupidBackoffScores(docs, model, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_trigrams"), r.getAs[Double]("sb_score")))
+    assert(got.map(_._1).toSeq == Seq(1L, 1L, 1L, 1L))
+    val exp = Seq(0.0, math.log(0.4), math.log(0.06), math.log(0.02))
+      .map(v => math.rint(v * 1e6) / 1e6)
+    got.map(_._2).zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"got $g expected $e") }
+  }
+
+  test("int8QuantizationAudit: affine round-trip error matches closed " +
+      "form; constant dimensions are exact") {
+    val vecs = Seq((1L, Seq(0f, 10f)), (2L, Seq(5f, 10f)), (3L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.ProductQuantization
+      .int8QuantizationAudit(vecs, "vec_id", "embedding")
+      .orderBy("dim").collect()
+    // dim 1 is constant: scale 0, zero reconstruction error
+    assert(got(1).getAs[Double]("mean_abs_err") == 0.0)
+    assert(got(1).getAs[Double]("max_abs_err") == 0.0)
+    // dim 0: same double arithmetic as the operator, by hand
+    val scale = 10.0 / 255
+    val err5 = math.abs(0.0 + math.floor(5.0 / scale + 0.5) * scale - 5.0)
+    assert(got(0).getAs[Double]("min_val") == 0.0)
+    assert(got(0).getAs[Double]("max_val") == 10.0)
+    assert(math.abs(got(0).getAs[Double]("max_abs_err") -
+      math.rint(err5 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("mean_abs_err") -
+      math.rint(err5 / 3 * 1e6) / 1e6) < 1e-9)
+  }
+
   test("ccnetQualityBuckets: fluent repeated text ranks head, unique-word " +
       "gibberish ranks tail, terciles are equal-count") {
     // 3 docs sharing one high-count bigram pattern + 3 docs of words the

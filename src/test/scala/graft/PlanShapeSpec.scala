@@ -439,6 +439,46 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("HashAggregate") && l.contains("partial_count")), plan)
   }
 
+  test("q143 stupid backoff: count-table joins are keyed equi-joins; the " +
+      "only nested-loop is the 1-row token-total broadcast") {
+    val df = graft.queries.TextQueries.q143StupidBackoff(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // five model joins on token keys — none may degenerate to a product;
+    // BroadcastNestedLoopJoin is legal only for the single-row N
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"token joins degenerated to nested loops:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")), plan)
+  }
+
+  test("q144 int8 audit: dim-count range table broadcasts back onto the " +
+      "exploded value stream") {
+    val df = graft.queries.SimilarityQueries.q144Int8Audit(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-dim ranges are dim-count rows, must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // min/max must partial-aggregate before the dim shuffle
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_min")), plan)
+  }
+
+  test("q145 attribution: touch join keeps the user equi-key; the touch " +
+      "count is keyed by conversion, never a global window") {
+    val df = graft.queries.StreamQueries.q145Attribution(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"time predicate must ride the user equi-join as a filter:\n$plan")
+    val windowFeeds = plan.linesIterator.sliding(8).exists(w =>
+      w.exists(_.contains("Window")) && w.exists(_.contains("SinglePartition")))
+    assert(!windowFeeds, s"single-partition window detected:\n$plan")
+  }
+
   test("q133 k-gram novelty: census join is an equi-join, no product") {
     val df = graft.queries.DedupQueries.q133KgramNovelty(spark, sfDir)
     df.collect()

@@ -288,4 +288,27 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && batch.forall(_.getLong(1) <= 10))
     } finally query.stop()
   }
+
+  test("linearAttribution: equal split inside the window, stale touches " +
+      "excluded, touchless conversions go direct") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-02 12:00:00").getTime
+    def ts(offMin: Long) = new java.sql.Timestamp(t0 + offMin * 60000L)
+    val events = Seq(
+      // user 1: purchase 10.0 with one view + one click in-window, plus
+      // a view 25h earlier that must NOT share credit
+      Event(1L, ts(-60), 1L, "view", 0.0),
+      Event(2L, ts(-30), 1L, "click", 0.0),
+      Event(3L, ts(-25 * 60), 1L, "view", 0.0),
+      Event(4L, ts(0), 1L, "purchase", 10.0),
+      // user 2: touchless purchase → direct
+      Event(5L, ts(0), 2L, "purchase", 7.0),
+      // user 3's view must not credit user 2's purchase
+      Event(6L, ts(-10), 3L, "view", 0.0)).toDF()
+    val got = EventStreams.linearAttribution(events, "purchase",
+        Seq("view", "click"), windowHours = 24)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("click", 1L, 5.0), ("direct", 1L, 7.0),
+      ("view", 1L, 5.0)))
+  }
 }

@@ -271,6 +271,25 @@ object ScaleSoak {
       graft.ops.Similarity.bruteForceTopK(emb10, "vec_id", "embedding",
         queries, "qid", "qvec", 10).count())
 
+    // trigram model + 5-way keyed scoring joins: clone replication grows
+    // the scored stream linearly while the model stays vocabulary-sized —
+    // the shape a repeated-text web corpus has at 100 TB
+    time("stupid_backoff_50k_docs")(
+      graft.ops.LanguageModel.stupidBackoffScores(docs10,
+        docs10.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .agg(count(lit(1))).collect()(0).getLong(0))
+    time("ccnet_buckets_50k_docs")(
+      graft.ops.LanguageModel.ccnetQualityBuckets(docs10, docs10,
+        "doc_id", "text")
+        .groupBy(col("bucket")).count().count())
+    time("source_cap_50k_docs")(
+      graft.ops.Curation.sourceCapInterleave(
+        docs10.select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 100, seed = 7L).count())
+    time("int8_audit_vecs")(
+      graft.ops.ProductQuantization.int8QuantizationAudit(
+        emb10, "vec_id", "embedding").count())
+
     time("prefix_sum_50k_docs")(
       graft.ops.Curation.exclusivePrefixSum(
         docs10.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", "ps")
@@ -364,6 +383,23 @@ object ScaleSoak {
       .reduce(_ unionByName _)
     time("sessionize_1M_events")(
       graft.streaming.EventStreams.sessionizeBatch(ev10).count())
+    // replicas shift user_id, so per-conversion touch fan-out stays flat
+    // while conversions grow linearly — the attribution scale contract
+    time("attribution_1M_events")(
+      graft.streaming.EventStreams.linearAttribution(ev10, "purchase",
+        Seq("view", "click"), windowHours = 24).count())
+    time("hourly_anomaly_1M_events")(
+      graft.ops.Profiling.hourlyAnomaly(ev10, "event_type", "ts").count())
+
+    // per-supplier groups grow 10× deep (same keys, cloned rows) — the
+    // exact-percentile memory bound robustOutliers documents
+    val li10 = (0 until 10).map(_ => spark.read
+        .parquet(s"$d/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_extendedprice")))
+      .reduce(_ unionByName _)
+    time("robust_outliers_6M_rows")(
+      graft.ops.Profiling.robustOutliers(li10, "l_suppkey",
+        "l_extendedprice").count())
 
     spark.stop()
   }

@@ -627,4 +627,62 @@ object Dedup {
       .select(col("__id").as("doc_id"), col("n_grams"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
+
+  /** Cross-document exact-substring dedup (the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * 2022, adapted from suffix arrays to token k-gram anchors): every
+    * occurrence of a token k-gram that appears more than once in the
+    * corpus is removed EXCEPT the globally first occurrence (minimum
+    * (doc, position)), and each document is reassembled from its
+    * surviving token positions. Complements [[graft.ops.Chunking.intraDocTileDedup]]
+    * (own-document repetition only) and
+    * [[graft.ops.Chunking.boilerplateRemoval]] (whole-segment document
+    * frequency): this pass catches ARBITRARY shared spans — quotes,
+    * syndicated sentences, licence fragments — at token granularity,
+    * because every duplicated span of length ≥ k is a run of duplicated
+    * k-grams and is covered position-by-position.
+    *
+    * Scale shape for 100 TB: gram extraction is a per-row array build +
+    * posexplode (linear, no window); the occurrence census is a map-side-
+    * combinable `count + min(struct(doc, pos))` keyed on the gram hash;
+    * flagging is one hash-keyed join against the duplicated subset of the
+    * census; removal-set assembly is one doc-keyed `collect_set` whose
+    * size is bounded by the document's own length; reassembly is per-row
+    * array ops. Nothing is all-pairs, no text moves after tokenization
+    * (only 16-byte hashes and int positions), and a suffix array — a
+    * global sort of every corpus position — is never built.
+    *
+    * Output: (doc_id, n_toks, n_removed, text_dedup), one row per input
+    * document; text_dedup is the surviving tokens joined by single
+    * spaces (whitespace-normalized, like every token-level op here). */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"exactSubstringDedup: k must be >= 2, got $k")
+    val toks = TextFunctions.widen(df).filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    val grams = toks.filter(n >= k)
+      .select(col("__id"), posexplode(transform(sequence(lit(0), n - k),
+        i => md5(array_join(slice(col("__t"), i + 1, lit(k)), " ")
+          .cast("binary")))).as(Seq("__pos", "__h")))
+    val census = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id"), col("__pos"))).as("__first"))
+    val flagged = grams
+      .join(census.filter(col("__cnt") > 1).select(col("__h"), col("__first")),
+        Seq("__h"))
+      .filter(col("__id") =!= col("__first.__id") ||
+        col("__pos") =!= col("__first.__pos"))
+      .select(col("__id"), col("__pos"))
+    val removed = flagged.groupBy(col("__id"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("__pos"), col("__pos") + k - 1)))).as("__rm"))
+    toks.join(removed, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        size(col("__t")).cast("long").as("n_toks"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(filter(col("__t"),
+          (t, i) => coalesce(!array_contains(col("__rm"), i), lit(true))),
+          " ").as("text_dedup"))
+  }
 }

@@ -327,7 +327,47 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Cross-document exact-substring dedup
+    * ([[graft.ops.Dedup.exactSubstringDedup]], the Lee et al. ExactSubstr
+    * pass on 8-token-gram anchors): the full reassembled text of every
+    * document is pinned, so the keep-global-first semantics, the span
+    * expansion, and the position filter must replay exactly. */
+  def q146SubstrDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstringDedup(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  val q146Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), g AS (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS h
+      |  FROM tok, UNNEST(range(0, len(toks) - 8 + 1)) AS t(i)
+      |  WHERE len(toks) >= 8
+      |), c AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY h) AS cnt,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM g
+      |), rem AS (
+      |  SELECT doc_id, list(DISTINCT j) AS removed
+      |  FROM (SELECT doc_id, pos FROM c WHERE cnt > 1 AND rn > 1) f,
+      |    UNNEST(range(f.pos, f.pos + 8)) AS u(j)
+      |  GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(coalesce(len(removed), 0) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(list_filter(toks,
+      |    (x, i) -> removed IS NULL OR NOT list_contains(removed, i - 1)),
+      |    ' '), '') AS text_dedup
+      |FROM tok t LEFT JOIN rem USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_substr_dedup" -> (q146SubstrDedup _),
     "q100_containment" -> (q100Containment _),
     "q125_source_overlap" -> (q125SourceOverlap _),
     "q133_kgram_novelty" -> (q133KgramNovelty _),
@@ -340,6 +380,7 @@ object DedupQueries {
     "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
+    "q146_substr_dedup" -> q146Sql,
     "q100_containment" -> q100Sql,
     "q125_source_overlap" -> q125Sql,
     "q133_kgram_novelty" -> q133Sql,

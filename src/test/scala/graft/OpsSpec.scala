@@ -26,6 +26,35 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.exactDedup(deduped, "doc_id", "text").count() == deduped.count())
   }
 
+  test("exactSubstringDedup: later copies of shared spans removed, global first kept") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val shared = (3 to 8).map(i => s"a$i").mkString(" ")
+    val b = s"b1 b2 $shared b3 b4"          // holds a 6-token copy of doc 1
+    val c = "x1 x2 x3 x4 z x1 x2 x3 x4"     // repeats its own 4-gram
+    val short = "s1 s2"                     // under k, untouched
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, short)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(df, "doc_id", "text", k = 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 0L, a)))                          // first occurrence keeps all
+    assert(got(1) == ((2L, 6L, "b1 b2 b3 b4")))              // shared span excised
+    assert(got(2) == ((3L, 4L, "x1 x2 x3 x4 z")))            // intra-doc repeat excised
+    assert(got(3) == ((4L, 0L, short)))
+  }
+
+  test("exactSubstringDedup: overlapping duplicated grams merge into one span") {
+    // doc 2 copies a 5-token span of doc 1: two overlapping 4-grams whose
+    // expanded [pos, pos+4) index sets union to exactly 5 positions
+    val a = "p1 p2 p3 p4 p5 p6 p7"
+    val b = "q1 p2 p3 p4 p5 p6 q2"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(df, "doc_id", "text", k = 4)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 0L, a)))
+    assert(got(1) == ((2L, 5L, "q1 q2")))
+  }
+
   test("charEntropy: closed-form values, degenerate text scores 0") {
     val rows = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aabb"), (4L, "abcd"))
       .toDF("id", "t")

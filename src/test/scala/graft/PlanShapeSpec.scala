@@ -490,4 +490,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("partial_min")), plan)
   }
+
+  test("q146 substring dedup: census and flag joins are hash-keyed " +
+      "equi-joins; occurrence census is map-side combined") {
+    val df = graft.queries.DedupQueries.q146SubstrDedup(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram-hash joins must stay equi-joins:\n$plan")
+    // count + min(struct(doc, pos)) census combines before the shuffle
+    // (struct-typed min lands in SortAggregate/ObjectHashAggregate, still
+    // with a partial phase)
+    assert(plan.contains("partial_min"), plan)
+  }
 }

@@ -390,4 +390,47 @@ object Similarity {
       queries.withColumn(qvecCol, slice(col(qvecCol), 1, dims)), qidCol, qvecCol,
       k)
   }
+
+  /** ColBERT-style late-interaction MaxSim re-ranking (Khattab &
+    * Zaharia, "ColBERT: Efficient and Effective Passage Search via
+    * Contextualized Late Interaction over BERT", SIGIR 2020): each
+    * vector is treated as `m` contiguous sub-vectors of dim/m components
+    * (the multi-vector representation), and score(q, d) =
+    * Σ_i max_j cos(q_i, d_j) — every query sub-vector matches its best
+    * doc sub-vector independently, which is what lets late interaction
+    * beat single-vector cosine on multi-topic documents.
+    *
+    * The m×m interaction grid is unrolled STATICALLY into m² codegen'd
+    * [[cosine]] expressions combined with `greatest` and `+` — no
+    * higher-order functions at all, so the whole score stays inside
+    * whole-stage codegen and sidesteps the nested-HOF
+    * re-evaluation trap documented on [[int8Quantize]]. Queries
+    * broadcast; the corpus is never shuffled before the per-query
+    * top-k window (WindowGroupLimit pushes the rank filter).
+    *
+    * Output: (qid, rank, vec_id, score), top `k` per query, score
+    * rounded to 6 decimals, ties broken on vec_id. */
+  def maxSimTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dim: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 2, s"maxSimTopK: m must be >= 2, got $m")
+    require(dim % m == 0, s"maxSimTopK: m=$m must divide dim=$dim")
+    val sub = dim / m
+    def subv(c: Column, i: Int) = slice(c, i * sub + 1, sub)
+    val score = (0 until m).map { i =>
+      greatest((0 until m).map(j =>
+        cosine(subv(col("__q"), i), subv(col("__v"), j))): _*)
+    }.reduce(_ + _)
+    val scored = widen(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(qidCol).as("qid"),
+        col(qvecCol).as("__q"))), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), round(score, 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
 }

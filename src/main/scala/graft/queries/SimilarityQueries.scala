@@ -334,6 +334,51 @@ object SimilarityQueries {
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
 
+  /** ColBERT-style MaxSim late-interaction top-5
+    * ([[graft.ops.Similarity.maxSimTopK]]): 64-dim vectors as 4
+    * sub-vectors of 16, score = Σ_i max_j cos(q_i, d_j). The oracle
+    * unrolls the same 4×4 interaction grid with the same left-fold
+    * cosine, `greatest`, and left-associated sum, so the statically
+    * generated codegen expression must match bit-for-bit pre-round. */
+  def q147MaxSim(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.maxSimTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", dim = 64, m = 4, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact left-fold cosine between 16-wide slices of q.embedding /
+    * e.embedding at the given 0-based offsets — the sub-vector unit of
+    * the q147 MaxSim grid. */
+  private def subCosSql(qOff: Int, eOff: Int, w: Int): String =
+    s"""(list_reduce(list_transform(range(1, ${w + 1}),
+       |      i -> CAST(q.embedding[$qOff + i] AS DOUBLE) * CAST(e.embedding[$eOff + i] AS DOUBLE)), (x,y) -> x+y)
+       |  / (sqrt(list_reduce(list_transform(range(1, ${w + 1}),
+       |      i -> CAST(q.embedding[$qOff + i] AS DOUBLE) * CAST(q.embedding[$qOff + i] AS DOUBLE)), (x,y) -> x+y))
+       |   * sqrt(list_reduce(list_transform(range(1, ${w + 1}),
+       |      i -> CAST(e.embedding[$eOff + i] AS DOUBLE) * CAST(e.embedding[$eOff + i] AS DOUBLE)), (x,y) -> x+y))))""".stripMargin
+
+  val q147Sql: String = {
+    val scoreSql = (0 until 4).map { i =>
+      "greatest(" +
+        (0 until 4).map(j => subCosSql(i * 16, j * 16, 16)).mkString(",\n") +
+        ")"
+    }.mkString("\n + ")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    round($scoreSql, 6) AS score
+       |  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Parameterized DuckDB mirror of the exact left-fold cosine between
     * `$a.$av` and `$b.$bv` — the device that lets multi-stage vector
     * plans (assignment, probing, scoring) be written as plain SQL. */
@@ -612,6 +657,7 @@ object SimilarityQueries {
     "q90_int8_quant" -> (q90Int8Quant _),
     "q93_semdedup" -> (q93SemDedup _),
     "q94_matryoshka" -> (q94Matryoshka _),
+    "q147_maxsim" -> (q147MaxSim _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
@@ -629,6 +675,7 @@ object SimilarityQueries {
     "q90_int8_quant" -> q90Sql,
     "q93_semdedup" -> q93Sql,
     "q94_matryoshka" -> q94Sql,
+    "q147_maxsim" -> q147Sql,
     "q40_cosine_topk" -> q40Sql,
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,

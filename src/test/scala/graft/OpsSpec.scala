@@ -296,6 +296,30 @@ class OpsSpec extends SparkSpec {
     assert(!topk.exists(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id")))
   }
 
+  test("maxSimTopK: late interaction matches permuted sub-vectors plain cosine misses") {
+    // q's sub-vectors are [1,0] and [0,1]; doc 1 holds them SWAPPED, so
+    // whole-vector cosine(q, doc1) = 0 but MaxSim = 1 + 1 = 2
+    val corpus = Seq(
+      (1L, Array(0f, 1f, 1f, 0f)),   // permuted copy of q
+      (2L, Array(1f, 0f, 0f, 1f)),   // identical to q
+      (3L, Array(1f, 1f, 1f, 1f))    // uniform: each sub cos = 1/√2
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1f, 0f, 0f, 1f))).toDF("qid", "qvec")
+    val got = Similarity.maxSimTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", dim = 4, m = 2, k = 3)
+      .orderBy($"rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score")))
+    assert(got(0) == ((1, 1L, 2.0)))   // tie with doc 2 broken on vec_id
+    assert(got(1) == ((2, 2L, 2.0)))
+    assert(math.abs(got(2)._3 - 2.0 / math.sqrt(2)) < 1e-6 && got(2)._2 == 3L)
+    // the property plain cosine can't have: permuted doc scores 0 there
+    val plain = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 3)
+      .filter($"vec_id" === 1L).collect().head.getAs[Double]("score")
+    assert(plain == 0.0)
+  }
+
   test("ivf ann: recall vs brute force is reasonable at nprobe=4") {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

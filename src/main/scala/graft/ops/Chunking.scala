@@ -119,6 +119,55 @@ object Chunking {
         array_join(col("__kept"), " ").as("text_dedup"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS rolling-hash boundary
+    * scheme, token granularity): a chunk boundary falls AFTER token `i`
+    * exactly when the hash of the `k`-token window ending at `i` is
+    * ≡ 0 mod `divisor` — boundaries are decided by CONTENT, not
+    * position, so inserting or deleting tokens reshuffles only the
+    * chunks around the edit while every later chunk re-aligns
+    * byte-identically (the property fixed-stride [[chunk]] windows
+    * cannot have, and the reason dedup storage keys on CDC chunks).
+    * Expected chunk length ≈ `divisor` tokens; the trailing position
+    * never cuts, so every document emits ≥ 1 chunk and chunks tile the
+    * token sequence exactly.
+    *
+    * Pure per-row array ops (cut detection, start derivation, slicing)
+    * — zero shuffles at any corpus size, same scale story as [[chunk]].
+    * The window hash is the [[Dedup.shingleHash]] md5-prefix family, so
+    * the DuckDB oracle replays it exactly.
+    *
+    * Output: (`__id`, `chunk_id`, `start_pos`, `n_toks`, `chunk_text`). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Int): DataFrame = {
+    require(k >= 1, s"contentDefinedChunks: k must be >= 1, got $k")
+    require(divisor >= 2, s"contentDefinedChunks: divisor must be >= 2, got $divisor")
+    val n = size(col("__toks"))
+    // candidate cut positions i ∈ [k-1, n-2] (0-based; last token never cuts)
+    // sequence() descends when start > stop, so clamp the stop at k-1 and
+    // let the i <= n-2 predicate reject the phantom position on short docs
+    val cuts = filter(sequence(lit(k - 1), greatest(n - 2, lit(k - 1))),
+      i => (i <= n - 2) &&
+        Dedup.shingleHash(array_join(slice(col("__toks"), i - k + 2, lit(k)), " "))
+          % divisor === 0)
+    val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
+    TextFunctions.widen(df)
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), col("__toks"), n.as("__n"), starts.as("__st"))
+      // bounds = starts ++ [n]: the next-start lookup for the final chunk
+      // stays in range (ANSI element_at has no out-of-bounds null)
+      .select(col("__id"), col("__toks"), col("__n"),
+        concat(col("__st"), array(col("__n"))).as("__bd"),
+        posexplode(col("__st")).as(Seq("__c", "__s")))
+      .withColumn("__e", element_at(col("__bd"), col("__c") + 2))
+      .select(col("__id"),
+        col("__c").cast("long").as("chunk_id"),
+        col("__s").cast("long").as("start_pos"),
+        (col("__e") - col("__s")).cast("long").as("n_toks"),
+        array_join(slice(col("__toks"), col("__s") + 1, col("__e") - col("__s")),
+          " ").as("chunk_text"))
+  }
+
   /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb "drop
     * paragraphs that repeat across the corpus" pass): a segment whose
     * DOCUMENT frequency exceeds `maxDf` is boilerplate — navigation

@@ -174,4 +174,47 @@ object Profiling {
     import spark.implicits._
     rows.toDF("column", "change", "before", "after")
   }
+
+  /** Embedding drift monitor: per group (source, label, data drop …),
+    * how far the group's embedding centroid sits from the corpus
+    * centroid — the cheap early-warning signal that one source's
+    * encoder changed, a pipeline stage corrupted vectors, or a drop's
+    * distribution shifted before any downstream ANN quality regresses.
+    *
+    * Numerically pinned end to end: per-dim sums use decimal(30,15)
+    * (associative — partial-merge order can't wiggle the mean, the q57
+    * device); per-dim deviation is rounded to 6 dp and re-cast to
+    * decimal(12,6), so the cross-dim sum of squares is EXACT decimal
+    * arithmetic and the final L2 is reproducible on any engine.
+    * max(|dev|) is order-safe by nature.
+    *
+    * Shape for 100 TB: one posexplode (linear, ×dim), one map-side-
+    * combinable (group, dim) aggregate, a dim-keyed rollup to the
+    * corpus centroid (dim rows — broadcast back), one group-keyed
+    * reduce. No vector ever crosses a shuffle after the explode.
+    *
+    * Output: (grp, n_vecs, max_abs_dev, l2_drift), one row per group. */
+  def embeddingDrift(df: DataFrame, grpCol: String, vecCol: String): DataFrame = {
+    val el = df.filter(col(grpCol).isNotNull)
+      .select(col(grpCol).as("grp"), posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col("grp"), col("p").cast("long").as("pos"),
+        col("x").cast("double").as("x"))
+    val perGrp = el.groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(30,15)")).as("s_g"))
+    val global = perGrp.groupBy(col("pos"))
+      .agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+    val dev = perGrp.join(broadcast(global), Seq("pos"))
+      .select(col("grp"), col("n_g"),
+        round(col("s_g").cast("double") / col("n_g")
+          - col("s").cast("double") / col("n"), 6).as("dev"))
+      .select(col("grp"), col("n_g"),
+        col("dev").cast("decimal(12,6)").as("devd"))
+    dev.groupBy(col("grp"))
+      .agg((max(col("n_g"))).as("n_vecs"),
+        round(max(abs(col("devd"))).cast("double"), 6).as("max_abs_dev"),
+        round(sqrt(sum(col("devd") * col("devd")).cast("double")), 6)
+          .as("l2_drift"))
+      .select(col("grp"), col("n_vecs"), col("max_abs_dev"), col("l2_drift"))
+  }
 }

@@ -149,13 +149,53 @@ object ChunkQueries {
       |FROM h JOIN freq USING (seg_text)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Content-defined chunking ([[Chunking.contentDefinedChunks]], 4-token
+    * rolling window, divisor 8 → ~8-token expected chunks): every chunk's
+    * start, length, and full text are pinned, so the boundary rule (hash
+    * of the window ENDING at the cut ≡ 0 mod 8), the no-trailing-cut
+    * clamp, and the tiling reassembly must replay exactly. */
+  def q149CdcChunks(s: SparkSession, d: String): DataFrame =
+    Chunking.contentDefinedChunks(Tables.documents(s, d), "doc_id", "text",
+        k = 4, divisor = 8)
+      .select(col("__id").as("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_toks"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q149Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |), cu AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    [i FOR i IN range(3, len(toks) - 1) IF
+      |       CAST('0x' || substr(md5(array_to_string(
+      |         list_slice(toks, i - 2, i + 1), ' ')), 1, 8) AS BIGINT) % 8 = 0]
+      |      AS cuts
+      |  FROM tok
+      |), st AS (
+      |  SELECT doc_id, toks, n,
+      |    list_prepend(0, list_transform(cuts, c -> c + 1)) AS starts
+      |  FROM cu
+      |), ch AS (
+      |  SELECT doc_id, toks, n, starts, i AS cidx
+      |  FROM st, UNNEST(range(1, len(starts) + 1)) AS t(i)
+      |)
+      |SELECT doc_id, CAST(cidx - 1 AS BIGINT) AS chunk_id,
+      |  CAST(starts[cidx] AS BIGINT) AS start_pos,
+      |  CAST(coalesce(starts[cidx + 1], n) - starts[cidx] AS BIGINT) AS n_toks,
+      |  array_to_string(list_slice(toks, starts[cidx] + 1,
+      |    coalesce(starts[cidx + 1], n)), ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_cdc_chunks" -> (q149CdcChunks _),
     "q92_chunking" -> (q92Chunking _),
     "q95_segment_dedup" -> (q95SegmentDedup _),
     "q126_intradoc_dedup" -> (q126IntradocDedup _),
     "q132_boilerplate" -> (q132Boilerplate _))
 
   val oracles: Map[String, String] = Map(
+    "q149_cdc_chunks" -> q149Sql,
     "q92_chunking" -> q92Sql,
     "q95_segment_dedup" -> q95Sql,
     "q126_intradoc_dedup" -> q126Sql,

@@ -379,6 +379,40 @@ object SimilarityQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Embedding drift monitor ([[graft.ops.Profiling.embeddingDrift]])
+    * keyed on the label column: every group's centroid distance from
+    * the corpus centroid, decimal-pinned so the per-dim means, the 6-dp
+    * deviation quantization, and the exact decimal sum of squares all
+    * replay identically in DuckDB. */
+  def q148EmbeddingDrift(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profiling.embeddingDrift(
+        Tables.embeddings(s, d), "label", "embedding")
+      .withColumnRenamed("grp", "label")
+      .orderBy(col("label"))
+
+  val q148Sql: String =
+    """WITH el AS (
+      |  SELECT label AS grp, CAST(i - 1 AS BIGINT) AS pos,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      |  WHERE label IS NOT NULL
+      |), pg AS (
+      |  SELECT grp, pos, count(*) AS n_g,
+      |    sum(CAST(x AS DECIMAL(30,15))) AS s_g
+      |  FROM el GROUP BY 1, 2
+      |), gl AS (
+      |  SELECT pos, sum(n_g) AS n, sum(s_g) AS s FROM pg GROUP BY 1
+      |), dv AS (
+      |  SELECT grp, n_g,
+      |    CAST(round(CAST(s_g AS DOUBLE) / n_g - CAST(s AS DOUBLE) / n, 6)
+      |      AS DECIMAL(12,6)) AS devd
+      |  FROM pg JOIN gl USING (pos)
+      |)
+      |SELECT grp AS label, max(n_g) AS n_vecs,
+      |  round(CAST(max(abs(devd)) AS DOUBLE), 6) AS max_abs_dev,
+      |  round(sqrt(CAST(sum(devd * devd) AS DOUBLE)), 6) AS l2_drift
+      |FROM dv GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Parameterized DuckDB mirror of the exact left-fold cosine between
     * `$a.$av` and `$b.$bv` — the device that lets multi-stage vector
     * plans (assignment, probing, scoring) be written as plain SQL. */
@@ -658,6 +692,7 @@ object SimilarityQueries {
     "q93_semdedup" -> (q93SemDedup _),
     "q94_matryoshka" -> (q94Matryoshka _),
     "q147_maxsim" -> (q147MaxSim _),
+    "q148_embedding_drift" -> (q148EmbeddingDrift _),
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q48_vector_norms" -> (q48VectorNorms _),
     "q41_cosine_neardup" -> (q41CosineNearDup _),
@@ -676,6 +711,7 @@ object SimilarityQueries {
     "q93_semdedup" -> q93Sql,
     "q94_matryoshka" -> q94Sql,
     "q147_maxsim" -> q147Sql,
+    "q148_embedding_drift" -> q148Sql,
     "q40_cosine_topk" -> q40Sql,
     "q48_vector_norms" -> q48Sql,
     "q41_cosine_neardup" -> q41Sql,

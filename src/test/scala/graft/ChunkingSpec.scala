@@ -200,4 +200,36 @@ class ChunkingSpec extends SparkSpec {
       Seq("a b c d", "e f g h"))
     assert(got.forall(r => r.getAs[Long]("n_segs") == r.getAs[Long]("n_kept")))
   }
+
+  test("contentDefinedChunks: chunks tile the token sequence exactly") {
+    val base = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val got = Chunking.contentDefinedChunks(
+        docs(1L -> base, 2L -> "a b"), "doc_id", "text", k = 4, divisor = 8)
+      .orderBy("__id", "chunk_id").collect()
+    val c1 = got.filter(_.getAs[Long]("__id") == 1L)
+    assert(c1.map(_.getAs[String]("chunk_text")).mkString(" ") == base)
+    assert(c1.map(_.getAs[Long]("n_toks")).sum == 60L)
+    // starts are consecutive: each chunk begins where the previous ended
+    val bounds = c1.map(r => (r.getAs[Long]("start_pos"), r.getAs[Long]("n_toks")))
+    assert(bounds.zip(bounds.tail).forall { case ((s, n), (s2, _)) => s + n == s2 })
+    // a doc shorter than the window is one whole chunk
+    val c2 = got.filter(_.getAs[Long]("__id") == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "a b")
+  }
+
+  test("contentDefinedChunks: insertion only disturbs local chunks (the CDC property)") {
+    val base = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val shifted = s"zz1 zz2 zz3 $base"
+    val got = Chunking.contentDefinedChunks(
+        docs(1L -> base, 2L -> shifted), "doc_id", "text", k = 4, divisor = 8)
+      .orderBy("__id", "chunk_id").collect()
+    val c1 = got.filter(_.getAs[Long]("__id") == 1L).map(_.getAs[String]("chunk_text"))
+    val c2 = got.filter(_.getAs[Long]("__id") == 2L).map(_.getAs[String]("chunk_text")).toSet
+    // doc 1 must actually have interior boundaries for the claim to bite
+    assert(c1.length >= 3, s"fixture too smooth: ${c1.length} chunks")
+    // every chunk after doc 1's first boundary re-aligns verbatim in the
+    // shifted doc — the property fixed-stride windows cannot have
+    assert(c1.drop(1).forall(c2.contains),
+      s"unstable chunks: ${c1.drop(1).filterNot(c2.contains).mkString(" | ")}")
+  }
 }

@@ -320,6 +320,25 @@ class OpsSpec extends SparkSpec {
     assert(plain == 0.0)
   }
 
+  test("embeddingDrift: closed-form centroid distances; identical groups drift 0") {
+    val df = Seq(
+      ("a", Array(1f, 0f)), ("a", Array(1f, 0f)),
+      ("b", Array(0f, 1f)), ("b", Array(0f, 1f))
+    ).toDF("src", "embedding")
+    val got = graft.ops.Profiling.embeddingDrift(df, "src", "embedding")
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // global centroid (0.5, 0.5); each group deviates ±0.5 per dim
+    assert(got(0) == (("a", 2L, 0.5, 0.707107)))
+    assert(got(1) == (("b", 2L, 0.5, 0.707107)))
+    // a group that mirrors the corpus distribution shows zero drift
+    val same = Seq(("x", Array(3f, 4f)), ("y", Array(3f, 4f)))
+      .toDF("src", "embedding")
+    val zeros = graft.ops.Profiling.embeddingDrift(same, "src", "embedding")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(zeros.forall(_ == ((0.0, 0.0))))
+  }
+
   test("ivf ann: recall vs brute force is reasonable at nprobe=4") {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

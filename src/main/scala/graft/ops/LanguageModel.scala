@@ -242,4 +242,110 @@ object LanguageModel {
           (col("__c1").cast("double") * col("__ct"))).as("pmi"))
       .orderBy(col("w1"), col("w2"))
   }
+
+  /** Corpus-trained WordPiece-style vocabulary: every single character,
+    * every whole word of ≤ `wholeWordLen` chars, and every length-3
+    * substring whose corpus occurrence count (weighted by word
+    * frequency) reaches `minSubCount`. The subword inventory greedy
+    * segmentation ([[wordpieceSegment]]) matches against — the
+    * APPLICATION side of the tokenizer whose TRAINING statistics
+    * [[bpePairCounts]] computes. One column `piece`. */
+  def wordpieceVocab(corpus: DataFrame, idCol: String, textCol: String,
+      wholeWordLen: Int, minSubCount: Long): DataFrame = {
+    val words = corpus.filter(col(idCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__cnt"))
+      .filter(length(col("word")) >= 1)
+    val chars = words
+      .select(explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) === 1).distinct()
+    val whole = words.filter(length(col("word")) <= wholeWordLen)
+      .select(col("word").as("piece")).distinct()
+    val subs = words
+      .select(col("__cnt"), col("word"), explode(sequence(lit(1),
+        greatest(length(col("word")) - 2, lit(0)))).as("__p"))
+      .select(expr("substring(word, __p, 3)").as("piece"), col("__cnt"))
+      .groupBy(col("piece")).agg(sum(col("__cnt")).as("__tot"))
+      .filter(col("__tot") >= minSubCount && length(col("piece")) === 3)
+      .select(col("piece"))
+    chars.unionByName(whole).unionByName(subs).distinct()
+  }
+
+  /** Greedy longest-match WordPiece segmentation (Wu et al., "Google's
+    * Neural Machine Translation System", 2016 — the maximal-munch
+    * matching used by BERT tokenizers), applied Spark-first: the
+    * longest-match table g(word, pos) is built RELATIONALLY — explode
+    * every (pos, len ≤ `maxPieceLen`) candidate, equi-join the broadcast
+    * vocabulary, take max(len) per position (single-char fallback 1, the
+    * byte-fallback convention, so segmentation always terminates) — and
+    * the greedy walk is ONE bounded `aggregate` fold per DISTINCT word
+    * over its per-position match array, never a per-occurrence loop.
+    *
+    * Scale shape for 100 TB: everything downstream of the token count is
+    * keyed on DISTINCT words — lexicon-sized (millions), not
+    * corpus-sized (trillions); the corpus itself is touched exactly once
+    * by the frequency count. A trillion-token corpus segments in one
+    * map-side-combinable count plus lexicon-scale joins, and applying
+    * the result to the token stream is one broadcast/hash join on the
+    * word.
+    *
+    * Output: (word, cnt, n_pieces, pieces) — pieces space-joined with
+    * the `##` continuation marker on non-initial pieces. Words longer
+    * than `maxWordLen` chars are truncated to it (BERT's max-chars cap,
+    * default 16 here). */
+  def wordpieceSegment(corpus: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, pieceCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1, s"wordpieceSegment: maxPieceLen >= 1")
+    require(maxWordLen >= 1, s"wordpieceSegment: maxWordLen >= 1")
+    val words = corpus.filter(col(idCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w0"))
+      .groupBy(col("__w0")).agg(count(lit(1)).as("cnt"))
+      .select(substring(col("__w0"), 1, maxWordLen).as("word"), col("cnt"))
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("__len", length(col("word")))
+      .filter(col("__len") >= 1)
+    val cands = words
+      .select(col("word"), col("__len"),
+        explode(sequence(lit(0), col("__len") - 1)).as("__p"))
+      .select(col("word"), col("__p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("__len") - col("__p")))).as("__l"))
+      .select(col("word"), col("__p"), col("__l"),
+        expr("substring(word, __p + 1, __l)").as("__piece"))
+    val matched = cands
+      .join(broadcast(vocab.select(col(pieceCol).as("__piece")).distinct()),
+        Seq("__piece"))
+      .groupBy(col("word"), col("__p")).agg(max(col("__l")).as("__g"))
+    val gtab = words
+      .select(col("word"), col("__len"),
+        explode(sequence(lit(0), col("__len") - 1)).as("__p"))
+      .join(matched, Seq("word", "__p"), "left")
+      .groupBy(col("word"))
+      .agg(transform(array_sort(collect_list(
+        struct(col("__p"), coalesce(col("__g"), lit(1)).as("__g")))),
+        s => s.getField("__g")).as("__garr"))
+    // greedy walk: one bounded fold per distinct word; acc = (pos, pieces)
+    val seg = words.join(gtab, Seq("word"))
+      .withColumn("__acc", aggregate(
+        sequence(lit(1), lit(maxWordLen)),
+        struct(lit(0).as("pos"), lit("").as("pieces"), lit(0L).as("np")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val g = element_at(col("__garr"), pos + 1)
+          val p = concat(
+            when(pos > 0, lit("##")).otherwise(lit("")),
+            col("word").substr(pos + 1, g))
+          when(pos < col("__len"),
+            struct((pos + g).as("pos"),
+              when(pos === 0, p).otherwise(
+                concat(acc.getField("pieces"), lit(" "), p)).as("pieces"),
+              (acc.getField("np") + 1L).as("np")))
+            .otherwise(acc)
+        }))
+      .select(col("word"), col("cnt"),
+        col("__acc.np").as("n_pieces"),
+        col("__acc.pieces").as("pieces"))
+    seg
+  }
 }

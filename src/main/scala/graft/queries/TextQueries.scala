@@ -379,6 +379,77 @@ object TextQueries {
       |  ['head','middle','tail'][CAST((rank0 * 3) // n AS INT) + 1] AS bucket
       |FROM r, n ORDER BY doc_id""".stripMargin
 
+  /** WordPiece tokenizer application
+    * ([[graft.ops.LanguageModel.wordpieceVocab]] +
+    * [[graft.ops.LanguageModel.wordpieceSegment]]): the corpus-trained
+    * piece inventory (chars + ≤4-char whole words + frequent
+    * 3-substrings) greedily segments every DISTINCT word, maximal munch
+    * with `##` continuations and single-char fallback. The full piece
+    * string of every word is hash-pinned; the oracle replays the greedy
+    * walk with a recursive CTE over the same relational longest-match
+    * table. */
+  def q150Wordpiece(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = graft.ops.LanguageModel.wordpieceVocab(
+      docs, "doc_id", "text", wholeWordLen = 4, minSubCount = 500)
+    graft.ops.LanguageModel.wordpieceSegment(
+        docs, "doc_id", "text", vocab, "piece",
+        maxPieceLen = 4, maxWordLen = 16)
+      .orderBy(col("word"))
+  }
+
+  val q150Sql: String =
+    """WITH RECURSIVE w0 AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |), vw AS (
+      |  SELECT w AS word, count(*) AS cnt FROM w0 GROUP BY 1
+      |), chars AS (
+      |  SELECT DISTINCT substr(word, i, 1) AS piece
+      |  FROM vw, UNNEST(range(1, length(word) + 1)) AS t(i)
+      |), whole AS (
+      |  SELECT DISTINCT word AS piece FROM vw
+      |  WHERE length(word) <= 4 AND length(word) >= 1
+      |), subs AS (
+      |  SELECT substr(word, p, 3) AS piece
+      |  FROM vw, UNNEST(range(1, greatest(length(word) - 2, 0) + 1)) AS t(p)
+      |  GROUP BY 1 HAVING sum(cnt) >= 500
+      |), vocab AS (
+      |  SELECT DISTINCT piece FROM
+      |    (SELECT piece FROM chars UNION ALL SELECT piece FROM whole
+      |     UNION ALL SELECT piece FROM subs)
+      |), wf AS (
+      |  SELECT substr(word, 1, 16) AS word, sum(cnt) AS cnt
+      |  FROM vw WHERE length(word) >= 1 GROUP BY 1
+      |), cand AS (
+      |  SELECT word, p, l, substr(word, p + 1, l) AS piece
+      |  FROM wf,
+      |    UNNEST(range(0, length(word))) AS t(p),
+      |    UNNEST(range(1, least(4, length(word) - p) + 1)) AS u(l)
+      |), mt AS (
+      |  SELECT word, p, max(l) AS g
+      |  FROM cand JOIN vocab USING (piece) GROUP BY 1, 2
+      |), allpos AS (
+      |  SELECT word, i AS p FROM wf, UNNEST(range(0, length(word))) AS t(i)
+      |), garr AS (
+      |  SELECT a.word, list(coalesce(m.g, 1) ORDER BY a.p) AS g
+      |  FROM allpos a LEFT JOIN mt m ON a.word = m.word AND a.p = m.p
+      |  GROUP BY 1
+      |), seg AS (
+      |  SELECT word, length(word) AS len, g, 0 AS pos,
+      |    CAST('' AS VARCHAR) AS pieces, CAST(0 AS BIGINT) AS np
+      |  FROM garr
+      |  UNION ALL
+      |  SELECT word, len, g, pos + g[pos + 1],
+      |    CASE WHEN pos = 0 THEN substr(word, 1, g[1])
+      |      ELSE pieces || ' ##' || substr(word, pos + 1, g[pos + 1]) END,
+      |    np + 1
+      |  FROM seg WHERE pos < len
+      |)
+      |SELECT s.word, wf.cnt, s.np AS n_pieces, s.pieces
+      |FROM seg s JOIN wf USING (word)
+      |WHERE s.pos >= s.len ORDER BY s.word""".stripMargin
+
   /** Stupid Backoff fluency ([[graft.ops.LanguageModel
     * .stupidBackoffScores]]): model trained on the even-id half, ALL
     * docs scored — so held-out docs genuinely exercise the bigram and
@@ -431,6 +502,7 @@ object TextQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stupid_backoff" -> (q143StupidBackoff _),
+    "q150_wordpiece" -> (q150Wordpiece _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
@@ -447,6 +519,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q143_stupid_backoff" -> q143Sql,
+    "q150_wordpiece" -> q150Sql,
     "q138_ccnet_buckets" -> q138Sql,
     "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,

@@ -339,6 +339,33 @@ class OpsSpec extends SparkSpec {
     assert(zeros.forall(_ == ((0.0, 0.0))))
   }
 
+  test("wordpieceSegment: greedy longest match, ## continuations, char fallback") {
+    val corpus = Seq((1L, "customer hash zq customer")).toDF("doc_id", "text")
+    val vocab = Seq("c", "u", "s", "t", "o", "m", "e", "r", "a", "h", "z",
+      "cust", "omer").toDF("piece")
+    val got = graft.ops.LanguageModel.wordpieceSegment(
+        corpus, "doc_id", "text", vocab, "piece", maxPieceLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // maximal munch: "cust" beats "c"/"cus"; continuation marked ##
+    assert(got("customer") == ((2L, 2L, "cust ##omer")))
+    // no multi-char pieces match → per-char pieces
+    assert(got("hash") == ((1L, 4L, "h ##a ##s ##h")))
+    // 'q' absent from vocab → single-char fallback still terminates
+    assert(got("zq") == ((1L, 2L, "z ##q")))
+  }
+
+  test("wordpieceVocab: chars + short whole words + frequent 3-substrings") {
+    val corpus = Seq((1L, "abcdef abcdef abcdef xy")).toDF("doc_id", "text")
+    val v = graft.ops.LanguageModel.wordpieceVocab(
+        corpus, "doc_id", "text", wholeWordLen = 2, minSubCount = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(Set("a", "b", "c", "d", "e", "f", "x", "y").subsetOf(v)) // chars
+    assert(v.contains("xy"))                                       // whole ≤ 2
+    assert(v.contains("abc") && v.contains("cde"))                 // 3-subs ≥ 3
+    assert(!v.contains("abcdef"))                                  // too long
+  }
+
   test("ivf ann: recall vs brute force is reasonable at nprobe=4") {
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))

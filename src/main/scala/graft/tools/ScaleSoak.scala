@@ -290,6 +290,27 @@ object ScaleSoak {
       graft.ops.ProductQuantization.int8QuantizationAudit(
         emb10, "vec_id", "embedding").count())
 
+    // clone replication makes every doc a duplicated span source: the
+    // census sees 10 occurrences of every gram, so this measures the
+    // worst-case flag/removal volume, not just the census
+    if (full) time("substr_dedup_50k_docs")(
+      graft.ops.Dedup.exactSubstringDedup(docs10, "doc_id", "text", k = 8)
+        .agg(sum(col("n_removed"))).collect()(0).getLong(0))
+    time("cdc_chunks_50k_docs")(
+      graft.ops.Chunking.contentDefinedChunks(docs10, "doc_id", "text",
+        k = 4, divisor = 8).count())
+    time("wordpiece_50k_docs") {
+      val vocab = graft.ops.LanguageModel.wordpieceVocab(
+        docs10, "doc_id", "text", wholeWordLen = 4, minSubCount = 500)
+      graft.ops.LanguageModel.wordpieceSegment(
+        docs10, "doc_id", "text", vocab, "piece").count()
+    }
+    time("maxsim_20q_x_20k")(
+      graft.ops.Similarity.maxSimTopK(emb10, "vec_id", "embedding",
+        queries, "qid", "qvec", dim = 64, m = 4, k = 10).count())
+    time("embedding_drift_20k_vecs")(
+      graft.ops.Profiling.embeddingDrift(emb10, "label", "embedding").count())
+
     time("prefix_sum_50k_docs")(
       graft.ops.Curation.exclusivePrefixSum(
         docs10.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", "ps")

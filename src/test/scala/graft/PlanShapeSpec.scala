@@ -504,4 +504,54 @@ class PlanShapeSpec extends SparkSpec {
     // with a partial phase)
     assert(plan.contains("partial_min"), plan)
   }
+
+  test("q147 MaxSim: queries broadcast; per-query top-k is WindowGroupLimit, " +
+      "not a global sort") {
+    val df = graft.queries.SimilarityQueries.q147MaxSim(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast, never shuffle the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into the window:\n$plan")
+  }
+
+  test("q148 embedding drift: dim-keyed global rollup broadcasts back; " +
+      "per-(group,dim) sums are partial aggregates") {
+    val df = graft.queries.SimilarityQueries.q148EmbeddingDrift(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim-count global table must broadcast:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q149 CDC chunking: pure per-row array ops — no key shuffle before " +
+      "the output sort") {
+    val df = graft.queries.ChunkQueries.q149CdcChunks(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.contains("CartesianProduct"),
+      s"CDC chunking must not join anything:\n$plan")
+    // the only exchanges allowed: widen's round-robin and the final sort
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("RoundRobinPartitioning")
+      || l.contains("rangepartitioning")),
+      s"unexpected key shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q150 wordpiece: vocabulary joins broadcast; the corpus is touched " +
+      "only by the word-frequency aggregate") {
+    val df = graft.queries.TextQueries.q150Wordpiece(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the candidate match:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

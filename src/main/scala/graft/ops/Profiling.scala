@@ -175,6 +175,55 @@ object Profiling {
     rows.toDF("column", "change", "before", "after")
   }
 
+  /** Decimal-pinned per-group simple linear regression (ordinary least
+    * squares on one predictor): the five moment sums Σx, Σy, Σx², Σxy,
+    * Σy² are accumulated as decimal(27,15) (each term computed once in
+    * double, then cast — the q134 device), so partial-aggregation merge
+    * order can't wiggle the fit; slope/intercept/R² are closed-form
+    * doubles over the exactly-reproducible moments. The building block
+    * for trend detection and power-law fits — one map-side-combinable
+    * aggregate per group, no iteration, no driver math.
+    *
+    * Degenerate groups (zero x-variance, or zero y-variance for R²)
+    * yield null for the affected statistics rather than ±Inf/NaN.
+    *
+    * Output: grpCols ++ (n, slope, intercept, r2), 6-dp rounded. */
+  def linearFit(df: DataFrame, grpCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(27,15)"
+    val prepped = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(grpCols.map(col) ++ Seq(
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y")): _*)
+      .select(grpCols.map(col) ++ Seq(
+        col("__x").cast(dec).as("__xd"), col("__y").cast(dec).as("__yd"),
+        (col("__x") * col("__x")).cast(dec).as("__xx"),
+        (col("__x") * col("__y")).cast(dec).as("__xy"),
+        (col("__y") * col("__y")).cast(dec).as("__yy")): _*)
+    val aggd = (if (grpCols.isEmpty) prepped.groupBy()
+      else prepped.groupBy(grpCols.map(col): _*))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xd")).as("__sx"), sum(col("__yd")).as("__sy"),
+        sum(col("__xx")).as("__sxx"), sum(col("__xy")).as("__sxy"),
+        sum(col("__yy")).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val slope = cov / varx
+    aggd.select(grpCols.map(col) ++ Seq(
+      col("n"),
+      when(varx === 0, lit(null)).otherwise(round(slope, 6)).as("slope"),
+      when(varx === 0, lit(null))
+        .otherwise(round((sy - slope * sx) / n, 6)).as("intercept"),
+      when(varx === 0 || vary === 0, lit(null))
+        .otherwise(round(cov * cov / (varx * vary), 6)).as("r2")): _*)
+  }
+
   /** Embedding drift monitor: per group (source, label, data drop …),
     * how far the group's embedding centroid sits from the corpus
     * centroid — the cheap early-warning signal that one source's

@@ -298,7 +298,56 @@ object StreamQueries {
       |    AS credited_value
       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Per-event-type value trend over the stream's lifetime
+    * ([[graft.ops.Profiling.linearFit]] keyed on the type): slope of
+    * event value against hours-since-corpus-start — the monitoring
+    * regression that catches metric drift per segment. The corpus start
+    * is a 1-row broadcast reference (the q134 device); the moment sums
+    * are decimal-pinned; all four fit statistics per type are
+    * hash-checked. */
+  def q152TypeTrend(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val ref = ev.agg(min(unix_micros(col("ts"))).as("__t0"))
+    val xy = ev.crossJoin(broadcast(ref))
+      .select(col("event_type"),
+        ((unix_micros(col("ts")) - col("__t0")).cast("double") / 3.6e9)
+          .as("x"),
+        col("value").as("y"))
+    graft.ops.Profiling.linearFit(xy, Seq("event_type"), "x", "y")
+      .orderBy(col("event_type"))
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+      |  FROM events
+      |), ref AS (SELECT min(tsu) AS t0 FROM e
+      |), xy AS (
+      |  SELECT event_type, CAST(tsu - t0 AS DOUBLE) / 3.6e9 AS x,
+      |    value AS y
+      |  FROM e, ref
+      |), m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(27,15))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(27,15))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(27,15))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(27,15))) AS DOUBLE) AS syy
+      |  FROM xy GROUP BY 1
+      |), g AS (
+      |  SELECT event_type, n, sx, sy,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS vary,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov
+      |  FROM m
+      |)
+      |SELECT event_type, n, round(cov / varx, 6) AS slope,
+      |  round((sy - (cov / varx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(cov * cov / (varx * vary), 6) AS r2
+      |FROM g ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_type_trend" -> (q152TypeTrend _),
     "q145_attribution" -> (q145Attribution _),
     "q142_hourly_anomaly" -> (q142HourlyAnomaly _),
     "q134_decay_score" -> (q134DecayScore _),
@@ -312,6 +361,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q152_type_trend" -> q152Sql,
     "q145_attribution" -> q145Sql,
     "q142_hourly_anomaly" -> q142Sql,
     "q134_decay_score" -> q134Sql,

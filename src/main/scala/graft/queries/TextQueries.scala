@@ -450,6 +450,57 @@ object TextQueries {
       |FROM seg s JOIN wf USING (word)
       |WHERE s.pos >= s.len ORDER BY s.word""".stripMargin
 
+  /** Zipf rank–frequency law fit: ln(freq) regressed on ln(rank) over
+    * the whole vocabulary with [[graft.ops.Profiling.linearFit]] — the
+    * corpus-statistics health check (natural text slopes ≈ −1; synthetic
+    * or templated corpora flatten). Rank comes from the bucketed
+    * exclusive prefix sum (the q136 device), NEVER a vocab-sized global
+    * window; the five regression moments are decimal-pinned so the fit
+    * replays exactly. */
+  def q151ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.ops.TextFunctions.widen(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .select(col("__t"), col("__c"), (-col("__c")).as("__nc"),
+        lit(1L).as("__one"))
+    val ranked = graft.ops.Curation.exclusivePrefixSum(
+      counts, "__nc", "__t", "__one", "__rb")
+    val xy = ranked.select(
+      log((col("__rb") + 1).cast("double")).as("x"),
+      log(col("__c").cast("double")).as("y"))
+    graft.ops.Profiling.linearFit(xy, Seq.empty, "x", "y")
+  }
+
+  val q151Sql: String =
+    """WITH cnt AS (
+      |  SELECT t, count(*) AS c FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |    FROM documents)
+      |  GROUP BY 1
+      |), ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM cnt
+      |), xy AS (
+      |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked
+      |), m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(27,15))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(27,15))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(27,15))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(27,15))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(27,15))) AS DOUBLE) AS syy
+      |  FROM xy
+      |), g AS (
+      |  SELECT n, sx, sy,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS vary,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov
+      |  FROM m
+      |)
+      |SELECT n, round(cov / varx, 6) AS slope,
+      |  round((sy - (cov / varx) * sx) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  round(cov * cov / (varx * vary), 6) AS r2
+      |FROM g""".stripMargin
+
   /** Stupid Backoff fluency ([[graft.ops.LanguageModel
     * .stupidBackoffScores]]): model trained on the even-id half, ALL
     * docs scored — so held-out docs genuinely exercise the bigram and
@@ -503,6 +554,7 @@ object TextQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stupid_backoff" -> (q143StupidBackoff _),
     "q150_wordpiece" -> (q150Wordpiece _),
+    "q151_zipf_fit" -> (q151ZipfFit _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
@@ -520,6 +572,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q143_stupid_backoff" -> q143Sql,
     "q150_wordpiece" -> q150Sql,
+    "q151_zipf_fit" -> q151Sql,
     "q138_ccnet_buckets" -> q138Sql,
     "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,

@@ -320,6 +320,24 @@ class OpsSpec extends SparkSpec {
     assert(plain == 0.0)
   }
 
+  test("linearFit: exact line recovered, degenerate groups yield nulls") {
+    val df = Seq(
+      ("line", 0.0, 1.0), ("line", 1.0, 3.0), ("line", 2.0, 5.0),   // y = 2x+1
+      ("flat", 0.0, 4.0), ("flat", 1.0, 4.0), ("flat", 2.0, 4.0),   // zero y-var
+      ("point", 5.0, 1.0), ("point", 5.0, 2.0)                      // zero x-var
+    ).toDF("g", "x", "y")
+    val got = graft.ops.Profiling.linearFit(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("line") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("flat") == ((3L, Some(0.0), Some(4.0), None)))      // r2 undefined
+    assert(got("point") == ((2L, None, None, None)))               // no x variance
+    // global (ungrouped) fit over the perfect line alone
+    val all = graft.ops.Profiling.linearFit(
+      df.filter($"g" === "line"), Seq.empty, "x", "y").collect().head
+    assert(all.getDouble(1) == 2.0 && all.getDouble(2) == 1.0)
+  }
+
   test("embeddingDrift: closed-form centroid distances; identical groups drift 0") {
     val df = Seq(
       ("a", Array(1f, 0f)), ("a", Array(1f, 0f)),

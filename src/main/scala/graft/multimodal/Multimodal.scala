@@ -89,6 +89,72 @@ object Multimodal {
   def headerWord(mediaCol: Column, byteOffset: Int): Column =
     conv(hex(substring(mediaCol, byteOffset + 1, 4)), 16, 10).cast("long")
 
+  /** Perceptual difference hash (dHash, Krawetz's pHash family) over the
+    * decoded payload: 72 evenly-spaced samples form an 8×9 "gray grid",
+    * and bit (r, c) = grid[r][c] < grid[r][c+1] — 63 bits packed into a
+    * non-negative long (the canonical 64th comparison is dropped to stay
+    * inside signed-64, engine-portably). With a real image codec the
+    * samples are the resized luma grid; the deterministic byte-sampling
+    * stand-in keeps the whole hash + banding pipeline exact and
+    * oracle-checkable. Near-identical payloads differ in few bits, so
+    * Hamming distance is the visual-near-dup metric, and the hash is
+    * LOCAL: one flipped payload byte only disturbs the ≤ ⌈72/len⌉
+    * neighbouring samples (spec-pinned). Note the 16–64-byte stand-in
+    * payloads oversample into tied neighbours, which biases bits toward
+    * 0 and raises the unplanted collision floor — a real decoder's 72
+    * distinct luma samples don't have this degeneracy.
+    *
+    * Shape: one projection builds the 72 sample columns (hex byte
+    * slices — codegen'd, CSE-shared), one more folds the 63
+    * comparisons. Zero shuffles. */
+  def phashTable(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      upper(hex(col(mediaCol))).as("__hx"),
+      length(col(mediaCol)).as("__len"))
+    val withV = base.select(col("__id") +: (0 to 71).map(i =>
+      conv(col("__hx").substr(
+        (floor(lit(i) * col("__len") / 72) * 2 + 1).cast("int"), lit(2)),
+        16, 10).cast("long").as(s"__v$i")): _*)
+    val hash = (0 until 63).map { bit =>
+      val r = bit / 8; val c = bit % 8
+      when(col(s"__v${r * 9 + c}") < col(s"__v${r * 9 + c + 1}"),
+        lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withV.select(col("__id"), hash.as("dhash"))
+  }
+
+  /** Visual near-dup pairs: [[phashTable]] hashes banded 4 × 16 bits
+    * (any pair within Hamming ≤ 15 of 63 bits shares at least one exact
+    * band by pigeonhole — maxHamming above that loses recall, below it
+    * the bands are generous), verified by exact `bit_count(xor)`. Same
+    * band-join scale shape as [[graft.ops.Dedup.simhashNearDupPairs]]:
+    * candidates materialize only on band collisions, never all-pairs.
+    *
+    * @return (id_a, id_b, dhash_a, dhash_b, hamming), id_a < id_b */
+  def phashNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"phashNearDupPairs: maxHamming >= 0")
+    val hashed = phashTable(df, idCol, mediaCol)
+    val banded = hashed.select(col("__id"), col("dhash"), explode(
+      transform(sequence(lit(0), lit(3)), b => struct(
+        b.as("band_id"),
+        pmod(floor(col("dhash") / pow(lit(2.0), b * 16)).cast("long"),
+          lit(65536L)).as("band_bits")))).as("__b"))
+      .select(col("__id"), col("dhash"),
+        col("__b.band_id").as("__band_id"), col("__b.band_bits").as("__band_bits"))
+    val a = banded.select(col("__id").as("id_a"), col("dhash").as("dhash_a"),
+      col("__band_id"), col("__band_bits"))
+    val b = banded.select(col("__id").as("id_b"), col("dhash").as("dhash_b"),
+      col("__band_id"), col("__band_bits"))
+    a.join(b, Seq("__band_id", "__band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("dhash_a"), col("dhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        call_function("bit_count", col("dhash_a").bitwiseXOR(col("dhash_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Media corpus statistics grouped by mime type — the accounting query a
     * curation pipeline runs before training. */
   def mediaStats(df: DataFrame): DataFrame =

@@ -91,13 +91,74 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 25 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Visual near-dup pairs via perceptual dHash
+    * ([[Multimodal.phashTable]] + [[Multimodal.phashNearDupPairs]]):
+    * every 10th doc's payload is re-attached under a shifted id, so the
+    * 63-bit hashes, the 4×16 banding, and the Hamming verify must
+    * recover the planted identical-payload pairs (Hamming 0) plus the
+    * deterministic md5-coincidental twins the byte-sampled stand-in
+    * grid admits. Both hashes are pinned per pair. */
+  def q153PhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.attachMedia(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id")
+    val clones = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Multimodal.phashNearDupPairs(base.unionByName(clones),
+        "doc_id", "media", maxHamming = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q153Sql: String = {
+    def vSql(i: Int): String =
+      s"CAST('0x' || substr(hx, (($i * blen) // 72) * 2 + 1, 2) AS BIGINT)"
+    val gridCols = (0 to 71).map(i => s"${vSql(i)} AS v$i").mkString(",\n    ")
+    val hashSql = (0 until 63).map { bit =>
+      val r = bit / 8; val c = bit % 8
+      s"(CASE WHEN v${r * 9 + c} < v${r * 9 + c + 1} THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, doc_id AS pid FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 10 = 0
+       |), hxt AS (
+       |  SELECT doc_id,
+       |    repeat(md5(CAST(pid AS VARCHAR)), CAST(pid % 4 + 1 AS INT)) AS hx
+       |  FROM corpus
+       |), vt AS (
+       |  SELECT doc_id, hx, length(hx) // 2 AS blen FROM hxt
+       |), grid AS (
+       |  SELECT doc_id,
+       |    $gridCols
+       |  FROM vt
+       |), ht AS (
+       |  SELECT doc_id,
+       |    $hashSql AS h
+       |  FROM grid
+       |), banded AS (
+       |  SELECT doc_id, h, b,
+       |    CAST(floor(h / power(2, b * 16)) AS BIGINT) % 65536 AS key
+       |  FROM ht, UNNEST(range(0, 4)) AS t(b)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.h AS dhash_a, b.h AS dhash_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, dhash_a, dhash_b,
+       |  bit_count(xor(dhash_a, dhash_b)) AS hamming
+       |FROM pairs WHERE bit_count(xor(dhash_a, dhash_b)) <= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_phash_pairs" -> (q153PhashPairs _),
     "q60_media_checksum" -> (q60MediaChecksum _),
     "q61_media_stats" -> (q61MediaStats _),
     "q66_frame_sample" -> (q66FrameSample _),
     "q107_media_header" -> (q107MediaHeader _))
 
   val oracles: Map[String, String] = Map(
+    "q153_phash_pairs" -> q153Sql,
     "q60_media_checksum" -> q60Sql,
     "q61_media_stats" -> q61Sql,
     "q66_frame_sample" -> q66Sql,

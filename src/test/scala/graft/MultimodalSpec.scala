@@ -58,4 +58,32 @@ class MultimodalSpec extends SparkSpec {
     val padded = MediaCodec.resize(Array.fill[Byte](1)(1), 128, 128)
     assert(padded.length == 16 && padded(0) == 1 && padded(15) == 0)
   }
+
+  test("phash: identical payloads hash identically; one flipped byte moves " +
+      "few bits (locality)") {
+    // three payloads: p0, an exact copy, and p0 with ONE byte flipped
+    val p0 = (0 until 64).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val p2 = p0.clone(); p2(20) = (p2(20) ^ 0x5a).toByte
+    val df = Seq((1L, p0), (2L, p0.clone()), (3L, p2)).toDF("id", "media")
+    val h = Multimodal.phashTable(df, "id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "same payload must hash identically")
+    val ham = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    // one byte of 64 touches ≈ 72/64 ≈ 2 samples → ≤ 4 of 63 bits
+    assert(ham >= 1 && ham <= 4, s"locality violated: hamming $ham")
+  }
+
+  test("phashNearDupPairs recovers planted identical-payload clones at hamming 0") {
+    val base = Multimodal.attachMedia(
+      docs.limit(40).select($"doc_id"), "doc_id")
+    val clones = base.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000L)
+    val pairs = Multimodal.phashNearDupPairs(
+        base.unionByName(clones), "doc_id", "media", maxHamming = 0)
+      .collect()
+    val planted = pairs.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000L)
+    assert(planted.length == 4, s"expected 4 planted pairs, got ${planted.length}")
+    assert(planted.forall(_.getAs[Int]("hamming") == 0))
+  }
 }

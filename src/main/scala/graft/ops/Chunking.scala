@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-window chunking — the RAG / training-pipeline primitive the
@@ -131,41 +132,56 @@ object Chunking {
     * never cuts, so every document emits ≥ 1 chunk and chunks tile the
     * token sequence exactly.
     *
-    * Pure per-row array ops (cut detection, start derivation, slicing)
-    * — zero shuffles at any corpus size, same scale story as [[chunk]].
-    * The window hash is the [[Dedup.shingleHash]] md5-prefix family, so
-    * the DuckDB oracle replays it exactly.
+    * Shape: cut detection is codegen'd per-position rows (scan-parallel,
+    * linear); bounds assemble with one id-keyed window over START rows
+    * (tiny ints, ≤ chunks-per-doc each) and one id join back to the
+    * token arrays — the only shuffles, both keyed and narrow. The window
+    * hash is the [[Dedup.shingleHash]] md5-prefix family, so the DuckDB
+    * oracle replays it exactly.
     *
     * Output: (`__id`, `chunk_id`, `start_pos`, `n_toks`, `chunk_text`). */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       k: Int, divisor: Int): DataFrame = {
     require(k >= 1, s"contentDefinedChunks: k must be >= 1, got $k")
     require(divisor >= 2, s"contentDefinedChunks: divisor must be >= 2, got $divisor")
-    val n = size(col("__toks"))
-    // candidate cut positions i ∈ [k-1, n-2] (0-based; last token never cuts)
-    // sequence() descends when start > stop, so clamp the stop at k-1 and
-    // let the i <= n-2 predicate reject the phantom position on short docs
-    val cuts = filter(sequence(lit(k - 1), greatest(n - 2, lit(k - 1))),
-      i => (i <= n - 2) &&
-        Dedup.shingleHash(array_join(slice(col("__toks"), i - k + 2, lit(k)), " "))
-          % divisor === 0)
-    val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
-    TextFunctions.widen(df)
+    val withN = TextFunctions.widen(df).filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"), col("__toks"), n.as("__n"), starts.as("__st"))
-      // bounds = starts ++ [n]: the next-start lookup for the final chunk
-      // stays in range (ANSI element_at has no out-of-bounds null)
-      .select(col("__id"), col("__toks"), col("__n"),
-        concat(col("__st"), array(col("__n"))).as("__bd"),
-        posexplode(col("__st")).as(Seq("__c", "__s")))
-      .withColumn("__e", element_at(col("__bd"), col("__c") + 2))
+      .withColumn("__n", size(col("__toks")))
+    // candidate cut positions i ∈ [k-1, n-2] as ROWS (0-based; the last
+    // token never cuts): explode-over-sequence is codegen'd and the window
+    // hash is one md5 per row — never a higher-order-function lambda. The
+    // HOF formulation (filter/transform arrays fed to posexplode) hits
+    // GenerateExec's CodegenFallback, which re-evaluates the whole cut
+    // chain once per OUTPUT chunk — measured ~7x slower at sf0.1.
+    // sequence() descends when start > stop, so clamp the stop and reject
+    // the phantom position on short docs below.
+    val cutRows = withN
+      .select(col("__id"), col("__n"), col("__toks"),
+        explode(sequence(lit(k - 1), greatest(col("__n") - 2, lit(k - 1))))
+          .as("__i"))
+      .filter(col("__i") <= col("__n") - 2)
+      .filter(Dedup.shingleHash(array_join(
+        slice(col("__toks"), col("__i") - (k - 2), lit(k)), " "))
+        % divisor === 0)
+      .select(col("__id"), col("__i"))
+    // chunk bounds: id-keyed window over START rows (tiny ints, ≤
+    // chunks-per-doc rows each), then one id join back to the tokens
+    val startRows = withN.select(col("__id"), lit(0).as("__s"))
+      .unionByName(cutRows.select(col("__id"), (col("__i") + 1).as("__s")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"))
+    val bounds = startRows
+      .withColumn("__c", row_number().over(w) - 1)
+      .withColumn("__e0", lead(col("__s"), 1).over(w))
+    bounds.join(withN, Seq("__id"))
       .select(col("__id"),
         col("__c").cast("long").as("chunk_id"),
         col("__s").cast("long").as("start_pos"),
-        (col("__e") - col("__s")).cast("long").as("n_toks"),
-        array_join(slice(col("__toks"), col("__s") + 1, col("__e") - col("__s")),
-          " ").as("chunk_text"))
+        (coalesce(col("__e0"), col("__n")) - col("__s")).cast("long")
+          .as("n_toks"),
+        array_join(slice(col("__toks"), col("__s") + 1,
+          coalesce(col("__e0"), col("__n")) - col("__s")), " ")
+          .as("chunk_text"))
   }
 
   /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb "drop

@@ -126,12 +126,52 @@ object MutationQueries {
       |WHERE change_type IS NOT NULL
       |ORDER BY c_custkey, change_type""".stripMargin
 
+  /** Incremental rollup maintenance
+    * ([[Mutations.incrementalRollup]]): the per-priority (cnt, total)
+    * state built from the "old" orders (o_orderkey % 4 ≠ 0) is
+    * incrementally merged with a CDC delta — inserts (the % 4 = 0 rows)
+    * and deletes (old rows with % 7 = 0, full delete images). The
+    * oracle is the FROM-SCRATCH rebuild over kept+inserted facts:
+    * hash-match proves the maintained state is exactly the rebuild,
+    * which is the self-maintainability contract. */
+  def q154IncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val old = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val base = old.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(27,15)")).as("total"))
+    val inserts = orders.filter(col("o_orderkey") % 4 === 0)
+      .select(lit("I").as("op"), col("o_orderpriority"), col("o_totalprice"))
+    val deletes = old.filter(col("o_orderkey") % 7 === 0)
+      .select(lit("D").as("op"), col("o_orderpriority"), col("o_totalprice"))
+    Mutations.incrementalRollup(base, inserts.unionByName(deletes),
+        "o_orderpriority", "op", "o_totalprice")
+      .select(col("o_orderpriority"), col("cnt"),
+        round(col("total").cast("double"), 6).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q154Sql: String =
+    """WITH oldf AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+      |), f AS (
+      |  SELECT * FROM oldf WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderkey % 4 = 0
+      |)
+      |SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6)
+      |    AS total
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_incremental_rollup" -> (q154IncrementalRollup _),
     "q84_merge_upsert" -> (q84MergeUpsert _),
     "q85_scd2" -> (q85Scd2 _),
     "q89_snapshot_diff" -> (q89SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
+    "q154_incremental_rollup" -> q154Sql,
     "q84_merge_upsert" -> q84Sql,
     "q85_scd2" -> q85Sql,
     "q89_snapshot_diff" -> q89Sql)

@@ -76,10 +76,10 @@ object EventStreams {
       .select(col("event_id").as("__cid"), col("user_id"),
         col("ts").as("__cts"), col("value"))
     val touch = events.filter(col("event_type").isin(touchTypes: _*))
-      .select(col("user_id"), col("ts").as("__tts"),
+      .select(col("user_id").as("__tuid"), col("ts").as("__tts"),
         col("event_type").as("__touch"))
     val joined = conv.join(touch,
-      conv("user_id") === touch("user_id") &&
+      col("user_id") === col("__tuid") &&
         col("__tts") < col("__cts") &&
         col("__tts") >= col("__cts") - expr(s"INTERVAL $windowHours HOURS"),
       "left")

@@ -155,4 +155,34 @@ class MutationsSpec extends SparkSpec {
     val tiny = Seq((0L, "one"), (1L, "")).toDF("doc_id", "text")
     assert(LanguageModel.coherence(tiny, tiny, "doc_id", "text").count() == 0)
   }
+
+  test("incrementalRollup: maintained state equals the from-scratch rebuild") {
+    val facts = Seq(("a", 10.5), ("a", 2.25), ("b", 7.0), ("c", 1.0))
+      .toDF("k", "v")
+    val base = facts.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(27,15)")).as("total"))
+    val delta = Seq(
+      ("I", "a", 4.75),   // existing key grows
+      ("I", "d", 9.0),    // brand-new key appears
+      ("D", "c", 1.0),    // c's only row deleted → key must drop out
+      ("D", "b", 7.0), ("I", "b", 3.5)  // b fully replaced
+    ).toDF("op", "k", "v")
+    val got = Mutations.incrementalRollup(base, delta, "k", "op", "v")
+      .select($"k", $"cnt", $"total".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val rebuilt = Seq(("a", 10.5), ("a", 2.25), ("a", 4.75), ("d", 9.0),
+      ("b", 3.5)).toDF("k", "v")
+      .groupBy($"k").agg(count(lit(1)).as("cnt"),
+        sum($"v".cast("decimal(27,15)")).as("total"))
+      .select($"k", $"cnt", $"total".cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set("a", "b", "d"), got.toString) // c dropped
+    assert(got.map { case (k, (c, _)) => k -> c } ==
+      rebuilt.map { case (k, (c, _)) => k -> c })
+    assert(got.forall { case (k, (_, t)) => t == rebuilt(k)._2 },
+      s"totals must be bit-identical: $got vs $rebuilt")
+  }
 }

@@ -529,19 +529,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q149 CDC chunking: pure per-row array ops — no key shuffle before " +
-      "the output sort") {
+  test("q149 CDC chunking: codegen'd cut rows; bounds via id-keyed window " +
+      "and equi-join, no product") {
     val df = graft.queries.ChunkQueries.q149CdcChunks(spark, sfDir)
     df.collect()
     val plan = finalOnly(df.queryExecution.executedPlan.toString)
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
-      && !plan.contains("CartesianProduct"),
-      s"CDC chunking must not join anything:\n$plan")
-    // the only exchanges allowed: widen's round-robin and the final sort
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(l => l.contains("RoundRobinPartitioning")
-      || l.contains("rangepartitioning")),
-      s"unexpected key shuffle:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds join must stay an equi-join:\n$plan")
+    // the cut-detection md5 runs inside whole-stage codegen (the HOF
+    // formulation fell to GenerateExec's CodegenFallback — 7x slower)
+    assert(!plan.contains("CodegenFallback"), plan)
+    // key shuffles only on the doc id (window + join), plus widen/sort
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("__id")),
+      s"unexpected non-id key shuffle:\n${exchanges.mkString("\n")}")
   }
 
   test("q150 wordpiece: vocabulary joins broadcast; the corpus is touched " +

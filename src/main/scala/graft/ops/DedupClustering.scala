@@ -189,4 +189,37 @@ object DedupClustering {
     val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
     pruneByComponents(df, pairs, "doc_a", "doc_b", idCol)
   }
+
+  /** Quality-aware near-dup collapse: the survivor of each near-dup
+    * cluster is its HIGHEST-scoring member (ties break on minimum id),
+    * not the minimum id — the SemDeDup/CCNet refinement where the kept
+    * representative is chosen by a quality signal, so dedup never trades
+    * a clean page for the boilerplate-ridden copy that happens to have
+    * the smaller id. Callers supply any score column (char entropy, LM
+    * bucket, length…).
+    *
+    * Shape: identical to [[collapseNearDups]] (band-bounded pair
+    * generation + components) plus one cluster-keyed `max(struct(score,
+    * negated tie))` argmax — map-side combinable — and one id-keyed
+    * semi-join. No new scale surface.
+    *
+    * @return the deduplicated frame (all original columns). */
+  def collapseNearDupsByQuality(df: DataFrame, idCol: String,
+      textCol: String, scoreCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold = threshold)
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__q")), Seq("id"))
+    // argmax via struct max: score first, then REVERSED id rank so the
+    // score tie goes to the smallest id (negation works for numeric ids;
+    // struct min on (negated score, id) would need score negation instead)
+    val winners = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__q"), (-col("id")).as("__negid"))).as("__w"))
+      .select((-col("__w.__negid")).as(idCol))
+    val losers = comps.select(col("id").as(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

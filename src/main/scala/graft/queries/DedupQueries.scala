@@ -61,12 +61,13 @@ object DedupQueries {
        |  FROM tok
        |)""".stripMargin
 
-  /** The q34 pair set as a reusable subquery (no ORDER BY) — q91 builds
-    * its component graph from the same pairs. */
-  private[queries] val q34Pairs: String = {
+  /** The q34 LSH pair pipeline over any corpus relation — q91 builds its
+    * component graph and q155 its quality-collapse clusters from the same
+    * pairs. */
+  private[queries] def minhashPairsSqlFrom(from: String): String = {
     val a = graft.ops.Dedup.permA(12).mkString("[", ",", "]")
     val b = graft.ops.Dedup.permB(12).mkString("[", ",", "]")
-    s"""WITH ${shingleCtes("")}, mh AS (
+    s"""WITH ${shingleCtes("", from)}, mh AS (
       |  SELECT doc_id, shingles,
       |    list_transform(range(0, 12), s ->
       |      list_aggregate(list_transform(shingles, g ->
@@ -89,6 +90,8 @@ object DedupQueries {
       |FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id
       |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
       |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5""".stripMargin
+
+  private[queries] val q34Pairs: String = minhashPairsSqlFrom("documents")
 
   val q34Sql: String = q34Pairs + "\nORDER BY doc_a, doc_b"
 
@@ -366,7 +369,61 @@ object DedupQueries {
       |FROM tok t LEFT JOIN rem USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware near-dup collapse
+    * ([[graft.ops.DedupClustering.collapseNearDupsByQuality]]): every
+    * 10th doc gets a near-dup clone with a few tokens APPENDED, so the
+    * clone scores higher on token count — the collapse must keep the
+    * clone and drop the original, the opposite of min-id collapse. The
+    * oracle replays LSH pairs + recursive-CTE components + the
+    * (score desc, id asc) winner rule over the same corpus. */
+  def q155QualityCollapse(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val clones = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" appended bonus quality context tokens"))
+          .as("text"))
+    val corpus = docs.unionByName(clones)
+      .withColumn("q", graft.ops.TextFunctions.tokenCount(col("text")))
+    graft.ops.DedupClustering.collapseNearDupsByQuality(
+        corpus, "doc_id", "text", "q", threshold = 0.5)
+      .select(col("doc_id"), col("q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' appended bonus quality context tokens'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), pairs AS (
+       |${minhashPairsSqlFrom("corpus")}
+       |), und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), verts AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+       |), lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |scored AS (
+       |  SELECT l.id, l.cluster_id,
+       |    len(regexp_split_to_array(lower(trim(c.text)), '\\s+')) AS q
+       |  FROM lbl l JOIN corpus c ON c.doc_id = l.id
+       |), ranked AS (
+       |  SELECT id, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY q DESC, id) AS rn
+       |  FROM scored
+       |), losers AS (SELECT id FROM ranked WHERE rn > 1)
+       |SELECT c.doc_id,
+       |  CAST(len(regexp_split_to_array(lower(trim(c.text)), '\\s+')) AS BIGINT) AS q
+       |FROM corpus c
+       |WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = c.doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_quality_collapse" -> (q155QualityCollapse _),
     "q146_substr_dedup" -> (q146SubstrDedup _),
     "q100_containment" -> (q100Containment _),
     "q125_source_overlap" -> (q125SourceOverlap _),
@@ -381,6 +438,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q146_substr_dedup" -> q146Sql,
+    "q155_quality_collapse" -> q155Sql,
     "q100_containment" -> q100Sql,
     "q125_source_overlap" -> q125Sql,
     "q133_kgram_novelty" -> q133Sql,

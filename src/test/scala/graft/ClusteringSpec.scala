@@ -139,6 +139,31 @@ class ClusteringSpec extends SparkSpec {
     assert(fast.contains(1L) && fast.contains(2L) && !fast.contains(6L))
   }
 
+  test("collapseNearDupsByQuality keeps the highest-scoring member, not the min id") {
+    // two 2-cliques of identical text; quality makes the LARGER id win in
+    // cluster A and the smaller win in cluster B
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 1.0),
+      (2L, "alpha beta gamma delta epsilon zeta", 9.0),   // winner (higher q)
+      (10L, "one two three four five six", 5.0),          // winner (higher q)
+      (11L, "one two three four five six", 2.0),
+      (20L, "totally unrelated content here now", 3.0)    // untouched singleton
+    ).toDF("doc_id", "text", "q")
+    val kept = DedupClustering.collapseNearDupsByQuality(
+        docs, "doc_id", "text", "q", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L), kept.toString)
+    // score tie falls back to the minimum id (the default collapse rule)
+    val tied = Seq(
+      (5L, "same same same same same same", 7.0),
+      (6L, "same same same same same same", 7.0)
+    ).toDF("doc_id", "text", "q")
+    val keptTied = DedupClustering.collapseNearDupsByQuality(
+        tied, "doc_id", "text", "q", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(5L))
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val approx = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)

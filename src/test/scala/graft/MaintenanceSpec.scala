@@ -23,6 +23,33 @@ class MaintenanceSpec extends SparkSpec {
       assert(z == ref(x, y), s"($x,$y): got $z want ${ref(x, y)}") }
   }
 
+  test("hilbertValue: bijective over the grid and unit-step local (the " +
+      "property the Z curve lacks)") {
+    val bits = 3; val n = 1 << bits
+    val cells = for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select($"x", $"y", ZOrder.hilbertValue($"x", $"y", bits).as("d"))
+      .as[(Long, Long, Long)].collect()
+    val byD = got.map(t => t._3 -> ((t._1, t._2))).toMap
+    // bijection: every d in [0, 4^bits) hit exactly once
+    assert(byD.keySet == (0L until (n.toLong * n)).toSet)
+    // locality: consecutive curve positions are ALWAYS adjacent cells
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // the Z curve genuinely fails this on the same grid (sanity contrast)
+    val zByD = cells.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zValue($"x", $"y", bits).as("d"))
+      .as[(Long, Long, Long)].collect().map(t => t._3 -> ((t._1, t._2))).toMap
+    val zJumps = (0L until n.toLong * n - 1).count { d =>
+      val (x1, y1) = zByD(d); val (x2, y2) = zByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0)
+  }
+
   test("zValueN generalizes zValue and interleaves 3 dims correctly") {
     def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
       (0 until bits).foldLeft(0L) { (acc, b) =>

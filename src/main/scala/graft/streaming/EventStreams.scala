@@ -202,6 +202,38 @@ object EventStreams {
       }
   }
 
+  case class CdcEvent(op: String, key: String, value: Double)
+  case class RollupState(cnt: Long, total: Double)
+  case class RollupRow(key: String, cnt: Long, total: Double)
+
+  /** Streaming twin of [[graft.ops.Mutations.incrementalRollup]]: the
+    * same count/sum materialized view maintained live with
+    * mapGroupsWithState — inserts add, deletes subtract, and a key whose
+    * count reaches zero REMOVES its state (the self-maintainability
+    * contract, now also a state-size bound: fully-deleted keys cost
+    * nothing forever). Emits the key's current state on every trigger it
+    * sees traffic; the final emission per key equals the batch operator
+    * over the same CDC (StreamingSpec pins it, fp tolerance for the
+    * online double sum vs the batch decimal sum).
+    *
+    * State is two numbers per LIVE key — the smallest possible stateful
+    * shape, and exactly what a 100 TB fact stream's rollup needs. */
+  def rollupStream(cdc: Dataset[CdcEvent]): Dataset[RollupRow] = {
+    import cdc.sparkSession.implicits._
+    cdc.groupByKey(_.key)
+      .mapGroupsWithState[RollupState, RollupRow](GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[CdcEvent], state: GroupState[RollupState]) =>
+          var (c, t) = state.getOption.map(s => (s.cnt, s.total))
+            .getOrElse((0L, 0.0))
+          batch.foreach { e =>
+            val sgn = if (e.op == "I") 1 else -1
+            c += sgn; t += sgn * e.value
+          }
+          if (c <= 0) { state.remove(); RollupRow(key, 0L, 0.0) }
+          else { state.update(RollupState(c, t)); RollupRow(key, c, t) }
+      }
+  }
+
   /** Per-type stats with JSON prop extraction (semi-structured path). */
   def typeStats(events: DataFrame): DataFrame =
     events

@@ -311,4 +311,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(("click", 1L, 5.0), ("direct", 1L, 7.0),
       ("view", 1L, 5.0)))
   }
+
+  test("rollup stream: final state equals the batch incremental rollup; " +
+      "delete-to-zero removes state") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.CdcEvent
+    val batch1 = Seq(CdcEvent("I", "a", 10.5), CdcEvent("I", "a", 2.25),
+      CdcEvent("I", "b", 7.0), CdcEvent("I", "c", 1.0))
+    val batch2 = Seq(CdcEvent("I", "a", 4.75), CdcEvent("D", "c", 1.0),
+      CdcEvent("D", "b", 7.0), CdcEvent("I", "d", 9.0))
+    val stream = MemoryStream[CdcEvent]
+    val query = EventStreams.rollupStream(stream.toDS())
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(batch1); query.processAllAvailable()
+      stream.addData(batch2); query.processAllAvailable()
+      // last emission per key; zero-count keys are tombstones
+      val streamed = spark.table("rollup_out")
+        .groupBy(col("key"))
+        .agg(last(col("cnt")).as("cnt"), last(col("total")).as("total"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val live = streamed.filter(_._2._1 > 0)
+      import spark.implicits._
+      val base = Seq.empty[(String, Long, Double)].toDF("key", "cnt", "total")
+      val batch = graft.ops.Mutations.incrementalRollup(
+          base, (batch1 ++ batch2).toDF("op", "key", "value"),
+          "key", "op", "value")
+        .select(col("key"), col("cnt"), col("total").cast("double"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(live.keySet == batch.keySet && live.keySet == Set("a", "d"))
+      live.foreach { case (k, (c, t)) =>
+        assert(c == batch(k)._1 && math.abs(t - batch(k)._2) < 1e-9, k) }
+      // b and c were fully deleted: their final emission is the tombstone
+      assert(streamed("b") == ((0L, 0.0)) && streamed("c") == ((0L, 0.0)))
+    } finally query.stop()
+  }
 }

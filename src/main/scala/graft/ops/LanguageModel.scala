@@ -243,6 +243,49 @@ object LanguageModel {
       .orderBy(col("w1"), col("w2"))
   }
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-shift monitor (CCNet's per-shard language-model distance,
+    * reduced to unigrams): KL(p_src ‖ p_corpus) with add-one smoothing
+    * over the corpus vocabulary, so a source whose word mix drifts from
+    * the pool shows a rising score before any downstream model does.
+    *
+    * Numerically pinned: each term p·ln(p/q) is computed once in double,
+    * rounded to 12 dp, and summed as decimal(27,15) (the q134 device) —
+    * partial-merge order can't wiggle the divergence.
+    *
+    * Scale shape: token counts are map-side-combinable aggregates; the
+    * (source × vocabulary) smoothing grid is |S|·|V| rows — sources are
+    * few and the vocabulary is lexicon-sized, so the grid is bounded by
+    * metadata scale, not corpus scale; the corpus totals ride in as a
+    * broadcast 1-row aggregate.
+    *
+    * Output: (src, n_tokens, kl), kl rounded to 6 dp. */
+  def sourceKlDivergence(corpus: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val toks = TextFunctions.widen(corpus)
+      .filter(col(idCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(srcCol).as("__src"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val perSrcW = toks.groupBy(col("__src"), col("__w"))
+      .agg(count(lit(1)).as("__cs"))
+    val perW = perSrcW.groupBy(col("__w")).agg(sum(col("__cs")).as("__c"))
+    val nS = perSrcW.groupBy(col("__src")).agg(sum(col("__cs")).as("__ns"))
+    val tot = perW.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val p = (coalesce(col("__cs"), lit(0L)) + 1).cast("double") /
+      (col("__ns") + col("__v")).cast("double")
+    val q = (col("__c") + 1).cast("double") /
+      (col("__n") + col("__v")).cast("double")
+    nS.crossJoin(perW)
+      .join(perSrcW, Seq("__src", "__w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__src"), col("__ns"),
+        round(p * log(p / q), 12).cast("decimal(27,15)").as("__t"))
+      .groupBy(col("__src"))
+      .agg(max(col("__ns")).as("n_tokens"),
+        round(sum(col("__t")).cast("double"), 6).as("kl"))
+      .select(col("__src").as("src"), col("n_tokens"), col("kl"))
+  }
+
   /** Corpus-trained WordPiece-style vocabulary: every single character,
     * every whole word of ≤ `wholeWordLen` chars, and every length-3
     * substring whose corpus occurrence count (weighted by word

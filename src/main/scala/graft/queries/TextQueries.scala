@@ -450,6 +450,41 @@ object TextQueries {
       |FROM seg s JOIN wf USING (word)
       |WHERE s.pos >= s.len ORDER BY s.word""".stripMargin
 
+  /** Per-source unigram KL divergence from the corpus
+    * ([[graft.ops.LanguageModel.sourceKlDivergence]]): every source's
+    * domain-shift score, decimal-pinned per smoothing term, so the
+    * add-one grid, the ln ratios, and the 12-dp term quantization all
+    * replay identically. */
+  def q157SourceKl(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.sourceKlDivergence(
+        Tables.documents(s, d), "doc_id", "text", "source")
+      .orderBy(col("src"))
+
+  val q157Sql: String =
+    """WITH toks AS (
+      |  SELECT source AS src,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |), psw AS (
+      |  SELECT src, w, count(*) AS cs FROM toks GROUP BY 1, 2
+      |), pw AS (SELECT w, sum(cs) AS c FROM psw GROUP BY 1
+      |), ns AS (SELECT src, sum(cs) AS ns FROM psw GROUP BY 1
+      |), tot AS (SELECT sum(c) AS n, count(*) AS v FROM pw
+      |), grid AS (
+      |  SELECT ns.src, ns.ns,
+      |    CAST(round(
+      |      (CAST(coalesce(psw.cs, 0) + 1 AS DOUBLE) / CAST(ns.ns + tot.v AS DOUBLE))
+      |      * ln((CAST(coalesce(psw.cs, 0) + 1 AS DOUBLE) / CAST(ns.ns + tot.v AS DOUBLE))
+      |         / (CAST(pw.c + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE))), 12)
+      |      AS DECIMAL(27,15)) AS t
+      |  FROM ns CROSS JOIN pw
+      |  LEFT JOIN psw ON psw.src = ns.src AND psw.w = pw.w
+      |  CROSS JOIN tot
+      |)
+      |SELECT src, max(ns) AS n_tokens,
+      |  round(CAST(sum(t) AS DOUBLE), 6) AS kl
+      |FROM grid GROUP BY 1 ORDER BY src""".stripMargin
+
   /** Zipf rank–frequency law fit: ln(freq) regressed on ln(rank) over
     * the whole vocabulary with [[graft.ops.Profiling.linearFit]] — the
     * corpus-statistics health check (natural text slopes ≈ −1; synthetic
@@ -555,6 +590,7 @@ object TextQueries {
     "q143_stupid_backoff" -> (q143StupidBackoff _),
     "q150_wordpiece" -> (q150Wordpiece _),
     "q151_zipf_fit" -> (q151ZipfFit _),
+    "q157_source_kl" -> (q157SourceKl _),
     "q138_ccnet_buckets" -> (q138CcnetBuckets _),
     "q136_vocab_coverage" -> (q136VocabCoverage _),
     "q128_pmi_collocations" -> (q128PmiCollocations _),
@@ -573,6 +609,7 @@ object TextQueries {
     "q143_stupid_backoff" -> q143Sql,
     "q150_wordpiece" -> q150Sql,
     "q151_zipf_fit" -> q151Sql,
+    "q157_source_kl" -> q157Sql,
     "q138_ccnet_buckets" -> q138Sql,
     "q136_vocab_coverage" -> q136Sql,
     "q128_pmi_collocations" -> q128Sql,

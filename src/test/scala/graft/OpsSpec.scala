@@ -357,6 +357,23 @@ class OpsSpec extends SparkSpec {
     assert(zeros.forall(_ == ((0.0, 0.0))))
   }
 
+  test("sourceKlDivergence: non-negative; drifted source scores above a mirror") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "mirror"),
+      (2L, "alpha beta gamma delta", "mirror"),
+      (3L, "alpha beta gamma delta", "drift"),
+      (4L, "omega psi chi phi", "drift")
+    ).toDF("doc_id", "text", "source")
+    val kl = graft.ops.LanguageModel.sourceKlDivergence(
+        corpus, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // Gibbs: KL >= 0 always (smoothing keeps the mirror slightly above 0)
+    assert(kl.values.forall(_ >= 0.0), kl.toString)
+    // half of drift's mass sits on words the pool rarely has → bigger KL
+    assert(kl("drift") > kl("mirror"), kl.toString)
+    assert(kl("mirror") < 0.1, s"mirror should be near zero: ${kl("mirror")}")
+  }
+
   test("wordpieceSegment: greedy longest match, ## continuations, char fallback") {
     val corpus = Seq((1L, "customer hash zq customer")).toDF("doc_id", "text")
     val vocab = Seq("c", "u", "s", "t", "o", "m", "e", "r", "a", "h", "z",

@@ -505,6 +505,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_min"), plan)
   }
 
+  test("q154 incremental rollup: delta partial-aggregates before the merge " +
+      "join; no product") {
+    val df = graft.queries.MutationQueries.q154IncrementalRollup(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the CDC delta combines map-side before touching the merge join
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum")), plan)
+  }
+
   test("q147 MaxSim: queries broadcast; per-query top-k is WindowGroupLimit, " +
       "not a global sort") {
     val df = graft.queries.SimilarityQueries.q147MaxSim(spark, sfDir)

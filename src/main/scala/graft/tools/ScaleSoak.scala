@@ -310,6 +310,45 @@ object ScaleSoak {
         queries, "qid", "qvec", dim = 64, m = 4, k = 10).count())
     time("embedding_drift_20k_vecs")(
       graft.ops.Profiling.embeddingDrift(emb10, "label", "embedding").count())
+    time("source_kl_50k_docs")(
+      graft.ops.LanguageModel.sourceKlDivergence(docs10, "doc_id", "text",
+        "source").count())
+    time("zipf_fit_50k_docs") {
+      val counts = docs10
+        .select(explode(graft.ops.TextFunctions.tokens(col("text"))).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+        .select(col("__t"), col("__c"), (-col("__c")).as("__nc"),
+          lit(1L).as("__one"))
+      val ranked = graft.ops.Curation.exclusivePrefixSum(
+        counts, "__nc", "__t", "__one", "__rb")
+      graft.ops.Profiling.linearFit(
+        ranked.select(log((col("__rb") + 1).cast("double")).as("x"),
+          log(col("__c").cast("double")).as("y")),
+        Seq.empty, "x", "y").count()
+    }
+    time("hilbert_cluster_50k_docs")(
+      graft.ops.ZOrder.clusterByHilbert(
+        docs10.select(pmod(col("doc_id"), lit(65536L)).as("x"),
+          pmod(col("n_chars"), lit(65536L)).as("y")),
+        "x", "y", bits = 16, numFiles = 32).count())
+    // incremental rollup over a 6M-row lineitem CDC (10x replicated keys:
+    // same suppliers, 10x deeper deltas — the maintained state stays
+    // supplier-sized while the delta stream grows linearly)
+    val liCdc = (0 until 10).map(_ => spark.read
+        .parquet(s"$d/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_extendedprice")))
+      .reduce(_ unionByName _)
+    time("incremental_rollup_6M_cdc") {
+      val base = liCdc.filter(col("l_suppkey") % 2 === 0)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(27,15)")).as("total"))
+      val delta = liCdc
+        .select(when(col("l_suppkey") % 3 === 0, lit("D")).otherwise(lit("I"))
+          .as("op"), col("l_suppkey"), col("l_extendedprice"))
+      graft.ops.Mutations.incrementalRollup(base, delta,
+        "l_suppkey", "op", "l_extendedprice").count()
+    }
 
     time("prefix_sum_50k_docs")(
       graft.ops.Curation.exclusivePrefixSum(

@@ -346,7 +346,41 @@ object StreamQueries {
       |  round(cov * cov / (varx * vary), 6) AS r2
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** Session path mining ([[EventStreams.sessionPaths]]): the 20 most
+    * common 8-step session paths with counts — the gap rule, the
+    * in-session (ts, event_id) order, the truncation, and the ranking
+    * tiebreak are all pinned. */
+  def q158SessionPaths(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionPaths(Tables.events(s, d),
+        gapSec = 1800, maxLen = 8, k = 20)
+      .orderBy(col("n_sessions").desc, col("path"))
+
+  val q158Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |            - CAST(floor(epoch(CAST(lag(ts) OVER w AS TIMESTAMP))) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |), paths AS (
+      |  SELECT user_id, sid,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+      |  FROM sessions GROUP BY user_id, sid
+      |)
+      |SELECT path, count(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_session_paths" -> (q158SessionPaths _),
     "q152_type_trend" -> (q152TypeTrend _),
     "q145_attribution" -> (q145Attribution _),
     "q142_hourly_anomaly" -> (q142HourlyAnomaly _),
@@ -362,6 +396,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q152_type_trend" -> q152Sql,
+    "q158_session_paths" -> q158Sql,
     "q145_attribution" -> q145Sql,
     "q142_hourly_anomaly" -> q142Sql,
     "q134_decay_score" -> q134Sql,

@@ -202,6 +202,41 @@ object EventStreams {
       }
   }
 
+  /** Session path mining: the most common event-type SEQUENCES across
+    * sessions — the product-analytics view that turns raw streams into
+    * "what do users actually do" (view>click>purchase vs view>error>…).
+    * Sessions split on the [[sessionizeBatch]] gap rule; each session's
+    * path is its first `maxLen` event types in (ts, event_id) order
+    * joined with '>', and paths are ranked by frequency.
+    *
+    * Scale shape: the same single user-keyed window as sessionization,
+    * one (user, session) aggregate whose per-group state is capped by
+    * `maxLen` after the in-group sort, one path-keyed count (map-side
+    * combined), and a TakeOrdered top-k — never a global sort of the
+    * path space.
+    *
+    * @return (path, n_sessions), top `k` by count desc then path asc */
+  def sessionPaths(events: DataFrame, gapSec: Long = 1800,
+      maxLen: Int = 8, k: Int = 20): DataFrame = {
+    require(maxLen >= 1 && k >= 1, s"sessionPaths: maxLen/k must be >= 1")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSec, 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(cum))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(array_join(slice(transform(
+        array_sort(collect_list(struct(unix_micros(col("ts")).as("__tsu"),
+          col("event_id").as("__eid"), col("event_type").as("__ev")))),
+        s => s.getField("__ev")), 1, maxLen), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   case class CdcEvent(op: String, key: String, value: Double)
   case class RollupState(cnt: Long, total: Double)
   case class RollupRow(key: String, cnt: Long, total: Double)

@@ -98,11 +98,15 @@ object Multimodal {
     * stand-in keeps the whole hash + banding pipeline exact and
     * oracle-checkable. Near-identical payloads differ in few bits, so
     * Hamming distance is the visual-near-dup metric, and the hash is
-    * LOCAL: one flipped payload byte only disturbs the ≤ ⌈72/len⌉
-    * neighbouring samples (spec-pinned). Note the 16–64-byte stand-in
-    * payloads oversample into tied neighbours, which biases bits toward
-    * 0 and raises the unplanted collision floor — a real decoder's 72
-    * distinct luma samples don't have this degeneracy.
+    * LOCAL: one flipped payload byte only disturbs the few samples that
+    * read it (spec-pinned). Each sample is a 16-BIT word at a stride-7
+    * position ((7i mod len), paired with its wrapping successor): the
+    * 16–64-byte stand-in payloads oversample a 72-cell grid, and
+    * consecutive/monotone sampling would tie neighbouring cells
+    * wholesale — biasing bits to 0 and flooring every pair at a small
+    * Hamming distance; the coprime stride visits distinct positions
+    * between repeats, so neighbour ties are rare and the collision floor
+    * stays at the planted duplicates.
     *
     * Shape: one projection builds the 72 sample columns (hex byte
     * slices — codegen'd, CSE-shared), one more folds the 63
@@ -111,10 +115,13 @@ object Multimodal {
     val base = df.select(col(idCol).as("__id"),
       upper(hex(col(mediaCol))).as("__hx"),
       length(col(mediaCol)).as("__len"))
-    val withV = base.select(col("__id") +: (0 to 71).map(i =>
-      conv(col("__hx").substr(
-        (floor(lit(i) * col("__len") / 72) * 2 + 1).cast("int"), lit(2)),
-        16, 10).cast("long").as(s"__v$i")): _*)
+    def byteAt(pos: Column): Column =
+      conv(col("__hx").substr((pos * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("long")
+    val withV = base.select(col("__id") +: (0 to 71).map { i =>
+      val p = pmod(lit(i * 7), col("__len")).cast("int")
+      (byteAt(p) * 256 + byteAt(pmod(p + 1, col("__len")))).as(s"__v$i")
+    }: _*)
     val hash = (0 until 63).map { bit =>
       val r = bit / 8; val c = bit % 8
       when(col(s"__v${r * 9 + c}") < col(s"__v${r * 9 + c + 1}"),

@@ -109,8 +109,11 @@ object MultimodalQueries {
   }
 
   val q153Sql: String = {
+    def byteAtSql(pos: String): String =
+      s"CAST('0x' || substr(hx, ($pos) * 2 + 1, 2) AS BIGINT)"
     def vSql(i: Int): String =
-      s"CAST('0x' || substr(hx, (($i * blen) // 72) * 2 + 1, 2) AS BIGINT)"
+      byteAtSql(s"(${i * 7}) % blen") + " * 256 + " +
+        byteAtSql(s"(((${i * 7}) % blen) + 1) % blen")
     val gridCols = (0 to 71).map(i => s"${vSql(i)} AS v$i").mkString(",\n    ")
     val hashSql = (0 until 63).map { bit =>
       val r = bit / 8; val c = bit % 8

@@ -69,8 +69,9 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) == h(2L), "same payload must hash identically")
     val ham = java.lang.Long.bitCount(h(1L) ^ h(3L))
-    // one byte of 64 touches ≈ 72/64 ≈ 2 samples → ≤ 4 of 63 bits
-    assert(ham >= 1 && ham <= 4, s"locality violated: hamming $ham")
+    // one byte of 64 feeds ≤ ~5 word-samples (as high byte or wrapped low
+    // byte), each in ≤ 2 comparisons → ≤ 10 of 63 bits
+    assert(ham >= 1 && ham <= 10, s"locality violated: hamming $ham")
   }
 
   test("phashNearDupPairs recovers planted identical-payload clones at hamming 0") {

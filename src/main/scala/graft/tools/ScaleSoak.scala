@@ -450,6 +450,9 @@ object ScaleSoak {
         Seq("view", "click"), windowHours = 24).count())
     time("hourly_anomaly_1M_events")(
       graft.ops.Profiling.hourlyAnomaly(ev10, "event_type", "ts").count())
+    time("session_paths_1M_events")(
+      graft.streaming.EventStreams.sessionPaths(ev10, gapSec = 1800,
+        maxLen = 8, k = 20).count())
 
     // per-supplier groups grow 10× deep (same keys, cloned rows) — the
     // exact-percentile memory bound robustOutliers documents

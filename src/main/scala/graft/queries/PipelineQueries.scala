@@ -195,12 +195,69 @@ object PipelineQueries {
       |  doc_id, priority, entropy, novelty
       |FROM scored ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Corpus card (q159): the one-row dataset summary a curation run
+    * publishes with every drop — volume, lexicon, duplication, and
+    * source/language balance, each a signal another gate query audits in
+    * depth. Everything is exact-integer or decimal-pinned (the language
+    * entropy terms follow the q134 device), so the whole card
+    * hash-matches. One exploded token count + small aggregates; the
+    * token census is the only corpus-scale pass. */
+  def q159CorpusCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val volume = graft.ops.TextFunctions.widen(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+      countDistinct(graft.ops.TextFunctions.fingerprint(col("text")))
+        .as("__nfp"),
+      countDistinct(col("source")).as("n_sources"))
+    val vocab = graft.ops.TextFunctions.widen(docs)
+      .select(explode(graft.ops.TextFunctions.tokens(col("text"))).as("__t"))
+      .agg(countDistinct(col("__t")).as("n_vocab"))
+    val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+      .select((col("__c").cast("double") / col("__n")).as("__p"))
+      .agg(round(sum(round(-col("__p") * log(col("__p")), 12)
+        .cast("decimal(27,15)")).cast("double"), 6).as("lang_entropy"))
+    volume.crossJoin(broadcast(vocab)).crossJoin(broadcast(langEnt))
+      .select(col("n_docs"), col("n_tokens"), col("n_vocab"),
+        round(lit(1.0) - col("__nfp").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("n_sources"), col("lang_entropy"))
+  }
+
+  val q159Sql: String =
+    """WITH vol AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+      |      AS n_tokens,
+      |    count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |      AS nfp,
+      |    count(DISTINCT source) AS n_sources
+      |  FROM documents
+      |), voc AS (
+      |  SELECT count(DISTINCT t) AS n_vocab FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |    FROM documents)
+      |), le AS (
+      |  SELECT round(CAST(sum(CAST(round(-p * ln(p), 12) AS DECIMAL(27,15)))
+      |    AS DOUBLE), 6) AS lang_entropy
+      |  FROM (SELECT CAST(count(*) AS DOUBLE)
+      |          / (SELECT count(*) FROM documents) AS p
+      |        FROM documents GROUP BY lang)
+      |)
+      |SELECT n_docs, n_tokens, n_vocab,
+      |  round(1.0 - CAST(nfp AS DOUBLE) / n_docs, 6) AS dup_rate,
+      |  n_sources, lang_entropy
+      |FROM vol, voc, le""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_corpus_card" -> (q159CorpusCard _),
     "q80_curation_pipeline" -> (q80CurationPipeline _),
     "q114_diversified_search" -> (q114DiversifiedSearch _),
     "q137_scoreboard" -> (q137Scoreboard _))
 
   val oracles: Map[String, String] = Map(
+    "q159_corpus_card" -> q159Sql,
     "q80_curation_pipeline" -> q80Sql,
     "q114_diversified_search" -> q114Sql,
     "q137_scoreboard" -> q137Sql)

@@ -130,23 +130,27 @@ object Multimodal {
     withV.select(col("__id"), hash.as("dhash"))
   }
 
-  /** Visual near-dup pairs: [[phashTable]] hashes banded 4 × 16 bits
-    * (any pair within Hamming ≤ 15 of 63 bits shares at least one exact
-    * band by pigeonhole — maxHamming above that loses recall, below it
-    * the bands are generous), verified by exact `bit_count(xor)`. Same
-    * band-join scale shape as [[graft.ops.Dedup.simhashNearDupPairs]]:
-    * candidates materialize only on band collisions, never all-pairs.
+  /** Visual near-dup pairs: [[phashTable]] hashes banded into
+    * `maxHamming + 1` contiguous bit bands (capped at 63) — any pair
+    * within Hamming ≤ maxHamming differs in at most maxHamming bands, so
+    * by pigeonhole it shares at least one exact band: FULL recall for the
+    * requested radius, same derivation as
+    * [[graft.ops.Dedup.simhashNearDupPairs]]. Candidates materialize only
+    * on band collisions, never all-pairs, then the exact
+    * `bit_count(xor)` verify keeps precision at 100%.
     *
     * @return (id_a, id_b, dhash_a, dhash_b, hamming), id_a < id_b */
   def phashNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"phashNearDupPairs: maxHamming >= 0")
+    val nBands = math.min(maxHamming + 1, 63)
+    val w = (63 + nBands - 1) / nBands
     val hashed = phashTable(df, idCol, mediaCol)
     val banded = hashed.select(col("__id"), col("dhash"), explode(
-      transform(sequence(lit(0), lit(3)), b => struct(
-        b.as("band_id"),
-        pmod(floor(col("dhash") / pow(lit(2.0), b * 16)).cast("long"),
-          lit(65536L)).as("band_bits")))).as("__b"))
+      array((0 until nBands).map(b => struct(
+        lit(b).as("band_id"),
+        shiftright(col("dhash"), b * w)
+          .bitwiseAND(lit((1L << w) - 1)).as("band_bits"))): _*)).as("__b"))
       .select(col("__id"), col("dhash"),
         col("__b.band_id").as("__band_id"), col("__b.band_bits").as("__band_bits"))
     val a = banded.select(col("__id").as("id_a"), col("dhash").as("dhash_a"),

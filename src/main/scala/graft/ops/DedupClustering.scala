@@ -3,6 +3,7 @@ package graft.ops
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate pair sets — the final step of a
@@ -199,9 +200,13 @@ object DedupClustering {
     * bucket, length…).
     *
     * Shape: identical to [[collapseNearDups]] (band-bounded pair
-    * generation + components) plus one cluster-keyed `max(struct(score,
-    * negated tie))` argmax — map-side combinable — and one id-keyed
-    * semi-join. No new scale surface.
+    * generation + components) plus one cluster-partitioned
+    * `row_number() over (score desc, id asc)` argmax — clusters are
+    * band-bounded near-dup cliques, so no partition is corpus-sized —
+    * and one id-keyed semi-join. No new scale surface. Works for ANY id
+    * type (string keys included): the tie-break orders the id itself
+    * rather than negating it, which for non-numeric ids would cast to
+    * null and silently mark every member a loser.
     *
     * @return the deduplicated frame (all original columns). */
   def collapseNearDupsByQuality(df: DataFrame, idCol: String,
@@ -211,13 +216,12 @@ object DedupClustering {
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
     val scored = comps.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("__q")), Seq("id"))
-    // argmax via struct max: score first, then REVERSED id rank so the
-    // score tie goes to the smallest id (negation works for numeric ids;
-    // struct min on (negated score, id) would need score negation instead)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("id").asc)
     val winners = scored
-      .groupBy(col("cluster_id"))
-      .agg(max(struct(col("__q"), (-col("id")).as("__negid"))).as("__w"))
-      .select((-col("__w.__negid")).as(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id").as(idCol))
     val losers = comps.select(col("id").as(idCol))
       .join(winners, Seq(idCol), "left_anti")
     df.join(losers, Seq(idCol), "left_anti")

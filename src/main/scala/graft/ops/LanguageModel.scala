@@ -179,11 +179,41 @@ object LanguageModel {
     *
     * @return (idCol, n_bigrams, xent, bucket ∈ head|middle|tail) */
   def ccnetQualityBuckets(docs: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    ccnetQualityBuckets(docs, ccnetTrain(corpus, idCol, textCol), idCol,
+      textCol)
+
+  /** Trained CCNet bigram model: pair counts, head marginals, and the
+    * 1-row tail-vocabulary size. Vocabulary-bounded, so a serving
+    * pipeline trains ONCE, persists these, and scores many batches —
+    * see [[ccnetTrain]]. */
+  final case class BigramModel(pair: DataFrame, head: DataFrame,
+      vocab: DataFrame) {
+    /** Persist all three model tables (train-once semantics). */
+    def persisted(): BigramModel = {
+      pair.persist(); head.persist(); vocab.persist(); this
+    }
+  }
+
+  /** The CCNet TRAIN pass, split out so callers can train once and score
+    * repeatedly — a real pipeline trains the LM on a reference corpus one
+    * time and broadcasts/persists it for every scoring batch. */
+  def ccnetTrain(corpus: DataFrame, idCol: String,
+      textCol: String): BigramModel = {
     val pair = bigramRows(corpus, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
     val head = pair.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
     val vocab = pair.agg(countDistinct(col("w2")).as("__v"))
+    BigramModel(pair, head, vocab)
+  }
+
+  /** Score + bucket against a pre-trained [[BigramModel]] (the SCORE
+    * pass of [[ccnetQualityBuckets]]). */
+  def ccnetQualityBuckets(docs: DataFrame, model: BigramModel,
+      idCol: String, textCol: String): DataFrame = {
+    val pair = model.pair
+    val head = model.head
+    val vocab = model.vocab
     val nll = bigramRows(docs, idCol, textCol)
       .join(pair, Seq("w1", "w2"), "left")
       .join(head, Seq("w1"), "left")

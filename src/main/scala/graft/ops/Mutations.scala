@@ -138,8 +138,15 @@ object Mutations {
     * @return updated (key, cnt, total) state */
   def incrementalRollup(base: DataFrame, delta: DataFrame, keyCol: String,
       opCol: String, valCol: String): DataFrame = {
+    // a CDC row with an op outside {I, D} means the feed is corrupt —
+    // fail loudly rather than silently dropping it from the sums, which
+    // would diverge the maintained state from a from-scratch rebuild
+    // with no error anywhere
     val sign = when(col(opCol) === "I", lit(1L))
       .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("incrementalRollup: unknown CDC op '"), col(opCol),
+        lit("' (expected I or D)"))))
     val d = delta
       .select(col(keyCol), sign.as("__s"), col(valCol).cast("double").as("__v"))
       .groupBy(col(keyCol))

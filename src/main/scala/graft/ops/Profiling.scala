@@ -112,7 +112,11 @@ object Profiling {
     df.join(stats, Seq(grpCol))
       .withColumn("pr", round(percent_rank().over(w), 6))
       .select(col(idCol), col(grpCol), col(valCol), col("pr"),
-        round((col(valCol) - mean) / sqrt(variance), 6).as("z"))
+        // degenerate groups (n = 1 or zero spread) get null z, matching
+        // linearFit's convention — never NaN/Infinity, which would sort
+        // above every real score in Spark
+        when(col("__n") >= 2 && variance > 0,
+          round((col(valCol) - mean) / sqrt(variance), 6)).as("z"))
   }
 
   /** Time-bucketed volume anomaly detection: events are counted per
@@ -146,9 +150,14 @@ object Profiling {
     val mean = sd / col("__h")
     val variance = (ssd - sd * sd / col("__h")) / (col("__h") - 1)
     hourly.join(broadcast(stats), Seq(typeCol))
-      .withColumn("z", round((col("n") - mean) / sqrt(variance), 6))
+      // a single-hour series or a perfectly steady one has variance 0;
+      // 0/0 = NaN would compare GREATER than the cutoff in Spark and
+      // flag every hour of a flat series — the opposite of intent. Null
+      // z + false flag, matching linearFit's degenerate-group convention.
+      .withColumn("z", when(col("__h") >= 2 && variance > 0,
+        round((col("n") - mean) / sqrt(variance), 6)))
       .select(col(typeCol), col("hour"), col("n"), col("z"),
-        (abs(col("z")) > cutoff).as("is_anomaly"))
+        coalesce(abs(col("z")) > cutoff, lit(false)).as("is_anomaly"))
   }
 
   /** Schema drift between two table versions: one row per changed

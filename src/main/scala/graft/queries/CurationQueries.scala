@@ -506,9 +506,12 @@ object CurationQueries {
       |SELECT doc_id, d.source, n_chars,
       |  round(percent_rank() OVER (PARTITION BY d.source
       |    ORDER BY n_chars, doc_id), 6) AS pr,
-      |  round((n_chars - CAST(s AS DOUBLE) / n) /
-      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-      |      / (n - 1)), 6) AS z
+      |  CASE WHEN n >= 2 AND
+      |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |        / (n - 1) > 0
+      |    THEN round((n_chars - CAST(s AS DOUBLE) / n) /
+      |      sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |        / (n - 1)), 6) END AS z
       |FROM documents d JOIN stats USING (source)
       |ORDER BY doc_id""".stripMargin
 

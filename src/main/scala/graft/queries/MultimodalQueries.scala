@@ -94,7 +94,8 @@ object MultimodalQueries {
   /** Visual near-dup pairs via perceptual dHash
     * ([[Multimodal.phashTable]] + [[Multimodal.phashNearDupPairs]]):
     * every 10th doc's payload is re-attached under a shifted id, so the
-    * 63-bit hashes, the 4×16 banding, and the Hamming verify must
+    * 63-bit hashes, the derived `maxHamming+1 = 3`-band split (21 bits
+    * each — pigeonhole-complete for the radius), and the Hamming verify must
     * recover the planted identical-payload pairs (Hamming 0) plus the
     * deterministic md5-coincidental twins the byte-sampled stand-in
     * grid admits. Both hashes are pinned per pair. */
@@ -139,8 +140,8 @@ object MultimodalQueries {
        |  FROM grid
        |), banded AS (
        |  SELECT doc_id, h, b,
-       |    CAST(floor(h / power(2, b * 16)) AS BIGINT) % 65536 AS key
-       |  FROM ht, UNNEST(range(0, 4)) AS t(b)
+       |    (h >> CAST(b * 21 AS INT)) & 2097151 AS key
+       |  FROM ht, UNNEST(range(0, 3)) AS t(b)
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.h AS dhash_a, b.h AS dhash_b

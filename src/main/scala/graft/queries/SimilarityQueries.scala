@@ -117,25 +117,29 @@ object SimilarityQueries {
     * full projected array is pinned, so the matrix generation, the
     * per-component fold order, and the √k scale are all on the hook. The
     * oracle regenerates the identical matrix from md5 in SQL — the q127
-    * device, applied to dimensionality reduction instead of hashing. */
+    * device, applied to dimensionality reduction instead of hashing.
+    * Output is scalar `(vec_id, dim, value)` rows (posexplode of the
+    * projected array) so the gate can sort and hash every cell; the
+    * array-valued form stays available as the library op
+    * [[Similarity.rademacherProject]]. */
   def q131JlProjection(s: SparkSession, d: String): DataFrame = {
     val m = Similarity.rademacherMatrix(outDims = 16, inDims = 64, salt = "jl")
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(Similarity.rademacherProject(col("embedding"), m),
-          x => round(x, 6)).as("proj"))
-      .orderBy(col("vec_id"))
+        posexplode(transform(Similarity.rademacherProject(col("embedding"), m),
+          x => round(x, 6))).as(Seq("dim", "value")))
+      .orderBy(col("vec_id"), col("dim"))
   }
 
   val q131Sql: String =
-    """SELECT vec_id,
-      |  list_transform(range(0, 16), p ->
-      |    round(list_reduce(list_transform(range(1, 65), i ->
-      |      (CASE WHEN strpos('13579bdf',
-      |         substr(md5('jl:' || p::VARCHAR || ':' || i::VARCHAR), 1, 1)) > 0
-      |        THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
-      |      (acc, x) -> acc + x) / sqrt(16.0), 6)) AS proj
-      |FROM embeddings ORDER BY vec_id""".stripMargin
+    """SELECT vec_id, CAST(p AS INT) AS dim,
+      |  round(list_reduce(list_transform(range(1, 65), i ->
+      |    (CASE WHEN strpos('13579bdf',
+      |       substr(md5('jl:' || p::VARCHAR || ':' || i::VARCHAR), 1, 1)) > 0
+      |      THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)),
+      |    (acc, x) -> acc + x) / sqrt(16.0), 6) AS value
+      |FROM embeddings, unnest(range(0, 16)) AS t(p)
+      |ORDER BY vec_id, dim""".stripMargin
 
   /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force
     * is asserted in OpsSpec). Cells come from the deterministic Lloyd's

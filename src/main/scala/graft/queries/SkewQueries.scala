@@ -18,18 +18,42 @@ object SkewQueries {
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Approximate sketches (HLL distinct, quantile sketch). Engines'
-    * sketches differ, so no SQL oracle — the driver records rows-only and
-    * OpsSpec bounds the error against exact values. */
+  /** Approximate sketches (HLL distinct, quantile sketch), pinned by the
+    * ERROR-BOUND LAW rather than sketch internals: engines' sketches
+    * differ bit-for-bit, but the published guarantees don't. Each group
+    * emits the exact values plus booleans asserting the sketch landed
+    * inside its bound (HLL rsd 0.02 → |approx−exact|/exact ≤ 0.05 ≈
+    * 2.5σ; quantile sketch accuracy 10000 → rel err ≤ 0.02). The oracle
+    * computes the exact values and asserts the booleans are TRUE — a
+    * sketch drifting out of bound flips a cell and fails the hash, so
+    * the approx paths are hash-gated without pinning internals. */
   def q73ApproxSketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd_part"),
+        count_distinct(col("l_partkey")).as("exact_nd_part"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__and"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("__med"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median_price"),
+          .as("__amed"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_nd_part"),
+        (abs(col("__and") - col("exact_nd_part")) / col("exact_nd_part")
+          <= 0.05).as("nd_within_bound"),
+        round(col("__med"), 6).as("exact_median_price"),
+        (abs(col("__amed") - col("__med")) / col("__med") <= 0.02)
+          .as("median_within_bound"),
+        col("n"))
       .orderBy(col("l_returnflag"))
+
+  val q73Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_nd_part,
+      |  true AS nd_within_bound,
+      |  round(median(l_extendedprice), 6) AS exact_median_price,
+      |  true AS median_within_bound,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Skyline: Pareto-front of parts minimizing (p_size, p_retailprice).
     * Oracle = the naive NOT EXISTS dominance definition. */
@@ -78,6 +102,7 @@ object SkewQueries {
 
   val oracles: Map[String, String] = Map(
     "q72_salted_distinct" -> q72Sql,
+    "q73_approx_sketches" -> q73Sql,
     "q116_skew_report" -> q116Sql,
     "q81_skyline" -> q81Sql)
 }

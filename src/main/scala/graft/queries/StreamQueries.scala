@@ -248,16 +248,19 @@ object StreamQueries {
       |  FROM events GROUP BY event_type, hour),
       |stats AS (
       |  SELECT event_type, count(*) AS h, sum(n) AS s, sum(n * n) AS ss
-      |  FROM hourly GROUP BY event_type)
-      |SELECT h.event_type, hour, n,
-      |  round((n - CAST(s AS DOUBLE) / hh.h) /
-      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
-      |      / (hh.h - 1)), 6) AS z,
-      |  abs(round((n - CAST(s AS DOUBLE) / hh.h) /
-      |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
-      |      / (hh.h - 1)), 6)) > 2.0 AS is_anomaly
-      |FROM hourly h JOIN stats hh USING (event_type)
-      |ORDER BY event_type, hour""".stripMargin
+      |  FROM hourly GROUP BY event_type),
+      |zs AS (
+      |  SELECT h.event_type, hour, n,
+      |    CASE WHEN hh.h >= 2 AND
+      |        (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
+      |          / (hh.h - 1) > 0
+      |      THEN round((n - CAST(s AS DOUBLE) / hh.h) /
+      |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / hh.h)
+      |          / (hh.h - 1)), 6) END AS z
+      |  FROM hourly h JOIN stats hh USING (event_type))
+      |SELECT event_type, hour, n, z,
+      |  coalesce(abs(z) > 2.0, false) AS is_anomaly
+      |FROM zs ORDER BY event_type, hour""".stripMargin
 
   /** Linear multi-touch attribution: each purchase's value is split
     * equally across the user's view/click touches in the 24 h before it;

@@ -36,7 +36,17 @@ object Scale10xGen {
     val in = sys.env.getOrElse("SCALE_IN", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_OUT", "target/sf0.1x10")
     val factor = sys.env.getOrElse("SCALE_FACTOR", "10").toInt
+    generate(spark, in, out, factor)
+    spark.stop()
+    sys.exit(0)
+  }
 
+  /** The generator proper, separated from the `main` env plumbing so
+    * Scale10xGenSpec can pin the corpus invariants (disjoint FK
+    * universes, ~2% planted dup slots, word-reshuffle semantics) at a
+    * small factor — a future edit can't silently weaken the 10× audit. */
+  def generate(spark: SparkSession, in: String, out: String,
+      factor: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$in/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
       df.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -98,8 +108,5 @@ object Scale10xGen {
 
     write(replicate(read("events"),
       Map("event_id" -> 10000000L, "user_id" -> 1000000L)), "events")
-
-    spark.stop()
-    sys.exit(0)
   }
 }

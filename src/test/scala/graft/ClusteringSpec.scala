@@ -164,14 +164,40 @@ class ClusteringSpec extends SparkSpec {
     assert(keptTied == Set(5L))
   }
 
+  test("collapseNearDupsByQuality works for STRING ids (no numeric-negation " +
+      "tie-break): winners survive instead of every member losing") {
+    val docs = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta", 1.0),
+      ("doc-b", "alpha beta gamma delta epsilon zeta", 9.0), // winner
+      ("doc-x", "totally unrelated content here now", 3.0)
+    ).toDF("doc_id", "text", "q")
+    val kept = DedupClustering.collapseNearDupsByQuality(
+        docs, "doc_id", "text", "q", threshold = 0.8)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("doc-b", "doc-x"), kept.toString)
+    // string score tie falls back to the lexicographically smallest id
+    val tied = Seq(
+      ("k2", "same same same same same same", 7.0),
+      ("k1", "same same same same same same", 7.0)
+    ).toDF("doc_id", "text", "q")
+    val keptTied = DedupClustering.collapseNearDupsByQuality(
+        tied, "doc_id", "text", "q", threshold = 0.8)
+      .select("doc_id").as[String].collect().toSet
+    assert(keptTied == Set("k1"))
+  }
+
   test("approx sketches are within tolerance of exact values") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val approx = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)
-      .select("l_returnflag", "approx_nd_part").as[(String, Long)].collect().toMap
+    val rows = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)
+      .select("l_returnflag", "exact_nd_part", "nd_within_bound",
+        "median_within_bound")
+      .as[(String, Long, Boolean, Boolean)].collect()
     val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
       .as[(String, Long)].collect().toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: ${approx(k)} vs $n")
+    rows.foreach { case (k, nd, ndOk, medOk) =>
+      assert(nd == exact(k), s"$k exact nd: $nd vs ${exact(k)}")
+      assert(ndOk, s"$k: HLL outside its 0.05 bound")
+      assert(medOk, s"$k: quantile sketch outside its 0.02 bound")
     }
   }
 }

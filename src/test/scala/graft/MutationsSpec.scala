@@ -185,4 +185,18 @@ class MutationsSpec extends SparkSpec {
     assert(got.forall { case (k, (_, t)) => t == rebuilt(k)._2 },
       s"totals must be bit-identical: $got vs $rebuilt")
   }
+
+  test("incrementalRollup: a CDC op outside {I, D} fails loudly instead of " +
+      "silently diverging the maintained state") {
+    val base = Seq(("a", 1L, BigDecimal(1))).toDF("k", "cnt", "total")
+    val delta = Seq(("U", "a", 2.0)).toDF("op", "k", "v")
+    val ex = intercept[Exception] {
+      Mutations.incrementalRollup(base, delta, "k", "op", "v").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("unknown CDC op"))),
+      s"expected the raise_error message, got: $ex")
+  }
 }

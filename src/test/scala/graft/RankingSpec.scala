@@ -269,4 +269,30 @@ class RankingSpec extends SparkSpec {
     assert(flagged.getAs[Long]("n") == 12L)
     assert(math.abs(flagged.getAs[Double]("z") - 3.015113) < 1e-6)
   }
+
+  test("hourlyAnomaly: a perfectly steady (or single-hour) series yields " +
+      "null z and NO anomalies — never NaN that flags everything") {
+    // variance 0 → the old 0/0 NaN compared greater than the cutoff and
+    // flagged every hour of a flat series
+    val flat = (0 until 6).map(h => (s"2024-01-01 0$h:15:00", "steady")) :+
+      (("2024-01-01 00:30:00", "single"))
+    val df = flat.toDF("t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val got = Profiling.hourlyAnomaly(df, "event_type", "ts").collect()
+    assert(got.length == 7)
+    assert(got.forall(!_.getAs[Boolean]("is_anomaly")))
+    assert(got.forall(_.isNullAt(got.head.fieldIndex("z"))))
+  }
+
+  test("calibrateScores: degenerate groups (n = 1 or zero spread) emit " +
+      "null z, not NaN/Infinity") {
+    val df = Seq((1L, "solo", 10L), (2L, "flat", 5L), (3L, "flat", 5L),
+      (4L, "ok", 1L), (5L, "ok", 3L)).toDF("id", "g", "v")
+    val got = Profiling.calibrateScores(df, "id", "g", "v")
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(got(0).fieldIndex("z")))          // n = 1
+    assert(got(1).isNullAt(got(1).fieldIndex("z")))          // variance 0
+    assert(got(2).isNullAt(got(2).fieldIndex("z")))
+    assert(math.abs(got(3).getAs[Double]("z") + 0.707107) < 1e-6)
+  }
 }

@@ -5,43 +5,33 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
 
 Reads each <name>/ parquet dir produced by graft.Verify plus oracle_sql.json,
 runs the oracle SQL in DuckDB against views over the sf parquet tables, and
-compares: sort columns by name, sort rows, compare cell values.
+compares EXACTLY the way the driver does: sort columns by name, sort rows via
+pandas sort_values (array cells are a hard ERROR, just like the driver's
+lexsort), then hash the STRINGIFIED cells.  String comparison means
+int-vs-float ("880" vs "880.0") and -0.0-vs-0.0 mismatches fail here exactly
+as they fail the driver — no float tolerance, no array normalization.
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
-import math
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    import numpy as np
+def canon(df: pd.DataFrame):
+    """Driver-equivalent canonical form: columns sorted by name, rows sorted
+    by all columns, every cell stringified.  Raises on unsortable (array)
+    cells — the driver does too."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize types for compare (ndarray: pandas reads parquet lists
-    # as numpy arrays, which neither hash nor sort)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
-    return df.reset_index(drop=True)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="first").reset_index(drop=True)
+    return df.astype(str)
 
-def cells_equal(a, b):
-    if a is None and b is None: return True
-    try:
-        if pd.isna(a) and pd.isna(b): return True
-    except (TypeError, ValueError): pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb): return True
-            return fa == fb
-        except (TypeError, ValueError):
-            return False
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+def table_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()
 
 def main():
     out_dir = sys.argv[1]
@@ -68,20 +58,33 @@ def main():
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}"); n_fail += 1; continue
-        g, e = norm(got), norm(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e.columns)}")
+        try:
+            g = canon(got)
+        except Exception as e:
+            print(f"FAIL  {name}: spark output not gate-sortable "
+                  f"(array column?): {type(e).__name__}: {e}")
             n_fail += 1; continue
-        if len(g) != len(e):
-            print(f"FAIL  {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
-        bad = None
-        for i in range(len(g)):
-            for c in g.columns:
-                if not cells_equal(g[c].iloc[i], e[c].iloc[i]):
-                    bad = (i, c, g[c].iloc[i], e[c].iloc[i]); break
-            if bad: break
-        if bad:
-            print(f"FAIL  {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+        try:
+            e_ = canon(exp)
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle output not gate-sortable "
+                  f"(array column?): {type(ex).__name__}: {ex}")
+            n_fail += 1; continue
+        if list(g.columns) != list(e_.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} vs {list(e_.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e_):
+            print(f"FAIL  {name}: rows {len(g)} vs {len(e_)}"); n_fail += 1; continue
+        if table_hash(g) != table_hash(e_):
+            bad = None
+            for i in range(len(g)):
+                for c in g.columns:
+                    if g[c].iloc[i] != e_[c].iloc[i]:
+                        bad = (i, c, g[c].iloc[i], e_[c].iloc[i]); break
+                if bad: break
+            print(f"FAIL  {name}: hash mismatch at row {bad[0]} col {bad[1]}: "
+                  f"spark={bad[2]!r} duck={bad[3]!r}" if bad else
+                  f"FAIL  {name}: hash mismatch (row-order-only difference)")
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(g)} rows)"); n_pass += 1

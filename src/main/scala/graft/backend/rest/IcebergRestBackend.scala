@@ -298,16 +298,14 @@ class IcebergRestBackend extends MetadataBackend {
         id.levels).mkString("/"))
     val props = TableUtil.mergeTableProperties(properties) ++
       schemaJson.map("graft.schema" -> _)
-    // catalog requires a schema: dummy 1-column struct (IcebergModels.java:446-460)
-    val dummySchema = JObject(
-      "type" -> JString("struct"),
-      "fields" -> JArray(List(JObject(
-        "id" -> JInt(1), "name" -> JString("dummy"),
-        "required" -> JBool(false), "type" -> JString("string")))))
+    // catalog requires a schema: the reference's dummy 1-column struct
+    // (IcebergModels.java:446-460) when none was declared, the declared
+    // columns mapped to iceberg-native types otherwise, so non-graft REST
+    // readers see the real column list (Hive/Glue/Unity parity)
     val body = JObject(
       "name" -> JString(id.name),
       "location" -> JString(loc),
-      "schema" -> dummySchema,
+      "schema" -> graft.schema.IcebergColumns.schemaFor(schemaJson),
       "properties" -> JObject(props.map { case (k, v) => k -> (JString(v): JValue) }.toList))
     try {
       client.post(s"${prefixPath(id.levels.head)}/namespaces/" +

@@ -164,14 +164,57 @@ object MutationQueries {
       |    AS total
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The DELETE-TO-ZERO (tombstone) path of
+    * [[Mutations.incrementalRollup]], gated at per-customer key grain:
+    * every order of every 5th customer arrives as a full delete image, so
+    * those keys' maintained counts reach exactly 0 and the keys must
+    * VANISH from the state (the state-size bound the streaming twin
+    * [[graft.streaming.EventStreams.rollupStream]] enforces via
+    * `state.remove()` — StreamingSpec pins stream ≡ batch; this row pins
+    * batch ≡ rebuild on the same shape). A sprinkle of inserts on
+    * surviving keys proves mixed batches don't disturb the tombstones.
+    * The oracle is the from-scratch rebuild, which simply never sees the
+    * deleted customers — any resurrected or lingering key breaks the
+    * row-count and hash alike. */
+  def q160RollupTombstone(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val base = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(27,15)")).as("total"))
+    val deletes = orders.filter(col("o_custkey") % 5 === 0)
+      .select(lit("D").as("op"), col("o_custkey"), col("o_totalprice"))
+    val inserts = orders
+      .filter(col("o_custkey") % 5 === 1 && col("o_orderkey") % 3 === 0)
+      .select(lit("I").as("op"), col("o_custkey"), col("o_totalprice"))
+    Mutations.incrementalRollup(base, deletes.unionByName(inserts),
+        "o_custkey", "op", "o_totalprice")
+      .select(col("o_custkey"), col("cnt"),
+        round(col("total").cast("double"), 6).as("total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q160Sql: String =
+    """WITH f AS (
+      |  SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_custkey, o_totalprice FROM orders
+      |  WHERE o_custkey % 5 = 1 AND o_orderkey % 3 = 0
+      |)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,15))) AS DOUBLE), 6)
+      |    AS total
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_incremental_rollup" -> (q154IncrementalRollup _),
+    "q160_rollup_tombstone" -> (q160RollupTombstone _),
     "q84_merge_upsert" -> (q84MergeUpsert _),
     "q85_scd2" -> (q85Scd2 _),
     "q89_snapshot_diff" -> (q89SnapshotDiff _))
 
   val oracles: Map[String, String] = Map(
     "q154_incremental_rollup" -> q154Sql,
+    "q160_rollup_tombstone" -> q160Sql,
     "q84_merge_upsert" -> q84Sql,
     "q85_scd2" -> q85Sql,
     "q89_snapshot_diff" -> q89Sql)

@@ -91,6 +91,72 @@ class RestConformanceSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg: declared schema registers NATIVE iceberg columns (DFS field " +
+      "ids, nested element/key/value ids, string catch-all) and round-trips") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("ts", TimestampType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, LongType)),
+      StructField("nested", StructType(Seq(
+        StructField("x", IntegerType), StructField("y", DoubleType))))))
+    val declaredJson = graft.schema.JsonArrowSchema.toJson(schema)
+    withServer {
+      case ("GET", "/v1/config") => (200, "{}")
+      case ("POST", p) if p.endsWith("/tables") => (200, "{}")
+      case ("GET", p) if p.contains("/tables/") =>
+        (200, s"""{"metadata":{"location":"file:/w/ns/t1","properties":{
+                 "table_type":"lance",
+                 "graft.schema":${JsonMethods.compact(JsonMethods.render(
+                   JString(declaredJson)))}}}}""")
+      case _ => (404, """{"error":{"message":"nope"}}""")
+    } { (port, captured) =>
+      val b = icebergBackend(port)
+      b.declareTable(ObjectIdentifier.of("wh", "ns", "t1"),
+        Some("file:/w/ns/t1"), Map.empty, Some(declaredJson))
+      val post = captured.find(_.method == "POST").get
+      val sent = JsonMethods.parse(post.body) \ "schema"
+      assert(sent \ "type" == JString("struct"))
+      val fields = (sent \ "fields").asInstanceOf[JArray].arr
+      assert(fields.map(f => (f \ "name").asInstanceOf[JString].s) ==
+        Seq("id", "name", "ts", "tags", "attrs", "nested"))
+      // top-level types: long, string, timestamptz (Spark TimestampType is
+      // session-tz-relative), then the nested spellings
+      assert(fields(0) \ "type" == JString("long"))
+      assert(fields(0) \ "required" == JBool(true))
+      assert(fields(1) \ "type" == JString("string"))
+      assert(fields(2) \ "type" == JString("timestamptz"))
+      val list = fields(3) \ "type"
+      assert(list \ "type" == JString("list"))
+      assert(list \ "element" == JString("string"))
+      val map = fields(4) \ "type"
+      assert(map \ "type" == JString("map"))
+      assert(map \ "key" == JString("string"))
+      assert(map \ "value" == JString("long"))
+      val nested = fields(5) \ "type"
+      assert((nested \ "fields").asInstanceOf[JArray].arr
+        .map(f => (f \ "type").asInstanceOf[JString].s) == Seq("int", "double"))
+      // field ids are unique and DFS-sequential across the whole tree:
+      // 1 id, 2 name, 3 ts, 4 tags, 5 element, 6 attrs, 7 key, 8 value,
+      // 9 nested, 10 x, 11 y
+      assert(fields.map(f => (f \ "id").asInstanceOf[JInt].num.toInt) ==
+        Seq(1, 2, 3, 4, 6, 9))
+      assert((list \ "element-id") == JInt(5))
+      assert((map \ "key-id") == JInt(7))
+      assert((map \ "value-id") == JInt(8))
+      assert((nested \ "fields").asInstanceOf[JArray].arr
+        .map(f => (f \ "id").asInstanceOf[JInt].num.toInt) == Seq(10, 11))
+      // loadTable round trip: describeTable surfaces the exact declared
+      // schema back through graft.schema
+      val info = b.describeTable(ObjectIdentifier.of("wh", "ns", "t1"))
+      assert(info.schemaJson.contains(declaredJson))
+      assert(graft.schema.JsonArrowSchema.fromJson(info.schemaJson.get)
+        == schema)
+    }
+  }
+
   test("iceberg: dropNamespace 404 — Skip is idempotent success, Fail surfaces not-found") {
     withServer {
       case ("GET", "/v1/config") => (200, "{}")
@@ -195,6 +261,45 @@ class RestConformanceSpec extends AnyFunSuite {
         b.describeTable(ObjectIdentifier.of("cat", "ns", "t1")))
       assert(e.detail.contains("not a Lance table"))
       assert(e.detail.contains("delta"))
+    }
+  }
+
+  test("polaris: declared schema rides the generic-table properties and " +
+      "round-trips through describeTable") {
+    import org.apache.spark.sql.types._
+    // the Polaris generic-tables API carries NO native column list (its
+    // create body is name/format/base-location/doc/properties only), so
+    // unlike iceberg/unity/hive/glue the declared schema's ONLY carrier is
+    // the graft.schema property — this row pins that the carrier is
+    // complete: declared StructType → wire body property → loadTable
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("meta", StructType(Seq(StructField("src", StringType))))))
+    val declaredJson = graft.schema.JsonArrowSchema.toJson(schema)
+    val stored = new java.util.concurrent.atomic.AtomicReference[String]("")
+    withServer {
+      case ("POST", p) if p.endsWith("/generic-tables") => (200, "{}")
+      case ("GET", p) if p.contains("/generic-tables/") =>
+        (200, s"""{"table":{"name":"t1","format":"lance",
+                 "base-location":"file:/w/t1",
+                 "properties":${stored.get}}}""")
+      case _ => (404, "{}")
+    } { (port, captured) =>
+      val b = new graft.backend.rest.PolarisBackend
+      b.initialize(Map("uri" -> s"http://localhost:$port", "max-retries" -> "0"))
+      b.declareTable(ObjectIdentifier.of("cat", "ns", "t1"),
+        Some("file:/w/t1"), Map.empty, Some(declaredJson))
+      val post = captured.find(_.method == "POST").get
+      val sentProps = JsonMethods.parse(post.body) \ "properties"
+      assert((sentProps \ "graft.schema") == JString(declaredJson))
+      assert(JsonMethods.parse(post.body) \ "format" == JString("lance"))
+      // feed the captured wire properties back as the server's stored state
+      stored.set(JsonMethods.compact(JsonMethods.render(sentProps)))
+      val info = b.describeTable(ObjectIdentifier.of("cat", "ns", "t1"))
+      assert(info.schemaJson.contains(declaredJson))
+      assert(graft.schema.JsonArrowSchema.fromJson(info.schemaJson.get)
+        == schema)
     }
   }
 

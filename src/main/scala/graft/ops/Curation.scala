@@ -505,4 +505,63 @@ object Curation {
       .join(benchGrams, Seq("__g"), "left_semi")
       .select(col("__id").as(idCol)).distinct()
   }
+
+  /** Hashed-feature LINEAR CLASSIFIER inference — the fastText-style
+    * quality-classifier scoring pass (Joulin et al. 2017 model shape;
+    * Weinberger et al. 2009 hashing trick): every token hashes into one
+    * of `dims` feature buckets, each bucket carries a fixed weight, a
+    * document's logit is the mean bucket weight over its tokens, and the
+    * probability is the logistic of that logit. This is the production
+    * inference shape for web-corpus quality filters (a trained linear
+    * model scored at corpus scale); the weights here are the md5-parity
+    * deterministic stand-in (the q127 device) so the oracle regenerates
+    * the identical model in SQL — swapping in real trained weights
+    * changes one literal-generating function, not the plan.
+    *
+    * Determinism: per-token weights are rounded to 6 dp THEN summed as
+    * decimal(27,15) (the established exact-sum rule). The MEAN is where
+    * engines usually drift: 6-dp weights divided by a token count land
+    * exactly on 7th-digit rounding ties (measured: one doc in 500 at
+    * sf0.01), and double `round` tie behavior is engine-specific — so
+    * the mean is rounded in exact INTEGER space instead
+    * (`sgn·((2|s|+n) div 2n)` over the 10⁶-scaled sum, HALF_UP away
+    * from zero), which every engine computes identically.
+    *
+    * Scale: tokenize → per-token hash+weight lookup (pure codegen'd
+    * expressions, no model join at all — the model is IN the expression)
+    * → one map-side-combinable per-doc aggregation. Zero shuffles beyond
+    * the doc-keyed agg; a real weight vector would ride as a broadcast
+    * literal array exactly like this.
+    *
+    * @return (idCol, n_tokens, logit, prob, is_positive) */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 64, salt: String = "qclf"): DataFrame = {
+    require(dims >= 2, s"hashedLinearScore: dims >= 2, got $dims")
+    // feature bucket: first 4 md5 hex chars of the token, mod dims
+    val tok = col("__t")
+    val bucket = pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"),
+      lit(dims.toLong))
+    // bucket weight in [-1, 1]: byte 1 of md5("salt:<bucket>") scaled
+    val w = round(
+      conv(substring(md5(concat(lit(s"$salt:"), bucket.cast("string"))),
+        1, 2), 16, 10).cast("double") / 127.5 - 1.0, 6)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .filter(tok =!= "")
+      .select(col(idCol), w.cast("decimal(27,15)").as("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("__sw"))
+      // exact 10^6-scaled integer sum (weights carry exactly 6 dp), then
+      // HALF_UP mean in integer space — no double-round tie anywhere
+      .withColumn("__si", (col("__sw") * 1000000).cast("long"))
+      .withColumn("__li", expr(
+        """CASE WHEN __si >= 0
+          |  THEN (__si * 2 + n_tokens) div (2 * n_tokens)
+          |  ELSE -((-__si * 2 + n_tokens) div (2 * n_tokens)) END""".stripMargin))
+      .select(col(idCol), col("n_tokens"),
+        (col("__li") / 1000000.0).as("logit"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("is_positive", col("prob") >= 0.5)
+  }
 }

@@ -421,4 +421,117 @@ object LanguageModel {
         col("__acc.pieces").as("pieces"))
     seg
   }
+
+  /** Smoothed log-odds over-indexing terms (the Monroe et al. 2008
+    * "fightin' words" device): which terms does the `target` slice of the
+    * corpus over-use relative to everything else? Each term scores
+    * `ln(((ca+1)/(na+V)) / ((cb+1)/(nb+V)))` — add-one-smoothed
+    * probability ratio between the target slice (a) and the rest (b),
+    * V = joint vocabulary size. The per-TERM drill-down companion to the
+    * per-SOURCE aggregate [[sourceKlDivergence]]: KL says THAT a source
+    * drifted, log-odds says WHICH WORDS carry the drift.
+    *
+    * Scale: one token-keyed count (map-side combined, both slices in one
+    * pass via conditional sums), a 1-row broadcast of totals, and a
+    * rank-truncated top-k (TakeOrdered, never a global sort).
+    *
+    * @return (term, ca, cb, log_odds) — top k by log-odds desc, term asc */
+  def logOddsTerms(docs: DataFrame, idCol: String, textCol: String,
+      grpCol: String, target: String, minCount: Long = 10,
+      k: Int = 20): DataFrame = {
+    val toks = docs
+      .filter(col(idCol).isNotNull && col(grpCol).isNotNull)
+      .select((col(grpCol) === target).as("__a"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("__na"),
+      sum(col("cb")).as("__nb"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("ca") + col("cb") >= minCount)
+      .select(col("term"), col("ca"), col("cb"),
+        round(log(
+          ((col("ca") + 1).cast("double") / (col("__na") + col("__v"))) /
+          ((col("cb") + 1).cast("double") / (col("__nb") + col("__v")))),
+          6).as("log_odds"))
+      .orderBy(col("log_odds").desc, col("term")).limit(k)
+  }
+
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016) — the other half of
+    * the tokenizer family next to [[wordpieceVocab]]/[[wordpieceSegment]]:
+    * start from characters, repeatedly merge the most frequent adjacent
+    * symbol pair (ties break lexicographically on (left, right)), emit
+    * the ordered merge table. Words ride as space-joined symbol strings
+    * (` l o w `) so each merge round is ONE codegen'd `replace` of
+    * `" l r "` with `" lr "` — non-overlapping left-to-right replacement
+    * is exactly BPE's leftmost-first merge semantics, and the identical
+    * `replace` builtin exists in the oracle's SQL dialect so the rounds
+    * replay bit-for-bit.
+    *
+    * Scale: the working set is the DISTINCT-WORD frequency table
+    * (vocabulary-sized, persisted once — the corpus is tokenized exactly
+    * once no matter how many merges), each round is a map-side-combinable
+    * pair count + a top-1 `TakeOrdered` (never a global sort) + a
+    * projection. The only driver materialization is ONE ROW per merge —
+    * the trained-model pattern (k centroids, k seeds). nMerges is the
+    * model size, fixed and small, never data-sized.
+    *
+    * @return (step, merge_left, merge_right, pair_count), step 1-based */
+  def bpeTrain(corpus: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, maxWordLen: Int = 12): DataFrame = {
+    require(nMerges >= 1, s"bpeTrain: nMerges >= 1, got $nMerges")
+    val spark = corpus.sparkSession
+    val wf = corpus.filter(col(idCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("__f"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("__s"), col("__f"))
+      .persist()
+    var words = wf
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val pairs = words
+        .select(split(trim(col("__s")), " ").as("__a"), col("__f"))
+        .filter(size(col("__a")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("__a"), lit(1), size(col("__a")) - 1).as("l"),
+          slice(col("__a"), lit(2), size(col("__a")) - 1).as("r"))).as("__p"),
+          col("__f"))
+        .groupBy(col("__p.l").as("lft"), col("__p.r").as("rgt"))
+        .agg(sum(col("__f")).as("__c"))
+      // top-1 with deterministic tie-break; Catalyst plans this as
+      // TakeOrdered (per-partition top-1 + driver merge), not a sort
+      val best = pairs.orderBy(col("__c").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, c))
+        words = words.withColumn("__s",
+          replace(col("__s"), lit(s" $l $r "), lit(s" $l$r ")))
+        step += 1
+      }
+    }
+    wf.unpersist(false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("merge_left",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("merge_right",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pair_count",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = merges.toSeq.map { case (s, l, r, c) =>
+      org.apache.spark.sql.Row(s, l, r, c)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

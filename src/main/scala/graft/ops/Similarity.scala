@@ -201,6 +201,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** EMBEDDING-SPACE decontamination report — train/eval leakage at the
+    * semantic level, the companion to the n-gram path
+    * ([[Curation.contaminatedIdsBloom]]): for every corpus vector, its
+    * single closest eval-set vector by exact cosine, globally ranked so
+    * the top-k report is the "most contaminated" list a pipeline reviews
+    * (or thresholds) before training. Ties break deterministically
+    * (higher cos, then smaller eval id, then smaller corpus id).
+    *
+    * Scale: the eval set is benchmark-sized (thousands) and BROADCAST —
+    * the corpus streams through one scan with zero shuffle of the big
+    * side; per-vector best-match is a corpus-id-keyed window (millions of
+    * tiny partitions, embarrassingly parallel) and the global top-k is a
+    * rank-truncated TakeOrdered, never a full sort. The q40 brute-force
+    * shape, pointed at leakage instead of retrieval.
+    *
+    * @return (idCol, evalIdCol, cos) — the k worst offenders,
+    *         cos desc then idCol asc */
+  def decontamTopMatches(corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"decontamTopMatches: k >= 1, got $k")
+    val scored = widen(corpus).crossJoin(broadcast(evalSet))
+      .select(col(idCol), col(evalIdCol),
+        round(cosine(col(vecCol), col(evalVecCol)), 6).as("cos"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col(evalIdCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: sign-bit signature of the
     * vector against `nPlanes` deterministic pseudo-random hyperplanes
     * (hash-derived, no RNG state). Near-identical vectors share buckets;

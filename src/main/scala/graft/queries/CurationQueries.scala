@@ -515,7 +515,48 @@ object CurationQueries {
       |FROM documents d JOIN stats USING (source)
       |ORDER BY doc_id""".stripMargin
 
+  /** Hashed-feature linear classifier inference
+    * ([[graft.ops.Curation.hashedLinearScore]]): every doc's token
+    * count, mean-bucket-weight logit, logistic probability, and keep
+    * flag are hash-pinned. The oracle regenerates the identical hashed
+    * model (md5 bucket hash + md5-parity weights — the q127 device) in
+    * SQL, so the feature hashing, the decimal-exact weight sum, and the
+    * sigmoid must all replay. The fastText-style quality-filter scoring
+    * pass, gated end to end. */
+  def q162QualityClassifier(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.hashedLinearScore(
+        graft.ops.TextFunctions.widen(Tables.documents(s, d)),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q162Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |tw AS (
+      |  SELECT doc_id,
+      |    CAST(round(CAST('0x' || substr(md5('qclf:' ||
+      |        CAST(CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 64 AS VARCHAR)),
+      |        1, 2) AS BIGINT) / 127.5 - 1.0, 6) AS DECIMAL(27,15)) AS w
+      |  FROM toks WHERE t <> ''),
+      |pd0 AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(w) * 1000000 AS BIGINT) AS si
+      |  FROM tw GROUP BY doc_id),
+      |pd AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CASE WHEN si >= 0
+      |       THEN (si * 2 + n_tokens) // (2 * n_tokens)
+      |       ELSE -((-si * 2 + n_tokens) // (2 * n_tokens)) END)
+      |      / 1000000.0 AS logit
+      |  FROM pd0)
+      |SELECT doc_id, n_tokens, logit,
+      |  round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+      |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS is_positive
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_quality_classifier" -> (q162QualityClassifier _),
     "q140_source_cap" -> (q140SourceCap _),
     "q141_calibrate_scores" -> (q141CalibrateScores _),
     "q129_dsir_weights" -> (q129DsirWeights _),
@@ -535,6 +576,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q162_quality_classifier" -> q162Sql,
     "q140_source_cap" -> q140Sql,
     "q141_calibrate_scores" -> q141Sql,
     "q129_dsir_weights" -> q129Sql,

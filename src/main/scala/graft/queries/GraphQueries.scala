@@ -113,11 +113,90 @@ object GraphQueries {
        |SELECT v AS vertex, lbl AS label FROM l2 ORDER BY vertex""".stripMargin
   }
 
+  /** Bradley–Terry preference strengths
+    * ([[graft.ops.Preference.bradleyTerry]]) over a deterministic
+    * judge: docs chain-paired inside their `doc_id % 50` cohort (lag
+    * window), the higher unrounded quality score wins each game (tie →
+    * smaller id), then 3 MM rounds fit per-doc strengths — every win
+    * count and 6-dp strength hash-pinned. The reward-model data op:
+    * pairwise comparisons distilled into scalar item quality. The oracle
+    * unrolls the same 3 rounds with the q96 decimal-pinned-sum device. */
+  def q166BradleyTerry(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.ops.TextFunctions.qualityScoreRaw(col("text")).as("__q"),
+        (col("doc_id") % 50).as("__grp"))
+    val w = Window.partitionBy(col("__grp")).orderBy(col("doc_id"))
+    val lagged = docs
+      .withColumn("__pid", lag(col("doc_id"), 1).over(w))
+      .withColumn("__pq", lag(col("__q"), 1).over(w))
+      .filter(col("__pid").isNotNull)
+    val iWins = col("__q") > col("__pq") ||
+      (col("__q") === col("__pq") && col("doc_id") < col("__pid"))
+    val cmp = lagged.select(
+      when(iWins, col("doc_id")).otherwise(col("__pid")).as("winner"),
+      when(iWins, col("__pid")).otherwise(col("doc_id")).as("loser"))
+    graft.ops.Preference.bradleyTerry(cmp, "winner", "loser", iters = 3)
+      .orderBy(col("item"))
+  }
+
+  val q166Sql: String = {
+    def step(prev: Int, cur: Int): String =
+      s"""d$cur AS (
+         |  SELECT e.i AS item,
+         |    CAST(sum(CAST(round(e.n / (si.s + sj.s), 12)
+         |      AS DECIMAL(27,15))) AS DOUBLE) AS den
+         |  FROM ed e JOIN s$prev si ON e.i = si.item
+         |    JOIN s$prev sj ON e.j = sj.item
+         |  GROUP BY e.i
+         |), s$cur AS (
+         |  SELECT w.item,
+         |    (w.w + 0.5) / (coalesce(d$cur.den, CAST(0 AS DOUBLE))
+         |      + round(1.0 / (sp.s + 1.0), 12)) AS s
+         |  FROM wt w LEFT JOIN d$cur ON w.item = d$cur.item
+         |    JOIN s$prev sp ON w.item = sp.item
+         |)""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    ${graft.ops.TextFunctions.qualityRawSql} AS q,
+       |    doc_id % 50 AS grp
+       |  FROM documents),
+       |lagged AS (
+       |  SELECT doc_id, q, grp,
+       |    lag(doc_id) OVER (PARTITION BY grp ORDER BY doc_id) AS pid,
+       |    lag(q) OVER (PARTITION BY grp ORDER BY doc_id) AS pq
+       |  FROM docs),
+       |cmp AS (
+       |  SELECT CASE WHEN q > pq OR (q = pq AND doc_id < pid)
+       |           THEN doc_id ELSE pid END AS winner,
+       |         CASE WHEN q > pq OR (q = pq AND doc_id < pid)
+       |           THEN pid ELSE doc_id END AS loser
+       |  FROM lagged WHERE pid IS NOT NULL),
+       |items AS (SELECT DISTINCT item FROM
+       |  (SELECT winner AS item FROM cmp UNION ALL SELECT loser FROM cmp)),
+       |wn AS (SELECT winner AS item, count(*) AS w FROM cmp GROUP BY 1),
+       |wt AS (SELECT items.item, CAST(coalesce(w, 0) AS BIGINT) AS w
+       |  FROM items LEFT JOIN wn USING (item)),
+       |g AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+       |  count(*) AS n FROM cmp GROUP BY 1, 2),
+       |ed AS (SELECT a AS i, b AS j, n FROM g
+       |  UNION ALL SELECT b, a, n FROM g),
+       |s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS s FROM items),
+       |${step(0, 1)},
+       |${step(1, 2)},
+       |${step(2, 3)}
+       |SELECT w.item, w.w AS wins, round(s3.s, 6) AS strength
+       |FROM wt w JOIN s3 ON w.item = s3.item ORDER BY w.item""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_pagerank" -> (q96Pagerank _),
-    "q99_label_prop" -> (q99LabelProp _))
+    "q99_label_prop" -> (q99LabelProp _),
+    "q166_bradley_terry" -> (q166BradleyTerry _))
 
   val oracles: Map[String, String] = Map(
     "q96_pagerank" -> q96Sql,
-    "q99_label_prop" -> q99Sql)
+    "q99_label_prop" -> q99Sql,
+    "q166_bradley_terry" -> q166Sql)
 }

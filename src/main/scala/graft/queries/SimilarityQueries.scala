@@ -686,7 +686,43 @@ object SimilarityQueries {
       |  round(max(e), 6) AS max_abs_err
       |FROM err GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Embedding-space decontamination report
+    * ([[Similarity.decontamTopMatches]]): every 97th vector plays the
+    * held-out eval set; the 20 training vectors closest to ANY eval
+    * vector are reported with their best-matching eval id and exact
+    * cosine — all hash-pinned. The semantic-leakage companion to the
+    * n-gram decontamination gate (q86): a pipeline drops or reviews
+    * these before training. */
+  def q163EmbedDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val eval = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec"))
+    Similarity.decontamTopMatches(
+        emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        eval, "eval_id", "eval_vec", k = 20)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  val q163Sql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, embedding AS eval_vec
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |tr AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+       |scored AS (
+       |  SELECT tr.vec_id, ev.eval_id,
+       |    round(${cosSql("tr", "embedding", "ev", "eval_vec")}, 6) AS cos
+       |  FROM tr CROSS JOIN ev),
+       |best AS (
+       |  SELECT vec_id, eval_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, eval_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, eval_id, cos FROM best WHERE rn = 1
+       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_embed_decontam" -> (q163EmbedDecontam _),
     "q144_int8_audit" -> (q144Int8Audit _),
     "q117_ivf_seeded" -> (q117IvfSeeded _),
     "q119_pq_seeded" -> (q119PqSeeded _),
@@ -707,6 +743,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q163_embed_decontam" -> q163Sql,
     "q144_int8_audit" -> q144Sql,
     "q117_ivf_seeded" -> q117Sql,
     "q119_pq_seeded" -> q119Sql,

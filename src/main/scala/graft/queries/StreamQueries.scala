@@ -382,7 +382,51 @@ object StreamQueries {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Sequence-pattern matches with veto
+    * ([[graft.ops.SequencePatterns.threeStageWithVeto]]): every
+    * view→click→purchase occurrence per user where no error falls inside
+    * the matched span, each match's three binding timestamps hash-pinned.
+    * The MATCH_RECOGNIZE shape (per-occurrence with negation) the funnel
+    * (q67, per-user stage counts) can't express; the oracle replays the
+    * same two cumulative-window automaton passes with arg_max. */
+  def q164SequenceMatch(s: SparkSession, d: String): DataFrame =
+    graft.ops.SequencePatterns.threeStageWithVeto(
+        Tables.events(s, d), "user_id", "event_id", "ts", "event_type",
+        "view", "click", "purchase", "error")
+      .orderBy(col("user_id"), col("p_ts"))
+
+  val q164Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+      |  FROM events),
+      |p1 AS (
+      |  SELECT *,
+      |    max(CASE WHEN event_type = 'view' THEN tsu END) OVER w AS lv,
+      |    max(CASE WHEN event_type = 'error' THEN tsu END) OVER w AS le
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p2 AS (
+      |  SELECT *,
+      |    max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |        THEN tsu END) OVER w AS c_tsu,
+      |    arg_max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |        THEN lv END,
+      |      CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |        THEN tsu END) OVER w AS v_tsu
+      |  FROM p1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, make_timestamp(v_tsu) AS v_ts,
+      |  make_timestamp(c_tsu) AS c_ts, ts AS p_ts
+      |FROM p2
+      |WHERE event_type = 'purchase' AND c_tsu IS NOT NULL
+      |  AND (le IS NULL OR le <= v_tsu)
+      |ORDER BY user_id, p_ts""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_sequence_match" -> (q164SequenceMatch _),
     "q158_session_paths" -> (q158SessionPaths _),
     "q152_type_trend" -> (q152TypeTrend _),
     "q145_attribution" -> (q145Attribution _),
@@ -398,6 +442,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q164_sequence_match" -> q164Sql,
     "q152_type_trend" -> q152Sql,
     "q158_session_paths" -> q158Sql,
     "q145_attribution" -> q145Sql,

@@ -600,7 +600,81 @@ object TextQueries {
       |  round(CAST(sum(CAST(lns AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS sb_score
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BPE merge-rule training ([[graft.ops.LanguageModel.bpeTrain]]):
+    * the full 8-round merge table — every learned rule's (left, right)
+    * symbols and its weighted pair count — is hash-pinned. The oracle
+    * unrolls the identical rounds as CTE pairs (count → top-1 → replace):
+    * both engines use the same non-overlapping left-to-right `replace`
+    * builtin, so leftmost-first merge semantics and the lexicographic
+    * tie-break must agree round by round — one wrong merge in round k
+    * cascades into every later round's counts. Complements q150 (which
+    * pins WordPiece SEGMENTATION with a pre-built vocab) and q120 (one
+    * round of raw pair counts). */
+  def q161BpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.bpeTrain(Tables.documents(s, d), "doc_id",
+        "text", nMerges = 8, maxWordLen = 12)
+      .orderBy(col("step"))
+
+  val q161Sql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i+1] AS rgt, sum(f) AS c
+         |  FROM (SELECT string_split(trim(s), ' ') AS l, f FROM w${i - 1}),
+         |    UNNEST(range(1, len(l))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(s, ' ' || lft || ' ' || rgt || ' ',
+         |                 ' ' || lft || rgt || ' ') AS s, f
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val steps = (1 to 8)
+      .map(i => s"SELECT $i AS step, lft, rgt, c FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, f
+       |  FROM (
+       |    SELECT w, count(*) AS f FROM (
+       |      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |      FROM documents WHERE doc_id IS NOT NULL)
+       |    WHERE w <> '' AND length(w) <= 12 GROUP BY w)),
+       |$rounds
+       |SELECT CAST(step AS INT) AS step, lft AS merge_left,
+       |  rgt AS merge_right, CAST(c AS BIGINT) AS pair_count
+       |FROM ($steps) ORDER BY step""".stripMargin
+  }
+
+  /** Log-odds over-indexing terms
+    * ([[graft.ops.LanguageModel.logOddsTerms]]): the 20 terms src0
+    * over-uses vs the rest of the corpus, add-one-smoothed — counts and
+    * 6-dp scores hash-pinned. The per-term drill-down next to q157's
+    * per-source KL aggregate. */
+  def q165LogOddsTerms(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.logOddsTerms(Tables.documents(s, d),
+        "doc_id", "text", "source", target = "src0", minCount = 10, k = 20)
+      .orderBy(col("log_odds").desc, col("term"))
+
+  val q165Sql: String =
+    """WITH toks AS (
+      |  SELECT source = 'src0' AS a,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      |counts AS (
+      |  SELECT term,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM toks WHERE term <> '' GROUP BY term),
+      |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts)
+      |SELECT term, ca, cb,
+      |  round(ln((CAST(ca + 1 AS DOUBLE) / (na + v)) /
+      |           (CAST(cb + 1 AS DOUBLE) / (nb + v))), 6) AS log_odds
+      |FROM counts CROSS JOIN tot
+      |WHERE ca + cb >= 10
+      |ORDER BY log_odds DESC, term LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_log_odds_terms" -> (q165LogOddsTerms _),
+    "q161_bpe_merges" -> (q161BpeMerges _),
     "q143_stupid_backoff" -> (q143StupidBackoff _),
     "q150_wordpiece" -> (q150Wordpiece _),
     "q151_zipf_fit" -> (q151ZipfFit _),
@@ -620,6 +694,8 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q165_log_odds_terms" -> q165Sql,
+    "q161_bpe_merges" -> q161Sql,
     "q143_stupid_backoff" -> q143Sql,
     "q150_wordpiece" -> q150Sql,
     "q151_zipf_fit" -> q151Sql,

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, LanguageModel, SequencePatterns, Similarity}
+
+/** Laws for the round-10 operator additions: BPE merge training, hashed
+  * linear classifier inference, embedding decontamination, sequence
+  * pattern matching with veto, and log-odds over-indexing terms. */
+class PipelineOps2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeTrain learns the classic merges on a hand-checkable corpus") {
+    // "aaab" x3 + "aab" x2: pair counts round 1: (a,a)=3+3+2=8, (a,b)=5
+    // → merge (a,a). round 2: words " aa a b " x3, " aa b " x2 →
+    // (aa,a)=3, (aa,b)=2, (a,b)=3 → tie (aa,a) vs (a,b) at 3 → lexicographic
+    // (a,b) < (aa,a): merge (a,b)? NO — ordering is (lft, rgt): "a" < "aa"
+    // so (a,b) wins the tie.
+    val docs = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect()
+    assert(got(0) == ((1, "a", "a", 8L)))
+    assert(got(1) == ((2, "a", "b", 3L)))
+    // after merging (a,b): " aa a b "→" aa ab ", " aa b "... wait: " a a a b "
+    // became " aa a b " then (a,b)→" aa ab " x3; " aa b " has no (a,b); pairs:
+    // (aa,ab)=3, (aa,b)=2 → merge (aa,ab)
+    assert(got(2) == ((3, "aa", "ab", 3L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    // all words single-char: zero mergeable pairs from the start
+    assert(LanguageModel.bpeTrain(docs, "doc_id", "text", nMerges = 5)
+      .count() === 0L)
+  }
+
+  test("hashedLinearScore: deterministic, token-order-invariant, and the " +
+      "flag agrees with the probability") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val got = Curation.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // same multiset of tokens → identical score regardless of order
+    assert(got(0).getAs[Double]("logit") == got(1).getAs[Double]("logit"))
+    assert(got(0).getAs[Long]("n_tokens") == 3L)
+    // single repeated token: the mean IS that token's bucket weight
+    val w3 = got(2).getAs[Double]("logit")
+    assert(w3 >= -1.0 && w3 <= 1.0)
+    got.foreach { r =>
+      val prob = r.getAs[Double]("prob")
+      assert(r.getAs[Boolean]("is_positive") == (prob >= 0.5))
+      assert(prob > 0.0 && prob < 1.0)
+    }
+  }
+
+  test("decontamTopMatches: a planted eval-identical vector tops the " +
+      "report at cosine 1") {
+    val mk = (seed: Int) => Array.tabulate(8)(i =>
+      (math.sin(seed * 31 + i) * 10).toFloat)
+    val corpus = Seq((10L, mk(1)), (11L, mk(2)), (12L, mk(99)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, mk(99)), (101L, mk(50)))
+      .toDF("eval_id", "eval_vec")
+    val got = Similarity.decontamTopMatches(corpus, "vec_id", "embedding",
+      eval, "eval_id", "eval_vec", k = 3).collect()
+    assert(got.length == 3)
+    assert(got.head.getAs[Long]("vec_id") == 12L)
+    assert(got.head.getAs[Long]("eval_id") == 100L)
+    assert(got.head.getAs[Double]("cos") == 1.0)
+    // one row per corpus vector (best match only), ordered cos desc
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == Set(10L, 11L, 12L))
+    val coss = got.map(_.getAs[Double]("cos"))
+    assert(coss.sameElements(coss.sortBy(-_)))
+  }
+
+  test("threeStageWithVeto: matches bind latest-click/latest-view and the " +
+      "veto kills only in-span errors") {
+    def ev(id: Long, u: Long, t: String, sec: Int) =
+      (id, u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"))
+    val events = Seq(
+      // user 1: view(1) click(2) purchase(3) → match binds v=1,c=2
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3),
+      // user 2: view click ERROR purchase → vetoed
+      ev(4, 2, "view", 1), ev(5, 2, "click", 2), ev(6, 2, "error", 3),
+      ev(7, 2, "purchase", 4),
+      // user 3: ERROR view click purchase → error before span is fine
+      ev(8, 3, "error", 1), ev(9, 3, "view", 2), ev(10, 3, "click", 3),
+      ev(11, 3, "purchase", 4),
+      // user 4: click purchase (no view) → no match
+      ev(12, 4, "click", 1), ev(13, 4, "purchase", 2),
+      // user 5: view1 click1 view2 click2 purchase → binds LATEST click2
+      // and ITS latest view2
+      ev(14, 5, "view", 1), ev(15, 5, "click", 2), ev(16, 5, "view", 3),
+      ev(17, 5, "click", 4), ev(18, 5, "purchase", 5)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = SequencePatterns.threeStageWithVeto(events, "user_id",
+        "event_id", "ts", "event_type", "view", "click", "purchase", "error")
+      .orderBy("user_id")
+      .select(col("user_id"), second(col("v_ts")), second(col("c_ts")),
+        second(col("p_ts")))
+      .as[(Long, Int, Int, Int)].collect()
+    assert(got.toSeq == Seq((1L, 1, 2, 3), (3L, 2, 3, 4), (5L, 3, 4, 5)),
+      got.mkString(", "))
+  }
+
+  test("bradleyTerry: strengths order by dominance, winless items stay " +
+      "finite, and a sweep is strictly ranked") {
+    val cmp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("A", "C"))
+      .toDF("winner", "loser")
+    val got = graft.ops.Preference.bradleyTerry(cmp, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("strength")))).toMap
+    assert(got("A")._1 == 3L && got("B")._1 == 1L && got("C")._1 == 0L)
+    assert(got("A")._2 > got("B")._2 && got("B")._2 > got("C")._2,
+      got.toString)
+    // the virtual ½-win keeps the all-losing item positive and finite
+    assert(got("C")._2 > 0.0 && !got("C")._2.isInfinite)
+    // two items that only ever lose to each other's opponents: no NaN
+    val lonely = Seq(("X", "Y")).toDF("winner", "loser")
+    val g2 = graft.ops.Preference.bradleyTerry(lonely, "winner", "loser")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(g2("X") > g2("Y") && g2.values.forall(v => !v.isNaN))
+  }
+
+  test("logOddsTerms: target-exclusive terms score positive, " +
+      "rest-exclusive negative, and minCount filters") {
+    val docs = Seq(
+      (1L, "aa aa aa aa aa shared shared", "tgt"),
+      (2L, "bb bb bb bb bb shared shared", "oth"),
+      (3L, "rare", "tgt")).toDF("doc_id", "text", "source")
+    val got = LanguageModel.logOddsTerms(docs, "doc_id", "text", "source",
+        target = "tgt", minCount = 4, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("log_odds")))).toMap
+    assert(!got.contains("rare"), "minCount must drop the singleton")
+    assert(got("aa")._1 == 5L && got("aa")._2 == 0L && got("aa")._3 > 0)
+    assert(got("bb")._1 == 0L && got("bb")._2 == 5L && got("bb")._3 < 0)
+    assert(math.abs(got("shared")._3) < got("aa")._3.abs)
+  }
+}

@@ -29,10 +29,13 @@ object Bench {
     // contention (round-2 measured 4–13× swings on identical plans);
     // min-of-2 measures the plan, which is what the baseline targets bound.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // In-round iteration knob: run only queries whose name sorts >= the
-    // given prefix (e.g. SPARK_GRAFT_SINCE=q146 sweeps just the newest
-    // tail). The canonical round-close artifact is always the full sweep.
+    // In-round iteration knob: run only queries numbered >= the given one
+    // (e.g. SPARK_GRAFT_SINCE=q146 sweeps just the newest tail). Numeric
+    // compare, not lexicographic — "q99" must NOT follow "q160". The
+    // canonical round-close artifact is always the full sweep.
     val since = sys.env.get("SPARK_GRAFT_SINCE")
+    def qnum(n: String): Int =
+      "q(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0)
 
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
@@ -65,7 +68,7 @@ object Bench {
     runControl("")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .filter { case (name, _) => since.forall(name >= _) }
+      .filter { case (name, _) => since.forall(s => qnum(name) >= qnum(s)) }
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val runs = (1 to 2).map(_ => timeOnce(name, fn))
       if ((i + 1) % ControlEvery == 0) runControl(name)

@@ -190,14 +190,14 @@ class ClusteringSpec extends SparkSpec {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val rows = graft.queries.SkewQueries.q73ApproxSketches(spark, sfDir)
       .select("l_returnflag", "exact_nd_part", "nd_within_bound",
-        "median_within_bound")
+        "median_rank_ok")
       .as[(String, Long, Boolean, Boolean)].collect()
     val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
       .as[(String, Long)].collect().toMap
     rows.foreach { case (k, nd, ndOk, medOk) =>
       assert(nd == exact(k), s"$k exact nd: $nd vs ${exact(k)}")
       assert(ndOk, s"$k: HLL outside its 0.05 bound")
-      assert(medOk, s"$k: quantile sketch outside its 0.02 bound")
+      assert(medOk, s"$k: quantile sketch outside its rank bound")
     }
   }
 }

@@ -506,6 +506,44 @@ object Curation {
       .select(col("__id").as(idCol)).distinct()
   }
 
+  /** Deterministic MLM masking plan (BERT's 15% / 80-10-10 recipe,
+    * Devlin et al. 2019) — the training-example construction step: every
+    * (doc, position) draws its masking decision from an md5 hash of its
+    * own coordinates, so the plan is reproducible across reruns,
+    * engines, and partitionings — no RNG state, which is exactly what a
+    * resumable 100 TB preprocessing job needs (re-running a failed
+    * partition MUST mask the same positions). Selection: `h % 100 < 15`;
+    * among selected: `h2 % 10` < 8 → [MASK], = 8 → random-token
+    * replace, = 9 → keep-original. ALL integer arithmetic — no float
+    * threshold anywhere to drift.
+    *
+    * Scale: posexplode → pure codegen'd hash expressions → one
+    * map-side-combinable per-doc count aggregation. One shuffle, keyed
+    * by doc.
+    *
+    * @return (idCol, n_tokens, n_selected, n_mask, n_random, n_keep) */
+  def mlmMaskingPlan(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "mlm"): DataFrame = {
+    val h = md5(concat(lit(s"$salt:"), col(idCol).cast("string"),
+      lit(":"), col("__p").cast("string")))
+    val sel = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(100L)) < 15
+    val act = pmod(conv(substring(h, 5, 2), 16, 10).cast("long"), lit(10L))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__t")))
+      .filter(col("__t") =!= "")
+      .select(col(idCol), sel.as("__sel"), act.as("__act"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("__sel") && col("__act") < 8, 1L).otherwise(0L))
+          .as("n_mask"),
+        sum(when(col("__sel") && col("__act") === 8, 1L).otherwise(0L))
+          .as("n_random"),
+        sum(when(col("__sel") && col("__act") === 9, 1L).otherwise(0L))
+          .as("n_keep"))
+  }
+
   /** Hashed-feature LINEAR CLASSIFIER inference — the fastText-style
     * quality-classifier scoring pass (Joulin et al. 2017 model shape;
     * Weinberger et al. 2009 hashing trick): every token hashes into one

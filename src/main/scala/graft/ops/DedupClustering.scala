@@ -183,6 +183,39 @@ object DedupClustering {
       org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
+  /** LEAKAGE-SAFE train/test split: a naive per-document hash split puts
+    * one member of a near-dup cluster in train and its twin in test —
+    * the eval set silently contains the training data. Here the split
+    * key is the CLUSTER (near-dup components from `pairs`; singletons
+    * key on their own id), so a whole duplicate family lands on one side
+    * by construction. The split itself is a deterministic md5 bucket of
+    * the cluster key (`md5(salt:cluster) % 10 < trainBuckets`), fully
+    * replayable by any engine — no RNG state anywhere.
+    *
+    * Scale: rides the banded pair generation + components machinery
+    * (never all-pairs); the split assignment is one id-keyed left join
+    * plus pure codegen'd expressions.
+    *
+    * @param pairs near-dup pairs (aCol, bCol) over idCol's domain
+    * @param trainBuckets of 10 md5 buckets go to train (8 → 80/20)
+    * @return (idCol, cluster, split ∈ train|test) */
+  def splitByComponents(df: DataFrame, pairs: DataFrame, aCol: String,
+      bCol: String, idCol: String, trainBuckets: Int = 8,
+      salt: String = "split"): DataFrame = {
+    require(trainBuckets >= 1 && trainBuckets <= 9,
+      s"splitByComponents: trainBuckets in [1,9], got $trainBuckets")
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val cluster = coalesce(col("cluster_id"), col(idCol))
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"$salt:"), cluster.cast("string"))),
+        1, 4), 16, 10).cast("long"),
+      lit(10L))
+    df.select(col(idCol)).join(comps, Seq(idCol), "left")
+      .select(col(idCol), cluster.as("cluster"),
+        when(bucket < trainBuckets, "train").otherwise("test").as("split"))
+  }
+
   /** End-to-end near-dup collapse: MinHash-LSH pairs → components → keep the
     * minimum id per cluster; returns the deduplicated frame. */
   def collapseNearDups(df: DataFrame, idCol: String, textCol: String,

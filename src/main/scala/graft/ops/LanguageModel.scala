@@ -422,6 +422,40 @@ object LanguageModel {
     seg
   }
 
+  /** Distinct-n diversity ratios (Li et al. 2016's distinct-1/distinct-2,
+    * the standard synthetic-text / mode-collapse detector): per group,
+    * the fraction of unigram and bigram OCCURRENCES that are distinct
+    * types. Templated or model-generated text repeats n-grams and scores
+    * low; natural text scores high. Two map-side-combinable aggregations
+    * keyed by group, one join on the (tiny) group key — nothing
+    * corpus-sized crosses the wire twice.
+    *
+    * @return (grpCol, n_tokens, distinct1_ratio, n_bigrams,
+    *         distinct2_ratio) */
+  def distinctNgramRatios(docs: DataFrame, idCol: String, textCol: String,
+      grpCol: String): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull && col(grpCol).isNotNull)
+    val uni = base
+      .select(col(grpCol), explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__w")).as("__d1"))
+    val bi = bigramRows(base, idCol, textCol)
+      .join(base.select(col(idCol).as("__id"), col(grpCol)), Seq("__id"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("w1"), col("w2")).as("__d2"))
+    uni.join(bi, Seq(grpCol), "left")
+      .select(col(grpCol), col("n_tokens"),
+        round(col("__d1").cast("double") / col("n_tokens"), 6)
+          .as("distinct1_ratio"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          round(col("__d2").cast("double") / col("n_bigrams"), 6))
+          .as("distinct2_ratio"))
+  }
+
   /** Smoothed log-odds over-indexing terms (the Monroe et al. 2008
     * "fightin' words" device): which terms does the `target` slice of the
     * corpus over-use relative to everything else? Each term scores

@@ -555,7 +555,41 @@ object CurationQueries {
       |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS is_positive
       |FROM pd ORDER BY doc_id""".stripMargin
 
+  /** Deterministic MLM masking plan
+    * ([[graft.ops.Curation.mlmMaskingPlan]]): each doc's selected /
+    * [MASK] / random / keep counts under the hash-derived 15% + 80-10-10
+    * recipe, all integer arithmetic and all hash-pinned — the oracle
+    * replays the md5 draws per (doc, position), so a single flipped
+    * masking decision anywhere in the corpus fails the gate. */
+  def q169MlmPlan(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curation.mlmMaskingPlan(
+        graft.ops.TextFunctions.widen(Tables.documents(s, d)),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q169Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |toks AS (
+      |  SELECT doc_id, a[CAST(p AS INT)] AS t, CAST(p - 1 AS BIGINT) AS p
+      |  FROM base, UNNEST(range(1, len(a) + 1)) AS u(p)),
+      |draws AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(p AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 15 AS sel,
+      |    CAST('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(p AS VARCHAR)), 5, 2) AS BIGINT) % 10 AS act
+      |  FROM toks WHERE t <> '')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+      |  CAST(sum(CASE WHEN sel AND act < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+      |  CAST(sum(CASE WHEN sel AND act = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+      |  CAST(sum(CASE WHEN sel AND act = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM draws GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_mlm_plan" -> (q169MlmPlan _),
     "q162_quality_classifier" -> (q162QualityClassifier _),
     "q140_source_cap" -> (q140SourceCap _),
     "q141_calibrate_scores" -> (q141CalibrateScores _),
@@ -576,6 +610,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q169_mlm_plan" -> q169Sql,
     "q162_quality_classifier" -> q162Sql,
     "q140_source_cap" -> q140Sql,
     "q141_calibrate_scores" -> q141Sql,

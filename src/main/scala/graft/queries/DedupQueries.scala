@@ -180,6 +180,44 @@ object DedupQueries {
        |SELECT cluster_id, count(*) AS n_members, max(id) AS max_id
        |FROM lbl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Leakage-safe train/test split
+    * ([[graft.ops.DedupClustering.splitByComponents]]): every doc's
+    * near-dup cluster key and its cluster-keyed 80/20 md5 split are
+    * hash-pinned — the oracle replays the LSH pairs, the recursive-CTE
+    * components, and the md5 bucket, so a single doc whose twin lands on
+    * the other side fails the hash. The split a pipeline MUST use
+    * instead of per-doc hashing (q39), which leaks near-dups across the
+    * boundary. */
+  def q167LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    graft.ops.DedupClustering.splitByComponents(
+        docs.select(col("doc_id")), pairs, "doc_a", "doc_b", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q167Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$q34Pairs
+       |), und AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+       |), verts AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+       |), lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster,
+       |  CASE WHEN CAST('0x' || substr(md5('split:' ||
+       |      CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+       |      AS BIGINT) % 10 < 8
+       |    THEN 'train' ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact all-corpus Jaccard ≥ 0.5 via the inverted-index join — the
     * at-scale counterpart of q36's blocked all-pairs form, and an exact
     * superset check on q34's LSH candidates. */
@@ -434,6 +472,7 @@ object DedupQueries {
     "q35_simhash" -> (q35Simhash _),
     "q36_ngram_jaccard" -> (q36NgramJaccard _),
     "q91_components" -> (q91Components _),
+    "q167_leakage_split" -> (q167LeakageSplit _),
     "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +487,6 @@ object DedupQueries {
     "q35_simhash" -> q35Sql,
     "q36_ngram_jaccard" -> q36Sql,
     "q91_components" -> q91Sql,
+    "q167_leakage_split" -> q167Sql,
     "q98_jaccard_index" -> q98Sql)
 }

@@ -672,7 +672,44 @@ object TextQueries {
       |WHERE ca + cb >= 10
       |ORDER BY log_odds DESC, term LIMIT 20""".stripMargin
 
+  /** Distinct-n diversity per source
+    * ([[graft.ops.LanguageModel.distinctNgramRatios]]): every source's
+    * unigram and bigram type/occurrence ratios hash-pinned — the
+    * mode-collapse / templated-text detector a curation pipeline runs
+    * per data source before mixing. */
+  def q168DistinctN(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.distinctNgramRatios(Tables.documents(s, d),
+        "doc_id", "text", "source")
+      .orderBy(col("source"))
+
+  val q168Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      |uni AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    count(DISTINCT w) AS d1
+      |  FROM (SELECT source, unnest(a) AS w FROM base) WHERE w <> ''
+      |  GROUP BY source),
+      |bi AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    count(DISTINCT w1 || chr(31) || w2) AS d2
+      |  FROM (
+      |    SELECT source, a[i] AS w1, a[i+1] AS w2
+      |    FROM base, UNNEST(range(1, len(a))) AS t(i)
+      |    WHERE len(a) >= 2)
+      |  GROUP BY source)
+      |SELECT uni.source, n_tokens,
+      |  round(CAST(d1 AS DOUBLE) / n_tokens, 6) AS distinct1_ratio,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  CASE WHEN n_bigrams IS NOT NULL
+      |    THEN round(CAST(d2 AS DOUBLE) / n_bigrams, 6) END AS distinct2_ratio
+      |FROM uni LEFT JOIN bi USING (source)
+      |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_distinct_n" -> (q168DistinctN _),
     "q165_log_odds_terms" -> (q165LogOddsTerms _),
     "q161_bpe_merges" -> (q161BpeMerges _),
     "q143_stupid_backoff" -> (q143StupidBackoff _),
@@ -694,6 +731,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q168_distinct_n" -> q168Sql,
     "q165_log_odds_terms" -> q165Sql,
     "q161_bpe_merges" -> q161Sql,
     "q143_stupid_backoff" -> q143Sql,

@@ -269,6 +269,49 @@ object EventStreams {
       }
   }
 
+  case class PatternState(lastView: Long, cTs: Long, vTs: Long,
+      lastVeto: Long)
+  case class PatternMatch(user_id: Long, v_ts: Long, c_ts: Long, p_ts: Long)
+
+  /** Streaming twin of
+    * [[graft.ops.SequencePatterns.threeStageWithVeto]]: the same
+    * view→click→purchase automaton with an error veto, run live with
+    * flatMapGroupsWithState. State per user is FOUR LONGS (latest view,
+    * latest qualifying click and its view, latest veto) — constant-size
+    * no matter how long the stream, the state-bound property the batch
+    * op's cumulative windows get for free and a stream must earn.
+    * Events inside a trigger are applied in (ts, event_id) order;
+    * StreamingSpec pins final emissions ≡ the batch operator over the
+    * same feed. Sentinel Long.MinValue = "unseen" (events predate it by
+    * construction). */
+  def patternStream(events: Dataset[Event]): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    val None_ = Long.MinValue
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(
+            PatternState(None_, None_, None_, None_))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsu = e.ts.getTime * 1000L
+            e.event_type match {
+              case "view" => st = st.copy(lastView = tsu)
+              case "error" => st = st.copy(lastVeto = tsu)
+              case "click" if st.lastView != None_ =>
+                st = st.copy(cTs = tsu, vTs = st.lastView)
+              case "purchase" if st.cTs != None_ &&
+                  (st.lastVeto == None_ || st.lastVeto <= st.vTs) =>
+                out += PatternMatch(user, st.vTs, st.cTs, tsu)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-type stats with JSON prop extraction (semi-structured path). */
   def typeStats(events: DataFrame): DataFrame =
     events

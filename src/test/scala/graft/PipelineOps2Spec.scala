@@ -104,6 +104,66 @@ class PipelineOps2Spec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("splitByComponents: near-dup clusters never straddle the split; " +
+      "singletons split independently") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {10,11}; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.ops.DedupClustering.splitByComponents(
+        docs, pairs, "a", "b", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got.size == 40)
+    // whole cluster shares one side AND one cluster key
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(1L)._1 == 1L)
+    assert(got(10L) == got(11L) && got(10L)._1 == 10L)
+    // both sides are populated over 35 singletons + 2 clusters
+    val sides = got.values.map(_._2).toSet
+    assert(sides == Set("train", "test"))
+    // deterministic: rerun yields the identical assignment
+    val again = graft.ops.DedupClustering.splitByComponents(
+        docs, pairs, "a", "b", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(again == got)
+  }
+
+  test("distinctNgramRatios: repetitive text scores below diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam", "rep"),
+      (2L, "one two three four five six", "div")).toDF("doc_id", "text", "src")
+    val got = graft.ops.LanguageModel
+      .distinctNgramRatios(docs, "doc_id", "text", "src")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("distinct1_ratio"),
+          r.getAs[Double]("distinct2_ratio")))).toMap
+    assert(got("rep") == ((6L, 0.166667, 0.2)))
+    assert(got("div") == ((6L, 1.0, 1.0)))
+  }
+
+  test("mlmMaskingPlan: counts are consistent, deterministic, and the " +
+      "selection rate lands near 15%") {
+    val docs = Tables_documents
+    val got = graft.ops.Curation.mlmMaskingPlan(docs, "doc_id", "text")
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_selected") == r.getAs[Long]("n_mask") +
+        r.getAs[Long]("n_random") + r.getAs[Long]("n_keep"))
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_tokens"))
+    }
+    val rate = got.map(_.getAs[Long]("n_selected")).sum.toDouble /
+      got.map(_.getAs[Long]("n_tokens")).sum
+    assert(rate > 0.10 && rate < 0.20, s"selection rate $rate")
+    val again = graft.ops.Curation.mlmMaskingPlan(docs, "doc_id", "text")
+      .collect()
+    assert(got.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  private lazy val Tables_documents =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
   test("bradleyTerry: strengths order by dominance, winless items stay " +
       "finite, and a sweep is strictly ranked") {
     val cmp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("A", "C"))

@@ -208,6 +208,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sequence-pattern stream: matches equal the batch automaton even " +
+      "when a pattern straddles the trigger boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, u: Long, t: String, sec: Int) = Event(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), u, t, 1.0)
+    val feed = Seq(
+      ev(1, 1, "view", 1), ev(2, 1, "click", 2), ev(3, 1, "purchase", 3),
+      ev(4, 2, "view", 1), ev(5, 2, "click", 2), ev(6, 2, "error", 3),
+      ev(7, 2, "purchase", 4),
+      ev(8, 3, "view", 1), ev(9, 3, "click", 2),  // continues in trigger 2
+      ev(10, 4, "purchase", 1))
+    val feed2 = Seq(ev(11, 3, "purchase", 3), ev(12, 4, "view", 2))
+    val stream = MemoryStream[Event]
+    val query = EventStreams.patternStream(stream.toDS())
+      .writeStream.format("memory").queryName("pattern_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(feed); query.processAllAvailable()
+      stream.addData(feed2); query.processAllAvailable()
+      val streamed = spark.table("pattern_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.ops.SequencePatterns.threeStageWithVeto(
+          (feed ++ feed2).toDF(), "user_id", "event_id", "ts", "event_type",
+          "view", "click", "purchase", "error")
+        .select(col("user_id"), unix_micros(col("v_ts")),
+          unix_micros(col("c_ts")), unix_micros(col("p_ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // user 1 matches inside trigger 1; user 3's pattern STRADDLES the
+      // boundary (view/click in t1, purchase in t2 — state must carry);
+      // user 2 is vetoed; user 4's purchase precedes any view
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("decayed scores: final stream state reproduces the batch operator, " +
       "including an out-of-order straggler trigger") {
     implicit val sqlCtx = spark.sqlContext

@@ -721,7 +721,81 @@ object SimilarityQueries {
        |SELECT vec_id, eval_id, cos FROM best WHERE rn = 1
        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
+  /** ANN RECALL AUDIT — the quality metric itself as a gate row: recall@10
+    * of the seeded IVF path (q117's exact parameters) against the exact
+    * brute-force top-10, per query. Because the IVF variant is seeded,
+    * BOTH arms are SQL-expressible, so the recall numbers hash-match —
+    * the evaluation harness a serving team runs nightly ("did the index
+    * rebuild lose recall?"), pinned end to end rather than asserted
+    * rows-only in a spec. */
+  def q170AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = q117IvfSeeded(s, d).select(col("qid"), col("vec_id"))
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      .select(col("qid"), col("vec_id"))
+    val common = ivf.join(bf, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+    bf.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) /
+          col("n_exact").cast("double"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  val q170Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 103)
+       |  WHERE rn <= 3),
+       |iscored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    round(${cosSql("p", "qvec", "a", "embedding")}, 6) AS score
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid),
+       |ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |    FROM iscored) WHERE rank <= 10),
+       |bscored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id >= 100 AND q.vec_id < 103 AND e.vec_id <> q.vec_id),
+       |bf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |    FROM bscored) WHERE rank <= 10),
+       |common AS (
+       |  SELECT qid, count(*) AS n_common
+       |  FROM ivf JOIN bf USING (qid, vec_id) GROUP BY qid),
+       |nx AS (SELECT qid, count(*) AS n_exact FROM bf GROUP BY qid)
+       |SELECT nx.qid, n_exact, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |  round(coalesce(n_common, 0) / CAST(n_exact AS DOUBLE), 6) AS recall
+       |FROM nx LEFT JOIN common USING (qid) ORDER BY qid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_ann_recall" -> (q170AnnRecall _),
     "q163_embed_decontam" -> (q163EmbedDecontam _),
     "q144_int8_audit" -> (q144Int8Audit _),
     "q117_ivf_seeded" -> (q117IvfSeeded _),
@@ -743,6 +817,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q170_ann_recall" -> q170Sql,
     "q163_embed_decontam" -> q163Sql,
     "q144_int8_audit" -> q144Sql,
     "q117_ivf_seeded" -> q117Sql,

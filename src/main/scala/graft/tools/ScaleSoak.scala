@@ -464,6 +464,63 @@ object ScaleSoak {
       graft.ops.Profiling.robustOutliers(li10, "l_suppkey",
         "l_extendedprice").count())
 
+    // ---- round-10 additions ----
+    time("sequence_match_1M_events")(
+      graft.ops.SequencePatterns.threeStageWithVeto(ev10, "user_id",
+        "event_id", "ts", "event_type", "view", "click", "purchase",
+        "error").count())
+
+    // docs10/emb10: the id-shifted replicas defined for the text soaks
+    time("mlm_plan_50k_docs")(
+      graft.ops.Curation.mlmMaskingPlan(docs10, "doc_id", "text").count())
+    time("quality_clf_50k_docs")(
+      graft.ops.Curation.hashedLinearScore(docs10, "doc_id", "text").count())
+    time("log_odds_50k_docs")(
+      graft.ops.LanguageModel.logOddsTerms(docs10, "doc_id", "text",
+        "source", target = "src0").count())
+    time("distinct_n_50k_docs")(
+      graft.ops.LanguageModel.distinctNgramRatios(docs10, "doc_id", "text",
+        "source").count())
+    // BPE train: the corpus is tokenized once into the persisted
+    // distinct-word table; 8 merge rounds each cost one vocab-sized pass
+    time("bpe_train_50k_docs")(
+      graft.ops.LanguageModel.bpeTrain(docs10, "doc_id", "text",
+        nMerges = 8).count())
+    // Bradley-Terry on ~50k chain comparisons (one per adjacent doc pair
+    // within %50 cohorts), 3 MM rounds of item-keyed joins
+    val cmp10 = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs10.select(col("doc_id"),
+        graft.ops.TextFunctions.qualityScoreRaw(col("text")).as("q"),
+        (col("doc_id") % 50).as("grp"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      val lagged = scored
+        .withColumn("pid", lag(col("doc_id"), 1).over(w))
+        .withColumn("pq", lag(col("q"), 1).over(w))
+        .filter(col("pid").isNotNull)
+      val iWins = col("q") > col("pq") ||
+        (col("q") === col("pq") && col("doc_id") < col("pid"))
+      lagged.select(when(iWins, col("doc_id")).otherwise(col("pid")).as("w"),
+        when(iWins, col("pid")).otherwise(col("doc_id")).as("l"))
+    }
+    time("bradley_terry_50k_games")(
+      graft.ops.Preference.bradleyTerry(cmp10, "w", "l", iters = 3).count())
+    // leakage-safe split is pair-producing (LSH + CC) — full factor only
+    if (full) time("leakage_split_50k_docs")(
+      graft.ops.DedupClustering.splitByComponents(
+        docs10.select(col("doc_id")),
+        graft.ops.Dedup.minhashNearDupPairs(docs10, "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", "doc_id").count())
+    // embedding decontam: replicated corpus vs a broadcast ~1% eval set
+    time("embed_decontam_50k_vecs")(
+      graft.ops.Similarity.decontamTopMatches(
+        emb10.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        emb10.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec")),
+        "eval_id", "eval_vec", k = 20).count())
+
     spark.stop()
   }
 }

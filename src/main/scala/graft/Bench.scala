@@ -99,7 +99,8 @@ object Bench {
     // a full benchmark result
     val onlyJson = only
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
-      .getOrElse("")
+      .getOrElse("") +
+      since.map(s => s""","since":"$s"""").getOrElse("")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
@@ -112,7 +113,8 @@ object Bench {
     // named copies (bench_full_r{N}.json) are made explicitly at round
     // close. r7 lost an artifact to a hardcoded round tag being rerun by
     // the driver; r8 lost one to opt-in-only writing — this is the middle.
-    if (only.isEmpty) {
+    // a SINCE-filtered tail run is just as partial as an ONLY run
+    if (only.isEmpty && since.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_full_latest.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

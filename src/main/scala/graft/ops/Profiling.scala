@@ -160,6 +160,30 @@ object Profiling {
         coalesce(abs(col("z")) > cutoff, lit(false)).as("is_anomaly"))
   }
 
+  /** Semi-structured key profile: one row per JSON key across a string
+    * column of JSON objects — occurrence count, distinct-value count,
+    * min/max value (as strings) — the "what's actually in this props
+    * blob" discovery query that precedes schema-ing a semi-structured
+    * drop. Values profile as their JSON-scalar string forms (numbers
+    * unquoted, booleans true/false), the cross-engine-stable spelling.
+    *
+    * Scale: one `from_json` map parse + explode (codegen'd) and one
+    * key-grouped map-side-combinable aggregation — key cardinality is
+    * schema-sized, so the shuffle is metadata-thin no matter the corpus.
+    *
+    * @return (key, n, n_distinct, min_val, max_val) */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(col(jsonCol).isNotNull)
+      .select(explode(from_json(col(jsonCol),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))).as(Seq("key", "__v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("__v")).as("n_distinct"),
+        min(col("__v")).as("min_val"),
+        max(col("__v")).as("max_val"))
+
   /** Schema drift between two table versions: one row per changed
     * column — `added`, `removed`, `retyped` (old/new SQL types shown),
     * or `renullabled`. The report a pipeline gates a new drop on before

@@ -218,6 +218,72 @@ object DedupQueries {
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
        |ORDER BY doc_id""".stripMargin
 
+  /** DEDUP RECALL AUDIT — q170's sibling for the near-dup family: the
+    * LSH pipeline's recall and precision against the exact
+    * inverted-index Jaccard join, as ONE hash-pinned summary row. The
+    * q34 pipeline verifies candidates with true Jaccard, so precision is
+    * 1 by construction and the gate PROVES it; recall < 1 measures
+    * exactly what the 4×3 banding misses at J ≥ 0.5 — the number a
+    * pipeline owner checks before trusting LSH-only dedup at 100 TB.
+    * Injected duplicates (every 7th doc re-keyed, the q33 device) give
+    * the audit a known planted population on a corpus with no natural
+    * dups. */
+  def q171LshRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dupes = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dupes)
+    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val exact = Dedup.ngramJaccardIndexPairs(corpus, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val nCommon = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nLsh).crossJoin(nCommon)
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common") / col("n_exact").cast("double"), 6)
+          .as("recall"),
+        round(col("n_common") / col("n_lsh").cast("double"), 6)
+          .as("precision"))
+  }
+
+  val q171Sql: String = {
+    val corpusSelect =
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    s"""WITH lshp AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${minhashPairsSqlFrom(s"($corpusSelect)")}
+       |  )
+       |), exct AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    WITH ${shingleCtes("", s"($corpusSelect)")},
+       |    r AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |    inter AS (
+       |      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |      FROM r a JOIN r b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |    SELECT doc_a, doc_b
+       |    FROM inter JOIN sz sa ON inter.doc_a = sa.doc_id
+       |      JOIN sz sb ON inter.doc_b = sb.doc_id
+       |    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+       |  )
+       |), c AS (
+       |  SELECT count(*) AS n_common FROM lshp JOIN exct USING (doc_a, doc_b)
+       |), nl AS (SELECT count(*) AS n_lsh FROM lshp),
+       |ne AS (SELECT count(*) AS n_exact FROM exct)
+       |SELECT n_exact, n_lsh, n_common,
+       |  round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall,
+       |  round(n_common / CAST(n_lsh AS DOUBLE), 6) AS precision
+       |FROM ne CROSS JOIN nl CROSS JOIN c""".stripMargin
+  }
+
   /** Exact all-corpus Jaccard ≥ 0.5 via the inverted-index join — the
     * at-scale counterpart of q36's blocked all-pairs form, and an exact
     * superset check on q34's LSH candidates. */
@@ -473,6 +539,7 @@ object DedupQueries {
     "q36_ngram_jaccard" -> (q36NgramJaccard _),
     "q91_components" -> (q91Components _),
     "q167_leakage_split" -> (q167LeakageSplit _),
+    "q171_lsh_recall" -> (q171LshRecall _),
     "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
@@ -488,5 +555,6 @@ object DedupQueries {
     "q36_ngram_jaccard" -> q36Sql,
     "q91_components" -> q91Sql,
     "q167_leakage_split" -> q167Sql,
+    "q171_lsh_recall" -> q171Sql,
     "q98_jaccard_index" -> q98Sql)
 }

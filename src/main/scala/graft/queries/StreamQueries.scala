@@ -425,7 +425,55 @@ object StreamQueries {
       |  AND (le IS NULL OR le <= v_tsu)
       |ORDER BY user_id, p_ts""".stripMargin
 
+  /** JSON key profiling ([[graft.ops.Profiling.jsonKeyProfile]]) over a
+    * typed-variant props column (the q33 synthesize-in-query device —
+    * the real props carry one key): purchases gain integer cents and a
+    * currency string, views a page string, errors a boolean, so the
+    * profile exercises every JSON scalar spelling. Each key's count,
+    * distinct values, and min/max are hash-pinned; the oracle parses
+    * the identical JSON with its own json functions. */
+  def q172JsonProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val k = get_json_object(col("props"), "$.k")
+    val cents = round(col("value") * 100).cast("long").cast("string")
+    val props2 = when(col("event_type") === "purchase",
+        concat(lit("{\"k\": "), k, lit(", \"amount\": "), cents,
+          lit(", \"cur\": \"usd\"}")))
+      .when(col("event_type") === "view",
+        concat(lit("{\"k\": "), k, lit(", \"page\": \"p"), k, lit("\"}")))
+      .when(col("event_type") === "error",
+        concat(lit("{\"k\": "), k, lit(", \"fatal\": true}")))
+      .otherwise(col("props"))
+    graft.ops.Profiling.jsonKeyProfile(
+        ev.select(props2.as("props")), "props")
+      .orderBy(col("key"))
+  }
+
+  val q172Sql: String =
+    """WITH p2 AS (
+      |  SELECT CASE
+      |    WHEN event_type = 'purchase' THEN
+      |      '{"k": ' || json_extract_string(props, '$.k') || ', "amount": ' ||
+      |      CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) ||
+      |      ', "cur": "usd"}'
+      |    WHEN event_type = 'view' THEN
+      |      '{"k": ' || json_extract_string(props, '$.k') || ', "page": "p' ||
+      |      json_extract_string(props, '$.k') || '"}'
+      |    WHEN event_type = 'error' THEN
+      |      '{"k": ' || json_extract_string(props, '$.k') || ', "fatal": true}'
+      |    ELSE props END AS pj
+      |  FROM events WHERE props IS NOT NULL),
+      |kv AS (
+      |  SELECT unnest(json_keys(pj)) AS key, pj FROM p2),
+      |kv2 AS (
+      |  SELECT key, json_extract_string(pj, '$.' || key) AS val FROM kv)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |  count(DISTINCT val) AS n_distinct,
+      |  min(val) AS min_val, max(val) AS max_val
+      |FROM kv2 GROUP BY key ORDER BY key""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_json_profile" -> (q172JsonProfile _),
     "q164_sequence_match" -> (q164SequenceMatch _),
     "q158_session_paths" -> (q158SessionPaths _),
     "q152_type_trend" -> (q152TypeTrend _),
@@ -442,6 +490,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q172_json_profile" -> q172Sql,
     "q164_sequence_match" -> q164Sql,
     "q152_type_trend" -> q152Sql,
     "q158_session_paths" -> q158Sql,

@@ -284,6 +284,23 @@ class RankingSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(got.head.fieldIndex("z"))))
   }
 
+  test("jsonKeyProfile: per-key counts/distincts/min-max over heterogeneous " +
+      "JSON objects; null and malformed rows drop cleanly") {
+    val df = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2}""",
+      """{"b": "y", "c": true}""",
+      null,
+      "not json at all").toDF("j")
+    val got = graft.ops.Profiling.jsonKeyProfile(df, "j")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(got("a") == ((2L, 2L, "1", "2")))
+    assert(got("b") == ((2L, 2L, "x", "y")))
+    assert(got("c") == ((1L, 1L, "true", "true")))
+    assert(got.size == 3)
+  }
+
   test("calibrateScores: degenerate groups (n = 1 or zero spread) emit " +
       "null z, not NaN/Infinity") {
     val df = Seq((1L, "solo", 10L), (2L, "flat", 5L), (3L, "flat", 5L),

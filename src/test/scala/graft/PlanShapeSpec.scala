@@ -568,4 +568,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q164 sequence match: all four automaton windows ride ONE " +
+      "user-keyed shuffle — no self-joins, no per-window re-exchange") {
+    val df = graft.queries.StreamQueries.q164SequenceMatch(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("Join"), s"the automaton must not self-join:\n$plan")
+    // exactly one hash exchange (the user partition); the rest is the
+    // gate's output range sort
+    val hashEx = plan.linesIterator
+      .filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected one user_id exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q163 embed decontam: eval set broadcast, per-vector best rank " +
+      "pre-truncated (WindowGroupLimit), global top-k is TakeOrdered") {
+    val df = graft.queries.SimilarityQueries.q163EmbedDecontam(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the eval set must broadcast — the corpus side never shuffles for the join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-vector rank must truncate before the exchange:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not a full sort:\n$plan")
+  }
+
+  test("q162 quality classifier: the model lives in the expression — " +
+      "no join anywhere, partial aggregation below the doc exchange") {
+    val df = graft.queries.CurationQueries.q162QualityClassifier(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("Join"), s"hashed weights need no model join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q167 leakage split: the split assignment never widens the plan — " +
+      "no cartesian product; the md5 bucket is pure projection") {
+    val df = graft.queries.DedupQueries.q167LeakageSplit(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only non-LSH join surface is the id-keyed component merge
+    assert(plan.contains("Project"), plan)
+  }
 }

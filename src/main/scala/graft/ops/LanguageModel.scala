@@ -497,12 +497,20 @@ object LanguageModel {
     * the tokenizer family next to [[wordpieceVocab]]/[[wordpieceSegment]]:
     * start from characters, repeatedly merge the most frequent adjacent
     * symbol pair (ties break lexicographically on (left, right)), emit
-    * the ordered merge table. Words ride as space-joined symbol strings
-    * (` l o w `) so each merge round is ONE codegen'd `replace` of
-    * `" l r "` with `" lr "` — non-overlapping left-to-right replacement
-    * is exactly BPE's leftmost-first merge semantics, and the identical
-    * `replace` builtin exists in the oracle's SQL dialect so the rounds
-    * replay bit-for-bit.
+    * the ordered merge table. Words ride as marker-delimited symbol
+    * strings (`␁l ␁o ␁w ` — every symbol PREFIXED by  and
+    * FOLLOWED by one space; the marker is U+0001) so each merge round is ONE codegen'd
+    * `replace` of `"␁l ␁r "` with `"␁lr "`. The marker layout makes
+    * non-overlapping left-to-right replacement EXACTLY canonical
+    * leftmost-first BPE: each match ends at the next symbol's marker, so
+    * no boundary character is ever consumed from the following pair — a
+    * plain space-separated form drops every other merge in runs of
+    * identical symbols (`a a a a` would merge once, not twice; caught by
+    * the PropertySpec cross-check against a straight-line reference).
+    * The identical `replace` builtin exists in the oracle's SQL dialect
+    * so the rounds replay bit-for-bit. Tokens containing U+0001 would
+    * break the symbol boundary; real tokenizers strip control
+    * characters, and the length cap already bounds pathological input.
     *
     * Scale: the working set is the DISTINCT-WORD frequency table
     * (vocabulary-sized, persisted once — the corpus is tokenized exactly
@@ -521,8 +529,8 @@ object LanguageModel {
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("__f"))
-      .select(concat(lit(" "),
-        regexp_replace(col("w"), "(.)", "$1 ")).as("__s"), col("__f"))
+      .select(regexp_replace(col("w"), "(.)", "\u0001$1 ").as("__s"),
+        col("__f"))
       .persist()
     var words = wf
     val merges = scala.collection.mutable.ArrayBuffer
@@ -545,11 +553,14 @@ object LanguageModel {
         .limit(1).collect()
       if (best.isEmpty) done = true
       else {
+        // lft/rgt carry the U+0001 prefix internally (constant across
+        // symbols, so the lexicographic tie-break is unchanged); the
+        // emitted merge table strips it
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, c))
+        merges += ((step, l.drop(1), r.drop(1), c))
         words = words.withColumn("__s",
-          replace(col("__s"), lit(s" $l $r "), lit(s" $l$r ")))
+          replace(col("__s"), lit(s"$l $r "), lit(s"$l${r.drop(1)} ")))
         step += 1
       }
     }

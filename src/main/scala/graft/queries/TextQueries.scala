@@ -616,6 +616,9 @@ object TextQueries {
       .orderBy(col("step"))
 
   val q161Sql: String = {
+    // symbols are chr(1)-PREFIXED and space-FOLLOWED (the op's marker
+    // layout), so the per-round replace is exactly canonical
+    // leftmost-first BPE — see LanguageModel.bpeTrain's scaladoc
     val rounds = (1 to 8).map { i =>
       s"""p$i AS (
          |  SELECT l[i] AS lft, l[i+1] AS rgt, sum(f) AS c
@@ -624,23 +627,24 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
          |w$i AS (
-         |  SELECT replace(s, ' ' || lft || ' ' || rgt || ' ',
-         |                 ' ' || lft || rgt || ' ') AS s, f
+         |  SELECT replace(s, lft || ' ' || rgt || ' ',
+         |                 lft || substr(rgt, 2) || ' ') AS s, f
          |  FROM w${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
     val steps = (1 to 8)
       .map(i => s"SELECT $i AS step, lft, rgt, c FROM b$i")
       .mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
-       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, f
+       |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> chr(1) || w[i] || ' '), '') AS s, f
        |  FROM (
        |    SELECT w, count(*) AS f FROM (
        |      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
        |      FROM documents WHERE doc_id IS NOT NULL)
        |    WHERE w <> '' AND length(w) <= 12 GROUP BY w)),
        |$rounds
-       |SELECT CAST(step AS INT) AS step, lft AS merge_left,
-       |  rgt AS merge_right, CAST(c AS BIGINT) AS pair_count
+       |SELECT CAST(step AS INT) AS step, substr(lft, 2) AS merge_left,
+       |  substr(rgt, 2) AS merge_right, CAST(c AS BIGINT) AS pair_count
        |FROM ($steps) ORDER BY step""".stripMargin
   }
 

@@ -233,4 +233,87 @@ class PropertySpec extends SparkSpec {
       .as[Long].head()
     assert(left == 0, s"$left residual PII matches after redaction")
   }
+
+  test("sequence automaton matches a straight-line reference on random " +
+      "event streams") {
+    // reference: per user, walk the ts-ordered stream with explicit state
+    def ref(evs: Seq[(Long, Long, String, Int)]): Set[(Long, Int, Int, Int)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Int, Int, Int)]
+      evs.groupBy(_._2).foreach { case (u, es) =>
+        var lv = -1; var c = -1; var v = -1; var le = -1
+        es.sortBy(e => (e._4, e._1)).foreach { case (_, _, t, sec) =>
+          t match {
+            case "view" => lv = sec
+            case "error" => le = sec
+            case "click" if lv >= 0 => c = sec; v = lv
+            case "purchase" if c >= 0 && (le < 0 || le <= v) =>
+              out += ((u, v, c, sec))
+            case _ => ()
+          }
+        }
+      }
+      out.toSet
+    }
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+      sec <- Gen.chooseNum(0, 58)
+    } yield (u, t, sec)
+    // distinct (user, sec) so the reference's scalar-per-second state and
+    // the operator's (ts, id) row order can't diverge on timestamp ties
+    val evs = samples(evGen, 400).distinctBy(e => (e._1, e._3))
+      .zipWithIndex.map { case ((u, t, sec), i) => (i.toLong, u, t, sec) }
+    val df = evs.map { case (id, u, t, sec) =>
+      (id, u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.SequencePatterns.threeStageWithVeto(df, "user_id",
+        "event_id", "ts", "event_type", "view", "click", "purchase", "error")
+      .select(col("user_id"), second(col("v_ts")), second(col("c_ts")),
+        second(col("p_ts")))
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(got == ref(evs), s"got=$got\nref=${ref(evs)}")
+  }
+
+  test("bpeTrain matches a straight-line reference BPE on random corpora") {
+    def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var ws = words.map { case (w, f) => (w.map(_.toString).toList, f) }.toList
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      for (_ <- 1 to n if continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        ws.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += ((l, r, c))
+          ws = ws.map { case (syms, f) =>
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.toList, f)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.chooseNum(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val words = samples(wordGen, 120)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel.bpeTrain(docs, "doc_id", "text",
+        nMerges = 6)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect()
+      .map { case (_, l, r, c) => (l, r, c) }.toSeq
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == refBpe(wf, 6), s"got=$got\nref=${refBpe(wf, 6)}")
+  }
 }

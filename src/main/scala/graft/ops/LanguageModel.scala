@@ -434,7 +434,8 @@ object LanguageModel {
     *         distinct2_ratio) */
   def distinctNgramRatios(docs: DataFrame, idCol: String, textCol: String,
       grpCol: String): DataFrame = {
-    val base = docs.filter(col(idCol).isNotNull && col(grpCol).isNotNull)
+    val base = TextFunctions.widen(
+      docs.filter(col(idCol).isNotNull && col(grpCol).isNotNull))
     val uni = base
       .select(col(grpCol), explode(TextFunctions.tokens(col(textCol))).as("__w"))
       .filter(col("__w") =!= "")
@@ -473,7 +474,7 @@ object LanguageModel {
   def logOddsTerms(docs: DataFrame, idCol: String, textCol: String,
       grpCol: String, target: String, minCount: Long = 10,
       k: Int = 20): DataFrame = {
-    val toks = docs
+    val toks = TextFunctions.widen(docs)
       .filter(col(idCol).isNotNull && col(grpCol).isNotNull)
       .select((col(grpCol) === target).as("__a"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
@@ -525,7 +526,7 @@ object LanguageModel {
       nMerges: Int, maxWordLen: Int = 12): DataFrame = {
     require(nMerges >= 1, s"bpeTrain: nMerges >= 1, got $nMerges")
     val spark = corpus.sparkSession
-    val wf = corpus.filter(col(idCol).isNotNull)
+    val wf = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("__f"))

@@ -208,6 +208,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join: streaming events joined to a batch " +
+      "dimension match the batch join — the production enrichment shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    def ev(id: Long, u: Long, v: Double) = Event(id,
+      Timestamp.valueOf("2024-01-01 00:00:01"), u, "purchase", v)
+    val feed = Seq(ev(1, 1, 10.0), ev(2, 2, 5.0), ev(3, 3, 1.0), ev(4, 1, 2.5))
+    val stream = MemoryStream[Event]
+    // left join keeps un-enrichable events (user 3) — the shape a
+    // pipeline needs to never silently drop facts on a stale dimension
+    val enriched = stream.toDS().toDF()
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("complete").start()
+    try {
+      stream.addData(feed); query.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => Option(r.getString(0)).getOrElse("-") ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = feed.toDF().join(dim, Seq("user_id"), "left")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .collect().map(r => Option(r.getString(0)).getOrElse("-") ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch)
+      assert(streamed("gold") == ((2L, 12.5)) && streamed("-") == ((1L, 1.0)))
+    } finally query.stop()
+  }
+
   test("sequence-pattern stream: matches equal the batch automaton even " +
       "when a pattern straddles the trigger boundary") {
     implicit val sqlCtx = spark.sqlContext

@@ -580,4 +580,38 @@ object LanguageModel {
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** BPE SEGMENTATION — apply a learned merge list ([[bpeTrain]]'s
+    * output, or any (merge_left, merge_right) table) to every distinct
+    * word: start from characters, apply each merge IN TRAINING ORDER as
+    * one codegen'd `replace` over the marker-delimited symbol string
+    * (the same U+0001 layout as training, so application is exactly the
+    * canonical leftmost-first walk the rules were learned under). The
+    * train → apply pair is the full tokenizer lifecycle; the merge list
+    * is model-sized (collected bounded rows, like k centroids), the
+    * corpus is touched once by the distinct-word census, and the chained
+    * replaces are a single projection — zero joins.
+    *
+    * @param merges (merge_left, merge_right) rows with a `step` order
+    * @return (word, n_pieces, pieces) — pieces space-joined */
+  def bpeSegment(corpus: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, maxWordLen: Int = 12): DataFrame = {
+    val rules = merges.orderBy(col("step"))
+      .select(col("merge_left"), col("merge_right"))
+      .collect() // model-sized: one row per learned merge
+      .map(r => (r.getString(0), r.getString(1)))
+    val words = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .distinct()
+    val spaced = regexp_replace(col("word"), "(.)", "\u0001$1 ")
+    val applied = rules.foldLeft(spaced) { case (s, (l, r)) =>
+      replace(s, lit(s"\u0001$l \u0001$r "), lit(s"\u0001$l$r "))
+    }
+    words
+      .withColumn("__seg", trim(applied))
+      .select(col("word"),
+        size(split(col("__seg"), " ")).cast("long").as("n_pieces"),
+        translate(col("__seg"), "\u0001", "").as("pieces"))
+  }
 }

@@ -712,7 +712,63 @@ object TextQueries {
       |FROM uni LEFT JOIN bi USING (source)
       |ORDER BY source""".stripMargin
 
+  /** BPE SEGMENTATION with the corpus-trained merges
+    * ([[graft.ops.LanguageModel.bpeTrain]] →
+    * [[graft.ops.LanguageModel.bpeSegment]]): every distinct word's
+    * piece string under the 8 learned rules, applied in training order —
+    * the full tokenizer lifecycle closed end-to-end (q161 pins the
+    * rules; this pins their application). The oracle re-derives the
+    * merge chain with the word carried through, so its round-8 state IS
+    * the segmentation. The trained merge table (8 rows) is memoized per
+    * source dir — train once, segment many, the serving shape. */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+
+  def q173BpeSegment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (rows, schema) = bpeMergeCache.getOrElseUpdate(d, {
+      val m = graft.ops.LanguageModel.bpeTrain(docs, "doc_id", "text",
+        nMerges = 8, maxWordLen = 12)
+      (m.collect(), m.schema)
+    })
+    val merges = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    graft.ops.LanguageModel.bpeSegment(docs, "doc_id", "text", merges,
+        maxWordLen = 12)
+      .orderBy(col("word"))
+  }
+
+  val q173Sql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS lft, l[i+1] AS rgt, sum(f) AS c
+         |  FROM (SELECT string_split(trim(s), ' ') AS l, f FROM w${i - 1}),
+         |    UNNEST(range(1, len(l))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
+         |w$i AS (
+         |  SELECT w, replace(s, lft || ' ' || rgt || ' ',
+         |                 lft || substr(rgt, 2) || ' ') AS s, f
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> chr(1) || w[i] || ' '), '') AS s, f
+       |  FROM (
+       |    SELECT w, count(*) AS f FROM (
+       |      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |      FROM documents WHERE doc_id IS NOT NULL)
+       |    WHERE w <> '' AND length(w) <= 12 GROUP BY w)),
+       |$rounds
+       |SELECT w AS word,
+       |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces,
+       |  replace(trim(s), chr(1), '') AS pieces
+       |FROM w8 ORDER BY word""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_bpe_segment" -> (q173BpeSegment _),
     "q168_distinct_n" -> (q168DistinctN _),
     "q165_log_odds_terms" -> (q165LogOddsTerms _),
     "q161_bpe_merges" -> (q161BpeMerges _),
@@ -735,6 +791,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q173_bpe_segment" -> q173Sql,
     "q168_distinct_n" -> q168Sql,
     "q165_log_odds_terms" -> q165Sql,
     "q161_bpe_merges" -> q161Sql,

@@ -28,6 +28,23 @@ class PipelineOps2Spec extends SparkSpec {
     assert(got(2) == ((3, "aa", "ab", 3L)))
   }
 
+  test("bpeSegment applies merges in training order; unseen words fall " +
+      "back to characters") {
+    val docs = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val merges = LanguageModel.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    // merges (from the train spec): (a,a) -> (a,b) -> (aa,ab)
+    val seg = LanguageModel.bpeSegment(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(seg("aaab") == ((1L, "aaab")))  // aa+ab -> aaab after merge 3
+    assert(seg("aab") == ((2L, "aa b")))
+    // a corpus word the merges never touch segments to raw characters
+    val other = Seq((1L, "xyz")).toDF("doc_id", "text")
+    val segO = LanguageModel.bpeSegment(other, "doc_id", "text", merges)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(segO("xyz") == "x y z")
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     // all words single-char: zero mergeable pairs from the start

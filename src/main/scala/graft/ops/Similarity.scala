@@ -201,6 +201,81 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-group GEOMETRIC MEDIAN of an embedding column (Weiszfeld
+    * iterations, fixed count) — the robust centroid: a handful of
+    * corrupted or adversarial vectors drag a mean centroid arbitrarily
+    * far but barely move the geometric median, so this is the statistic
+    * a drift monitor (q148's family) should anchor on when the corpus
+    * can't be trusted. Update rule per group g:
+    *   c ← Σ xᵢ/dᵢ / Σ 1/dᵢ,  dᵢ = ‖xᵢ − c‖₂
+    * with the standard singularity guard (a vector AT the centroid gets
+    * weight 0 this round).
+    *
+    * Determinism: per-round numerator/denominator terms are rounded to
+    * 12 dp and summed as decimal(30,15) (the trainCentroids device), so
+    * aggregation order can't wiggle the state; the state itself is
+    * group-count × dims — model-sized, collected per round like k-means
+    * centroids.
+    *
+    * Scale: each round = one broadcast join of the (tiny) centroid
+    * table + one posexplode + one map-side-combinable (group, dim)
+    * aggregation. `iters` bounds rounds, never data.
+    *
+    * @return scalar rows (grpCol, dim, value) — value 6-dp rounded */
+  def geometricMedian(df: DataFrame, grpCol: String, vecCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"geometricMedian: iters >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = widen(df.filter(col(grpCol).isNotNull))
+      .select(col(grpCol).cast("string").as("__g"), col(vecCol).as("__v"))
+    // init: per-(group, dim) decimal-exact mean
+    var cents: Map[String, Seq[Double]] = vecs
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__g"), col("__p"))
+      .agg(sum(col("__x").cast("decimal(30,15)")).as("s"),
+        count(lit(1)).as("n"))
+      .as[(String, Int, java.math.BigDecimal, Long)].collect()
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.sortBy(_._2).map(r => r._3.doubleValue() / r._4).toSeq
+      }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.sortBy(_._1).toDF("__g", "__c")
+      val dist = vecs.join(broadcast(cdf), Seq("__g"))
+        .select(col("__g"), col("__v"),
+          sqrt(aggregate(zip_with(col("__v"), col("__c"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, t) => acc + t)).as("__d"))
+        .filter(col("__d") > 0)
+      val agg = dist
+        .select(col("__g"), col("__d"),
+          round(lit(1.0) / col("__d"), 12).as("__w"),
+          posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("__g"), col("__p"))
+        .agg(
+          sum(round(col("__x").cast("double") / col("__d"), 12)
+            .cast("decimal(30,15)")).as("num"),
+          sum(col("__w").cast("decimal(30,15)")).as("den"))
+        .as[(String, Int, java.math.BigDecimal, java.math.BigDecimal)]
+        .collect()
+      val updated = agg.groupBy(_._1).map { case (g, rows) =>
+        g -> rows.sortBy(_._2)
+          .map(r => r._3.doubleValue() / r._4.doubleValue()).toSeq
+      }
+      cents = cents ++ updated
+    }
+    cents.toSeq.sortBy(_._1)
+      .flatMap { case (g, vs) =>
+        vs.zipWithIndex.map { case (v, p) =>
+          // HALF_UP like both engines' round(), not rint's half-to-even
+          (g, p, BigDecimal(v)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+        }
+      }
+      .toDF(grpCol, "dim", "value")
+  }
+
   /** EMBEDDING-SPACE decontamination report — train/eval leakage at the
     * semantic level, the companion to the n-gram path
     * ([[Curation.contaminatedIdsBloom]]): for every corpus vector, its

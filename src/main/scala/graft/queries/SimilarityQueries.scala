@@ -794,7 +794,58 @@ object SimilarityQueries {
        |  round(coalesce(n_common, 0) / CAST(n_exact AS DOUBLE), 6) AS recall
        |FROM nx LEFT JOIN common USING (qid) ORDER BY qid""".stripMargin
 
+  /** Per-label geometric median ([[Similarity.geometricMedian]], 2
+    * Weiszfeld rounds): every (label, dim) coordinate of the robust
+    * centroid is hash-pinned — the decimal-exact mean init, both rounds'
+    * 12-dp-rounded weight sums, and the 6-dp output all replay in the
+    * oracle's unrolled SQL. The outlier-resistant anchor the drift
+    * monitor (q148) upgrades to on untrusted corpora. Scalar rows
+    * (label, dim, value) per the gate's sortability contract. */
+  def q174GeometricMedian(s: SparkSession, d: String): DataFrame =
+    Similarity.geometricMedian(Tables.embeddings(s, d), "label",
+        "embedding", iters = 2)
+      .orderBy(col("label"), col("dim"))
+
+  val q174Sql: String = {
+    def dimRows(src: String, withD: Boolean): String = {
+      val dcol = if (withD) ", d" else ""
+      s"""SELECT g$dcol, i - 1 AS p, CAST(e[i] AS DOUBLE) AS x
+         |      FROM $src, UNNEST(range(1, len(e) + 1)) AS t(i)""".stripMargin
+    }
+    def round_(prev: String, cur: Int): String =
+      s"""r$cur AS (
+         |  SELECT v.g, v.e,
+         |    sqrt(list_reduce(list_transform(range(1, len(v.e) + 1),
+         |      i -> (CAST(v.e[i] AS DOUBLE) - cl[i]) *
+         |           (CAST(v.e[i] AS DOUBLE) - cl[i])),
+         |      (a, x) -> a + x)) AS d
+         |  FROM v JOIN $prev USING (g)),
+         |a$cur AS (
+         |  SELECT g, p,
+         |    CAST(sum(CAST(round(x / d, 12) AS DECIMAL(30,15))) AS DOUBLE) AS num,
+         |    CAST(sum(CAST(round(1.0 / d, 12) AS DECIMAL(30,15))) AS DOUBLE) AS den
+         |  FROM (${dimRows(s"(SELECT * FROM r$cur WHERE d > 0)", withD = true)})
+         |  GROUP BY g, p),
+         |c$cur AS (SELECT g, list(num / den ORDER BY p) AS cl
+         |  FROM a$cur GROUP BY g)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT CAST(label AS VARCHAR) AS g, embedding AS e
+       |  FROM embeddings WHERE label IS NOT NULL),
+       |d0 AS (
+       |  SELECT g, p,
+       |    CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS c
+       |  FROM (${dimRows("v", withD = false)})
+       |  GROUP BY g, p),
+       |c0 AS (SELECT g, list(c ORDER BY p) AS cl FROM d0 GROUP BY g),
+       |${round_("c0", 1)},
+       |${round_("c1", 2)}
+       |SELECT g AS label, CAST(p AS INT) AS dim,
+       |  round(num / den, 6) AS value
+       |FROM a2 ORDER BY label, dim""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_geometric_median" -> (q174GeometricMedian _),
     "q170_ann_recall" -> (q170AnnRecall _),
     "q163_embed_decontam" -> (q163EmbedDecontam _),
     "q144_int8_audit" -> (q144Int8Audit _),
@@ -817,6 +868,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q174_geometric_median" -> q174Sql,
     "q170_ann_recall" -> q170Sql,
     "q163_embed_decontam" -> q163Sql,
     "q144_int8_audit" -> q144Sql,

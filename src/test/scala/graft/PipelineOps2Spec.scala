@@ -181,6 +181,31 @@ class PipelineOps2Spec extends SparkSpec {
   private lazy val Tables_documents =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("geometricMedian: a planted outlier drags the mean far but the " +
+      "geometric median barely moves — the robustness contract") {
+    // 9 vectors tightly around (1, 0, ..., 0) plus one wild outlier
+    def v(head: Float) = head +: Array.fill(7)(0.0f)
+    val base = (0 until 9).map(i => (1, v(1.0f + i * 0.01f)))
+    val withOutlier = (base :+ ((1, v(1000.0f)))).toDF("label", "embedding")
+    val clean = base.toDF("label", "embedding")
+    // Weiszfeld descends linearly from the (outlier-dragged) mean init,
+    // so the robustness check runs enough rounds to converge; the gate's
+    // 2-round setting pins the ITERATION, this pins the LIMIT
+    def dim0(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.geometricMedian(df, "label", "embedding", iters = 6)
+        .filter(col("dim") === 0).collect().head.getAs[Double]("value")
+    val gmClean = dim0(clean)
+    val gmDirty = dim0(withOutlier)
+    val meanDirty = (base.map(_._2(0).toDouble).sum + 1000.0) / 10
+    assert(math.abs(gmClean - 1.04) < 0.02, s"clean gm $gmClean")
+    // the mean is dragged past 100; the geometric median stays near 1
+    assert(meanDirty > 100.0)
+    assert(math.abs(gmDirty - gmClean) < 0.1,
+      s"geometric median must resist the outlier: $gmDirty vs $gmClean")
+    // determinism: identical rerun
+    assert(dim0(withOutlier) == gmDirty)
+  }
+
   test("bradleyTerry: strengths order by dominance, winless items stay " +
       "finite, and a sweep is strictly ranked") {
     val cmp = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("A", "C"))

@@ -513,6 +513,17 @@ object ScaleSoak {
           k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
           .select(col("doc_a"), col("doc_b")),
         "doc_a", "doc_b", "doc_id").count())
+    // BPE apply: distinct-word census + 8 chained replaces, zero joins
+    val merges10 = graft.ops.LanguageModel.bpeTrain(docs10, "doc_id",
+      "text", nMerges = 8)
+    time("bpe_segment_50k_docs")(
+      graft.ops.LanguageModel.bpeSegment(docs10, "doc_id", "text",
+        merges10).count())
+    time("json_profile_1M_events")(
+      graft.ops.Profiling.jsonKeyProfile(ev10, "props").count())
+    time("geometric_median_50k_vecs")(
+      graft.ops.Similarity.geometricMedian(emb10, "label", "embedding",
+        iters = 2).count())
     // embedding decontam: replicated corpus vs a broadcast ~1% eval set
     time("embed_decontam_50k_vecs")(
       graft.ops.Similarity.decontamTopMatches(

@@ -506,6 +506,47 @@ object Curation {
       .select(col("__id").as(idCol)).distinct()
   }
 
+  /** HORVITZ–THOMPSON estimation from a weighted sample — the statistic
+    * that makes weighted sampling USEFUL: a kept row with inclusion
+    * probability πᵢ represents 1/πᵢ corpus rows, so Σ_kept 1/πᵢ
+    * estimates the population count and Σ_kept yᵢ/πᵢ any population
+    * total, unbiasedly. This closes the sampling loop (q47 pins the
+    * sample; this pins what you DO with it): corpus accounting —
+    * row counts, token budgets — from the sample alone, per group, next
+    * to the true values so calibration is visible.
+    *
+    * πᵢ = ppmᵢ/10⁶ from the same [[sampleKeep]] draw; rows with ppm = 0
+    * are outside the sampling frame and excluded from both truth and
+    * estimate (HT is only defined over π > 0). Weights are rounded to
+    * 12 dp and summed as decimal(27,15) — the exact-sum rule — so the
+    * estimates replay bit-for-bit on any engine.
+    *
+    * Scale: one projection (hash draw + weights) + one group-keyed
+    * map-side-combinable aggregation; truth and estimate ride the SAME
+    * aggregate, so the corpus is scanned once.
+    *
+    * @param ppm inclusion probability × 10⁶ column (must be 0..10⁶)
+    * @param y the value column whose total is estimated
+    * @return (grpCol, n_true, n_est, y_true, y_est) */
+  def horvitzThompson(df: DataFrame, idCol: String, grpCol: String,
+      ppm: Column, y: Column, salt: String): DataFrame = {
+    val framed = df.filter(col(idCol).isNotNull)
+      .select(col(grpCol), col(idCol).as("__id"), ppm.as("__ppm"),
+        y.as("__y"))
+      .filter(col("__ppm") > 0)
+      .withColumn("__keep", sampleKeep(col("__id"), col("__ppm"), salt))
+    framed.groupBy(col(grpCol))
+      .agg(
+        count(lit(1)).as("n_true"),
+        round(sum(when(col("__keep"),
+          round(lit(1000000.0) / col("__ppm"), 12))
+          .cast("decimal(27,15)")).cast("double"), 4).as("n_est"),
+        sum(col("__y")).as("y_true"),
+        round(sum(when(col("__keep"),
+          round(col("__y") * 1000000.0 / col("__ppm"), 12))
+          .cast("decimal(27,15)")).cast("double"), 4).as("y_est"))
+  }
+
   /** Deterministic MLM masking plan (BERT's 15% / 80-10-10 recipe,
     * Devlin et al. 2019) — the training-example construction step: every
     * (doc, position) draws its masking decision from an md5 hash of its

@@ -588,7 +588,46 @@ object CurationQueries {
       |  CAST(sum(CASE WHEN sel AND act = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
       |FROM draws GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Horvitz–Thompson corpus accounting from the q47 weighted sample
+    * ([[graft.ops.Curation.horvitzThompson]]): per-language true and
+    * HT-estimated row counts and token totals, all hash-pinned — the
+    * oracle replays the hash draw, the 12-dp weight terms, and the
+    * decimal sums, so the estimator itself (not just the sample) is
+    * gated. The answer to "how many tokens does the sampled corpus
+    * represent" that every mixture plan consumes. */
+  def q175HtEstimate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.TextFunctions.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScoreRaw(col("text")).as("qraw"),
+        TextFunctions.tokenCount(col("text")).as("toks"))
+    graft.ops.Curation.horvitzThompson(docs, "doc_id", "lang",
+        floor(col("qraw") * 800000).cast("long"), col("toks"), "wsample")
+      .orderBy(col("lang"))
+  }
+
+  val q175Sql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    (${TextFunctions.qualityRawSql}) AS qraw,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS toks
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |framed AS (
+      |  SELECT lang, toks,
+      |    CAST(floor(qraw * 800000) AS BIGINT) AS ppm,
+      |    CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+      |      < CAST(floor(qraw * 800000) AS BIGINT) AS keep
+      |  FROM scored
+      |  WHERE CAST(floor(qraw * 800000) AS BIGINT) > 0)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+      |  round(CAST(sum(CASE WHEN keep THEN
+      |    CAST(round(1000000.0 / ppm, 12) AS DECIMAL(27,15)) END) AS DOUBLE), 4) AS n_est,
+      |  CAST(sum(toks) AS BIGINT) AS y_true,
+      |  round(CAST(sum(CASE WHEN keep THEN
+      |    CAST(round(toks * 1000000.0 / ppm, 12) AS DECIMAL(27,15)) END) AS DOUBLE), 4) AS y_est
+      |FROM framed GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_ht_estimate" -> (q175HtEstimate _),
     "q169_mlm_plan" -> (q169MlmPlan _),
     "q162_quality_classifier" -> (q162QualityClassifier _),
     "q140_source_cap" -> (q140SourceCap _),
@@ -610,6 +649,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q175_ht_estimate" -> q175Sql,
     "q169_mlm_plan" -> q169Sql,
     "q162_quality_classifier" -> q162Sql,
     "q140_source_cap" -> q140Sql,

@@ -181,6 +181,29 @@ class PipelineOps2Spec extends SparkSpec {
   private lazy val Tables_documents =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("horvitzThompson: certain inclusion reproduces truth exactly; " +
+      "zero-probability rows leave the frame; estimates stay calibrated") {
+    val docs = (1L to 400L).map(i => (i, "g", i % 7 + 1L))
+      .toDF("id", "g", "y")
+    // π = 1 for every row → the estimate IS the truth, bit-exact
+    val sure = graft.ops.Curation.horvitzThompson(docs, "id", "g",
+      lit(1000000L), col("y"), "ht").collect().head
+    assert(sure.getAs[Long]("n_true") == 400L)
+    assert(sure.getAs[Double]("n_est") == 400.0)
+    assert(sure.getAs[Double]("y_est") == sure.getAs[Long]("y_true").toDouble)
+    // π = 0 rows are outside the sampling frame on BOTH sides
+    val framed = graft.ops.Curation.horvitzThompson(docs, "id", "g",
+      when(col("id") <= 100, 0L).otherwise(500000L), col("y"), "ht")
+      .collect().head
+    assert(framed.getAs[Long]("n_true") == 300L)
+    // π = 0.5: the deterministic draw keeps ~half; HT rescales back
+    val est = framed.getAs[Double]("n_est")
+    assert(math.abs(est - 300.0) / 300.0 < 0.15, s"n_est $est")
+    val yEst = framed.getAs[Double]("y_est")
+    val yTrue = framed.getAs[Long]("y_true").toDouble
+    assert(math.abs(yEst - yTrue) / yTrue < 0.15, s"y_est $yEst vs $yTrue")
+  }
+
   test("geometricMedian: a planted outlier drags the mean far but the " +
       "geometric median barely moves — the robustness contract") {
     // 9 vectors tightly around (1, 0, ..., 0) plus one wild outlier

@@ -208,6 +208,53 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hourly anomaly screen over streaming window output equals the " +
+      "batch screen — the monitoring pipeline end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    // ten 1-event hours + one 12-event spike hour for one type
+    val base = (0 until 10).map(h => Event(h.toLong,
+      Timestamp.valueOf(f"2024-01-01 0$h%02d:15:00"), 1L, "x", 1.0))
+    val spike = (0 until 12).map(m => Event(100L + m,
+      Timestamp.valueOf(f"2024-01-01 11:$m%02d:00"), 1L, "x", 1.0))
+    val stream = MemoryStream[Event]
+    val counts = stream.toDS().toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("hour"), col("n"))
+    val query = counts.writeStream.format("memory")
+      .queryName("anom_counts").outputMode("complete").start()
+    try {
+      stream.addData(base ++ spike); query.processAllAvailable()
+      // score the STREAMED hourly counts with the same closed-form stats
+      // the batch op derives internally (localCheckpoint: the self-join
+      // of one memory-sink plan otherwise trips reference dedup)
+      val hourly = spark.table("anom_counts").localCheckpoint()
+      val stats = hourly.groupBy(col("event_type")).agg(
+        count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      val z = hourly.join(stats, Seq("event_type"))
+        .withColumn("z", when(col("h") >= 2 &&
+          (col("ss").cast("double") - col("s").cast("double") *
+            col("s") / col("h")) / (col("h") - 1) > 0,
+          round((col("n") - col("s").cast("double") / col("h")) /
+            sqrt((col("ss").cast("double") - col("s").cast("double") *
+              col("s") / col("h")) / (col("h") - 1)), 6)))
+        .select(col("event_type"), col("hour"), col("n"), col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+        .collect().map(r => r.getTimestamp(1) ->
+          ((r.getLong(2), r.getAs[Double]("z"),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      val batch = graft.ops.Profiling.hourlyAnomaly(
+          (base ++ spike).toDF(), "event_type", "ts")
+        .collect().map(r => r.getTimestamp(1) ->
+          ((r.getLong(2), r.getAs[Double]("z"),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      assert(z == batch)
+      assert(z.values.count(_._3) == 1)
+    } finally query.stop()
+  }
+
   test("stream-static enrichment join: streaming events joined to a batch " +
       "dimension match the batch join — the production enrichment shape") {
     implicit val sqlCtx = spark.sqlContext

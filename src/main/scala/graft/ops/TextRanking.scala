@@ -91,6 +91,59 @@ object TextRanking {
        |FROM tf JOIN dfreq USING (t) CROSS JOIN stats
        |GROUP BY id""".stripMargin
 
+  /** nDCG@k — the graded ranking-quality metric a retrieval stack
+    * reports: DCG = Σ (2^grade − 1)/log₂(rank+1) over a system's ranked
+    * list, normalized by the ideal DCG of the best-possible ordering of
+    * the same query's candidate pool. Closes the evaluation family next
+    * to the recall audits (q170/q171): recall says WHAT came back, nDCG
+    * says whether it came back in the right ORDER with the right
+    * emphasis on highly-relevant items.
+    *
+    * Determinism: discount terms are rounded to 12 dp and summed as
+    * decimal(27,15) (the exact-sum rule); the ideal ordering breaks
+    * grade ties by item id, a total order.
+    *
+    * Scale: the system list is already rank-truncated (k rows per
+    * query); the ideal side ranks the judgment pool per query with a
+    * query-keyed window — judgment pools are human-annotation-sized, so
+    * neither side ever touches corpus-scale data.
+    *
+    * @param ranked system output: (qidCol, idCol, rankCol) — rank 1-based
+    * @param judgments relevance pool: (qidCol, idCol, gradeCol ≥ 0);
+    *                  items missing from the pool count as grade 0
+    * @return (qidCol, dcg, idcg, ndcg) — 6-dp rounded */
+  def ndcgAtK(ranked: DataFrame, judgments: DataFrame, qidCol: String,
+      idCol: String, rankCol: String, gradeCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k >= 1, got $k")
+    val ln2 = log(lit(2.0))
+    def gain(grade: Column) = pow(lit(2.0), grade) - 1.0
+    def discount(rank: Column) = log(rank.cast("double") + 1.0) / ln2
+    val sys = ranked.filter(col(rankCol) <= k)
+      .join(judgments.select(col(qidCol), col(idCol), col(gradeCol)),
+        Seq(qidCol, idCol), "left")
+      .select(col(qidCol),
+        round(gain(coalesce(col(gradeCol), lit(0))) /
+          discount(col(rankCol)), 12).as("__t"))
+      .groupBy(col(qidCol))
+      .agg(sum(col("__t").cast("decimal(27,15)")).as("__dcg"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col(gradeCol).desc, col(idCol))
+    val ideal = judgments
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col(qidCol),
+        round(gain(col(gradeCol)) / discount(col("__r")), 12).as("__t"))
+      .groupBy(col(qidCol))
+      .agg(sum(col("__t").cast("decimal(27,15)")).as("__idcg"))
+    sys.join(ideal, Seq(qidCol))
+      .select(col(qidCol),
+        round(col("__dcg").cast("double"), 6).as("dcg"),
+        round(col("__idcg").cast("double"), 6).as("idcg"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
   /** Rank-truncate a scored frame: global top-n by (score desc, id) with
     * an explicit 1-based rank column. The truncation is a
     * TakeOrderedAndProject (scalable — per-partition top-n then a single

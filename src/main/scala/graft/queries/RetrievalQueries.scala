@@ -126,15 +126,90 @@ object RetrievalQueries {
       |  cand AS neg_id, h AS neg_key
       |FROM c QUALIFY neg_rank <= 5 ORDER BY qid, neg_rank""".stripMargin
 
+  /** nDCG@10 of the brute-force cosine ranking
+    * ([[TextRanking.ndcgAtK]]) against an md5-derived graded judgment
+    * pool (every 3rd vector judged, grades 0–3 — the q127 determinism
+    * device standing in for human annotations): per-query DCG, ideal
+    * DCG, and nDCG all hash-pinned — the ranking-quality harness next to
+    * the recall audits (q170/q171). Unjudged retrieved items count 0,
+    * judged-but-missed items shape the ideal — both realities of a
+    * sampled judgment pool are exercised. */
+  def q176Ndcg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+    val judgments = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id")).crossJoin(queries.select(col("qid")))
+      .select(col("qid"), col("vec_id"),
+        pmod(conv(substring(md5(concat(lit("rel:"),
+          col("qid").cast("string"), lit(":"),
+          col("vec_id").cast("string"))), 1, 2), 16, 10).cast("long"),
+          lit(4L)).as("grade"))
+    TextRanking.ndcgAtK(ranked, judgments, "qid", "vec_id", "rank",
+        "grade", k = 10)
+      .orderBy(col("qid"))
+  }
+
+  val q176Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(q.embedding)+1),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
+        |     * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
+    s"""WITH ranked AS (
+       |  SELECT qid, vec_id, rank FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($cos, 6) DESC, e.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings e
+       |      ON q.vec_id >= 100 AND q.vec_id < 103 AND e.vec_id <> q.vec_id)
+       |  WHERE rank <= 10),
+       |jd AS (
+       |  SELECT q.vec_id AS qid, e.vec_id,
+       |    CAST('0x' || substr(md5('rel:' || CAST(q.vec_id AS VARCHAR) || ':' ||
+       |      CAST(e.vec_id AS VARCHAR)), 1, 2) AS BIGINT) % 4 AS grade
+       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0) e
+       |  CROSS JOIN (SELECT vec_id FROM embeddings
+       |    WHERE vec_id >= 100 AND vec_id < 103) q),
+       |sys AS (
+       |  SELECT r.qid,
+       |    sum(CAST(round((power(2, coalesce(jd.grade, 0)) - 1.0) /
+       |      (ln(r.rank + 1.0) / ln(2.0)), 12) AS DECIMAL(27,15))) AS dcg
+       |  FROM ranked r LEFT JOIN jd ON r.qid = jd.qid AND r.vec_id = jd.vec_id
+       |  GROUP BY r.qid),
+       |ideal AS (
+       |  SELECT qid,
+       |    sum(CAST(round((power(2, grade) - 1.0) /
+       |      (ln(r + 1.0) / ln(2.0)), 12) AS DECIMAL(27,15))) AS idcg
+       |  FROM (
+       |    SELECT qid, grade,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY grade DESC, vec_id) AS r
+       |    FROM jd)
+       |  WHERE r <= 10 GROUP BY qid)
+       |SELECT sys.qid, round(CAST(dcg AS DOUBLE), 6) AS dcg,
+       |  round(CAST(idcg AS DOUBLE), 6) AS idcg,
+       |  CASE WHEN idcg > 0
+       |    THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg
+       |FROM sys JOIN ideal USING (qid) ORDER BY qid""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
     "q106_negative_sample" -> (q106NegativeSample _),
+    "q176_ndcg" -> (q176Ndcg _),
     "q113_keywords" -> (q113Keywords _))
 
   val oracles: Map[String, String] = Map(
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,
+    "q176_ndcg" -> q176Sql,
     "q113_keywords" -> q113Sql)
 }

@@ -181,6 +181,31 @@ class PipelineOps2Spec extends SparkSpec {
   private lazy val Tables_documents =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  test("ndcgAtK: the ideal ordering scores exactly 1; inversions and " +
+      "unjudged items lose credit by the hand-computed amounts") {
+    val judgments = Seq((1L, "a", 3L), (1L, "b", 2L), (1L, "c", 1L))
+      .toDF("qid", "id", "grade")
+    def run(order: Seq[String]) = graft.ops.TextRanking.ndcgAtK(
+      order.zipWithIndex.map { case (id, i) => (1L, id, (i + 1).toLong) }
+        .toDF("qid", "id", "rank"),
+      judgments, "qid", "id", "rank", "grade", k = 3)
+      .collect().head
+    val perfect = run(Seq("a", "b", "c"))
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+    // idcg = 7/1 + 3/log2(3) + 1/2 = 7 + 1.892789 + 0.5
+    assert(math.abs(perfect.getAs[Double]("idcg") - 9.392789) < 1e-5)
+    val reversed = run(Seq("c", "b", "a"))
+    // dcg = 1 + 3/log2(3) + 7/2 = 6.392789
+    assert(math.abs(reversed.getAs[Double]("dcg") - 6.392789) < 1e-5)
+    assert(reversed.getAs[Double]("ndcg") < 1.0)
+    // an unjudged item in the list earns nothing; the judged-but-missed
+    // item still shapes the ideal
+    val offlist = run(Seq("a", "z", "b"))
+    // a@1: 7/1; z@2: unjudged -> 0; b@3: 3/log2(4) = 1.5
+    assert(math.abs(offlist.getAs[Double]("dcg") - 8.5) < 1e-5)
+    assert(offlist.getAs[Double]("ndcg") < perfect.getAs[Double]("ndcg"))
+  }
+
   test("horvitzThompson: certain inclusion reproduces truth exactly; " +
       "zero-probability rows leave the frame; estimates stay calibrated") {
     val docs = (1L to 400L).map(i => (i, "g", i % 7 + 1L))

@@ -234,6 +234,27 @@ class PropertySpec extends SparkSpec {
     assert(left == 0, s"$left residual PII matches after redaction")
   }
 
+  test("horvitzThompson is empirically unbiased: estimates averaged over " +
+      "many independent hash draws converge on the truth") {
+    // one dataset, 24 independent sampling draws (different salts): each
+    // single estimate wobbles, but their MEAN must sit on the true total —
+    // the unbiasedness that makes HT an estimator rather than a guess
+    val docs = (1L to 500L).map(i => (i, "g", (i % 13) + 1L))
+      .toDF("id", "g", "y")
+    val yTrue = (1L to 500L).map(i => (i % 13) + 1).sum.toDouble
+    val ests = (0 until 24).map { s =>
+      graft.ops.Curation.horvitzThompson(docs, "id", "g",
+          (pmod(col("id") * 37 + s, lit(5L)) * 150000L + 250000L), col("y"),
+          s"htprop$s")
+        .collect().head.getAs[Double]("y_est")
+    }
+    val mean = ests.sum / ests.size
+    assert(math.abs(mean - yTrue) / yTrue < 0.03,
+      s"mean of ${ests.size} estimates $mean vs true $yTrue")
+    // and the individual estimates genuinely vary (the draw is real)
+    assert(ests.distinct.size > 12)
+  }
+
   test("sequence automaton matches a straight-line reference on random " +
       "event streams") {
     // reference: per user, walk the ts-ordered stream with explicit state

@@ -141,9 +141,6 @@ object SimilarityQueries {
       |FROM embeddings, unnest(range(0, 16)) AS t(p)
       |ORDER BY vec_id, dim""".stripMargin
 
-  /** IVF-bucketed ANN (approximate; no SQL oracle — recall vs brute force
-    * is asserted in OpsSpec). Cells come from the deterministic Lloyd's
-    * training pass ([[Similarity.trainCentroids]]), not raw seed vectors. */
   /** IVF cell training is an OFFLINE index build — a serving system trains
     * once and answers many queries. The trained centroids (tiny: kCells
     * rows) are memoized per source dir, so repeated q42 invocations in one
@@ -164,6 +161,12 @@ object SimilarityQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** IVF ANN with TRAINED cells: [[Similarity.trainCentroids]]' 2
+    * decimal-pinned Lloyd's rounds feed [[Similarity.ivfTopK]]. The
+    * oracle replays the training itself ([[TrainedCentroidCtes]]) —
+    * seeding, both assignment rounds, the decimal means, the float
+    * truncation — then the full query path, so the row is hash-gated
+    * end to end (the q161/q166/q174 unrolled-training device). */
   def q42IvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
@@ -176,8 +179,11 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Product-quantization ANN with exact re-rank (approximate; recall vs
-    * brute force asserted in PQSpec — rows-only in the gate). */
+  /** Product-quantization ANN with exact re-rank. The codebook is
+    * deterministically seeded ([[graft.ops.ProductQuantization.seedCodebook]]),
+    * so the whole encode → ADC → rerank pipeline is SQL-expressible:
+    * q119 runs this very function and [[q119Sql]] is the shared oracle —
+    * hash-gated, with the recall floor additionally pinned in PQSpec. */
   def q43PqTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val codebook = graft.ops.ProductQuantization.seedCodebook(
@@ -631,11 +637,85 @@ object SimilarityQueries {
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[Similarity.trainCentroids]] (kCells = 10,
+    * iters = 2) — the unrolled-training oracle device (q161 BPE / q166
+    * Bradley–Terry / q174 Weiszfeld) applied to Lloyd's k-means:
+    *  - `kseed`/`kc0`: seeding = the 10 corpus vectors with the smallest
+    *    md5("ivf:" || id), cids assigned in that md5 order (no RNG);
+    *  - per round r: `kasg{r}` re-derives the max_by(sim, -cid)
+    *    assignment as a row_number (sim DESC, cid) window; `kmean{r}`
+    *    is the (cid, dim) decimal(30,15) sum / count mean — decimal
+    *    addition is associative, so both engines agree regardless of
+    *    partial-merge order — truncated to REAL exactly where Scala's
+    *    `.toFloat` truncates; `kc{r}` keeps the previous centroid for
+    *    any cell that lost all members (Spark's `cents ++ updated`).
+    * Yields `kc2(cid, cvec)` for the q42/q108 query paths. CTE names are
+    * k-prefixed so the block composes with [[PqCtes]] (whose `seeds` is
+    * the PQ codebook seed). */
+  private val TrainedCentroidCtes: String = {
+    def round_(prev: String, cur: Int): String =
+      s"""kasg$cur AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN kc${cur - 1} c)
+         |  WHERE rn = 1),
+         |kmean$cur AS (
+         |  SELECT cid, i - 1 AS p,
+         |    CAST(CAST(CAST(sum(CAST(embedding[i] AS DECIMAL(30,15))) AS DOUBLE)
+         |      / count(*) AS REAL) AS DOUBLE) AS c
+         |  FROM kasg$cur, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+         |  GROUP BY cid, p),
+         |kc$cur AS (
+         |  SELECT cid, list(c ORDER BY p) AS cvec FROM kmean$cur GROUP BY cid
+         |  UNION ALL
+         |  SELECT p.cid, p.cvec FROM kc${cur - 1} p
+         |  WHERE p.cid NOT IN (SELECT cid FROM kmean$cur))""".stripMargin
+    s"""kseed AS (
+       |  SELECT vec_id, embedding, md5('ivf:' || vec_id::VARCHAR) AS h
+       |  FROM embeddings ORDER BY h LIMIT 10),
+       |kc0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM kseed),
+       |${round_("kc0", 1)},
+       |${round_("kc1", 2)}""".stripMargin
+  }
+
+  val q42Sql: String =
+    s"""WITH $TrainedCentroidCtes,
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN kc2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN kc2 c
+       |    WHERE q.vec_id < 5)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    round(${cosSql("p", "qvec", "a", "embedding")}, 6) AS score
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** IVF-PQ composition with TRAINED cells (cells prune the scored set,
-    * codes prune the bytes read, exact re-rank repairs the shortlist) —
-    * approximate like q42/q43, so rows-only in the gate; recall floor
-    * pinned in PQSpec, and q121 hash-checks the same code path with
-    * seeded cells + codebook. */
+    * codes prune the bytes read, exact re-rank repairs the shortlist).
+    * Hash-gated end to end: the oracle composes the unrolled Lloyd's
+    * training ([[TrainedCentroidCtes]]) with the seeded-PQ block
+    * ([[PqCtes]]) — q121's query path over q42's trained cells. */
   def q108IvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val codebook = graft.ops.ProductQuantization.seedCodebook(
@@ -648,6 +728,52 @@ object SimilarityQueries {
         trainedCentroids(s, emb, d), "cid", "cvec",
         codebook, m = 8, k = 10, nprobe = 6, rerank = 100)
       .orderBy(col("qid"), col("rank"))
+  }
+
+  val q108Sql: String = {
+    s"""WITH $TrainedCentroidCtes,
+       |$PqCtes,
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN kc2 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN kc2 c
+       |    WHERE q.vec_id < 5)
+       |  WHERE rn <= 6),
+       |approx AS (
+       |  SELECT p.qid, a.vec_id,
+       |    CAST(sum(CAST(d.partial AS DECIMAL(38,18))) AS DOUBLE) AS al2
+       |  FROM probes p
+       |  JOIN assigned a USING (cid)
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN dtable d ON d.qid = p.qid AND d.s = c.s AND d.c = c.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY p.qid, a.vec_id),
+       |cands AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY al2, vec_id) AS rn
+       |    FROM approx)
+       |  WHERE rn <= 100),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM cands cand
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  JOIN embeddings q ON q.vec_id = cand.qid)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
   /** Per-dimension affine int8 quantization audit
@@ -885,5 +1011,9 @@ object SimilarityQueries {
     "q41_cosine_neardup" -> q41Sql,
     "q127_srp_neardup" -> q127Sql,
     "q131_jl_projection" -> q131Sql,
+    "q42_ivf_topk" -> q42Sql,
+    // q119PqSeeded delegates to q43PqTopK — one computation, one oracle
+    "q43_pq_topk" -> q119Sql,
+    "q108_ivfpq" -> q108Sql,
     "q57_label_centroids" -> q57Sql)
 }

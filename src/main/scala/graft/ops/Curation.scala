@@ -531,7 +531,15 @@ object Curation {
   def horvitzThompson(df: DataFrame, idCol: String, grpCol: String,
       ppm: Column, y: Column, salt: String): DataFrame = {
     val framed = df.filter(col(idCol).isNotNull)
-      .select(col(grpCol), col(idCol).as("__id"), ppm.as("__ppm"),
+      .select(col(grpCol), col(idCol).as("__id"),
+        // runtime guard on the documented domain: ppm > 10^6 would make
+        // sampleKeep always true while the HT weight stays < 1 — a
+        // silently biased underestimate. Fail loud instead (data-driven,
+        // so a require() can't see it).
+        when(ppm > lit(1000000L), raise_error(concat(
+            lit("horvitzThompson: ppm must be <= 1000000, got "),
+            ppm.cast("string"))))
+          .otherwise(ppm).as("__ppm"),
         y.as("__y"))
       .filter(col("__ppm") > 0)
       .withColumn("__keep", sampleKeep(col("__id"), col("__ppm"), salt))

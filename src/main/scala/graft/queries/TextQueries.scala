@@ -356,12 +356,25 @@ object TextQueries {
     * the model itself is deterministic so the cache changes cost, never
     * results. */
   private val ccnetModelCache = scala.collection.concurrent.TrieMap
-    .empty[String, graft.ops.LanguageModel.BigramModel]
+    .empty[String, (SparkSession, graft.ops.LanguageModel.BigramModel)]
 
   def q138CcnetBuckets(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val model = ccnetModelCache.getOrElseUpdate(d,
-      graft.ops.LanguageModel.ccnetTrain(docs, "doc_id", "text").persisted())
+    // persisted DataFrames are session-bound: a cached model from another
+    // (possibly stopped) session in the same JVM must be rebuilt, not
+    // served — the cache key alone (dir) can't see a session restart
+    val model = ccnetModelCache.get(d) match {
+      case Some((sess, m)) if sess eq s => m
+      case stale =>
+        stale.foreach { case (_, m) =>
+          try { m.pair.unpersist(); m.head.unpersist(); m.vocab.unpersist() }
+          catch { case _: Throwable => () } // stopped session: just drop
+        }
+        val m = graft.ops.LanguageModel.ccnetTrain(docs, "doc_id", "text")
+          .persisted()
+        ccnetModelCache.put(d, (s, m))
+        m
+    }
     graft.ops.LanguageModel.ccnetQualityBuckets(docs, model, "doc_id", "text")
       .orderBy(col("doc_id"))
   }
@@ -627,9 +640,10 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
          |w$i AS (
-         |  SELECT replace(s, lft || ' ' || rgt || ' ',
-         |                 lft || substr(rgt, 2) || ' ') AS s, f
-         |  FROM w${i - 1}, b$i)""".stripMargin
+         |  SELECT CASE WHEN b.lft IS NULL THEN s
+         |    ELSE replace(s, b.lft || ' ' || b.rgt || ' ',
+         |                 b.lft || substr(b.rgt, 2) || ' ') END AS s, f
+         |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
     val steps = (1 to 8)
       .map(i => s"SELECT $i AS step, lft, rgt, c FROM b$i")
@@ -748,9 +762,10 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lft, rgt, c FROM p$i ORDER BY c DESC, lft, rgt LIMIT 1),
          |w$i AS (
-         |  SELECT w, replace(s, lft || ' ' || rgt || ' ',
-         |                 lft || substr(rgt, 2) || ' ') AS s, f
-         |  FROM w${i - 1}, b$i)""".stripMargin
+         |  SELECT w, CASE WHEN b.lft IS NULL THEN s
+         |    ELSE replace(s, b.lft || ' ' || b.rgt || ' ',
+         |                 b.lft || substr(b.rgt, 2) || ' ') END AS s, f
+         |  FROM w${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (
        |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),

@@ -294,8 +294,14 @@ object EventStreams {
           var st = state.getOption.getOrElse(
             PatternState(None_, None_, None_, None_))
           val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val tsu = e.ts.getTime * 1000L
+          // full microsecond value (getTime truncates to millis; the
+          // nanos field carries the sub-millisecond remainder) — must
+          // match the batch twin's unix_micros for ordering AND emitted
+          // v_ts/c_ts on microsecond-precision timestamps
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tsu = micros(e.ts)
             e.event_type match {
               case "view" => st = st.copy(lastView = tsu)
               case "error" => st = st.copy(lastVeto = tsu)

@@ -229,6 +229,35 @@ class PipelineOps2Spec extends SparkSpec {
     assert(math.abs(yEst - yTrue) / yTrue < 0.15, s"y_est $yEst vs $yTrue")
   }
 
+  test("horvitzThompson: ppm above the 10^6 domain fails loud instead of " +
+      "silently underestimating") {
+    val docs = Seq((1L, "g", 1L), (2L, "g", 2L)).toDF("id", "g", "y")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    val ex = intercept[Throwable] {
+      Curation.horvitzThompson(docs, "id", "g",
+        lit(2000000L), col("y"), "ht").collect()
+    }
+    assert(msgs(ex).contains("ppm must be <= 1000000"), msgs(ex))
+    // the boundary itself stays legal (π = 1 → estimate ≡ truth)
+    val ok = Curation.horvitzThompson(docs, "id", "g",
+      lit(1000000L), col("y"), "ht").collect().head
+    assert(ok.getAs[Double]("n_est") == 2.0)
+  }
+
+  test("q138 ccnet model cache is session-guarded: a different session " +
+      "rebuilds the persisted model instead of serving a stale one") {
+    val a = graft.queries.TextQueries.q138CcnetBuckets(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // newSession() is a distinct SparkSession object — the (session, dir)
+    // guard must miss and retrain rather than hand back DataFrames bound
+    // to the first session
+    val b = graft.queries.TextQueries.q138CcnetBuckets(
+        spark.newSession(), sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("geometricMedian: a planted outlier drags the mean far but the " +
       "geometric median barely moves — the robustness contract") {
     // 9 vectors tightly around (1, 0, ..., 0) plus one wild outlier

@@ -324,6 +324,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sequence-pattern stream: microsecond-precision timestamps keep " +
+      "stream ≡ batch — ordering ties inside one millisecond and the " +
+      "emitted v_ts/c_ts carry full micros") {
+    implicit val sqlCtx = spark.sqlContext
+    def evm(id: Long, u: Long, t: String, frac: String) = Event(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 00:00:01.$frac"), u, t, 1.0)
+    // all three events share millisecond 01.000; the view (event_id 2)
+    // precedes the click (event_id 1) ONLY at micro precision — a
+    // millis-truncating stream would sort by event_id, see the click
+    // before any view, and emit nothing
+    val feed = Seq(
+      evm(2, 1, "view", "000100"), evm(1, 1, "click", "000900"),
+      evm(3, 1, "purchase", "000950"))
+    val stream = MemoryStream[Event]
+    val query = EventStreams.patternStream(stream.toDS())
+      .writeStream.format("memory").queryName("pattern_micro_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(feed); query.processAllAvailable()
+      val streamed = spark.table("pattern_micro_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.ops.SequencePatterns.threeStageWithVeto(
+          feed.toDF(), "user_id", "event_id", "ts", "event_type",
+          "view", "click", "purchase", "error")
+        .select(col("user_id"), unix_micros(col("v_ts")),
+          unix_micros(col("c_ts")), unix_micros(col("p_ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(streamed.nonEmpty, "the micro-ordered pattern must match")
+      // the emitted values carry the sub-millisecond component
+      assert(streamed.head._2 % 1000L == 100L)
+    } finally query.stop()
+  }
+
   test("decayed scores: final stream state reproduces the batch operator, " +
       "including an out-of-order straggler trigger") {
     implicit val sqlCtx = spark.sqlContext

@@ -103,6 +103,18 @@ object Bench {
       since.map(s => s""","since":"$s"""").getOrElse("")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
+    // The driver's BENCH_r*.json capture keeps only a TAIL of stdout, so
+    // the full line above loses its head at ~176 queries and the round's
+    // record ends up "parsed": null. Emit a compact line LAST — total,
+    // count, slowest-10 as the "queries" map, control min/max — sized to
+    // survive any plausible tail cut, so the driver always parses
+    // something. The complete per-query map still lands in the full-map
+    // artifact below.
+    val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val ctrl = control.result().map(_._2)
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":2,"agg":"min","queries_are":"slowest10","control_min":${f(ctrl.min)},"control_max":${f(ctrl.max)}$onlyJson$failedJson,"queries":$slow10,"sf":"$sfDir"}"""
+    println(compact)
     // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
     // kept 61 of 121 queries), so a FULL run also persists the complete
     // per-query map itself — round-over-round comparison needs every query,

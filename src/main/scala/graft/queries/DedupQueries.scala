@@ -526,7 +526,97 @@ object DedupQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id = c.doc_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** SIMHASH RECALL AUDIT — q171's device pointed at the Hamming-banded
+    * family: the 4-band pigeonhole split of
+    * [[graft.ops.Dedup.simhashNearDupPairs]] (any pair within Hamming ≤ 3
+    * differs in ≤ 3 of 4 bands, so it shares one exactly) is PROVABLY
+    * lossless, and this row measures it — band-pipeline pairs vs the
+    * exact all-pairs popcount arm over the same hashes must agree
+    * exactly (recall = precision = 1). Exactly the bug class the phash
+    * band-derivation defect was: a wrong band count silently loses
+    * recall, and only a measured audit catches it. The planted clones
+    * (every 21st doc re-keyed with one appended token) sit at small
+    * nonzero Hamming, so the audit exercises near-misses, not just
+    * identical hashes.
+    *
+    * The exact arm is an all-pairs theta join — audit-scoped BY DESIGN
+    * (the %3 sample caps it), like q98/q171: run on a sample to validate
+    * the banding, while production stays band-bounded. */
+  def q177SimhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 21 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zqxduplicate")).as("text"))
+    val corpus = docs.unionByName(planted)
+    val band = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val h = Dedup.simhashTable(corpus, "doc_id", "text")
+    val exact = h.select(col("doc_id").as("doc_a"), col("simhash").as("__ha"))
+      .join(h.select(col("doc_id").as("doc_b"), col("simhash").as("__hb")),
+        col("doc_a") < col("doc_b"))
+      .filter(call_function("bit_count",
+        col("__ha").bitwiseXOR(col("__hb"))) <= 3)
+      .select(col("doc_a"), col("doc_b"))
+    val nCommon = band.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val nBand = band.agg(count(lit(1)).as("n_band"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nBand).crossJoin(nCommon)
+      .select(col("n_exact"), col("n_band"), col("n_common"),
+        round(col("n_common") / col("n_exact").cast("double"), 6).as("recall"),
+        round(col("n_common") / col("n_band").cast("double"), 6).as("precision"))
+  }
+
+  val q177Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zqxduplicate'
+      |  FROM documents WHERE doc_id % 21 = 0
+      |), tok AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM corpus
+      |), th AS (
+      |  SELECT doc_id, list_transform(toks,
+      |    t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+      |  FROM tok
+      |), votes AS (
+      |  SELECT doc_id, list_transform(range(0, 32), b ->
+      |    list_reduce(list_transform(hashes, h ->
+      |      CASE WHEN CAST(floor(h / power(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END),
+      |      (a, x) -> a + x)) AS v
+      |  FROM th
+      |), ht AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(0, 32), b ->
+      |      CASE WHEN v[b+1] > 0 THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      |      (a, x) -> a + x) AS h
+      |  FROM votes
+      |), banded AS (
+      |  SELECT doc_id, h, b,
+      |    CAST(floor(h / power(2, b * 8)) AS BIGINT) % 256 AS key
+      |  FROM ht, UNNEST(range(0, 4)) AS t(b)
+      |), bandp AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3
+      |), exct AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ht a JOIN ht b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3
+      |), c AS (
+      |  SELECT count(*) AS n_common FROM bandp JOIN exct USING (doc_a, doc_b)
+      |), nb AS (SELECT count(*) AS n_band FROM bandp),
+      |ne AS (SELECT count(*) AS n_exact FROM exct)
+      |SELECT n_exact, n_band, n_common,
+      |  round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall,
+      |  round(n_common / CAST(n_band AS DOUBLE), 6) AS precision
+      |FROM ne CROSS JOIN nb CROSS JOIN c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_simhash_recall" -> (q177SimhashRecall _),
     "q155_quality_collapse" -> (q155QualityCollapse _),
     "q146_substr_dedup" -> (q146SubstrDedup _),
     "q100_containment" -> (q100Containment _),
@@ -543,6 +633,7 @@ object DedupQueries {
     "q98_jaccard_index" -> (q98JaccardIndex _))
 
   val oracles: Map[String, String] = Map(
+    "q177_simhash_recall" -> q177Sql,
     "q146_substr_dedup" -> q146Sql,
     "q155_quality_collapse" -> q155Sql,
     "q100_containment" -> q100Sql,

@@ -154,7 +154,99 @@ object MultimodalQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** PHASH RECALL AUDIT — the measured check the round-10 band-derivation
+    * bug proved necessary: [[Multimodal.phashNearDupPairs]]' pigeonhole
+    * banding (maxHamming + 1 = 3 bands of 21 bits — any pair within
+    * Hamming ≤ 2 shares one band exactly) vs the exact all-pairs popcount
+    * arm over the same dHashes. Recall and precision must both read 1;
+    * a wrong band count (the exact defect ADVICE caught: bands derived
+    * from a constant instead of the radius) reads < 1 here and fails the
+    * hash gate instead of silently losing near-dups. Planted pairs are
+    * every 10th sampled doc's payload re-keyed (Hamming 0) plus the
+    * md5-coincidental twins the byte-sampled grid admits (Hamming 1-2).
+    *
+    * Audit-scoped by design (%5 id sample caps the exact arm). */
+  def q179PhashRecall(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.attachMedia(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")), "doc_id")
+    val clones = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = base.unionByName(clones)
+    val band = Multimodal.phashNearDupPairs(corpus, "doc_id", "media",
+        maxHamming = 2)
+      .select(col("id_a"), col("id_b"))
+    val h = Multimodal.phashTable(corpus, "doc_id", "media")
+    val exact = h.select(col("__id").as("id_a"), col("dhash").as("__ha"))
+      .join(h.select(col("__id").as("id_b"), col("dhash").as("__hb")),
+        col("id_a") < col("id_b"))
+      .filter(call_function("bit_count",
+        col("__ha").bitwiseXOR(col("__hb"))) <= 2)
+      .select(col("id_a"), col("id_b"))
+    val nCommon = band.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val nBand = band.agg(count(lit(1)).as("n_band"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nBand).crossJoin(nCommon)
+      .select(col("n_exact"), col("n_band"), col("n_common"),
+        round(col("n_common") / col("n_exact").cast("double"), 6).as("recall"),
+        round(col("n_common") / col("n_band").cast("double"), 6).as("precision"))
+  }
+
+  val q179Sql: String = {
+    def byteAtSql(pos: String): String =
+      s"CAST('0x' || substr(hx, ($pos) * 2 + 1, 2) AS BIGINT)"
+    def vSql(i: Int): String =
+      byteAtSql(s"(${i * 7}) % blen") + " * 256 + " +
+        byteAtSql(s"(((${i * 7}) % blen) + 1) % blen")
+    val gridCols = (0 to 71).map(i => s"${vSql(i)} AS v$i").mkString(",\n    ")
+    val hashSql = (0 until 63).map { bit =>
+      val r = bit / 8; val c = bit % 8
+      s"(CASE WHEN v${r * 9 + c} < v${r * 9 + c + 1} THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, doc_id AS pid FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 10 = 0
+       |), hxt AS (
+       |  SELECT doc_id,
+       |    repeat(md5(CAST(pid AS VARCHAR)), CAST(pid % 4 + 1 AS INT)) AS hx
+       |  FROM corpus
+       |), vt AS (
+       |  SELECT doc_id, hx, length(hx) // 2 AS blen FROM hxt
+       |), grid AS (
+       |  SELECT doc_id,
+       |    $gridCols
+       |  FROM vt
+       |), ht AS (
+       |  SELECT doc_id,
+       |    $hashSql AS h
+       |  FROM grid
+       |), banded AS (
+       |  SELECT doc_id, h, b,
+       |    (h >> CAST(b * 21 AS INT)) & 2097151 AS key
+       |  FROM ht, UNNEST(range(0, 3)) AS t(b)
+       |), bandp AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 2
+       |), exct AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ht a JOIN ht b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 2
+       |), c AS (
+       |  SELECT count(*) AS n_common FROM bandp JOIN exct USING (id_a, id_b)
+       |), nb AS (SELECT count(*) AS n_band FROM bandp),
+       |ne AS (SELECT count(*) AS n_exact FROM exct)
+       |SELECT n_exact, n_band, n_common,
+       |  round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall,
+       |  round(n_common / CAST(n_band AS DOUBLE), 6) AS precision
+       |FROM ne CROSS JOIN nb CROSS JOIN c""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_phash_recall" -> (q179PhashRecall _),
     "q153_phash_pairs" -> (q153PhashPairs _),
     "q60_media_checksum" -> (q60MediaChecksum _),
     "q61_media_stats" -> (q61MediaStats _),
@@ -162,6 +254,7 @@ object MultimodalQueries {
     "q107_media_header" -> (q107MediaHeader _))
 
   val oracles: Map[String, String] = Map(
+    "q179_phash_recall" -> q179Sql,
     "q153_phash_pairs" -> q153Sql,
     "q60_media_checksum" -> q60Sql,
     "q61_media_stats" -> q61Sql,

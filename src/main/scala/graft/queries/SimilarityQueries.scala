@@ -970,7 +970,101 @@ object SimilarityQueries {
        |FROM a2 ORDER BY label, dim""".stripMargin
   }
 
+  /** SRP-LSH RECALL AUDIT — q171's device for the embedding near-dup
+    * family: planted near-dups (every 5th vector under 200 re-keyed with
+    * +0.05 on its first component — cos ≈ 0.999) are hunted by BOTH the
+    * banded SRP pipeline ([[Similarity.srpBandedNearDupPairs]], 4 bands ×
+    * 4 md5-parity sign bits) and the exact all-pairs cosine arm at the
+    * same 0.9 threshold; the summary row (counts, recall, precision) is
+    * hash-pinned. Unlike the Hamming pigeonhole audits (q177/q179) SRP
+    * banding is probabilistic — collision prob 1-(1-(1-θ/π)^4)^4 — so
+    * this measures REAL recall; precision is 1 by construction (band
+    * candidates are verified with exact cosine before counting). The
+    * perturbation is double-add-then-float-truncate on both engines so
+    * the planted vectors are bit-identical.
+    *
+    * Audit-scoped by design (vec_id < 200 caps the exact arm), like
+    * q41/q98/q171. */
+  def q178SrpRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.05)).cast("float"))
+            .otherwise(x)).as("embedding"))
+    val corpus = emb.unionByName(planted)
+    val band = Similarity.srpBandedNearDupPairs(corpus, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 4, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val nCommon = band.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val nBand = band.agg(count(lit(1)).as("n_band"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    nExact.crossJoin(nBand).crossJoin(nCommon)
+      .select(col("n_exact"), col("n_band"), col("n_common"),
+        round(col("n_common") / col("n_exact").cast("double"), 6).as("recall"),
+        round(col("n_common") / col("n_band").cast("double"), 6).as("precision"))
+  }
+
+  val q178Sql: String = {
+    val cos =
+      """list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+        |  / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+        |   * sqrt(list_reduce(list_transform(range(1, len(b.embedding)+1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)))""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+       |  UNION ALL
+       |  SELECT vec_id + 500000,
+       |    list_transform(range(1, len(embedding) + 1), i ->
+       |      CASE WHEN i = 1 THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05 AS REAL)
+       |           ELSE embedding[i] END) AS embedding
+       |  FROM embeddings WHERE vec_id < 200 AND vec_id % 5 = 0
+       |), sig AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(range(0,16), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1,65), i ->
+       |        (CASE WHEN strpos('13579bdf', substr(md5(p::VARCHAR || ':' || i::VARCHAR),1,1)) > 0
+       |              THEN 1.0 ELSE -1.0 END) * CAST(embedding[i] AS DOUBLE)), (acc,x)->acc+x) >= 0
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM corpus
+       |), bnd AS (
+       |  SELECT vec_id, embedding, b AS band,
+       |    bits[b*4+1]::VARCHAR || bits[b*4+2] || bits[b*4+3] || bits[b*4+4] AS key
+       |  FROM sig, unnest(range(0,4)) AS t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |), bandp AS (
+       |  SELECT id_a, id_b
+       |  FROM (SELECT id_a, id_b, ea AS embedding FROM cand) a
+       |  JOIN (SELECT id_a, id_b, eb AS embedding FROM cand) b
+       |    USING (id_a, id_b)
+       |  WHERE $cos >= 0.9
+       |), exct AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.9
+       |), c AS (
+       |  SELECT count(*) AS n_common FROM bandp JOIN exct USING (id_a, id_b)
+       |), nb AS (SELECT count(*) AS n_band FROM bandp),
+       |ne AS (SELECT count(*) AS n_exact FROM exct)
+       |SELECT n_exact, n_band, n_common,
+       |  round(n_common / CAST(n_exact AS DOUBLE), 6) AS recall,
+       |  round(n_common / CAST(n_band AS DOUBLE), 6) AS precision
+       |FROM ne CROSS JOIN nb CROSS JOIN c""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
     "q170_ann_recall" -> (q170AnnRecall _),
     "q163_embed_decontam" -> (q163EmbedDecontam _),
@@ -994,6 +1088,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,
     "q170_ann_recall" -> q170Sql,
     "q163_embed_decontam" -> q163Sql,

@@ -35,7 +35,13 @@ final case class TableInfo(
     properties: Map[String, String],
     storageOptions: Map[String, String] = Map.empty,
     schemaJson: Option[String] = None,
-    isOnlyDeclared: Boolean = false)
+    isOnlyDeclared: Boolean = false,
+    /** The reference `DescribeTableResponse.managedVersioning` field:
+      * `false` on every backend — the storage layer, not the catalog,
+      * owns table versioning (see [[graft.core.TableUtil.ManagedVersioningKey]]).
+      * Carried explicitly so a future catalog-versioned backend can flip
+      * it per table; surfaced to queries via `GraftTable.properties`. */
+    managedVersioning: Boolean = false)
 
 /** The 13-operation namespace surface (SURVEY.md §2.1) in backend-neutral
   * form. One implementation per metadata catalog; the Spark `TableCatalog`

@@ -69,6 +69,9 @@ class GraftTable(
     val m = new util.HashMap[String, String]()
     info.properties.foreach { case (k, v) => m.put(k, v) }
     m.put(TableCatalog.PROP_LOCATION, info.location)
+    // the reference DescribeTableResponse.managedVersioning field, visible
+    // to SHOW TBLPROPERTIES / loadTable like location is (q180 gates it)
+    m.put(TableUtil.ManagedVersioningKey, info.managedVersioning.toString)
     m
   }
 

@@ -17,6 +17,12 @@ object TableUtil {
   val TableTypeValue = "lance"
   val ManagedByKey = "managed_by"
   val ManagedByValue = "storage"
+  /** `DescribeTableResponse.managedVersioning` surfaced as a table
+    * property: every reference backend answers `false` — versioning is
+    * managed by the storage layer, not the catalog (e.g.
+    * `GlueNamespace.java:263`, `Hive2Namespace.java:306`,
+    * `IcebergNamespace.java:390` all `setManagedVersioning(false)`). */
+  val ManagedVersioningKey = "managed_versioning"
   /** `storage.`-prefixed options are stripped off table properties and passed
     * to the data layer (`GlueNamespaceConfig.java:83-84,116-125`). */
   val StorageOptionPrefix = "storage."

@@ -121,7 +121,10 @@ object CatalogQueries {
     * path has a CORRECTNESS row against the DuckDB oracle, not only
     * ScalaTest specs. A separate catalog name keeps it independent of the
     * memory-backend gates (q21/q22/q83) regardless of run order. */
-  def q122HmsRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** Register the `graft_hms` catalog (LIVE embedded thrift HMS) and
+    * create `graft_hms.tpch.docs_hms` if absent — shared by the q122
+    * round trip and the q180 property conformance row. */
+  private def ensureHmsTable(s: SparkSession): Unit = {
     val hms = graft.hive.LocalHiveMetastore.instance
     s.conf.set("spark.sql.catalog.graft_hms", "graft.catalog.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_hms.backend", "hive2")
@@ -129,15 +132,62 @@ object CatalogQueries {
       s"thrift://localhost:${hms.port}")
     s.conf.set("spark.sql.catalog.graft_hms.root", warehouseRoot)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_hms.tpch")
-    Tables.documents(s, d).createOrReplaceTempView("__q122_src")
     s.sql("""CREATE TABLE IF NOT EXISTS graft_hms.tpch.docs_hms
             | (doc_id BIGINT, lang STRING, n_chars BIGINT)""".stripMargin)
+  }
+
+  def q122HmsRoundtrip(s: SparkSession, d: String): DataFrame = {
+    ensureHmsTable(s)
+    Tables.documents(s, d).createOrReplaceTempView("__q122_src")
     s.sql("""INSERT OVERWRITE graft_hms.tpch.docs_hms
             |SELECT doc_id, lang, n_chars FROM __q122_src WHERE doc_id % 3 = 0""".stripMargin)
     s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
             |FROM graft_hms.tpch.docs_hms
             |GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** Lance-marker + managed-versioning conformance across a hermetic AND
+    * a live backend: `SHOW TBLPROPERTIES` (the public DSv2 property
+    * surface, backed by `GraftTable.properties`) must carry the
+    * reference's `DescribeTableResponse` contract — `table_type=lance`
+    * and `managed_by=storage` (the required markers,
+    * `GlueNamespace.java:79,360`) and `managed_versioning=false` (every
+    * reference backend: `GlueNamespace.java:263`,
+    * `Hive2Namespace.java:306`) — identically through the memory backend
+    * and the LIVE thrift HMS round trip. */
+  def q180ManagedVersioning(s: SparkSession, d: String): DataFrame = {
+    ensureTable(s, d, "lineitem")
+    ensureHmsTable(s)
+    val keys = Seq(graft.core.TableUtil.TableTypeKey,
+      graft.core.TableUtil.ManagedByKey,
+      graft.core.TableUtil.ManagedVersioningKey)
+    // loadTable().properties() is the DescribeTableResponse analog — the
+    // SQL-visible SHOW TBLPROPERTIES hides table_type because Spark 4
+    // reserves it (TableCatalog.PROP_TABLE_TYPE), so the probe reads the
+    // DSv2 surface the reference contract actually maps to
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    def props(backend: String, catName: String, tbl: String) = {
+      val cat = s.sessionState.catalogManager.catalog(catName)
+        .asInstanceOf[TableCatalog]
+      val p = cat.loadTable(Identifier.of(Array("tpch"), tbl)).properties()
+      keys.map(k => (backend, k, p.get(k)))
+    }
+    import s.implicits._
+    (props("memory", "graft", "lineitem") ++
+      props("hive2", "graft_hms", "docs_hms"))
+      .toDF("backend", "key", "value")
+      .orderBy(col("backend"), col("key"))
+  }
+
+  val q180Sql: String =
+    """SELECT backend, key, value FROM (VALUES
+      |  ('hive2',  'managed_by',         'storage'),
+      |  ('hive2',  'managed_versioning', 'false'),
+      |  ('hive2',  'table_type',         'lance'),
+      |  ('memory', 'managed_by',         'storage'),
+      |  ('memory', 'managed_versioning', 'false'),
+      |  ('memory', 'table_type',         'lance')) t(backend, key, value)
+      |ORDER BY backend, key""".stripMargin
 
   val q122Sql: String =
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -207,12 +257,14 @@ object CatalogQueries {
     "q22_catalog_join" -> (q22CatalogJoin _),
     "q79_bucketed_join" -> (q79BucketedJoin _),
     "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _),
-    "q122_hms_roundtrip" -> (q122HmsRoundtrip _))
+    "q122_hms_roundtrip" -> (q122HmsRoundtrip _),
+    "q180_managed_versioning" -> (q180ManagedVersioning _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
     "q22_catalog_join" -> q22Sql,
     "q79_bucketed_join" -> q79Sql,
     "q83_catalog_roundtrip" -> q83Sql,
-    "q122_hms_roundtrip" -> q122Sql)
+    "q122_hms_roundtrip" -> q122Sql,
+    "q180_managed_versioning" -> q180Sql)
 }

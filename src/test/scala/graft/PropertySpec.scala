@@ -295,6 +295,88 @@ class PropertySpec extends SparkSpec {
     assert(got == ref(evs), s"got=$got\nref=${ref(evs)}")
   }
 
+  test("bradleyTerry matches a straight-line MM reference on random " +
+      "tournaments, and strengths respect total dominance") {
+    def round12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refBT(comps: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      val items = comps.flatMap(c => Seq(c._1, c._2)).distinct
+      val wins = comps.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val games = comps
+        .groupBy(c => (math.min(c._1, c._2), math.max(c._1, c._2)))
+        .view.mapValues(_.size.toLong).toMap
+      var s = items.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        s = items.map { i =>
+          // decimal-exact sum of the 12-dp terms, like the operator's
+          // decimal(27,15) aggregation
+          val den = games.collect { case ((a, b), n) if a == i || b == i =>
+            BigDecimal(round12(n.toDouble / (s(i) + s(if (a == i) b else a))))
+          }.sum.toDouble
+          i -> ((wins.getOrElse(i, 0L) + 0.5) /
+            (den + round12(1.0 / (s(i) + 1.0))))
+        }.toMap
+      }
+      s
+    }
+    val gameGen = Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L))
+      .suchThat { case (w, l) => w != l }
+    val comps = samples(gameGen, 150)
+    val got = graft.ops.Preference.bradleyTerry(
+        comps.toDF("w", "l"), "w", "l", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("strength")).toMap
+    val ref = refBT(comps, 3)
+    got.foreach { case (i, v) =>
+      assert(math.abs(v - ref(i)) < 1e-6, s"item $i: $v vs ${ref(i)}")
+    }
+    // total dominance: in a double round-robin where i beats j iff i < j,
+    // fitted strengths must be strictly decreasing in item id
+    val rr = for {
+      i <- 1L to 6L; j <- (i + 1) to 6L; _ <- 1 to 2
+    } yield (i, j)
+    val dom = graft.ops.Preference.bradleyTerry(
+        rr.toDF("w", "l"), "w", "l", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("strength")).toMap
+    (1L to 5L).foreach(i =>
+      assert(dom(i) > dom(i + 1), s"dominance order broken at $i: $dom"))
+  }
+
+  test("geometricMedian matches a literal Weiszfeld loop on random groups") {
+    def round12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refGM(vecs: Seq[Array[Float]], iters: Int): Seq[Double] = {
+      val dims = vecs.head.length
+      var c = (0 until dims)
+        .map(p => vecs.map(_(p).toDouble).sum / vecs.size)
+      for (_ <- 1 to iters) {
+        val withD = vecs.map { v =>
+          val d = math.sqrt(v.zip(c).map { case (x, cc) =>
+            (x.toDouble - cc) * (x.toDouble - cc) }.sum)
+          (v, d)
+        }.filter(_._2 > 0)
+        val den = withD.map(t => BigDecimal(round12(1.0 / t._2))).sum.toDouble
+        c = (0 until dims).map(p =>
+          withD.map { case (v, d) =>
+            BigDecimal(round12(v(p).toDouble / d)) }.sum.toDouble / den)
+      }
+      c.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    val vecGen = Gen.listOfN(4,
+      Gen.chooseNum(-100, 100).map(_ / 100.0f)).map(_.toArray)
+    for (grpSize <- Seq(3, 9, 14)) {
+      val vecs = samples(vecGen, grpSize)
+      val df = vecs.map(v => ("g", v)).toDF("label", "embedding")
+      val got = graft.ops.Similarity.geometricMedian(df, "label",
+          "embedding", iters = 2)
+        .orderBy("dim").collect().map(_.getAs[Double]("value"))
+      val ref = refGM(vecs, 2)
+      got.zip(ref).zipWithIndex.foreach { case ((g, r), p) =>
+        assert(math.abs(g - r) < 1e-5, s"n=$grpSize dim $p: $g vs $r")
+      }
+    }
+  }
+
   test("bpeTrain matches a straight-line reference BPE on random corpora") {
     def refBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
       var ws = words.map { case (w, f) => (w.map(_.toString).toList, f) }.toList

@@ -214,15 +214,33 @@ object Curation {
       .orderBy(col(ordCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__local", sum(col(valCol)).over(wLocal))
-    val partTotals = parts.groupBy(col("__pid")).agg(sum(col(valCol)).as("__tot"))
-    val prefix = partTotals.select(col("__pid"))
-      .join(partTotals.select(col("__pid").as("__pid2"), col("__tot")),
-        col("__pid2") < col("__pid"), "left")
-      .groupBy(col("__pid")).agg(sum(col("__tot")).as("__earlier"))
-    local.join(broadcast(prefix), Seq("__pid"))
-      .withColumn(outCol,
-        coalesce(col("__local"), lit(0L)) + coalesce(col("__earlier"), lit(0L)))
-      .drop("__pid", "__local", "__earlier")
+    // Bucket totals are ≤ ScanBuckets+1 rows — model-sized. Collect them
+    // once and inline each bucket's earlier-prefix as a LITERAL instead of
+    // a theta join on a re-referenced aggregate: every extra DataFrame
+    // reference re-executes the upstream plan, and here the upstream is a
+    // full input pass (for q115 that meant re-tokenizing the corpus twice
+    // more — at 100 TB, two spurious full scans). Three passes remain
+    // (boundaries, totals, window), the minimum without persisting input.
+    val totals = parts.groupBy(col("__pid")).agg(sum(col(valCol)).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    def add(a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: java.lang.Long, y: java.lang.Long) => x + y
+      case (x: java.lang.Double, y: java.lang.Double) => x + y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case _ => throw new IllegalArgumentException(
+        s"exclusivePrefixSum: unsupported sum type ${a.getClass}")
+    }
+    var acc: Any = null
+    val earlier = totals.keys.toSeq.sorted.map { p =>
+      val e = acc; acc = add(acc, totals(p)); p -> e
+    }.collect { case (p, e) if e != null => when(col("__pid") === p, lit(e)) }
+    val earlierExpr =
+      if (earlier.isEmpty) lit(0L) else coalesce((earlier :+ lit(0L)): _*)
+    local
+      .withColumn(outCol, coalesce(col("__local"), lit(0L)) + earlierExpr)
+      .drop("__pid", "__local")
   }
 
   /** Temperature-scaled source-mixture sampling under a global token

@@ -29,6 +29,10 @@ object Bench {
     // contention (round-2 measured 4–13× swings on identical plans);
     // min-of-2 measures the plan, which is what the baseline targets bound.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_RUNS=1 halves giant-scale audit sweeps (100×) where
+    // min-of-2 would double an hour-long run; the canonical per-round
+    // sweeps keep the default 2.
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     // In-round iteration knob: run only queries numbered >= the given one
     // (e.g. SPARK_GRAFT_SINCE=q146 sweeps just the newest tail). Numeric
     // compare, not lexicographic — "q99" must NOT follow "q160". The
@@ -70,7 +74,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) => since.forall(s => qnum(name) >= qnum(s)) }
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      val runs = (1 to 2).map(_ => timeOnce(name, fn))
+      val runs = (1 to runsPer).map(_ => timeOnce(name, fn))
       if ((i + 1) % ControlEvery == 0) runControl(name)
       // A query that threw must not report its time-to-exception as a
       // (possibly fastest) run: any failed run poisons the query to the -1
@@ -101,7 +105,7 @@ object Bench {
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       .getOrElse("") +
       since.map(s => s""","since":"$s"""").getOrElse("")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":$runsPer,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json capture keeps only a TAIL of stdout, so
     // the full line above loses its head at ~176 queries and the round's
@@ -113,7 +117,7 @@ object Bench {
     val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val ctrl = control.result().map(_._2)
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":2,"agg":"min","queries_are":"slowest10","control_min":${f(ctrl.min)},"control_max":${f(ctrl.max)}$onlyJson$failedJson,"queries":$slow10,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPer,"agg":"min","queries_are":"slowest10","control_min":${f(ctrl.min)},"control_max":${f(ctrl.max)}$onlyJson$failedJson,"queries":$slow10,"sf":"$sfDir"}"""
     println(compact)
     // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
     // kept 61 of 121 queries), so a FULL run also persists the complete

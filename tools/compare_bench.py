@@ -46,6 +46,21 @@ def main():
     tot_n = sum(r[3] for r in ratios)
     print(f"common={len(common)}  median_ratio={med:.2f}  "
           f"total {tot_b:.1f}s -> {tot_n:.1f}s ({tot_n / tot_b:.2f}x)")
+
+    # Contention-normalized comparison (VERDICT r10 item #3): each sweep's
+    # control series (a fixed q01-shape query run throughout) measures how
+    # fast THIS box was DURING THAT sweep; dividing every query time by
+    # the sweep-median control (warmup sample at index 0 dropped) cancels
+    # a uniformly slower/noisier host, so round deltas survive a noisy box.
+    def ctrl_median(art):
+        samples = sorted(c["sec"] for c in art.get("control", [])[1:])
+        return samples[len(samples) // 2] if samples else None
+    cb, cn = ctrl_median(base), ctrl_median(new)
+    if cb and cn:
+        norm = tot_n / cn / (tot_b / cb)
+        print(f"control medians: base={cb:.3f}s new={cn:.3f}s  "
+              f"contention-normalized total ratio: {norm:.2f}x "
+              f"(raw {tot_n / tot_b:.2f}x)")
     if only_base:
         print(f"only in base: {', '.join(only_base)}")
     if only_new:

@@ -422,6 +422,132 @@ object LanguageModel {
     seg
   }
 
+  /** Unigram-LM vocabulary with integer log-probability scores — the
+    * model side of [[unigramSegment]], closing the tokenizer triad
+    * (BPE [[bpeTrain]], WordPiece [[wordpieceVocab]], unigram — Kudo,
+    * "Subword Regularization", ACL 2018 / SentencePiece's unigram mode).
+    * Candidate pieces are every substring of length ≤ `maxPieceLen` of
+    * the (≤ `maxWordLen`-char) corpus words; piece frequency = Σ over
+    * occurrences of the containing word's count; pieces below `minCount`
+    * are dropped UNLESS single-char (the character fallback must stay
+    * complete). Score = round(ln(freq / Σfreq) · 10⁶) — integer
+    * MICRO-NATS, so the Viterbi DP downstream is all-integer arithmetic
+    * with no float drift anywhere (the q169 device; the single ln+round
+    * per piece is the q138-proven cross-engine step).
+    *
+    * Scale: lexicon-sized throughout — one corpus pass for word counts,
+    * then ≤ 48 substring rows per DISTINCT word, one map-side-combinable
+    * frequency aggregate, one 1-row broadcast of the total.
+    *
+    * @return (piece, freq, score_micro) */
+  def unigramVocab(corpus: DataFrame, idCol: String, textCol: String,
+      maxPieceLen: Int = 4, maxWordLen: Int = 12,
+      minCount: Long = 2): DataFrame = {
+    require(maxPieceLen >= 1 && maxWordLen >= 1,
+      s"unigramVocab: maxPieceLen/maxWordLen must be >= 1")
+    val words = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val freqs = words
+      .select(col("word"), col("cnt"), length(col("word")).as("__len"))
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(0), col("__len") - 1)).as("__p"),
+        col("__len"))
+      .select(col("cnt"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("__len") - col("__p")))).as("__l"),
+        col("word"), col("__p"))
+      .select(col("word").substr(col("__p") + 1, col("__l")).as("piece"),
+        col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .filter(col("freq") >= minCount || length(col("piece")) === 1)
+    val tot = freqs.agg(sum(col("freq")).as("__tot"))
+    freqs.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        // explicit ⌊x+0.5⌋, not round(): identical IEEE floor on every
+        // engine (the q144 device) — round()'s negative-half handling is
+        // engine-defined
+        floor(log(col("freq").cast("double") / col("__tot").cast("double"))
+          * 1000000.0 + 0.5).cast("long").as("score_micro"))
+  }
+
+  /** Viterbi unigram-LM segmentation: each distinct word's best
+    * segmentation under the additive piece scores of [[unigramVocab]]
+    * (maximize Σ score_micro; a single char absent from the vocabulary
+    * scores the −20·10⁶ micro-nat UNK floor, so segmentation always
+    * terminates). Ties break to the LONGER final piece at each DP cell
+    * (max score, then smallest split point) — a total order, so the
+    * result is deterministic and the oracle replays it cell by cell.
+    *
+    * Spark-first shape, same lattice as [[wordpieceSegment]]: candidate
+    * (position, length) pieces explode relationally and equi-join the
+    * broadcast vocabulary once; the DP itself is ONE bounded `aggregate`
+    * fold per DISTINCT word over a dense edge-score array — the fold
+    * appends best[i] = max_l (best[i−l] + score(i−l, l)) carrying
+    * (score, n_pieces, segmentation) per cell. Everything downstream of
+    * the corpus word count is lexicon-sized; the corpus is scanned once.
+    * All-integer scores — engines cannot diverge in the DP.
+    *
+    * @param vocab (piece, score_micro) from [[unigramVocab]]
+    * @return (word, cnt, n_pieces, score_micro, pieces) */
+  def unigramSegment(corpus: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 7,
+      s"unigramSegment: maxPieceLen in 1..7 (edge key packs l into 3 bits)")
+    val UnkFloor = -20000000L
+    val words = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__len", length(col("word")))
+    val edges = words
+      .select(col("word"), explode(sequence(lit(0), col("__len") - 1)).as("__p"),
+        col("__len"))
+      .select(col("word"), col("__p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("__len") - col("__p")))).as("__l"))
+      .join(broadcast(vocab.select(col("piece"), col("score_micro"))),
+        col("piece") === col("word").substr(col("__p") + 1, col("__l")))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(
+        struct((col("__p") * 8 + col("__l")).as("k"),
+          col("score_micro").as("v")))).as("__em"))
+    val dp = words.join(edges, Seq("word"), "left")
+      .withColumn("__best", aggregate(
+        sequence(lit(1), col("__len")),
+        array(struct(lit(0L).as("sc"), lit(0L).as("np"), lit("").as("seg"))),
+        (acc, i) => {
+          val cands = (1 to maxPieceLen).map { l =>
+            val j = i - l
+            val prev = element_at(acc, j + 1)
+            val piece = col("word").substr(j + 1, lit(l))
+            val edge =
+              if (l == 1)
+                coalesce(element_at(col("__em"), j * 8 + lit(l)), lit(UnkFloor))
+              else element_at(col("__em"), j * 8 + lit(l))
+            when(lit(l) <= i && edge.isNotNull,
+              // (-j) second: struct comparison is lexicographic, so
+              // array_max = best score, ties to smallest split point j
+              // (the longest final piece)
+              struct((prev.getField("sc") + edge).as("sc"),
+                (-j).cast("long").as("negj"),
+                (prev.getField("np") + 1L).as("np"),
+                when(prev.getField("seg") === lit(""), piece)
+                  .otherwise(concat(prev.getField("seg"), lit(" "), piece))
+                  .as("seg")))
+          }
+          val best = array_max(filter(array(cands: _*), c => c.isNotNull))
+          concat(acc, array(struct(best.getField("sc").as("sc"),
+            best.getField("np").as("np"), best.getField("seg").as("seg"))))
+        }))
+      .withColumn("__fin", element_at(col("__best"), col("__len") + 1))
+    dp.select(col("word"), col("cnt"),
+      col("__fin.np").as("n_pieces"),
+      col("__fin.sc").as("score_micro"),
+      col("__fin.seg").as("pieces"))
+  }
+
   /** Distinct-n diversity ratios (Li et al. 2016's distinct-1/distinct-2,
     * the standard synthetic-text / mode-collapse detector): per group,
     * the fraction of unigram and bigram OCCURRENCES that are distinct

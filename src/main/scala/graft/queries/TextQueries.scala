@@ -782,7 +782,97 @@ object TextQueries {
        |FROM w8 ORDER BY word""".stripMargin
   }
 
+  /** UNIGRAM-LM tokenization ([[graft.ops.LanguageModel.unigramVocab]] →
+    * [[graft.ops.LanguageModel.unigramSegment]]): the third member of the
+    * tokenizer triad (BPE q161/q173, WordPiece q150, unigram — the
+    * SentencePiece default). Every distinct word's Viterbi-optimal
+    * segmentation, piece count, and total integer micro-nat score are
+    * hash-pinned: the oracle re-derives the corpus-frequency vocabulary,
+    * the ⌊ln(p)·10⁶+0.5⌋ scores, and the full DP — 12 unrolled stages of
+    * best[i] = max_l(best[i−l] + score), ties to the longest final piece
+    * — so the lattice construction, the all-integer arithmetic, and the
+    * tie rule must all agree cell by cell. */
+  def q181UnigramSegment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = graft.ops.LanguageModel.unigramVocab(docs, "doc_id", "text",
+      maxPieceLen = 4, maxWordLen = 12, minCount = 2)
+    graft.ops.LanguageModel.unigramSegment(docs, "doc_id", "text", vocab,
+        maxPieceLen = 4, maxWordLen = 12)
+      .orderBy(col("word"))
+  }
+
+  val q181Sql: String = {
+    def lk(k: Int): String = s"ss[nullif(list_position(ks, $k), 0)]"
+    def stage(i: Int): String = {
+      val cs = (1 to 4).map { l =>
+        if (l > i) s"CAST(NULL AS BIGINT) AS c$l"
+        else {
+          val j = i - l
+          val look =
+            if (l == 1) s"coalesce(${lk(j * 8 + 1)}, -20000000)"
+            else lk(j * 8 + l)
+          s"CASE WHEN len >= $i THEN s$j + $look END AS c$l"
+        }
+      }.mkString(",\n      ")
+      val picks = (4 to 1 by -1).filter(_ <= i)
+      def pick(f: Int => String): String =
+        "CASE " + picks.map(l => s"WHEN c$l = mx THEN ${f(l)}")
+          .mkString(" ") + " END"
+      val npSel = pick(l => s"np${i - l} + 1")
+      val sgSel = pick { l =>
+        val j = i - l
+        s"(CASE WHEN sg$j = '' THEN '' ELSE sg$j || ' ' END) || substr(word, ${j + 1}, $l)"
+      }
+      s"""d$i AS (
+         |  SELECT * EXCLUDE (c1, c2, c3, c4, mx),
+         |    CASE WHEN len >= $i THEN mx END AS s$i,
+         |    CASE WHEN len >= $i THEN $npSel END AS np$i,
+         |    CASE WHEN len >= $i THEN $sgSel END AS sg$i
+         |  FROM (SELECT *, greatest(c1, c2, c3, c4) AS mx FROM (
+         |    SELECT *,
+         |      $cs
+         |    FROM d${i - 1}) a) b)""".stripMargin
+    }
+    def fin(c: String): String =
+      "CASE len " + (1 to 12).map(i => s"WHEN $i THEN $c$i").mkString(" ") +
+        " END"
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS cnt, length(w) AS len FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents WHERE doc_id IS NOT NULL)
+       |  WHERE w <> '' AND length(w) <= 12 GROUP BY w),
+       |pieces AS (
+       |  SELECT substr(word, p + 1, l) AS piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM words, UNNEST(range(0, len)) AS tp(p),
+       |       UNNEST(range(1, least(4, len - p) + 1)) AS tl(l)
+       |  GROUP BY 1),
+       |kept AS (SELECT piece, freq FROM pieces
+       |         WHERE freq >= 2 OR length(piece) = 1),
+       |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS t FROM kept),
+       |vocab AS (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(freq AS DOUBLE) / t) * 1000000.0 + 0.5) AS BIGINT) AS s
+       |  FROM kept CROSS JOIN tot),
+       |edges AS (
+       |  SELECT e.word, e.k, v.s FROM (
+       |    SELECT word, p * 8 + l AS k, substr(word, p + 1, l) AS pc
+       |    FROM words, UNNEST(range(0, len)) AS tp(p),
+       |         UNNEST(range(1, least(4, len - p) + 1)) AS tl(l)) e
+       |  JOIN vocab v ON v.piece = e.pc),
+       |em AS (SELECT word, list(k ORDER BY k) AS ks, list(s ORDER BY k) AS ss
+       |       FROM edges GROUP BY word),
+       |d0 AS (
+       |  SELECT w.word, w.cnt, w.len, em.ks, em.ss,
+       |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS np0, '' AS sg0
+       |  FROM words w LEFT JOIN em USING (word)),
+       |${(1 to 12).map(stage).mkString(",\n")}
+       |SELECT word, cnt, ${fin("np")} AS n_pieces,
+       |  ${fin("s")} AS score_micro, ${fin("sg")} AS pieces
+       |FROM d12 ORDER BY word""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_unigram_segment" -> (q181UnigramSegment _),
     "q173_bpe_segment" -> (q173BpeSegment _),
     "q168_distinct_n" -> (q168DistinctN _),
     "q165_log_odds_terms" -> (q165LogOddsTerms _),
@@ -806,6 +896,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q181_unigram_segment" -> q181Sql,
     "q173_bpe_segment" -> q173Sql,
     "q168_distinct_n" -> q168Sql,
     "q165_log_odds_terms" -> q165Sql,

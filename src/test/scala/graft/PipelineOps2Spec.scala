@@ -52,6 +52,65 @@ class PipelineOps2Spec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("unigramSegment: hand-checkable Viterbi on a tiny vocab") {
+    val vocab = Seq(("ab", -1000000L), ("c", -2000000L), ("abc", -3500000L),
+      ("a", -3000000L), ("b", -3000000L)).toDF("piece", "score_micro")
+    val docs = Seq((1L, "abc abc zc")).toDF("doc_id", "text")
+    val got = LanguageModel.unigramSegment(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // abc: ab+c = -3.0M beats abc = -3.5M and a+b+c = -8M
+    assert(got("abc") == ((2L, -3000000L, "ab c")))
+    // z is not in the vocab: UNK floor -20M, then c = -2M
+    assert(got("zc") == ((2L, -22000000L, "z c")))
+  }
+
+  test("unigramSegment matches a brute-force Viterbi enumeration on " +
+      "random words and vocabularies") {
+    // all compositions into pieces of length <= 4
+    def comps(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap(l =>
+        comps(w.drop(l)).map(w.take(l) +: _))
+    def score(seg: Seq[String], v: Map[String, Long]): Option[Long] = {
+      val ss = seg.map(p => v.get(p).orElse(
+        if (p.length == 1) Some(-20000000L) else None))
+      if (ss.exists(_.isEmpty)) None else Some(ss.flatten.sum)
+    }
+    // the DP's local tie rule (max score, then longest final piece,
+    // recursively) == among max-score segs, the lexicographically
+    // largest REVERSED piece-length sequence
+    def refBest(w: String, v: Map[String, Long]): (Long, Long, String) = {
+      val scored = comps(w).flatMap(s => score(s, v).map(sc => (sc, s)))
+      val mx = scored.map(_._1).max
+      import Ordering.Implicits._
+      val seg = scored.filter(_._1 == mx).map(_._2)
+        .maxBy(s => s.map(_.length).reverse.toList)
+      (seg.size.toLong, mx, seg.mkString(" "))
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(8))("abc"(rnd.nextInt(3))).mkString).distinct
+    // vocab: a deterministic pseudo-random subset of all substrings
+    val pieces = words.flatMap(w =>
+      (0 until w.length).flatMap(p =>
+        (1 to math.min(4, w.length - p)).map(l => w.substring(p, p + l))))
+      .distinct.sorted
+    val vm = pieces.zipWithIndex.collect {
+      case (p, i) if (p.hashCode & 3) != 0 => // keep ~75%
+        p -> (-(math.abs(p.hashCode) % 5000000L) - i - 1000000L)
+    }.toMap
+    val vocab = vm.toSeq.toDF("piece", "score_micro")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = LanguageModel.unigramSegment(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    words.foreach { w =>
+      val ref = refBest(w, vm)
+      assert(got(w) == ref, s"word $w: ${got(w)} vs $ref")
+    }
+  }
+
   test("hashedLinearScore: deterministic, token-order-invariant, and the " +
       "flag agrees with the probability") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),

@@ -38,6 +38,13 @@ object Bench {
     // compare, not lexicographic — "q99" must NOT follow "q160". The
     // canonical round-close artifact is always the full sweep.
     val since = sys.env.get("SPARK_GRAFT_SINCE")
+    // Scale-audit knob: drop the named queries from the sweep. The 100×
+    // audit excludes the sample-scoped exact-all-pairs AUDIT queries
+    // (q98/q100/q171/q177-q179) whose quadratic arms are their documented
+    // design, not a scale defect — the exclusion is labeled in the JSON so
+    // a filtered sweep can't pass as a full one.
+    val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE").map(_.split(",").toSet)
+      .getOrElse(Set.empty[String])
     def qnum(n: String): Int =
       "q(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0)
 
@@ -73,6 +80,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) => since.forall(s => qnum(name) >= qnum(s)) }
+      .filterNot { case (name, _) => exclude.contains(name) }
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val runs = (1 to runsPer).map(_ => timeOnce(name, fn))
       if ((i + 1) % ControlEvery == 0) runControl(name)
@@ -104,7 +112,10 @@ object Bench {
     val onlyJson = only
       .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       .getOrElse("") +
-      since.map(s => s""","since":"$s"""").getOrElse("")
+      since.map(s => s""","since":"$s"""").getOrElse("") +
+      (if (exclude.isEmpty) ""
+       else exclude.toSeq.sorted.map("\"" + _ + "\"")
+         .mkString(""","exclude":[""", ",", "]"))
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":$runsPer,"agg":"min","control_query":"$controlName","control":$controlJson$onlyJson$failedJson,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r*.json capture keeps only a TAIL of stdout, so
@@ -130,7 +141,7 @@ object Bench {
     // close. r7 lost an artifact to a hardcoded round tag being rerun by
     // the driver; r8 lost one to opt-in-only writing — this is the middle.
     // a SINCE-filtered tail run is just as partial as an ONLY run
-    if (only.isEmpty && since.isEmpty) {
+    if (only.isEmpty && since.isEmpty && exclude.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "bench_full_latest.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

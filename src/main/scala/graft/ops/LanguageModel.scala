@@ -493,13 +493,23 @@ object LanguageModel {
     * @return (word, cnt, n_pieces, score_micro, pieces) */
   def unigramSegment(corpus: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
-    require(maxPieceLen >= 1 && maxPieceLen <= 7,
-      s"unigramSegment: maxPieceLen in 1..7 (edge key packs l into 3 bits)")
-    val UnkFloor = -20000000L
     val words = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    unigramSegmentWords(words, vocab, maxPieceLen)
+  }
+
+  /** The Viterbi DP of [[unigramSegment]] over a pre-aggregated
+    * `(word, cnt)` table — split out so callers that already hold word
+    * counts (e.g. [[unigramFertility]]'s per-source table) don't pay a
+    * second corpus scan. Same contract as [[unigramSegment]]. */
+  def unigramSegmentWords(wordCounts: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 7,
+      s"unigramSegment: maxPieceLen in 1..7 (edge key packs l into 3 bits)")
+    val UnkFloor = -20000000L
+    val words = wordCounts.select(col("word"), col("cnt"))
       .withColumn("__len", length(col("word")))
     val edges = words
       .select(col("word"), explode(sequence(lit(0), col("__len") - 1)).as("__p"),
@@ -546,6 +556,52 @@ object LanguageModel {
       col("__fin.np").as("n_pieces"),
       col("__fin.sc").as("score_micro"),
       col("__fin.seg").as("pieces"))
+  }
+
+  /** Tokenizer fertility / compression evaluation per group — the
+    * MEASUREMENT step of the tokenizer lifecycle (train q161/q181, apply
+    * q173/q181): fertility (pieces per word, Rust et al. 2021's
+    * cross-lingual tokenizer-quality metric), chars-per-piece
+    * (compression), and the fraction of word occurrences the vocabulary
+    * keeps whole. A tokenizer that fragments one source's text drives up
+    * its sequence lengths and training cost — this is the table that
+    * decision reads.
+    *
+    * One corpus scan builds the per-(group, word) occurrence counts; the
+    * global word table derives from it by a second map-side-combinable
+    * aggregate (no re-scan); the Viterbi DP is lexicon-sized
+    * ([[unigramSegmentWords]]); the fertility join is word-keyed and
+    * lexicon-bounded; output is one row per group. All numerators are
+    * integer sums — the only floats are the three final divisions.
+    *
+    * @return (group, n_words, n_pieces, n_chars, fertility,
+    *         chars_per_piece, pct_whole) sorted by group */
+  def unigramFertility(corpus: DataFrame, idCol: String, textCol: String,
+      grpCol: String, vocab: DataFrame, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    val sw = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
+      .select(col(grpCol).as("group"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
+      .groupBy(col("group"), col("word")).agg(count(lit(1)).as("cnt"))
+    val seg = unigramSegmentWords(
+      sw.groupBy(col("word")).agg(sum(col("cnt")).as("cnt")),
+      vocab, maxPieceLen)
+    sw.join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col("group"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_pieces")).as("n_pieces"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"),
+        sum(when(col("n_pieces") === 1L, col("cnt")).otherwise(0L))
+          .as("__whole"))
+      .select(col("group"), col("n_words"), col("n_pieces"), col("n_chars"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"),
+        round(col("__whole").cast("double") / col("n_words"), 6)
+          .as("pct_whole"))
+      .orderBy(col("group"))
   }
 
   /** Distinct-n diversity ratios (Li et al. 2016's distinct-1/distinct-2,

@@ -801,46 +801,52 @@ object TextQueries {
       .orderBy(col("word"))
   }
 
-  val q181Sql: String = {
-    def lk(k: Int): String = s"ss[nullif(list_position(ks, $k), 0)]"
-    def stage(i: Int): String = {
-      val cs = (1 to 4).map { l =>
-        if (l > i) s"CAST(NULL AS BIGINT) AS c$l"
-        else {
-          val j = i - l
-          val look =
-            if (l == 1) s"coalesce(${lk(j * 8 + 1)}, -20000000)"
-            else lk(j * 8 + l)
-          s"CASE WHEN len >= $i THEN s$j + $look END AS c$l"
-        }
-      }.mkString(",\n      ")
-      val picks = (4 to 1 by -1).filter(_ <= i)
-      def pick(f: Int => String): String =
-        "CASE " + picks.map(l => s"WHEN c$l = mx THEN ${f(l)}")
-          .mkString(" ") + " END"
-      val npSel = pick(l => s"np${i - l} + 1")
-      val sgSel = pick { l =>
+  // Shared builders for the unigram-LM oracle's unrolled Viterbi chain
+  // (q181 segmentation, q183 fertility): the 12 DP stages and the
+  // final-cell selector are generated once, the words CTE is the
+  // per-query parameter.
+  private def uniLk(k: Int): String =
+    s"ss[nullif(list_position(ks, $k), 0)]"
+
+  private def uniStage(i: Int): String = {
+    val cs = (1 to 4).map { l =>
+      if (l > i) s"CAST(NULL AS BIGINT) AS c$l"
+      else {
         val j = i - l
-        s"(CASE WHEN sg$j = '' THEN '' ELSE sg$j || ' ' END) || substr(word, ${j + 1}, $l)"
+        val look =
+          if (l == 1) s"coalesce(${uniLk(j * 8 + 1)}, -20000000)"
+          else uniLk(j * 8 + l)
+        s"CASE WHEN len >= $i THEN s$j + $look END AS c$l"
       }
-      s"""d$i AS (
-         |  SELECT * EXCLUDE (c1, c2, c3, c4, mx),
-         |    CASE WHEN len >= $i THEN mx END AS s$i,
-         |    CASE WHEN len >= $i THEN $npSel END AS np$i,
-         |    CASE WHEN len >= $i THEN $sgSel END AS sg$i
-         |  FROM (SELECT *, greatest(c1, c2, c3, c4) AS mx FROM (
-         |    SELECT *,
-         |      $cs
-         |    FROM d${i - 1}) a) b)""".stripMargin
+    }.mkString(",\n      ")
+    val picks = (4 to 1 by -1).filter(_ <= i)
+    def pick(f: Int => String): String =
+      "CASE " + picks.map(l => s"WHEN c$l = mx THEN ${f(l)}")
+        .mkString(" ") + " END"
+    val npSel = pick(l => s"np${i - l} + 1")
+    val sgSel = pick { l =>
+      val j = i - l
+      s"(CASE WHEN sg$j = '' THEN '' ELSE sg$j || ' ' END) || substr(word, ${j + 1}, $l)"
     }
-    def fin(c: String): String =
-      "CASE len " + (1 to 12).map(i => s"WHEN $i THEN $c$i").mkString(" ") +
-        " END"
-    s"""WITH words AS (
-       |  SELECT w AS word, count(*) AS cnt, length(w) AS len FROM (
-       |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-       |    FROM documents WHERE doc_id IS NOT NULL)
-       |  WHERE w <> '' AND length(w) <= 12 GROUP BY w),
+    s"""d$i AS (
+       |  SELECT * EXCLUDE (c1, c2, c3, c4, mx),
+       |    CASE WHEN len >= $i THEN mx END AS s$i,
+       |    CASE WHEN len >= $i THEN $npSel END AS np$i,
+       |    CASE WHEN len >= $i THEN $sgSel END AS sg$i
+       |  FROM (SELECT *, greatest(c1, c2, c3, c4) AS mx FROM (
+       |    SELECT *,
+       |      $cs
+       |    FROM d${i - 1}) a) b)""".stripMargin
+  }
+
+  private def uniFin(c: String): String =
+    "CASE len " + (1 to 12).map(i => s"WHEN $i THEN $c$i").mkString(" ") +
+      " END"
+
+  /** The vocabulary + edge-map + 12-stage DP CTE chain, ending at `d12`.
+    * `wordsCtes` must define a CTE `words(word, cnt, len)`. */
+  private def uniDpChain(wordsCtes: String): String =
+    s"""$wordsCtes,
        |pieces AS (
        |  SELECT substr(word, p + 1, l) AS piece, CAST(sum(cnt) AS BIGINT) AS freq
        |  FROM words, UNNEST(range(0, len)) AS tp(p),
@@ -865,13 +871,65 @@ object TextQueries {
        |  SELECT w.word, w.cnt, w.len, em.ks, em.ss,
        |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS np0, '' AS sg0
        |  FROM words w LEFT JOIN em USING (word)),
-       |${(1 to 12).map(stage).mkString(",\n")}
-       |SELECT word, cnt, ${fin("np")} AS n_pieces,
-       |  ${fin("s")} AS score_micro, ${fin("sg")} AS pieces
+       |${(1 to 12).map(uniStage).mkString(",\n")}""".stripMargin
+
+  val q181Sql: String =
+    s"""WITH ${uniDpChain(
+         """words AS (
+           |  SELECT w AS word, count(*) AS cnt, length(w) AS len FROM (
+           |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           |    FROM documents WHERE doc_id IS NOT NULL)
+           |  WHERE w <> '' AND length(w) <= 12 GROUP BY w)""".stripMargin)}
+       |SELECT word, cnt, ${uniFin("np")} AS n_pieces,
+       |  ${uniFin("s")} AS score_micro, ${uniFin("sg")} AS pieces
        |FROM d12 ORDER BY word""".stripMargin
+
+  /** Tokenizer fertility / compression evaluation
+    * ([[graft.ops.LanguageModel.unigramFertility]]): per source, pieces
+    * per word (fertility — Rust et al. 2021's tokenizer-quality metric),
+    * chars per piece (compression), and the whole-word-kept fraction
+    * under the q181 unigram tokenizer — the MEASUREMENT step of the
+    * tokenizer lifecycle (train q161/q181, apply q173/q181, measure
+    * here). The oracle rides the same unrolled 12-stage Viterbi chain as
+    * q181, then joins per-(source, word) occurrence counts back to the
+    * per-word piece counts — so the integer numerators and all three
+    * final divisions hash-match. */
+  def q183TokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vocab = graft.ops.LanguageModel.unigramVocab(docs, "doc_id", "text",
+      maxPieceLen = 4, maxWordLen = 12, minCount = 2)
+    graft.ops.LanguageModel.unigramFertility(docs, "doc_id", "text",
+        "source", vocab, maxPieceLen = 4, maxWordLen = 12)
+      .withColumnRenamed("group", "source")
   }
 
+  val q183Sql: String =
+    s"""WITH ${uniDpChain(
+         """sw AS (
+           |  SELECT source, w AS word, count(*) AS cnt FROM (
+           |    SELECT source,
+           |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+           |    FROM documents WHERE doc_id IS NOT NULL)
+           |  WHERE w <> '' AND length(w) <= 12 GROUP BY source, w),
+           |words AS (
+           |  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt,
+           |    length(word) AS len
+           |  FROM sw GROUP BY word)""".stripMargin)}
+       |SELECT s.source,
+       |  CAST(sum(s.cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(s.cnt * f.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(s.cnt * length(s.word)) AS BIGINT) AS n_chars,
+       |  round(CAST(sum(s.cnt * f.np) AS DOUBLE) / sum(s.cnt), 6) AS fertility,
+       |  round(CAST(sum(s.cnt * length(s.word)) AS DOUBLE) / sum(s.cnt * f.np), 6)
+       |    AS chars_per_piece,
+       |  round(CAST(sum(CASE WHEN f.np = 1 THEN s.cnt ELSE 0 END) AS DOUBLE)
+       |    / sum(s.cnt), 6) AS pct_whole
+       |FROM sw s
+       |JOIN (SELECT word, ${uniFin("np")} AS np FROM d12) f USING (word)
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_tokenizer_fertility" -> (q183TokenizerFertility _),
     "q181_unigram_segment" -> (q181UnigramSegment _),
     "q173_bpe_segment" -> (q173BpeSegment _),
     "q168_distinct_n" -> (q168DistinctN _),
@@ -896,6 +954,7 @@ object TextQueries {
     "q58_tfidf" -> (q58Tfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q183_tokenizer_fertility" -> q183Sql,
     "q181_unigram_segment" -> q181Sql,
     "q173_bpe_segment" -> q173Sql,
     "q168_distinct_n" -> q168Sql,

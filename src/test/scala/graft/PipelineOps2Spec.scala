@@ -111,6 +111,32 @@ class PipelineOps2Spec extends SparkSpec {
     }
   }
 
+  test("unigramFertility: hand-checked per-source metrics on a tiny " +
+      "vocab, consistent with unigramSegment's piece counts") {
+    val vocab = Seq(("ab", -1000000L), ("c", -2000000L), ("a", -3000000L),
+      ("b", -3000000L)).toDF("piece", "score_micro")
+    // src1: "abc abc" -> abc = [ab c] (2 pieces) x2 occurrences
+    // src2: "ab zc"   -> ab = [ab] (1 piece), zc = [z c] (2, z is UNK)
+    val docs = Seq((1L, "abc abc", "src1"), (2L, "ab zc", "src2"))
+      .toDF("doc_id", "text", "source")
+    val got = LanguageModel.unigramFertility(docs, "doc_id", "text",
+        "source", vocab)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("src1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3)) == ((2L, 4L, 6L)))
+    assert(s1.getDouble(4) == 2.0)       // fertility: 4 pieces / 2 words
+    assert(s1.getDouble(5) == 1.5)       // chars/piece: 6 / 4
+    assert(s1.getDouble(6) == 0.0)       // nothing kept whole
+    val s2 = got("src2")
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3)) == ((2L, 3L, 4L)))
+    assert(s2.getDouble(4) == 1.5)
+    assert(s2.getDouble(6) == 0.5)       // "ab" stays one piece
+    // cross-check against unigramSegment: weighted piece sums must agree
+    val seg = LanguageModel.unigramSegment(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(seg("abc") == 2L && seg("ab") == 1L && seg("zc") == 2L)
+  }
+
   test("hashedLinearScore: deterministic, token-order-invariant, and the " +
       "flag agrees with the probability") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),

@@ -443,13 +443,21 @@ object LanguageModel {
   def unigramVocab(corpus: DataFrame, idCol: String, textCol: String,
       maxPieceLen: Int = 4, maxWordLen: Int = 12,
       minCount: Long = 2): DataFrame = {
-    require(maxPieceLen >= 1 && maxWordLen >= 1,
-      s"unigramVocab: maxPieceLen/maxWordLen must be >= 1")
+    require(maxWordLen >= 1, s"unigramVocab: maxWordLen must be >= 1")
     val words = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val freqs = words
+    unigramVocabWords(words, maxPieceLen, minCount)
+  }
+
+  /** The vocabulary derivation of [[unigramVocab]] over a pre-aggregated
+    * `(word, cnt)` table — split out (like [[unigramSegmentWords]]) so a
+    * caller holding word counts doesn't pay a second corpus scan. */
+  def unigramVocabWords(wordCounts: DataFrame, maxPieceLen: Int = 4,
+      minCount: Long = 2): DataFrame = {
+    require(maxPieceLen >= 1, s"unigramVocab: maxPieceLen must be >= 1")
+    val freqs = wordCounts
       .select(col("word"), col("cnt"), length(col("word")).as("__len"))
       .select(col("word"), col("cnt"),
         explode(sequence(lit(0), col("__len") - 1)).as("__p"),
@@ -578,12 +586,36 @@ object LanguageModel {
     *         chars_per_piece, pct_whole) sorted by group */
   def unigramFertility(corpus: DataFrame, idCol: String, textCol: String,
       grpCol: String, vocab: DataFrame, maxPieceLen: Int = 4,
-      maxWordLen: Int = 12): DataFrame = {
-    val sw = TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
+      maxWordLen: Int = 12): DataFrame =
+    fertilityFromCounts(
+      groupedWordCounts(corpus, idCol, textCol, grpCol, maxWordLen),
+      vocab, maxPieceLen)
+
+  /** [[unigramFertility]] with the tokenizer trained on the SAME corpus
+    * (the in-corpus fertility report a tokenizer trainer emits): the
+    * per-(group, word) aggregate feeds the vocabulary, the Viterbi DP,
+    * and the fertility join, so Catalyst's exchange reuse collapses the
+    * whole query to ONE corpus scan — at 100 TB that halves the I/O of
+    * the train-then-evaluate pair. */
+  def unigramFertilitySelfTrained(corpus: DataFrame, idCol: String,
+      textCol: String, grpCol: String, maxPieceLen: Int = 4,
+      maxWordLen: Int = 12, minCount: Long = 2): DataFrame = {
+    val sw = groupedWordCounts(corpus, idCol, textCol, grpCol, maxWordLen)
+    val words = sw.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+    fertilityFromCounts(sw, unigramVocabWords(words, maxPieceLen, minCount),
+      maxPieceLen)
+  }
+
+  private def groupedWordCounts(corpus: DataFrame, idCol: String,
+      textCol: String, grpCol: String, maxWordLen: Int): DataFrame =
+    TextFunctions.widen(corpus.filter(col(idCol).isNotNull))
       .select(col(grpCol).as("group"),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= maxWordLen)
       .groupBy(col("group"), col("word")).agg(count(lit(1)).as("cnt"))
+
+  private def fertilityFromCounts(sw: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
     val seg = unigramSegmentWords(
       sw.groupBy(col("word")).agg(sum(col("cnt")).as("cnt")),
       vocab, maxPieceLen)

@@ -894,14 +894,11 @@ object TextQueries {
     * q181, then joins per-(source, word) occurrence counts back to the
     * per-word piece counts — so the integer numerators and all three
     * final divisions hash-match. */
-  def q183TokenizerFertility(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val vocab = graft.ops.LanguageModel.unigramVocab(docs, "doc_id", "text",
-      maxPieceLen = 4, maxWordLen = 12, minCount = 2)
-    graft.ops.LanguageModel.unigramFertility(docs, "doc_id", "text",
-        "source", vocab, maxPieceLen = 4, maxWordLen = 12)
+  def q183TokenizerFertility(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.unigramFertilitySelfTrained(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        maxPieceLen = 4, maxWordLen = 12, minCount = 2)
       .withColumnRenamed("group", "source")
-  }
 
   val q183Sql: String =
     s"""WITH ${uniDpChain(

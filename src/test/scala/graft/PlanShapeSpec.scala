@@ -608,6 +608,36 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("q181 unigram segment: the vocabulary broadcasts into the lattice " +
+      "join; the only cross join is the 1-row frequency total") {
+    val df = graft.queries.TextQueries.q181UnigramSegment(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the edge match:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never cartesian:\n$plan")
+    // the words-edges DP join may SMJ: both sides are word-partitioned
+    // lexicon-sized aggregates — co-partitioned merge is the correct
+    // choice at scale (a 100 TB corpus's lexicon must NOT broadcast)
+  }
+
+  test("q183 tokenizer fertility: at most two corpus scans — the wide " +
+      "per-source count and the column-pruned text-only lexicon read") {
+    val df = graft.queries.TextQueries.q183TokenizerFertility(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // Catalyst rewrites the lattice side's count-pruned re-aggregate to a
+    // distinct over a text-only scan instead of reusing the wide
+    // (source, word) exchange — a narrower read than a forced reuse, and
+    // one scan fewer than the naive train-then-evaluate pair's three.
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("documents"))
+    assert(scans <= 2,
+      s"expected at most two documents scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q167 leakage split: the split assignment never widens the plan — " +
       "no cartesian product; the md5 bucket is pure projection") {
     val df = graft.queries.DedupQueries.q167LeakageSplit(spark, sfDir)

@@ -419,4 +419,37 @@ class PropertySpec extends SparkSpec {
     val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(got == refBpe(wf, 6), s"got=$got\nref=${refBpe(wf, 6)}")
   }
+
+  test("unigramVocab on random corpora: a straight-line frequency " +
+      "reference, char-fallback completeness, score monotonicity, and " +
+      "near-normalization of the implied distribution") {
+    val wordGen = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val words = samples(wordGen, 150)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.LanguageModel.unigramVocab(docs, "doc_id", "text",
+        maxPieceLen = 3, maxWordLen = 12, minCount = 2)
+      .as[(String, Long, Long)].collect()
+    // straight-line reference: substring frequencies weighted by word count
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ref = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, c) =>
+      for (p <- 0 until w.length; l <- 1 to math.min(3, w.length - p))
+        ref(w.substring(p, p + l)) = ref.getOrElse(w.substring(p, p + l), 0L) + c
+    }
+    val kept = ref.filter { case (p, f) => f >= 2 || p.length == 1 }
+    assert(got.map(r => r._1 -> r._2).toMap == kept.toMap,
+      "piece frequencies must match the straight-line reference")
+    // char fallback: every character that occurs anywhere survives minCount
+    val chars = words.flatMap(_.toSeq).toSet
+    assert(chars.forall(c => got.exists(_._1 == c.toString)))
+    // monotone: higher frequency -> score at least as high
+    val byFreq = got.sortBy(_._2)
+    byFreq.zip(byFreq.tail).foreach { case ((_, f1, s1), (_, f2, s2)) =>
+      assert(f1 > f2 || s1 <= s2, s"freq $f1<=$f2 but score $s1>$s2")
+    }
+    // the implied distribution sums to ~1 (micro-nat rounding slack)
+    val mass = got.map(r => math.exp(r._3 / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"sum exp(score) = $mass")
+  }
 }

@@ -30,6 +30,41 @@ object ScaleSoak {
       r
     }
 
+    // SOAK_PRODSHAPE=1: the two ops whose 100× full-suite readings exceed
+    // the linear bound BECAUSE the gate corpus scales a parameter that is
+    // fixed in production, re-measured at the SAME scale under the
+    // documented production shape (SOAK_DIR = a materialized 100× corpus):
+    //   - semDedup: the gate's cluster key (label, fixed cardinality) lets
+    //     cluster sizes grow with the corpus; Σ|cluster|² is the op's
+    //     documented cost. Production (SemDeDup paper) sizes clusters
+    //     CONSTANT by scaling k with N — modeled here by sub-bucketing
+    //     each label with a 7-bit SRP signature (the doc's "a k-means
+    //     cell, a label, an LSH bucket" contract).
+    //   - decontamTopMatches: the gate's eval set is a %97 sample that
+    //     grows with the corpus; a real decontamination benchmark is
+    //     FIXED-size. Eval here = replica 0's sample only.
+    if (sys.env.get("SOAK_PRODSHAPE").contains("1")) {
+      val dir = sys.env.getOrElse("SOAK_DIR", "target/sf0.1x100")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      println(s"prodshape embeddings rows=${emb.count()}")
+      val srp = graft.ops.Similarity.srpPlaneWeights(7, 64)
+      val bucketed = emb.withColumn("cell",
+        concat_ws(":", col("label").cast("string"),
+          array_join(graft.ops.Similarity
+            .srpSignatureBitsComposable(col("embedding"), srp), "")))
+      time("semdedup_bounded_cells")(
+        graft.ops.Similarity.semDedup(bucketed, "vec_id", "embedding",
+          "cell", threshold = 0.35).count())
+      val eval = emb.filter(col("vec_id") % 97 === 0 &&
+          col("vec_id") < 1000000L)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("eval_vec"))
+      time("decontam_fixed_eval")(
+        graft.ops.Similarity.decontamTopMatches(
+          emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+          eval, "eval_id", "eval_vec", k = 20).count())
+      spark.stop(); sys.exit(0)
+    }
+
     // SOAK_REALISTIC=1: the pair-producing operators (LSH, fuzzy pairs,
     // CC collapse) on a corpus with SPARSE duplicates. Clone replication
     // is wrong for these — every clone group is a near-dup clique, so

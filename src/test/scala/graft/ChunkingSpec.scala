@@ -83,6 +83,25 @@ class ChunkingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("semDedup production cells (q184): refining the cluster key never removes survivors") {
+    // cell equality implies label equality, so label×SRP sub-bucketing only
+    // REMOVES pair edges; components split, every split keeps its own min id,
+    // and the original component's min stays a min — survivors by cell are a
+    // superset of survivors by label. This is the safety direction of the
+    // production shape: bounding cells (the 100 TB requirement) can only
+    // under-merge, never delete extra rows.
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val srp = Similarity.srpPlaneWeights(planes = 7, dims = 64)
+    val bucketed = emb.withColumn("cell",
+      concat_ws(":", col("label").cast("string"),
+        array_join(graft.functions.SrpSignature(col("embedding"), srp), "")))
+    val byLabel = Similarity.semDedup(emb, "vec_id", "embedding", "label", 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    val byCell = Similarity.semDedup(bucketed, "vec_id", "embedding", "cell", 0.35)
+      .select("vec_id").as[Long].collect().toSet
+    assert(byLabel.subsetOf(byCell))
+  }
+
   test("matryoshkaTopK: ranks by prefix-dims cosine only") {
     // full-vector nearest to q is v2; 2-dim prefix nearest is v1 — and the
     // prefix scores differ strictly (1.0 vs ~0.89), so this pins prefix

@@ -638,6 +638,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q184 production-shape semDedup: pair search shuffles on the cell key, " +
+      "never a cartesian product; the SRP signature is pure projection") {
+    val df = graft.queries.SimilarityQueries.q184SemdedupCells(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the self-join must key on the cluster cell (hashpartitioning over the
+    // concat'd cell column), which is what bounds pairs to Σ|cell|²
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q167 leakage split: the split assignment never widens the plan — " +
       "no cartesian product; the md5 bucket is pure projection") {
     val df = graft.queries.DedupQueries.q167LeakageSplit(spark, sfDir)

@@ -65,4 +65,45 @@ object Preference {
     wins.join(s, Seq("item"))
       .select(col("item"), col("wins"), round(col("s"), 6).as("strength"))
   }
+
+  /** Per-item win rate with a Wilson score interval — the confidence
+    * bound an RLHF/eval dashboard reports next to the raw rate, so an
+    * item with 2/2 wins is not ranked above one with 90/100. The
+    * interval is
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * (Wilson 1927), the standard small-n-safe binomial interval:
+    * never escapes [0,1] and stays informative at n=1 where the Wald
+    * interval collapses.
+    *
+    * Determinism: wins/games are exact integer counts and the interval
+    * is per-row arithmetic on them — no ordered float reduction exists,
+    * so the result is bit-stable on any engine by construction.
+    *
+    * Scale: one union + one item-keyed count aggregation (map-side
+    * combined); the interval math is a codegen'd projection. One
+    * shuffle total, keyed by item.
+    *
+    * @param comparisons one row per game, `winCol` beat `loseCol`
+    * @return (item, games, wins, win_rate, ci_lo, ci_hi) — 6-dp rounded */
+  def winRateWilson(comparisons: DataFrame, winCol: String, loseCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"winRateWilson: z > 0, got $z")
+    val games = comparisons
+      .select(col(winCol).as("item"), lit(1L).as("__w"))
+      .unionByName(comparisons.select(col(loseCol).as("item"), lit(0L).as("__w")))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("games"), sum(col("__w")).as("wins"))
+    val n = col("games").cast("double")
+    val p = col("wins").cast("double") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = p + z2 / (lit(2.0) * n)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    games.select(col("item"), col("games"), col("wins"),
+      round(p, 6).as("win_rate"),
+      round((center - margin) / denom, 6).as("ci_lo"),
+      round((center + margin) / denom, 6).as("ci_hi"))
+  }
 }

@@ -299,4 +299,41 @@ object Profiling {
           .as("l2_drift"))
       .select(col("grp"), col("n_vecs"), col("max_abs_dev"), col("l2_drift"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two raters over
+    * the same items: κ = (p_o − p_e)/(1 − p_e), with p_o the observed
+    * agreement rate and p_e = Σ_c p_A(c)·p_B(c) the agreement expected
+    * from the raters' marginal label distributions alone. THE
+    * annotation-QA number for a labeling campaign (human double-rating,
+    * model-vs-human audits): raw agreement flatters raters who both
+    * over-use a majority label, κ does not.
+    *
+    * Determinism: p_o and p_e are ratios of EXACT integers (n, the
+    * agreement count, and Σ_c n_A(c)·n_B(c)) — the only float ops are
+    * two final divisions on integers, bit-stable on any engine with no
+    * decimal machinery needed.
+    *
+    * Scale: one full-scan count aggregate plus two label-keyed marginal
+    * counts (map-side combined, label-cardinality-sized) full-outer
+    * joined — nothing wider than the label vocabulary ever shuffles.
+    *
+    * @return one row: (n, agree, po, pe, kappa) — 6-dp; kappa NULL when
+    *         p_e = 1 (both raters constant — undefined, not zero) */
+  def cohensKappa(df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val pairs = df.filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+    val totals = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
+    val margA = pairs.groupBy(col("__a").as("__c")).agg(count(lit(1)).as("__na"))
+    val margB = pairs.groupBy(col("__b").as("__c")).agg(count(lit(1)).as("__nb"))
+    val cross = margA.join(margB, Seq("__c"), "full_outer")
+      .agg(sum(coalesce(col("__na"), lit(0L)) * coalesce(col("__nb"), lit(0L)))
+        .as("__s"))
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("__s").cast("double") / (col("n") * col("n"))
+    totals.crossJoin(cross)
+      .select(col("n"), col("agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

@@ -276,6 +276,65 @@ object Similarity {
       .toDF(grpCol, "dim", "value")
   }
 
+  /** Simplified (centroid-based) silhouette of a label partition — the
+    * clustering-quality score an embedding pipeline reports for any
+    * grouping it is about to trust (k-means output, SemDeDup cells, a
+    * taxonomy column): per point, a = distance to its OWN label
+    * centroid, b = distance to the NEAREST other centroid, s =
+    * (b−a)/max(a,b); averaged per label. The centroid form (Hruschka
+    * et al.'s simplified silhouette) replaces the classic all-pairs
+    * mean distance with distance-to-centroid, which is what makes the
+    * metric computable at corpus scale — O(n·k) instead of O(n²).
+    *
+    * Determinism: centroid means are decimal-exact sums over
+    * decimal(30,15) casts (the q174 init device); each point-centroid
+    * distance is a sequential zip_with fold (array order — bit-stable,
+    * and mirrored by DuckDB's list_reduce); per-label averaging rounds
+    * the per-point scores to 12 dp and sums as decimal(27,15).
+    *
+    * Scale: one (label, dim)-keyed map-side-combined aggregation builds
+    * the k·dim centroid table, which broadcasts; the corpus streams
+    * through the broadcast cross join (k rows per point, k =
+    * label-count — model-sized) into a point-keyed partial agg and a
+    * final label-keyed agg. No shuffle ever carries more than n·k tiny
+    * rows, and nothing collects to the driver.
+    *
+    * @return (labelCol, n, silhouette) — silhouette 6-dp; s = 0 for a
+    *         point exactly on both centroids (max distance 0) */
+  def labelSilhouette(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val vecs = widen(df.filter(col(labelCol).isNotNull))
+      .select(col(idCol).as("__id"), col(labelCol).as("__l"),
+        col(vecCol).as("__v"))
+    val cm = vecs
+      .select(col("__l"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__l"), col("__p"))
+      .agg((sum(col("__x").cast("decimal(30,15)"))
+        .cast("double") / count(lit(1))).as("__m"))
+    val cent = cm.groupBy(col("__l"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p").as("p"), col("__m").as("m")))),
+        e => e.getField("m")).as("__c"))
+    val dist = vecs
+      .crossJoin(broadcast(cent.select(col("__l").as("__cl"), col("__c"))))
+      .select(col("__id"), col("__l"), col("__cl"),
+        sqrt(aggregate(zip_with(col("__v"), col("__c"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, t) => a + t)).as("__d"))
+    val ab = dist.groupBy(col("__id"), col("__l"))
+      .agg(max(when(col("__cl") === col("__l"), col("__d"))).as("__a"),
+        min(when(col("__cl") =!= col("__l"), col("__d"))).as("__b"))
+    val sil = when(greatest(col("__a"), col("__b")) > 0,
+      (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+      .otherwise(lit(0.0))
+    ab.select(col("__l"), round(sil, 12).as("__s"))
+      .groupBy(col("__l"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(27,15)")).cast("double") /
+          count(lit(1)), 6).as("silhouette"))
+      .select(col("__l").as(labelCol), col("n"), col("silhouette"))
+  }
+
   /** EMBEDDING-SPACE decontamination report — train/eval leakage at the
     * semantic level, the companion to the n-gram path
     * ([[Curation.contaminatedIdsBloom]]): for every corpus vector, its

@@ -144,6 +144,59 @@ object TextRanking {
             col("__idcg").cast("double"), 6)).as("ndcg"))
   }
 
+  /** MRR and MAP@k — the binary-relevance companions to [[ndcgAtK]]:
+    * reciprocal rank of the FIRST relevant hit (how fast the list gets
+    * to something useful) and average precision (how densely the front
+    * of the list is packed with relevant items). An item is relevant
+    * when its judged grade ≥ `relMin`; unjudged items count 0, exactly
+    * the sampled-pool convention of the nDCG row.
+    *
+    * AP@k = Σ_{i ≤ k, item_i relevant} P@i / min(R, k), where P@i is
+    * precision at rank i over the system list and R is the query's
+    * total relevant-pool size — the TREC normalization, so a query
+    * whose pool holds fewer than k relevant items can still reach 1.
+    *
+    * Determinism: the P@i terms are rounded to 12 dp and summed as
+    * decimal(27,15) (the exact-sum rule); counts are integers; the
+    * per-query window orders by rank, a total order.
+    *
+    * Scale: the system side is already rank-truncated (≤ k rows per
+    * query) so the window and aggregation touch k·|queries| rows; the
+    * relevant pool is judgment-sized. Nothing here is corpus-scale.
+    *
+    * @param ranked system output: (qidCol, idCol, rankCol) — rank 1-based
+    * @param judgments relevance pool: (qidCol, idCol, gradeCol ≥ 0)
+    * @return (qidCol, hits, first_rel_rank, rr, ap) — rr 0 when nothing
+    *         relevant is retrieved; ap NULL when the query's pool has no
+    *         relevant items at all (undefined, not zero) */
+  def mrrMapAtK(ranked: DataFrame, judgments: DataFrame, qidCol: String,
+      idCol: String, rankCol: String, gradeCol: String, k: Int,
+      relMin: Int = 1): DataFrame = {
+    require(k >= 1, s"mrrMapAtK: k >= 1, got $k")
+    val rel = judgments.filter(col(gradeCol) >= relMin)
+      .select(col(qidCol), col(idCol))
+    val pool = rel.groupBy(col(qidCol)).agg(count(lit(1)).as("__R"))
+    val sys = ranked.filter(col(rankCol) <= k)
+      .join(rel.withColumn("__rel", lit(1L)), Seq(qidCol, idCol), "left")
+      .select(col(qidCol), col(rankCol).cast("long").as("__rk"),
+        coalesce(col("__rel"), lit(0L)).as("__rel"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__rk"))
+    val per = sys.withColumn("__cum", sum(col("__rel")).over(w))
+      .groupBy(col(qidCol))
+      .agg(sum(col("__rel")).as("hits"),
+        min(when(col("__rel") === 1L, col("__rk"))).as("first_rel_rank"),
+        sum(when(col("__rel") === 1L,
+          round(col("__cum").cast("double") / col("__rk"), 12)
+            .cast("decimal(27,15)"))).as("__apsum"))
+    per.join(pool, Seq(qidCol), "left")
+      .select(col(qidCol), col("hits"), col("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 6)
+          .as("rr"),
+        when(col("__R").isNotNull,
+          round(coalesce(col("__apsum"), lit(0L)).cast("double") /
+            least(col("__R"), lit(k.toLong)).cast("double"), 6)).as("ap"))
+  }
+
   /** Rank-truncate a scored frame: global top-n by (score desc, id) with
     * an explicit 1-based rank column. The truncation is a
     * TakeOrderedAndProject (scalable — per-partition top-n then a single

@@ -626,7 +626,64 @@ object CurationQueries {
       |    CAST(round(toks * 1000000.0 / ppm, 12) AS DECIMAL(27,15)) END) AS DOUBLE), 4) AS y_est
       |FROM framed GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Cohen's kappa over a deterministic double-rating
+    * ([[graft.ops.Profiling.cohensKappa]]): rater A buckets each doc by
+    * the quality score (keep ≥ 0.6 > mid ≥ 0.4 > drop), rater B is A
+    * with ~25% of docs md5-chosen and cyclically mis-rated — the q176
+    * judgment device standing in for a second human annotator. The
+    * annotation-QA gate every labeling campaign runs: raw agreement,
+    * chance agreement from the marginals, and the chance-corrected
+    * kappa, all ratios of exact integer counts and hash-pinned. */
+  def q187CohensKappa(s: SparkSession, d: String): DataFrame = {
+    val qraw = TextFunctions.qualityScoreRaw(col("text"))
+    val a = when(qraw >= 0.6, lit("keep"))
+      .when(qraw >= 0.4, lit("mid")).otherwise(lit("drop"))
+    val flip = pmod(conv(substring(md5(concat(lit("rate:"),
+      col("doc_id").cast("string"))), 1, 1), 16, 10).cast("long"),
+      lit(4L)) === 0L
+    val rated = graft.ops.TextFunctions.widen(Tables.documents(s, d))
+      .select(a.as("__ra"), flip.as("__flip"))
+      .select(col("__ra"),
+        when(!col("__flip"), col("__ra"))
+          .when(col("__ra") === "keep", lit("mid"))
+          .when(col("__ra") === "mid", lit("drop"))
+          .otherwise(lit("keep")).as("__rb"))
+    graft.ops.Profiling.cohensKappa(rated, "__ra", "__rb")
+  }
+
+  val q187Sql: String =
+    s"""WITH r AS (
+      |  SELECT CASE WHEN q >= 0.6 THEN 'keep'
+      |              WHEN q >= 0.4 THEN 'mid' ELSE 'drop' END AS ra,
+      |    CAST('0x' || substr(md5('rate:' || CAST(doc_id AS VARCHAR)), 1, 1)
+      |      AS BIGINT) % 4 = 0 AS flip
+      |  FROM (SELECT doc_id, (${TextFunctions.qualityRawSql}) AS q
+      |        FROM documents)),
+      |p AS (
+      |  SELECT ra,
+      |    CASE WHEN NOT flip THEN ra
+      |         WHEN ra = 'keep' THEN 'mid'
+      |         WHEN ra = 'mid' THEN 'drop' ELSE 'keep' END AS rb
+      |  FROM r),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM p),
+      |ma AS (SELECT ra AS c, count(*) AS na FROM p GROUP BY 1),
+      |mb AS (SELECT rb AS c, count(*) AS nb FROM p GROUP BY 1),
+      |x AS (
+      |  SELECT CAST(sum(coalesce(na, 0) * coalesce(nb, 0)) AS BIGINT) AS sx
+      |  FROM ma FULL OUTER JOIN mb USING (c))
+      |SELECT n, agree,
+      |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+      |  round(CAST(sx AS DOUBLE) / (n*n), 6) AS pe,
+      |  CASE WHEN CAST(sx AS DOUBLE) / (n*n) < 1.0
+      |    THEN round((CAST(agree AS DOUBLE) / n - CAST(sx AS DOUBLE) / (n*n))
+      |      / (CAST(1.0 AS DOUBLE) - CAST(sx AS DOUBLE) / (n*n)), 6) END AS kappa
+      |FROM t CROSS JOIN x""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_cohens_kappa" -> (q187CohensKappa _),
     "q175_ht_estimate" -> (q175HtEstimate _),
     "q169_mlm_plan" -> (q169MlmPlan _),
     "q162_quality_classifier" -> (q162QualityClassifier _),
@@ -649,6 +706,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q187_cohens_kappa" -> q187Sql,
     "q175_ht_estimate" -> q175Sql,
     "q169_mlm_plan" -> q169Sql,
     "q162_quality_classifier" -> q162Sql,

@@ -121,7 +121,10 @@ object GraphQueries {
     * count and 6-dp strength hash-pinned. The reward-model data op:
     * pairwise comparisons distilled into scalar item quality. The oracle
     * unrolls the same 3 rounds with the q96 decimal-pinned-sum device. */
-  def q166BradleyTerry(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic judge shared by q166/q182: docs chain-paired inside
+    * their `doc_id % 50` cohort (lag window), the higher unrounded
+    * quality score wins each game (tie → smaller id). */
+  private def judgeComparisons(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -134,12 +137,71 @@ object GraphQueries {
       .filter(col("__pid").isNotNull)
     val iWins = col("__q") > col("__pq") ||
       (col("__q") === col("__pq") && col("doc_id") < col("__pid"))
-    val cmp = lagged.select(
+    lagged.select(
       when(iWins, col("doc_id")).otherwise(col("__pid")).as("winner"),
       when(iWins, col("__pid")).otherwise(col("doc_id")).as("loser"))
-    graft.ops.Preference.bradleyTerry(cmp, "winner", "loser", iters = 3)
-      .orderBy(col("item"))
   }
+
+  /** DuckDB CTE chain producing the same `cmp(winner, loser)` table. */
+  private val judgeCmpSql: String =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    ${graft.ops.TextFunctions.qualityRawSql} AS q,
+       |    doc_id % 50 AS grp
+       |  FROM documents),
+       |lagged AS (
+       |  SELECT doc_id, q, grp,
+       |    lag(doc_id) OVER (PARTITION BY grp ORDER BY doc_id) AS pid,
+       |    lag(q) OVER (PARTITION BY grp ORDER BY doc_id) AS pq
+       |  FROM docs),
+       |cmp AS (
+       |  SELECT CASE WHEN q > pq OR (q = pq AND doc_id < pid)
+       |           THEN doc_id ELSE pid END AS winner,
+       |         CASE WHEN q > pq OR (q = pq AND doc_id < pid)
+       |           THEN pid ELSE doc_id END AS loser
+       |  FROM lagged WHERE pid IS NOT NULL)""".stripMargin
+
+  def q166BradleyTerry(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.bradleyTerry(judgeComparisons(s, d),
+        "winner", "loser", iters = 3)
+      .orderBy(col("item"))
+
+  /** Per-doc win rate with the Wilson 95% interval
+    * ([[graft.ops.Preference.winRateWilson]]) over the same
+    * deterministic judge as q166 — the uncertainty-aware leaderboard
+    * column next to the Bradley–Terry point estimate: an item's rate,
+    * and the interval a dashboard sorts by so thin records don't
+    * outrank well-measured ones. Integer counts + per-row arithmetic —
+    * bit-stable by construction, every bound hash-pinned. */
+  def q182WinRateCi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Preference.winRateWilson(judgeComparisons(s, d),
+        "winner", "loser")
+      .orderBy(col("item"))
+
+  val q182Sql: String =
+    s"""WITH $judgeCmpSql,
+       |part AS (
+       |  SELECT winner AS item, 1 AS w FROM cmp
+       |  UNION ALL SELECT loser, 0 FROM cmp),
+       |g AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS games,
+       |    CAST(sum(w) AS BIGINT) AS wins
+       |  FROM part GROUP BY 1),
+       |wr AS (SELECT item, games, wins,
+       |  wins / CAST(games AS DOUBLE) AS p,
+       |  CAST(games AS DOUBLE) AS n,
+       |  CAST(1.96 AS DOUBLE) AS z,
+       |  CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2 FROM g)
+       |SELECT item, games, wins, round(p, 6) AS win_rate,
+       |  round((p + z2/(CAST(2.0 AS DOUBLE)*n)
+       |    - z*sqrt(p*(CAST(1.0 AS DOUBLE)-p)/n
+       |      + z2/(CAST(4.0 AS DOUBLE)*n*n)))
+       |    / (CAST(1.0 AS DOUBLE) + z2/n), 6) AS ci_lo,
+       |  round((p + z2/(CAST(2.0 AS DOUBLE)*n)
+       |    + z*sqrt(p*(CAST(1.0 AS DOUBLE)-p)/n
+       |      + z2/(CAST(4.0 AS DOUBLE)*n*n)))
+       |    / (CAST(1.0 AS DOUBLE) + z2/n), 6) AS ci_hi
+       |FROM wr ORDER BY item""".stripMargin
 
   val q166Sql: String = {
     def step(prev: Int, cur: Int): String =
@@ -157,22 +219,7 @@ object GraphQueries {
          |  FROM wt w LEFT JOIN d$cur ON w.item = d$cur.item
          |    JOIN s$prev sp ON w.item = sp.item
          |)""".stripMargin
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    ${graft.ops.TextFunctions.qualityRawSql} AS q,
-       |    doc_id % 50 AS grp
-       |  FROM documents),
-       |lagged AS (
-       |  SELECT doc_id, q, grp,
-       |    lag(doc_id) OVER (PARTITION BY grp ORDER BY doc_id) AS pid,
-       |    lag(q) OVER (PARTITION BY grp ORDER BY doc_id) AS pq
-       |  FROM docs),
-       |cmp AS (
-       |  SELECT CASE WHEN q > pq OR (q = pq AND doc_id < pid)
-       |           THEN doc_id ELSE pid END AS winner,
-       |         CASE WHEN q > pq OR (q = pq AND doc_id < pid)
-       |           THEN pid ELSE doc_id END AS loser
-       |  FROM lagged WHERE pid IS NOT NULL),
+    s"""WITH $judgeCmpSql,
        |items AS (SELECT DISTINCT item FROM
        |  (SELECT winner AS item FROM cmp UNION ALL SELECT loser FROM cmp)),
        |wn AS (SELECT winner AS item, count(*) AS w FROM cmp GROUP BY 1),
@@ -193,10 +240,12 @@ object GraphQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_pagerank" -> (q96Pagerank _),
     "q99_label_prop" -> (q99LabelProp _),
-    "q166_bradley_terry" -> (q166BradleyTerry _))
+    "q166_bradley_terry" -> (q166BradleyTerry _),
+    "q182_win_rate_ci" -> (q182WinRateCi _))
 
   val oracles: Map[String, String] = Map(
     "q96_pagerank" -> q96Sql,
     "q99_label_prop" -> q99Sql,
-    "q166_bradley_terry" -> q166Sql)
+    "q166_bradley_terry" -> q166Sql,
+    "q182_win_rate_ci" -> q182Sql)
 }

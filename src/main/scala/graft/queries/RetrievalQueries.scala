@@ -134,7 +134,12 @@ object RetrievalQueries {
     * the recall audits (q170/q171). Unjudged retrieved items count 0,
     * judged-but-missed items shape the ideal — both realities of a
     * sampled judgment pool are exercised. */
-  def q176Ndcg(s: SparkSession, d: String): DataFrame = {
+  /** Shared eval harness for q176/q185: the brute-force cosine top-10
+    * ranking for queries 100–102, and the md5-derived graded judgment
+    * pool (every 3rd vector judged, grades 0–3 — the q127 determinism
+    * device standing in for human annotations). */
+  private def cosineRankedAndJudged(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -148,12 +153,31 @@ object RetrievalQueries {
           col("qid").cast("string"), lit(":"),
           col("vec_id").cast("string"))), 1, 2), 16, 10).cast("long"),
           lit(4L)).as("grade"))
+    (ranked, judgments)
+  }
+
+  def q176Ndcg(s: SparkSession, d: String): DataFrame = {
+    val (ranked, judgments) = cosineRankedAndJudged(s, d)
     TextRanking.ndcgAtK(ranked, judgments, "qid", "vec_id", "rank",
         "grade", k = 10)
       .orderBy(col("qid"))
   }
 
-  val q176Sql: String = {
+  /** MRR + MAP@10 ([[TextRanking.mrrMapAtK]]) of the same ranking
+    * against the same judgment pool as q176, with relevant = grade ≥ 2
+    * — the binary-relevance metrics reported beside nDCG on every
+    * retrieval eval sheet: time-to-first-hit and front-of-list
+    * precision density, each per-query value hash-pinned. */
+  def q185MrrMap(s: SparkSession, d: String): DataFrame = {
+    val (ranked, judgments) = cosineRankedAndJudged(s, d)
+    TextRanking.mrrMapAtK(ranked, judgments, "qid", "vec_id", "rank",
+        "grade", k = 10, relMin = 2)
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB twin of [[cosineRankedAndJudged]]: the `ranked` + `jd` CTE
+    * chain shared by the q176 and q185 oracles. */
+  private val rankedJdSql: String = {
     val cos =
       """list_reduce(list_transform(range(1, len(q.embedding)+1),
         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)
@@ -161,7 +185,7 @@ object RetrievalQueries {
         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (a,x) -> a+x))
         |     * sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a,x) -> a+x)))""".stripMargin
-    s"""WITH ranked AS (
+    s"""ranked AS (
        |  SELECT qid, vec_id, rank FROM (
        |    SELECT q.vec_id AS qid, e.vec_id,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -175,7 +199,11 @@ object RetrievalQueries {
        |      CAST(e.vec_id AS VARCHAR)), 1, 2) AS BIGINT) % 4 AS grade
        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0) e
        |  CROSS JOIN (SELECT vec_id FROM embeddings
-       |    WHERE vec_id >= 100 AND vec_id < 103) q),
+       |    WHERE vec_id >= 100 AND vec_id < 103) q)""".stripMargin
+  }
+
+  val q176Sql: String = {
+    s"""WITH $rankedJdSql,
        |sys AS (
        |  SELECT r.qid,
        |    sum(CAST(round((power(2, coalesce(jd.grade, 0)) - 1.0) /
@@ -199,11 +227,40 @@ object RetrievalQueries {
        |FROM sys JOIN ideal USING (qid) ORDER BY qid""".stripMargin
   }
 
+  val q185Sql: String =
+    s"""WITH $rankedJdSql,
+       |rel AS (SELECT qid, vec_id FROM jd WHERE grade >= 2),
+       |pool AS (SELECT qid, CAST(count(*) AS BIGINT) AS R FROM rel GROUP BY 1),
+       |sys AS (
+       |  SELECT r.qid, r.rank AS rk,
+       |    CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+       |  FROM ranked r LEFT JOIN rel
+       |    ON r.qid = rel.qid AND r.vec_id = rel.vec_id),
+       |cum AS (
+       |  SELECT qid, rk, is_rel,
+       |    sum(is_rel) OVER (PARTITION BY qid ORDER BY rk) AS c
+       |  FROM sys),
+       |per AS (
+       |  SELECT qid, CAST(sum(is_rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN is_rel = 1 THEN rk END) AS first_rel_rank,
+       |    sum(CASE WHEN is_rel = 1
+       |      THEN CAST(round(CAST(c AS DOUBLE) / rk, 12) AS DECIMAL(27,15))
+       |      END) AS apsum
+       |  FROM cum GROUP BY 1)
+       |SELECT per.qid, hits, first_rel_rank,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / first_rel_rank,
+       |    CAST(0.0 AS DOUBLE)), 6) AS rr,
+       |  CASE WHEN pool.R IS NOT NULL
+       |    THEN round(CAST(coalesce(apsum, 0) AS DOUBLE) /
+       |      CAST(least(pool.R, 10) AS DOUBLE), 6) END AS ap
+       |FROM per LEFT JOIN pool USING (qid) ORDER BY per.qid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
     "q106_negative_sample" -> (q106NegativeSample _),
     "q176_ndcg" -> (q176Ndcg _),
+    "q185_mrr_map" -> (q185MrrMap _),
     "q113_keywords" -> (q113Keywords _))
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +268,6 @@ object RetrievalQueries {
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,
     "q176_ndcg" -> q176Sql,
+    "q185_mrr_map" -> q185Sql,
     "q113_keywords" -> q113Sql)
 }

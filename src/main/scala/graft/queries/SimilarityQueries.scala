@@ -1130,7 +1130,57 @@ object SimilarityQueries {
        |FROM ne CROSS JOIN nb CROSS JOIN c""".stripMargin
   }
 
+  /** Per-label simplified silhouette ([[Similarity.labelSilhouette]]):
+    * the clustering-quality score of the label partition in embedding
+    * space — per point, distance to its own label centroid vs the
+    * nearest other centroid, averaged per label. The quality gate a
+    * pipeline runs before trusting any grouping (k-means output,
+    * SemDeDup cells, a taxonomy column); every centroid mean, distance
+    * fold and per-label average is hash-pinned against the oracle's
+    * replay of the same decimal devices. */
+  def q186LabelSilhouette(s: SparkSession, d: String): DataFrame =
+    Similarity.labelSilhouette(Tables.embeddings(s, d), "vec_id", "label",
+        "embedding")
+      .orderBy(col("label"))
+
+  val q186Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding AS e
+      |  FROM embeddings WHERE label IS NOT NULL),
+      |px AS (
+      |  SELECT label, i - 1 AS p, CAST(e[i] AS DOUBLE) AS x
+      |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+      |cm AS (
+      |  SELECT label, p,
+      |    CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+      |  FROM px GROUP BY label, p),
+      |cent AS (
+      |  SELECT label AS clabel, list(m ORDER BY p) AS cl
+      |  FROM cm GROUP BY label),
+      |d AS (
+      |  SELECT v.vec_id, v.label, c.clabel,
+      |    sqrt(list_reduce(list_transform(range(1, len(v.e) + 1),
+      |      i -> (CAST(v.e[i] AS DOUBLE) - c.cl[i]) *
+      |           (CAST(v.e[i] AS DOUBLE) - c.cl[i])),
+      |      (a, x) -> a + x)) AS dist
+      |  FROM v CROSS JOIN cent c),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN clabel = label THEN dist END) AS a,
+      |    min(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM d GROUP BY vec_id, label),
+      |sil AS (
+      |  SELECT label,
+      |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+      |         ELSE CAST(0.0 AS DOUBLE) END AS s
+      |  FROM ab)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(round(s, 12) AS DECIMAL(27,15))) AS DOUBLE)
+      |    / count(*), 6) AS silhouette
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
     "q170_ann_recall" -> (q170AnnRecall _),
@@ -1156,6 +1206,7 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,
     "q170_ann_recall" -> q170Sql,

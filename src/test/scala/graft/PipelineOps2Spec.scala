@@ -387,6 +387,52 @@ class PipelineOps2Spec extends SparkSpec {
     assert(g2("X") > g2("Y") && g2.values.forall(v => !v.isNaN))
   }
 
+  test("winRateWilson: hand-computed Wilson bounds, [0,1] containment, " +
+      "and thin records rank below well-measured ones") {
+    val cmp = (Seq.fill(90)(("A", "B")) ++ Seq.fill(10)(("B", "A")) ++
+      Seq(("C", "D"), ("C", "D"))).toDF("winner", "loser")
+    val got = graft.ops.Preference.winRateWilson(cmp, "winner", "loser")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("win_rate"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi")))).toMap
+    // A: 90/100 — Wilson 95%: lo ≈ 0.825633, hi ≈ 0.944771
+    assert(got("A")._1 == 100L && got("A")._2 == 90L)
+    assert(math.abs(got("A")._3 - 0.9) < 1e-9)
+    assert(math.abs(got("A")._4 - 0.825633) < 1e-5, got("A").toString)
+    assert(math.abs(got("A")._5 - 0.944771) < 1e-5, got("A").toString)
+    // C: 2/2 — the raw rate is 1 but the interval reaches far down
+    assert(got("C")._3 == 1.0 && got("C")._4 < 0.45 && got("C")._5 == 1.0)
+    // the 2/2 item's LOWER bound sits far below the 90/100 item's:
+    // sorting by ci_lo demotes thin records exactly as intended
+    assert(got("C")._4 < got("A")._4)
+    // D: 0/2 — bounds stay inside [0,1] (Wilson never escapes)
+    assert(got("D")._3 == 0.0 && got("D")._4 == 0.0 && got("D")._5 > 0.0 &&
+      got("D")._5 < 1.0)
+  }
+
+  test("labelSilhouette: separated clusters score near 1, a label split " +
+      "across two far-apart blobs scores low, and output is per-label") {
+    def v(x: Double) = Array(x.toFloat, 0f, 0f)
+    val tight = (
+      (0 until 5).map(i => (i.toLong, 0, v(0.0 + i * 0.01))) ++
+      (0 until 5).map(i => (100L + i, 1, v(10.0 + i * 0.01))) ++
+      // label 2 straddles both blobs: its centroid helps nobody
+      Seq((200L, 2, v(0.02)), (201L, 2, v(10.02))))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelSilhouette(tight, "vec_id", "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getAs[Double]("silhouette")))).toMap
+    assert(got.keySet == Set(0, 1, 2) && got(0)._1 == 5L && got(2)._1 == 2L)
+    assert(got(0)._2 > 0.9 && got(1)._2 > 0.9,
+      s"separated clusters must score near 1: $got")
+    assert(got(2)._2 < 0.0,
+      s"a straddling label must score negative: ${got(2)._2}")
+    // determinism: identical rerun
+    val again = Similarity.labelSilhouette(tight, "vec_id", "label",
+      "embedding").collect().map(r => r.getAs[Double]("silhouette")).sorted
+    assert(again.toSeq == got.values.map(_._2).toSeq.sorted)
+  }
+
   test("logOddsTerms: target-exclusive terms score positive, " +
       "rest-exclusive negative, and minCount filters") {
     val docs = Seq(

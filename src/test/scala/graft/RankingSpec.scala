@@ -301,6 +301,65 @@ class RankingSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("mrrMapAtK: hand-computed MRR/AP, zero-hit rr, empty-pool NULL ap") {
+    // q1: rel at ranks 2 and 4 of 5, pool R=3  → rr = 1/2,
+    //     ap = (1/2 + 2/4) / min(3,5) = 1/3
+    // q2: no relevant retrieved, pool R=1      → rr = 0, ap = 0
+    // q3: pool empty                           → rr = 0, ap = NULL
+    val ranked = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L), (1L, 14L, 5L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)).toDF("qid", "id", "rank")
+    val jd = Seq(
+      (1L, 11L, 2L), (1L, 13L, 3L), (1L, 99L, 2L),
+      (2L, 98L, 2L),
+      (3L, 30L, 1L)).toDF("qid", "id", "grade")
+    val got = TextRanking.mrrMapAtK(ranked, jd, "qid", "id", "rank",
+        "grade", k = 5, relMin = 2)
+      .orderBy("qid").collect()
+    assert(got(0).getAs[Long]("hits") == 2L)
+    assert(got(0).getAs[Long]("first_rel_rank") == 2L)
+    assert(math.abs(got(0).getAs[Double]("rr") - 0.5) < 1e-9)
+    assert(math.abs(got(0).getAs[Double]("ap") - 1.0 / 3) < 1e-6)
+    assert(got(1).getAs[Long]("hits") == 0L)
+    assert(got(1).isNullAt(got(1).fieldIndex("first_rel_rank")))
+    assert(got(1).getAs[Double]("rr") == 0.0)
+    assert(got(1).getAs[Double]("ap") == 0.0)
+    // grade-1 judgment is below relMin=2: pool empty → ap undefined
+    assert(got(2).getAs[Double]("rr") == 0.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("ap")))
+  }
+
+  test("mrrMapAtK: a perfect front-loaded list scores rr = ap = 1") {
+    val ranked = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "id", "rank")
+    val jd = Seq((1L, 10L, 3L), (1L, 11L, 2L)).toDF("qid", "id", "grade")
+    val got = TextRanking.mrrMapAtK(ranked, jd, "qid", "id", "rank",
+      "grade", k = 3, relMin = 2).collect()(0)
+    assert(got.getAs[Double]("rr") == 1.0)
+    assert(got.getAs[Double]("ap") == 1.0)
+  }
+
+  test("cohensKappa: perfect agreement is 1, constant raters undefined, " +
+      "and majority-label inflation is corrected") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    val g1 = Profiling.cohensKappa(perfect, "ra", "rb").collect()(0)
+    assert(g1.getAs[Double]("po") == 1.0 &&
+      g1.getAs[Double]("kappa") == 1.0)
+    // both raters constant: pe = 1 → kappa undefined (NULL), never NaN
+    val const = Seq(("x", "x"), ("x", "x")).toDF("ra", "rb")
+    val g2 = Profiling.cohensKappa(const, "ra", "rb").collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("kappa")))
+    // 90% raw agreement driven by a shared majority label: kappa must
+    // land far below the raw rate (chance-corrected)
+    val skew = (Seq.fill(9)(("maj", "maj")) :+ (("min", "maj")))
+      .toDF("ra", "rb")
+    val g3 = Profiling.cohensKappa(skew, "ra", "rb").collect()(0)
+    assert(g3.getAs[Double]("po") == 0.9)
+    assert(g3.getAs[Double]("kappa") < 0.1,
+      s"kappa ${g3.getAs[Double]("kappa")} not chance-corrected")
+  }
+
   test("calibrateScores: degenerate groups (n = 1 or zero spread) emit " +
       "null z, not NaN/Infinity") {
     val df = Seq((1L, "solo", 10L), (2L, "flat", 5L), (3L, "flat", 5L),

@@ -300,6 +300,138 @@ object Profiling {
       .select(col("grp"), col("n_vecs"), col("max_abs_dev"), col("l2_drift"))
   }
 
+  /** Expected calibration error of a probabilistic classifier — per
+    * confidence decile: how often the model's stated confidence matches
+    * reality, plus the count-weighted ECE summary every model card
+    * reports. A classifier that says "0.9" should be right 90% of the
+    * time; the gap per bin (and its weighted sum) is THE deployment
+    * gate for using scores as sampling weights or filter thresholds.
+    *
+    * Bins are fixed-width deciles of the score (floor(p·10), clamped to
+    * [0,9]) — fixed edges, not quantiles, so the binning is
+    * deterministic and comparable across runs.
+    *
+    * Determinism: per-bin confidence sums ride decimal(27,15); positive
+    * and total counts are exact integers; the ECE terms are rounded to
+    * 12 dp and decimal-summed.
+    *
+    * Scale: one bin-keyed aggregation (10 groups, map-side combined);
+    * the two 1-row totals broadcast back. Nothing post-scan exceeds the
+    * bin count.
+    *
+    * @param df rows with a score in [0,1] and a boolean outcome
+    * @return one row per non-empty bin: (bin, n, avg_conf, frac_pos,
+    *         gap, ece) — ece repeated on every row (the weighted total) */
+  def calibrationError(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val bin = least(greatest(floor(col(scoreCol) * 10), lit(0.0)), lit(9.0))
+      .cast("long")
+    val perBin = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(bin.as("bin"), col(scoreCol).as("__p"), col(labelCol).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p").cast("decimal(27,15)")).as("__sc"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    val conf = col("__sc").cast("double") / col("n")
+    val frac = col("__np").cast("double") / col("n")
+    val gapped = perBin.select(col("bin"), col("n"),
+      col("__sc"), col("__np"), abs(conf - frac).as("__gap"))
+    val tot = gapped.agg(sum(col("n")).as("__N"))
+    val ece = gapped.crossJoin(broadcast(tot))
+      .select(round(col("n") * col("__gap") / col("__N"), 12)
+        .cast("decimal(27,15)").as("__t"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("ece"))
+    gapped.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        round(col("__sc").cast("double") / col("n"), 6).as("avg_conf"),
+        round(col("__np").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("__gap"), 6).as("gap"), col("ece"))
+  }
+
+  /** Population stability index of a [0,1] score per group against the
+    * whole population — the drift alarm a serving/curation pipeline
+    * keeps on every model input: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+    * over fixed-width deciles, p the group's bin shares, q the global
+    * ones. (Industry folklore: < 0.1 stable, > 0.25 investigate.)
+    * Empty bins get a ½ pseudo-count on BOTH sides (the log needs
+    * support everywhere; the smoothing is symmetric so a group that
+    * matches the population still scores ≈ 0).
+    *
+    * Determinism: counts are exact integers; each bin's term is rounded
+    * to 12 dp and decimal-summed.
+    *
+    * Scale: one (group, bin)-keyed count (map-side combined) — 10 rows
+    * per group thereafter; the global bin table broadcasts. The dense
+    * group × bin frame is built from the aggregates, never the corpus.
+    *
+    * @return (grpCol, n, psi) — 6-dp */
+  def psi(df: DataFrame, grpCol: String, scoreCol: String): DataFrame = {
+    val bin = least(greatest(floor(col(scoreCol) * 10), lit(0.0)), lit(9.0))
+      .cast("long")
+    val counts = df.filter(col(scoreCol).isNotNull && col(grpCol).isNotNull)
+      .select(col(grpCol).as("__g"), bin.as("__b"))
+      .groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val srcTot = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ns"))
+    val glob = counts.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
+    val tot = glob.agg(sum(col("__gc")).as("__N"))
+    val dense = srcTot
+      .crossJoin(broadcast(glob.crossJoin(tot)))
+      .join(counts, Seq("__g", "__b"), "left")
+      .select(col("__g"), col("__ns"),
+        (coalesce(col("__c"), lit(0L)).cast("double") + lit(0.5)).as("__cp"),
+        (col("__gc").cast("double") + lit(0.5)).as("__gp"),
+        (col("__ns").cast("double") + lit(5.0)).as("__nsd"),
+        (col("__N").cast("double") + lit(5.0)).as("__nd"))
+    val p = col("__cp") / col("__nsd")
+    val q = col("__gp") / col("__nd")
+    dense
+      .select(col("__g"), col("__ns"),
+        round((p - q) * log(p / q), 12).cast("decimal(27,15)").as("__t"))
+      .groupBy(col("__g"))
+      .agg(max(col("__ns")).as("n"),
+        round(sum(col("__t")).cast("double"), 6).as("psi"))
+      .select(col("__g").as(grpCol), col("n"), col("psi"))
+  }
+
+  /** ROC AUC by the Mann–Whitney midrank statistic — the
+    * threshold-free ranking quality of a binary scorer:
+    * AUC = (Σ_pos midrank − P(P+1)/2) / (P·N), with average ranks over
+    * score ties (the exact tie-corrected form, not a sampled
+    * approximation).
+    *
+    * Determinism: the whole statistic is INTEGER arithmetic — per-score
+    * counts, an exclusive prefix sum of them, and
+    * 2·Σ_pos midrank = Σ_scores n_pos·(2·cnt_less + n_at + 1) — widened
+    * to decimal(38,0) before the products so corpus-scale squares can't
+    * overflow; the only float op is the final division.
+    *
+    * Scale: one score-keyed count aggregate, then everything operates on
+    * the DISTINCT-score table. The prefix sum is the bucketed
+    * [[Curation.exclusivePrefixSum]] device — no single-partition
+    * window anywhere.
+    *
+    * @param df rows with a numeric score and a boolean label
+    * @return one row: (n_pos, n_neg, auc) — auc 6-dp, NULL when either
+    *         class is empty */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
+    val c = Curation.exclusivePrefixSum(byScore, "__s", "__n", "__cl")
+    val agg = c.agg(
+      sum(col("__np").cast("decimal(38,0)") *
+        (col("__cl") * 2 + col("__n") + 1).cast("decimal(38,0)")).as("__s2"),
+      sum(col("__np")).cast("decimal(38,0)").as("__p"),
+      sum(col("__n")).cast("decimal(38,0)").as("__t"))
+    agg.select(
+      col("__p").cast("long").as("n_pos"),
+      (col("__t") - col("__p")).cast("long").as("n_neg"),
+      when(col("__p") > 0 && (col("__t") - col("__p")) > 0,
+        round((col("__s2") - col("__p") * (col("__p") + 1)).cast("double") /
+          (col("__p") * (col("__t") - col("__p")) * 2).cast("double"), 6))
+        .as("auc"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two raters over
     * the same items: κ = (p_o − p_e)/(1 − p_e), with p_o the observed
     * agreement rate and p_e = Σ_c p_A(c)·p_B(c) the agreement expected

@@ -529,8 +529,11 @@ object CurationQueries {
         "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val q162Sql: String =
-    """WITH toks AS (
+  /** DuckDB CTE chain regenerating the q162 hashed-classifier score per
+    * doc (`pd(doc_id, n_tokens, logit)`) — shared by the q162 gate and
+    * the q188/q190 classifier-evaluation oracles. */
+  private val clfScoreCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
       |  FROM documents WHERE doc_id IS NOT NULL),
       |tw AS (
@@ -549,7 +552,10 @@ object CurationQueries {
       |       THEN (si * 2 + n_tokens) // (2 * n_tokens)
       |       ELSE -((-si * 2 + n_tokens) // (2 * n_tokens)) END)
       |      / 1000000.0 AS logit
-      |  FROM pd0)
+      |  FROM pd0)""".stripMargin
+
+  val q162Sql: String =
+    s"""WITH $clfScoreCtes
       |SELECT doc_id, n_tokens, logit,
       |  round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
       |  round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS is_positive
@@ -682,7 +688,152 @@ object CurationQueries {
       |      / (CAST(1.0 AS DOUBLE) - CAST(sx AS DOUBLE) / (n*n)), 6) END AS kappa
       |FROM t CROSS JOIN x""".stripMargin
 
+  /** Deterministic ground-truth label shared by the classifier-eval
+    * gates (q188/q190): the quality-threshold keep decision the q162
+    * hashed classifier is meant to approximate. */
+  private def qualityLabel(s: SparkSession, d: String): DataFrame =
+    TextFunctions.widen(Tables.documents(s, d))
+      .select(col("doc_id"),
+        (TextFunctions.qualityScoreRaw(col("text")) >= 0.6).as("__y"))
+
+  private val qualityLabelSql: String =
+    s"lbl AS (SELECT doc_id, (${TextFunctions.qualityRawSql}) >= 0.6 AS y\n" +
+      "  FROM documents)"
+
+  /** Expected calibration error of the q162 classifier
+    * ([[graft.ops.Profiling.calibrationError]]) against the
+    * quality-threshold label: per confidence decile the stated
+    * confidence, the realized positive rate, the gap, and the
+    * count-weighted ECE — the model-card row that decides whether the
+    * classifier's probabilities can be trusted as sampling weights.
+    * Every bin statistic and the summary are hash-pinned. */
+  def q188CalibrationEce(s: SparkSession, d: String): DataFrame = {
+    val scored = Curation.hashedLinearScore(
+        TextFunctions.widen(Tables.documents(s, d)), "doc_id", "text")
+      .select(col("doc_id"), col("prob"))
+    graft.ops.Profiling.calibrationError(
+        scored.join(qualityLabel(s, d), Seq("doc_id")), "prob", "__y")
+      .orderBy(col("bin"))
+  }
+
+  val q188Sql: String =
+    s"""WITH $clfScoreCtes,
+      |$qualityLabelSql,
+      |j AS (
+      |  SELECT round(1.0 / (1.0 + exp(-logit)), 6) AS prob, y
+      |  FROM pd JOIN lbl USING (doc_id)),
+      |b AS (
+      |  SELECT CAST(least(greatest(floor(prob * 10), 0), 9) AS BIGINT) AS bin,
+      |    prob, y
+      |  FROM j),
+      |per AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(prob AS DECIMAL(27,15))) AS sc,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM b GROUP BY bin),
+      |g AS (
+      |  SELECT bin, n, sc, np,
+      |    abs(CAST(sc AS DOUBLE) / n - CAST(np AS DOUBLE) / n) AS gap
+      |  FROM per),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+      |e AS (
+      |  SELECT round(CAST(sum(CAST(round(n * gap / nn, 12)
+      |    AS DECIMAL(27,15))) AS DOUBLE), 6) AS ece
+      |  FROM g CROSS JOIN t)
+      |SELECT bin, n, round(CAST(sc AS DOUBLE) / n, 6) AS avg_conf,
+      |  round(CAST(np AS DOUBLE) / n, 6) AS frac_pos,
+      |  round(gap, 6) AS gap, ece
+      |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
+
+  /** Per-source population stability index
+    * ([[graft.ops.Profiling.psi]]) of the quality score against the
+    * whole corpus — the standing drift alarm on every curation signal:
+    * a source whose score distribution departs from the population
+    * lights up long before a mean shifts. Pseudo-counted bins, decimal
+    * term sums, every per-source PSI hash-pinned. */
+  def q189SourcePsi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profiling.psi(
+        TextFunctions.widen(Tables.documents(s, d))
+          .select(col("source"),
+            TextFunctions.qualityScoreRaw(col("text")).as("__q")),
+        "source", "__q")
+      .orderBy(col("source"))
+
+  val q189Sql: String =
+    s"""WITH b AS (
+      |  SELECT source,
+      |    CAST(least(greatest(floor(q * 10), 0), 9) AS BIGINT) AS bin
+      |  FROM (SELECT source, (${TextFunctions.qualityRawSql}) AS q
+      |        FROM documents WHERE source IS NOT NULL)),
+      |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM gl),
+      |dense AS (
+      |  SELECT st.source, st.ns, gl.gc, t.nn,
+      |    coalesce(c.c, 0) AS cc
+      |  FROM st CROSS JOIN gl CROSS JOIN t
+      |  LEFT JOIN c ON c.source = st.source AND c.bin = gl.bin),
+      |terms AS (
+      |  SELECT source, ns,
+      |    CAST(round(
+      |      ((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(ns AS DOUBLE) + CAST(5.0 AS DOUBLE))
+      |       - (CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |      * ln(((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(ns AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |        / ((CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))), 12)
+      |      AS DECIMAL(27,15)) AS tm
+      |  FROM dense)
+      |SELECT source, max(ns) AS n,
+      |  round(CAST(sum(tm) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  /** ROC AUC of the q162 classifier's logit against the
+    * quality-threshold label ([[graft.ops.Profiling.rocAuc]]): the
+    * tie-corrected Mann–Whitney statistic, integer-exact end to end —
+    * the threshold-free companion to q188's calibration row. */
+  def q190ClassifierAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = Curation.hashedLinearScore(
+        TextFunctions.widen(Tables.documents(s, d)), "doc_id", "text")
+      .select(col("doc_id"), col("logit"))
+    graft.ops.Profiling.rocAuc(
+      scored.join(qualityLabel(s, d), Seq("doc_id")), "logit", "__y")
+  }
+
+  val q190Sql: String =
+    s"""WITH $clfScoreCtes,
+      |$qualityLabelSql,
+      |sc AS (SELECT logit, y FROM pd JOIN lbl USING (doc_id)),
+      |bys AS (
+      |  SELECT logit, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM sc GROUP BY 1),
+      |cum AS (
+      |  SELECT logit, n, np,
+      |    CAST(coalesce(sum(n) OVER (ORDER BY logit
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cl
+      |  FROM bys),
+      |agg AS (
+      |  SELECT sum(CAST(np AS DECIMAL(38,0)) *
+      |      CAST(cl * 2 + n + 1 AS DECIMAL(38,0))) AS s2,
+      |    CAST(sum(np) AS DECIMAL(38,0)) AS p,
+      |    CAST(sum(n) AS DECIMAL(38,0)) AS t
+      |  FROM cum)
+      |SELECT CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg,
+      |  CASE WHEN p > 0 AND (t - p) > 0 THEN
+      |    round(CAST(s2 - p * (p + 1) AS DOUBLE) /
+      |      CAST(p * (t - p) * 2 AS DOUBLE), 6) END AS auc
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_calibration_ece" -> (q188CalibrationEce _),
+    "q189_source_psi" -> (q189SourcePsi _),
+    "q190_classifier_auc" -> (q190ClassifierAuc _),
     "q187_cohens_kappa" -> (q187CohensKappa _),
     "q175_ht_estimate" -> (q175HtEstimate _),
     "q169_mlm_plan" -> (q169MlmPlan _),
@@ -706,6 +857,9 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q188_calibration_ece" -> q188Sql,
+    "q189_source_psi" -> q189Sql,
+    "q190_classifier_auc" -> q190Sql,
     "q187_cohens_kappa" -> q187Sql,
     "q175_ht_estimate" -> q175Sql,
     "q169_mlm_plan" -> q169Sql,

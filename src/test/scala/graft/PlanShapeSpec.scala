@@ -659,4 +659,27 @@ class PlanShapeSpec extends SparkSpec {
     // the only non-LSH join surface is the id-keyed component merge
     assert(plan.contains("Project"), plan)
   }
+
+  test("q186 silhouette: the k-row centroid table broadcasts — the corpus " +
+      "side never shuffles into the distance join") {
+    val df = graft.queries.SimilarityQueries
+      .q186LabelSilhouette(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    // label-count centroid rows reach every point via broadcast (the
+    // crossJoin plans as BroadcastNestedLoopJoin over k rows, by design)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q182 win-rate CI: one item-keyed shuffle — the interval math is " +
+      "pure projection over the count aggregate") {
+    val df = graft.queries.GraphQueries.q182WinRateCi(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Join"), plan) // no join at all: union + agg
+  }
 }

@@ -360,6 +360,64 @@ class RankingSpec extends SparkSpec {
       s"kappa ${g3.getAs[Double]("kappa")} not chance-corrected")
   }
 
+  test("rocAuc: perfect separation 1, reversed 0, ties midranked, " +
+      "single-class NULL") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Profiling.rocAuc(rows.toDF("s", "y"), "s", "y").collect()(0)
+      if (r.isNullAt(r.fieldIndex("auc"))) None
+      else Some(r.getAs[Double]("auc"))
+    }
+    assert(auc(Seq((3.0, true), (2.0, true), (1.0, false))).contains(1.0))
+    assert(auc(Seq((1.0, true), (2.0, false))).contains(0.0))
+    // all scores equal → every pos/neg pair is a tie → 0.5 exactly
+    assert(auc(Seq((1.0, true), (1.0, false), (1.0, false))).contains(0.5))
+    // pos {2,1}, neg {1,3}: wins 1, ties 0.5 of 4 pairs → 0.375
+    assert(auc(Seq((2.0, true), (1.0, true), (1.0, false), (3.0, false)))
+      .contains(0.375))
+    assert(auc(Seq((1.0, true), (2.0, true))).isEmpty) // no negatives
+  }
+
+  test("calibrationError: per-bin stats and the count-weighted ECE " +
+      "match hand computation") {
+    // bin 9: 4 rows at conf .95, 3 positive → gap .2
+    // bin 1: 1 row at conf .15, 0 positive → gap .15
+    val rows = (Seq.fill(3)((0.95, true)) :+ ((0.95, false))) :+ ((0.15, false))
+    val got = Profiling.calibrationError(rows.toDF("p", "y"), "p", "y")
+      .orderBy("bin").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("bin") == 1L &&
+      got(0).getAs[Double]("gap") == 0.15)
+    assert(got(1).getAs[Long]("bin") == 9L &&
+      math.abs(got(1).getAs[Double]("avg_conf") - 0.95) < 1e-9 &&
+      math.abs(got(1).getAs[Double]("frac_pos") - 0.75) < 1e-9 &&
+      math.abs(got(1).getAs[Double]("gap") - 0.2) < 1e-9)
+    // ece = (4·0.2 + 1·0.15)/5 = 0.19, identical on every row
+    assert(got.forall(r => math.abs(r.getAs[Double]("ece") - 0.19) < 1e-9))
+    // score exactly 1.0 clamps into bin 9, not a phantom bin 10
+    val edge = Profiling.calibrationError(
+      Seq((1.0, true)).toDF("p", "y"), "p", "y").collect()(0)
+    assert(edge.getAs[Long]("bin") == 9L)
+  }
+
+  test("psi: a group matching the population scores 0; a shifted " +
+      "group alarms") {
+    val stable = (1 to 100).flatMap(i =>
+      Seq(("a", (i % 10) / 10.0 + 0.05), ("b", (i % 10) / 10.0 + 0.05)))
+    val g0 = Profiling.psi(stable.toDF("src", "s"), "src", "s")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    // both groups ARE the population: p = q per bin (10.5/105 = 21/210),
+    // so the smoothing cancels and PSI is exactly 0
+    assert(g0("a") == 0.0 && g0("b") == 0.0, g0.toString)
+    val shifted = stable ++ (1 to 200).map(_ => ("c", 0.95))
+    val g1 = Profiling.psi(shifted.toDF("src", "s"), "src", "s")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    assert(g1("a") == g1("b"), "identical groups must score identically")
+    assert(g1("c") > 0.25, s"point-mass group must alarm: ${g1("c")}")
+    // the point-mass group is further from the (polluted) population
+    // than the uniform groups it polluted
+    assert(g1("c") > g1("a"), g1.toString)
+  }
+
   test("calibrateScores: degenerate groups (n = 1 or zero spread) emit " +
       "null z, not NaN/Infinity") {
     val df = Seq((1L, "solo", 10L), (2L, "flat", 5L), (3L, "flat", 5L),

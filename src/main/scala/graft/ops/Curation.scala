@@ -639,6 +639,106 @@ object Curation {
     * literal array exactly like this.
     *
     * @return (idCol, n_tokens, logit, prob, is_positive) */
+  /** Shared hashed-feature frame for the classifier training/apply pair:
+    * per (doc, bucket) the normalized feature x = count/len plus the
+    * doc's boolean label. The md5 bucket hash is [[hashedLinearScore]]'s
+    * exactly, so a model trained here applies to the same feature space
+    * the inference op reads. */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dims: Int): DataFrame = {
+    val tok = col("__t")
+    val bucket = pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"),
+      lit(dims.toLong))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), label.as("__y"),
+        explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .filter(tok =!= "")
+      .select(col("__id"), col("__y"), bucket.as("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__c"), max(col("__y")).as("__y"))
+      .withColumn("__len",
+        sum(col("__c")).over(Window.partitionBy(col("__id"))))
+      .select(col("__id"), col("__b"),
+        (col("__c").cast("double") / col("__len")).as("__x"), col("__y"))
+  }
+
+  /** TRAIN the hashed-feature logistic classifier — full-batch gradient
+    * descent, `iters` fixed rounds:
+    *
+    *   w_b ← round₁₂( w_b + η · Σ_i (y_i − p_i)·x_{i,b} / n )
+    *
+    * over the [[hashedLinearScore]] feature space (md5 token buckets,
+    * x = bucket count / doc length). This closes the classifier
+    * lifecycle the same way q161/q181 closed the tokenizer's: q162
+    * scores with a fixed model, THIS learns one from labels, and the
+    * oracle replays every round in SQL (the unrolled-training device —
+    * w₀ = 0 makes round 1's p exactly ½, each later round is two keyed
+    * aggregations away from the last).
+    *
+    * Determinism: every gradient term and every dot-product term is
+    * rounded to 12 dp and decimal-summed; p is rounded to 12 dp before
+    * the residual; weight updates replay the HALF_UP device on the
+    * driver. Engine-identical by the same argument as Lloyd's
+    * (`Similarity.trainCentroids`).
+    *
+    * Scale: per round, one doc-keyed aggregation (the dot product) and
+    * one bucket-keyed aggregation (the gradient) — both map-side
+    * combined; the weight vector is dims rows, broadcast out and
+    * collected back (model-sized, the geometricMedian pattern). `iters`
+    * bounds the number of corpus passes, exactly like Lloyd's.
+    *
+    * @param label boolean ground-truth column expression
+    * @return (bucket, weight) — dims rows, weights 12-dp */
+  def logisticTrainHashed(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dims: Int = 64, iters: Int = 2,
+      lr: Double = 0.5): DataFrame = {
+    require(dims >= 2 && iters >= 1 && lr > 0,
+      s"logisticTrainHashed: dims >= 2, iters >= 1, lr > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = hashedFeatures(df, idCol, textCol, label, dims)
+    val nDocs = x.select(col("__id")).distinct().count()
+    var w: Map[Long, Double] = (0L until dims.toLong).map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val wdf = broadcast(w.toSeq.sortBy(_._1).toDF("__b", "__w"))
+      // x carries the label; resid only needs (id, p) — re-selecting __y
+      // here would collide with x's copy in the gradient join below
+      val resid = x.join(wdf, Seq("__b"))
+        .groupBy(col("__id"))
+        .agg(sum(round(col("__x") * col("__w"), 12).cast("decimal(27,15)"))
+          .as("__z"))
+        .select(col("__id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("__z").cast("double"))), 12)
+            .as("__p"))
+      val grad = x.join(resid, Seq("__id"))
+        .groupBy(col("__b"))
+        .agg(sum(round((when(col("__y"), 1.0).otherwise(0.0) - col("__p")) *
+          col("__x"), 12).cast("decimal(27,15)")).as("__g"))
+        .as[(Long, java.math.BigDecimal)].collect().toMap
+      w = w.map { case (b, wb) =>
+        val g = grad.get(b).map(_.doubleValue()).getOrElse(0.0)
+        b -> BigDecimal(wb + lr * (g / nDocs))
+          .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+    }
+    w.toSeq.sortBy(_._1).toDF("bucket", "weight")
+  }
+
+  /** APPLY a trained weight vector to the hashed feature space: per doc
+    * the 12-dp decimal dot product z (and its label, for evaluation).
+    * One broadcast join + one doc-keyed aggregation. */
+  def logisticApplyHashed(df: DataFrame, idCol: String, textCol: String,
+      label: Column, weights: DataFrame, dims: Int = 64): DataFrame =
+    hashedFeatures(df, idCol, textCol, label, dims)
+      .join(broadcast(weights.select(col("bucket").as("__b"),
+        col("weight").as("__w"))), Seq("__b"))
+      .groupBy(col("__id"))
+      .agg(max(col("__y")).as("__y"),
+        round(sum(round(col("__x") * col("__w"), 12).cast("decimal(27,15)"))
+          .cast("double"), 12).as("__z"))
+      .select(col("__id").as(idCol), col("__z").as("z"), col("__y").as("y"))
+
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
       dims: Int = 64, salt: String = "qclf"): DataFrame = {
     require(dims >= 2, s"hashedLinearScore: dims >= 2, got $dims")

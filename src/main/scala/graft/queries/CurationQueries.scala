@@ -830,7 +830,119 @@ object CurationQueries {
       |      CAST(p * (t - p) * 2 AS DOUBLE), 6) END AS auc
       |FROM agg""".stripMargin
 
+  /** DuckDB CTE chain replaying [[graft.ops.Curation.logisticTrainHashed]]
+    * end to end (2 unrolled GD rounds → `w2(b, w)`, plus the shared
+    * feature frame `x`) — the q161/q166/q174 unrolled-training device
+    * applied to the classifier. Shared by the q191 and q192 oracles. */
+  private val logTrainCtes: String = {
+    val D = "CAST(%s AS DOUBLE)"
+    val half = D.format("0.5")
+    val one = D.format("1.0")
+    val zero = D.format("0.0")
+    s"""toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |$qualityLabelSql,
+      |tb AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) % 64 AS BIGINT) AS b
+      |  FROM toks WHERE t <> ''),
+      |fc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      |  FROM tb GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM fc GROUP BY 1),
+      |x AS (
+      |  SELECT fc.doc_id, b, CAST(c AS DOUBLE) / len AS x, y
+      |  FROM fc JOIN lens USING (doc_id) JOIN lbl USING (doc_id)),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+      |dims AS (SELECT CAST(i AS BIGINT) AS b FROM range(0, 64) t(i)),
+      |g1 AS (
+      |  SELECT b, CAST(sum(CAST(round(
+      |    (CASE WHEN y THEN $one ELSE $zero END - $half) * x, 12)
+      |    AS DECIMAL(27,15))) AS DOUBLE) AS g
+      |  FROM x GROUP BY b),
+      |w1 AS (
+      |  SELECT dims.b,
+      |    round($zero + $half * (coalesce(g, $zero) / n), 12) AS w
+      |  FROM dims LEFT JOIN g1 USING (b) CROSS JOIN nd),
+      |z2 AS (
+      |  SELECT doc_id, max(y) AS y,
+      |    CAST(sum(CAST(round(x * w, 12) AS DECIMAL(27,15))) AS DOUBLE) AS z
+      |  FROM x JOIN w1 USING (b) GROUP BY doc_id),
+      |p2 AS (
+      |  SELECT doc_id, y, round($one / ($one + exp(-z)), 12) AS p FROM z2),
+      |g2 AS (
+      |  SELECT b, CAST(sum(CAST(round(
+      |    (CASE WHEN x.y THEN $one ELSE $zero END - p) * x.x, 12)
+      |    AS DECIMAL(27,15))) AS DOUBLE) AS g
+      |  FROM x JOIN p2 USING (doc_id) GROUP BY b),
+      |w2 AS (
+      |  SELECT w1.b, round(w1.w + $half * (coalesce(g2.g, $zero) / n), 12) AS w
+      |  FROM w1 LEFT JOIN g2 USING (b) CROSS JOIN nd)""".stripMargin
+  }
+
+  /** Logistic-regression TRAINING over the hashed feature space
+    * ([[graft.ops.Curation.logisticTrainHashed]], 2 full-batch GD
+    * rounds, quality-threshold labels): all 64 learned weights
+    * hash-pinned against the oracle's unrolled replay. The classifier
+    * lifecycle now closes exactly like the tokenizer's — q162 applies a
+    * fixed model, THIS learns one, q192 measures it. */
+  def q191LogisticTrain(s: SparkSession, d: String): DataFrame =
+    Curation.logisticTrainHashed(
+        TextFunctions.widen(Tables.documents(s, d)), "doc_id", "text",
+        TextFunctions.qualityScoreRaw(col("text")) >= 0.6)
+      .orderBy(col("bucket"))
+
+  val q191Sql: String =
+    s"""WITH $logTrainCtes
+      |SELECT b AS bucket, w AS weight FROM w2 ORDER BY bucket""".stripMargin
+
+  /** ROC AUC of the TRAINED classifier
+    * ([[graft.ops.Curation.logisticApplyHashed]] →
+    * [[graft.ops.Profiling.rocAuc]]) — the evaluate step of the
+    * train→apply→evaluate loop, one hash-pinned row. Read next to q190
+    * (the untrained hashed baseline): two GD rounds must move the
+    * ranking quality, and the gate would catch either engine drifting
+    * anywhere in the whole loop. */
+  def q192TrainedAuc(s: SparkSession, d: String): DataFrame = {
+    val docs = TextFunctions.widen(Tables.documents(s, d))
+    val lbl = TextFunctions.qualityScoreRaw(col("text")) >= 0.6
+    val w = Curation.logisticTrainHashed(docs, "doc_id", "text", lbl)
+    graft.ops.Profiling.rocAuc(
+      Curation.logisticApplyHashed(docs, "doc_id", "text", lbl, w), "z", "y")
+  }
+
+  val q192Sql: String =
+    s"""WITH $logTrainCtes,
+      |z3 AS (
+      |  SELECT doc_id, max(y) AS y,
+      |    round(CAST(sum(CAST(round(x * w, 12) AS DECIMAL(27,15)))
+      |      AS DOUBLE), 12) AS z
+      |  FROM x JOIN w2 USING (b) GROUP BY doc_id),
+      |bys AS (
+      |  SELECT z, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM z3 GROUP BY 1),
+      |cum AS (
+      |  SELECT z, n, np,
+      |    CAST(coalesce(sum(n) OVER (ORDER BY z
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cl
+      |  FROM bys),
+      |agg AS (
+      |  SELECT sum(CAST(np AS DECIMAL(38,0)) *
+      |      CAST(cl * 2 + n + 1 AS DECIMAL(38,0))) AS s2,
+      |    CAST(sum(np) AS DECIMAL(38,0)) AS p,
+      |    CAST(sum(n) AS DECIMAL(38,0)) AS t
+      |  FROM cum)
+      |SELECT CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg,
+      |  CASE WHEN p > 0 AND (t - p) > 0 THEN
+      |    round(CAST(s2 - p * (p + 1) AS DOUBLE) /
+      |      CAST(p * (t - p) * 2 AS DOUBLE), 6) END AS auc
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_logistic_train" -> (q191LogisticTrain _),
+    "q192_trained_auc" -> (q192TrainedAuc _),
     "q188_calibration_ece" -> (q188CalibrationEce _),
     "q189_source_psi" -> (q189SourcePsi _),
     "q190_classifier_auc" -> (q190ClassifierAuc _),
@@ -857,6 +969,8 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q191_logistic_train" -> q191Sql,
+    "q192_trained_auc" -> q192Sql,
     "q188_calibration_ece" -> q188Sql,
     "q189_source_psi" -> q189Sql,
     "q190_classifier_auc" -> q190Sql,

@@ -348,4 +348,31 @@ class CurationSpec extends SparkSpec {
       .orderBy("pos").collect()
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
+
+  test("logisticTrainHashed: learns a separable signal to AUC 1, pulls " +
+      "the class tokens' buckets apart, and reruns identically") {
+    // 'alpha' → bucket 23, 'omega' → 22, 'common' → 58 (no collisions)
+    val docs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha alpha alpha common", true)
+      else (i.toLong, "omega omega omega common", false)
+    }.toDF("doc_id", "text", "y")
+    val w = Curation.logisticTrainHashed(docs, "doc_id", "text", col("y"),
+      iters = 3, lr = 4.0)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wm.size == 64)
+    assert(wm(23L) > 0.0 && wm(22L) < 0.0,
+      s"alpha/omega weights must separate: ${wm(23L)} / ${wm(22L)}")
+    // the shared token carries no signal: its gradient cancels (up to
+    // the 12-dp pinning of the sigmoid's symmetric halves)
+    assert(math.abs(wm(58L)) < 1e-9, s"common-token weight ${wm(58L)}")
+    val scored = Curation.logisticApplyHashed(docs, "doc_id", "text",
+      col("y"), w)
+    val auc = graft.ops.Profiling.rocAuc(scored, "z", "y")
+      .collect()(0).getAs[Double]("auc")
+    assert(auc == 1.0, s"separable corpus must reach AUC 1, got $auc")
+    // bit-identical rerun (the whole loop is pinned arithmetic)
+    val w2 = Curation.logisticTrainHashed(docs, "doc_id", "text", col("y"),
+      iters = 3, lr = 4.0).collect().map(_.toSeq).toSeq
+    assert(w2 == w.collect().map(_.toSeq).toSeq)
+  }
 }

@@ -696,7 +696,17 @@ object Curation {
       s"logisticTrainHashed: dims >= 2, iters >= 1, lr > 0")
     val spark = df.sparkSession
     import spark.implicits._
+    // Feature extraction runs ONCE: the (doc, bucket) frame is persisted
+    // for the GD rounds — each round references it twice (dot product +
+    // gradient) and without the persist every reference would re-tokenize
+    // the corpus (~2·iters+1 full passes at 100 TB instead of one scan +
+    // iters feature-sized passes). Lloyd's re-scans its input per round
+    // because its input IS the scan; here the features are an order
+    // smaller than the text, so materializing them is the scale-correct
+    // trade.
     val x = hashedFeatures(df, idCol, textCol, label, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nDocs = x.select(col("__id")).distinct().count()
     var w: Map[Long, Double] = (0L until dims.toLong).map(_ -> 0.0).toMap
     for (_ <- 1 to iters) {
@@ -723,6 +733,7 @@ object Curation {
       }
     }
     w.toSeq.sortBy(_._1).toDF("bucket", "weight")
+    } finally x.unpersist(false)
   }
 
   /** APPLY a trained weight vector to the hashed feature space: per doc

@@ -405,31 +405,46 @@ object Profiling {
     * overflow; the only float op is the final division.
     *
     * Scale: one score-keyed count aggregate, then everything operates on
-    * the DISTINCT-score table. The prefix sum is the bucketed
-    * [[Curation.exclusivePrefixSum]] device — no single-partition
-    * window anywhere.
+    * the DISTINCT-score table — persisted, so the corpus scan under it
+    * runs once across the prefix-sum device's three references
+    * ([[Curation.exclusivePrefixSum]] — no single-partition window
+    * anywhere). The one-row answer is evaluated eagerly and returned as
+    * a literal frame so the cache releases before return.
     *
     * @param df rows with a numeric score and a boolean label
     * @return one row: (n_pos, n_neg, auc) — auc 6-dp, NULL when either
     *         class is empty */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // The prefix-sum device needs three references to the distinct-score
+    // table (bucket boundaries, bucket totals, the window pass) — persist
+    // it so the corpus-side plan under it executes ONCE, and evaluate the
+    // one-row answer eagerly so the cache can be released before return.
     val byScore = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"))
-    val c = Curation.exclusivePrefixSum(byScore, "__s", "__n", "__cl")
-    val agg = c.agg(
-      sum(col("__np").cast("decimal(38,0)") *
-        (col("__cl") * 2 + col("__n") + 1).cast("decimal(38,0)")).as("__s2"),
-      sum(col("__np")).cast("decimal(38,0)").as("__p"),
-      sum(col("__n")).cast("decimal(38,0)").as("__t"))
-    agg.select(
-      col("__p").cast("long").as("n_pos"),
-      (col("__t") - col("__p")).cast("long").as("n_neg"),
-      when(col("__p") > 0 && (col("__t") - col("__p")) > 0,
-        round((col("__s2") - col("__p") * (col("__p") + 1)).cast("double") /
-          (col("__p") * (col("__t") - col("__p")) * 2).cast("double"), 6))
-        .as("auc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c = Curation.exclusivePrefixSum(byScore, "__s", "__n", "__cl")
+      val r = c.agg(
+        sum(col("__np").cast("decimal(38,0)") *
+          (col("__cl") * 2 + col("__n") + 1).cast("decimal(38,0)")).as("__s2"),
+        sum(col("__np")).cast("decimal(38,0)").as("__p"),
+        sum(col("__n")).cast("decimal(38,0)").as("__t"))
+        .select(
+          col("__p").cast("long").as("n_pos"),
+          (col("__t") - col("__p")).cast("long").as("n_neg"),
+          when(col("__p") > 0 && (col("__t") - col("__p")) > 0,
+            round((col("__s2") - col("__p") * (col("__p") + 1)).cast("double") /
+              (col("__p") * (col("__t") - col("__p")) * 2).cast("double"), 6))
+            .as("auc"))
+        .collect()(0)
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      Seq((optL(0), optL(1), optD(2))).toDF("n_pos", "n_neg", "auc")
+    } finally byScore.unpersist(false)
   }
 
   /** Cohen's kappa — chance-corrected agreement between two raters over

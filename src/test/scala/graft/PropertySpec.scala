@@ -452,4 +452,68 @@ class PropertySpec extends SparkSpec {
     val mass = got.map(r => math.exp(r._3 / 1e6)).sum
     assert(math.abs(mass - 1.0) < 1e-3, s"sum exp(score) = $mass")
   }
+
+  test("rocAuc matches brute-force pair counting on random scored sets") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 20).map(_ / 10.0), Gen.oneOf(true, false))
+    for (n <- Seq(30, 80)) {
+      val rows = samples(rowGen, n)
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // brute force: every (pos, neg) pair scores 1 / 0.5 / 0
+        val wins = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val ref = wins / (pos.size.toLong * neg.size)
+        val got = graft.ops.Profiling.rocAuc(
+          rows.toDF("s", "y"), "s", "y").collect()(0)
+        assert(got.getAs[Long]("n_pos") == pos.size.toLong)
+        assert(math.abs(got.getAs[Double]("auc") - ref) < 1e-6,
+          s"n=$n: ${got.getAs[Double]("auc")} vs $ref")
+      }
+    }
+  }
+
+  test("logisticTrainHashed matches a straight-line GD reference on " +
+      "random corpora") {
+    def round12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 64
+    }
+    val docGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.take(8)),
+      Gen.oneOf(true, false))
+    val docs = samples(docGen, 25).zipWithIndex
+      .map { case ((ws, y), i) => (i.toLong, ws.mkString(" "), y) }
+    // straight-line reference: same features, same 12-dp pins
+    val feats = docs.map { case (_, text, y) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val cs = toks.groupBy(bucket).view.mapValues(_.length.toDouble).toMap
+      (cs.map { case (b, c) => b -> c / toks.length }, y)
+    }
+    val n = feats.size
+    var w = (0L until 64L).map(_ -> 0.0).toMap
+    for (_ <- 1 to 2) {
+      val resid = feats.map { case (x, y) =>
+        val z = x.map { case (b, v) => BigDecimal(round12(v * w(b))) }.sum
+        val p = round12(1.0 / (1.0 + math.exp(-z.toDouble)))
+        (x, (if (y) 1.0 else 0.0) - p)
+      }
+      val grad = (0L until 64L).map { b =>
+        b -> resid.collect { case (x, r) if x.contains(b) =>
+          BigDecimal(round12(r * x(b)))
+        }.sum.toDouble
+      }.toMap
+      w = w.map { case (b, wb) => b -> round12(wb + 0.5 * (grad(b) / n)) }
+    }
+    val got = graft.ops.Curation.logisticTrainHashed(
+        docs.toDF("doc_id", "text", "y"), "doc_id", "text", col("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 64L).foreach { b =>
+      assert(got(b) == w(b), s"bucket $b: ${got(b)} vs ${w(b)}")
+    }
+  }
 }

@@ -300,7 +300,9 @@ object Similarity {
     * rows, and nothing collects to the driver.
     *
     * @return (labelCol, n, silhouette) — silhouette 6-dp; s = 0 for a
-    *         point exactly on both centroids (max distance 0) */
+    *         point exactly on both centroids (max distance 0);
+    *         silhouette NULL when only one label exists (no "nearest
+    *         other centroid" — undefined, as in the classic metric) */
   def labelSilhouette(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String): DataFrame = {
     val vecs = widen(df.filter(col(labelCol).isNotNull))

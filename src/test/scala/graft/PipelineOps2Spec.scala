@@ -431,6 +431,14 @@ class PipelineOps2Spec extends SparkSpec {
     val again = Similarity.labelSilhouette(tight, "vec_id", "label",
       "embedding").collect().map(r => r.getAs[Double]("silhouette")).sorted
     assert(again.toSeq == got.values.map(_._2).toSeq.sorted)
+    // a single-label partition has no "nearest other centroid":
+    // silhouette is NULL (undefined), never NaN or a fabricated 0
+    val solo = Seq((1L, 0, v(1.0)), (2L, 0, v(2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val s1 = Similarity.labelSilhouette(solo, "vec_id", "label", "embedding")
+      .collect()(0)
+    assert(s1.getAs[Long]("n") == 2L &&
+      s1.isNullAt(s1.fieldIndex("silhouette")))
   }
 
   test("logOddsTerms: target-exclusive terms score positive, " +

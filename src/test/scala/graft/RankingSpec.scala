@@ -375,6 +375,11 @@ class RankingSpec extends SparkSpec {
     assert(auc(Seq((2.0, true), (1.0, true), (1.0, false), (3.0, false)))
       .contains(0.375))
     assert(auc(Seq((1.0, true), (2.0, true))).isEmpty) // no negatives
+    // fully-null input survives the whole device: one row of NULLs
+    val empty = Profiling.rocAuc(
+      Seq((Option.empty[Double], Option.empty[Boolean])).toDF("s", "y"),
+      "s", "y").collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
   test("calibrationError: per-bin stats and the count-weighted ECE " +

@@ -652,7 +652,9 @@ object Curation {
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"), label.as("__y"),
         explode(TextFunctions.tokens(col(textCol))).as("__t"))
-      .filter(tok =!= "")
+      // an unlabeled doc must not train (a null label would silently
+      // read as negative through when(__y, 1.0).otherwise(0.0))
+      .filter(col("__y").isNotNull && tok =!= "")
       .select(col("__id"), col("__y"), bucket.as("__b"))
       .groupBy(col("__id"), col("__b"))
       .agg(count(lit(1)).as("__c"), max(col("__y")).as("__y"))
@@ -733,7 +735,7 @@ object Curation {
       }
     }
     w.toSeq.sortBy(_._1).toDF("bucket", "weight")
-    } finally x.unpersist(false)
+    } finally x.unpersist(true)
   }
 
   /** APPLY a trained weight vector to the hashed feature space: per doc

@@ -444,7 +444,7 @@ object Profiling {
       def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
       def optD(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
       Seq((optL(0), optL(1), optD(2))).toDF("n_pos", "n_neg", "auc")
-    } finally byScore.unpersist(false)
+    } finally byScore.unpersist(true)
   }
 
   /** Cohen's kappa — chance-corrected agreement between two raters over

@@ -305,7 +305,10 @@ object Similarity {
     *         other centroid" — undefined, as in the classic metric) */
   def labelSilhouette(df: DataFrame, idCol: String, labelCol: String,
       vecCol: String): DataFrame = {
-    val vecs = widen(df.filter(col(labelCol).isNotNull))
+    // null vectors must drop here: a null distance would null the
+    // point's silhouette while its row still counted in the average
+    val vecs = widen(
+        df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull))
       .select(col(idCol).as("__id"), col(labelCol).as("__l"),
         col(vecCol).as("__v"))
     val cm = vecs

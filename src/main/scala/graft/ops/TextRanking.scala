@@ -165,7 +165,9 @@ object TextRanking {
     * relevant pool is judgment-sized. Nothing here is corpus-scale.
     *
     * @param ranked system output: (qidCol, idCol, rankCol) — rank 1-based
-    * @param judgments relevance pool: (qidCol, idCol, gradeCol ≥ 0)
+    * @param judgments relevance pool: (qidCol, idCol, gradeCol ≥ 0);
+    *                  one row per (query, item) — like [[ndcgAtK]], a
+    *                  duplicated judgment would double-count the item
     * @return (qidCol, hits, first_rel_rank, rr, ap) — rr 0 when nothing
     *         relevant is retrieved; ap NULL when the query's pool has no
     *         relevant items at all (undefined, not zero) */

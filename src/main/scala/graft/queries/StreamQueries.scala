@@ -472,7 +472,60 @@ object StreamQueries {
       |  min(val) AS min_val, max(val) AS max_val
       |FROM kv2 GROUP BY key ORDER BY key""".stripMargin
 
+  /** Windowed PSI drift monitor ([[EventStreams.windowedPsi]], batch
+    * twin): per 1-hour window, the decile PSI of `value` against the
+    * corpus-wide histogram — serve-time drift alarms with every
+    * per-window score hash-pinned. The reference histogram is collected
+    * once (ten numbers) and inlined as literals, exactly as a deployed
+    * monitor would carry its trained-on baseline; the oracle recomputes
+    * the same baseline in SQL. The stream side of the identical code
+    * path is pinned ≡-batch in StreamingSpec. */
+  def q193WindowedPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val ref = ev.filter(col("value").isNotNull)
+      .groupBy(EventStreams.valueBin(500.0).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    EventStreams.windowedPsi(ev, ref).orderBy(col("win_start"))
+  }
+
+  val q193Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour',
+      |      CAST(ts AS TIMESTAMP))) AS BIGINT) AS h,
+      |    CAST(least(greatest(floor(value / CAST(500.0 AS DOUBLE) * 10),
+      |      0), 9) AS BIGINT) AS bin
+      |  FROM events WHERE value IS NOT NULL),
+      |ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS gc FROM e GROUP BY 1),
+      |rt AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM ref),
+      |wc AS (SELECT h, bin, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |wt AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+      |dims AS (SELECT CAST(i AS BIGINT) AS bin FROM range(0, 10) t(i)),
+      |dense AS (
+      |  SELECT wt.h, wt.n, dims.bin, coalesce(wc.c, 0) AS cc,
+      |    coalesce(ref.gc, 0) AS gc, rt.nn
+      |  FROM wt CROSS JOIN dims CROSS JOIN rt
+      |  LEFT JOIN wc ON wc.h = wt.h AND wc.bin = dims.bin
+      |  LEFT JOIN ref ON ref.bin = dims.bin),
+      |terms AS (
+      |  SELECT h, n,
+      |    CAST(round(
+      |      ((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) + CAST(5.0 AS DOUBLE))
+      |       - (CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |      * ln(((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |        / ((CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))), 12)
+      |      AS DECIMAL(27,15)) AS tm
+      |  FROM dense)
+      |SELECT h AS win_start, CAST(max(n) AS BIGINT) AS n,
+      |  round(CAST(sum(tm) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY h ORDER BY h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_windowed_psi" -> (q193WindowedPsi _),
     "q172_json_profile" -> (q172JsonProfile _),
     "q164_sequence_match" -> (q164SequenceMatch _),
     "q158_session_paths" -> (q158SessionPaths _),
@@ -490,6 +543,7 @@ object StreamQueries {
     "q52_type_stats" -> (q52TypeStats _))
 
   val oracles: Map[String, String] = Map(
+    "q193_windowed_psi" -> q193Sql,
     "q172_json_profile" -> q172Sql,
     "q164_sequence_match" -> q164Sql,
     "q152_type_trend" -> q152Sql,

@@ -28,6 +28,58 @@ object EventStreams {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Fixed-width decile bin of `value` on a declared [0, scale) range —
+    * shared by [[windowedPsi]] and its reference-histogram builder so
+    * the monitored stream and the baseline bin identically. */
+  def valueBin(scale: Double): org.apache.spark.sql.Column =
+    least(greatest(floor(col("value") / scale * 10), lit(0.0)), lit(9.0))
+      .cast("long")
+
+  /** Windowed drift monitor — per tumbling window, the population
+    * stability index of `value`'s decile distribution against a STATIC
+    * reference histogram: the serve-time companion to the batch PSI
+    * ([[graft.ops.Profiling.psi]]). The alarm a pipeline keeps on a live
+    * event feed: a window whose value mix departs from the trained-on
+    * baseline lights up within one watermark delay.
+    *
+    * Streaming-shape: ONE windowed aggregation (count + ten conditional
+    * bin sums) and the PSI is a pure projection over its row — no second
+    * aggregation, so the query runs in append mode with a watermark and
+    * per-window state is eleven longs. The reference rides in as
+    * LITERALS (ten numbers — model-sized by construction), never a join.
+    * The same code path serves batch frames, which is what the gate row
+    * and the stream≡batch spec compare.
+    *
+    * Determinism: the ½ pseudo-count device of the batch PSI; each bin's
+    * term is rounded to 12 dp and the ten terms fold as decimal adds in
+    * a fixed order — exact, so any engine agrees.
+    *
+    * @param refBins (bin → count) of the baseline histogram, bins 0-9
+    * @return (win_start epoch-sec, n, psi) — psi 6-dp */
+  def windowedPsi(events: DataFrame, refBins: Seq[(Long, Long)],
+      scale: Double = 500.0, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(refBins.nonEmpty, "windowedPsi: empty reference histogram")
+    val refMap = refBins.toMap
+    val refN = refBins.map(_._2).sum
+    val src0 = events.filter(col("value").isNotNull)
+    val src = if (src0.isStreaming) src0.withWatermark("ts", watermark) else src0
+    val bin = valueBin(scale)
+    val binAggs = (0L to 9L).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val agg = src.groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("__n"), binAggs: _*)
+    val terms = (0L to 9L).map { b =>
+      val p = (col(s"__c$b").cast("double") + lit(0.5)) /
+        (col("__n").cast("double") + lit(5.0))
+      val q = lit((refMap.getOrElse(b, 0L) + 0.5) / (refN + 5.0))
+      round((p - q) * log(p / q), 12).cast("decimal(27,15)")
+    }
+    agg.select(unix_timestamp(col("window.start")).as("win_start"),
+      col("__n").as("n"),
+      round(terms.reduce(_ + _).cast("double"), 6).as("psi"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

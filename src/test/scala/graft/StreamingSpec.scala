@@ -38,6 +38,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed PSI drift monitor: streaming agrees with batch, and a " +
+      "shifted window alarms while matching windows stay near 0") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference = the sample's own histogram; then append a drifted hour
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val drifted = sampleEvents ++ (0 until 50).map(i =>
+      Event(1000L + i, new java.sql.Timestamp(base + 48L * 3600 * 1000 + i * 1000),
+        1L, "a", 499.0)) // point mass in the top bin, far-future hour
+    val ref = sampleEvents.toDF()
+      .groupBy(EventStreams.valueBin(500.0).as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val stream = MemoryStream[Event]
+    val query = EventStreams.windowedPsi(stream.toDF(), ref)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(drifted)
+      query.processAllAvailable()
+      val streamed = spark.table("psi_out").orderBy("win_start").collect().toSeq
+      val batch = EventStreams.windowedPsi(drifted.toDF(), ref)
+        .orderBy("win_start").collect().toSeq
+      assert(streamed == batch, "stream/batch PSI divergence")
+      assert(batch.nonEmpty)
+      // the drifted hour must alarm; FULL in-reference hours must not
+      // (a nearly-empty trailing window is pseudo-count-dominated and
+      // legitimately noisy — monitoring reads psi next to n)
+      val byWin = batch.map(r => r.getAs[Long]("win_start") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("psi")))).toMap
+      val driftWin = (base / 1000) + 48L * 3600
+      assert(byWin(driftWin)._2 > 0.25, s"drifted window: ${byWin(driftWin)}")
+      val quiet = byWin.filterNot(_._1 == driftWin).filter(_._2._1 >= 20)
+      assert(quiet.nonEmpty && quiet.values.forall(_._2 < 0.25),
+        s"full baseline windows must stay quiet: $byWin")
+    } finally query.stop()
+  }
+
   test("watermark drops state for closed windows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

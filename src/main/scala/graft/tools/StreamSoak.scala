@@ -88,6 +88,16 @@ object StreamSoak {
     soak[Event, Unit]("pattern_q164", evChunks)(s =>
       q("soak_pat")(EventStreams.patternStream(s.toDS()), "append"))
 
+    // windowed PSI monitor (q193): state = OPEN WINDOWS (count + ten bin
+    // sums each), never events — the drift alarm's state receipt
+    val refBins = graft.queries.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .groupBy(EventStreams.valueBin(500.0).as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    soak[Event, Unit]("win_psi_q193", evChunks)(s =>
+      q("soak_psi")(EventStreams.windowedPsi(s.toDS().toDF(), refBins),
+        "append"))
+
     // CDC feed: one insert per event keyed by user; final trigger deletes
     // half the users back to zero — state rows must DROP (tombstones)
     val inserts = chunks.map(_.map(e =>

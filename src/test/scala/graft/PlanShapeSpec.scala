@@ -682,4 +682,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Join"), plan) // no join at all: union + agg
   }
+
+  test("q193 windowed PSI: one aggregation, the PSI a projection over " +
+      "it — no join, no second shuffle, reference as literals") {
+    val df = graft.queries.StreamQueries.q193WindowedPsi(spark, sfDir)
+    df.collect()
+    val plan = finalOnly(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("Join"), plan) // baseline rides as literals
+    // exactly one pair of partial/final hash aggregates over the scan
+    // (plus nothing else that shuffles except the output sort)
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, plan)
+  }
 }

@@ -611,6 +611,64 @@ object Curation {
           .as("n_keep"))
   }
 
+  /** Deterministic SPAN-CORRUPTION plan — the T5/UL2 pretraining
+    * objective next to the BERT-style [[mlmMaskingPlan]]: instead of
+    * masking 15% of tokens independently, contiguous SPANS are replaced
+    * by sentinels. The plan partitions each doc's token stream into
+    * fixed `blockLen`-token blocks; every FULL block hosts exactly one
+    * span whose length (2–4 tokens, mean 3) and in-block offset are md5
+    * draws keyed by (doc, block) — corruption rate = 3/20 = the
+    * canonical 15% in expectation, spans can never overlap (one per
+    * block), and a resumed partition regenerates the identical spans,
+    * the same resumability-by-construction contract as the MLM row.
+    * Trailing partial blocks host no span (deterministic, mirrored by
+    * the oracle).
+    *
+    * Scale: one token-COUNT projection per doc (no token explode at
+    * all), then an n/blockLen-row block explode — pure codegen'd
+    * per-row arithmetic, zero shuffles, zero joins.
+    *
+    * @return one row per span: (idCol, block, start_tok, len_tok),
+    *         start_tok 0-based in the doc's token stream */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 20, salt: String = "span"): DataFrame = {
+    require(blockLen >= 6, s"spanCorruptionPlan: blockLen >= 6, got $blockLen")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("__n"))
+      .filter(col("__n") >= blockLen)
+      .select(col(idCol),
+        explode(sequence(lit(0L),
+          floor(col("__n") / blockLen).cast("long") - 1)).as("__b"))
+    val h = md5(concat(lit(s"$salt:"), col(idCol).cast("string"),
+      lit(":"), col("__b").cast("string")))
+    val len = lit(2L) + pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+      lit(3L))
+    val off = pmod(conv(substring(h, 5, 4), 16, 10).cast("long"),
+      lit(blockLen + 1L) - len)
+    base.select(col(idCol), col("__b").as("block"),
+      (col("__b") * blockLen + off).as("start_tok"), len.as("len_tok"))
+  }
+
+  /** k-ANONYMITY audit over quasi-identifier columns — the privacy
+    * pre-release check beside [[redactPii]]: every combination of
+    * quasi-identifiers present in the corpus, its row count, and whether
+    * the group clears the anonymity threshold (a combination shared by
+    * fewer than k rows re-identifies its members). Counts are exact
+    * integers; one grouped aggregation, map-side combined, output sized
+    * by the quasi-identifier cardinality product.
+    *
+    * @param quasi (name → expression) pairs defining the identifier
+    * @return one row per combination: quasi columns + (n, anonymous) */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)],
+      k: Int = 5): DataFrame = {
+    require(quasi.nonEmpty && k >= 2,
+      s"kAnonymity: need quasi-identifiers and k >= 2, got k=$k")
+    df.select(quasi.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
   /** Hashed-feature LINEAR CLASSIFIER inference — the fastText-style
     * quality-classifier scoring pass (Joulin et al. 2017 model shape;
     * Weinberger et al. 2009 hashing trick): every token hashes into one

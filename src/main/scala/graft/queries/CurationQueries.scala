@@ -940,7 +940,60 @@ object CurationQueries {
       |      CAST(p * (t - p) * 2 AS DOUBLE), 6) END AS auc
       |FROM agg""".stripMargin
 
+  /** T5-style span-corruption plan
+    * ([[graft.ops.Curation.spanCorruptionPlan]]): every span's block,
+    * start token, and length hash-pinned — the denoising-objective
+    * sibling of the q169 MLM plan, one span per 20-token block, 15%
+    * expected corruption, resumable by construction. */
+  def q194SpanPlan(s: SparkSession, d: String): DataFrame =
+    Curation.spanCorruptionPlan(
+        TextFunctions.widen(Tables.documents(s, d)), "doc_id", "text")
+      .orderBy(col("doc_id"), col("block"))
+
+  val q194Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |b AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS block
+      |  FROM (SELECT * FROM d WHERE n >= 20), UNNEST(range(0, n // 20)) AS t(i)),
+      |h AS (
+      |  SELECT doc_id, block,
+      |    md5('span:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(block AS VARCHAR)) AS hh
+      |  FROM b),
+      |sp AS (
+      |  SELECT doc_id, block,
+      |    2 + CAST('0x' || substr(hh, 1, 4) AS BIGINT) % 3 AS len_tok,
+      |    CAST('0x' || substr(hh, 5, 4) AS BIGINT) %
+      |      (21 - (2 + CAST('0x' || substr(hh, 1, 4) AS BIGINT) % 3)) AS off
+      |  FROM h)
+      |SELECT doc_id, block, CAST(block * 20 + off AS BIGINT) AS start_tok,
+      |  CAST(len_tok AS BIGINT) AS len_tok
+      |FROM sp ORDER BY doc_id, block""".stripMargin
+
+  /** k-anonymity audit ([[graft.ops.Curation.kAnonymity]]) over the
+    * (lang, source, length-bucket) quasi-identifier — every combination's
+    * count and pass/fail flag hash-pinned: the privacy pre-release
+    * check beside the q38 PII redaction row. */
+  def q195KAnonymity(s: SparkSession, d: String): DataFrame =
+    Curation.kAnonymity(
+        TextFunctions.widen(Tables.documents(s, d)),
+        Seq("lang" -> col("lang"), "source" -> col("source"),
+          "len_bucket" -> floor(col("n_chars") / 200).cast("long")),
+        k = 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
+  val q195Sql: String =
+    """SELECT lang, source,
+      |  CAST(floor(n_chars / CAST(200 AS DOUBLE)) AS BIGINT) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
+      |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_span_plan" -> (q194SpanPlan _),
+    "q195_k_anonymity" -> (q195KAnonymity _),
     "q191_logistic_train" -> (q191LogisticTrain _),
     "q192_trained_auc" -> (q192TrainedAuc _),
     "q188_calibration_ece" -> (q188CalibrationEce _),
@@ -969,6 +1022,8 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q194_span_plan" -> q194Sql,
+    "q195_k_anonymity" -> q195Sql,
     "q191_logistic_train" -> q191Sql,
     "q192_trained_auc" -> q192Sql,
     "q188_calibration_ece" -> q188Sql,

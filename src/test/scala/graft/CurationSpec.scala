@@ -349,6 +349,43 @@ class CurationSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("spanCorruptionPlan: one in-bounds span per full block, partial " +
+      "blocks host none, rate lands near 15%, reruns identically") {
+    val docs = Seq(
+      (1L, Seq.fill(45)("tok").mkString(" ")),   // 2 full blocks + 5
+      (2L, Seq.fill(19)("tok").mkString(" ")),   // no full block
+      (3L, Seq.fill(2000)("tok").mkString(" "))) // 100 blocks
+      .toDF("doc_id", "text")
+    val got = Curation.spanCorruptionPlan(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.count(_._1 == 1L) == 2 && !got.exists(_._1 == 2L) &&
+      got.count(_._1 == 3L) == 100)
+    got.foreach { case (_, block, start, len) =>
+      assert(len >= 2 && len <= 4, s"len $len")
+      val off = start - block * 20
+      assert(off >= 0 && off + len <= 20,
+        s"span [$start, +$len) escapes block $block")
+    }
+    // expected corruption = 3/20 = 15%; 100 draws land close
+    val rate = got.filter(_._1 == 3L).map(_._4).sum / 2000.0
+    assert(rate > 0.12 && rate < 0.18, s"corruption rate $rate")
+    val again = Curation.spanCorruptionPlan(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("kAnonymity: combinations under k are flagged, counts exact") {
+    val df = (Seq.fill(6)(("en", "web")) ++ Seq.fill(2)(("de", "web")))
+      .toDF("lang", "src")
+    val got = Curation.kAnonymity(df,
+        Seq("lang" -> col("lang"), "src" -> col("src")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(("en", 6L, true), ("de", 2L, false)))
+  }
+
   test("logisticTrainHashed: learns a separable signal to AUC 1, pulls " +
       "the class tokens' buckets apart, and reruns identically") {
     // 'alpha' → bucket 23, 'omega' → 22, 'common' → 58 (no collisions)

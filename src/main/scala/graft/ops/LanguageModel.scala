@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics language modeling for data curation: a bigram
@@ -706,6 +706,68 @@ object LanguageModel {
           ((col("cb") + 1).cast("double") / (col("__nb") + col("__v")))),
           6).as("log_odds"))
       .orderBy(col("log_odds").desc, col("term")).limit(k)
+  }
+
+  /** Pointwise mutual-information FEATURE SELECTION against a boolean
+    * document label — the step between labeling and training in a
+    * classifier pipeline (which tokens carry signal about the label?):
+    * per token, the 2×2 document-incidence table (has-token ×
+    * is-positive) and its mutual information
+    * I = Σ_cells (n/N)·ln(N·n/(row·col)), the exact discrete MI with
+    * 0·ln0 = 0. The supervised companion to the unsupervised
+    * [[logOddsTerms]] keyness: log-odds contrasts corpus slices, MI
+    * ranks tokens by how much they REDUCE LABEL UNCERTAINTY — the
+    * textbook selection criterion before training a filter model.
+    *
+    * Determinism: all four cells are exact integer DOCUMENT counts
+    * (per-doc distinct tokens, so a token repeated in one doc counts
+    * once); the four MI terms are fixed-order double arithmetic on
+    * those integers, summed as 12-dp decimal — bit-stable anywhere.
+    *
+    * Scale: one distinct-(doc, token) explode into a token-keyed count
+    * (map-side combined), a 1-row broadcast of (N, P), a pure
+    * projection, and a rank-truncated top-k (TakeOrdered, never a
+    * global sort).
+    *
+    * @param label boolean ground-truth column expression
+    * @return (term, df, df_pos, mi) — top k by MI desc, term asc */
+  def mutualInfoTerms(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, minDf: Long = 5, k: Int = 20): DataFrame = {
+    require(k >= 1 && minDf >= 1, s"mutualInfoTerms: k >= 1, minDf >= 1")
+    val incidence = TextFunctions.widen(docs)
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), label.as("__y"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("__y").isNotNull && col("term") =!= "")
+      .distinct()
+    val counts = incidence.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("df_pos"))
+    val totals = TextFunctions.widen(docs)
+      .filter(col(idCol).isNotNull && label.isNotNull)
+      .agg(count(lit(1)).as("__N"),
+        sum(when(label, 1L).otherwise(0L)).as("__P"))
+    val n = col("__N").cast("double")
+    def cell(nij: Column, row: Column, colTot: Column) =
+      when(nij > 0,
+        round(nij.cast("double") / n *
+          log(n * nij.cast("double") /
+            (row.cast("double") * colTot.cast("double"))), 12))
+        .otherwise(lit(0.0))
+    counts.filter(col("df") >= minDf)
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("df"), col("df_pos"),
+        round((
+          cell(col("df_pos"), col("df"), col("__P"))
+            .cast("decimal(27,15)") +
+          cell(col("df") - col("df_pos"), col("df"), col("__N") - col("__P"))
+            .cast("decimal(27,15)") +
+          cell(col("__P") - col("df_pos"), col("__N") - col("df"), col("__P"))
+            .cast("decimal(27,15)") +
+          cell(col("__N") - col("__P") - col("df") + col("df_pos"),
+            col("__N") - col("df"), col("__N") - col("__P"))
+            .cast("decimal(27,15)")).cast("double"), 6).as("mi"))
+      .orderBy(col("mi").desc, col("term")).limit(k)
   }
 
   /** BPE merge-rule TRAINING (Sennrich et al. 2016) — the other half of

@@ -991,7 +991,55 @@ object CurationQueries {
       |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
       |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** Mutual-information feature selection
+    * ([[graft.ops.LanguageModel.mutualInfoTerms]]) against the
+    * quality-threshold label: the top-20 tokens that most reduce label
+    * uncertainty, each 2×2 incidence cell and MI value hash-pinned —
+    * the selection step between labeling (q187's rater A) and training
+    * (q191), completing the classifier pipeline's missing middle. */
+  def q196MutualInfo(s: SparkSession, d: String): DataFrame =
+    graft.ops.LanguageModel.mutualInfoTerms(
+      Tables.documents(s, d), "doc_id", "text",
+      TextFunctions.qualityScoreRaw(col("text")) >= 0.6)
+
+  val q196Sql: String = {
+    def cell(nij: String, row: String, colTot: String) =
+      s"""CASE WHEN $nij > 0 THEN CAST(round(
+         |      CAST($nij AS DOUBLE) / nn *
+         |        ln(nn * CAST($nij AS DOUBLE) /
+         |          (CAST($row AS DOUBLE) * CAST($colTot AS DOUBLE))), 12)
+         |      AS DECIMAL(27,15)) ELSE CAST(0.0 AS DECIMAL(27,15)) END""".stripMargin
+    s"""WITH $qualityLabelSql,
+      |inc AS (
+      |  SELECT DISTINCT doc_id, y, t AS term FROM (
+      |    SELECT d.doc_id, y,
+      |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      |    FROM documents d JOIN lbl USING (doc_id))
+      |  WHERE t <> ''),
+      |cnt AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS df_pos
+      |  FROM inc GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS bign,
+      |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM lbl),
+      |scored AS (
+      |  SELECT term, df, df_pos,
+      |    round(CAST(
+      |      ${cell("df_pos", "df", "p")}
+      |      + ${cell("df - df_pos", "df", "bign - p")}
+      |      + ${cell("p - df_pos", "bign - df", "p")}
+      |      + ${cell("bign - p - df + df_pos", "bign - df", "bign - p")}
+      |      AS DOUBLE), 6) AS mi
+      |  FROM (SELECT *, CAST(bign AS DOUBLE) AS nn
+      |        FROM cnt CROSS JOIN tot WHERE df >= 5))
+      |SELECT term, df, df_pos, mi FROM scored
+      |ORDER BY mi DESC, term LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_mutual_info" -> (q196MutualInfo _),
     "q194_span_plan" -> (q194SpanPlan _),
     "q195_k_anonymity" -> (q195KAnonymity _),
     "q191_logistic_train" -> (q191LogisticTrain _),
@@ -1022,6 +1070,7 @@ object CurationQueries {
     "q123_mixture_sample" -> (q123MixtureSample _))
 
   val oracles: Map[String, String] = Map(
+    "q196_mutual_info" -> q196Sql,
     "q194_span_plan" -> q194Sql,
     "q195_k_anonymity" -> q195Sql,
     "q191_logistic_train" -> q191Sql,

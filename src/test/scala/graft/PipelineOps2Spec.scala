@@ -441,6 +441,27 @@ class PipelineOps2Spec extends SparkSpec {
       s1.isNullAt(s1.fieldIndex("silhouette")))
   }
 
+  test("mutualInfoTerms: a perfectly label-aligned token scores ln 2, " +
+      "a label-independent token scores 0, minDf filters") {
+    val docs = (0 until 10).map { i =>
+      val body = if (i < 5) "signal common" else "common filler"
+      (i.toLong, s"$body extra$i", i < 5)
+    }.toDF("doc_id", "text", "y")
+    val got = LanguageModel.mutualInfoTerms(docs, "doc_id", "text",
+        col("y"), minDf = 3, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("mi")))).toMap
+    // signal: in exactly the 5 positive docs → I = ln 2 (one full bit)
+    assert(got("signal")._1 == 5L && got("signal")._2 == 5L)
+    assert(math.abs(got("signal")._3 - math.log(2.0)) < 1e-6)
+    // common: in all docs → carries nothing → 0
+    assert(got("common")._3 == 0.0, got("common").toString)
+    // filler: in exactly the 5 negatives — same full bit as signal
+    assert(math.abs(got("filler")._3 - math.log(2.0)) < 1e-6)
+    // the extra<i> singletons fall below minDf
+    assert(!got.keys.exists(_.startsWith("extra")))
+  }
+
   test("logOddsTerms: target-exclusive terms score positive, " +
       "rest-exclusive negative, and minCount filters") {
     val docs = Seq(

@@ -129,7 +129,6 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val ctrl = control.result().map(_._2)
     val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPer,"agg":"min","queries_are":"slowest10","control_min":${f(ctrl.min)},"control_max":${f(ctrl.max)}$onlyJson$failedJson,"queries":$slow10,"sf":"$sfDir"}"""
-    println(compact)
     // The driver's BENCH_r*.json capture truncates the stdout tail (round 6
     // kept 61 of 121 queries), so a FULL run also persists the complete
     // per-query map itself — round-over-round comparison needs every query,
@@ -147,8 +146,16 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full artifact -> $out")
+      System.err.flush()
     }
     spark.stop()
+    // The compact line must be the FINAL stdout line this process prints
+    // (r11 verdict: it sat third-from-last behind the artifact-note and
+    // spark.stop's logging, so the driver's last-line parser read null
+    // for five rounds) — everything that writes to stdout/stderr, the
+    // artifact note included, happens ABOVE this point.
+    println(compact)
+    System.out.flush()
     // same as Verify: q122's embedded metastore must not pin the JVM
     sys.exit(0)
   }

@@ -323,6 +323,8 @@ object Profiling {
     * @return one row per non-empty bin: (bin, n, avg_conf, frac_pos,
     *         gap, ece) — ece repeated on every row (the weighted total) */
   def calibrationError(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val bin = least(greatest(floor(col(scoreCol) * 10), lit(0.0)), lit(9.0))
       .cast("long")
     val perBin = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
@@ -333,18 +335,28 @@ object Profiling {
         sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
     val conf = col("__sc").cast("double") / col("n")
     val frac = col("__np").cast("double") / col("n")
-    val gapped = perBin.select(col("bin"), col("n"),
-      col("__sc"), col("__np"), abs(conf - frac).as("__gap"))
-    val tot = gapped.agg(sum(col("n")).as("__N"))
-    val ece = gapped.crossJoin(broadcast(tot))
-      .select(round(col("n") * col("__gap") / col("__N"), 12)
-        .cast("decimal(27,15)").as("__t"))
-      .agg(round(sum(col("__t")).cast("double"), 6).as("ece"))
-    gapped.crossJoin(broadcast(ece))
-      .select(col("bin"), col("n"),
-        round(col("__sc").cast("double") / col("n"), 6).as("avg_conf"),
-        round(col("__np").cast("double") / col("n"), 6).as("frac_pos"),
-        round(col("__gap"), 6).as("gap"), col("ece"))
+    // ≤10 bins by construction: collect the per-bin aggregate ONCE and
+    // derive N and the count-weighted ECE on the driver with the same
+    // rounding devices (12-dp HALF_UP terms, exact decimal sum, 6-dp
+    // total) — referencing the aggregate three times lazily would
+    // re-execute the corpus scan beneath it three times.
+    val rows = perBin.select(col("bin"), col("n"),
+        col("__sc").cast("double").as("__scd"), col("__np"),
+        abs(conf - frac).as("__gap"))
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1)
+    val nTot = rows.map(_._2).sum
+    def r6(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val ece =
+      if (rows.isEmpty) 0.0
+      else r6(rows.map { case (_, n, _, _, gap) =>
+        BigDecimal(n * gap / nTot)
+          .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble, 6)
+    rows.toSeq.map { case (b, n, sc, np, gap) =>
+      (b, n, r6(sc / n, 6), r6(np.toDouble / n, 6), r6(gap, 6), ece)
+    }.toDF("bin", "n", "avg_conf", "frac_pos", "gap", "ece")
   }
 
   /** Population stability index of a [0,1] score per group against the
@@ -373,8 +385,16 @@ object Profiling {
     val srcTot = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ns"))
     val glob = counts.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
     val tot = glob.agg(sum(col("__gc")).as("__N"))
+    // Densify over ALL TEN deciles, not just globally-present ones: a
+    // globally-empty bin still contributes its symmetric ½ pseudo-count
+    // term, so batch PSI shares the streaming windowedPsi's smoothing
+    // convention (which inlines all 10 reference bins as literals) and
+    // both denominators' +5.0 match the numerators' ten +0.5 terms.
+    val globDense = df.sparkSession.range(0, 10).toDF("__b")
+      .join(glob, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__gc"), lit(0L)).as("__gc"))
     val dense = srcTot
-      .crossJoin(broadcast(glob.crossJoin(tot)))
+      .crossJoin(broadcast(globDense.crossJoin(tot)))
       .join(counts, Seq("__g", "__b"), "left")
       .select(col("__g"), col("__ns"),
         (coalesce(col("__c"), lit(0L)).cast("double") + lit(0.5)).as("__cp"),

@@ -768,7 +768,10 @@ object CurationQueries {
       |c AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
       |  FROM b GROUP BY 1, 2),
       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
-      |gl AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM c GROUP BY 1),
+      |gl0 AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM c GROUP BY 1),
+      |gl AS (
+      |  SELECT CAST(i AS BIGINT) AS bin, coalesce(gc, CAST(0 AS BIGINT)) AS gc
+      |  FROM range(0, 10) t(i) LEFT JOIN gl0 ON gl0.bin = i),
       |t AS (SELECT CAST(sum(gc) AS BIGINT) AS nn FROM gl),
       |dense AS (
       |  SELECT st.source, st.ns, gl.gc, t.nn,
@@ -852,8 +855,9 @@ object CurationQueries {
       |lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len FROM fc GROUP BY 1),
       |x AS (
       |  SELECT fc.doc_id, b, CAST(c AS DOUBLE) / len AS x, y
-      |  FROM fc JOIN lens USING (doc_id) JOIN lbl USING (doc_id)),
-      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+      |  FROM fc JOIN lens USING (doc_id) JOIN lbl USING (doc_id)
+      |  WHERE y IS NOT NULL),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM x),
       |dims AS (SELECT CAST(i AS BIGINT) AS b FROM range(0, 64) t(i)),
       |g1 AS (
       |  SELECT b, CAST(sum(CAST(round(
@@ -989,7 +993,8 @@ object CurationQueries {
     """SELECT lang, source,
       |  CAST(floor(n_chars / CAST(200 AS DOUBLE)) AS BIGINT) AS len_bucket,
       |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
-      |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      |FROM documents GROUP BY 1, 2, 3
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
   /** Mutual-information feature selection
     * ([[graft.ops.LanguageModel.mutualInfoTerms]]) against the
@@ -1015,7 +1020,7 @@ object CurationQueries {
       |    SELECT d.doc_id, y,
       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
       |    FROM documents d JOIN lbl USING (doc_id))
-      |  WHERE t <> ''),
+      |  WHERE t <> '' AND y IS NOT NULL),
       |cnt AS (
       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS df_pos
@@ -1023,7 +1028,7 @@ object CurationQueries {
       |tot AS (
       |  SELECT CAST(count(*) AS BIGINT) AS bign,
       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
-      |  FROM lbl),
+      |  FROM lbl WHERE doc_id IS NOT NULL AND y IS NOT NULL),
       |scored AS (
       |  SELECT term, df, df_pos,
       |    round(CAST(

@@ -1146,7 +1146,7 @@ object SimilarityQueries {
   val q186Sql: String =
     """WITH v AS (
       |  SELECT vec_id, label, embedding AS e
-      |  FROM embeddings WHERE label IS NOT NULL),
+      |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
       |px AS (
       |  SELECT label, i - 1 AS p, CAST(e[i] AS DOUBLE) AS x
       |  FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),

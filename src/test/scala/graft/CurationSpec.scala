@@ -412,4 +412,23 @@ class CurationSpec extends SparkSpec {
       iters = 3, lr = 4.0).collect().map(_.toSeq).toSeq
     assert(w2 == w.collect().map(_.toSeq).toSeq)
   }
+
+  test("logisticTrainHashed: unlabeled docs neither train nor count in " +
+      "the gradient normalizer (the invariant the q191 oracle mirrors)") {
+    val labeled = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha alpha common", Some(true))
+      else (i.toLong, "omega omega common", Some(false))
+    }
+    val withNulls = labeled ++ Seq(
+      (100L, "alpha omega noise", Option.empty[Boolean]),
+      (101L, "common common common", Option.empty[Boolean]))
+    val clean = Curation.logisticTrainHashed(
+        labeled.toDF("doc_id", "text", "y"), "doc_id", "text", col("y"))
+      .collect().map(_.toSeq).toSeq
+    val noisy = Curation.logisticTrainHashed(
+        withNulls.toDF("doc_id", "text", "y"), "doc_id", "text", col("y"))
+      .collect().map(_.toSeq).toSeq
+    assert(clean == noisy,
+      "null-label docs must be invisible to training — weights AND nDocs")
+  }
 }

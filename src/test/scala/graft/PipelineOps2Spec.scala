@@ -462,6 +462,31 @@ class PipelineOps2Spec extends SparkSpec {
     assert(!got.keys.exists(_.startsWith("extra")))
   }
 
+  test("mutualInfoTerms and labelSilhouette: null-label / null-vector " +
+      "rows are invisible (the invariant the q196/q186 oracles mirror)") {
+    val docs = (0 until 10).map { i =>
+      val body = if (i < 5) "signal common" else "common filler"
+      (i.toLong, s"$body extra$i", Some(i < 5))
+    }
+    val noisy = docs ++ Seq(
+      (100L, "signal signal filler", Option.empty[Boolean]))
+    def mi(rows: Seq[(Long, String, Option[Boolean])]) =
+      LanguageModel.mutualInfoTerms(rows.toDF("doc_id", "text", "y"),
+          "doc_id", "text", col("y"), minDf = 3, k = 10)
+        .collect().map(_.toSeq).toSeq
+    assert(mi(docs) == mi(noisy),
+      "a null-label doc must affect neither incidence nor the totals")
+    def v(x: Double) = Array(x.toFloat, 0f, 0f)
+    val base = (0 until 5).map(i => (i.toLong, 0, Some(v(0.0 + i * 0.01)))) ++
+      (0 until 5).map(i => (100L + i, 1, Some(v(10.0 + i * 0.01))))
+    val withNullVec = base :+ ((200L, 0, Option.empty[Array[Float]]))
+    def sil(rows: Seq[(Long, Int, Option[Array[Float]])]) =
+      Similarity.labelSilhouette(rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding").collect().map(_.toSeq).toSeq
+    assert(sil(base) == sil(withNullVec),
+      "a null-vector row must not count in centroids or the averages")
+  }
+
   test("logOddsTerms: target-exclusive terms score positive, " +
       "rest-exclusive negative, and minCount filters") {
     val docs = Seq(

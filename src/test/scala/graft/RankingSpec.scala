@@ -434,4 +434,39 @@ class RankingSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("z")))
     assert(math.abs(got(3).getAs[Double]("z") + 0.707107) < 1e-6)
   }
+
+  test("calibrationError scans its input exactly once (r11 advisory: " +
+      "the per-bin aggregate was referenced three times unpersisted)") {
+    val acc = spark.sparkContext.longAccumulator("rows_scanned")
+    val src = spark.createDataset(1 to 1000)
+      .map { i => acc.add(1); (i / 1000.0, i % 2 == 0) }
+      .toDF("p", "y")
+    Profiling.calibrationError(src, "p", "y")
+    // the op materializes internally; one corpus pass means the mapper
+    // ran once per row — the pre-fix plan read 3000 here
+    assert(acc.value == 1000L, s"expected 1 scan (1000 rows), saw ${acc.value}")
+  }
+
+  test("psi densifies over ALL ten deciles: globally-empty bins keep " +
+      "their symmetric pseudo-count terms (windowedPsi's convention)") {
+    // only bins 0 and 9 are globally present; the eight empty deciles
+    // must still contribute (p-q)·ln(p/q) with p = 0.5/(ns+5),
+    // q = 0.5/(N+5) — the pre-fix plan dropped them while both
+    // denominators still added the full +5.0
+    val rows = Seq.fill(30)(("a", 0.05)) ++ Seq.fill(70)(("b", 0.95))
+    val got = Profiling.psi(rows.toDF("src", "s"), "src", "s")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("psi")).toMap
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expect(ns: Long, cnt: Map[Int, Long]): Double = {
+      val terms = (0 to 9).map { b =>
+        val p = (cnt.getOrElse(b, 0L) + 0.5) / (ns + 5.0)
+        val q = (Map(0 -> 30L, 9 -> 70L).getOrElse(b, 0L) + 0.5) / 105.0
+        BigDecimal(r((p - q) * math.log(p / q), 12))
+      }
+      r(terms.sum.toDouble, 6)
+    }
+    assert(got("a") == expect(30, Map(0 -> 30L)), got.toString)
+    assert(got("b") == expect(70, Map(9 -> 70L)), got.toString)
+  }
 }

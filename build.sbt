@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST line of `sbt "runMain graft.Bench"`
+// output as JSON. Two sbt decorations broke that for six straight rounds
+// (BENCH_r7..r12 all "parsed": null): the forked JVM's stdout was re-logged
+// with an "[info] " prefix, and a "[success] Total time: ..." banner trailed
+// the run. Pass the fork's stdout/stderr through verbatim and drop the
+// banner so Bench's compact result line IS the final captured line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

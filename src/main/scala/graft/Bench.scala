@@ -140,20 +140,31 @@ object Bench {
     // close. r7 lost an artifact to a hardcoded round tag being rerun by
     // the driver; r8 lost one to opt-in-only writing — this is the middle.
     // a SINCE-filtered tail run is just as partial as an ONLY run
+    // Neither the artifact write nor spark.stop may swallow the compact
+    // line: a bad SPARK_GRAFT_BENCH_OUT path or a stop-time exception would
+    // otherwise lose the whole round's benchmark record (ADVICE r12).
     if (only.isEmpty && since.isEmpty && exclude.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "bench_full_latest.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full artifact -> $out")
+      try {
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "bench_full_latest.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full artifact -> $out")
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] artifact write failed: $e")
+      }
       System.err.flush()
     }
-    spark.stop()
-    // The compact line must be the FINAL stdout line this process prints
-    // (r11 verdict: it sat third-from-last behind the artifact-note and
-    // spark.stop's logging, so the driver's last-line parser read null
-    // for five rounds) — everything that writes to stdout/stderr, the
-    // artifact note included, happens ABOVE this point.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop: $e") }
+    // The compact line must be the FINAL line this process prints — and
+    // sys.exit fires JVM shutdown hooks (Spark's ShutdownHookManager,
+    // temp-dir sweepers) that can still log AFTER it in a combined
+    // stdout+stderr capture. Turn logging fully off first so nothing can
+    // print below this point (ADVICE r12).
+    try org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
     println(compact)
     System.out.flush()
     // same as Verify: q122's embedded metastore must not pin the JVM

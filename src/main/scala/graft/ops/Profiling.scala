@@ -315,9 +315,12 @@ object Profiling {
     * and total counts are exact integers; the ECE terms are rounded to
     * 12 dp and decimal-summed.
     *
-    * Scale: one bin-keyed aggregation (10 groups, map-side combined);
-    * the two 1-row totals broadcast back. Nothing post-scan exceeds the
-    * bin count.
+    * Scale: ONE corpus scan feeding one bin-keyed aggregation (≤10
+    * groups, map-side combined). The per-bin aggregate is collected once
+    * and N/ECE are derived driver-side from those ≤10 rows — so this is
+    * EAGER (it runs the Spark job at call time) and the returned
+    * DataFrame is a materialized local relation, not a lazy plan over
+    * the input. Callers that need laziness should cache upstream.
     *
     * @param df rows with a score in [0,1] and a boolean outcome
     * @return one row per non-empty bin: (bin, n, avg_conf, frac_pos,

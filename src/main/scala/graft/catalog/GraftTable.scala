@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.backend.TableInfo
-import graft.core.TableUtil
+import graft.core.{GraftError, TableUtil}
 
 /** DSv2 table for a catalog-registered graft table (SURVEY.md §7.1 module 5).
   *
@@ -48,6 +48,14 @@ class GraftTable(
     TableUtil.hasStorageComponents(info.location,
       spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
 
+  /** An ANN-index entry ([[graft.ops.AnnIndex]]) is a CAPABILITY POINTER —
+    * its location holds a multi-dataset layout (centroids/ + postings/
+    * [+ codebook/]) that only the index module interprets. It must never be
+    * planned as a flat parquet scan (partition-structure inference over the
+    * mixed layout fails), and a direct write would corrupt the layout. */
+  private def isIndexPointer: Boolean =
+    info.properties.contains("graft.index.type")
+
   private lazy val delegate: ParquetTable =
     ParquetTable(ident.toString, spark, scanOptions, Seq(info.location),
       declaredSchema, classOf[ParquetFileFormat])
@@ -55,7 +63,7 @@ class GraftTable(
   override def name(): String = ident.toString
 
   override def schema(): StructType =
-    if (materialized) delegate.schema
+    if (materialized && !isIndexPointer) delegate.schema
     else declaredSchema.getOrElse(new StructType())
 
   override def capabilities(): util.Set[TableCapability] =
@@ -76,14 +84,22 @@ class GraftTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (materialized) {
+    if (isIndexPointer)
+      throw GraftError.Unsupported(
+        s"direct scan of ANN index table ${ident.toString} " +
+          "(search through graft.ops.AnnIndex.searchIvf/searchIvfPq)")
+    else if (materialized) {
       val merged = new util.HashMap[String, String](options)
       scanOptions.forEach((k, v) => merged.putIfAbsent(k, v))
       delegate.newScanBuilder(new CaseInsensitiveStringMap(merged))
     } else new GraftTable.EmptyScanBuilder(schema())
 
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-    new GraftTable.TruncatableWriteBuilder(
+    if (isIndexPointer)
+      throw GraftError.Unsupported(
+        s"direct write to ANN index table ${ident.toString} " +
+          "(rebuild through graft.ops.AnnIndex.ensureIvf/ensureIvfPq)")
+    else new GraftTable.TruncatableWriteBuilder(
       delegate.newWriteBuilder(writeInfo), info.location,
       () => spark.sessionState.newHadoopConfWithOptions(info.storageOptions),
       onCommit)

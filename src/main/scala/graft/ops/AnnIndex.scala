@@ -1,0 +1,375 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index lifecycle: BUILD once, REGISTER in the catalog,
+  * SEARCH many times.
+  *
+  * Every in-query ANN gate ([[Similarity.ivfTopK]],
+  * [[ProductQuantization.searchIvfPq]]) recomputes the corpus-side work —
+  * cell assignment and PQ encoding — per invocation. That is the right
+  * shape for a hash-gated correctness query, but at 100 TB index build and
+  * search are SEPARATE jobs: a nightly build pass materializes the
+  * assignment (and codes) once, and every search afterwards reads only the
+  * probed slice. This module is that split, mirroring the reference's
+  * tables-as-location-pointers model (`GlueNamespace.java:257-268`: the
+  * catalog stores a location + properties; the data plane reads it).
+  *
+  * On-disk layout under `location`:
+  * {{{
+  *   centroids/                 (cid int, cvec array<float>)   — tiny
+  *   codebook/                  (s, c, cvec)  [ivf_pq only]    — tiny
+  *   postings/cid=<n>/...       (vec_id, embedding[, codes])   — the corpus,
+  *                              PARTITIONED BY cell id
+  *   _MANIFEST.properties       type/metric/nlist/m/fingerprint
+  * }}}
+  *
+  * Why `partitionBy(cid)` is the whole point: a search probes `nprobe` of
+  * `nlist` cells, and because the probed cell ids are known before the scan
+  * (they come from the tiny centroid table), the postings read carries a
+  * STATIC `cid IN (...)` partition filter — Spark prunes non-probed
+  * directories at file-listing time, so a 100 TB index answers a query by
+  * reading ~nprobe/nlist of its bytes. No shuffle touches the corpus: the
+  * probe set and centroids broadcast.
+  *
+  * Build atomicity: the index is written to a `<location>.tmp.<pid>`
+  * staging dir and atomically renamed into place, so a concurrent reader
+  * never observes a half-written index and a lost build race leaves the
+  * winner's output intact (same-filesystem rename; the loser's staging dir
+  * is discarded).
+  *
+  * Staleness: the manifest records a fingerprint of the SOURCE parquet
+  * (file names + sizes — a driver-side stat, no data scan). [[ensureIvf]] /
+  * [[ensureIvfPq]] rebuild only when the manifest is absent or the
+  * fingerprint changed.
+  *
+  * Determinism: assignment, encoding, ADC, and rerank reuse the exact
+  * operators of the in-query twins (max_by with ties to the lowest cid,
+  * decimal partial sums, 6-dp rounded cosine), and array<float> round-trips
+  * parquet bit-exactly — so search-over-persisted-index is hash-identical
+  * to the in-query q117/q121 paths, which is what the q197/q198 gates pin.
+  */
+object AnnIndex {
+
+  private val ManifestFile = "_MANIFEST.properties"
+
+  final case class Manifest(indexType: String, metric: String, nlist: Int,
+      m: Int, fingerprint: String)
+
+  // ---- manifest & fingerprint ----------------------------------------
+
+  /** Driver-side stat fingerprint of a parquet file/dir: md5 over the
+    * sorted (name, size) listing. Cheap (no data read) and changes
+    * whenever the source data drop changes. */
+  def sourceFingerprint(sourcePath: String): String = {
+    val p = Paths.get(sourcePath)
+    val entries: Seq[String] =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(f =>
+            s"${f.getFileName}:${Files.size(f)}").toSeq.sorted
+        } finally s.close()
+      } else Seq(s"${p.getFileName}:${Files.size(p)}")
+    val md = MessageDigest.getInstance("MD5")
+    md.update(entries.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def writeManifest(dir: Path, m: Manifest): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("graft.index.type", m.indexType)
+    props.setProperty("graft.index.metric", m.metric)
+    props.setProperty("graft.index.nlist", m.nlist.toString)
+    props.setProperty("graft.index.m", m.m.toString)
+    props.setProperty("graft.index.fingerprint", m.fingerprint)
+    val out = Files.newOutputStream(dir.resolve(ManifestFile))
+    try props.store(out, "graft ANN index manifest") finally out.close()
+  }
+
+  /** None if the location holds no (complete) index. */
+  def readManifest(location: String): Option[Manifest] = {
+    val f = Paths.get(location).resolve(ManifestFile)
+    if (!Files.exists(f)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try props.load(in) finally in.close()
+      Some(Manifest(
+        props.getProperty("graft.index.type"),
+        props.getProperty("graft.index.metric", "cosine"),
+        props.getProperty("graft.index.nlist", "0").toInt,
+        props.getProperty("graft.index.m", "0").toInt,
+        props.getProperty("graft.index.fingerprint", "")))
+    }
+  }
+
+  // ---- build ----------------------------------------------------------
+
+  /** Nearest-centroid cell per corpus vector — the identical max_by
+    * aggregate as [[Similarity.ivfTopK]] (map-side combinable; ties to the
+    * lowest cid), so persisted assignments match the in-query twin. */
+  private def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame): DataFrame =
+    TextFunctions.widen(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .join(broadcast(cells))
+      .select(col("vec_id"), col("__v"), col("cid"),
+        Similarity.cosine(col("__v"), col("__c")).as("__sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("__v")),
+        struct(col("__sim"), -col("cid"))).as("__best"))
+      .select(col("vec_id"), col("__best.__v").as("embedding"),
+        col("__best.cid").as("cid"))
+
+  /** Build the index into a staging dir, then atomically publish it at
+    * `location`. Returns false if another builder won the publish race
+    * (the existing index is kept). */
+  private def buildAndPublish(location: String, manifest: Manifest)
+      (write: Path => Unit): Boolean = {
+    val target = Paths.get(location)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val staging = Paths.get(
+      s"$location.tmp.${ProcessHandle.current().pid()}")
+    write(staging)
+    writeManifest(staging, manifest)
+    try {
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.DirectoryNotEmptyException =>
+        // lost the race — discard our staging tree, keep the winner's
+        deleteRecursively(staging)
+        false
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach(deleteRecursively)
+      } finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Build (or reuse, if fresh) an IVF index at `location`.
+    * @param centroids (cidCol int, cvecCol array<float>) — e.g. from
+    *                  [[Similarity.trainCentroids]] or a seeded frame
+    * @param sourcePath the corpus parquet path, for the staleness
+    *                   fingerprint
+    * @return true if a build ran, false if the existing index was fresh */
+  def ensureIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      location: String, sourcePath: String): Boolean = {
+    val fp = sourceFingerprint(sourcePath)
+    readManifest(location) match {
+      case Some(m) if m.fingerprint == fp && m.indexType == "ivf" => false
+      case _ =>
+        // stale manifest OR a manifest-less residue (crashed build):
+        // clear the location so the fresh publish can't collide with it
+        deleteRecursively(Paths.get(location))
+        val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
+        val nlist = cells.count().toInt
+        buildAndPublish(location,
+          Manifest("ivf", "cosine", nlist, 0, fp)) { staging =>
+          cells.select(col("cid"), col("__c").as("cvec"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/centroids")
+          assign(corpus, idCol, vecCol, cells)
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$staging/postings")
+        }
+    }
+  }
+
+  /** Build (or reuse) an IVF-PQ index: cells prune WHICH vectors are
+    * scored, per-vector PQ codes (persisted alongside) prune WHAT is read
+    * to score them; full vectors stay in the postings for the exact
+    * rerank. */
+  def ensureIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      codebook: DataFrame, m: Int,
+      location: String, sourcePath: String): Boolean = {
+    val fp = sourceFingerprint(sourcePath)
+    readManifest(location) match {
+      case Some(man) if man.fingerprint == fp && man.indexType == "ivf_pq" =>
+        false
+      case _ =>
+        deleteRecursively(Paths.get(location))
+        val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
+        val nlist = cells.count().toInt
+        buildAndPublish(location,
+          Manifest("ivf_pq", "cosine", nlist, m, fp)) { staging =>
+          cells.select(col("cid"), col("__c").as("cvec"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/centroids")
+          codebook.coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/codebook")
+          val codes = ProductQuantization
+            .encode(corpus, idCol, vecCol, codebook, m)
+            .select(col(idCol).as("vec_id"), col("codes"))
+          assign(corpus, idCol, vecCol, cells)
+            .join(codes, Seq("vec_id"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$staging/postings")
+        }
+    }
+  }
+
+  // ---- search ---------------------------------------------------------
+
+  /** nprobe nearest cells per query + the collected probed-cell set (the
+    * static pruning predicate). The collect is nprobe × |queries| ints —
+    * query-sized by construction, never corpus-sized. */
+  private def probe(spark: SparkSession, location: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, nprobe: Int)
+      : (DataFrame, Seq[Int]) = {
+    val cells = spark.read.parquet(s"$location/centroids")
+      .select(col("cid"), col("cvec").as("__c"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__q"))
+      .join(broadcast(cells))
+      .select(col("qid"), col("__q"), col("cid"),
+        Similarity.cosine(col("__q"), col("__c")).as("__sim"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("__q"), col("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    (probes, probedCids)
+  }
+
+  /** Postings scan restricted to the probed cells — `cid IN (...)` is a
+    * literal predicate on the partition column, so pruning happens at
+    * file listing (PartitionFilters in the explain), before any I/O. */
+  private def prunedPostings(spark: SparkSession, location: String,
+      probedCids: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$location/postings")
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+
+  /** Search a persisted IVF index. Plan: tiny centroid read → per-query
+    * probes (broadcast) → partition-pruned postings scan → cosine + top-k.
+    * Result shape and values are identical to [[Similarity.ivfTopK]] over
+    * the same corpus/centroids (gate q197 ≡ q117). */
+  def searchIvf(spark: SparkSession, location: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    require(readManifest(location).exists(_.indexType == "ivf"),
+      s"no IVF index at $location")
+    val (probes, probedCids) = probe(spark, location, queries, qidCol, qvecCol, nprobe)
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    prunedPostings(spark, location, probedCids)
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("__q"), col("embedding")), 6).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** Search a persisted IVF-PQ index: ADC over the probed cells' persisted
+    * codes, exact rerank against the same pruned postings (candidates can
+    * only come from probed cells, so the rerank never re-opens the full
+    * corpus). ≡ [[ProductQuantization.searchIvfPq]] (gate q198 ≡ q121). */
+  def searchIvfPq(spark: SparkSession, location: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    val man = readManifest(location)
+    require(man.exists(_.indexType == "ivf_pq"), s"no IVF-PQ index at $location")
+    val m = man.get.m
+    val codebook = spark.read.parquet(s"$location/codebook")
+    val (probes, probedCids) = probe(spark, location, queries, qidCol, qvecCol, nprobe)
+    val postings = prunedPostings(spark, location, probedCids)
+
+    // per-query (s, c) → partial-L2² distance table, same as the in-query twin
+    val dim = queries.select(size(col(qvecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val dtable = queries.select(col(qidCol).as("qid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"),
+            slice(col(qvecCol), s * subDim + 1, subDim).as("qsv"))): _*)).as("__e"))
+      .select(col("qid"), col("__e.s").as("s"), col("__e.qsv").as("qsv"))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("qid"), col("s"), col("c"),
+        ProductQuantization.l2sq(col("qsv"), col("cvec")).as("partial"))
+
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_l2sq"), col("vec_id"))
+    val candidates = postings.join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+      .join(broadcast(dtable), Seq("qid", "s", "c"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
+        .as("approx_l2sq"))
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vec_id"))
+
+    ProductQuantization.rerankExact(candidates,
+      postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
+  }
+
+  // ---- catalog registration ------------------------------------------
+
+  /** Register (or refresh) the index as a catalog table whose location IS
+    * the index root and whose properties carry the manifest — the
+    * reference's capability-handoff model: the catalog stores the pointer,
+    * the data plane (this module) interprets it. Re-registers when an
+    * existing entry points at a different (stale) location. */
+  def registerIndexTable(spark: SparkSession, tableName: String,
+      location: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index manifest at $location"))
+    val current =
+      if (!spark.catalog.tableExists(tableName)) None
+      else Some(resolveIndexLocation(spark, tableName))
+    if (!current.contains(location)) {
+      current.foreach(_ => spark.sql(s"DROP TABLE $tableName"))
+      // The schema is declared EXPLICITLY (the postings row shape): the
+      // index root holds centroids/ + postings/ (+ codebook/), so schema
+      // inference over it would fail with conflicting directory
+      // structures — and a capability-pointer table must never need to
+      // scan its location just to be registered. Reads of the index go
+      // through searchIvf/searchIvfPq, which interpret the layout.
+      val codesCol =
+        if (man.indexType == "ivf_pq") ", codes ARRAY<INT>" else ""
+      spark.sql(
+        s"""CREATE TABLE $tableName
+           |  (vec_id BIGINT, embedding ARRAY<FLOAT>$codesCol, cid INT)
+           |LOCATION '$location'
+           |TBLPROPERTIES (
+           |  'graft.index.location' = '$location',
+           |  'graft.index.type' = '${man.indexType}',
+           |  'graft.index.metric' = '${man.metric}',
+           |  'graft.index.nlist' = '${man.nlist}',
+           |  'graft.index.m' = '${man.m}',
+           |  'graft.index.fingerprint' = '${man.fingerprint}')""".stripMargin)
+    }
+    ()
+  }
+
+  /** Resolve a registered index table back to its location — search jobs
+    * address the index by NAME, the catalog supplies the pointer. Reads
+    * the non-reserved `graft.index.location` property (Spark hides the
+    * reserved `location` key from SHOW TBLPROPERTIES). */
+  def resolveIndexLocation(spark: SparkSession, tableName: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES $tableName ('graft.index.location')")
+      .collect().head.getString(1)
+}

@@ -160,7 +160,7 @@ object ProductQuantization {
   /** Exact cosine re-rank of a (qid, vec_id) shortlist — the final stage
     * shared by every ANN variant. The shortlist is rerank·|queries| rows;
     * full vectors are fetched only for it. */
-  private def rerankExact(candidates: DataFrame,
+  private[ops] def rerankExact(candidates: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     val wFinal = Window.partitionBy(col("qid"))

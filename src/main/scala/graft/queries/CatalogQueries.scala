@@ -35,9 +35,11 @@ object CatalogQueries {
     * session's first catalog call (Spark caches catalog instances). */
   @volatile var backendOverride: Option[(String, Map[String, String])] = None
 
-  /** Idempotent per-session registration of the graft catalog (memory
-    * backend) + a namespace + an external table over the sf dir's parquet. */
-  private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
+  /** Idempotent per-session bootstrap of the graft catalog + the `tpch`
+    * namespace — shared by the table gates here and the persisted-ANN-index
+    * gates (q197/q198), which register index tables through the same
+    * catalog. */
+  def ensureCatalog(s: SparkSession): Unit = {
     val (backend, opts) =
       backendOverride.getOrElse(("memory", Map.empty[String, String]))
     s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
@@ -45,6 +47,13 @@ object CatalogQueries {
     opts.foreach { case (k, v) => s.conf.set(s"spark.sql.catalog.graft.$k", v) }
     s.conf.set("spark.sql.catalog.graft.root", warehouseRoot)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tpch")
+    ()
+  }
+
+  /** Idempotent per-session registration of the graft catalog (memory
+    * backend) + a namespace + an external table over the sf dir's parquet. */
+  private def ensureTable(s: SparkSession, d: String, table: String): Unit = {
+    ensureCatalog(s)
     if (!s.catalog.tableExists(s"graft.tpch.$table"))
       s.sql(s"CREATE TABLE graft.tpch.$table LOCATION '$d/$table.parquet'")
   }

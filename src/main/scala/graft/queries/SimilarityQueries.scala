@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Similarity
+import graft.ops.{AnnIndex, Similarity}
 
 /** Gate coverage for similarity search over `embeddings`.
   * The oracle mirrors Spark's exact left-fold cosine (same order, double
@@ -1179,7 +1179,67 @@ object SimilarityQueries {
       |    / count(*), 6) AS silhouette
       |FROM sil GROUP BY label ORDER BY label""".stripMargin
 
+  /** Run-scoped root for persisted ANN indexes: one dir per (sf-dir
+    * basename, index name); staleness is handled inside [[AnnIndex]] by
+    * the source fingerprint, so a data-drop change rebuilds in place. */
+  private def annIndexLocation(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ann-index/" +
+      s"${new java.io.File(d).getName}/$name"
+
+  /** q197: the q117 IVF search run over a PERSISTED, CATALOG-REGISTERED
+    * index — the build-once/search-many lifecycle split that q42/q117
+    * deliberately fold into one query. [[graft.ops.AnnIndex.ensureIvf]]
+    * materializes cell assignments partitioned BY cell (build job, skipped
+    * when the source fingerprint is unchanged), the index is registered as
+    * a `graft.index.*`-tagged catalog table, and the search resolves the
+    * location BY NAME through the catalog before reading only the probed
+    * partitions. Hash-gated against the SAME oracle as q117: persisted
+    * search ≡ in-query search, end to end. */
+  def q197PersistedIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.emb_ivf_seeded_idx", loc)
+    val resolved = AnnIndex.resolveIndexLocation(s, "graft.tpch.emb_ivf_seeded_idx")
+    AnnIndex.searchIvf(s, resolved,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q198: the q121 IVF-PQ search over a persisted index — cell
+    * assignments AND per-vector PQ codes materialized at build time, so
+    * the search job encodes nothing: it reads codes from the probed
+    * partitions, ADCs them against the per-query distance table, and
+    * reranks on the full vectors stored alongside. Same oracle as q121. */
+  def q198PersistedIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfpq-seeded")
+    AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec",
+      graft.ops.ProductQuantization.seedCodebook(
+        emb, "vec_id", "embedding", m = M, k = CodebookK),
+      m = M, loc, s"$d/embeddings.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.emb_ivfpq_seeded_idx", loc)
+    val resolved = AnnIndex.resolveIndexLocation(s, "graft.tpch.emb_ivfpq_seeded_idx")
+    AnnIndex.searchIvfPq(s, resolved,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_persisted_ivf" -> (q197PersistedIvf _),
+    "q198_persisted_ivfpq" -> (q198PersistedIvfPq _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1206,6 +1266,10 @@ object SimilarityQueries {
     "q57_label_centroids" -> (q57LabelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    // persisted-index searches replay the SAME oracle as their in-query
+    // twins: the gate is exactly "persisted ≡ in-query", hash-checked
+    "q197_persisted_ivf" -> q117Sql,
+    "q198_persisted_ivfpq" -> q121Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

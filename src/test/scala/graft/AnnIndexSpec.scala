@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, ProductQuantization, Similarity}
+
+/** The persisted-ANN-index lifecycle: build once → register in the catalog
+  * → search many. Pins (1) search-over-persisted-index ≡ the in-query
+  * twins, (2) build is SKIPPED when the source fingerprint is unchanged
+  * and re-runs when it changes, (3) the postings scan is partition-pruned
+  * to the probed cells, (4) the catalog entry is a capability pointer —
+  * properties round-trip, direct scans/writes are rejected, and a stale
+  * pointer re-registers. */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val source = s"$sfDir/embeddings.parquet"
+
+  private def seededCells = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+
+  private def queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def tmpLoc(name: String): String =
+    s"${Files.createTempDirectory("graft-annspec").toString}/$name"
+
+  test("persisted IVF search is row-identical to the in-query ivfTopK") {
+    val loc = tmpLoc("ivf")
+    assert(AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source), "first ensure must build")
+    val persisted = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    val inQuery = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", seededCells, "cid", "cvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(persisted.nonEmpty)
+    assert(persisted.toSeq == inQuery.toSeq)
+  }
+
+  test("persisted IVF-PQ search is row-identical to the in-query searchIvfPq") {
+    val loc = tmpLoc("ivfpq")
+    val codebook = ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    val pqQueries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", codebook, m = 8, loc, source))
+    val persisted = AnnIndex.searchIvfPq(spark, loc, pqQueries, "qid", "qvec",
+      k = 10, nprobe = 3, rerank = 100).orderBy("qid", "rank").collect()
+    val inQuery = ProductQuantization.searchIvfPq(emb, "vec_id", "embedding",
+      pqQueries, "qid", "qvec", seededCells, "cid", "cvec",
+      codebook, m = 8, k = 10, nprobe = 3, rerank = 100)
+      .orderBy("qid", "rank").collect()
+    assert(persisted.nonEmpty)
+    assert(persisted.toSeq == inQuery.toSeq)
+  }
+
+  test("unchanged fingerprint skips the build; a changed source rebuilds") {
+    val loc = tmpLoc("ivf-fresh")
+    assert(AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source))
+    // same source → fresh → no rebuild (search-many side of the split)
+    assert(!AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source))
+    // a different source path stats to a different fingerprint → rebuild
+    assert(AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, s"$sfDir/nation.parquet"))
+  }
+
+  test("a manifest-less residue at the location is cleared and rebuilt") {
+    val loc = tmpLoc("ivf-residue")
+    Files.createDirectories(java.nio.file.Paths.get(s"$loc/postings"))
+    Files.writeString(java.nio.file.Paths.get(s"$loc/postings/garbage"), "x")
+    assert(AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source))
+    val res = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 5, nprobe = 2).collect()
+    assert(res.nonEmpty)
+  }
+
+  test("postings scan is partition-pruned to the probed cells") {
+    val loc = tmpLoc("ivf-prune")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    val df = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains("cid") && l.contains(" IN "))
+    assert(pruned, s"expected a static cid IN (...) partition filter:\n$plan")
+  }
+
+  test("catalog lifecycle: register, resolve by name, reject direct access, re-point") {
+    val loc = tmpLoc("ivf-cat")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.annspec")
+    val name = "graft.annspec.emb_ivf_idx"
+    AnnIndex.registerIndexTable(spark, name, loc)
+
+    // properties round-trip through the catalog
+    val props = spark.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.index.type") == "ivf")
+    assert(props("graft.index.metric") == "cosine")
+    assert(props("graft.index.nlist") == "10")
+    assert(AnnIndex.resolveIndexLocation(spark, name) == loc)
+
+    // search resolves the location BY NAME through the catalog
+    val viaCatalog = AnnIndex.searchIvf(spark,
+      AnnIndex.resolveIndexLocation(spark, name),
+      queries, "qid", "qvec", k = 10, nprobe = 3)
+      .orderBy("qid", "rank").collect()
+    assert(viaCatalog.nonEmpty)
+
+    // the entry is a capability pointer: direct scan and write refuse
+    val scanErr = intercept[Exception](spark.sql(s"SELECT * FROM $name").collect())
+    assert(scanErr.getMessage.contains("AnnIndex"), scanErr.getMessage)
+    val writeErr = intercept[Exception](
+      spark.sql(s"INSERT INTO $name VALUES (1L, array(1.0f), 0)"))
+    assert(writeErr.getMessage.contains("AnnIndex"), writeErr.getMessage)
+
+    // idempotent re-register keeps the entry; a NEW location re-points it
+    AnnIndex.registerIndexTable(spark, name, loc)
+    assert(AnnIndex.resolveIndexLocation(spark, name) == loc)
+    val loc2 = tmpLoc("ivf-cat2")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc2, source)
+    AnnIndex.registerIndexTable(spark, name, loc2)
+    assert(AnnIndex.resolveIndexLocation(spark, name) == loc2)
+  }
+}

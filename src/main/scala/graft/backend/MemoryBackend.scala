@@ -106,6 +106,9 @@ class MemoryBackend extends MetadataBackend {
     Option(tables.remove(id.levels)).getOrElse(throw GraftError.TableNotFound(id))
 
   // ---- persistence hooks for FileBackend ----
+  /** Drop all in-memory state (FileBackend re-syncs from disk before each
+    * CAS-guarded mutation). */
+  protected def clearState(): Unit = { namespaces.clear(); tables.clear() }
   protected def snapshotNamespaces: Seq[(Seq[String], Map[String, String])] =
     namespaces.asScala.toSeq
   protected def snapshotTables: Seq[TableInfo] = tables.values.asScala.toSeq

@@ -524,7 +524,78 @@ object StreamQueries {
       |  round(CAST(sum(tm) AS DOUBLE), 6) AS psi
       |FROM terms GROUP BY h ORDER BY h""".stripMargin
 
+  /** Per-SOURCE windowed PSI ([[EventStreams.keyedWindowedPsi]], batch
+    * twin): the q193 monitor in its production shape — every event type
+    * scored per hour against ITS OWN corpus-wide baseline, one keyed
+    * aggregation, per-source alarms. The per-source baselines (a few
+    * event types × 10 bins) are collected once and ride as a literal map;
+    * the oracle rebuilds them in SQL. Stream ≡ batch is pinned in
+    * StreamingSpec alongside q193's. */
+  def q199KeyedWindowedPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val ref = ev.filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        EventStreams.valueBin(500.0).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.map(r => r.getLong(1) -> r.getLong(2)).toSeq
+      }
+    EventStreams.keyedWindowedPsi(ev, "event_type", ref)
+      .orderBy(col("win_start"), col("source"))
+  }
+
+  val q199Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(epoch(time_bucket(INTERVAL '1 hour',
+      |      CAST(ts AS TIMESTAMP))) AS BIGINT) AS h,
+      |    CAST(least(greatest(floor(value / CAST(500.0 AS DOUBLE) * 10),
+      |      0), 9) AS BIGINT) AS bin
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |ref AS (
+      |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS gc
+      |  FROM e GROUP BY 1, 2),
+      |rt AS (
+      |  SELECT event_type, CAST(sum(gc) AS BIGINT) AS nn
+      |  FROM ref GROUP BY 1),
+      |wc AS (
+      |  SELECT event_type, h, bin, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2, 3),
+      |wt AS (
+      |  SELECT event_type, h, CAST(sum(c) AS BIGINT) AS n
+      |  FROM wc GROUP BY 1, 2),
+      |dims AS (SELECT CAST(i AS BIGINT) AS bin FROM range(0, 10) t(i)),
+      |dense AS (
+      |  SELECT wt.event_type, wt.h, wt.n, dims.bin, coalesce(wc.c, 0) AS cc,
+      |    coalesce(ref.gc, 0) AS gc, rt.nn
+      |  FROM wt CROSS JOIN dims
+      |  JOIN rt ON rt.event_type = wt.event_type
+      |  LEFT JOIN wc ON wc.event_type = wt.event_type
+      |    AND wc.h = wt.h AND wc.bin = dims.bin
+      |  LEFT JOIN ref ON ref.event_type = wt.event_type
+      |    AND ref.bin = dims.bin),
+      |terms AS (
+      |  SELECT event_type, h, n,
+      |    CAST(round(
+      |      ((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) + CAST(5.0 AS DOUBLE))
+      |       - (CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |      * ln(((CAST(cc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(n AS DOUBLE) + CAST(5.0 AS DOUBLE)))
+      |        / ((CAST(gc AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+      |         (CAST(nn AS DOUBLE) + CAST(5.0 AS DOUBLE)))), 12)
+      |      AS DECIMAL(27,15)) AS tm
+      |  FROM dense)
+      |SELECT h AS win_start, event_type AS source,
+      |  CAST(max(n) AS BIGINT) AS n,
+      |  round(CAST(sum(tm) AS DOUBLE), 6) AS psi
+      |FROM terms GROUP BY h, event_type ORDER BY win_start, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_keyed_windowed_psi" -> (q199KeyedWindowedPsi _),
     "q193_windowed_psi" -> (q193WindowedPsi _),
     "q172_json_profile" -> (q172JsonProfile _),
     "q164_sequence_match" -> (q164SequenceMatch _),
@@ -544,6 +615,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q193_windowed_psi" -> q193Sql,
+    "q199_keyed_windowed_psi" -> q199Sql,
     "q172_json_profile" -> q172Sql,
     "q164_sequence_match" -> q164Sql,
     "q152_type_trend" -> q152Sql,

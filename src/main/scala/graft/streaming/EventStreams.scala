@@ -80,6 +80,65 @@ object EventStreams {
       round(terms.reduce(_ + _).cast("double"), 6).as("psi"))
   }
 
+  /** Per-SOURCE windowed drift monitor — the production shape of
+    * [[windowedPsi]]: a fleet of feeds (sources, tenants, event types)
+    * each monitored per tumbling window against ITS OWN trained baseline,
+    * in one streaming query. [[windowedPsi]] is corpus-global; a real
+    * alarm is keyed — drift in one source must light up that source, not
+    * dilute into the fleet aggregate (the batch analog is
+    * [[graft.ops.Profiling.psi]]'s per-group shape, gate q189).
+    *
+    * Streaming-shape: ONE aggregation keyed (window × source) — count
+    * plus ten conditional bin sums — and the PSI is a pure projection
+    * over its row. State per open (window, source) is eleven longs,
+    * watermark-bounded; at 1000 executors the key space distributes on
+    * the groupBy hash. The per-source baselines ride in as ONE literal
+    * map expression (sources × 10 longs — model-sized), never a join.
+    *
+    * Sources with no baseline are filtered out up front: a feed can't be
+    * scored against a histogram that was never trained.
+    *
+    * Determinism: identical devices to [[windowedPsi]] — ½ pseudo-counts,
+    * 12-dp rounded terms, fixed-order decimal fold.
+    *
+    * @param refBins per-source baseline: source → (bin → count), bins 0-9
+    * @return (win_start epoch-sec, source, n, psi) — psi 6-dp */
+  def keyedWindowedPsi(events: DataFrame, keyCol: String,
+      refBins: Map[String, Seq[(Long, Long)]],
+      scale: Double = 500.0, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(refBins.nonEmpty, "keyedWindowedPsi: empty reference histograms")
+    // densify each source's baseline to a 10-slot array so bin lookup is
+    // positional (element_at), and precompute per-source totals
+    val refArr: Map[String, Seq[Long]] = refBins.map { case (k, bins) =>
+      val m = bins.toMap
+      k -> (0L to 9L).map(b => m.getOrElse(b, 0L))
+    }
+    val refTot: Map[String, Long] =
+      refBins.map { case (k, bins) => k -> bins.map(_._2).sum }
+    val refArrLit = typedlit(refArr)
+    val refTotLit = typedlit(refTot)
+    val src0 = events.filter(col("value").isNotNull &&
+      col(keyCol).isin(refBins.keys.toSeq: _*))
+    val src = if (src0.isStreaming) src0.withWatermark("ts", watermark) else src0
+    val bin = valueBin(scale)
+    val binAggs = (0L to 9L).map(b =>
+      sum(when(bin === b, 1L).otherwise(0L)).as(s"__c$b"))
+    val agg = src.groupBy(window(col("ts"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("__n"), binAggs: _*)
+    val nRef = element_at(refTotLit, col(keyCol)).cast("double")
+    val terms = (0 to 9).map { b =>
+      val p = (col(s"__c$b").cast("double") + lit(0.5)) /
+        (col("__n").cast("double") + lit(5.0))
+      val q = (element_at(element_at(refArrLit, col(keyCol)), b + 1)
+        .cast("double") + lit(0.5)) / (nRef + lit(5.0))
+      round((p - q) * log(p / q), 12).cast("decimal(27,15)")
+    }
+    agg.select(unix_timestamp(col("window.start")).as("win_start"),
+      col(keyCol).as("source"), col("__n").as("n"),
+      round(terms.reduce(_ + _).cast("double"), 6).as("psi"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

@@ -36,6 +36,58 @@ class FileBackendSpec extends AnyFunSuite {
     assert(b3.namespaceExists(ns))
   }
 
+  test("CAS writes: two stale writers interleaving never lose updates") {
+    val file = java.nio.file.Files.createTempDirectory("graft-file-cas")
+      .resolve("catalog.json").toString
+    // b1 and b2 are both initialized against the SAME empty catalog —
+    // each holds a (soon stale) snapshot of it
+    val b1 = new FileBackend
+    b1.initialize(Map("path" -> file, "root" -> "/tmp/fb-wh"))
+    val b2 = new FileBackend
+    b2.initialize(Map("path" -> file, "root" -> "/tmp/fb-wh"))
+
+    // interleaved writes: without the CAS re-sync, b2's save would
+    // publish its stale snapshot and silently drop ns1 (lost update)
+    b1.createNamespace(ObjectIdentifier.of("ns1"), Map("o" -> "b1"), CreateMode.Create)
+    b2.createNamespace(ObjectIdentifier.of("ns2"), Map("o" -> "b2"), CreateMode.Create)
+    b1.declareTable(ObjectIdentifier.of("ns1").child("t1"), Some("/d/t1"), Map.empty, None)
+    b2.declareTable(ObjectIdentifier.of("ns2").child("t2"), Some("/d/t2"), Map.empty, None)
+
+    // a fresh reader must see EVERY committed mutation from both writers
+    val fresh = new FileBackend
+    fresh.initialize(Map("path" -> file))
+    assert(fresh.namespaceExists(ObjectIdentifier.of("ns1")))
+    assert(fresh.namespaceExists(ObjectIdentifier.of("ns2")))
+    assert(fresh.tableExists(ObjectIdentifier.of("ns1").child("t1")))
+    assert(fresh.tableExists(ObjectIdentifier.of("ns2").child("t2")))
+
+    // and CAS semantics surface cross-writer conflicts instead of
+    // clobbering: b1's snapshot predates ns2, but its next mutation
+    // re-syncs, so a duplicate create FAILS rather than overwriting
+    intercept[GraftError.NamespaceAlreadyExists](
+      b1.createNamespace(ObjectIdentifier.of("ns2"), Map.empty, CreateMode.Create))
+
+    // concurrent hammer: 4 writer instances × 8 namespaces each, all
+    // interleaving through the same file — all 32 must survive
+    val writers = (0 until 4).map { _ =>
+      val b = new FileBackend
+      b.initialize(Map("path" -> file, "root" -> "/tmp/fb-wh"))
+      b
+    }
+    val threads = writers.zipWithIndex.map { case (b, w) =>
+      new Thread(() => (0 until 8).foreach { i =>
+        b.createNamespace(ObjectIdentifier.of(s"race_${w}_$i"),
+          Map.empty, CreateMode.Create)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val end = new FileBackend
+    end.initialize(Map("path" -> file))
+    for (w <- 0 until 4; i <- 0 until 8)
+      assert(end.namespaceExists(ObjectIdentifier.of(s"race_${w}_$i")),
+        s"lost update: race_${w}_$i")
+  }
+
   test("Graft.registerCatalog wires a live session to a new catalog") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()

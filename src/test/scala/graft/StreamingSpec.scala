@@ -74,6 +74,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("keyed windowed PSI: streaming agrees with batch; drift in one " +
+      "source alarms that source only; unbaselined sources are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val driftHour = base + 48L * 3600 * 1000
+    // source type0 drifts (point mass in the top bin) in a far-future
+    // hour; type1 keeps its baseline mix in that same hour
+    val drifted = sampleEvents ++
+      (0 until 50).map(i => Event(1000L + i,
+        new java.sql.Timestamp(driftHour + i * 1000), 1L, "type0", 499.0)) ++
+      (0 until 50).map(i => Event(2000L + i,
+        new java.sql.Timestamp(driftHour + i * 1000), 2L, "type1",
+        (i % 11) * 1.5)) ++
+      // a source with NO baseline must be filtered, not scored
+      (0 until 10).map(i => Event(3000L + i,
+        new java.sql.Timestamp(driftHour + i * 1000), 3L, "unbaselined", 1.0))
+    val ref: Map[String, Seq[(Long, Long)]] = sampleEvents.toDF()
+      .groupBy(col("event_type"), EventStreams.valueBin(500.0).as("b"))
+      .count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toSeq }
+    val stream = MemoryStream[Event]
+    val query = EventStreams.keyedWindowedPsi(stream.toDF(), "event_type", ref)
+      .writeStream.format("memory").queryName("kpsi_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(drifted)
+      query.processAllAvailable()
+      val streamed = spark.table("kpsi_out")
+        .orderBy("win_start", "source").collect().toSeq
+      val batch = EventStreams.keyedWindowedPsi(drifted.toDF(), "event_type", ref)
+        .orderBy("win_start", "source").collect().toSeq
+      assert(streamed == batch, "stream/batch keyed-PSI divergence")
+      assert(batch.nonEmpty)
+      assert(!batch.exists(_.getAs[String]("source") == "unbaselined"),
+        "a source without a trained baseline must not be scored")
+      val driftWin = driftHour / 1000
+      val atDrift = batch.filter(_.getAs[Long]("win_start") == driftWin)
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("psi")).toMap
+      assert(atDrift("type0") > 0.25, s"drifted source must alarm: $atDrift")
+      assert(atDrift("type1") < 0.25,
+        s"in-baseline source sharing the window must stay quiet: $atDrift")
+    } finally query.stop()
+  }
+
   test("watermark drops state for closed windows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]

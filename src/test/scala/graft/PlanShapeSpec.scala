@@ -693,4 +693,56 @@ class PlanShapeSpec extends SparkSpec {
     // (plus nothing else that shuffles except the output sort)
     assert("HashAggregate".r.findAllIn(plan).size <= 4, plan)
   }
+
+  test("AQE skew-join mitigation engages on a celebrity-hub shaped join") {
+    // The 100 TB skew story has two tiers: operators with a planted-skew
+    // hazard carry their own mitigation (salting — q72; degree
+    // orientation — triangles), and EVERYTHING ELSE leans on AQE's
+    // runtime skew-join split. This receipt proves the lean is real: a
+    // join with one celebrity key (the ScaleSoak hub profile, scaled to
+    // test size) must come out of AQE with the skewed partition SPLIT —
+    // visible as skew=true on the sort-merge join — not serialized
+    // through one straggler task.
+    import org.apache.spark.sql.functions.{col, concat, length, lit, pmod, sum, when}
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // production defaults scaled to test bytes: the hub partition
+      // (~20 MB) exceeds factor × median and the threshold; advisory
+      // size forces a multi-way split
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      // tiny dim must not broadcast — the receipt is about the SMJ path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pay = "x" * 100
+      val fact = spark.range(0, 260000).select(
+        when(col("id") < 200000, 0L).otherwise(pmod(col("id"), lit(997L)))
+          .as("k"),
+        concat(lit(pay), col("id")).as("payload"))
+      val dim = spark.range(0, 997).select(col("id").as("k"),
+        concat(lit(pay), col("id")).as("dpay"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(sum(length(col("payload")) + length(col("dpay"))).as("bytes"))
+      assert(joined.collect()(0).getLong(0) > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the celebrity partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -552,8 +552,12 @@ object DedupQueries {
     val band = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 3)
       .select(col("doc_a"), col("doc_b"))
     val h = Dedup.simhashTable(corpus, "doc_id", "text")
+    // broadcast the theta-join's build side: the audit sample is tiny by
+    // design, and size estimates ride the underlying scan (the q179
+    // 100×-receipt lesson — an estimate-driven cartesian fallback
+    // recomputes the hash side per partition pair)
     val exact = h.select(col("doc_id").as("doc_a"), col("simhash").as("__ha"))
-      .join(h.select(col("doc_id").as("doc_b"), col("simhash").as("__hb")),
+      .join(broadcast(h.select(col("doc_id").as("doc_b"), col("simhash").as("__hb"))),
         col("doc_a") < col("doc_b"))
       .filter(call_function("bit_count",
         col("__ha").bitwiseXOR(col("__hb"))) <= 3)

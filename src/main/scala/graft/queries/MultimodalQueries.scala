@@ -177,8 +177,13 @@ object MultimodalQueries {
         maxHamming = 2)
       .select(col("id_a"), col("id_b"))
     val h = Multimodal.phashTable(corpus, "doc_id", "media")
+    // the audit SAMPLE is tiny by design — broadcast the theta-join's
+    // build side explicitly: size ESTIMATES ride the underlying scan, so
+    // on a large corpus the planner would otherwise fall back to a
+    // cartesian that recomputes the phash side per partition pair
+    // (measured 97 s vs 6 s at the 100× receipt)
     val exact = h.select(col("__id").as("id_a"), col("dhash").as("__ha"))
-      .join(h.select(col("__id").as("id_b"), col("dhash").as("__hb")),
+      .join(broadcast(h.select(col("__id").as("id_b"), col("dhash").as("__hb"))),
         col("id_a") < col("id_b"))
       .filter(call_function("bit_count",
         col("__ha").bitwiseXOR(col("__hb"))) <= 2)

@@ -1060,7 +1060,12 @@ object SimilarityQueries {
         transform(col("embedding"), (x, i) =>
           when(i === 0, (x.cast("double") + lit(0.05)).cast("float"))
             .otherwise(x)).as("embedding"))
-    val corpus = emb.unionByName(planted)
+    // materialize the tiny audit corpus so both arms plan on EXACT stats:
+    // size estimates otherwise ride the underlying scan, and on a large
+    // corpus the exact arm's theta join degrades to an estimate-driven
+    // cartesian that recomputes the inner side per partition pair (the
+    // q179 100×-receipt lesson — ×5.7 there before this device)
+    val corpus = emb.unionByName(planted).localCheckpoint()
     val band = Similarity.srpBandedNearDupPairs(corpus, "vec_id", "embedding",
         dims = 64, bands = 4, rowsPerBand = 4, threshold = 0.9)
       .select(col("id_a"), col("id_b"))

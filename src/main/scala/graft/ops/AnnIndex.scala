@@ -169,11 +169,16 @@ object AnnIndex {
     *                  [[Similarity.trainCentroids]] or a seeded frame
     * @param sourcePath the corpus parquet path, for the staleness
     *                   fingerprint
+    * @param fingerprintOverride stamp this fingerprint instead of
+    *                   stat-ing sourcePath — the build-then-append flow
+    *                   stamps a `partial:` marker here so a crash between
+    *                   the two phases reads as stale, never as complete
     * @return true if a build ran, false if the existing index was fresh */
   def ensureIvf(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      location: String, sourcePath: String): Boolean = {
-    val fp = sourceFingerprint(sourcePath)
+      location: String, sourcePath: String,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
     readManifest(location) match {
       case Some(m) if m.fingerprint == fp && m.indexType == "ivf" => false
       case _ =>
@@ -201,8 +206,9 @@ object AnnIndex {
   def ensureIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       codebook: DataFrame, m: Int,
-      location: String, sourcePath: String): Boolean = {
-    val fp = sourceFingerprint(sourcePath)
+      location: String, sourcePath: String,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
     readManifest(location) match {
       case Some(man) if man.fingerprint == fp && man.indexType == "ivf_pq" =>
         false
@@ -227,6 +233,106 @@ object AnnIndex {
         }
     }
   }
+
+  // ---- incremental append ---------------------------------------------
+
+  /** Incrementally ADD vectors to an existing IVF index: assign ONLY the
+    * delta against the index's FROZEN centroids and append its postings to
+    * the partitioned layout — the nightly-ingest path. A 100 TB index
+    * re-processes just the day's delta, not the corpus; the trade is the
+    * standard IVF one (centroids don't move on append, so cell balance
+    * drifts with the data — the rebuild cadence is the owner's policy,
+    * observable via the fingerprint).
+    *
+    * Crash discipline: the build-then-append flow stamps the manifest
+    * with a `partial:` marker at build and only [[appendIvf]] re-stamps
+    * the final `newFingerprint` AFTER its postings commit — a crash
+    * between the phases reads as stale and rebuilds, never as a silently
+    * half-covered index. The append itself is file-granular (parquet
+    * append): a concurrent reader sees either the old or the new file
+    * set of a partition, the same read-committed class as any parquet
+    * append. */
+  def appendIvf(delta: DataFrame, idCol: String, vecCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "ivf", s"appendIvf on ${man.indexType} index")
+    val spark = delta.sparkSession
+    val cells = spark.read.parquet(s"$location/centroids")
+      .select(col("cid"), col("cvec").as("__c"))
+    assign(delta, idCol, vecCol, cells)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$location/postings")
+    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+  }
+
+  /** [[appendIvf]] for an IVF-PQ index: the delta is additionally encoded
+    * against the index's frozen codebook before its postings append. */
+  def appendIvfPq(delta: DataFrame, idCol: String, vecCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "ivf_pq", s"appendIvfPq on ${man.indexType} index")
+    val spark = delta.sparkSession
+    val cells = spark.read.parquet(s"$location/centroids")
+      .select(col("cid"), col("cvec").as("__c"))
+    val codebook = spark.read.parquet(s"$location/codebook")
+    val codes = ProductQuantization
+      .encode(delta, idCol, vecCol, codebook, man.m)
+      .select(col(idCol).as("vec_id"), col("codes"))
+    assign(delta, idCol, vecCol, cells)
+      .join(codes, Seq("vec_id"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$location/postings")
+    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+  }
+
+  // ---- compaction & observability -------------------------------------
+
+  /** Compact a fragmented index: every [[appendIvf]] lands at least one
+    * new file per touched cell, so a daily-ingest index accumulates the
+    * classic small-files tax (per-file open/footer cost dominates the
+    * scan). Rewrites the postings with one file per cell partition into a
+    * staging dir and atomically swaps it in — readers see the old or the
+    * new layout, never a mix. Content (and therefore every search result)
+    * is unchanged; only the file geometry improves. */
+  def compactIvf(spark: SparkSession, location: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    val postings = spark.read.parquet(s"$location/postings")
+    val staging = Paths.get(
+      s"$location/postings.compact.${ProcessHandle.current().pid()}")
+    // one output file per cell: repartition on the partition column so
+    // each write task owns whole cells
+    postings.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(staging.toString)
+    val live = Paths.get(s"$location/postings")
+    val retired = Paths.get(
+      s"$location/postings.retired.${ProcessHandle.current().pid()}")
+    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // restore the old layout rather than leaving no postings at all
+        Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    deleteRecursively(retired)
+    // content unchanged — the manifest (fingerprint included) stands
+    val _ = man
+  }
+
+  /** Per-cell posting counts — the balance report an index owner watches
+    * between rebuilds: frozen centroids drift out of balance as appends
+    * accumulate, and a fat cell is exactly a slow probe. One partition-
+    * column aggregate; never reads vector data (column pruning drops the
+    * embeddings). */
+  def cellStats(spark: SparkSession, location: String): DataFrame =
+    spark.read.parquet(s"$location/postings")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cid"))
 
   // ---- search ---------------------------------------------------------
 

@@ -1242,9 +1242,102 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q200: the INCREMENTAL-INGEST path of the persisted IVF index — build
+    * on the even half of the corpus (stamping a `partial:` fingerprint),
+    * [[graft.ops.AnnIndex.appendIvf]] the odd half against the frozen
+    * centroids (re-stamping the full fingerprint only after the append
+    * commits), then search. Assignment is per-vector independent, so
+    * build+append must be INDISTINGUISHABLE from the one-shot build: the
+    * oracle is q117's, hash-checked — a crash between the phases reads as
+    * stale (partial ≠ full) and rebuilds rather than serving half an
+    * index. */
+  def q200IndexAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-append")
+    val src = s"$d/embeddings.parquet"
+    val fpFull = AnnIndex.sourceFingerprint(src)
+    val cells = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    if (!AnnIndex.readManifest(loc)
+        .exists(m => m.indexType == "ivf" && m.fingerprint == fpFull)) {
+      AnnIndex.ensureIvf(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cells, "cid", "cvec", loc, src,
+        fingerprintOverride = Some(s"partial:$fpFull"))
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", loc, newFingerprint = fpFull)
+    }
+    AnnIndex.searchIvf(s, loc,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q201: q200's IVF-PQ twin — the odd half is encoded against the
+    * index's frozen codebook at append time; build+append ≡ one-shot is
+    * pinned by q121's oracle. */
+  def q201IndexAppendPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfpq-append")
+    val src = s"$d/embeddings.parquet"
+    val fpFull = AnnIndex.sourceFingerprint(src)
+    val cells = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    if (!AnnIndex.readManifest(loc)
+        .exists(m => m.indexType == "ivf_pq" && m.fingerprint == fpFull)) {
+      // the codebook is seeded from the FULL corpus (the q119/q121
+      // device) — production would likewise train it before sharding
+      val codebook = graft.ops.ProductQuantization.seedCodebook(
+        emb, "vec_id", "embedding", m = M, k = CodebookK)
+      AnnIndex.ensureIvfPq(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cells, "cid", "cvec", codebook, m = M,
+        loc, src, fingerprintOverride = Some(s"partial:$fpFull"))
+      AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", loc, newFingerprint = fpFull)
+    }
+    AnnIndex.searchIvfPq(s, loc,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q202: per-cell posting counts of the persisted IVF index — the
+    * cell-balance report an owner watches between rebuilds (frozen
+    * centroids drift out of balance as appends accumulate; a fat cell IS
+    * a slow probe). The oracle replays the assignment argmax per vector
+    * and counts per cell, so the gate hash-pins the INDEX CONTENT itself,
+    * not just search results over it. */
+  def q202IndexStats(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    AnnIndex.cellStats(s, loc)
+  }
+
+  val q202Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+       |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_persisted_ivf" -> (q197PersistedIvf _),
     "q198_persisted_ivfpq" -> (q198PersistedIvfPq _),
+    "q200_index_append" -> (q200IndexAppend _),
+    "q201_index_append_pq" -> (q201IndexAppendPq _),
+    "q202_index_stats" -> (q202IndexStats _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1275,6 +1368,9 @@ object SimilarityQueries {
     // twins: the gate is exactly "persisted ≡ in-query", hash-checked
     "q197_persisted_ivf" -> q117Sql,
     "q198_persisted_ivfpq" -> q121Sql,
+    "q200_index_append" -> q117Sql,
+    "q201_index_append_pq" -> q121Sql,
+    "q202_index_stats" -> q202Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

@@ -96,6 +96,102 @@ class AnnIndexSpec extends SparkSpec {
     assert(pruned, s"expected a static cid IN (...) partition filter:\n$plan")
   }
 
+  test("incremental append: build-half + append-half ≡ one-shot build, " +
+      "and a crash between the phases reads as stale") {
+    val locFull = tmpLoc("ivf-oneshot")
+    val locInc = tmpLoc("ivf-incremental")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", locFull, source)
+    // two-phase: even half builds under a partial marker, odd half appends
+    AnnIndex.ensureIvf(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", seededCells, "cid", "cvec", locInc, source,
+      fingerprintOverride = Some("partial:xyz"))
+    // mid-flow the manifest must NOT read as the complete index
+    assert(AnnIndex.readManifest(locInc).get.fingerprint == "partial:xyz")
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", locInc, newFingerprint = "full:xyz")
+    assert(AnnIndex.readManifest(locInc).get.fingerprint == "full:xyz")
+
+    val oneShot = AnnIndex.searchIvf(spark, locFull, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    val incremental = AnnIndex.searchIvf(spark, locInc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(incremental.nonEmpty)
+    assert(incremental.toSeq == oneShot.toSeq)
+
+    // a fresh ensure against the partial marker state must rebuild: the
+    // stamp discipline is what makes a crash between phases recoverable
+    assert(AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec",
+      {
+        val loc = tmpLoc("ivf-crashed")
+        AnnIndex.ensureIvf(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", seededCells, "cid", "cvec", loc, source,
+          fingerprintOverride = Some(s"partial:${AnnIndex.sourceFingerprint(source)}"))
+        loc
+      }, source), "a partial-marker index must read as stale and rebuild")
+  }
+
+  test("incremental IVF-PQ append ≡ one-shot build (codes encoded against " +
+      "the frozen codebook at append time)") {
+    val codebook = ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    val pqQueries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val locFull = tmpLoc("ivfpq-oneshot")
+    val locInc = tmpLoc("ivfpq-incremental")
+    AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", codebook, m = 8, locFull, source)
+    AnnIndex.ensureIvfPq(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", seededCells, "cid", "cvec", codebook, m = 8,
+      locInc, source, fingerprintOverride = Some("partial:xyz"))
+    AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", locInc, newFingerprint = "full:xyz")
+    val oneShot = AnnIndex.searchIvfPq(spark, locFull, pqQueries,
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100)
+      .orderBy("qid", "rank").collect()
+    val incremental = AnnIndex.searchIvfPq(spark, locInc, pqQueries,
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100)
+      .orderBy("qid", "rank").collect()
+    assert(incremental.nonEmpty)
+    assert(incremental.toSeq == oneShot.toSeq)
+  }
+
+  test("compaction shrinks the post-append file count without changing " +
+      "any search result; cellStats counts every posting") {
+    val loc = tmpLoc("ivf-compact")
+    AnnIndex.ensureIvf(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", seededCells, "cid", "cvec", loc, source,
+      fingerprintOverride = Some("partial:c"))
+    AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", loc, newFingerprint = "full:c")
+    def parquetFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$loc/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    val statsBefore = AnnIndex.cellStats(spark, loc).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val filesBefore = parquetFiles
+    AnnIndex.compactIvf(spark, loc)
+    val filesAfter = parquetFiles
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink files: $filesBefore -> $filesAfter")
+    val after = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(after.toSeq == before.toSeq, "compaction must not change results")
+    val statsAfter = AnnIndex.cellStats(spark, loc).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(statsAfter == statsBefore, "compaction must not change content")
+    assert(statsAfter.values.sum == emb.count(),
+      "cellStats must count every corpus vector exactly once")
+    // the manifest (fingerprint included) survives compaction
+    assert(AnnIndex.readManifest(loc).get.fingerprint == "full:c")
+  }
+
   test("catalog lifecycle: register, resolve by name, reject direct access, re-point") {
     val loc = tmpLoc("ivf-cat")
     AnnIndex.ensureIvf(emb, "vec_id", "embedding",

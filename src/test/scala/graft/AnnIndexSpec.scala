@@ -192,6 +192,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.readManifest(loc).get.fingerprint == "full:c")
   }
 
+  test("streaming serving: query vectors arriving as a stream, searched " +
+      "per micro-batch against the persisted index, match batch search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = tmpLoc("ivf-serve")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    val qLocal = queries.as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val served = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Double)]
+    val query = stream.toDF().toDF("qid", "qvec")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the serving shape: each micro-batch of queries probes the
+        // SAME persisted index — no per-batch training, no state
+        served.synchronized {
+          served ++= AnnIndex.searchIvf(spark, loc, batch,
+            "qid", "qvec", k = 10, nprobe = 3)
+            .as[(Long, Int, Long, Double)].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      // two arrivals exercise the repeated-search path
+      stream.addData(qLocal.take(1))
+      query.processAllAvailable()
+      stream.addData(qLocal.drop(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    val batchResults = AnnIndex.searchIvf(spark, loc, queries,
+      "qid", "qvec", k = 10, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(served.nonEmpty)
+    assert(served.sortBy(r => (r._1, r._2)) ==
+      batchResults.sortBy(r => (r._1, r._2)))
+  }
+
   test("catalog lifecycle: register, resolve by name, reject direct access, re-point") {
     val loc = tmpLoc("ivf-cat")
     AnnIndex.ensureIvf(emb, "vec_id", "embedding",

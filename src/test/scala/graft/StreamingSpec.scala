@@ -141,6 +141,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("keyed PSI runs append-mode with a watermark: closed (window, " +
+      "source) state emits and is evicted — the state bound is real") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ref: Map[String, Seq[(Long, Long)]] = sampleEvents.toDF()
+      .groupBy(col("event_type"), EventStreams.valueBin(500.0).as("b"))
+      .count().collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(r => r.getLong(1) -> r.getLong(2)).toSeq }
+    val stream = MemoryStream[Event]
+    val query = EventStreams.keyedWindowedPsi(stream.toDF(), "event_type",
+        ref, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("kpsi_append")
+      .outputMode("append").start()
+    try {
+      stream.addData((0 until 20).map(i =>
+        Event(i.toLong, new java.sql.Timestamp(base + i * 60000L), 1L,
+          s"type${i % 2}", (i % 11) * 1.5)))
+      query.processAllAvailable()
+      // advance event time far past the watermark: hour-0 windows close,
+      // BOTH sources' rows emit, and their state is dropped
+      stream.addData(Seq(Event(99L,
+        new java.sql.Timestamp(base + 3 * 3600 * 1000L), 1L, "type0", 1.0)))
+      query.processAllAvailable()
+      val emitted = spark.table("kpsi_append").collect()
+      val hour0 = base / 1000
+      val sources = emitted.filter(_.getAs[Long]("win_start") == hour0)
+        .map(_.getAs[String]("source")).toSet
+      assert(sources == Set("type0", "type1"),
+        s"both sources' closed windows must emit: $emitted")
+      val progress = query.lastProgress
+      val stateRows = progress.stateOperators.apply(0).numRowsTotal
+      // only the still-open far-future window's state may remain
+      assert(stateRows <= 2, s"closed-window state must be evicted: $stateRows")
+    } finally query.stop()
+  }
+
   test("file-source stream: readStream over parquet dir matches batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
     val events = sampleEvents.toDF()

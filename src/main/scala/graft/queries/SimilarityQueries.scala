@@ -1302,6 +1302,28 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q203: the FULL production build job persisted — k-means-TRAINED
+    * centroids ([[Similarity.trainCentroids]]' decimal-pinned Lloyd's, the
+    * q42 path) feed the index build instead of the seeded frame, and the
+    * search runs over the materialized postings. With q197 (seeded twin)
+    * and q200 (append) this closes the lifecycle matrix: {seeded,
+    * trained} × {one-shot, incremental} all hash-gated. Oracle = q42's
+    * unrolled-training SQL: the oracle replays the training, the
+    * assignment, probing, scoring AND the persistence round-trip must
+    * change none of it. */
+  def q203PersistedTrainedIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-trained")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      trainedCentroids(s, emb, d), "cid", "cvec",
+      loc, s"$d/embeddings.parquet")
+    AnnIndex.searchIvf(s, loc,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 4)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** q202: per-cell posting counts of the persisted IVF index — the
     * cell-balance report an owner watches between rebuilds (frozen
     * centroids drift out of balance as appends accumulate; a fat cell IS
@@ -1338,6 +1360,7 @@ object SimilarityQueries {
     "q200_index_append" -> (q200IndexAppend _),
     "q201_index_append_pq" -> (q201IndexAppendPq _),
     "q202_index_stats" -> (q202IndexStats _),
+    "q203_persisted_trained_ivf" -> (q203PersistedTrainedIvf _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1371,6 +1394,7 @@ object SimilarityQueries {
     "q200_index_append" -> q117Sql,
     "q201_index_append_pq" -> q121Sql,
     "q202_index_stats" -> q202Sql,
+    "q203_persisted_trained_ivf" -> q42Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

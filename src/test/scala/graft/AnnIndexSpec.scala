@@ -270,5 +270,20 @@ class AnnIndexSpec extends SparkSpec {
       seededCells, "cid", "cvec", loc2, source)
     AnnIndex.registerIndexTable(spark, name, loc2)
     assert(AnnIndex.resolveIndexLocation(spark, name) == loc2)
+
+    // end of life: deregister (DROP) keeps the index data for other
+    // consumers; PURGE deletes the whole index tree with the entry
+    spark.sql(s"DROP TABLE $name")
+    assert(!spark.catalog.tableExists(name))
+    assert(Files.exists(java.nio.file.Paths.get(loc2)),
+      "deregister must keep the index data")
+    AnnIndex.registerIndexTable(spark, name, loc2)
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    cat.purgeTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("annspec"), "emb_ivf_idx"))
+    assert(!spark.catalog.tableExists(name))
+    assert(!Files.exists(java.nio.file.Paths.get(loc2)),
+      "purge must delete the index tree")
   }
 }

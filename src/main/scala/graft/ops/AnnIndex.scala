@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *   codebook/                  (s, c, cvec)  [ivf_pq only]    — tiny
   *   postings/cid=<n>/...       (vec_id, embedding[, codes])   — the corpus,
   *                              PARTITIONED BY cell id
+  *   tombstones/                (vec_id)  — deletes since the last
+  *                              compaction; searches anti-join it
   *   _MANIFEST.properties       type/metric/nlist/m/fingerprint
   * }}}
   *
@@ -287,6 +289,55 @@ object AnnIndex {
     writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
   }
 
+  // ---- deletes (tombstones) -------------------------------------------
+
+  private def tombstoneDir(location: String): Path =
+    Paths.get(s"$location/tombstones")
+
+  /** True if the index carries any not-yet-compacted deletes. */
+  def hasTombstones(location: String): Boolean =
+    Files.exists(tombstoneDir(location))
+
+  /** DELETE vectors from a persisted index — as TOMBSTONES, never by
+    * rewriting postings: at 100 TB a delete job must not touch the
+    * corpus-sized layout. The id set is appended to `tombstones/`
+    * (file-granular parquet append, the same read-committed class as the
+    * postings append); every search anti-joins the probed postings
+    * against it, and [[compactIvf]] folds the tombstones into the
+    * physical layout and clears them. The reference's deregister/purge
+    * split (`LanceNamespace` dropTable modes) is the same shape one
+    * level up: logical removal now, physical reclamation as a separate
+    * maintenance pass.
+    *
+    * Semantics are a set union: deleting an id twice, or an id the
+    * index never held, is a no-op — a crashed delete job simply
+    * re-runs. Scale bound: the tombstone frame is the delete volume
+    * since the last compaction (broadcast at search; the compaction
+    * cadence is the owner's policy, the same knob as cell-balance
+    * drift). A tombstoned-but-uncompacted row still COSTS the probe
+    * scan — it is filtered after the read — which is why [[cellStats]]
+    * deliberately reports the physical counts that drive that cost. */
+  def deleteIds(ids: DataFrame, idCol: String, location: String): Unit = {
+    require(readManifest(location).isDefined, s"no index at $location")
+    ids.select(col(idCol).cast("long").as("vec_id"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneDir(location).toString)
+  }
+
+  /** Postings minus tombstones — the LIVE view every search runs on.
+    * The tombstone side broadcasts explicitly: it is
+    * delete-since-compaction-sized by policy, and the planner must
+    * never degrade the anti-join to a shuffle of the corpus-sized
+    * postings because file-size estimates said otherwise. */
+  private def withoutTombstones(spark: SparkSession, location: String,
+      postings: DataFrame): DataFrame =
+    if (!hasTombstones(location)) postings
+    else postings.join(
+      broadcast(spark.read.parquet(tombstoneDir(location).toString)
+        .select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
   // ---- compaction & observability -------------------------------------
 
   /** Compact a fragmented index: every [[appendIvf]] lands at least one
@@ -294,12 +345,16 @@ object AnnIndex {
     * classic small-files tax (per-file open/footer cost dominates the
     * scan). Rewrites the postings with one file per cell partition into a
     * staging dir and atomically swaps it in — readers see the old or the
-    * new layout, never a mix. Content (and therefore every search result)
-    * is unchanged; only the file geometry improves. */
+    * new layout, never a mix. LIVE content (and therefore every search
+    * result) is unchanged; tombstoned rows are physically dropped and the
+    * tombstones cleared AFTER the swap commits — a crash between the two
+    * leaves the tombstones applied twice, which the set semantics make a
+    * no-op. */
   def compactIvf(spark: SparkSession, location: String): Unit = {
     val man = readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
-    val postings = spark.read.parquet(s"$location/postings")
+    val postings = withoutTombstones(spark, location,
+      spark.read.parquet(s"$location/postings"))
     val staging = Paths.get(
       s"$location/postings.compact.${ProcessHandle.current().pid()}")
     // one output file per cell: repartition on the partition column so
@@ -319,7 +374,9 @@ object AnnIndex {
         throw e
     }
     deleteRecursively(retired)
-    // content unchanged — the manifest (fingerprint included) stands
+    // tombstones are now folded into the physical layout
+    deleteRecursively(tombstoneDir(location))
+    // live content unchanged — the manifest (fingerprint included) stands
     val _ = man
   }
 
@@ -378,7 +435,8 @@ object AnnIndex {
     val (probes, probedCids) = probe(spark, location, queries, qidCol, qvecCol, nprobe)
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    prunedPostings(spark, location, probedCids)
+    withoutTombstones(spark, location,
+        prunedPostings(spark, location, probedCids))
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -400,7 +458,11 @@ object AnnIndex {
     val m = man.get.m
     val codebook = spark.read.parquet(s"$location/codebook")
     val (probes, probedCids) = probe(spark, location, queries, qidCol, qvecCol, nprobe)
-    val postings = prunedPostings(spark, location, probedCids)
+    // the live view feeds BOTH the ADC candidates and the exact rerank —
+    // a deleted vector can neither be retrieved nor sneak back in as a
+    // rerank candidate
+    val postings = withoutTombstones(spark, location,
+      prunedPostings(spark, location, probedCids))
 
     // per-query (s, c) → partial-L2² distance table, same as the in-query twin
     val dim = queries.select(size(col(qvecCol))).head().getInt(0)

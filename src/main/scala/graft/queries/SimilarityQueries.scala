@@ -511,7 +511,13 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val q117Sql: String =
+  val q117Sql: String = ivfSeededSql("")
+
+  /** q117's oracle with an optional predicate on the ASSIGNED (index)
+    * side — ONE SQL device shared by q117 (`""`) and q204 (the deleted
+    * ids filtered): the persisted-delete gate pins delete ≡ filter
+    * against the very same replay, differing only in this WHERE. */
+  private def ivfSeededSql(assignedWhere: String): String =
     s"""WITH cents AS (
        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
        |  FROM embeddings WHERE vec_id < 10),
@@ -520,7 +526,7 @@ object SimilarityQueries {
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
+       |    FROM embeddings e CROSS JOIN cents c$assignedWhere)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT qid, qvec, cid FROM (
@@ -649,7 +655,14 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val q121Sql: String = {
+  val q121Sql: String = ivfPqSeededSql("")
+
+  /** q121's oracle with an optional predicate on the ASSIGNED side —
+    * the [[ivfSeededSql]] device for the IVF-PQ path, shared by q121
+    * (`""`) and q205 (deleted ids filtered). The codebook CTEs stay
+    * corpus-wide on both sides: the index's codebook is FROZEN metadata
+    * a delete never touches. */
+  private def ivfPqSeededSql(assignedWhere: String): String = {
     s"""WITH $PqCtes,
        |cents AS (
        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
@@ -659,7 +672,7 @@ object SimilarityQueries {
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c)
+       |    FROM embeddings e CROSS JOIN cents c$assignedWhere)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT qid, cid FROM (
@@ -1324,6 +1337,61 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q204: DELETE from the persisted IVF index — build the seeded index,
+    * tombstone every vec_id ≡ 3 (mod 7), search. Deletes are TOMBSTONES
+    * the search anti-joins ([[graft.ops.AnnIndex.deleteIds]]) — never a
+    * postings rewrite, because a 100 TB delete job must not touch the
+    * corpus-sized layout; compaction folds them in later (pinned in
+    * AnnIndexSpec). The oracle is q117's replay with the deleted ids
+    * filtered from the ASSIGNED side only, so the gate hash-pins
+    * delete ≡ filter end to end — including the edge that query 101
+    * (101 ≡ 3 mod 7) is itself deleted: a tombstoned doc can still
+    * QUERY the index, it just can't be retrieved. */
+  def q204IndexDelete(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-delete")
+    val built = AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    // delete exactly once per build: a fresh build starts tombstone-free
+    // (ensureIvf wipes the location), and re-deleting the same set would
+    // be a no-op anyway (set semantics) — this guard just keeps repeated
+    // gate runs from appending identical tombstone files
+    if (built || !AnnIndex.hasTombstones(loc))
+      AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    AnnIndex.searchIvf(s, loc,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q205: q204's IVF-PQ twin — tombstoned vectors must drop out of BOTH
+    * stages (the ADC candidate generation and the exact rerank; a delete
+    * that only filtered the final ranks would let a deleted vector's
+    * candidacy displace live ones). The codebook stays frozen — deleting
+    * data never retrains quantization. Oracle = q121's replay with the
+    * assigned side filtered. */
+  def q205IndexDeletePq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfpq-delete")
+    val built = AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec",
+      graft.ops.ProductQuantization.seedCodebook(
+        emb, "vec_id", "embedding", m = M, k = CodebookK),
+      m = M, loc, s"$d/embeddings.parquet")
+    if (built || !AnnIndex.hasTombstones(loc))
+      AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    AnnIndex.searchIvfPq(s, loc,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** q202: per-cell posting counts of the persisted IVF index — the
     * cell-balance report an owner watches between rebuilds (frozen
     * centroids drift out of balance as appends accumulate; a fat cell IS
@@ -1361,6 +1429,8 @@ object SimilarityQueries {
     "q201_index_append_pq" -> (q201IndexAppendPq _),
     "q202_index_stats" -> (q202IndexStats _),
     "q203_persisted_trained_ivf" -> (q203PersistedTrainedIvf _),
+    "q204_index_delete" -> (q204IndexDelete _),
+    "q205_index_delete_pq" -> (q205IndexDeletePq _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1395,6 +1465,10 @@ object SimilarityQueries {
     "q201_index_append_pq" -> q121Sql,
     "q202_index_stats" -> q202Sql,
     "q203_persisted_trained_ivf" -> q42Sql,
+    // the delete gates pin delete ≡ filter: the SAME replay as the
+    // build/search twins, with only the assigned side filtered
+    "q204_index_delete" -> ivfSeededSql(" WHERE e.vec_id % 7 <> 3"),
+    "q205_index_delete_pq" -> ivfPqSeededSql(" WHERE e.vec_id % 7 <> 3"),
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

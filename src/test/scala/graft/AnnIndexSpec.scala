@@ -286,4 +286,80 @@ class AnnIndexSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(loc2)),
       "purge must delete the index tree")
   }
+
+  test("tombstone delete ≡ filter: IVF search excludes deleted ids and " +
+      "matches the in-query search over the filtered corpus") {
+    val loc = tmpLoc("ivf-del")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    assert(AnnIndex.hasTombstones(loc))
+    val got = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    // centroids stay the FULL seeded frame (frozen index metadata);
+    // only the corpus side is filtered — exactly what a delete means
+    val want = Similarity.ivfTopK(emb.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", queries, "qid", "qvec",
+      seededCells, "cid", "cvec", k = 10, nprobe = 3)
+      .orderBy("qid", "rank").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    assert(!got.exists(_.getLong(2) % 7 == 3), "a deleted id was retrieved")
+  }
+
+  test("deletes accumulate across batches and re-deleting is a no-op") {
+    val loc = tmpLoc("ivf-del2")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 5), "vec_id", loc)
+    val both = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(!both.exists(r => r.getLong(2) % 7 == 3 || r.getLong(2) % 7 == 5))
+    // set semantics: a crashed delete job re-runs without harm
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    val again = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(again.toSeq == both.toSeq)
+  }
+
+  test("compaction folds tombstones: physically removed, dir cleared, " +
+      "search results unchanged") {
+    val loc = tmpLoc("ivf-del-compact")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    val before = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    AnnIndex.compactIvf(spark, loc)
+    assert(!AnnIndex.hasTombstones(loc),
+      "compaction must clear the folded tombstones")
+    val physical = spark.read.parquet(s"$loc/postings")
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(physical == 0, "tombstoned rows must be physically dropped")
+    val after = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("IVF-PQ delete drops candidates in BOTH stages (ADC and rerank)") {
+    val loc = tmpLoc("ivfpq-del")
+    val codebook = ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    val pqQueries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", codebook, m = 8, loc, source)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    val got = AnnIndex.searchIvfPq(spark, loc, pqQueries, "qid", "qvec",
+      k = 10, nprobe = 3, rerank = 100).orderBy("qid", "rank").collect()
+    // the in-query twin over the filtered corpus, frozen codebook/cells
+    val want = ProductQuantization.searchIvfPq(
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding",
+      pqQueries, "qid", "qvec", seededCells, "cid", "cvec",
+      codebook, m = 8, k = 10, nprobe = 3, rerank = 100)
+      .orderBy("qid", "rank").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -287,6 +287,62 @@ class AnnIndexSpec extends SparkSpec {
       "purge must delete the index tree")
   }
 
+  test("CDC streaming ingest: per-micro-batch adds (appendIvf) and deletes " +
+      "(tombstones) keep the served index ≡ the equivalent batch corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = tmpLoc("ivf-cdc")
+    // base index: the even ids under 150; the CDC feed then adds the odd
+    // ids under 100 and deletes the %10∈{0,4} stragglers, across two
+    // micro-batches — the nightly-ingest loop compressed into a test
+    AnnIndex.ensureIvf(emb.filter(col("vec_id") < 150 && col("vec_id") % 2 === 0),
+      "vec_id", "embedding", seededCells, "cid", "cvec", loc, source,
+      fingerprintOverride = Some("cdc:base"))
+    val adds = emb.filter(col("vec_id") < 100 && col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(String, Long, Seq[Float])]
+    val feed = stream.toDF().toDF("op", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          val delta = b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding"))
+          if (delta.limit(1).count() > 0)
+            AnnIndex.appendIvf(delta, "vec_id", "embedding", loc,
+              newFingerprint = "cdc:base")
+          val dels = b.filter(col("op") === "del").select(col("vec_id"))
+          if (dels.limit(1).count() > 0)
+            AnnIndex.deleteIds(dels, "vec_id", loc)
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(adds.take(25).map { case (id, v) => ("add", id, v) } ++
+        Seq(("del", 0L, Seq.empty[Float]), ("del", 10L, Seq.empty[Float])))
+      feed.processAllAvailable()
+      stream.addData(adds.drop(25).map { case (id, v) => ("add", id, v) } ++
+        (20L until 150L by 10L).map(i => ("del", i, Seq.empty[Float])) ++
+        (4L until 150L by 10L).map(i => ("del", i, Seq.empty[Float])))
+      feed.processAllAvailable()
+    } finally feed.stop()
+    val got = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    // the equivalent batch corpus: (evens<150 ∪ odds<100) minus %10∈{0,4}
+    val corpus = emb.filter(
+      ((col("vec_id") < 150 && col("vec_id") % 2 === 0) ||
+       (col("vec_id") < 100 && col("vec_id") % 2 === 1)) &&
+      col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 4)
+    val want = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", seededCells, "cid", "cvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("tombstone delete ≡ filter: IVF search excludes deleted ids and " +
       "matches the in-query search over the filtered corpus") {
     val loc = tmpLoc("ivf-del")

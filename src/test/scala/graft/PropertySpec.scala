@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{Buckets, Curation, Dedup, ZOrder}
+import graft.ops.{AnnIndex, Buckets, Curation, Dedup, Similarity, ZOrder}
 
 /** Randomized invariants over generated inputs (ScalaCheck generators with
   * a fixed seed, evaluated in one Spark batch per property — not one job
@@ -568,5 +568,42 @@ class PropertySpec extends SparkSpec {
     // trained model ≈ 1 — across the corpora the lift must be strict
     assert(aucs.map(_._1).sum > aucs.map(_._2).sum,
       s"training must lift AUC across corpora: $aucs")
+  }
+
+  test("index delete ≡ filter on random corpora and random delete sets") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (round <- 0 until 3) {
+      val n = 60 + 10 * round
+      val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0).map(_.toFloat))
+      val corpus = samples(vecGen, n).zipWithIndex
+        .map { case (v, i) => (i.toLong + round, v) }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(FloatType)).as("embedding"))
+        .localCheckpoint()
+      val cells = corpus.orderBy("vec_id").limit(5)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+        .localCheckpoint()
+      // random delete set — may hit centroid seeds (frozen metadata
+      // survives) and query ids (a deleted doc can still query)
+      val delIds = samples(Gen.chooseNum(0L, n.toLong - 1), 15 + 5 * round)
+        .map(_ + round).distinct
+      val queries = corpus.filter(col("vec_id").isin(
+          Seq(round.toLong, round + 7L, round + 13L).map(Long.box): _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val loc = s"${java.nio.file.Files.createTempDirectory("graft-prop-del")}/idx"
+      AnnIndex.ensureIvf(corpus, "vec_id", "embedding", cells, "cid", "cvec",
+        loc, sourcePath = "", fingerprintOverride = Some(s"prop:$round"))
+      AnnIndex.deleteIds(delIds.toDF("vec_id"), "vec_id", loc)
+      val got = AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec",
+        k = 8, nprobe = 2).orderBy("qid", "rank").collect()
+      val want = Similarity.ivfTopK(
+        corpus.filter(!col("vec_id").isin(delIds.map(Long.box): _*)),
+        "vec_id", "embedding", queries, "qid", "qvec",
+        cells, "cid", "cvec", k = 8, nprobe = 2)
+        .orderBy("qid", "rank").collect()
+      assert(got.nonEmpty, s"round $round produced no results")
+      assert(got.toSeq == want.toSeq, s"round $round delete≡filter broke")
+      assert(!got.exists(r => delIds.contains(r.getLong(2))),
+        s"round $round retrieved a deleted id")
+    }
   }
 }

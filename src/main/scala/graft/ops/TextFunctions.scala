@@ -140,7 +140,19 @@ object TextFunctions {
     * Each term −p·ln p is a fixed-shape double; the per-row fold
     * accumulates decimal(27,15) (the repo-wide rule), so any engine
     * summing the same terms in any order matches bit-for-bit. */
-  def charEntropy(text: Column): Column = {
+  /** Shannon character entropy — the codegen'd one-pass
+    * [[graft.functions.CharEntropy]] expression (O(len) per row, inside
+    * whole-stage codegen). Numerically identical to
+    * [[charEntropyComposable]], which stays as the readable spec of the
+    * term ladder (OpsSpec pins the equivalence). */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropy(text)
+
+  /** The composable HOF formulation charEntropy is specified by: one
+    * decimal(27,15) term per distinct char, p·ln(p)·−1 in double. Kept
+    * for the equivalence spec — O(distinct × len) interpreted lambdas
+    * per row, so not the hot path. */
+  def charEntropyComposable(text: Column): Column = {
     val chars = split(text, "")
     val n = size(chars)
     val terms = transform(array_distinct(chars), c => {

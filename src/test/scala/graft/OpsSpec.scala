@@ -71,6 +71,23 @@ class OpsSpec extends SparkSpec {
     assert(bound.count() == 0)
   }
 
+  test("charEntropy: the codegen'd one-pass expression is BIT-identical " +
+      "to the composable HOF spec on real docs (incl. null and edge text)") {
+    val edge = Seq((9000001L, null.asInstanceOf[String]), (9000002L, ""),
+      (9000003L, " leading and trailing  "), (9000004L, "ü¶ mixed ¶ü"))
+      .toDF("doc_id", "text")
+    val both = docs.select($"doc_id", $"text").unionByName(edge)
+      .select($"doc_id",
+        TextFunctions.charEntropy($"text").as("fast"),
+        TextFunctions.charEntropyComposable($"text").as("spec"))
+    // bit-identical, not approximately equal: the expression must keep
+    // every gate hash (q130/q137) unchanged
+    val diff = both.filter(
+      ($"fast".isNull =!= $"spec".isNull) ||
+      ($"fast".isNotNull && $"fast" =!= $"spec"))
+    assert(diff.count() == 0, diff.limit(5).collect().mkString("; "))
+  }
+
   test("pmiCollocations: closed-form PMI on a fixed corpus, minCount honored") {
     // corpus of one doc: "a b a b a c" → bigrams (a,b)(b,a)(a,b)(b,a)(a,c)
     val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   * so the multiplicative size estimate only reaches ~4^iters of the
   * honest scan size — harmless — and skipping cut()'s row round-trip
   * saves a serialize/deserialize pass per round.
+  *
+  * Per-iteration network is held at the Pregel lower bound — ONE
+  * edge-sized shuffle (the map-side-combined contribution/vote
+  * aggregation). The edge frame itself never re-shuffles inside a loop:
+  * it is cached pre-partitioned on the join key ([[pinPartitioned]] —
+  * `persist` rather than `localCheckpoint`, because a cached
+  * InMemoryRelation preserves its plan's hash partitioning while a
+  * checkpointed LogicalRDD under AQE reports Unknown and re-exchanges
+  * every round), and the small per-round state (ranks/labels, vertex-
+  * sized) is the SHUFFLE_HASH build side, so the edge side is neither
+  * exchanged nor sorted. MEMORY_AND_DISK (the `persist()` default) keeps
+  * the pinned edges spill-safe when a 100 TB graph outgrows executor
+  * memory.
   */
 object GraphOps {
 
@@ -29,6 +42,18 @@ object GraphOps {
       case _: org.apache.spark.sql.execution.LogicalRDD => df
       case _ => df.localCheckpoint()
     }
+
+  /** Cache `df` hash-partitioned on `key` with the session's shuffle
+    * parallelism, materialized eagerly. Joins inside the iteration loops
+    * whose key side matches need no exchange and no sort (the explicit
+    * partition count keeps AQE from coalescing the layout out from under
+    * the co-partitioning). Callers unpersist after their loop. */
+  private def pinPartitioned(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = df.repartition(p, col(key)).persist()
+    pinned.count()
+    pinned
+  }
 
   /** Damped PageRank with a fixed iteration count.
     *
@@ -44,31 +69,38 @@ object GraphOps {
     require(iters >= 0, s"pageRank: iters must be >= 0, got $iters")
     val e = materialize(edges)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val verts = e.select(col("src").as("vertex"))
-      .unionByName(e.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint()
+    val verts = pinPartitioned(e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex"))).distinct(), "vertex")
     val n = verts.count()
     // out-degree rides along each edge so the per-iteration join is a
-    // single equi-join on src (degree never recomputed inside the loop)
-    val withDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint()
+    // single equi-join on src (degree never recomputed inside the loop);
+    // pinned on src, the loop joins it exchange- and sort-free
+    val withDeg = pinPartitioned(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src")), "src")
 
     var ranks = verts.withColumn("rank", lit(1.0) / n).localCheckpoint()
     for (_ <- 1 to iters) {
       // contributions shuffle once on dst; decimal addition is associative,
-      // so the merge order can't wiggle low bits run-to-run
+      // so the merge order can't wiggle low bits run-to-run. Ranks (vertex-
+      // sized) are the hash build side — the pinned edge frame streams.
       val in = withDeg
-        .join(ranks, col("src") === col("vertex"))
+        .join(ranks.hint("SHUFFLE_HASH"), col("src") === col("vertex"))
         .groupBy(col("dst"))
         .agg(sum((col("rank") / col("outdeg")).cast("decimal(38,18)"))
           .as("in_sum"))
-      ranks = verts.join(in, col("vertex") === col("dst"), "left")
+      // in_sum is already hash-partitioned on dst by its aggregation, and
+      // verts is pinned on vertex: the outer join is co-partitioned, and
+      // the SHUFFLE_HASH build on the in_sum side skips both sorts
+      ranks = verts.join(in.hint("SHUFFLE_HASH"),
+          col("vertex") === col("dst"), "left")
         .select(col("vertex"),
           (lit((1.0 - damping)) / n + lit(damping) *
             coalesce(col("in_sum").cast("double"), lit(0.0))).as("rank"))
         .localCheckpoint()
     }
+    verts.unpersist(false)
+    withDeg.unpersist(false)
     ranks
   }
 
@@ -92,8 +124,9 @@ object GraphOps {
       seeds: DataFrame, vertexCol: String, labelCol: String,
       iters: Int = 2): DataFrame = {
     require(iters >= 0, s"labelPropagation: iters must be >= 0, got $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint()
+    val e = pinPartitioned(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      "src")
     val verts = e.select(col("src").as("vertex"))
       .unionByName(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint()
@@ -104,9 +137,12 @@ object GraphOps {
     var labels = verts.join(seed, Seq("vertex"), "left")
       .withColumn("__lbl", col("__seed")).localCheckpoint()
     for (_ <- 1 to iters) {
+      // labeled state (vertex-sized) is the hash build side; the pinned
+      // edge frame streams with no exchange and no sort
       val votes = e
         .join(labels.filter(col("__lbl").isNotNull)
-          .select(col("vertex").as("src"), col("__lbl")), Seq("src"))
+          .select(col("vertex").as("src"), col("__lbl"))
+          .hint("SHUFFLE_HASH"), Seq("src"))
         .groupBy(col("dst"), col("__lbl"))
         .agg(count(lit(1)).as("__c"))
       // arg-max via struct min: (-count, label) orders by majority first,
@@ -116,11 +152,13 @@ object GraphOps {
         .agg(min(struct((-col("__c")).as("nc"), col("__lbl").as("l")))
           .as("__w"))
         .select(col("dst").as("vertex"), col("__w").getField("l").as("__win"))
-      labels = labels.join(winners, Seq("vertex"), "left")
+      labels = labels.join(winners.hint("SHUFFLE_HASH"),
+          Seq("vertex"), "left")
         .select(col("vertex"), col("__seed"),
           coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl"))
         .localCheckpoint()
     }
+    e.unpersist(false)
     labels.select(col("vertex"), col("__lbl").as("label"))
   }
 }

@@ -63,6 +63,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("b") == Some(7) && got("p").isEmpty && got("q").isEmpty)
   }
 
+  test("iteration joins stream the pinned edge frame: no exchange, no sort " +
+      "on the cached side (the invariant GraphOps' loops rely on)") {
+    import org.apache.spark.sql.functions._
+    // Replicates GraphOps' pinPartitioned + SHUFFLE_HASH iteration shape:
+    // a cached InMemoryRelation must preserve its explicit hash
+    // partitioning (canChangeCachedPlanOutputPartitioning=false default),
+    // so the only exchange in the join is the vertex-sized hinted side.
+    // If a Spark upgrade ever breaks this, the graph loops silently
+    // reshuffle edges every round — this test turns that into a failure.
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = (1 to 1000).map(i => (s"v${i % 50}", s"v${(i * 7) % 50}"))
+      .toDF("src", "dst")
+    val pinned = edges.repartition(p, $"src").persist()
+    pinned.count()
+    try {
+      val state = (0 until 50).map(i => (s"v$i", i * 1.0)).toDF("vertex", "w")
+      val joined = pinned
+        .join(state.hint("SHUFFLE_HASH"), $"src" === $"vertex")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ in:\n$plan")
+      // the cached InMemoryRelation renders its one-time REPARTITION_BY_NUM
+      // build exchange inline; only ENSURE_REQUIREMENTS exchanges are
+      // per-iteration cost, and the single one allowed is the state side
+      val perIter = "Exchange hashpartitioning\\(([a-z]+)[^)]*\\), ENSURE_REQUIREMENTS"
+        .r.findAllMatchIn(plan).map(_.group(1)).toList
+      assert(perIter == List("vertex"),
+        s"expected the state side as the only runtime exchange, got $perIter:\n$plan")
+      assert(!plan.contains("Sort "), s"expected no sort:\n$plan")
+    } finally pinned.unpersist(true)
+  }
+
   test("pageRank: deterministic across runs (decimal sums)") {
     val docs = graft.queries.Tables(spark, sfDir, "orders")
     val li = graft.queries.Tables(spark, sfDir, "lineitem")

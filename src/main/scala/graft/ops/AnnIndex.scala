@@ -494,6 +494,153 @@ object AnnIndex {
       postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
   }
 
+  // ---- filtered search -------------------------------------------------
+
+  /** True when the metadata filter passes at most `exactCap` ids — the
+    * pre-filter/post-filter planning decision. The cardinality probe is
+    * `limit(exactCap+1).count()`: it stops counting at the cap, so the
+    * decision job is O(exactCap) work regardless of corpus size (a full
+    * `count()` here would itself be a corpus-sized aggregate). */
+  def takesExactPath(allowedIds: DataFrame, exactCap: Long): Boolean = {
+    val probe =
+      if (exactCap >= Int.MaxValue - 1L) Int.MaxValue else (exactCap + 1).toInt
+    allowedIds.limit(probe).count() <= exactCap
+  }
+
+  /** FILTERED vector search over a persisted IVF index: top-k among only
+    * the vectors whose ids pass a metadata predicate. The index stores no
+    * metadata — the predicate is evaluated on the BASE table (column-
+    * pruned to the id + filter columns) and arrives here as the
+    * single-column `allowed` id frame.
+    *
+    * Two physical plans, chosen by the filter's cardinality — the
+    * pre-filter/post-filter split every production vector store makes
+    * (the reference's query layer exposes it as a prefilter flag on
+    * vector queries; here the engine decides from the measured
+    * cardinality):
+    *
+    *  - EXACT PRE-FILTER (selective, ≤ `exactCap` ids): the probe layer
+    *    is pure overhead and would also LOSE matches that live outside
+    *    the probed cells — so bypass it: scan only the allowed vectors
+    *    (broadcast-semi-joined into the postings) and rank exactly.
+    *    Recall = 1.0 by construction, cost ∝ |allowed| × |queries|.
+    *  - IVF POST-FILTER (broad): probe nprobe cells as usual and push
+    *    the allowed-id semi-join BENEATH the distance computation, so
+    *    cosines are only ever computed for rows that can be returned.
+    *    A post-filter ABOVE the top-k (the naive shape) would instead
+    *    return fewer than k rows whenever filtered-out vectors crowd
+    *    the shortlist.
+    *
+    * Scale: the allowed set broadcasts when Spark's size estimate allows
+    * (a semi-join never widens rows); at 100 TB with a non-selective
+    * predicate it degrades to a shuffled semi-join of (id) pairs — the
+    * minimum possible shuffle for the semantics. Tombstones compose: both
+    * arms search the live view. */
+  def searchIvfFiltered(spark: SparkSession, location: String,
+      allowed: DataFrame, allowedIdCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2, exactCap: Long = 10000L): DataFrame = {
+    require(readManifest(location).exists(_.indexType == "ivf"),
+      s"no IVF index at $location")
+    val ids = allowed.select(col(allowedIdCol).cast("long").as("vec_id"))
+    val scoped =
+      if (takesExactPath(ids, exactCap))
+        withoutTombstones(spark, location,
+            spark.read.parquet(s"$location/postings"))
+          .join(ids, Seq("vec_id"), "left_semi")
+          .join(broadcast(queries.select(
+            col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+      else {
+        val (probes, probedCids) =
+          probe(spark, location, queries, qidCol, qvecCol, nprobe)
+        withoutTombstones(spark, location,
+            prunedPostings(spark, location, probedCids))
+          .join(ids, Seq("vec_id"), "left_semi")
+          .join(broadcast(probes), Seq("cid"))
+      }
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scoped
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosine(col("__q"), col("embedding")), 6).as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+  }
+
+  /** [[searchIvfFiltered]] for an IVF-PQ index. The broad arm pushes the
+    * allowed-id semi-join beneath BOTH stages — ADC candidate generation
+    * and the exact rerank — because a filter applied only at rerank would
+    * let filtered-out vectors crowd the `rerank` shortlist and starve the
+    * final top-k (the same two-stage discipline as the tombstone path,
+    * q205). The selective arm bypasses quantization entirely: PQ exists
+    * to avoid scanning the corpus, and a ≤`exactCap` scan is already
+    * cheaper than the probe machinery — and exact, where ADC is lossy. */
+  def searchIvfPqFiltered(spark: SparkSession, location: String,
+      allowed: DataFrame, allowedIdCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      exactCap: Long = 10000L): DataFrame = {
+    val man = readManifest(location)
+    require(man.exists(_.indexType == "ivf_pq"), s"no IVF-PQ index at $location")
+    val ids = allowed.select(col(allowedIdCol).cast("long").as("vec_id"))
+    if (takesExactPath(ids, exactCap)) {
+      // postings carry the full vectors alongside the codes (the rerank
+      // needs them anyway) — the exact arm reads those and never decodes
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      withoutTombstones(spark, location,
+          spark.read.parquet(s"$location/postings"))
+        .join(ids, Seq("vec_id"), "left_semi")
+        .join(broadcast(queries.select(
+          col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("__q"), col("embedding")), 6).as("score"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+    } else {
+      val m = man.get.m
+      val codebook = spark.read.parquet(s"$location/codebook")
+      val (probes, probedCids) =
+        probe(spark, location, queries, qidCol, qvecCol, nprobe)
+      val postings = withoutTombstones(spark, location,
+          prunedPostings(spark, location, probedCids))
+        .join(ids, Seq("vec_id"), "left_semi")
+
+      val dim = queries.select(size(col(qvecCol))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val subDim = dim / m
+      val dtable = queries.select(col(qidCol).as("qid"),
+          explode(array((0 until m).map(s =>
+            struct(lit(s).as("s"),
+              slice(col(qvecCol), s * subDim + 1, subDim).as("qsv"))): _*)).as("__e"))
+        .select(col("qid"), col("__e.s").as("s"), col("__e.qsv").as("qsv"))
+        .join(broadcast(codebook), Seq("s"))
+        .select(col("qid"), col("s"), col("c"),
+          ProductQuantization.l2sq(col("qsv"), col("cvec")).as("partial"))
+
+      val wApprox = Window.partitionBy(col("qid"))
+        .orderBy(col("approx_l2sq"), col("vec_id"))
+      val candidates = postings
+        .join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
+        .join(broadcast(dtable), Seq("qid", "s", "c"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
+          .as("approx_l2sq"))
+        .withColumn("__rn", row_number().over(wApprox))
+        .filter(col("__rn") <= rerank)
+        .select(col("qid"), col("vec_id"))
+
+      ProductQuantization.rerankExact(candidates,
+        postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
+    }
+  }
+
   // ---- catalog registration ------------------------------------------
 
   /** Register (or refresh) the index as a catalog table whose location IS

@@ -1392,6 +1392,89 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q206: FILTERED vector search, the BROAD arm — top-k among only the
+    * vectors whose metadata passes `label >= 2` (~80% of the corpus).
+    * The predicate is evaluated on the base table (the index stores no
+    * metadata) and [[graft.ops.AnnIndex.searchIvfFiltered]] keeps the
+    * IVF probe, pushing the allowed-id semi-join BENEATH the distance
+    * computation — a post-filter above the top-k would return fewer
+    * than k rows whenever filtered-out vectors crowd the shortlist.
+    * Oracle = q117's replay with the assigned side filtered (the q204
+    * device): assignment is per-row, so filter-then-assign ≡
+    * assign-then-filter. */
+  def q206FilteredIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    AnnIndex.searchIvfFiltered(s, loc,
+      emb.filter(col("label") >= 2).select(col("vec_id")), "vec_id",
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, exactCap = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q207: FILTERED vector search, the SELECTIVE arm — the predicate
+    * (`label = 5 AND vec_id % 2 = 0`, ~4–5% of the corpus) passes fewer
+    * ids than `exactCap`, so the engine bypasses the probe layer and
+    * scans the allowed vectors exactly. The oracle is a TRUE independent
+    * oracle (filtered brute-force top-k, not a replay of the engine's
+    * plan): the exact arm promises recall 1.0, and this gate hash-pins
+    * that promise. */
+  def q207FilteredExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    AnnIndex.searchIvfFiltered(s, loc,
+      emb.filter(col("label") === 5 && col("vec_id") % 2 === 0)
+        .select(col("vec_id")), "vec_id",
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, exactCap = 2000)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q207Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM (SELECT * FROM embeddings WHERE vec_id >= 100 AND vec_id < 103) q
+       |  JOIN (SELECT * FROM embeddings
+       |        WHERE label = 5 AND vec_id % 2 = 0) e ON e.vec_id <> q.vec_id)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** q208: q206's IVF-PQ twin — the allowed-id semi-join lands beneath
+    * BOTH stages (ADC candidate generation and exact rerank), the same
+    * two-stage discipline the delete gate q205 pins for tombstones.
+    * Oracle = q121's replay with the assigned side filtered. */
+  def q208FilteredIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfpq-seeded")
+    AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec",
+      graft.ops.ProductQuantization.seedCodebook(
+        emb, "vec_id", "embedding", m = M, k = CodebookK),
+      m = M, loc, s"$d/embeddings.parquet")
+    AnnIndex.searchIvfPqFiltered(s, loc,
+      emb.filter(col("label") >= 2).select(col("vec_id")), "vec_id",
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 100, exactCap = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** q202: per-cell posting counts of the persisted IVF index — the
     * cell-balance report an owner watches between rebuilds (frozen
     * centroids drift out of balance as appends accumulate; a fat cell IS
@@ -1431,6 +1514,9 @@ object SimilarityQueries {
     "q203_persisted_trained_ivf" -> (q203PersistedTrainedIvf _),
     "q204_index_delete" -> (q204IndexDelete _),
     "q205_index_delete_pq" -> (q205IndexDeletePq _),
+    "q206_filtered_ivf" -> (q206FilteredIvf _),
+    "q207_filtered_exact" -> (q207FilteredExact _),
+    "q208_filtered_ivfpq" -> (q208FilteredIvfPq _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1469,6 +1555,12 @@ object SimilarityQueries {
     // build/search twins, with only the assigned side filtered
     "q204_index_delete" -> ivfSeededSql(" WHERE e.vec_id % 7 <> 3"),
     "q205_index_delete_pq" -> ivfPqSeededSql(" WHERE e.vec_id % 7 <> 3"),
+    // filtered search, broad arm: the same replay with the assigned side
+    // restricted to the metadata predicate; the selective arm (q207) gets
+    // a TRUE brute-force oracle instead — the exact path promises recall 1
+    "q206_filtered_ivf" -> ivfSeededSql(" WHERE e.label >= 2"),
+    "q207_filtered_exact" -> q207Sql,
+    "q208_filtered_ivfpq" -> ivfPqSeededSql(" WHERE e.label >= 2"),
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

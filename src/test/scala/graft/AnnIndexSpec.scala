@@ -418,4 +418,112 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("filtered search, selective arm: bypasses the probe layer and is " +
+      "EXACT — ≡ brute force over the filtered corpus (recall 1.0)") {
+    val loc = tmpLoc("ivf-filt-exact")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    val pred = col("label") === 5 && col("vec_id") % 2 === 0
+    val got = AnnIndex.searchIvfFiltered(spark, loc,
+      emb.filter(pred).select(col("vec_id")), "vec_id",
+      queries, "qid", "qvec", k = 10, nprobe = 3, exactCap = 1000000L)
+      .orderBy("qid", "rank").collect()
+    val want = Similarity.bruteForceTopK(emb.filter(pred),
+      "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+      .orderBy("qid", "rank").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("filtered search, broad arm: keeps the IVF probe and pushes the " +
+      "allowed-id semi-join beneath scoring — ≡ ivfTopK over the " +
+      "pre-filtered corpus (frozen centroids)") {
+    val loc = tmpLoc("ivf-filt-broad")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    val pred = col("label") >= 2
+    // exactCap = 0 forces the IVF arm regardless of the filter's size
+    val got = AnnIndex.searchIvfFiltered(spark, loc,
+      emb.filter(pred).select(col("vec_id")), "vec_id",
+      queries, "qid", "qvec", k = 10, nprobe = 3, exactCap = 0L)
+      .orderBy("qid", "rank").collect()
+    val want = Similarity.ivfTopK(emb.filter(pred), "vec_id", "embedding",
+      queries, "qid", "qvec", seededCells, "cid", "cvec",
+      k = 10, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    // a post-filter ABOVE the top-k would under-fill k; the pushed-down
+    // semi-join must still return full shortlists on a broad filter
+    val perQid = got.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQid.values.forall(_ == 10),
+      s"under-filled shortlist: $perQid")
+  }
+
+  test("filtered-search path decision counts no further than the cap and " +
+      "flips exactly at it") {
+    val ids = emb.filter(col("label") === 5 && col("vec_id") % 2 === 0)
+      .select(col("vec_id"))
+    val n = ids.count()
+    assert(n > 1, "fixture predicate must pass more than one id")
+    assert(AnnIndex.takesExactPath(ids, n))
+    assert(!AnnIndex.takesExactPath(ids, n - 1))
+    assert(!AnnIndex.takesExactPath(ids, 0L))
+  }
+
+  test("filtered search composes with tombstones: a deleted id drops out " +
+      "of BOTH arms even when it passes the metadata filter") {
+    val loc = tmpLoc("ivf-filt-del")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", loc, source)
+    val pred = col("label") >= 2
+    // delete an id that the unfiltered broad search retrieves at rank 1
+    val first = AnnIndex.searchIvfFiltered(spark, loc,
+      emb.filter(pred).select(col("vec_id")), "vec_id",
+      queries, "qid", "qvec", k = 1, nprobe = 3, exactCap = 0L)
+      .collect().head.getLong(2)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") === first), "vec_id", loc)
+    for (cap <- Seq(0L, 1000000L)) {
+      val got = AnnIndex.searchIvfFiltered(spark, loc,
+        emb.filter(pred).select(col("vec_id")), "vec_id",
+        queries, "qid", "qvec", k = 10, nprobe = 3, exactCap = cap)
+        .collect()
+      assert(got.nonEmpty)
+      assert(!got.exists(_.getLong(2) == first),
+        s"tombstoned id $first retrieved with exactCap=$cap")
+    }
+  }
+
+  test("filtered IVF-PQ search: broad arm ≡ searchIvfPq over the " +
+      "pre-filtered corpus; selective arm ≡ brute force") {
+    val loc = tmpLoc("ivfpq-filt")
+    val codebook = ProductQuantization.seedCodebook(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    val pqQueries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    AnnIndex.ensureIvfPq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", codebook, m = 8, loc, source)
+    val broad = col("label") >= 2
+    val gotBroad = AnnIndex.searchIvfPqFiltered(spark, loc,
+      emb.filter(broad).select(col("vec_id")), "vec_id",
+      pqQueries, "qid", "qvec", k = 10, nprobe = 3, rerank = 100,
+      exactCap = 0L).orderBy("qid", "rank").collect()
+    val wantBroad = ProductQuantization.searchIvfPq(
+      emb.filter(broad), "vec_id", "embedding",
+      pqQueries, "qid", "qvec", seededCells, "cid", "cvec",
+      codebook, m = 8, k = 10, nprobe = 3, rerank = 100)
+      .orderBy("qid", "rank").collect()
+    assert(gotBroad.nonEmpty)
+    assert(gotBroad.toSeq == wantBroad.toSeq)
+    val narrow = col("label") === 5 && col("vec_id") % 2 === 0
+    val gotNarrow = AnnIndex.searchIvfPqFiltered(spark, loc,
+      emb.filter(narrow).select(col("vec_id")), "vec_id",
+      pqQueries, "qid", "qvec", k = 10, nprobe = 3, rerank = 100,
+      exactCap = 1000000L).orderBy("qid", "rank").collect()
+    val wantNarrow = Similarity.bruteForceTopK(emb.filter(narrow),
+      "vec_id", "embedding", pqQueries, "qid", "qvec", k = 10)
+      .orderBy("qid", "rank").collect()
+    assert(gotNarrow.nonEmpty)
+    assert(gotNarrow.toSeq == wantNarrow.toSeq)
+  }
 }

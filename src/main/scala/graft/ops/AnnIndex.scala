@@ -84,7 +84,7 @@ object AnnIndex {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def writeManifest(dir: Path, m: Manifest): Unit = {
+  private[ops] def writeManifest(dir: Path, m: Manifest): Unit = {
     val props = new java.util.Properties()
     props.setProperty("graft.index.type", m.indexType)
     props.setProperty("graft.index.metric", m.metric)
@@ -133,7 +133,7 @@ object AnnIndex {
   /** Build the index into a staging dir, then atomically publish it at
     * `location`. Returns false if another builder won the publish race
     * (the existing index is kept). */
-  private def buildAndPublish(location: String, manifest: Manifest)
+  private[ops] def buildAndPublish(location: String, manifest: Manifest)
       (write: Path => Unit): Boolean = {
     val target = Paths.get(location)
     Option(target.getParent).foreach(Files.createDirectories(_))
@@ -154,7 +154,7 @@ object AnnIndex {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[ops] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
       try {
@@ -663,11 +663,15 @@ object AnnIndex {
       // structures — and a capability-pointer table must never need to
       // scan its location just to be registered. Reads of the index go
       // through searchIvf/searchIvfPq, which interpret the layout.
-      val codesCol =
-        if (man.indexType == "ivf_pq") ", codes ARRAY<INT>" else ""
+      val schema = man.indexType match {
+        case "ivf_pq" =>
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, codes ARRAY<INT>, cid INT"
+        case "inverted" => "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, bkt INT"
+        case _ => "vec_id BIGINT, embedding ARRAY<FLOAT>, cid INT"
+      }
       spark.sql(
         s"""CREATE TABLE $tableName
-           |  (vec_id BIGINT, embedding ARRAY<FLOAT>$codesCol, cid INT)
+           |  ($schema)
            |LOCATION '$location'
            |TBLPROPERTIES (
            |  'graft.index.location' = '$location',

@@ -1,0 +1,264 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED text index — the full-text-search sibling of
+  * [[AnnIndex]]'s vector indexes, completing the reference's index-type
+  * family (its format offers scalar, full-text, and vector indexes over a
+  * table; the catalog layer hands out the location pointer either way).
+  *
+  * The in-query BM25 gate ([[TextRanking.bm25]], q101) tokenizes the
+  * corpus per invocation. At 100 TB that tokenize-and-count pass IS the
+  * cost — so, exactly like the vector lifecycle, build once / search many:
+  *
+  * On-disk layout under `location`:
+  * {{{
+  *   postings/bkt=<n>/...  (term, doc_id, tf, dl) PARTITIONED BY a
+  *                         term-hash bucket — a query's terms name their
+  *                         buckets BEFORE the scan, so the read carries a
+  *                         static `bkt IN (...)` partition filter and a
+  *                         search touches ~|terms|/nBuckets of the bytes
+  *   doclens/              (doc_id, dl) — narrow per-doc lengths; feeds
+  *                         delete-time stats capture, never searched
+  *   stats/                (n_docs, sum_dl) DELTA ROWS — one per
+  *                         build/append; searches SUM them, so an append
+  *                         never rewrites history
+  *   tombstones/           (doc_id, dl) — deletes since compaction;
+  *                         searches anti-join ids AND subtract the dl
+  *                         mass from the corpus stats (BM25's idf/avgdl
+  *                         must see the filtered corpus, not just a
+  *                         filtered result list)
+  *   _MANIFEST.properties  type=inverted/metric=bm25/nlist=nBuckets/
+  *                         fingerprint
+  * }}}
+  *
+  * Everything the score needs beyond the query is IN the index: tf and dl
+  * ride each posting row, df(t) is the live row count of the term's
+  * postings, (n, sum_dl) come from the stats deltas. Search therefore
+  * reads: the probed buckets + the few stats rows. No corpus access.
+  *
+  * Determinism: tf/df/dl/n/sum_dl are exact integers persisted losslessly,
+  * and [[searchBm25]] recomputes the score with the IDENTICAL expression
+  * tree as [[TextRanking.bm25]] (same double-precision idf/tf terms, same
+  * decimal(38,18) per-doc sum) — so persisted search is hash-identical to
+  * the in-query twin, which is what the q209 gate pins against q101's
+  * oracle.
+  *
+  * Reuses [[AnnIndex]]'s manifest codec, fingerprint staleness, atomic
+  * staging-dir publish, and tombstone discipline — one lifecycle contract
+  * across index families.
+  */
+object TextIndex {
+
+  /** Bucket of a term: first 8 md5 hex chars mod nBuckets. The SAME
+    * arithmetic driver-side (here, for the search's pruning literals —
+    * no Spark job needed) and executor-side ([[bucketCol]], at build) —
+    * the md5-derived-determinism device the LSH family already uses. */
+  def bucketOf(term: String, nBuckets: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(term.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+  }
+
+  private def bucketCol(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
+      .cast("int")
+
+  /** The tokenize → (term, doc) tf/dl frame both build and append share —
+    * the exact token pipeline of [[TextRanking.bm25]] (lowercase, trim,
+    * whitespace split; empty-string tokens INDEXED, because the in-query
+    * twin counts them in dl and a query could legitimately ask for any
+    * term the tokenizer emits). One corpus scan; the (term, doc) count is
+    * map-side combinable. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val base = TextFunctions.widen(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    (postings, base.select(col("doc_id"), col("dl")))
+  }
+
+  /** Build (or reuse, if the source fingerprint is unchanged) an inverted
+    * index at `location`. Same contract as [[AnnIndex.ensureIvf]]:
+    * returns true iff a build ran; a manifest-less residue is cleared;
+    * publish is an atomic rename. */
+  def ensureInverted(docs: DataFrame, idCol: String, textCol: String,
+      location: String, sourcePath: String, nBuckets: Int = 64,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(
+      AnnIndex.sourceFingerprint(sourcePath))
+    AnnIndex.readManifest(location) match {
+      case Some(m) if m.fingerprint == fp && m.indexType == "inverted" &&
+          m.nlist == nBuckets => false
+      case _ =>
+        AnnIndex.deleteRecursively(Paths.get(location))
+        val (postings, doclens) = tokenized(docs, idCol, textCol)
+        AnnIndex.buildAndPublish(location,
+          AnnIndex.Manifest("inverted", "bm25", nBuckets, 0, fp)) { staging =>
+          postings.withColumn("bkt", bucketCol(col("term"), nBuckets))
+            .repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$staging/postings")
+          doclens.write.mode("overwrite").parquet(s"$staging/doclens")
+          doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+        }
+    }
+  }
+
+  /** Incrementally ADD documents: tokenize ONLY the delta, append its
+    * postings into the bucketed layout, its doclens, and ONE new stats
+    * delta row — history is never rewritten; searches sum the deltas.
+    * df(t) needs no maintenance at all (it is the live row count of the
+    * term's postings). Same crash discipline as [[AnnIndex.appendIvf]]:
+    * the caller builds with a `partial:` fingerprint and this re-stamps
+    * `newFingerprint` only AFTER the appends commit. */
+  def appendInverted(delta: DataFrame, idCol: String, textCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "inverted", s"not an inverted index: $location")
+    val (postings, doclens) = tokenized(delta, idCol, textCol)
+    postings.withColumn("bkt", bucketCol(col("term"), man.nlist))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$location/postings")
+    doclens.write.mode("append").parquet(s"$location/doclens")
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$location/stats")
+    AnnIndex.writeManifest(Paths.get(location),
+      man.copy(fingerprint = newFingerprint))
+  }
+
+  // ---- delete ----------------------------------------------------------
+
+  private def tombstoneDir(location: String) =
+    Paths.get(s"$location/tombstones")
+
+  def hasTombstones(location: String): Boolean =
+    Files.exists(tombstoneDir(location))
+
+  /** DELETE documents — tombstones, never a postings rewrite (the
+    * [[AnnIndex.deleteIds]] discipline). BM25 needs one thing more than
+    * the vector path did: the deleted docs' LENGTH MASS, because idf and
+    * avgdl are corpus statistics — a delete that only dropped result rows
+    * would keep scoring the survivors against the old corpus. So the
+    * delete job captures (doc_id, dl) from the narrow doclens table ONCE,
+    * here at delete time (a delete-batch-sized semi-join; deletes are
+    * rare, searches frequent — the cost belongs on this side), and every
+    * search subtracts the tombstones' count/dl from the stats deltas.
+    * Set semantics: ids never indexed vanish in the semi-join; re-deletes
+    * land duplicate rows that the search-side `distinct()` folds. */
+  def deleteDocs(ids: DataFrame, idCol: String, location: String): Unit = {
+    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    val spark = ids.sparkSession
+    spark.read.parquet(s"$location/doclens")
+      .join(broadcast(ids.select(col(idCol).cast("long").as("doc_id"))
+        .distinct()), Seq("doc_id"), "left_semi")
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneDir(location).toString)
+  }
+
+  // ---- search ----------------------------------------------------------
+
+  /** BM25 over the persisted index: reads ONLY the query terms' buckets
+    * (static `bkt IN (...)` partition pruning, the cid device) plus the
+    * stats delta rows. tf/dl ride the posting rows; df(t) is the live
+    * per-term row count; (n, sum_dl) = Σ stats deltas − tombstone mass.
+    * Scoring is the verbatim [[TextRanking.bm25]] expression tree, so
+    * persisted ≡ in-query bit-for-bit (gate q209 ≡ q101).
+    * Returns (doc_id, score) for every doc matching ≥1 term. */
+  def searchBm25(spark: SparkSession, location: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "inverted", s"not an inverted index: $location")
+    require(queryTerms.nonEmpty, "searchBm25: queryTerms must be non-empty")
+    val bkts = queryTerms.map(bucketOf(_, man.nlist)).distinct.sorted
+    val raw = spark.read.parquet(s"$location/postings")
+      .filter(col("bkt").isin(bkts.map(Int.box): _*))
+      .filter(col("term").isInCollection(queryTerms))
+    val tombs =
+      if (!hasTombstones(location)) None
+      else Some(spark.read.parquet(tombstoneDir(location).toString)
+        .select(col("doc_id"), col("dl")).distinct())
+    val live = tombs.fold(raw)(t =>
+      raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
+    val rawStats = spark.read.parquet(s"$location/stats")
+      .agg(sum(col("n_docs")).as("__n"), sum(col("sum_dl")).as("__sumdl"))
+    val stats = tombs.fold(rawStats)(t =>
+      rawStats.crossJoin(broadcast(t.agg(
+          count(lit(1)).as("__tn"), sum(col("dl")).as("__tdl"))))
+        .select((col("__n") - col("__tn")).as("__n"),
+          (col("__sumdl") - coalesce(col("__tdl"), lit(0L))).as("__sumdl")))
+    val dfreq = live.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfTerm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    live.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum((idf * tfTerm).cast("decimal(38,18)")).cast("double")
+        .as("score"))
+      .select(col("doc_id"), col("score"))
+  }
+
+  // ---- compaction ------------------------------------------------------
+
+  /** Fold tombstones into the physical layout: postings minus deleted
+    * docs rewritten one file per bucket, doclens minus deleted, stats
+    * collapsed to ONE true row, tombstones cleared after the swaps
+    * commit. Same atomic old-or-new swap as [[AnnIndex.compactIvf]];
+    * live search results are unchanged by construction. */
+  def compactInverted(spark: SparkSession, location: String): Unit = {
+    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    val tombIds =
+      if (!hasTombstones(location))
+        spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+      else spark.read.parquet(tombstoneDir(location).toString)
+        .select(col("doc_id")).distinct()
+    val pid = ProcessHandle.current().pid()
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val staging = s"$location/$sub.compact.$pid"
+      write(staging)
+      val livePath = Paths.get(s"$location/$sub")
+      val retired = Paths.get(s"$location/$sub.retired.$pid")
+      Files.move(livePath, retired, StandardCopyOption.ATOMIC_MOVE)
+      try Files.move(Paths.get(staging), livePath,
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: Throwable =>
+          Files.move(retired, livePath, StandardCopyOption.ATOMIC_MOVE)
+          throw e
+      }
+      AnnIndex.deleteRecursively(retired)
+    }
+    val doclens = spark.read.parquet(s"$location/doclens")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+      .cache()
+    val postings = spark.read.parquet(s"$location/postings")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    swap("postings")(st => postings.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(st))
+    swap("doclens")(st =>
+      doclens.write.mode("overwrite").parquet(st))
+    swap("stats")(st => doclens
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(st))
+    doclens.unpersist()
+    AnnIndex.deleteRecursively(tombstoneDir(location))
+  }
+}

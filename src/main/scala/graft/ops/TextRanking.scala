@@ -72,10 +72,11 @@ object TextRanking {
   /** DuckDB mirror of the BM25 score expression pipeline, parameterized
     * the same way — single source for every oracle that replays it. The
     * caller supplies the terms as a SQL list literal. */
-  def bm25Sql(termsList: String, k1: Double = 1.2, b: Double = 0.75): String =
+  def bm25Sql(termsList: String, k1: Double = 1.2, b: Double = 0.75,
+      where: String = ""): String =
     s"""WITH base AS (
        |  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-       |  FROM documents),
+       |  FROM documents$where),
        |lens AS (SELECT id, CAST(len(tk) AS BIGINT) AS dl FROM base),
        |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
        |toks AS (

@@ -255,7 +255,85 @@ object RetrievalQueries {
        |      CAST(least(pool.R, 10) AS DOUBLE), 6) END AS ap
        |FROM per LEFT JOIN pool USING (qid) ORDER BY per.qid""".stripMargin
 
+  /** Run-scoped root for persisted text indexes — the
+    * [[SimilarityQueries]] ANN device, one dir per (sf basename, name). */
+  private def textIndexLocation(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-text-index/" +
+      s"${new java.io.File(d).getName}/$name"
+
+  /** q209: q101's BM25 run over a PERSISTED, CATALOG-REGISTERED inverted
+    * index — the build-once/search-many split for full text, completing
+    * the reference's index-type family next to the vector lifecycle
+    * (q197/q198). [[graft.ops.TextIndex.ensureInverted]] materializes
+    * (term, doc, tf, dl) postings PARTITIONED BY term-hash bucket (the
+    * query's terms name their buckets before the scan — static pruning,
+    * the cid device), and the search reads probed buckets + stats rows
+    * only: the corpus is never re-tokenized. Hash-gated against q101's
+    * oracle: persisted ≡ in-query, bit for bit. */
+  def q209PersistedBm25(s: SparkSession, d: String): DataFrame = {
+    val loc = textIndexLocation(d, "inverted")
+    graft.ops.TextIndex.ensureInverted(Tables.documents(s, d),
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    CatalogQueries.ensureCatalog(s)
+    graft.ops.AnnIndex.registerIndexTable(s, "graft.tpch.docs_fts_idx", loc)
+    val resolved =
+      graft.ops.AnnIndex.resolveIndexLocation(s, "graft.tpch.docs_fts_idx")
+    graft.ops.TextIndex.searchBm25(s, resolved, Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** q210: the inverted index's INCREMENTAL-INGEST path — build on the
+    * even half (`partial:` fingerprint), append the odd half, search.
+    * tf/dl are per-doc, df/stats are derived at search time from the
+    * combined postings and stats DELTAS, so build+append must be
+    * indistinguishable from one-shot: q101's oracle, hash-checked. */
+  def q210Bm25Append(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = textIndexLocation(d, "inverted-append")
+    val src = s"$d/documents.parquet"
+    val fpFull = graft.ops.AnnIndex.sourceFingerprint(src)
+    if (!graft.ops.AnnIndex.readManifest(loc)
+        .exists(m => m.indexType == "inverted" && m.fingerprint == fpFull)) {
+      graft.ops.TextIndex.ensureInverted(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", loc, src,
+        fingerprintOverride = Some(s"partial:$fpFull"))
+      graft.ops.TextIndex.appendInverted(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", loc, newFingerprint = fpFull)
+    }
+    graft.ops.TextIndex.searchBm25(s, loc, Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** q211: DELETE from the inverted index — tombstone every doc_id ≡ 3
+    * (mod 7), search. BM25 makes delete ≡ filter STRICTER than the
+    * vector twin (q204): idf and avgdl are corpus statistics, so the
+    * tombstones must subtract their length mass from the stats, not just
+    * drop result rows — the oracle recomputes BM25 over the filtered
+    * corpus and the hash pins both effects. */
+  def q211Bm25Delete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = textIndexLocation(d, "inverted-delete")
+    val built = graft.ops.TextIndex.ensureInverted(docs,
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    if (built || !graft.ops.TextIndex.hasTombstones(loc))
+      graft.ops.TextIndex.deleteDocs(
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", loc)
+    graft.ops.TextIndex.searchBm25(s, loc, Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  private def bm25TopSql(where: String): String =
+    s"""WITH scored AS (${TextRanking.bm25Sql(TermsSql, where = where)})
+       |SELECT id AS doc_id, round(score, 6) AS bm25
+       |FROM scored ORDER BY bm25 DESC, id LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_persisted_bm25" -> (q209PersistedBm25 _),
+    "q210_bm25_append" -> (q210Bm25Append _),
+    "q211_bm25_delete" -> (q211Bm25Delete _),
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
     "q106_negative_sample" -> (q106NegativeSample _),
@@ -264,6 +342,12 @@ object RetrievalQueries {
     "q113_keywords" -> (q113Keywords _))
 
   val oracles: Map[String, String] = Map(
+    // persisted-FTS searches replay q101's oracle (persisted ≡ in-query);
+    // the delete gate pins delete ≡ filter INCLUDING the corpus-stats
+    // effect on idf/avgdl — the oracle recomputes over the filtered docs
+    "q209_persisted_bm25" -> q101Sql,
+    "q210_bm25_append" -> q101Sql,
+    "q211_bm25_delete" -> bm25TopSql(" WHERE doc_id % 7 <> 3"),
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, TextIndex, TextRanking}
+
+/** The persisted INVERTED text index — [[graft.ops.TextIndex]]. Pins
+  * (1) persisted BM25 ≡ the in-query [[TextRanking.bm25]] bit-for-bit,
+  * (2) the postings scan is partition-pruned to the query terms' buckets,
+  * (3) fingerprint-gated rebuilds, (4) build+append ≡ one-shot,
+  * (5) delete ≡ filter INCLUDING the corpus-stats effect on idf/avgdl,
+  * (6) compaction folds tombstones without changing results. */
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val source = s"$sfDir/documents.parquet"
+  private val terms = Seq("dup", "vector", "spark")
+
+  private def tmpLoc(name: String): String =
+    s"${Files.createTempDirectory("graft-ftsspec").toString}/$name"
+
+  private def inQuery(base: org.apache.spark.sql.DataFrame) =
+    TextRanking.bm25(base, "doc_id", "text", terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+
+  private def persisted(loc: String) =
+    TextIndex.searchBm25(spark, loc, terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+
+  test("persisted BM25 is row-identical to the in-query bm25") {
+    val loc = tmpLoc("fts")
+    assert(TextIndex.ensureInverted(docs, "doc_id", "text", loc, source),
+      "first ensure must build")
+    val got = persisted(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == inQuery(docs).toSeq)
+  }
+
+  test("postings scan is partition-pruned to the query terms' buckets") {
+    val loc = tmpLoc("fts-prune")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    val df = TextIndex.searchBm25(spark, loc, terms)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains("bkt") && l.contains(" IN "))
+    assert(pruned, s"expected a static bkt IN (...) partition filter:\n$plan")
+  }
+
+  test("unchanged fingerprint skips the build; a changed source rebuilds") {
+    val loc = tmpLoc("fts-fresh")
+    assert(TextIndex.ensureInverted(docs, "doc_id", "text", loc, source))
+    assert(!TextIndex.ensureInverted(docs, "doc_id", "text", loc, source),
+      "fresh index must not rebuild")
+    // simulate a new data drop by stamping a different fingerprint
+    assert(TextIndex.ensureInverted(docs, "doc_id", "text", loc, source,
+      fingerprintOverride = Some("other")), "stale index must rebuild")
+  }
+
+  test("incremental append: build-half + append-half ≡ one-shot (df and " +
+      "stats derived from the combined deltas)") {
+    val loc = tmpLoc("fts-append")
+    val fp = AnnIndex.sourceFingerprint(source)
+    TextIndex.ensureInverted(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", loc, source,
+      fingerprintOverride = Some(s"partial:$fp"))
+    TextIndex.appendInverted(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", loc, newFingerprint = fp)
+    assert(AnnIndex.readManifest(loc).exists(_.fingerprint == fp),
+      "append must re-stamp the full fingerprint")
+    val got = persisted(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == inQuery(docs).toSeq)
+  }
+
+  test("delete ≡ filter: tombstoned docs leave BOTH the result list and " +
+      "the corpus statistics (idf/avgdl see the filtered corpus)") {
+    val loc = tmpLoc("fts-del")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    TextIndex.deleteDocs(docs.filter(col("doc_id") % 7 === 3), "doc_id", loc)
+    assert(TextIndex.hasTombstones(loc))
+    val got = persisted(loc)
+    val want = inQuery(docs.filter(col("doc_id") % 7 =!= 3))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    assert(!got.exists(_.getLong(0) % 7 == 3), "a deleted doc was retrieved")
+    // re-delete is a no-op (set semantics): results unchanged
+    TextIndex.deleteDocs(docs.filter(col("doc_id") % 7 === 3), "doc_id", loc)
+    assert(persisted(loc).toSeq == want.toSeq)
+  }
+
+  test("compaction folds tombstones: physically removed, dir cleared, " +
+      "results unchanged") {
+    val loc = tmpLoc("fts-compact")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    TextIndex.deleteDocs(docs.filter(col("doc_id") % 7 === 3), "doc_id", loc)
+    val before = persisted(loc)
+    TextIndex.compactInverted(spark, loc)
+    assert(!TextIndex.hasTombstones(loc), "compaction must clear tombstones")
+    val livePostings = spark.read.parquet(s"$loc/postings")
+    assert(livePostings.filter(col("doc_id") % 7 === 3).count() == 0,
+      "deleted docs must be physically gone after compaction")
+    // stats collapsed to the one true row of the filtered corpus
+    val stats = spark.read.parquet(s"$loc/stats").collect()
+    assert(stats.length == 1, "compaction must collapse stats deltas")
+    assert(persisted(loc).toSeq == before.toSeq)
+  }
+
+  test("index is catalog-registrable and resolvable by name") {
+    val loc = tmpLoc("fts-cat")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    AnnIndex.registerIndexTable(spark, "graft.tpch.fts_spec_idx", loc)
+    assert(AnnIndex.resolveIndexLocation(
+      spark, "graft.tpch.fts_spec_idx") == loc)
+  }
+}

@@ -180,7 +180,12 @@ object TextIndex {
     * Returns (doc_id, score) for every doc matching ≥1 term. */
   def searchBm25(spark: SparkSession, location: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
+      : DataFrame =
+    searchBm25Internal(spark, location, queryTerms, k1, b, None)
+
+  private def searchBm25Internal(spark: SparkSession, location: String,
+      queryTerms: Seq[String], k1: Double, b: Double,
+      allowedIds: Option[DataFrame]): DataFrame = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "inverted", s"not an inverted index: $location")
@@ -202,18 +207,42 @@ object TextIndex {
           count(lit(1)).as("__tn"), sum(col("dl")).as("__tdl"))))
         .select((col("__n") - col("__tn")).as("__n"),
           (col("__sumdl") - coalesce(col("__tdl"), lit(0L))).as("__sumdl")))
+    // df from the LIVE (tombstone-cleaned) postings — before any search-
+    // time filter: the filter restricts results, not the corpus
     val dfreq = live.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val scoredRows = allowedIds.fold(live)(ids =>
+      live.join(ids, Seq("doc_id"), "left_semi"))
     val avgdl = col("__sumdl").cast("double") / col("__n")
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val tfTerm = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    live.join(broadcast(dfreq), Seq("term"))
+    scoredRows.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(sum((idf * tfTerm).cast("decimal(38,18)")).cast("double")
         .as("score"))
       .select(col("doc_id"), col("score"))
+  }
+
+  /** FILTERED BM25 over the persisted index: only documents whose ids
+    * pass a metadata predicate (evaluated on the base table, shipped as
+    * the single-column `allowed` frame) can be returned. The semi-join
+    * lands BENEATH the scoring aggregate, so scores are only computed
+    * for returnable docs — but df(t) and (n, sum_dl) stay CORPUS-GLOBAL:
+    * a search-time filter restricts the RESULT SET, it does not redefine
+    * the corpus. That is the semantic line between this and
+    * [[deleteDocs]]: a delete shrinks the corpus (idf/avgdl shift, q211
+    * pins it); a filter leaves every surviving doc's score exactly what
+    * the unfiltered search would give it (q212 pins THAT, by an oracle
+    * that scores globally and filters after). Tombstones compose on the
+    * delete side of the line: they adjust stats AND drop rows. */
+  def searchBm25Filtered(spark: SparkSession, location: String,
+      allowed: DataFrame, allowedIdCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val ids = allowed.select(col(allowedIdCol).cast("long").as("doc_id"))
+    searchBm25Internal(spark, location, queryTerms, k1, b, Some(ids))
   }
 
   // ---- compaction ------------------------------------------------------

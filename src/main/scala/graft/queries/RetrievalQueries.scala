@@ -325,6 +325,35 @@ object RetrievalQueries {
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
   }
 
+  /** q212: FILTERED full-text search — BM25 top-20 among English docs
+    * only (`lang = 'en'`, ~40%). The predicate evaluates on the base
+    * table; [[graft.ops.TextIndex.searchBm25Filtered]] pushes the
+    * allowed-id semi-join beneath the scoring aggregate while df and
+    * (n, sum_dl) stay CORPUS-GLOBAL — a search-time filter restricts the
+    * result set, it does not redefine the corpus (that is q211's delete
+    * semantics, and the two gates pin the two sides of that line). The
+    * oracle scores the FULL corpus and filters after ranking inputs are
+    * fixed: every surviving doc's score must be exactly what the
+    * unfiltered search gives it. */
+  def q212FilteredBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = textIndexLocation(d, "inverted")
+    graft.ops.TextIndex.ensureInverted(docs,
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    graft.ops.TextIndex.searchBm25Filtered(s, loc,
+      docs.filter(col("lang") === "en").select(col("doc_id")), "doc_id",
+      Terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  val q212Sql: String =
+    s"""WITH scored AS (${TextRanking.bm25Sql(TermsSql)})
+       |SELECT id AS doc_id, round(score, 6) AS bm25
+       |FROM scored
+       |WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+       |ORDER BY bm25 DESC, id LIMIT 20""".stripMargin
+
   private def bm25TopSql(where: String): String =
     s"""WITH scored AS (${TextRanking.bm25Sql(TermsSql, where = where)})
        |SELECT id AS doc_id, round(score, 6) AS bm25
@@ -334,6 +363,7 @@ object RetrievalQueries {
     "q209_persisted_bm25" -> (q209PersistedBm25 _),
     "q210_bm25_append" -> (q210Bm25Append _),
     "q211_bm25_delete" -> (q211Bm25Delete _),
+    "q212_filtered_bm25" -> (q212FilteredBm25 _),
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
     "q106_negative_sample" -> (q106NegativeSample _),
@@ -348,6 +378,7 @@ object RetrievalQueries {
     "q209_persisted_bm25" -> q101Sql,
     "q210_bm25_append" -> q101Sql,
     "q211_bm25_delete" -> bm25TopSql(" WHERE doc_id % 7 <> 3"),
+    "q212_filtered_bm25" -> q212Sql,
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,

@@ -111,6 +111,35 @@ class TextIndexSpec extends SparkSpec {
     assert(persisted(loc).toSeq == before.toSeq)
   }
 
+  test("filtered search restricts results but NOT the corpus: surviving " +
+      "docs score exactly as in the unfiltered search (contrast: delete " +
+      "shifts idf/avgdl)") {
+    val loc = tmpLoc("fts-filt")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    val allowed = docs.filter(col("lang") === "en").select(col("doc_id"))
+    val got = TextIndex.searchBm25Filtered(spark, loc, allowed, "doc_id", terms)
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got.forall(r => allowedIds(r.getLong(0))),
+      "a filtered-out doc was returned")
+    // global-stats law: every returned (doc, score) appears VERBATIM in
+    // the unfiltered ranking — the filter must not move any score
+    val unfiltered = persisted(loc).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.forall(r => unfiltered.get(r.getLong(0)).contains(r.getDouble(1))),
+      "filter changed a surviving doc's score")
+    // and it differs from DELETE semantics on the same id set: deleting
+    // the complement shifts the corpus stats, so scores move
+    val locDel = tmpLoc("fts-filt-vs-del")
+    TextIndex.ensureInverted(docs, "doc_id", "text", locDel, source)
+    TextIndex.deleteDocs(docs.filter(col("lang") =!= "en"), "doc_id", locDel)
+    val deleted = persisted(locDel).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(deleted.keySet.subsetOf(allowedIds))
+    assert(deleted.exists { case (id, s) => !unfiltered.get(id).contains(s) },
+      "delete should shift scores (smaller corpus) — it matched filter exactly")
+  }
+
   test("index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("fts-cat")
     TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)

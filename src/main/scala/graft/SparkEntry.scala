@@ -21,7 +21,7 @@ object SparkEntry {
       MultimodalQueries.all ++ TemporalQueries.all ++ SkewQueries.all ++
       PipelineQueries.all ++ CurationQueries.all ++ MaintenanceQueries.all ++
       MutationQueries.all ++ ChunkQueries.all ++ GraphQueries.all ++
-      RetrievalQueries.all ++ ResolutionQueries.all
+      RetrievalQueries.all ++ ResolutionQueries.all ++ ScalarIndexQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       MultimodalQueries.oracles ++ TemporalQueries.oracles ++ SkewQueries.oracles ++
       PipelineQueries.oracles ++ CurationQueries.oracles ++ MaintenanceQueries.oracles ++
       MutationQueries.oracles ++ ChunkQueries.oracles ++ GraphQueries.oracles ++
-      RetrievalQueries.oracles ++ ResolutionQueries.oracles
+      RetrievalQueries.oracles ++ ResolutionQueries.oracles ++ ScalarIndexQueries.oracles
 }

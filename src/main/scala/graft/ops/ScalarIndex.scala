@@ -1,0 +1,358 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SCALAR indexes — the btree/bitmap members of the index-type
+  * family, next to the vector ([[AnnIndex]]) and full-text ([[TextIndex]])
+  * lifecycles. The reference's format offers scalar, full-text, and vector
+  * indexes over a table; the catalog layer hands out a location pointer
+  * either way (`GlueNamespace.java:257-268`), and this module is the
+  * scalar pair of that story re-expressed Spark-first.
+  *
+  * == BTREE (range) ==
+  * On-disk layout under `location`:
+  * {{{
+  *   postings/bkt=<n>/...  (id, key) PARTITIONED BY a range bucket — the
+  *                         build is one `repartitionByRange` (the
+  *                         canonical distributed sort; sampled boundaries,
+  *                         no driver bottleneck), so each bucket holds a
+  *                         contiguous key range
+  *   zonemap/              (bkt, lo, hi, n_rows) DELTA rows — one set per
+  *                         build/append; a search aggregates min(lo) /
+  *                         max(hi) per bucket (≤ nBuckets rows, the only
+  *                         driver-side collect, bounded by construction)
+  *   boundaries/           (bkt, upper) — FROZEN at build; appends assign
+  *                         rows to buckets against these uppers with a
+  *                         codegen'd O(nBuckets) literal-array fold (no
+  *                         join, no shuffle beyond the bucketed write)
+  *   tombstones/           (id) — deletes since compaction; searches
+  *                         anti-join the live view
+  *   _MANIFEST.properties  type=btree/metric=range/nlist=nBuckets/
+  *                         fingerprint
+  * }}}
+  * A range search `[lo, hi]` prunes buckets against the aggregated
+  * zonemap DRIVER-SIDE, so the postings read carries a static
+  * `bkt IN (...)` partition filter (the cid device): at 100 TB a selective
+  * range reads ~overlapping/nBuckets of the bytes, plus the tiny zonemap.
+  * The residual `key BETWEEN lo AND hi` re-applies on the pruned rows in
+  * the key's NATIVE type, so sampling-nondeterministic bucket boundaries
+  * never affect results — the zonemap only has to be conservative, which
+  * min/max of what was actually written always is.
+  *
+  * == BITMAP (equality, low-cardinality) ==
+  * {{{
+  *   postings/k=<value>/...  (id) PARTITIONED BY the (stringified) key —
+  *                           `k IN (...)` prunes to the asked-for values'
+  *                           directories at file-listing time
+  *   values/                 (k, n_rows) DELTA rows — per-value counts
+  *   tombstones/ _MANIFEST   as above (type=bitmap, nlist=cardinality)
+  * }}}
+  * Build refuses high-cardinality keys (`maxCardinality`) — a bitmap over
+  * a near-unique column is a full copy with no pruning story; that column
+  * wants the btree.
+  *
+  * Shared discipline (one lifecycle contract across index families):
+  * [[AnnIndex]]'s manifest codec, stat fingerprint staleness, atomic
+  * staging-dir publish, `partial:` crash-safe build+append stamping,
+  * tombstone DELETEs, and atomic compaction swaps.
+  */
+object ScalarIndex {
+
+  // ---- shared bits -----------------------------------------------------
+
+  private def tombstoneDir(location: String) =
+    Paths.get(s"$location/tombstones")
+
+  def hasTombstones(location: String): Boolean =
+    Files.exists(tombstoneDir(location))
+
+  /** DELETE ids from a scalar index (btree or bitmap) — tombstones, never
+    * a postings rewrite. Unlike BM25 there are no corpus statistics to
+    * adjust: delete ≡ filter on the id set, which is what the spec pins.
+    * Set semantics: re-deletes land duplicate rows the search-side
+    * `distinct()` folds; never-indexed ids simply never match. */
+  def deleteIds(ids: DataFrame, idCol: String, location: String): Unit = {
+    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneDir(location).toString)
+  }
+
+  private def antiTombstones(rows: DataFrame, location: String): DataFrame =
+    if (!hasTombstones(location)) rows
+    else rows.join(
+      broadcast(rows.sparkSession.read.parquet(tombstoneDir(location).toString)
+        .select(col("id")).distinct()),
+      Seq("id"), "left_anti")
+
+  /** The compaction swap [[TextIndex.compactInverted]] uses: write the
+    * folded subtree to a staging dir, atomically retire-and-replace the
+    * live one, roll back on failure. */
+  private def swapDir(location: String, sub: String)(write: String => Unit)
+      : Unit = {
+    val pid = ProcessHandle.current().pid()
+    val staging = s"$location/$sub.compact.$pid"
+    write(staging)
+    val livePath = Paths.get(s"$location/$sub")
+    val retired = Paths.get(s"$location/$sub.retired.$pid")
+    Files.move(livePath, retired, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(staging), livePath,
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        Files.move(retired, livePath, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    AnnIndex.deleteRecursively(retired)
+  }
+
+  // ---- BTREE: build ----------------------------------------------------
+
+  private def btreeRows(df: DataFrame, idCol: String, keyCol: String)
+      : DataFrame =
+    TextFunctions.widen(df)
+      .filter(col(keyCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"))
+
+  /** Build (or reuse, if the source fingerprint is unchanged) a btree
+    * range index at `location`. One distributed range-sort of (id, key)
+    * into `nBuckets` contiguous buckets; the key keeps its NATIVE type in
+    * the postings (the zonemap/boundaries store a double shadow for
+    * driver-side pruning arithmetic — conservative for any integral type
+    * up to 2^53, i.e. every key in scope). Null keys are not indexed (the
+    * scalar-index convention: an indexed search can never return them, so
+    * a query needing `key IS NULL` goes to the base table). */
+  def ensureBtree(df: DataFrame, idCol: String, keyCol: String,
+      location: String, sourcePath: String, nBuckets: Int = 32,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    require(nBuckets >= 1, s"ensureBtree: nBuckets >= 1, got $nBuckets")
+    val fp = fingerprintOverride.getOrElse(
+      AnnIndex.sourceFingerprint(sourcePath))
+    AnnIndex.readManifest(location) match {
+      case Some(m) if m.fingerprint == fp && m.indexType == "btree" &&
+          m.nlist == nBuckets => false
+      case _ =>
+        AnnIndex.deleteRecursively(Paths.get(location))
+        val rows = btreeRows(df, idCol, keyCol)
+        AnnIndex.buildAndPublish(location,
+          AnnIndex.Manifest("btree", "range", nBuckets, 0, fp)) { staging =>
+          val bucketed = rows
+            .repartitionByRange(nBuckets, col("key"), col("id"))
+            .withColumn("bkt", spark_partition_id())
+          bucketed.write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$staging/postings")
+          val written = df.sparkSession.read.parquet(s"$staging/postings")
+          val zm = written.groupBy(col("bkt"))
+            .agg(min(col("key").cast("double")).as("lo"),
+              max(col("key").cast("double")).as("hi"),
+              count(lit(1)).as("n_rows"))
+          zm.coalesce(1).write.mode("overwrite").parquet(s"$staging/zonemap")
+          zm.select(col("bkt"), col("hi").as("upper"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/boundaries")
+        }
+    }
+  }
+
+  /** Incrementally ADD rows against the FROZEN build-time boundaries: a
+    * codegen'd fold over the ≤nBuckets-entry upper-bound literal array
+    * assigns each row's bucket (rows beyond the last upper land in the
+    * highest bucket; rows in boundary gaps go to the next bucket up —
+    * either way the appended zonemap DELTA records the true min/max, so
+    * pruning stays conservative and exact). Same crash discipline as
+    * [[AnnIndex.appendIvf]]: build with a `partial:` fingerprint, and this
+    * re-stamps `newFingerprint` only AFTER the appends commit. */
+  def appendBtree(delta: DataFrame, idCol: String, keyCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val spark = delta.sparkSession
+    // bounded driver read: one row per non-empty bucket (≤ nlist)
+    val bounds = spark.read.parquet(s"$location/boundaries")
+      .orderBy(col("bkt")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    require(bounds.nonEmpty, s"btree index at $location has no buckets")
+    val bktIds = bounds.map(_._1)
+    val uppers = bounds.map(_._2).dropRight(1) // last bucket is open-ended
+    val rows = btreeRows(delta, idCol, keyCol)
+    val slot =
+      if (uppers.isEmpty) lit(0)
+      else aggregate(lit(uppers), lit(0),
+        (acc, u) => acc + when(col("key").cast("double") > u, 1).otherwise(0))
+    val assigned = rows.withColumn("bkt",
+      element_at(lit(bktIds), slot + 1))
+    assigned.write.mode("append").partitionBy("bkt")
+      .parquet(s"$location/postings")
+    assigned.groupBy(col("bkt"))
+      .agg(min(col("key").cast("double")).as("lo"),
+        max(col("key").cast("double")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("append").parquet(s"$location/zonemap")
+    AnnIndex.writeManifest(Paths.get(location),
+      man.copy(fingerprint = newFingerprint))
+  }
+
+  // ---- BTREE: search ---------------------------------------------------
+
+  /** Range search `key ∈ [lo, hi]` (inclusive) over the persisted btree:
+    * aggregate the zonemap deltas (≤ nBuckets rows — the bounded collect),
+    * prune to overlapping buckets driver-side, read ONLY those partitions
+    * (static `bkt IN (...)`), re-apply the exact predicate on the native
+    * key, anti-join tombstones. Returns (id, key). */
+  def searchBtreeRange(spark: SparkSession, location: String,
+      lo: Double, hi: Double): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val zm = spark.read.parquet(s"$location/zonemap")
+      .groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect()
+    val bkts = zm.filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+      .map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$location/postings")
+    val pruned =
+      if (bkts.isEmpty) postings.filter(lit(false))
+      else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
+    antiTombstones(
+      pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi)),
+      location)
+      .select(col("id"), col("key"))
+  }
+
+  /** Fold tombstones into the btree layout: postings minus deleted ids
+    * rewritten bucket-partitioned, zonemap recomputed EXACTLY from the
+    * surviving rows (so a delete that emptied a bucket's range edge
+    * tightens pruning), boundaries kept frozen, tombstones cleared.
+    * Atomic old-or-new swaps; live search results unchanged. */
+  def compactBtree(spark: SparkSession, location: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val live = antiTombstones(
+      spark.read.parquet(s"$location/postings"), location).cache()
+    swapDir(location, "postings")(st => live.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(st))
+    swapDir(location, "zonemap")(st => live.groupBy(col("bkt"))
+      .agg(min(col("key").cast("double")).as("lo"),
+        max(col("key").cast("double")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(st))
+    live.unpersist()
+    AnnIndex.deleteRecursively(tombstoneDir(location))
+  }
+
+  // ---- BITMAP ----------------------------------------------------------
+
+  private def bitmapRows(df: DataFrame, idCol: String, keyCol: String)
+      : DataFrame =
+    TextFunctions.widen(df)
+      .filter(col(keyCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("string").as("k"))
+
+  /** Read the bitmap postings with the partition key pinned to STRING
+    * (partition-value type inference would otherwise turn `k=42` into an
+    * int and break the string-equality contract). */
+  private def bitmapPostings(spark: SparkSession, location: String)
+      : DataFrame =
+    spark.read.schema("id BIGINT, k STRING").parquet(s"$location/postings")
+
+  /** Build (or reuse) a bitmap index: one directory of row ids per
+    * distinct (stringified) key value. Refuses keys with more than
+    * `maxCardinality` distinct values — that column wants the btree. */
+  def ensureBitmap(df: DataFrame, idCol: String, keyCol: String,
+      location: String, sourcePath: String, maxCardinality: Int = 10000,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(
+      AnnIndex.sourceFingerprint(sourcePath))
+    AnnIndex.readManifest(location) match {
+      case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" => false
+      case _ =>
+        AnnIndex.deleteRecursively(Paths.get(location))
+        val rows = bitmapRows(df, idCol, keyCol)
+        val values = rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+        val card = values.count()
+        require(card <= maxCardinality,
+          s"ensureBitmap: $keyCol has $card distinct values " +
+            s"(> maxCardinality=$maxCardinality) — use a btree index")
+        AnnIndex.buildAndPublish(location,
+          AnnIndex.Manifest("bitmap", "equality", card.toInt, 0, fp)) {
+          staging =>
+            rows.repartition(col("k"))
+              .write.mode("overwrite").partitionBy("k")
+              .parquet(s"$staging/postings")
+            values.coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/values")
+        }
+    }
+  }
+
+  /** Incrementally ADD rows: new values simply create new partitions;
+    * per-value counts land as delta rows. Crash discipline as above. */
+  def appendBitmap(delta: DataFrame, idCol: String, keyCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    val rows = bitmapRows(delta, idCol, keyCol)
+    rows.repartition(col("k"))
+      .write.mode("append").partitionBy("k").parquet(s"$location/postings")
+    rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("append").parquet(s"$location/values")
+    AnnIndex.writeManifest(Paths.get(location),
+      man.copy(fingerprint = newFingerprint))
+  }
+
+  /** Equality search: ids whose key ∈ `values`. The read carries a static
+    * `k IN (...)` partition filter — only the asked-for values'
+    * directories are listed, the 100 TB pruning story for categorical
+    * predicates. Returns (id, k), tombstone-cleaned. */
+  def searchBitmap(spark: SparkSession, location: String,
+      values: Seq[String]): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    require(values.nonEmpty, "searchBitmap: values must be non-empty")
+    antiTombstones(
+      bitmapPostings(spark, location)
+        .filter(col("k").isInCollection(values)),
+      location)
+      .select(col("id"), col("k"))
+  }
+
+  /** Conjunctive bitmap search — `keyA ∈ valuesA AND keyB ∈ valuesB` via
+    * TWO bitmap indexes: both sides are partition-pruned directory reads
+    * of narrow id lists, intersected with a semi-join (AQE picks
+    * broadcast when a side is selective). The composability that makes
+    * bitmaps worth persisting: arbitrary categorical conjunctions without
+    * touching the base table. Returns the matching ids. */
+  def searchBitmapAnd(spark: SparkSession,
+      locationA: String, valuesA: Seq[String],
+      locationB: String, valuesB: Seq[String]): DataFrame =
+    searchBitmap(spark, locationA, valuesA).select(col("id"))
+      .join(searchBitmap(spark, locationB, valuesB).select(col("id")),
+        Seq("id"), "left_semi")
+
+  /** Fold tombstones into the bitmap layout (postings rewritten minus
+    * deleted ids, per-value counts collapsed to one true row each,
+    * tombstones cleared). Atomic swaps; results unchanged. */
+  def compactBitmap(spark: SparkSession, location: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    val live = antiTombstones(bitmapPostings(spark, location), location)
+      .cache()
+    swapDir(location, "postings")(st => live.repartition(col("k"))
+      .write.mode("overwrite").partitionBy("k").parquet(st))
+    swapDir(location, "values")(st => live.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(st))
+    live.unpersist()
+    AnnIndex.deleteRecursively(tombstoneDir(location))
+  }
+}

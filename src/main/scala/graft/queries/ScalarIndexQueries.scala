@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, ScalarIndex}
+
+/** Gate coverage for the persisted SCALAR index family
+  * ([[graft.ops.ScalarIndex]]) — btree range and bitmap equality, the
+  * scalar members of the reference's index-type triple next to the vector
+  * (q197/q198) and full-text (q209) lifecycles. Each gate's oracle is the
+  * plain base-table predicate the index must reproduce bit-for-bit: an
+  * index is pure access-path, never semantics, so persisted-search ≡
+  * full-scan-filter is the whole contract. What the gates cannot show —
+  * that the search READ less (bucket/directory pruning) — ScalarIndexSpec
+  * pins on the executed plans.
+  */
+object ScalarIndexQueries {
+
+  /** Run-scoped root for persisted scalar indexes — the
+    * [[RetrievalQueries]] device, one dir per (sf basename, name). */
+  private def indexLocation(d: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-scalar-index/" +
+      s"${new java.io.File(d).getName}/$name"
+
+  private val Lo = 100.0
+  private val Hi = 250.0
+  private val Langs = Seq("en", "de")
+  private val Sources = Seq("src1", "src2", "src3")
+
+  private def sqlIn(vs: Seq[String]) = vs.map(v => s"'$v'").mkString(", ")
+
+  private def rangeTop(s: SparkSession, loc: String): DataFrame =
+    ScalarIndex.searchBtreeRange(s, loc, Lo, Hi).orderBy(col("id"))
+
+  /** q213: range search over a PERSISTED, CATALOG-REGISTERED btree index
+    * on `events.value` — build once (one `repartitionByRange` sort into
+    * contiguous buckets + a zonemap), search many (driver-side zonemap
+    * prune → static `bkt IN (...)` partition filter → native-typed
+    * residual). The oracle is the base-table range filter: the index is an
+    * access path, not a semantic. */
+  def q213BtreeRange(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.events_value_idx", loc)
+    val resolved =
+      AnnIndex.resolveIndexLocation(s, "graft.tpch.events_value_idx")
+    rangeTop(s, resolved)
+  }
+
+  private val q213Sql: String =
+    s"""SELECT event_id AS id, value AS key FROM events
+       |WHERE value >= $Lo AND value <= $Hi ORDER BY id""".stripMargin
+
+  /** q214: the btree's INCREMENTAL-INGEST path — build on the even half
+    * (`partial:` fingerprint, boundaries frozen), append the odd half
+    * (codegen'd bucket assignment against the frozen uppers + conservative
+    * zonemap deltas), search. Build+append must be indistinguishable from
+    * one-shot: q213's oracle, hash-checked. */
+  def q214BtreeAppend(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val loc = indexLocation(d, "btree-append")
+    val src = s"$d/events.parquet"
+    val fpFull = AnnIndex.sourceFingerprint(src)
+    if (!AnnIndex.readManifest(loc)
+        .exists(m => m.indexType == "btree" && m.fingerprint == fpFull)) {
+      ScalarIndex.ensureBtree(events.filter(col("event_id") % 2 === 0),
+        "event_id", "value", loc, src,
+        fingerprintOverride = Some(s"partial:$fpFull"))
+      ScalarIndex.appendBtree(events.filter(col("event_id") % 2 === 1),
+        "event_id", "value", loc, newFingerprint = fpFull)
+    }
+    rangeTop(s, loc)
+  }
+
+  /** q215: DELETE from the btree — tombstone every event_id ≡ 2 (mod 5),
+    * search. Scalar delete ≡ filter exactly (no corpus statistics to
+    * shift, unlike BM25's q211): the oracle just adds the predicate. */
+  def q215BtreeDelete(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val loc = indexLocation(d, "btree-delete")
+    val built = ScalarIndex.ensureBtree(events, "event_id", "value",
+      loc, s"$d/events.parquet")
+    if (built || !ScalarIndex.hasTombstones(loc))
+      ScalarIndex.deleteIds(
+        events.filter(col("event_id") % 5 === 2), "event_id", loc)
+    rangeTop(s, loc)
+  }
+
+  private val q215Sql: String =
+    s"""SELECT event_id AS id, value AS key FROM events
+       |WHERE value >= $Lo AND value <= $Hi AND event_id % 5 <> 2
+       |ORDER BY id""".stripMargin
+
+  /** q216: equality search over a persisted BITMAP index on
+    * `documents.lang` — one id directory per distinct value, so the read
+    * lists only the asked-for values' directories (`k IN (...)` at
+    * file-listing time): the 100 TB pruning story for categorical
+    * predicates. Oracle: the base-table IN filter. */
+  def q216BitmapEq(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(Tables.documents(s, d), "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    ScalarIndex.searchBitmap(s, loc, Langs).orderBy(col("id"))
+  }
+
+  private val q216Sql: String =
+    s"""SELECT doc_id AS id, lang AS k FROM documents
+       |WHERE lang IN (${sqlIn(Langs)}) ORDER BY id""".stripMargin
+
+  /** q217: CONJUNCTIVE bitmap search — lang ∈ {en,de} AND source ∈
+    * {src1..3} via TWO bitmap indexes, intersected with a semi-join of
+    * two partition-pruned directory reads; the base table is never
+    * touched. The composability that makes bitmaps worth persisting. */
+  def q217BitmapAnd(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val locL = indexLocation(d, "bitmap-lang")
+    val locS = indexLocation(d, "bitmap-source")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      locL, s"$d/documents.parquet")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "source",
+      locS, s"$d/documents.parquet")
+    ScalarIndex.searchBitmapAnd(s, locL, Langs, locS, Sources)
+      .orderBy(col("id"))
+  }
+
+  private val q217Sql: String =
+    s"""SELECT doc_id AS id FROM documents
+       |WHERE lang IN (${sqlIn(Langs)}) AND source IN (${sqlIn(Sources)})
+       |ORDER BY id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_btree_range" -> (q213BtreeRange _),
+    "q214_btree_append" -> (q214BtreeAppend _),
+    "q215_btree_delete" -> (q215BtreeDelete _),
+    "q216_bitmap_eq" -> (q216BitmapEq _),
+    "q217_bitmap_and" -> (q217BitmapAnd _))
+
+  val oracles: Map[String, String] = Map(
+    // persisted-scalar searches replay the base-table predicate (an index
+    // is an access path, never a semantic); append reuses q213's oracle —
+    // build+append ≡ one-shot
+    "q213_btree_range" -> q213Sql,
+    "q214_btree_append" -> q213Sql,
+    "q215_btree_delete" -> q215Sql,
+    "q216_bitmap_eq" -> q216Sql,
+    "q217_bitmap_and" -> q217Sql)
+}

@@ -1,0 +1,216 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, ScalarIndex}
+
+/** The persisted SCALAR indexes — [[graft.ops.ScalarIndex]]. Pins
+  * (1) btree range search ≡ a base-table range filter, row-identical,
+  * (2) the postings scan is partition-pruned to zonemap-overlapping
+  * buckets, (3) fingerprint-gated rebuilds, (4) build+append ≡ one-shot,
+  * (5) delete ≡ filter with set semantics, (6) compaction folds
+  * tombstones and tightens the zonemap, (7) bitmap equality search ≡ an
+  * IN filter with `k IN (...)` directory pruning, (8) bitmap conjunction
+  * across two indexes, (9) the cardinality refusal that keeps bitmaps
+  * honest. */
+class ScalarIndexSpec extends SparkSpec {
+
+  private lazy val events = spark.read.parquet(s"$sfDir/events.parquet")
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val evSource = s"$sfDir/events.parquet"
+  private lazy val docSource = s"$sfDir/documents.parquet"
+
+  private def tmpLoc(name: String): String =
+    s"${Files.createTempDirectory("graft-scalarspec").toString}/$name"
+
+  private val Lo = 100.0
+  private val Hi = 250.0
+
+  private def baseRange(base: org.apache.spark.sql.DataFrame) =
+    base.filter(col("value").isNotNull &&
+        col("value") >= Lo && col("value") <= Hi)
+      .select(col("event_id").as("id"), col("value").as("key"))
+      .orderBy(col("id")).collect()
+
+  private def idxRange(loc: String) =
+    ScalarIndex.searchBtreeRange(spark, loc, Lo, Hi)
+      .orderBy(col("id")).collect()
+
+  test("btree range search is row-identical to a base-table range filter") {
+    val loc = tmpLoc("bt")
+    assert(ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource),
+      "first ensure must build")
+    val got = idxRange(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == baseRange(events).toSeq)
+  }
+
+  test("btree postings scan is partition-pruned to overlapping buckets") {
+    val loc = tmpLoc("bt-prune")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    // a selective range: prune must engage (fewer buckets than built)
+    val df = ScalarIndex.searchBtreeRange(spark, loc, Lo, Hi)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains("bkt") && l.contains(" IN "))
+    assert(pruned, s"expected a static bkt IN (...) partition filter:\n$plan")
+    // and an empty intersection reads nothing at all
+    assert(ScalarIndex.searchBtreeRange(spark, loc, 1e12, 2e12).count() == 0)
+  }
+
+  test("btree: unchanged fingerprint skips the build; stale rebuilds") {
+    val loc = tmpLoc("bt-fresh")
+    assert(ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource))
+    assert(!ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource),
+      "fresh index must not rebuild")
+    assert(ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource,
+      fingerprintOverride = Some("other")), "stale index must rebuild")
+  }
+
+  test("btree incremental append: build-half + append-half ≡ one-shot " +
+      "(frozen boundaries, conservative zonemap deltas)") {
+    val loc = tmpLoc("bt-append")
+    val fp = AnnIndex.sourceFingerprint(evSource)
+    ScalarIndex.ensureBtree(events.filter(col("event_id") % 2 === 0),
+      "event_id", "value", loc, evSource,
+      fingerprintOverride = Some(s"partial:$fp"))
+    ScalarIndex.appendBtree(events.filter(col("event_id") % 2 === 1),
+      "event_id", "value", loc, newFingerprint = fp)
+    assert(AnnIndex.readManifest(loc).exists(_.fingerprint == fp),
+      "append must re-stamp the full fingerprint")
+    val got = idxRange(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == baseRange(events).toSeq)
+  }
+
+  test("btree delete ≡ filter; re-delete is a set-semantics no-op") {
+    val loc = tmpLoc("bt-del")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val dead = events.filter(col("event_id") % 5 === 2)
+    ScalarIndex.deleteIds(dead, "event_id", loc)
+    assert(ScalarIndex.hasTombstones(loc))
+    val want = baseRange(events.filter(col("event_id") % 5 =!= 2))
+    val got = idxRange(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    assert(!got.exists(_.getLong(0) % 5 == 2), "a deleted id was retrieved")
+    ScalarIndex.deleteIds(dead, "event_id", loc)
+    assert(idxRange(loc).toSeq == want.toSeq)
+  }
+
+  test("btree compaction: tombstones physically folded, zonemap recomputed " +
+      "exactly, results unchanged") {
+    val loc = tmpLoc("bt-compact")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    ScalarIndex.deleteIds(events.filter(col("event_id") % 5 === 2),
+      "event_id", loc)
+    val before = idxRange(loc)
+    ScalarIndex.compactBtree(spark, loc)
+    assert(!ScalarIndex.hasTombstones(loc), "compaction must clear tombstones")
+    val live = spark.read.parquet(s"$loc/postings")
+    assert(live.filter(col("id") % 5 === 2).count() == 0,
+      "deleted ids must be physically gone after compaction")
+    // zonemap collapsed to one exact row per surviving bucket
+    val zm = spark.read.parquet(s"$loc/zonemap")
+    assert(zm.groupBy(col("bkt")).count().filter(col("count") > 1).count() == 0,
+      "compaction must collapse zonemap deltas")
+    assert(idxRange(loc).toSeq == before.toSeq)
+  }
+
+  private val Langs = Seq("en", "de")
+
+  private def baseEq(base: org.apache.spark.sql.DataFrame, ks: Seq[String]) =
+    base.filter(col("lang").isInCollection(ks))
+      .select(col("doc_id").as("id"), col("lang").as("k"))
+      .orderBy(col("id")).collect()
+
+  private def idxEq(loc: String, ks: Seq[String]) =
+    ScalarIndex.searchBitmap(spark, loc, ks).orderBy(col("id")).collect()
+
+  test("bitmap equality search is row-identical to a base-table IN filter " +
+      "and the read is pruned to the asked-for values' directories") {
+    val loc = tmpLoc("bm")
+    assert(ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource),
+      "first ensure must build")
+    val got = idxEq(loc, Langs)
+    assert(got.nonEmpty)
+    assert(got.toSeq == baseEq(docs, Langs).toSeq)
+    val df = ScalarIndex.searchBitmap(spark, loc, Langs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains("k#") && l.contains("IN "))
+    assert(pruned, s"expected a static k IN (...) partition filter:\n$plan")
+  }
+
+  test("bitmap build refuses a high-cardinality key") {
+    val loc = tmpLoc("bm-card")
+    val e = intercept[IllegalArgumentException] {
+      ScalarIndex.ensureBitmap(docs, "doc_id", "doc_id", loc, docSource,
+        maxCardinality = 10)
+    }
+    assert(e.getMessage.contains("btree"),
+      "the refusal must point at the btree alternative")
+  }
+
+  test("bitmap append ≡ one-shot (new values create new directories)") {
+    val loc = tmpLoc("bm-append")
+    val fp = AnnIndex.sourceFingerprint(docSource)
+    ScalarIndex.ensureBitmap(docs.filter(col("lang") =!= "de"),
+      "doc_id", "lang", loc, docSource,
+      fingerprintOverride = Some(s"partial:$fp"))
+    ScalarIndex.appendBitmap(docs.filter(col("lang") === "de"),
+      "doc_id", "lang", loc, newFingerprint = fp)
+    assert(AnnIndex.readManifest(loc).exists(_.fingerprint == fp))
+    assert(idxEq(loc, Langs).toSeq == baseEq(docs, Langs).toSeq)
+  }
+
+  test("bitmap delete ≡ filter; compaction folds and collapses counts; " +
+      "results unchanged") {
+    val loc = tmpLoc("bm-del")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    ScalarIndex.deleteIds(docs.filter(col("doc_id") % 3 === 1), "doc_id", loc)
+    val want = baseEq(docs.filter(col("doc_id") % 3 =!= 1), Langs)
+    assert(idxEq(loc, Langs).toSeq == want.toSeq)
+    ScalarIndex.compactBitmap(spark, loc)
+    assert(!ScalarIndex.hasTombstones(loc))
+    val live = spark.read.schema("id BIGINT, k STRING")
+      .parquet(s"$loc/postings")
+    assert(live.filter(col("id") % 3 === 1).count() == 0,
+      "deleted ids must be physically gone after compaction")
+    val vals = spark.read.parquet(s"$loc/values")
+    assert(vals.groupBy(col("k")).count().filter(col("count") > 1).count() == 0,
+      "compaction must collapse per-value count deltas")
+    assert(idxEq(loc, Langs).toSeq == want.toSeq)
+  }
+
+  test("bitmap conjunction across two indexes ≡ an AND filter on the base " +
+      "table — no base-table scan in the searched plan") {
+    val locL = tmpLoc("bm-and-lang")
+    val locS = tmpLoc("bm-and-src")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", locL, docSource)
+    ScalarIndex.ensureBitmap(docs, "doc_id", "source", locS, docSource)
+    val srcVals = Seq("src1", "src2", "src3")
+    val got = ScalarIndex.searchBitmapAnd(spark, locL, Langs, locS, srcVals)
+      .orderBy(col("id")).collect()
+    val want = docs.filter(col("lang").isInCollection(Langs) &&
+        col("source").isInCollection(srcVals))
+      .select(col("doc_id").as("id")).orderBy(col("id")).collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("scalar index is catalog-registrable and resolvable by name") {
+    val loc = tmpLoc("bt-cat")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    AnnIndex.registerIndexTable(spark, "graft.tpch.scalar_spec_idx", loc)
+    assert(AnnIndex.resolveIndexLocation(
+      spark, "graft.tpch.scalar_spec_idx") == loc)
+  }
+}

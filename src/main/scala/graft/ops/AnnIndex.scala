@@ -236,6 +236,49 @@ object AnnIndex {
     }
   }
 
+  /** Build (or reuse) an IVF-SQ8 index: cells prune WHICH vectors are
+    * scored, per-dimension uint8 codes ([[ScalarQuant]], 4× compression)
+    * prune WHAT is read to score them — the middle compression tier
+    * between IVF-flat (1×) and IVF-PQ (32×), with reconstruction good
+    * enough to score directly (one codegen'd cosine over the decoded
+    * floats; no distance table). Full vectors stay in the postings for
+    * the exact rerank, as in [[ensureIvfPq]].
+    * @param ranges the SQ8 model (dim, lo, hi) — e.g. from
+    *               [[ScalarQuant.trainRanges]]; passed in like the PQ
+    *               codebook so the model is the caller's training
+    *               artifact, frozen into the index (appends encode
+    *               against it — build+append ≡ one-shot) */
+  def ensureIvfSq(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      ranges: DataFrame,
+      location: String, sourcePath: String,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
+    readManifest(location) match {
+      case Some(man) if man.fingerprint == fp && man.indexType == "ivf_sq" =>
+        false
+      case _ =>
+        deleteRecursively(Paths.get(location))
+        val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
+        val nlist = cells.count().toInt
+        val model = ranges.select(col("dim"), col("lo"), col("hi"))
+        val (loArr, scaleArr) = ScalarQuant.collectModel(model)
+        buildAndPublish(location,
+          Manifest("ivf_sq", "cosine", nlist, 0, fp)) { staging =>
+          cells.select(col("cid"), col("__c").as("cvec"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/centroids")
+          model.coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/sq")
+          assign(corpus, idCol, vecCol, cells)
+            .withColumn("codes",
+              ScalarQuant.encode(col("embedding"), loArr, scaleArr))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$staging/postings")
+        }
+    }
+  }
+
   // ---- incremental append ---------------------------------------------
 
   /** Incrementally ADD vectors to an existing IVF index: assign ONLY the
@@ -284,6 +327,29 @@ object AnnIndex {
       .select(col(idCol).as("vec_id"), col("codes"))
     assign(delta, idCol, vecCol, cells)
       .join(codes, Seq("vec_id"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$location/postings")
+    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+  }
+
+  /** [[appendIvf]] for an IVF-SQ8 index: the delta is additionally
+    * SQ8-encoded against the index's FROZEN ranges before its postings
+    * append (out-of-range drift clamps to the code edges — the standard
+    * frozen-model trade, same as cell-balance drift; the rebuild cadence
+    * is the owner's policy). */
+  def appendIvfSq(delta: DataFrame, idCol: String, vecCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "ivf_sq", s"appendIvfSq on ${man.indexType} index")
+    val spark = delta.sparkSession
+    val cells = spark.read.parquet(s"$location/centroids")
+      .select(col("cid"), col("cvec").as("__c"))
+    val (loArr, scaleArr) =
+      ScalarQuant.collectModel(spark.read.parquet(s"$location/sq"))
+    assign(delta, idCol, vecCol, cells)
+      .withColumn("codes",
+        ScalarQuant.encode(col("embedding"), loArr, scaleArr))
       .write.mode("append").partitionBy("cid")
       .parquet(s"$location/postings")
     writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
@@ -490,6 +556,40 @@ object AnnIndex {
       .filter(col("__rn") <= rerank)
       .select(col("qid"), col("vec_id"))
 
+    ProductQuantization.rerankExact(candidates,
+      postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
+  }
+
+  /** Search a persisted IVF-SQ8 index: decode the probed cells' codes
+    * back to float vectors (shuffle-free `transform` against the frozen
+    * lo/scale literal arrays — a dim-sized driver read, never a join) and
+    * score them with the SAME codegen'd cosine as a flat search; exact
+    * rerank of the top `rerank` against the full vectors in the same
+    * pruned postings. No distance table and no per-candidate explode —
+    * SQ8's search plan is IVF-flat's plan over reconstructed vectors,
+    * which is exactly why serving systems default to it. */
+  def searchIvfSq(spark: SparkSession, location: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    require(readManifest(location).exists(_.indexType == "ivf_sq"),
+      s"no IVF-SQ index at $location")
+    val (loArr, scaleArr) =
+      ScalarQuant.collectModel(spark.read.parquet(s"$location/sq"))
+    val (probes, probedCids) = probe(spark, location, queries, qidCol, qvecCol, nprobe)
+    // the live view feeds BOTH the approximate pass and the exact rerank
+    val postings = withoutTombstones(spark, location,
+      prunedPostings(spark, location, probedCids))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("__approx").desc, col("vec_id"))
+    val candidates = postings
+      .withColumn("__dec", ScalarQuant.decode(col("codes"), loArr, scaleArr))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("__q"), col("__dec")).as("__approx"))
+      .withColumn("__rn", row_number().over(wApprox))
+      .filter(col("__rn") <= rerank)
+      .select(col("qid"), col("vec_id"))
     ProductQuantization.rerankExact(candidates,
       postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
   }

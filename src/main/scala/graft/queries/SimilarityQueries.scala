@@ -1505,9 +1505,156 @@ object SimilarityQueries {
        |SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** q218: the IVF-SQ8 tier of the persisted-index family — per-dimension
+    * uint8 codes ([[graft.ops.ScalarQuant]], the q144 int8-audit
+    * convention lifted into an index; 4× compression vs PQ's 32×) stored
+    * alongside the full vectors, searched by decoding the PROBED cells'
+    * codes back to floats and scoring them with the same codegen'd cosine
+    * as a flat search (no distance table, no per-candidate explode), then
+    * exact-reranking the shortlist. With q197 (IVF-flat) and q198
+    * (IVF-PQ) this completes the three compression tiers every production
+    * vector index ships. The oracle replays range-training, encoding,
+    * decoding, probing, approx scoring, and the rerank end to end. */
+  def q218PersistedIvfSq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfsq-seeded")
+    AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec",
+      graft.ops.ScalarQuant.trainRanges(emb, "embedding"),
+      loc, s"$d/embeddings.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.emb_ivfsq_seeded_idx", loc)
+    val resolved = AnnIndex.resolveIndexLocation(s, "graft.tpch.emb_ivfsq_seeded_idx")
+    AnnIndex.searchIvfSq(s, resolved,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q219: q200's IVF-SQ8 twin — the odd half is SQ8-encoded against the
+    * index's FROZEN ranges at append time (the ranges are trained on the
+    * full corpus before sharding, the q201 codebook device), so
+    * build+append ≡ one-shot: q218's oracle, hash-checked. */
+  def q219IvfSqAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfsq-append")
+    val src = s"$d/embeddings.parquet"
+    val fpFull = AnnIndex.sourceFingerprint(src)
+    val cells = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+    if (!AnnIndex.readManifest(loc)
+        .exists(m => m.indexType == "ivf_sq" && m.fingerprint == fpFull)) {
+      AnnIndex.ensureIvfSq(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cells, "cid", "cvec",
+        graft.ops.ScalarQuant.trainRanges(emb, "embedding"),
+        loc, src, fingerprintOverride = Some(s"partial:$fpFull"))
+      AnnIndex.appendIvfSq(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", loc, newFingerprint = fpFull)
+    }
+    AnnIndex.searchIvfSq(s, loc,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q220: q204's IVF-SQ8 twin — tombstoned vectors drop out of BOTH the
+    * decoded-approximate pass and the exact rerank; the ranges stay
+    * frozen (deleting data never retrains quantization, the q205
+    * codebook rule). Oracle = q218's replay with the assigned side
+    * filtered. */
+  def q220IvfSqDelete(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfsq-delete")
+    val built = AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec",
+      graft.ops.ScalarQuant.trainRanges(emb, "embedding"),
+      loc, s"$d/embeddings.parquet")
+    if (built || !AnnIndex.hasTombstones(loc))
+      AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
+    AnnIndex.searchIvfSq(s, loc,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q218's oracle with the q204/q117 optional assigned-side predicate —
+    * the full SQ8 replay: per-dimension lo/hi over the corpus, the
+    * ⌊·+0.5⌋-clamped encode, float reconstruction, seeded-cell
+    * assignment/probing, approximate cosine over the decoded lists,
+    * top-`rerank` shortlist, exact rerank. Shared by q218/q219 (`""`)
+    * and q220 (deleted ids filtered); the ranges CTE always sees the
+    * FULL corpus — the model is frozen at build. */
+  private def ivfSqSeededSql(assignedWhere: String): String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |ranges AS (
+       |  SELECT CAST(i - 1 AS INT) AS dim,
+       |    min(CAST(embedding[i] AS DOUBLE)) AS lo,
+       |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       |  GROUP BY 1),
+       |scales AS (SELECT dim, lo, (hi - lo) / 255.0 AS sc FROM ranges),
+       |decel AS (
+       |  SELECT e.vec_id, s.dim,
+       |    CAST(CASE WHEN s.sc = 0 THEN s.lo
+       |      ELSE s.lo + CAST(least(greatest(floor(
+       |        (CAST(e.embedding[s.dim + 1] AS DOUBLE) - s.lo) / s.sc + 0.5),
+       |        0.0), 255.0) AS INT) * s.sc END AS REAL) AS v
+       |  FROM embeddings e JOIN scales s ON s.dim < len(e.embedding)),
+       |decv AS (
+       |  SELECT vec_id, list(v ORDER BY dim) AS dvec FROM decel GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c$assignedWhere)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, qvec, cid FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 103)
+       |  WHERE rn <= 3),
+       |approx AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${cosSql("p", "qvec", "dv", "dvec")} AS ap
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  JOIN decv dv ON dv.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.qid),
+       |cands AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ap DESC, vec_id) AS rn
+       |    FROM approx)
+       |  WHERE rn <= 50),
+       |rr AS (
+       |  SELECT c.qid, e.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM cands c JOIN embeddings q ON q.vec_id = c.qid
+       |  JOIN embeddings e ON e.vec_id = c.vec_id)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_persisted_ivf" -> (q197PersistedIvf _),
     "q198_persisted_ivfpq" -> (q198PersistedIvfPq _),
+    "q218_persisted_ivfsq" -> (q218PersistedIvfSq _),
+    "q219_ivfsq_append" -> (q219IvfSqAppend _),
+    "q220_ivfsq_delete" -> (q220IvfSqDelete _),
     "q200_index_append" -> (q200IndexAppend _),
     "q201_index_append_pq" -> (q201IndexAppendPq _),
     "q202_index_stats" -> (q202IndexStats _),
@@ -1547,6 +1694,12 @@ object SimilarityQueries {
     // twins: the gate is exactly "persisted ≡ in-query", hash-checked
     "q197_persisted_ivf" -> q117Sql,
     "q198_persisted_ivfpq" -> q121Sql,
+    // the SQ8 tier: q218/q219 replay the full encode/decode/search; q220
+    // is the same device with the deleted ids filtered from the assigned
+    // side (ranges stay corpus-global — frozen at build)
+    "q218_persisted_ivfsq" -> ivfSqSeededSql(""),
+    "q219_ivfsq_append" -> ivfSqSeededSql(""),
+    "q220_ivfsq_delete" -> ivfSqSeededSql(" WHERE e.vec_id % 7 <> 3"),
     "q200_index_append" -> q117Sql,
     "q201_index_append_pq" -> q121Sql,
     "q202_index_stats" -> q202Sql,

@@ -526,4 +526,106 @@ class AnnIndexSpec extends SparkSpec {
     assert(gotNarrow.nonEmpty)
     assert(gotNarrow.toSeq == wantNarrow.toSeq)
   }
+
+  // ---- IVF-SQ8 ----------------------------------------------------------
+
+  private def sqRanges = graft.ops.ScalarQuant.trainRanges(emb, "embedding")
+
+  private def sqSearch(loc: String) =
+    AnnIndex.searchIvfSq(spark, loc, queries, "qid", "qvec",
+      k = 10, nprobe = 3, rerank = 50).orderBy("qid", "rank")
+
+  test("IVF-SQ8: search returns k live rows per query and the postings " +
+      "scan is partition-pruned to the probed cells") {
+    val loc = tmpLoc("ivfsq")
+    assert(AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, loc, source),
+      "first ensure must build")
+    val df = sqSearch(loc)
+    val got = df.collect()
+    assert(got.length == 30, s"3 queries × k=10, got ${got.length}")
+    val plan = df.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .exists(l => l.contains("cid") && l.contains(" IN "))
+    assert(pruned, s"expected a static cid IN (...) partition filter:\n$plan")
+  }
+
+  test("IVF-SQ8: codes are uint8-bounded and reconstruction error is " +
+      "within half a quantization step per dimension") {
+    val loc = tmpLoc("ivfsq-codes")
+    AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, loc, source)
+    val postings = spark.read.parquet(s"$loc/postings")
+    assert(postings.filter(exists(col("codes"),
+      c => c < 0 || c > 255)).count() == 0, "a code escaped [0, 255]")
+    val (loArr, scaleArr) = graft.ops.ScalarQuant.collectModel(
+      spark.read.parquet(s"$loc/sq"))
+    // x̂ = lo + code·scale must sit within scale/2 of x (plus float eps):
+    // the defining accuracy bound of round-to-nearest affine quantization
+    val maxScale = scaleArr.max
+    val worst = postings
+      .withColumn("__dec",
+        graft.ops.ScalarQuant.decode(col("codes"), loArr, scaleArr))
+      .select(aggregate(zip_with(col("embedding"), col("__dec"),
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)).as("err"))
+      .agg(max(col("err"))).head().getDouble(0)
+    assert(worst <= maxScale / 2 + 1e-6,
+      s"reconstruction error $worst exceeds half-step ${maxScale / 2}")
+  }
+
+  test("IVF-SQ8: build-half + append-half against the frozen ranges ≡ " +
+      "one-shot") {
+    val locOne = tmpLoc("ivfsq-oneshot")
+    val locTwo = tmpLoc("ivfsq-append")
+    AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, locOne, source)
+    val fp = AnnIndex.sourceFingerprint(source)
+    AnnIndex.ensureIvfSq(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", seededCells, "cid", "cvec", sqRanges,
+      locTwo, source, fingerprintOverride = Some(s"partial:$fp"))
+    AnnIndex.appendIvfSq(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", locTwo, newFingerprint = fp)
+    assert(AnnIndex.readManifest(locTwo).exists(_.fingerprint == fp),
+      "append must re-stamp the full fingerprint")
+    val one = sqSearch(locOne).collect()
+    assert(one.nonEmpty)
+    assert(sqSearch(locTwo).collect().toSeq == one.toSeq)
+  }
+
+  test("IVF-SQ8: delete ≡ filter (frozen ranges — quantization never " +
+      "retrains on delete) and compaction folds without changing results") {
+    val locDel = tmpLoc("ivfsq-del")
+    val locRef = tmpLoc("ivfsq-del-ref")
+    AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, locDel, source)
+    AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", locDel)
+    // reference: one-shot index over the FILTERED corpus with the SAME
+    // full-corpus ranges and centroids
+    AnnIndex.ensureIvfSq(emb.filter(col("vec_id") % 7 =!= 3),
+      "vec_id", "embedding", seededCells, "cid", "cvec", sqRanges,
+      locRef, source)
+    val want = sqSearch(locRef).collect()
+    assert(want.nonEmpty)
+    val before = sqSearch(locDel).collect()
+    assert(before.toSeq == want.toSeq)
+    assert(!before.exists(_.getLong(2) % 7 == 3), "a deleted id surfaced")
+    AnnIndex.compactIvf(spark, locDel)
+    assert(!AnnIndex.hasTombstones(locDel))
+    assert(spark.read.parquet(s"$locDel/postings")
+      .filter(col("vec_id") % 7 === 3).count() == 0,
+      "compaction must physically drop tombstoned rows (codes included)")
+    assert(sqSearch(locDel).collect().toSeq == want.toSeq)
+  }
+
+  test("IVF-SQ8: unchanged fingerprint skips the build; stale rebuilds") {
+    val loc = tmpLoc("ivfsq-fresh")
+    assert(AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, loc, source))
+    assert(!AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, loc, source))
+    assert(AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      seededCells, "cid", "cvec", sqRanges, loc, s"$sfDir/nation.parquet"))
+  }
 }

@@ -69,12 +69,16 @@ object TextIndex {
     (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
       .cast("int")
 
-  /** The tokenize → (term, doc) tf/dl frame both build and append share —
-    * the exact token pipeline of [[TextRanking.bm25]] (lowercase, trim,
-    * whitespace split; empty-string tokens INDEXED, because the in-query
-    * twin counts them in dl and a query could legitimately ask for any
-    * term the tokenizer emits). One corpus scan; the (term, doc) count is
-    * map-side combinable. */
+  /** The tokenize → (term, doc) tf/dl/positions frame both build and
+    * append share — the exact token pipeline of [[TextRanking.bm25]]
+    * (lowercase, trim, whitespace split; empty-string tokens INDEXED,
+    * because the in-query twin counts them in dl and a query could
+    * legitimately ask for any term the tokenizer emits). One corpus scan;
+    * the (term, doc) count is map-side combinable. Each posting row also
+    * carries the term's sorted 0-based POSITIONS in the doc (bounded by
+    * doc length) — what phrase search intersects; BM25 searches never
+    * read the column (parquet column pruning), so carrying it is free on
+    * the scoring path. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
     val base = TextFunctions.widen(docs)
@@ -83,9 +87,11 @@ object TextIndex {
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
     val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     (postings, base.select(col("doc_id"), col("dl")))
   }
 
@@ -99,13 +105,16 @@ object TextIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
+      // metric gates the LAYOUT generation: a pre-positional index
+      // (metric=bm25) rebuilds even when the data fingerprint matches,
+      // so phrase search never meets postings without a positions column
       case Some(m) if m.fingerprint == fp && m.indexType == "inverted" &&
-          m.nlist == nBuckets => false
+          m.metric == "bm25pos" && m.nlist == nBuckets => false
       case _ =>
         AnnIndex.deleteRecursively(Paths.get(location))
         val (postings, doclens) = tokenized(docs, idCol, textCol)
         AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("inverted", "bm25", nBuckets, 0, fp)) { staging =>
+          AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp)) { staging =>
           postings.withColumn("bkt", bucketCol(col("term"), nBuckets))
             .repartition(col("bkt"))
             .write.mode("overwrite").partitionBy("bkt")
@@ -243,6 +252,55 @@ object TextIndex {
       : DataFrame = {
     val ids = allowed.select(col(allowedIdCol).cast("long").as("doc_id"))
     searchBm25Internal(spark, location, queryTerms, k1, b, Some(ids))
+  }
+
+  /** PHRASE search over the positional postings: documents containing the
+    * EXACT consecutive token sequence `phrase`, with the occurrence count.
+    *
+    * Plan: read ONLY the phrase terms' buckets (the same static
+    * `bkt IN (...)` pruning as BM25), take each term's posting rows with
+    * its positions array SHIFTED left by its phrase offset, join the
+    * per-term frames on doc_id, and intersect the shifted arrays — a
+    * phrase occurrence at position p is exactly p surviving every
+    * intersection. Position arrays are doc-length-bounded, the joins are
+    * posting-list-sized (AQE broadcasts the rarest term's side — the
+    * classic phrase-query optimization falls out of the planner), and the
+    * corpus is never re-tokenized. Repeated terms in the phrase reuse the
+    * same posting row under different shifts, so "t t" counts overlapping
+    * occurrences, matching a positional scan of the text.
+    *
+    * Tombstones compose: the per-term frames are the LIVE view, so a
+    * deleted doc can never match. Returns (doc_id, n_hits), n_hits ≥ 1.
+    */
+  def searchPhrase(spark: SparkSession, location: String,
+      phrase: Seq[String]): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "inverted", s"not an inverted index: $location")
+    require(man.metric == "bm25pos",
+      s"index at $location predates positional postings — rebuild it")
+    require(phrase.nonEmpty, "searchPhrase: phrase must be non-empty")
+    val terms = phrase.distinct
+    val bkts = terms.map(bucketOf(_, man.nlist)).distinct.sorted
+    val raw = spark.read.parquet(s"$location/postings")
+      .filter(col("bkt").isin(bkts.map(Int.box): _*))
+      .filter(col("term").isInCollection(terms))
+    val live =
+      if (!hasTombstones(location)) raw
+      else raw.join(
+        broadcast(spark.read.parquet(tombstoneDir(location).toString)
+          .select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      live.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"__p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val inter = phrase.indices.map(i => col(s"__p$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    joined.select(col("doc_id"), size(inter).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
   }
 
   // ---- compaction ------------------------------------------------------

@@ -294,7 +294,8 @@ object RetrievalQueries {
     val src = s"$d/documents.parquet"
     val fpFull = graft.ops.AnnIndex.sourceFingerprint(src)
     if (!graft.ops.AnnIndex.readManifest(loc)
-        .exists(m => m.indexType == "inverted" && m.fingerprint == fpFull)) {
+        .exists(m => m.indexType == "inverted" && m.metric == "bm25pos" &&
+          m.fingerprint == fpFull)) {
       graft.ops.TextIndex.ensureInverted(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", loc, src,
         fingerprintOverride = Some(s"partial:$fpFull"))
@@ -354,6 +355,49 @@ object RetrievalQueries {
        |WHERE id IN (SELECT doc_id FROM documents WHERE lang = 'en')
        |ORDER BY bm25 DESC, id LIMIT 20""".stripMargin
 
+  /** q221: PHRASE search over the persisted index's POSITIONAL postings —
+    * documents containing the exact consecutive sequence "fast sort",
+    * with occurrence counts. Positions ride the posting rows (BM25
+    * searches never read the column — parquet prunes it), the read is
+    * bucket-pruned to the phrase terms, and matching is an intersection
+    * of shift-adjusted position arrays. The oracle is a positional scan
+    * of the raw text: adjacency in the token stream, counted. */
+  def q221PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val loc = textIndexLocation(d, "inverted")
+    graft.ops.TextIndex.ensureInverted(Tables.documents(s, d),
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    graft.ops.TextIndex.searchPhrase(s, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def phraseSql(docsWhere: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents$docsWhere),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hits
+       |  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+       |  WHERE tk[i] = 'fast' AND tk[i + 1] = 'sort'
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin
+
+  /** q222: phrase search composed with the DELETE lifecycle — tombstone
+    * every doc_id ≡ 1 (mod 5), then phrase-search: the per-term posting
+    * frames are the live view, so a deleted doc can never match even
+    * when its positions are still physically present. The oracle scans
+    * the filtered corpus. */
+  def q222PhraseDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = textIndexLocation(d, "inverted-phrase-del")
+    val built = graft.ops.TextIndex.ensureInverted(docs,
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    if (built || !graft.ops.TextIndex.hasTombstones(loc))
+      graft.ops.TextIndex.deleteDocs(
+        docs.filter(col("doc_id") % 5 === 1), "doc_id", loc)
+    graft.ops.TextIndex.searchPhrase(s, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id"))
+  }
+
   private def bm25TopSql(where: String): String =
     s"""WITH scored AS (${TextRanking.bm25Sql(TermsSql, where = where)})
        |SELECT id AS doc_id, round(score, 6) AS bm25
@@ -364,6 +408,8 @@ object RetrievalQueries {
     "q210_bm25_append" -> (q210Bm25Append _),
     "q211_bm25_delete" -> (q211Bm25Delete _),
     "q212_filtered_bm25" -> (q212FilteredBm25 _),
+    "q221_phrase_search" -> (q221PhraseSearch _),
+    "q222_phrase_delete" -> (q222PhraseDelete _),
     "q101_bm25" -> (q101Bm25 _),
     "q102_hybrid_rrf" -> (q102HybridRrf _),
     "q106_negative_sample" -> (q106NegativeSample _),
@@ -379,6 +425,10 @@ object RetrievalQueries {
     "q210_bm25_append" -> q101Sql,
     "q211_bm25_delete" -> bm25TopSql(" WHERE doc_id % 7 <> 3"),
     "q212_filtered_bm25" -> q212Sql,
+    // phrase gates: a positional scan of the raw (resp. delete-filtered)
+    // text is the oracle — the index is an access path, never a semantic
+    "q221_phrase_search" -> phraseSql(""),
+    "q222_phrase_delete" -> phraseSql(" WHERE doc_id % 5 <> 1"),
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,

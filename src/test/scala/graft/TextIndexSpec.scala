@@ -140,6 +140,95 @@ class TextIndexSpec extends SparkSpec {
       "delete should shift scores (smaller corpus) — it matched filter exactly")
   }
 
+  // ---- phrase search (positional postings) ------------------------------
+
+  /** Independent formulation: adjacency semi-joins over a positional
+    * explode of the raw text — never touches the index code. */
+  private def phraseWant(base: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String]) = {
+    val pos = base.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("p", "t")))
+      .cache()
+    val anchors = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("t") === t).select(col("doc_id"), (col("p") - i).as("s"))
+    }
+    anchors.reduce((a, b) => a.join(b, Seq("doc_id", "s"), "left_semi"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id")).collect()
+  }
+
+  test("phrase search ≡ an adjacency scan of the raw text (2- and 3-term)") {
+    val loc = tmpLoc("fts-phrase")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    for (phrase <- Seq(Seq("fast", "sort"), Seq("big", "order", "scan"))) {
+      val got = TextIndex.searchPhrase(spark, loc, phrase)
+        .orderBy(col("doc_id")).collect()
+      val want = phraseWant(docs, phrase)
+      assert(want.nonEmpty, s"fixture phrase $phrase matches nothing")
+      assert(got.toSeq == want.toSeq, s"phrase $phrase diverged")
+    }
+  }
+
+  test("a repeated-term phrase counts OVERLAPPING occurrences, like a " +
+      "positional scan does") {
+    val loc = tmpLoc("fts-phrase-rep")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    val got = TextIndex.searchPhrase(spark, loc, Seq("table", "table"))
+      .orderBy(col("doc_id")).collect()
+    val want = phraseWant(docs, Seq("table", "table"))
+    assert(want.nonEmpty, "fixture has no doc with 'table table'")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("phrase search composes with tombstones and with compaction") {
+    val loc = tmpLoc("fts-phrase-del")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    TextIndex.deleteDocs(docs.filter(col("doc_id") % 5 === 1), "doc_id", loc)
+    val want = phraseWant(docs.filter(col("doc_id") % 5 =!= 1),
+      Seq("fast", "sort"))
+    val got = TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+    TextIndex.compactInverted(spark, loc)
+    assert(TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id")).collect().toSeq == want.toSeq,
+      "compaction must preserve the positions column")
+  }
+
+  test("phrase search over build+append ≡ one-shot (positions ride the " +
+      "append path)") {
+    val loc = tmpLoc("fts-phrase-append")
+    val fp = AnnIndex.sourceFingerprint(source)
+    TextIndex.ensureInverted(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", loc, source,
+      fingerprintOverride = Some(s"partial:$fp"))
+    TextIndex.appendInverted(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", loc, newFingerprint = fp)
+    val got = TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.nonEmpty)
+    assert(got.toSeq == phraseWant(docs, Seq("fast", "sort")).toSeq)
+  }
+
+  test("a pre-positional index layout (metric=bm25) is rebuilt by ensure " +
+      "and refused by searchPhrase") {
+    val loc = tmpLoc("fts-phrase-legacy")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    // simulate the previous layout generation by downgrading the manifest
+    val mf = java.nio.file.Paths.get(s"$loc/_MANIFEST.properties")
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf).replace("bm25pos", "bm25"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+    }
+    assert(e.getMessage.contains("positional"))
+    assert(TextIndex.ensureInverted(docs, "doc_id", "text", loc, source),
+      "a pre-positional layout must rebuild even on a fresh fingerprint")
+    assert(TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+      .count() > 0)
+  }
+
   test("index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("fts-cat")
     TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)

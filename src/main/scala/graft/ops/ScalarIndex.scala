@@ -338,13 +338,123 @@ object ScalarIndex {
       .join(searchBitmap(spark, locationB, valuesB).select(col("id")),
         Seq("id"), "left_semi")
 
-  /** Fold tombstones into the bitmap layout (postings rewritten minus
-    * deleted ids, per-value counts collapsed to one true row each,
-    * tombstones cleared). Atomic swaps; results unchanged. */
+  // ---- LABEL_LIST (array membership) ------------------------------------
+
+  /** Incrementally ADD rows to a label-list index: the delta's exploded
+    * distinct pairs append as new files (new labels = new directories);
+    * per-label counts land as delta rows. The pairs-distinct law holds
+    * across slices because an id arrives in exactly one slice. Crash
+    * discipline as everywhere: `partial:` at build, re-stamp here. */
+  def appendLabelList(delta: DataFrame, idCol: String, arrCol: String,
+      location: String, newFingerprint: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "label_list",
+      s"not a label-list index: $location")
+    val rows = TextFunctions.widen(delta)
+      .filter(col(arrCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), explode(col(arrCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("id"), col("__v").cast("string").as("k"))
+      .distinct()
+    rows.repartition(col("k"))
+      .write.mode("append").partitionBy("k").parquet(s"$location/postings")
+    rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("append").parquet(s"$location/values")
+    AnnIndex.writeManifest(Paths.get(location),
+      man.copy(fingerprint = newFingerprint))
+  }
+
+  /** Build (or reuse) a LABEL-LIST index over an ARRAY column: the bitmap
+    * layout applied to the EXPLODED distinct (id, label) pairs — one id
+    * directory per label, so `array_has_any`/`array_has_all` predicates
+    * prune to the asked-for labels' directories exactly like bitmap
+    * equality does for scalars. The cardinality guard applies to the
+    * LABEL vocabulary (ids appear under every label they carry). Null
+    * arrays and null elements are not indexed — a membership search can
+    * never return them. */
+  def ensureLabelList(df: DataFrame, idCol: String, arrCol: String,
+      location: String, sourcePath: String, maxCardinality: Int = 10000,
+      fingerprintOverride: Option[String] = None): Boolean = {
+    val fp = fingerprintOverride.getOrElse(
+      AnnIndex.sourceFingerprint(sourcePath))
+    AnnIndex.readManifest(location) match {
+      case Some(m) if m.fingerprint == fp && m.indexType == "label_list" =>
+        false
+      case _ =>
+        AnnIndex.deleteRecursively(Paths.get(location))
+        val rows = TextFunctions.widen(df)
+          .filter(col(arrCol).isNotNull)
+          .select(col(idCol).cast("long").as("id"),
+            explode(col(arrCol)).as("__v"))
+          .filter(col("__v").isNotNull)
+          .select(col("id"), col("__v").cast("string").as("k"))
+          .distinct()
+        val values = rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+        val card = values.count()
+        require(card <= maxCardinality,
+          s"ensureLabelList: $arrCol has $card distinct labels " +
+            s"(> maxCardinality=$maxCardinality)")
+        AnnIndex.buildAndPublish(location,
+          AnnIndex.Manifest("label_list", "membership", card.toInt, 0, fp)) {
+          staging =>
+            rows.repartition(col("k"))
+              .write.mode("overwrite").partitionBy("k")
+              .parquet(s"$staging/postings")
+            values.coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/values")
+        }
+    }
+  }
+
+  /** `array_has_any(arr, labels)` via the label-list index: the union of
+    * the asked-for labels' id directories, deduplicated (an id carrying
+    * several of the labels appears once). Partition-pruned read,
+    * tombstone-cleaned. Returns (id). */
+  def searchHasAny(spark: SparkSession, location: String,
+      labels: Seq[String]): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "label_list",
+      s"not a label-list index: $location")
+    require(labels.nonEmpty, "searchHasAny: labels must be non-empty")
+    antiTombstones(
+      bitmapPostings(spark, location)
+        .filter(col("k").isInCollection(labels)),
+      location)
+      .select(col("id")).distinct()
+  }
+
+  /** `array_has_all(arr, labels)` via the label-list index: ids present
+    * under EVERY asked-for label — pairs are distinct by construction, so
+    * carrying all |labels| labels ⇔ matching |labels| rows (the same
+    * count law the ngram candidate phase uses; here it is exact, not a
+    * pre-filter, because membership IS the predicate). Returns (id). */
+  def searchHasAll(spark: SparkSession, location: String,
+      labels: Seq[String]): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "label_list",
+      s"not a label-list index: $location")
+    val distinctLabels = labels.distinct
+    require(distinctLabels.nonEmpty, "searchHasAll: labels must be non-empty")
+    antiTombstones(
+      bitmapPostings(spark, location)
+        .filter(col("k").isInCollection(distinctLabels)),
+      location)
+      .groupBy(col("id")).agg(count(lit(1)).as("__k"))
+      .filter(col("__k") === distinctLabels.size)
+      .select(col("id"))
+  }
+
+  /** Fold tombstones into the bitmap or label-list layout (postings
+    * rewritten minus deleted ids, per-value counts collapsed to one true
+    * row each, tombstones cleared). Atomic swaps; results unchanged. */
   def compactBitmap(spark: SparkSession, location: String): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
-    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    require(man.indexType == "bitmap" || man.indexType == "label_list",
+      s"not a bitmap/label-list index: $location")
     val live = antiTombstones(bitmapPostings(spark, location), location)
       .cache()
     swapDir(location, "postings")(st => live.repartition(col("k"))

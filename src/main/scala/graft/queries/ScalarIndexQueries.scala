@@ -131,12 +131,105 @@ object ScalarIndexQueries {
        |WHERE lang IN (${sqlIn(Langs)}) AND source IN (${sqlIn(Sources)})
        |ORDER BY id""".stripMargin
 
+  /** q223: substring search over a persisted NGRAM index — docs whose
+    * text contains "fast sort" found by intersecting the needle's
+    * trigrams' postings (bucket-pruned, a count aggregate) and verifying
+    * the exact `contains` only on the candidate rows. The oracle is the
+    * full-corpus contains scan the index exists to avoid: the two-phase
+    * plan must return exactly its rows (gram candidacy admits false
+    * positives, never false negatives — the residual removes the former,
+    * nothing can remove the latter). */
+  def q223NgramContains(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "ngram")
+    graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text",
+      loc, s"$d/documents.parquet")
+    graft.ops.NgramIndex.searchContains(s, loc, docs, "doc_id", "text",
+      "fast sort").orderBy(col("doc_id"))
+  }
+
+  private def q223Sql(where: String): String =
+    s"""SELECT doc_id FROM documents
+       |WHERE contains(lower(trim(text)), 'fast sort')$where
+       |ORDER BY doc_id""".stripMargin
+
+  /** q224: ngram search composed with the DELETE lifecycle — tombstone
+    * every doc_id ≡ 2 (mod 7); the candidate phase anti-joins them, so a
+    * deleted doc never even reaches the residual fetch. */
+  def q224NgramDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "ngram-delete")
+    val built = graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text",
+      loc, s"$d/documents.parquet")
+    if (built || !graft.ops.NgramIndex.hasTombstones(loc))
+      graft.ops.NgramIndex.deleteDocs(
+        docs.filter(col("doc_id") % 7 === 2), "doc_id", loc)
+    graft.ops.NgramIndex.searchContains(s, loc, docs, "doc_id", "text",
+      "fast sort").orderBy(col("doc_id"))
+  }
+
+  /** The tags array both label-list gates index: the document's distinct
+    * token set — the natural keyword-tag column of a doc corpus, and an
+    * array the oracle can rebuild verbatim. */
+  private def tagged(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tags"))
+
+  private val AnyLabels = Seq("vector", "dup")
+  private val AllLabels = Seq("vector", "spark", "query")
+
+  /** q225: `array_has_any(tags, [vector, dup])` via a persisted
+    * LABEL-LIST index — the union of the two labels' id directories,
+    * deduplicated; the read lists only those directories. Oracle: the
+    * base-table membership disjunction. */
+  def q225LabelListAny(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "labellist")
+    ScalarIndex.ensureLabelList(tagged(docs), "doc_id", "tags",
+      loc, s"$d/documents.parquet")
+    ScalarIndex.searchHasAny(s, loc, AnyLabels).orderBy(col("id"))
+  }
+
+  private val q225Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tags
+       |  FROM documents)
+       |SELECT id FROM t
+       |WHERE ${AnyLabels.map(l => s"list_contains(tags, '$l')").mkString(" OR ")}
+       |ORDER BY id""".stripMargin
+
+  /** q226: `array_has_all(tags, [vector, spark, query])` — ids present
+    * under EVERY label: distinct pairs make the count aggregate exact
+    * (membership IS the predicate — unlike q223's gram phase there is no
+    * residual to run). Oracle: the membership conjunction. */
+  def q226LabelListAll(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "labellist")
+    ScalarIndex.ensureLabelList(tagged(docs), "doc_id", "tags",
+      loc, s"$d/documents.parquet")
+    ScalarIndex.searchHasAll(s, loc, AllLabels).orderBy(col("id"))
+  }
+
+  private val q226Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tags
+       |  FROM documents)
+       |SELECT id FROM t
+       |WHERE ${AllLabels.map(l => s"list_contains(tags, '$l')").mkString(" AND ")}
+       |ORDER BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_btree_range" -> (q213BtreeRange _),
     "q214_btree_append" -> (q214BtreeAppend _),
     "q215_btree_delete" -> (q215BtreeDelete _),
     "q216_bitmap_eq" -> (q216BitmapEq _),
-    "q217_bitmap_and" -> (q217BitmapAnd _))
+    "q217_bitmap_and" -> (q217BitmapAnd _),
+    "q223_ngram_contains" -> (q223NgramContains _),
+    "q224_ngram_delete" -> (q224NgramDelete _),
+    "q225_labellist_any" -> (q225LabelListAny _),
+    "q226_labellist_all" -> (q226LabelListAll _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -146,5 +239,11 @@ object ScalarIndexQueries {
     "q214_btree_append" -> q213Sql,
     "q215_btree_delete" -> q215Sql,
     "q216_bitmap_eq" -> q216Sql,
-    "q217_bitmap_and" -> q217Sql)
+    "q217_bitmap_and" -> q217Sql,
+    // ngram: the oracle is the full-corpus contains scan the index
+    // avoids; label-list: the base-table membership (dis|con)junction
+    "q223_ngram_contains" -> q223Sql(""),
+    "q224_ngram_delete" -> q223Sql(" AND doc_id % 7 <> 2"),
+    "q225_labellist_any" -> q225Sql,
+    "q226_labellist_all" -> q226Sql)
 }

@@ -205,6 +205,68 @@ class ScalarIndexSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  // ---- LABEL_LIST --------------------------------------------------------
+
+  private def tagsDf =
+    docs.select(col("doc_id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tags"))
+
+  private val AnyL = Seq("vector", "dup")
+  private val AllL = Seq("vector", "spark", "query")
+
+  private def wantAny(base: org.apache.spark.sql.DataFrame) =
+    base.filter(AnyL.map(l => array_contains(col("tags"), l))
+        .reduce(_ || _))
+      .select(col("doc_id").as("id")).orderBy(col("id")).collect()
+
+  private def wantAll(base: org.apache.spark.sql.DataFrame) =
+    base.filter(AllL.map(l => array_contains(col("tags"), l))
+        .reduce(_ && _))
+      .select(col("doc_id").as("id")).orderBy(col("id")).collect()
+
+  test("label-list hasAny ≡ a membership disjunction (each id once, even " +
+      "with several matching labels) and hasAll ≡ the conjunction") {
+    val loc = tmpLoc("ll")
+    assert(ScalarIndex.ensureLabelList(tagsDf, "doc_id", "tags",
+      loc, docSource), "first ensure must build")
+    val gotAny = ScalarIndex.searchHasAny(spark, loc, AnyL)
+      .orderBy(col("id")).collect()
+    assert(gotAny.nonEmpty)
+    assert(gotAny.toSeq == wantAny(tagsDf).toSeq)
+    assert(gotAny.map(_.getLong(0)).distinct.length == gotAny.length,
+      "hasAny must deduplicate multi-label ids")
+    val gotAll = ScalarIndex.searchHasAll(spark, loc, AllL)
+      .orderBy(col("id")).collect()
+    assert(gotAll.nonEmpty)
+    assert(gotAll.toSeq == wantAll(tagsDf).toSeq)
+    // repeated labels in the query must not break the count law
+    assert(ScalarIndex.searchHasAll(spark, loc, AllL ++ AllL.take(1))
+      .orderBy(col("id")).collect().toSeq == gotAll.toSeq)
+  }
+
+  test("label-list append ≡ one-shot; delete ≡ filter; compaction " +
+      "accepts the label_list type and preserves results") {
+    val loc = tmpLoc("ll-append")
+    val fp = AnnIndex.sourceFingerprint(docSource)
+    ScalarIndex.ensureLabelList(tagsDf.filter(col("doc_id") % 2 === 0),
+      "doc_id", "tags", loc, docSource,
+      fingerprintOverride = Some(s"partial:$fp"))
+    ScalarIndex.appendLabelList(tagsDf.filter(col("doc_id") % 2 === 1),
+      "doc_id", "tags", loc, newFingerprint = fp)
+    assert(AnnIndex.readManifest(loc).exists(_.fingerprint == fp))
+    assert(ScalarIndex.searchHasAny(spark, loc, AnyL)
+      .orderBy(col("id")).collect().toSeq == wantAny(tagsDf).toSeq)
+    ScalarIndex.deleteIds(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", loc)
+    val want = wantAny(tagsDf.filter(col("doc_id") % 3 =!= 1))
+    assert(ScalarIndex.searchHasAny(spark, loc, AnyL)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+    ScalarIndex.compactBitmap(spark, loc)
+    assert(!ScalarIndex.hasTombstones(loc))
+    assert(ScalarIndex.searchHasAny(spark, loc, AnyL)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+  }
+
   test("scalar index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("bt-cat")
     ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)

@@ -764,9 +764,14 @@ object AnnIndex {
       // scan its location just to be registered. Reads of the index go
       // through searchIvf/searchIvfPq, which interpret the layout.
       val schema = man.indexType match {
-        case "ivf_pq" =>
+        case "ivf_pq" | "ivf_sq" =>
           "vec_id BIGINT, embedding ARRAY<FLOAT>, codes ARRAY<INT>, cid INT"
-        case "inverted" => "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, bkt INT"
+        case "inverted" =>
+          "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
+            "positions ARRAY<INT>, bkt INT"
+        case "ngram" => "gram STRING, doc_id BIGINT, bkt INT"
+        case "btree" => "id BIGINT, key DOUBLE, bkt INT"
+        case "bitmap" | "label_list" => "id BIGINT, k STRING"
         case _ => "vec_id BIGINT, embedding ARRAY<FLOAT>, cid INT"
       }
       spark.sql(

@@ -40,9 +40,11 @@ object ScalarQuant {
         max(col("__x").cast("double")).as("hi"))
 
   /** Collect a ranges frame to (loArr, scaleArr) — a dim-sized driver
-    * read, bounded by construction. */
+    * read, bounded by construction. The sort happens driver-side: an
+    * `orderBy` on a dim-row frame would cost a whole shuffle job just to
+    * order 64 rows. */
   def collectModel(ranges: DataFrame): (Array[Double], Array[Double]) = {
-    val rows = ranges.orderBy(col("dim")).collect()
+    val rows = ranges.collect().sortBy(_.getInt(0))
     val lo = rows.map(_.getDouble(1))
     val scale = rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
     (lo, scale)

@@ -13,6 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * constant folding) instead of a UDF boundary. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer-integrated index access: covering filters over routed
+    // parquet sources are served from the persisted btree/bitmap indexes
+    // (no-op until IndexRoute.register declares a route)
+    ext.injectOptimizerRule(session =>
+      graft.plans.IndexedScanRewrite(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine",

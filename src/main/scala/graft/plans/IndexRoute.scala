@@ -1,0 +1,244 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+
+import graft.ops.{AnnIndex, ScalarIndex}
+
+/** Optimizer-integrated index access — the reference's "indexes speed up
+  * filters without the query changing" promise, re-expressed as a Catalyst
+  * [[Rule]]: a COVERING filter over an indexed parquet source is rewritten
+  * to read the persisted index instead of the corpus.
+  *
+  * A rewrite fires only when ALL of:
+  *  - the scan is a single-root parquet relation whose path has a
+  *    registered route ([[IndexRoute.register]]) for the filtered column;
+  *  - the predicate is index-servable: `key = lit` / `key IN (lits)` over
+  *    a bitmap route, `lo <= key AND key <= hi` over a btree route;
+  *  - the projection is COVERED by the index (only the id and key columns
+  *    survive) — an index holds nothing else, and a semi-join back into
+  *    the corpus would not save the corpus scan that makes the rewrite
+  *    worth firing;
+  *  - the index is FRESH: its manifest fingerprint matches a stat of the
+  *    source as of rule application. A stale index silently declines —
+  *    the plan falls back to the scan, never to wrong rows.
+  *
+  * The replacement subtree is the same plan [[ScalarIndex.searchBitmap]] /
+  * [[ScalarIndex.searchBtreeRange]] builds (partition-pruned directory
+  * reads), wrapped in a Project that re-aliases its output to the ORIGINAL
+  * attribute names and exprIds, so parent operators resolve untouched. At
+  * 100 TB the win is exactly the index families' pruning story: the wide
+  * corpus is never opened; the asked-for values' (or overlapping buckets')
+  * narrow id/key files are.
+  *
+  * Scope guard (v1): id columns must be integral (the postings store them
+  * as BIGINT), bitmap keys STRING, btree keys a numeric type whose
+  * driver-side zonemap shadow is exact in a double (int/float/double —
+  * bigint keys beyond 2^53 are declined at registration).
+  *
+  * Wire-up: `spark.experimental.extraOptimizations ++= Seq(
+  * IndexedScanRewrite(spark))` on a live session, or through
+  * `spark.sql.extensions=graft.functions.GraftExtensions` at build time.
+  */
+object IndexRoute {
+
+  /** One registered access path: queries on (sourcePath, keyCol) may be
+    * served by the index at `location`. */
+  final case class Route(indexType: String, location: String,
+      idCol: String, keyCol: String, rawSourcePath: String)
+
+  private val routes = new ConcurrentHashMap[(String, String), Route]()
+
+  private[plans] def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Declare that the btree/bitmap index at `location` serves `keyCol`
+    * filters over the parquet source at `sourcePath` (with `idCol` as the
+    * row id the index stores). Freshness is NOT checked here — it is
+    * re-checked at every rule application, so a route can outlive many
+    * index rebuilds. */
+  def register(sourcePath: String, keyCol: String, idCol: String,
+      location: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index manifest at $location"))
+    require(man.indexType == "btree" || man.indexType == "bitmap",
+      s"IndexRoute.register: only btree/bitmap routes, got ${man.indexType}")
+    routes.put((normalize(sourcePath), keyCol),
+      Route(man.indexType, location, idCol, keyCol, sourcePath))
+    ()
+  }
+
+  def clear(): Unit = routes.clear()
+
+  private[plans] def lookup(path: String, keyCol: String): Option[Route] =
+    Option(routes.get((path, keyCol)))
+}
+
+/** The rewrite rule — see [[IndexRoute]]. One instance per session (the
+  * captured session builds the replacement subtrees). */
+case class IndexedScanRewrite(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, Filter(cond, rel)) =>
+      (for {
+        lr <- relationOf(rel)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewrite(projList, cond, lr, path)
+      } yield rewritten).getOrElse(p)
+  }
+
+  /** The scan beneath the filter, looking through a column-pruning
+    * Project of bare attributes the optimizer may have pushed in. */
+  private def relationOf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan match {
+      case lr: LogicalRelation => Some(lr)
+      case Project(list, lr: LogicalRelation)
+          if list.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+      case _ => None
+    }
+
+  private def sourcePathOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+        case p :: Nil => Some(IndexRoute.normalize(p.toString))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** The predicate shapes v1 serves, reduced to (key attribute, what to
+    * ask the index). */
+  private sealed trait Ask
+  private case class AskValues(values: Seq[String]) extends Ask
+  private case class AskRange(lo: Double, hi: Double) extends Ask
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Match the condition's conjuncts against the servable shapes. The
+    * optimizer infers `IsNotNull(key)` beside every matched predicate —
+    * those are dropped, but ONLY when they reference the key attribute
+    * (the index holds no null keys and the matched predicate already
+    * implies non-null, so the drop is semantics-preserving); an
+    * IsNotNull on any OTHER column, or any residual conjunct, declines
+    * the rewrite. */
+  private def askOf(cond: Expression): Option[(AttributeReference, Ask)] = {
+    val (notNulls, rest) = splitAnd(cond).partition {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    val matched: Option[(AttributeReference, Ask)] = rest match {
+      case Seq(EqualTo(a: AttributeReference, Literal(v, StringType)))
+          if v != null =>
+        Some((a, AskValues(Seq(v.toString))))
+      case Seq(EqualTo(Literal(v, StringType), a: AttributeReference))
+          if v != null =>
+        Some((a, AskValues(Seq(v.toString))))
+      case Seq(In(a: AttributeReference, lits))
+          if lits.nonEmpty && lits.forall {
+            case Literal(v, StringType) => v != null
+            case _ => false
+          } =>
+        Some((a, AskValues(lits.map(_.asInstanceOf[Literal].value.toString))))
+      case Seq(b1, b2) =>
+        (boundOf(b1, isLower = true), boundOf(b2, isLower = false)) match {
+          case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
+            Some((a1, AskRange(l, h)))
+          case _ => None
+        }
+      case _ => None
+    }
+    matched.filter { case (key, _) =>
+      notNulls.forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == key.exprId
+        case _ => false
+      }
+    }
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  private def boundOf(e: Expression, isLower: Boolean)
+      : Option[(AttributeReference, Double)] = e match {
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if isLower =>
+      numeric(v).map((a, _))
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) if isLower =>
+      numeric(v).map((a, _))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if !isLower =>
+      numeric(v).map((a, _))
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if !isLower =>
+      numeric(v).map((a, _))
+    case _ => None
+  }
+
+  private def btreeKeyOk(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | IntegerType => true
+    case _ => false // LongType beyond 2^53 would alias in the double shadow
+  }
+
+  private def tryRewrite(projList: Seq[NamedExpression], cond: Expression,
+      lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
+    (keyAttr, ask) <- askOf(cond)
+    route <- IndexRoute.lookup(path, keyAttr.name)
+    idAttr <- lr.output.find(_.name == route.idCol)
+    // covering check: the projection references nothing but id and key
+    covered = projList.forall(_.references.subsetOf(
+      AttributeSet(Seq(idAttr, keyAttr))))
+    if covered && idAttr.dataType == LongType
+    // ask/route agreement + key-type guard
+    if ((ask, route.indexType) match {
+      case (_: AskValues, "bitmap") => keyAttr.dataType == StringType
+      case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
+      case _ => false
+    })
+    // freshness: a stale index declines; the scan plan stands
+    man <- AnnIndex.readManifest(route.location)
+    if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+  } yield {
+    val idx = ask match {
+      case AskValues(vs) =>
+        ScalarIndex.searchBitmap(spark, route.location, vs)
+          .select(col("id").as(route.idCol), col("k").as(route.keyCol))
+      case AskRange(lo, hi) =>
+        ScalarIndex.searchBtreeRange(spark, route.location, lo, hi)
+          .select(col("id").as(route.idCol), col("key").as(route.keyCol))
+    }
+    val newPlan = idx.queryExecution.analyzed
+    val newId = newPlan.output.find(_.name == route.idCol).get
+    val newKey = newPlan.output.find(_.name == route.keyCol).get
+    require(newId.dataType == idAttr.dataType &&
+      newKey.dataType == keyAttr.dataType,
+      s"index route ${route.location} column types drifted from the source")
+    val sub = Map(idAttr.exprId -> newId, keyAttr.exprId -> newKey)
+    // re-alias to the ORIGINAL names and exprIds so parents resolve
+    val rewired = projList.map {
+      case ar: AttributeReference =>
+        Alias(sub(ar.exprId), ar.name)(exprId = ar.exprId,
+          qualifier = ar.qualifier)
+      case ne =>
+        val t = ne.transform {
+          case ar: AttributeReference if sub.contains(ar.exprId) =>
+            sub(ar.exprId)
+        }.asInstanceOf[NamedExpression]
+        t match {
+          case a: Alias =>
+            Alias(a.child, a.name)(exprId = ne.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+    }
+    Project(rewired, newPlan)
+  }
+}

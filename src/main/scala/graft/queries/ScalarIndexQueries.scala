@@ -220,6 +220,46 @@ object ScalarIndexQueries {
        |WHERE ${AllLabels.map(l => s"list_contains(tags, '$l')").mkString(" AND ")}
        |ORDER BY id""".stripMargin
 
+  /** q227: OPTIMIZER-INTEGRATED index access
+    * ([[graft.plans.IndexedScanRewrite]]) — the query is the PLAIN
+    * DataFrame filter `lang = 'en'` over the raw parquet, never naming an
+    * index; the injected Catalyst rule rewrites the covering scan to read
+    * the bitmap index instead (the gate REQUIRES the rewrite fired — a
+    * regression to the corpus scan fails loudly, not silently), and the
+    * rows are materialized through the rewritten plan before the
+    * rule/route are withdrawn from the shared session. Oracle: the plain
+    * filter — an optimizer rewrite must be invisible in the results. */
+  def q227IndexedRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    val before = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations =
+      before :+ graft.plans.IndexedScanRewrite(s)
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q227: the index rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q227: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      s.experimental.extraOptimizations = before
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q227Sql: String =
+    """SELECT doc_id, lang FROM documents WHERE lang = 'en'
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_btree_range" -> (q213BtreeRange _),
     "q214_btree_append" -> (q214BtreeAppend _),
@@ -229,7 +269,8 @@ object ScalarIndexQueries {
     "q223_ngram_contains" -> (q223NgramContains _),
     "q224_ngram_delete" -> (q224NgramDelete _),
     "q225_labellist_any" -> (q225LabelListAny _),
-    "q226_labellist_all" -> (q226LabelListAll _))
+    "q226_labellist_all" -> (q226LabelListAll _),
+    "q227_indexed_rewrite" -> (q227IndexedRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -245,5 +286,7 @@ object ScalarIndexQueries {
     "q223_ngram_contains" -> q223Sql(""),
     "q224_ngram_delete" -> q223Sql(" AND doc_id % 7 <> 2"),
     "q225_labellist_any" -> q225Sql,
-    "q226_labellist_all" -> q226Sql)
+    "q226_labellist_all" -> q226Sql,
+    // the optimizer rewrite must be invisible in results: plain filter SQL
+    "q227_indexed_rewrite" -> q227Sql)
 }

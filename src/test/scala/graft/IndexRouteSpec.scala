@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScalarIndex
+import graft.plans.{IndexRoute, IndexedScanRewrite}
+
+/** Optimizer-integrated index access — [[graft.plans.IndexedScanRewrite]].
+  * Pins (1) a covering equality/IN/range filter over a routed parquet
+  * source is rewritten to read the INDEX, not the corpus, with results
+  * identical to the un-rewritten plan, (2) exprId rewiring keeps parent
+  * operators (aggregates) resolving over the spliced subtree, (3) the
+  * rule DECLINES — falling back to the scan, never to wrong rows — for
+  * non-covering projections, unrouted columns, and stale indexes. */
+class IndexRouteSpec extends SparkSpec {
+
+  private lazy val docSource = s"$sfDir/documents.parquet"
+  private lazy val evSource = s"$sfDir/events.parquet"
+  private lazy val docs = spark.read.parquet(docSource)
+  private lazy val events = spark.read.parquet(evSource)
+
+  private def tmpLoc(name: String): String =
+    s"${Files.createTempDirectory("graft-routespec").toString}/$name"
+
+  private def withRule[A](body: => A): A = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ IndexedScanRewrite(spark)
+    try body
+    finally {
+      spark.experimental.extraOptimizations = before
+      IndexRoute.clear()
+    }
+  }
+
+  private def scansIndex(df: org.apache.spark.sql.DataFrame,
+      location: String): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains(new java.io.File(location).getName) &&
+      !plan.contains("documents.parquet") && !plan.contains("events.parquet")
+  }
+
+  test("covering equality filter rewrites to the bitmap index; results " +
+      "are identical to the scan plan") {
+    val loc = tmpLoc("route-bm")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")).collect()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(scansIndex(df, loc),
+        s"expected the index scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+    }
+    // routes cleared → the same query scans the corpus again
+    val after = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"))
+    assert(!scansIndex(after, loc))
+  }
+
+  test("IN filters rewrite too, and parents (an aggregate) resolve over " +
+      "the spliced subtree") {
+    val loc = tmpLoc("route-bm-in")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang")).collect()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(scansIndex(df, loc))
+      assert(df.orderBy(col("lang")).collect().toSeq == want.toSeq)
+    }
+  }
+
+  test("covering range filter rewrites to the btree index") {
+    val loc = tmpLoc("route-bt")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val want = events
+      .filter(col("value") >= 100.0 && col("value") <= 250.0)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect()
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      val df = events
+        .filter(col("value") >= 100.0 && col("value") <= 250.0)
+        .select(col("event_id"), col("value"))
+      assert(scansIndex(df, loc),
+        s"expected the index scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    }
+  }
+
+  test("a NON-covering projection declines: the corpus scan stands and " +
+      "results are untouched") {
+    val loc = tmpLoc("route-noncover")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("text"))
+      assert(!scansIndex(df, loc), "text is not in the index — no rewrite")
+      assert(df.count() ==
+        docs.filter(col("lang") === "en").count())
+    }
+  }
+
+  test("a STALE index declines: fingerprint mismatch falls back to the " +
+      "scan, never to stale rows") {
+    val loc = tmpLoc("route-stale")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      // simulate a source data drop AFTER the build: downgrade the stamp
+      val mf = java.nio.file.Paths.get(s"$loc/_MANIFEST.properties")
+      java.nio.file.Files.writeString(mf,
+        java.nio.file.Files.readString(mf)
+          .replaceAll("(?m)^graft.index.fingerprint=.*$",
+            "graft.index.fingerprint=stale"))
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(!scansIndex(df, loc), "a stale index must not serve queries")
+      assert(df.count() == docs.filter(col("lang") === "en").count())
+    }
+  }
+
+  test("an unrouted column is untouched even when other routes exist") {
+    val loc = tmpLoc("route-other")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), col("source"))
+      assert(!scansIndex(df, loc))
+      assert(df.count() == docs.filter(col("source") === "src1").count())
+    }
+  }
+}

@@ -796,4 +796,26 @@ object AnnIndex {
   def resolveIndexLocation(spark: SparkSession, tableName: String): String =
     spark.sql(s"SHOW TBLPROPERTIES $tableName ('graft.index.location')")
       .collect().head.getString(1)
+
+  /** INVENTORY of the registered indexes in a namespace — the list_indices
+    * surface of the reference's index family: every `graft.index.*`
+    * capability-pointer table with its type/metric/width metadata, read
+    * from the catalog properties stamped at registration. Catalog
+    * enumeration is driver-side and metadata-sized (a namespace holds
+    * tables, not data). Returns (table_name, index_type, metric, m),
+    * sorted by table name. */
+  def listIndexTables(spark: SparkSession, namespace: String): DataFrame = {
+    val names = spark.sql(s"SHOW TABLES IN $namespace").collect()
+      .map(r => s"$namespace.${r.getString(1)}").sorted
+    val rows = names.toSeq.flatMap { t =>
+      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      props.get("graft.index.type").map(tpe =>
+        (t, tpe, props.getOrElse("graft.index.metric", ""),
+          props.getOrElse("graft.index.m", "0").toLong))
+    }
+    import spark.implicits._
+    rows.toDF("table_name", "index_type", "metric", "m")
+      .orderBy(col("table_name"))
+  }
 }

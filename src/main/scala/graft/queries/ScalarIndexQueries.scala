@@ -260,6 +260,46 @@ object ScalarIndexQueries {
     """SELECT doc_id, lang FROM documents WHERE lang = 'en'
       |ORDER BY doc_id""".stripMargin
 
+  /** q228: INDEX INVENTORY — the list_indices surface: register one index
+    * of every scalar/text family under a DEDICATED namespace (so the
+    * listing is invariant to which other gates ran in this session) and
+    * enumerate them with their type/metric/width metadata from the
+    * catalog properties. The oracle is the expected inventory as a
+    * literal table: registration must stamp exactly this metadata. */
+  def q228IndexInventory(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = s"$d/documents.parquet"
+    val locBm = indexLocation(d, "bitmap-lang")
+    val locBt = indexLocation(d, "btree")
+    val locNg = indexLocation(d, "ngram")
+    val locLl = indexLocation(d, "labellist")
+    val locFts = indexLocation(d, "inv-fts")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", locBm, src)
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      locBt, s"$d/events.parquet")
+    graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text", locNg, src)
+    ScalarIndex.ensureLabelList(tagged(docs), "doc_id", "tags", locLl, src)
+    graft.ops.TextIndex.ensureInverted(docs, "doc_id", "text", locFts, src)
+    CatalogQueries.ensureCatalog(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.indexinv")
+    AnnIndex.registerIndexTable(s, "graft.indexinv.inv_bitmap", locBm)
+    AnnIndex.registerIndexTable(s, "graft.indexinv.inv_btree", locBt)
+    AnnIndex.registerIndexTable(s, "graft.indexinv.inv_ngram", locNg)
+    AnnIndex.registerIndexTable(s, "graft.indexinv.inv_labels", locLl)
+    AnnIndex.registerIndexTable(s, "graft.indexinv.inv_fts", locFts)
+    AnnIndex.listIndexTables(s, "graft.indexinv")
+  }
+
+  private val q228Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('graft.indexinv.inv_bitmap', 'bitmap', 'equality', CAST(0 AS BIGINT)),
+      |  ('graft.indexinv.inv_btree', 'btree', 'range', CAST(0 AS BIGINT)),
+      |  ('graft.indexinv.inv_fts', 'inverted', 'bm25pos', CAST(0 AS BIGINT)),
+      |  ('graft.indexinv.inv_labels', 'label_list', 'membership', CAST(0 AS BIGINT)),
+      |  ('graft.indexinv.inv_ngram', 'ngram', 'contains', CAST(3 AS BIGINT)))
+      |  AS t(table_name, index_type, metric, m)
+      |ORDER BY table_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_btree_range" -> (q213BtreeRange _),
     "q214_btree_append" -> (q214BtreeAppend _),
@@ -270,7 +310,8 @@ object ScalarIndexQueries {
     "q224_ngram_delete" -> (q224NgramDelete _),
     "q225_labellist_any" -> (q225LabelListAny _),
     "q226_labellist_all" -> (q226LabelListAll _),
-    "q227_indexed_rewrite" -> (q227IndexedRewrite _))
+    "q227_indexed_rewrite" -> (q227IndexedRewrite _),
+    "q228_index_inventory" -> (q228IndexInventory _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -288,5 +329,8 @@ object ScalarIndexQueries {
     "q225_labellist_any" -> q225Sql,
     "q226_labellist_all" -> q226Sql,
     // the optimizer rewrite must be invisible in results: plain filter SQL
-    "q227_indexed_rewrite" -> q227Sql)
+    "q227_indexed_rewrite" -> q227Sql,
+    // the expected inventory as a literal table: registration must stamp
+    // exactly this metadata
+    "q228_index_inventory" -> q228Sql)
 }

@@ -130,6 +130,15 @@ object AnnIndex {
       .select(col("vec_id"), col("__best.__v").as("embedding"),
         col("__best.cid").as("cid"))
 
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A staging-path suffix unique across processes (pid) AND across
+    * concurrent invocations within one JVM (counter) — a pid alone lets
+    * two same-process builders write into one staging dir and clobber
+    * each other mid-build (caught by PropertySpec's publish-race law). */
+  private[ops] def uniqueSuffix(): String =
+    s"${ProcessHandle.current().pid()}.${stagingSeq.incrementAndGet()}"
+
   /** Build the index into a staging dir, then atomically publish it at
     * `location`. Returns false if another builder won the publish race
     * (the existing index is kept). */
@@ -137,8 +146,7 @@ object AnnIndex {
       (write: Path => Unit): Boolean = {
     val target = Paths.get(location)
     Option(target.getParent).foreach(Files.createDirectories(_))
-    val staging = Paths.get(
-      s"$location.tmp.${ProcessHandle.current().pid()}")
+    val staging = Paths.get(s"$location.tmp.${uniqueSuffix()}")
     write(staging)
     writeManifest(staging, manifest)
     try {
@@ -150,6 +158,16 @@ object AnnIndex {
            _: java.nio.file.DirectoryNotEmptyException =>
         // lost the race — discard our staging tree, keep the winner's
         deleteRecursively(staging)
+        false
+      // Linux rename(2) onto an existing non-empty dir surfaces as
+      // ENOTEMPTY wrapped in the GENERIC FileSystemException (not always
+      // the DirectoryNotEmptyException subtype). If a complete index now
+      // sits at the target, this is the same lost race; anything else is
+      // a real I/O failure and must propagate.
+      case e: java.nio.file.FileSystemException
+          if readManifest(location).isDefined =>
+        deleteRecursively(staging)
+        val _ = e
         false
     }
   }
@@ -421,16 +439,15 @@ object AnnIndex {
       throw new IllegalStateException(s"no index at $location"))
     val postings = withoutTombstones(spark, location,
       spark.read.parquet(s"$location/postings"))
-    val staging = Paths.get(
-      s"$location/postings.compact.${ProcessHandle.current().pid()}")
+    val tag = uniqueSuffix()
+    val staging = Paths.get(s"$location/postings.compact.$tag")
     // one output file per cell: repartition on the partition column so
     // each write task owns whole cells
     postings.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(staging.toString)
     val live = Paths.get(s"$location/postings")
-    val retired = Paths.get(
-      s"$location/postings.retired.${ProcessHandle.current().pid()}")
+    val retired = Paths.get(s"$location/postings.retired.$tag")
     Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
     try Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
     catch {

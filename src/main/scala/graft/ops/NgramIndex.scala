@@ -183,7 +183,7 @@ object NgramIndex {
       if (!hasTombstones(location)) return
       else spark.read.parquet(tombstoneDir(location).toString)
         .select(col("doc_id")).distinct()
-    val pid = ProcessHandle.current().pid()
+    val pid = AnnIndex.uniqueSuffix()
     val staging = s"$location/postings.compact.$pid"
     spark.read.parquet(s"$location/postings")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")

@@ -93,7 +93,7 @@ object ScalarIndex {
     * live one, roll back on failure. */
   private def swapDir(location: String, sub: String)(write: String => Unit)
       : Unit = {
-    val pid = ProcessHandle.current().pid()
+    val pid = AnnIndex.uniqueSuffix()
     val staging = s"$location/$sub.compact.$pid"
     write(staging)
     val livePath = Paths.get(s"$location/$sub")

@@ -317,7 +317,7 @@ object TextIndex {
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
       else spark.read.parquet(tombstoneDir(location).toString)
         .select(col("doc_id")).distinct()
-    val pid = ProcessHandle.current().pid()
+    val pid = AnnIndex.uniqueSuffix()
     def swap(sub: String)(write: String => Unit): Unit = {
       val staging = s"$location/$sub.compact.$pid"
       write(staging)

@@ -97,6 +97,20 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("count(*) over a routed filter is answered from the index: the " +
+      "empty projection is trivially covering") {
+    val loc = tmpLoc("route-count")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.filter(col("lang") === "en").count()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en").groupBy().count()
+      assert(scansIndex(df, loc),
+        s"expected the count to read the index:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().head.getLong(0) == want)
+    }
+  }
+
   test("a NON-covering projection declines: the corpus scan stands and " +
       "results are untouched") {
     val loc = tmpLoc("route-noncover")

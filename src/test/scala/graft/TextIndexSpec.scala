@@ -229,6 +229,60 @@ class TextIndexSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("CDC streaming ingest: per-micro-batch adds (appendInverted) and " +
+      "deletes (tombstones) keep the served BM25 ≡ the equivalent batch " +
+      "corpus — including the corpus-stats effect of the deletes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = tmpLoc("fts-cdc")
+    // base: even doc_ids; the CDC feed adds odd ids < 400 and deletes the
+    // %10==6 stragglers, across two micro-batches
+    TextIndex.ensureInverted(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", loc, source,
+      fingerprintOverride = Some("cdc:base"))
+    val feed = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => ("add", id, t) } ++
+      docs.filter(col("doc_id") % 10 === 6)
+        .select(col("doc_id")).as[Long].collect().toSeq
+        .map(id => ("del", id, ""))
+    val stream = MemoryStream[(String, Long, String)]
+    val batchNo = new java.util.concurrent.atomic.AtomicLong(0L)
+    val query = stream.toDF().toDF("op", "doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batchNo.incrementAndGet()
+        val adds = batch.filter(col("op") === "add")
+          .select(col("doc_id"), col("text"))
+        if (!adds.isEmpty)
+          TextIndex.appendInverted(adds, "doc_id", "text", loc,
+            newFingerprint = s"cdc:batch$n")
+        val dels = batch.filter(col("op") === "del").select(col("doc_id"))
+        if (!dels.isEmpty) TextIndex.deleteDocs(dels, "doc_id", loc)
+        ()
+      }
+      .start()
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val equivalent = docs.filter(
+      (col("doc_id") % 2 === 0 ||
+        (col("doc_id") % 2 === 1 && col("doc_id") < 400)) &&
+        col("doc_id") % 10 =!= 6)
+    val got = persisted(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == inQuery(equivalent).toSeq,
+      "CDC-maintained index diverged from the equivalent batch corpus")
+    // and the phrase path sees the same live view
+    val gotPhrase = TextIndex.searchPhrase(spark, loc, Seq("fast", "sort"))
+      .orderBy(col("doc_id")).collect()
+    assert(gotPhrase.toSeq == phraseWant(equivalent, Seq("fast", "sort")).toSeq)
+  }
+
   test("index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("fts-cat")
     TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)

@@ -1584,6 +1584,28 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q229: the FULL production SQ8 build persisted — k-means-TRAINED
+    * centroids (the q42/q203 2-round Lloyd's) + corpus-trained ranges
+    * feed the IVF-SQ8 build, and the search runs over the materialized
+    * codes. With q218 (seeded twin) and q219 (append) this closes the
+    * {seeded, trained} × {one-shot, incremental} matrix for the SQ tier,
+    * as q197/q200/q203 did for IVF-flat. The oracle replays the TRAINING
+    * (seeding, both assignment rounds, decimal means, float truncation)
+    * and then the same encode/decode/probe/score/rerank device as q218. */
+  def q229TrainedIvfSq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivfsq-trained")
+    AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
+      trainedCentroids(s, emb, d), "cid", "cvec",
+      graft.ops.ScalarQuant.trainRanges(emb, "embedding"),
+      loc, s"$d/embeddings.parquet")
+    AnnIndex.searchIvfSq(s, loc,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 4, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** q218's oracle with the q204/q117 optional assigned-side predicate —
     * the full SQ8 replay: per-dimension lo/hi over the corpus, the
     * ⌊·+0.5⌋-clamped encode, float reconstruction, seeded-cell
@@ -1592,9 +1614,21 @@ object SimilarityQueries {
     * and q220 (deleted ids filtered); the ranges CTE always sees the
     * FULL corpus — the model is frozen at build. */
   private def ivfSqSeededSql(assignedWhere: String): String =
-    s"""WITH cents AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
-       |  FROM embeddings WHERE vec_id < 10),
+    ivfSqSql(
+      """cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 10)""".stripMargin,
+      "cents", "q.vec_id >= 100 AND q.vec_id < 103", nprobe = 3,
+      assignedWhere)
+
+  /** The general SQ8 replay, parameterized over the centroid source so
+    * the seeded gates (q218–q220) and the TRAINED gate (q229 — centroids
+    * from the unrolled 2-round Lloyd's, [[TrainedCentroidCtes]]) splice
+    * the SAME encode/decode/probe/score/rerank SQL and can never fork on
+    * the quantization semantics. */
+  private def ivfSqSql(centCtes: String, centRel: String,
+      queryWhere: String, nprobe: Int, assignedWhere: String): String =
+    s"""WITH $centCtes,
        |ranges AS (
        |  SELECT CAST(i - 1 AS INT) AS dim,
        |    min(CAST(embedding[i] AS DOUBLE)) AS lo,
@@ -1611,25 +1645,25 @@ object SimilarityQueries {
        |  FROM embeddings e JOIN scales s ON s.dim < len(e.embedding)),
        |decv AS (
        |  SELECT vec_id, list(v ORDER BY dim) AS dvec FROM decel GROUP BY 1),
-       |assigned AS (
+       |sq_assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
-       |    FROM embeddings e CROSS JOIN cents c$assignedWhere)
+       |    FROM embeddings e CROSS JOIN $centRel c$assignedWhere)
        |  WHERE rn = 1),
-       |probes AS (
+       |sq_probes AS (
        |  SELECT qid, qvec, cid FROM (
        |    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
-       |    FROM embeddings q CROSS JOIN cents c
-       |    WHERE q.vec_id >= 100 AND q.vec_id < 103)
-       |  WHERE rn <= 3),
+       |    FROM embeddings q CROSS JOIN $centRel c
+       |    WHERE $queryWhere)
+       |  WHERE rn <= $nprobe),
        |approx AS (
        |  SELECT p.qid, a.vec_id,
        |    ${cosSql("p", "qvec", "dv", "dvec")} AS ap
-       |  FROM assigned a JOIN probes p USING (cid)
+       |  FROM sq_assigned a JOIN sq_probes p USING (cid)
        |  JOIN decv dv ON dv.vec_id = a.vec_id
        |  WHERE a.vec_id <> p.qid),
        |cands AS (
@@ -1655,6 +1689,7 @@ object SimilarityQueries {
     "q218_persisted_ivfsq" -> (q218PersistedIvfSq _),
     "q219_ivfsq_append" -> (q219IvfSqAppend _),
     "q220_ivfsq_delete" -> (q220IvfSqDelete _),
+    "q229_trained_ivfsq" -> (q229TrainedIvfSq _),
     "q200_index_append" -> (q200IndexAppend _),
     "q201_index_append_pq" -> (q201IndexAppendPq _),
     "q202_index_stats" -> (q202IndexStats _),
@@ -1700,6 +1735,10 @@ object SimilarityQueries {
     "q218_persisted_ivfsq" -> ivfSqSeededSql(""),
     "q219_ivfsq_append" -> ivfSqSeededSql(""),
     "q220_ivfsq_delete" -> ivfSqSeededSql(" WHERE e.vec_id % 7 <> 3"),
+    // the trained tier: the oracle replays the 2-round Lloyd's training
+    // (the q42/q203 device) and then the SAME SQ8 encode/decode replay
+    "q229_trained_ivfsq" -> ivfSqSql(TrainedCentroidCtes, "kc2",
+      "q.vec_id < 5", nprobe = 4, assignedWhere = ""),
     "q200_index_append" -> q117Sql,
     "q201_index_append_pq" -> q121Sql,
     "q202_index_stats" -> q202Sql,

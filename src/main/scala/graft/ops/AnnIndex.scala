@@ -147,7 +147,9 @@ object AnnIndex {
     val target = Paths.get(location)
     Option(target.getParent).foreach(Files.createDirectories(_))
     val staging = Paths.get(s"$location.tmp.${uniqueSuffix()}")
-    write(staging)
+    // a failing build must not leave a staging residue behind
+    try write(staging)
+    catch { case e: Throwable => deleteRecursively(staging); throw e }
     writeManifest(staging, manifest)
     try {
       Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)

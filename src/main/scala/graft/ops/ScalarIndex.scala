@@ -274,22 +274,45 @@ object ScalarIndex {
       case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" => false
       case _ =>
         AnnIndex.deleteRecursively(Paths.get(location))
-        val rows = bitmapRows(df, idCol, keyCol)
-        val values = rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
-        val card = values.count()
-        require(card <= maxCardinality,
-          s"ensureBitmap: $keyCol has $card distinct values " +
-            s"(> maxCardinality=$maxCardinality) — use a btree index")
-        AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("bitmap", "equality", card.toInt, 0, fp)) {
-          staging =>
-            rows.repartition(col("k"))
-              .write.mode("overwrite").partitionBy("k")
-              .parquet(s"$staging/postings")
-            values.coalesce(1).write.mode("overwrite")
-              .parquet(s"$staging/values")
-        }
+        buildValueDirs(bitmapRows(df, idCol, keyCol), location,
+          "bitmap", "equality", maxCardinality, fp,
+          s"ensureBitmap: $keyCol",
+          " — use a btree index")
     }
+  }
+
+  /** The shared bitmap/label-list build: ONE corpus scan writes the
+    * value-partitioned postings into staging; per-value counts and the
+    * cardinality guard derive from the WRITTEN postings (index-local
+    * narrow reads — naive lineage would scan the corpus once per output,
+    * 3× the cost at 100 TB). An over-cardinality key aborts BEFORE
+    * publish, so the guard still refuses the index — it just pays its
+    * one scan first instead of a scan to pre-count plus two more. */
+  private def buildValueDirs(rows: DataFrame, location: String,
+      indexType: String, metric: String, maxCardinality: Int, fp: String,
+      what: String, hint: String): Boolean = {
+    val spark = rows.sparkSession
+    var card = 0L
+    val built = AnnIndex.buildAndPublish(location,
+      AnnIndex.Manifest(indexType, metric, 0, 0, fp)) { staging =>
+      rows.repartition(col("k"))
+        .write.mode("overwrite").partitionBy("k")
+        .parquet(s"$staging/postings")
+      val values = spark.read
+        .schema("id BIGINT, k STRING").parquet(s"$staging/postings")
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+      values.coalesce(1).write.mode("overwrite").parquet(s"$staging/values")
+      card = spark.read.parquet(s"$staging/values").count()
+      require(card <= maxCardinality,
+        s"$what has $card distinct values " +
+          s"(> maxCardinality=$maxCardinality)$hint")
+    }
+    // stamp the true cardinality as nlist (the manifest was written with
+    // 0 inside the staging callback, before the count existed)
+    if (built)
+      AnnIndex.readManifest(location).foreach(m =>
+        AnnIndex.writeManifest(Paths.get(location), m.copy(nlist = card.toInt)))
+    built
   }
 
   /** Incrementally ADD rows: new values simply create new partitions;
@@ -390,20 +413,8 @@ object ScalarIndex {
           .filter(col("__v").isNotNull)
           .select(col("id"), col("__v").cast("string").as("k"))
           .distinct()
-        val values = rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
-        val card = values.count()
-        require(card <= maxCardinality,
-          s"ensureLabelList: $arrCol has $card distinct labels " +
-            s"(> maxCardinality=$maxCardinality)")
-        AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("label_list", "membership", card.toInt, 0, fp)) {
-          staging =>
-            rows.repartition(col("k"))
-              .write.mode("overwrite").partitionBy("k")
-              .parquet(s"$staging/postings")
-            values.coalesce(1).write.mode("overwrite")
-              .parquet(s"$staging/values")
-        }
+        buildValueDirs(rows, location, "label_list", "membership",
+          maxCardinality, fp, s"ensureLabelList: $arrCol", "")
     }
   }
 

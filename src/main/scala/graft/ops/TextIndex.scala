@@ -80,20 +80,17 @@ object TextIndex {
     * read the column (parquet column pruning), so carrying it is free on
     * the scoring path. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
-    val base = TextFunctions.widen(docs)
+      : DataFrame =
+    TextFunctions.widen(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
-    val postings = base
       .select(col("doc_id"), col("dl"),
         posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))
-    (postings, base.select(col("doc_id"), col("dl")))
-  }
 
   /** Build (or reuse, if the source fingerprint is unchanged) an inverted
     * index at `location`. Same contract as [[AnnIndex.ensureIvf]]:
@@ -112,18 +109,45 @@ object TextIndex {
           m.metric == "bm25pos" && m.nlist == nBuckets => false
       case _ =>
         AnnIndex.deleteRecursively(Paths.get(location))
-        val (postings, doclens) = tokenized(docs, idCol, textCol)
+        val spark = docs.sparkSession
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp)) { staging =>
-          postings.withColumn("bkt", bucketCol(col("term"), nBuckets))
-            .repartition(col("bkt"))
-            .write.mode("overwrite").partitionBy("bkt")
-            .parquet(s"$staging/postings")
-          doclens.write.mode("overwrite").parquet(s"$staging/doclens")
-          doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+          writeSlice(spark, docs, idCol, textCol, nBuckets,
+            s"$staging/postings", s"$staging/doclens", s"$staging/stats")
         }
     }
+  }
+
+  /** ONE tokenization pass per build/append slice: write the postings,
+    * then derive doclens and the stats delta from the WRITTEN postings
+    * (narrow doc_id/dl columns of the index — never a second corpus
+    * scan; naive lineage would re-tokenize the corpus once per output,
+    * 3× the dominant cost at 100 TB). Docs whose text is NULL produce no
+    * postings but DO belong to the corpus count (n_docs) with null
+    * length mass — the in-query twin's convention — so they rejoin
+    * doclens from a tokenization-free null-text scan. */
+  private def writeSlice(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int,
+      postingsDir: String, doclensDir: String, statsDir: String): Unit = {
+    tokenized(docs, idCol, textCol)
+      .withColumn("bkt", bucketCol(col("term"), nBuckets))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(postingsDir)
+    val doclens = spark.read.parquet(postingsDir)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      // restrict to THIS slice's docs: an append must not re-derive (and
+      // double-count) earlier slices' doclens from the shared postings
+      .join(docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .unionByName(docs.filter(col(textCol).isNull)
+        .select(col(idCol).cast("long").as("doc_id"),
+          lit(null).cast("long").as("dl")))
+    doclens.write.mode("append").parquet(doclensDir)
+    spark.read.parquet(doclensDir)
+      .join(docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(statsDir)
   }
 
   /** Incrementally ADD documents: tokenize ONLY the delta, append its
@@ -138,13 +162,8 @@ object TextIndex {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "inverted", s"not an inverted index: $location")
-    val (postings, doclens) = tokenized(delta, idCol, textCol)
-    postings.withColumn("bkt", bucketCol(col("term"), man.nlist))
-      .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$location/postings")
-    doclens.write.mode("append").parquet(s"$location/doclens")
-    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("append").parquet(s"$location/stats")
+    writeSlice(delta.sparkSession, delta, idCol, textCol, man.nlist,
+      s"$location/postings", s"$location/doclens", s"$location/stats")
     AnnIndex.writeManifest(Paths.get(location),
       man.copy(fingerprint = newFingerprint))
   }

@@ -212,7 +212,14 @@ object ScalarIndex {
       .groupBy(col("bkt"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .collect()
-    val bkts = zm.filter(r => r.getDouble(1) <= hi && r.getDouble(2) >= lo)
+    // prune with 1-ulp slack on the bucket bounds: the zonemap stores a
+    // DOUBLE shadow of the native key, and for integral keys beyond 2^53
+    // the cast rounds to nearest — without slack a bucket whose true lo
+    // sits just under its rounded-up shadow could be wrongly pruned. The
+    // residual predicate is exact on the native type, so the slack only
+    // ever costs reading one extra bucket, never a wrong row.
+    val bkts = zm.filter(r => Math.nextDown(r.getDouble(1)) <= hi &&
+        Math.nextUp(r.getDouble(2)) >= lo)
       .map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$location/postings")
     val pruned =

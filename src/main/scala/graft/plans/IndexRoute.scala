@@ -41,7 +41,11 @@ import graft.ops.{AnnIndex, ScalarIndex}
   * Scope guard (v1): id columns must be integral (the postings store them
   * as BIGINT), bitmap keys STRING, btree keys a numeric type whose
   * driver-side zonemap shadow is exact in a double (int/float/double —
-  * bigint keys beyond 2^53 are declined at registration).
+  * bigint keys beyond 2^53 are declined at registration). The matched
+  * scan is a V1 path-based parquet relation — exactly what
+  * `spark.read.parquet` and this library's own loaders produce; catalog
+  * (DSv2) reads resolve to the same parquet paths, so a path route
+  * covers the data either way.
   *
   * Wire-up: `spark.experimental.extraOptimizations ++= Seq(
   * IndexedScanRewrite(spark))` on a live session, or through

@@ -96,6 +96,7 @@ case class IndexedScanRewrite(spark: SparkSession)
         lr <- relationOf(rel)
         path <- sourcePathOf(lr)
         rewritten <- tryRewrite(projList, cond, lr, path)
+          .orElse(tryRewriteAnd(projList, cond, lr, path))
       } yield rewritten).getOrElse(p)
   }
 
@@ -142,18 +143,19 @@ case class IndexedScanRewrite(spark: SparkSession)
       case _ => false
     }
     val matched: Option[(AttributeReference, Ask)] = rest match {
-      case Seq(EqualTo(a: AttributeReference, Literal(v, StringType)))
-          if v != null =>
-        Some((a, AskValues(Seq(v.toString))))
-      case Seq(EqualTo(Literal(v, StringType), a: AttributeReference))
-          if v != null =>
-        Some((a, AskValues(Seq(v.toString))))
-      case Seq(In(a: AttributeReference, lits))
-          if lits.nonEmpty && lits.forall {
-            case Literal(v, StringType) => v != null
-            case _ => false
-          } =>
-        Some((a, AskValues(lits.map(_.asInstanceOf[Literal].value.toString))))
+      case Seq(one) => valuesAskOf(one).map { case (a, vs) =>
+          (a, AskValues(vs))
+        }.orElse(one match {
+          // numeric point query: `key = v` over a btree route is the
+          // degenerate range [v, v] (the residual keeps it exact)
+          case EqualTo(a: AttributeReference, Literal(v, _))
+              if numeric(v).isDefined =>
+            Some((a, AskRange(numeric(v).get, numeric(v).get)))
+          case EqualTo(Literal(v, _), a: AttributeReference)
+              if numeric(v).isDefined =>
+            Some((a, AskRange(numeric(v).get, numeric(v).get)))
+          case _ => None
+        })
       case Seq(b1, b2) =>
         (boundOf(b1, isLower = true), boundOf(b2, isLower = false)) match {
           case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
@@ -167,6 +169,47 @@ case class IndexedScanRewrite(spark: SparkSession)
         case IsNotNull(a: AttributeReference) => a.exprId == key.exprId
         case _ => false
       }
+    }
+  }
+
+  /** A single string-valued equality/IN conjunct → (attr, values). */
+  private def valuesAskOf(e: Expression)
+      : Option[(AttributeReference, Seq[String])] = e match {
+    case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
+      Some((a, Seq(v.toString)))
+    case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
+      Some((a, Seq(v.toString)))
+    case In(a: AttributeReference, lits)
+        if lits.nonEmpty && lits.forall {
+          case Literal(v, StringType) => v != null
+          case _ => false
+        } =>
+      Some((a, lits.map(_.asInstanceOf[Literal].value.toString)))
+    case _ => None
+  }
+
+  /** TWO string-valued asks on two DIFFERENT attributes — the bitmap
+    * conjunction shape. IsNotNull conjuncts may reference either key. */
+  private def askTwoOf(cond: Expression)
+      : Option[((AttributeReference, Seq[String]),
+                (AttributeReference, Seq[String]))] = {
+    val (notNulls, rest) = splitAnd(cond).partition {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    rest match {
+      case Seq(e1, e2) =>
+        for {
+          a1 <- valuesAskOf(e1)
+          a2 <- valuesAskOf(e2)
+          if a1._1.exprId != a2._1.exprId
+          if notNulls.forall {
+            case IsNotNull(a: AttributeReference) =>
+              a.exprId == a1._1.exprId || a.exprId == a2._1.exprId
+            case _ => false
+          }
+        } yield (a1, a2)
+      case _ => None
     }
   }
 
@@ -236,6 +279,53 @@ case class IndexedScanRewrite(spark: SparkSession)
         val t = ne.transform {
           case ar: AttributeReference if sub.contains(ar.exprId) =>
             sub(ar.exprId)
+        }.asInstanceOf[NamedExpression]
+        t match {
+          case a: Alias =>
+            Alias(a.child, a.name)(exprId = ne.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+    }
+    Project(rewired, newPlan)
+  }
+
+  /** Two routed string keys ANDed, id-only projection → the conjunction
+    * of two bitmap indexes ([[ScalarIndex.searchBitmapAnd]]): a semi-join
+    * of two partition-pruned directory reads — the base table is never
+    * opened. The projection must not reference either key column (the
+    * conjunction result carries only ids); same freshness/type guards as
+    * the single-key path, applied to BOTH routes. */
+  private def tryRewriteAnd(projList: Seq[NamedExpression],
+      cond: Expression, lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = for {
+    ((attrA, valsA), (attrB, valsB)) <- askTwoOf(cond)
+    routeA <- IndexRoute.lookup(path, attrA.name)
+    routeB <- IndexRoute.lookup(path, attrB.name)
+    if routeA.indexType == "bitmap" && routeB.indexType == "bitmap"
+    if routeA.idCol == routeB.idCol
+    if attrA.dataType == StringType && attrB.dataType == StringType
+    idAttr <- lr.output.find(_.name == routeA.idCol)
+    if idAttr.dataType == LongType
+    // covering: only the id survives — the conjunction returns no keys
+    if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
+    manA <- AnnIndex.readManifest(routeA.location)
+    if manA.fingerprint == AnnIndex.sourceFingerprint(routeA.rawSourcePath)
+    manB <- AnnIndex.readManifest(routeB.location)
+    if manB.fingerprint == AnnIndex.sourceFingerprint(routeB.rawSourcePath)
+  } yield {
+    val idx = ScalarIndex.searchBitmapAnd(spark,
+        routeA.location, valsA, routeB.location, valsB)
+      .select(col("id").as(routeA.idCol))
+    val newPlan = idx.queryExecution.analyzed
+    val newId = newPlan.output.head
+    require(newId.dataType == idAttr.dataType,
+      s"index routes ${routeA.location}/${routeB.location} id type drifted")
+    val rewired = projList.map {
+      case ar: AttributeReference =>
+        Alias(newId, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+      case ne =>
+        val t = ne.transform {
+          case ar: AttributeReference if ar.exprId == idAttr.exprId => newId
         }.asInstanceOf[NamedExpression]
         t match {
           case a: Alias =>

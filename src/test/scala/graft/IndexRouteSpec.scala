@@ -111,6 +111,56 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("a numeric point query rewrites through the btree route as the " +
+      "degenerate range [v, v]") {
+    val loc = tmpLoc("route-bt-eq")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val v = events.select(col("value")).limit(1).collect().head.getDouble(0)
+    val want = events.filter(col("value") === v)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      val df = events.filter(col("value") === v)
+        .select(col("event_id"), col("value"))
+      assert(scansIndex(df, loc),
+        s"expected the index scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    }
+  }
+
+  test("a two-column conjunction over two bitmap routes rewrites to the " +
+      "index conjunction when only the id survives — and declines when a " +
+      "key column is projected") {
+    val locL = tmpLoc("route-and-lang")
+    val locS = tmpLoc("route-and-src")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", locL, docSource)
+    ScalarIndex.ensureBitmap(docs, "doc_id", "source", locS, docSource)
+    val want = docs.filter(col("lang") === "en" && col("source") === "src1")
+      .select(col("doc_id")).orderBy(col("doc_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", locL)
+      IndexRoute.register(docSource, "source", "doc_id", locS)
+      val df = docs.filter(col("lang") === "en" && col("source") === "src1")
+        .select(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        s"expected the conjunction to read only the indexes:\n$plan")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+      // count over the conjunction rides the same rewrite
+      assert(docs.filter(col("lang") === "en" && col("source") === "src1")
+        .count() == want.length)
+      // projecting a key column declines (the conjunction has no keys)
+      val wide = docs.filter(col("lang") === "en" && col("source") === "src1")
+        .select(col("doc_id"), col("lang"))
+      assert(wide.queryExecution.executedPlan.toString
+        .contains("documents.parquet"))
+      assert(wide.count() == want.length)
+    }
+  }
+
   test("a NON-covering projection declines: the corpus scan stands and " +
       "results are untouched") {
     val loc = tmpLoc("route-noncover")

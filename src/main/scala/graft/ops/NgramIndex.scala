@@ -148,7 +148,11 @@ object NgramIndex {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "ngram", s"not an ngram index: $location")
-    val gset = gramsOf(needle, man.m)
+    // the grams were taken over lower(trim(text)) — normalize the needle
+    // so "Fast Sort" finds what a contains scan of the normalized text
+    // would (a raw-cased needle would silently match nothing)
+    val needleNorm = needle.toLowerCase
+    val gset = gramsOf(needleNorm, man.m)
     // the same md5 arithmetic driver-side (TextIndex.bucketOf) and
     // executor-side (bucketCol) — the pruning literals need no Spark job
     val bktIds = gset.map(TextIndex.bucketOf(_, man.nlist)).distinct.sorted
@@ -168,7 +172,7 @@ object NgramIndex {
     docs.select(col(idCol).cast("long").as("doc_id"),
         lower(trim(col(textCol))).as("__t"))
       .join(broadcast(candidates), Seq("doc_id"), "left_semi")
-      .filter(col("__t").contains(needle))
+      .filter(col("__t").contains(needleNorm))
       .select(col("doc_id"))
   }
 

@@ -255,12 +255,18 @@ object ScalarIndex {
 
   // ---- BITMAP ----------------------------------------------------------
 
+  /** (id, k) rows for the value-directory layouts. NULL and EMPTY-STRING
+    * keys are not indexed: the partition codec writes "" as
+    * `__HIVE_DEFAULT_PARTITION__` and reads it back as NULL, so an
+    * empty-string key could neither be searched nor distinguished from
+    * null — a query needing them goes to the base table. */
   private def bitmapRows(df: DataFrame, idCol: String, keyCol: String)
       : DataFrame =
     TextFunctions.widen(df)
       .filter(col(keyCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(keyCol).cast("string").as("k"))
+      .filter(col("k") =!= "")
 
   /** Read the bitmap postings with the partition key pinned to STRING
     * (partition-value type inference would otherwise turn `k=42` into an
@@ -386,6 +392,7 @@ object ScalarIndex {
       .select(col(idCol).cast("long").as("id"), explode(col(arrCol)).as("__v"))
       .filter(col("__v").isNotNull)
       .select(col("id"), col("__v").cast("string").as("k"))
+      .filter(col("k") =!= "") // empty labels unindexed, the bitmapRows rule
       .distinct()
     rows.repartition(col("k"))
       .write.mode("append").partitionBy("k").parquet(s"$location/postings")
@@ -419,6 +426,7 @@ object ScalarIndex {
             explode(col(arrCol)).as("__v"))
           .filter(col("__v").isNotNull)
           .select(col("id"), col("__v").cast("string").as("k"))
+          .filter(col("k") =!= "") // empty labels unindexed
           .distinct()
         buildValueDirs(rows, location, "label_list", "membership",
           maxCardinality, fp, s"ensureLabelList: $arrCol", "")

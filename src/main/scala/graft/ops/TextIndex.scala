@@ -299,7 +299,10 @@ object TextIndex {
     require(man.metric == "bm25pos",
       s"index at $location predates positional postings — rebuild it")
     require(phrase.nonEmpty, "searchPhrase: phrase must be non-empty")
-    val terms = phrase.distinct
+    // the index holds the LOWERCASED token stream — normalize the phrase
+    // so "Fast Sort" finds what a positional scan of the text would
+    val normPhrase = phrase.map(_.toLowerCase)
+    val terms = normPhrase.distinct
     val bkts = terms.map(bucketOf(_, man.nlist)).distinct.sorted
     val raw = spark.read.parquet(s"$location/postings")
       .filter(col("bkt").isin(bkts.map(Int.box): _*))
@@ -310,13 +313,13 @@ object TextIndex {
         broadcast(spark.read.parquet(tombstoneDir(location).toString)
           .select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
-    val parts = phrase.zipWithIndex.map { case (t, i) =>
+    val parts = normPhrase.zipWithIndex.map { case (t, i) =>
       live.filter(col("term") === t)
         .select(col("doc_id"),
           transform(col("positions"), p => p - i).as(s"__p$i"))
     }
     val joined = parts.reduce((a, b) => a.join(b, Seq("doc_id")))
-    val inter = phrase.indices.map(i => col(s"__p$i"))
+    val inter = normPhrase.indices.map(i => col(s"__p$i"))
       .reduce((a, b) => array_intersect(a, b))
     joined.select(col("doc_id"), size(inter).cast("long").as("n_hits"))
       .filter(col("n_hits") > 0)

@@ -58,6 +58,15 @@ class NgramIndexSpec extends SparkSpec {
       "gram candidacy alone must not produce a match")
   }
 
+  test("a raw-cased needle normalizes to the index's lowercase convention") {
+    val loc = tmpLoc("ng-case")
+    NgramIndex.ensureNgram(docs, "doc_id", "text", loc, source)
+    val want = scanWant(docs, "fast sort")
+    assert(want.nonEmpty)
+    assert(idxGot(loc, "FAST Sort").toSeq == want.toSeq,
+      "an uppercase needle must match the normalized corpus")
+  }
+
   test("needles shorter than the gram width are refused") {
     val loc = tmpLoc("ng-short")
     NgramIndex.ensureNgram(docs, "doc_id", "text", loc, source)

@@ -148,6 +148,23 @@ class ScalarIndexSpec extends SparkSpec {
     assert(pruned, s"expected a static k IN (...) partition filter:\n$plan")
   }
 
+  test("empty-string keys are unindexed (the partition codec reads '' " +
+      "back as NULL) — rows with them never match and never corrupt k") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, ""), (3L, "de"), (4L, "en"))
+      .toDF("id", "lang")
+    val loc = tmpLoc("bm-empty")
+    ScalarIndex.ensureBitmap(df, "id", "lang", loc, docSource,
+      fingerprintOverride = Some("synth"))
+    val got = ScalarIndex.searchBitmap(spark, loc, Seq("en", "de"))
+      .orderBy(col("id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    assert(got.forall(_.getString(1) != null), "a null k leaked out")
+    // the empty-keyed row is simply absent from the index
+    assert(spark.read.schema("id BIGINT, k STRING")
+      .parquet(s"$loc/postings").count() == 3)
+  }
+
   test("bitmap build refuses a high-cardinality key") {
     val loc = tmpLoc("bm-card")
     val e = intercept[IllegalArgumentException] {

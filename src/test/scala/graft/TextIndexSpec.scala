@@ -180,6 +180,16 @@ class TextIndexSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("a raw-cased phrase normalizes to the index's lowercase convention") {
+    val loc = tmpLoc("fts-phrase-case")
+    TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)
+    val want = phraseWant(docs, Seq("fast", "sort"))
+    assert(want.nonEmpty)
+    assert(TextIndex.searchPhrase(spark, loc, Seq("FAST", "Sort"))
+      .orderBy(col("doc_id")).collect().toSeq == want.toSeq,
+      "an uppercase phrase must match the lowercased token stream")
+  }
+
   test("phrase search composes with tombstones and with compaction") {
     val loc = tmpLoc("fts-phrase-del")
     TextIndex.ensureInverted(docs, "doc_id", "text", loc, source)

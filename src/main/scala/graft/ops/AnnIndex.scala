@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * assignment (and codes) once, and every search afterwards reads only the
   * probed slice. This module is that split, mirroring the reference's
   * tables-as-location-pointers model (`GlueNamespace.java:257-268`: the
-  * catalog stores a location + properties; the data plane reads it).
+  * catalog stores a location + properties; the data plane reads it). The
+  * IVF family is the reference ecosystem's own vector-index shape — its
+  * benchmark artifacts are `lance_ivf*.csv` over the sift corpus
+  * (reference `.gitignore:84-86`).
   *
   * On-disk layout under `location`:
   * {{{

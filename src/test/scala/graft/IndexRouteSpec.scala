@@ -194,6 +194,20 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("the config-time extension injection alone serves routed queries " +
+      "(no extraOptimizations needed — GraftExtensions injected the rule " +
+      "at session build)") {
+    val loc = tmpLoc("route-ext")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    try {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(scansIndex(df, loc),
+        s"expected the injected rule to fire:\n${df.queryExecution.executedPlan}")
+    } finally IndexRoute.clear()
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

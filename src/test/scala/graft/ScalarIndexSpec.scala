@@ -284,6 +284,52 @@ class ScalarIndexSpec extends SparkSpec {
       .orderBy(col("id")).collect().toSeq == want.toSeq)
   }
 
+  test("CDC streaming ingest: per-micro-batch adds (appendBtree against " +
+      "frozen boundaries) and deletes (tombstones) keep the served range " +
+      "search ≡ the equivalent batch corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = tmpLoc("bt-cdc")
+    val fp0 = "cdc:base"
+    ScalarIndex.ensureBtree(events.filter(col("event_id") % 2 === 0),
+      "event_id", "value", loc, evSource,
+      fingerprintOverride = Some(fp0))
+    val feed = events.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toSeq
+      .map { case (id, v) => ("add", id, v) } ++
+      events.filter(col("event_id") % 10 === 4)
+        .select(col("event_id")).as[Long].collect().toSeq
+        .map(id => ("del", id, 0.0))
+    val stream = MemoryStream[(String, Long, Double)]
+    val batchNo = new java.util.concurrent.atomic.AtomicLong(0L)
+    val query = stream.toDF().toDF("op", "event_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = batchNo.incrementAndGet()
+        val adds = batch.filter(col("op") === "add")
+          .select(col("event_id"), col("value"))
+        if (!adds.isEmpty)
+          ScalarIndex.appendBtree(adds, "event_id", "value", loc,
+            newFingerprint = s"cdc:batch$n")
+        val dels = batch.filter(col("op") === "del").select(col("event_id"))
+        if (!dels.isEmpty) ScalarIndex.deleteIds(dels, "event_id", loc)
+        ()
+      }
+      .start()
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      stream.addData(b1); query.processAllAvailable()
+      stream.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    val equivalent = events.filter(col("event_id") % 10 =!= 4)
+    val got = idxRange(loc)
+    assert(got.nonEmpty)
+    assert(got.toSeq == baseRange(equivalent).toSeq,
+      "CDC-maintained btree diverged from the equivalent batch corpus")
+  }
+
   test("scalar index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("bt-cat")
     ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)

@@ -113,41 +113,48 @@ object TextIndex {
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp)) { staging =>
           writeSlice(spark, docs, idCol, textCol, nBuckets,
-            s"$staging/postings", s"$staging/doclens", s"$staging/stats")
+            s"$staging/postings", s"$staging/doclens", s"$staging/stats",
+            sliceIsWholeIndex = true)
         }
     }
   }
 
-  /** ONE tokenization pass per build/append slice: write the postings,
-    * then derive doclens and the stats delta from the WRITTEN postings
-    * (narrow doc_id/dl columns of the index — never a second corpus
-    * scan; naive lineage would re-tokenize the corpus once per output,
+  /** ONE tokenization pass per build/append slice — naive lineage would
+    * re-tokenize the slice once per output (postings, doclens, stats:
     * 3× the dominant cost at 100 TB). Docs whose text is NULL produce no
     * postings but DO belong to the corpus count (n_docs) with null
     * length mass — the in-query twin's convention — so they rejoin
-    * doclens from a tokenization-free null-text scan. */
+    * doclens from a tokenization-free null-text scan.
+    *
+    * The doclens derivation differs by slice kind: a BUILD (the slice IS
+    * the whole index) derives them from the narrow doc_id/dl columns of
+    * the postings just written — an index-local read, no re-tokenize; an
+    * APPEND must not read the corpus-sized shared postings for a
+    * delta-sized answer, so it re-derives from the delta's tokenized
+    * lineage PERSISTED across its doclens write and stats aggregate. */
   private def writeSlice(spark: SparkSession, docs: DataFrame,
       idCol: String, textCol: String, nBuckets: Int,
-      postingsDir: String, doclensDir: String, statsDir: String): Unit = {
-    tokenized(docs, idCol, textCol)
-      .withColumn("bkt", bucketCol(col("term"), nBuckets))
+      postingsDir: String, doclensDir: String, statsDir: String,
+      sliceIsWholeIndex: Boolean): Unit = {
+    val toks = tokenized(docs, idCol, textCol)
+    toks.withColumn("bkt", bucketCol(col("term"), nBuckets))
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(postingsDir)
-    val doclens = spark.read.parquet(postingsDir)
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      // restrict to THIS slice's docs: an append must not re-derive (and
-      // double-count) earlier slices' doclens from the shared postings
-      .join(docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      .unionByName(docs.filter(col(textCol).isNull)
-        .select(col(idCol).cast("long").as("doc_id"),
-          lit(null).cast("long").as("dl")))
+    val nullDocs = docs.filter(col(textCol).isNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        lit(null).cast("long").as("dl"))
+    val doclens =
+      (if (sliceIsWholeIndex)
+        spark.read.parquet(postingsDir)
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      else toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
+        .unionByName(nullDocs)
+        .persist()
     doclens.write.mode("append").parquet(doclensDir)
-    spark.read.parquet(doclensDir)
-      .join(docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .coalesce(1).write.mode("append").parquet(statsDir)
+    doclens.unpersist()
+    ()
   }
 
   /** Incrementally ADD documents: tokenize ONLY the delta, append its
@@ -163,7 +170,8 @@ object TextIndex {
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "inverted", s"not an inverted index: $location")
     writeSlice(delta.sparkSession, delta, idCol, textCol, man.nlist,
-      s"$location/postings", s"$location/doclens", s"$location/stats")
+      s"$location/postings", s"$location/doclens", s"$location/stats",
+      sliceIsWholeIndex = false)
     AnnIndex.writeManifest(Paths.get(location),
       man.copy(fingerprint = newFingerprint))
   }

@@ -54,7 +54,10 @@ import graft.ops.{AnnIndex, ScalarIndex}
 object IndexRoute {
 
   /** One registered access path: queries on (sourcePath, keyCol) may be
-    * served by the index at `location`. */
+    * served by the index at `location`. The registry is PROCESS-wide,
+    * like the indexes themselves (an index at a path serves any session
+    * that can read it); freshness is still checked per application, so
+    * a route can never serve stale rows to anyone. */
   final case class Route(indexType: String, location: String,
       idCol: String, keyCol: String, rawSourcePath: String)
 

@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,11 +41,14 @@ import org.apache.spark.sql.functions._
   * reading ~nprobe/nlist of its bytes. No shuffle touches the corpus: the
   * probe set and centroids broadcast.
   *
-  * Build atomicity: the index is written to a `<location>.tmp.<pid>`
-  * staging dir and atomically renamed into place, so a concurrent reader
-  * never observes a half-written index and a lost build race leaves the
-  * winner's output intact (same-filesystem rename; the loser's staging dir
-  * is discarded).
+  * Build atomicity: all control-plane I/O (manifest, staleness stat,
+  * publish, tombstone probes) goes through [[IndexFs]] — Hadoop
+  * `FileSystem`, any scheme. On rename-capable FS the index is written to
+  * a `<location>.tmp.<pid>` staging dir and atomically renamed into
+  * place, so a concurrent reader never observes a half-written index and
+  * a lost build race leaves the winner's output intact; on object stores
+  * the manifest is PUT last as the commit marker (protocol notes in
+  * [[IndexFs]]).
   *
   * Staleness: the manifest records a fingerprint of the SOURCE parquet
   * (file names + sizes — a driver-side stat, no data scan). [[ensureIvf]] /
@@ -63,57 +65,62 @@ object AnnIndex {
 
   private val ManifestFile = "_MANIFEST.properties"
 
+  /** @param keyType  DDL string of a scalar index's key column type
+    *                 (e.g. "BIGINT", "DATE"), stamped at build so
+    *                 registration can declare the TRUE schema and typed
+    *                 searches can refuse a mismatched bound; "" for
+    *                 index families without a scalar key
+    * @param divergent true once [[deleteIds]]-style index-only deletes
+    *                 made the index's live content a strict subset of
+    *                 what the (unchanged-fingerprint) source holds —
+    *                 compaction folds the tombstones away but can never
+    *                 clear this flag; only a rebuild does. The optimizer
+    *                 route checks it: a divergent index must not serve
+    *                 plain filters even when it looks fresh by stat. */
   final case class Manifest(indexType: String, metric: String, nlist: Int,
-      m: Int, fingerprint: String)
+      m: Int, fingerprint: String, keyType: String = "",
+      divergent: Boolean = false)
 
   // ---- manifest & fingerprint ----------------------------------------
 
   /** Driver-side stat fingerprint of a parquet file/dir: md5 over the
-    * sorted (name, size) listing. Cheap (no data read) and changes
-    * whenever the source data drop changes. */
+    * sorted (name, size) listing — one Hadoop `FileSystem` stat, no data
+    * read, any scheme. Changes whenever the source data drop changes. */
   def sourceFingerprint(sourcePath: String): String = {
-    val p = Paths.get(sourcePath)
-    val entries: Seq[String] =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(f =>
-            s"${f.getFileName}:${Files.size(f)}").toSeq.sorted
-        } finally s.close()
-      } else Seq(s"${p.getFileName}:${Files.size(p)}")
+    val entries = IndexFs.listNamesSizes(sourcePath)
+      .map { case (n, sz) => s"$n:$sz" }.sorted
     val md = MessageDigest.getInstance("MD5")
     md.update(entries.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private[ops] def writeManifest(dir: Path, m: Manifest): Unit = {
+  private[ops] def writeManifest(location: String, m: Manifest): Unit = {
     val props = new java.util.Properties()
     props.setProperty("graft.index.type", m.indexType)
     props.setProperty("graft.index.metric", m.metric)
     props.setProperty("graft.index.nlist", m.nlist.toString)
     props.setProperty("graft.index.m", m.m.toString)
     props.setProperty("graft.index.fingerprint", m.fingerprint)
-    val out = Files.newOutputStream(dir.resolve(ManifestFile))
-    try props.store(out, "graft ANN index manifest") finally out.close()
+    if (m.keyType.nonEmpty)
+      props.setProperty("graft.index.keytype", m.keyType)
+    if (m.divergent)
+      props.setProperty("graft.index.divergent", "true")
+    IndexFs.writeProperties(s"$location/$ManifestFile", props,
+      "graft index manifest")
   }
 
   /** None if the location holds no (complete) index. */
-  def readManifest(location: String): Option[Manifest] = {
-    val f = Paths.get(location).resolve(ManifestFile)
-    if (!Files.exists(f)) None
-    else {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(f)
-      try props.load(in) finally in.close()
-      Some(Manifest(
+  def readManifest(location: String): Option[Manifest] =
+    IndexFs.readProperties(s"$location/$ManifestFile").map { props =>
+      Manifest(
         props.getProperty("graft.index.type"),
         props.getProperty("graft.index.metric", "cosine"),
         props.getProperty("graft.index.nlist", "0").toInt,
         props.getProperty("graft.index.m", "0").toInt,
-        props.getProperty("graft.index.fingerprint", "")))
+        props.getProperty("graft.index.fingerprint", ""),
+        props.getProperty("graft.index.keytype", ""),
+        props.getProperty("graft.index.divergent", "false").toBoolean)
     }
-  }
 
   // ---- build ----------------------------------------------------------
 
@@ -142,52 +149,41 @@ object AnnIndex {
   private[ops] def uniqueSuffix(): String =
     s"${ProcessHandle.current().pid()}.${stagingSeq.incrementAndGet()}"
 
-  /** Build the index into a staging dir, then atomically publish it at
-    * `location`. Returns false if another builder won the publish race
-    * (the existing index is kept). */
+  /** Build the index at `location` under [[IndexFs]]'s per-FS commit
+    * protocol: staging dir + one atomic rename on rename-capable
+    * filesystems; direct write with the manifest PUT last as the commit
+    * marker on object stores. Returns false if another builder won a
+    * rename-publish race (the existing index is kept). */
   private[ops] def buildAndPublish(location: String, manifest: Manifest)
-      (write: Path => Unit): Boolean = {
-    val target = Paths.get(location)
-    Option(target.getParent).foreach(Files.createDirectories(_))
-    val staging = Paths.get(s"$location.tmp.${uniqueSuffix()}")
-    // a failing build must not leave a staging residue behind
-    try write(staging)
-    catch { case e: Throwable => deleteRecursively(staging); throw e }
-    writeManifest(staging, manifest)
-    try {
-      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.AccessDeniedException |
-           _: java.nio.file.DirectoryNotEmptyException =>
+      (write: String => Unit): Boolean =
+    if (IndexFs.renamePublish(location)) {
+      IndexFs.mkdirsParent(location)
+      val staging = s"$location.tmp.${uniqueSuffix()}"
+      // a failing build must not leave a staging residue behind
+      try write(staging)
+      catch { case e: Throwable => deleteRecursively(staging); throw e }
+      writeManifest(staging, manifest)
+      if (IndexFs.renameInto(staging, location)) true
+      else {
         // lost the race — discard our staging tree, keep the winner's
         deleteRecursively(staging)
+        // a rename that failed with NO complete index at the target is a
+        // real I/O failure, not a race
+        require(readManifest(location).isDefined,
+          s"index publish to $location failed and no index exists there")
         false
-      // Linux rename(2) onto an existing non-empty dir surfaces as
-      // ENOTEMPTY wrapped in the GENERIC FileSystemException (not always
-      // the DirectoryNotEmptyException subtype). If a complete index now
-      // sits at the target, this is the same lost race; anything else is
-      // a real I/O failure and must propagate.
-      case e: java.nio.file.FileSystemException
-          if readManifest(location).isDefined =>
-        deleteRecursively(staging)
-        val _ = e
-        false
+      }
+    } else {
+      // object store: data first, manifest last — the single-object
+      // manifest write is the commit point ([[IndexFs]] protocol notes)
+      deleteRecursively(location)
+      write(location)
+      writeManifest(location, manifest)
+      true
     }
-  }
 
-  private[ops] def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.foreach(deleteRecursively)
-      } finally s.close()
-    }
-    Files.deleteIfExists(p)
-    ()
-  }
+  private[ops] def deleteRecursively(location: String): Unit =
+    IndexFs.deleteRecursively(location)
 
   /** Build (or reuse, if fresh) an IVF index at `location`.
     * @param centroids (cidCol int, cvecCol array<float>) — e.g. from
@@ -209,7 +205,7 @@ object AnnIndex {
       case _ =>
         // stale manifest OR a manifest-less residue (crashed build):
         // clear the location so the fresh publish can't collide with it
-        deleteRecursively(Paths.get(location))
+        deleteRecursively(location)
         val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
         val nlist = cells.count().toInt
         buildAndPublish(location,
@@ -238,7 +234,7 @@ object AnnIndex {
       case Some(man) if man.fingerprint == fp && man.indexType == "ivf_pq" =>
         false
       case _ =>
-        deleteRecursively(Paths.get(location))
+        deleteRecursively(location)
         val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
         val nlist = cells.count().toInt
         buildAndPublish(location,
@@ -281,7 +277,7 @@ object AnnIndex {
       case Some(man) if man.fingerprint == fp && man.indexType == "ivf_sq" =>
         false
       case _ =>
-        deleteRecursively(Paths.get(location))
+        deleteRecursively(location)
         val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
         val nlist = cells.count().toInt
         val model = ranges.select(col("dim"), col("lo"), col("hi"))
@@ -331,7 +327,7 @@ object AnnIndex {
     assign(delta, idCol, vecCol, cells)
       .write.mode("append").partitionBy("cid")
       .parquet(s"$location/postings")
-    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+    writeManifest(location, man.copy(fingerprint = newFingerprint))
   }
 
   /** [[appendIvf]] for an IVF-PQ index: the delta is additionally encoded
@@ -352,7 +348,7 @@ object AnnIndex {
       .join(codes, Seq("vec_id"))
       .write.mode("append").partitionBy("cid")
       .parquet(s"$location/postings")
-    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+    writeManifest(location, man.copy(fingerprint = newFingerprint))
   }
 
   /** [[appendIvf]] for an IVF-SQ8 index: the delta is additionally
@@ -375,17 +371,17 @@ object AnnIndex {
         ScalarQuant.encode(col("embedding"), loArr, scaleArr))
       .write.mode("append").partitionBy("cid")
       .parquet(s"$location/postings")
-    writeManifest(Paths.get(location), man.copy(fingerprint = newFingerprint))
+    writeManifest(location, man.copy(fingerprint = newFingerprint))
   }
 
   // ---- deletes (tombstones) -------------------------------------------
 
-  private def tombstoneDir(location: String): Path =
-    Paths.get(s"$location/tombstones")
+  private def tombstoneDir(location: String): String =
+    s"$location/tombstones"
 
   /** True if the index carries any not-yet-compacted deletes. */
   def hasTombstones(location: String): Boolean =
-    Files.exists(tombstoneDir(location))
+    IndexFs.exists(tombstoneDir(location))
 
   /** DELETE vectors from a persisted index — as TOMBSTONES, never by
     * rewriting postings: at 100 TB a delete job must not touch the
@@ -407,11 +403,15 @@ object AnnIndex {
     * scan — it is filtered after the read — which is why [[cellStats]]
     * deliberately reports the physical counts that drive that cost. */
   def deleteIds(ids: DataFrame, idCol: String, location: String): Unit = {
-    require(readManifest(location).isDefined, s"no index at $location")
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
     ids.select(col(idCol).cast("long").as("vec_id"))
       .distinct()
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneDir(location).toString)
+      .write.mode("append").parquet(tombstoneDir(location))
+    // tombstones first, flag second: a crash between the two leaves
+    // tombstones-on-disk, which freshness consumers also check
+    if (!man.divergent) writeManifest(location, man.copy(divergent = true))
   }
 
   /** Postings minus tombstones — the LIVE view every search runs on.
@@ -423,7 +423,7 @@ object AnnIndex {
       postings: DataFrame): DataFrame =
     if (!hasTombstones(location)) postings
     else postings.join(
-      broadcast(spark.read.parquet(tombstoneDir(location).toString)
+      broadcast(spark.read.parquet(tombstoneDir(location))
         .select(col("vec_id"))),
       Seq("vec_id"), "left_anti")
 
@@ -445,20 +445,20 @@ object AnnIndex {
     val postings = withoutTombstones(spark, location,
       spark.read.parquet(s"$location/postings"))
     val tag = uniqueSuffix()
-    val staging = Paths.get(s"$location/postings.compact.$tag")
+    val staging = s"$location/postings.compact.$tag"
     // one output file per cell: repartition on the partition column so
     // each write task owns whole cells
     postings.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
-      .parquet(staging.toString)
-    val live = Paths.get(s"$location/postings")
-    val retired = Paths.get(s"$location/postings.retired.$tag")
-    Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
+      .parquet(staging)
+    val live = s"$location/postings"
+    val retired = s"$location/postings.retired.$tag"
+    IndexFs.renameIntoOrThrow(live, retired)
+    try IndexFs.renameIntoOrThrow(staging, live)
     catch {
       case e: Throwable =>
         // restore the old layout rather than leaving no postings at all
-        Files.move(retired, live, StandardCopyOption.ATOMIC_MOVE)
+        IndexFs.renameIntoOrThrow(retired, live)
         throw e
     }
     deleteRecursively(retired)
@@ -792,7 +792,13 @@ object AnnIndex {
           "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, " +
             "positions ARRAY<INT>, bkt INT"
         case "ngram" => "gram STRING, doc_id BIGINT, bkt INT"
-        case "btree" => "id BIGINT, key DOUBLE, bkt INT"
+        // the key column keeps its NATIVE type in the postings (btreeRows
+        // never casts), so the declared schema must use the build-time
+        // type from the manifest — declaring DOUBLE over BIGINT postings
+        // broke every SQL read of the registered table (ADVICE r13)
+        case "btree" =>
+          val kt = if (man.keyType.nonEmpty) man.keyType else "DOUBLE"
+          s"id BIGINT, key $kt, bkt INT"
         case "bitmap" | "label_list" => "id BIGINT, k STRING"
         case _ => "vec_id BIGINT, embedding ARRAY<FLOAT>, cid INT"
       }

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,11 +48,11 @@ import org.apache.spark.sql.functions._
   */
 object NgramIndex {
 
-  private def tombstoneDir(location: String) =
-    Paths.get(s"$location/tombstones")
+  private def tombstoneDir(location: String): String =
+    s"$location/tombstones"
 
   def hasTombstones(location: String): Boolean =
-    Files.exists(tombstoneDir(location))
+    IndexFs.exists(tombstoneDir(location))
 
   private def bucketCol(gram: org.apache.spark.sql.Column, nBuckets: Int) =
     (conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % nBuckets)
@@ -96,7 +94,7 @@ object NgramIndex {
       case Some(m) if m.fingerprint == fp && m.indexType == "ngram" &&
           m.nlist == nBuckets && m.m == n => false
       case _ =>
-        AnnIndex.deleteRecursively(Paths.get(location))
+        AnnIndex.deleteRecursively(location)
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("ngram", "contains", nBuckets, n, fp)) {
           staging =>
@@ -122,17 +120,21 @@ object NgramIndex {
       .withColumn("bkt", bucketCol(col("gram"), man.nlist))
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$location/postings")
-    AnnIndex.writeManifest(Paths.get(location),
+    AnnIndex.writeManifest(location,
       man.copy(fingerprint = newFingerprint))
   }
 
   /** DELETE documents — tombstones, never a postings rewrite; searches
     * anti-join the candidate set. Set semantics as everywhere. */
   def deleteDocs(ids: DataFrame, idCol: String, location: String): Unit = {
-    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
     ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneDir(location).toString)
+      .write.mode("append").parquet(tombstoneDir(location))
+    // index-only deletes diverge the live view from the source
+    if (!man.divergent)
+      AnnIndex.writeManifest(location, man.copy(divergent = true))
   }
 
   /** Substring search: documents whose `textCol` contains `needle`
@@ -162,7 +164,7 @@ object NgramIndex {
     val live =
       if (!hasTombstones(location)) raw
       else raw.join(
-        broadcast(spark.read.parquet(tombstoneDir(location).toString)
+        broadcast(spark.read.parquet(tombstoneDir(location))
           .select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
     val candidates = live.groupBy(col("doc_id"))
@@ -185,7 +187,7 @@ object NgramIndex {
     require(man.indexType == "ngram", s"not an ngram index: $location")
     val tombIds =
       if (!hasTombstones(location)) return
-      else spark.read.parquet(tombstoneDir(location).toString)
+      else spark.read.parquet(tombstoneDir(location))
         .select(col("doc_id")).distinct()
     val pid = AnnIndex.uniqueSuffix()
     val staging = s"$location/postings.compact.$pid"
@@ -193,14 +195,13 @@ object NgramIndex {
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(staging)
-    val live = Paths.get(s"$location/postings")
-    val retired = Paths.get(s"$location/postings.retired.$pid")
-    Files.move(live, retired, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(staging), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val live = s"$location/postings"
+    val retired = s"$location/postings.retired.$pid"
+    IndexFs.renameIntoOrThrow(live, retired)
+    try IndexFs.renameIntoOrThrow(staging, live)
     catch {
       case e: Throwable =>
-        Files.move(retired, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        IndexFs.renameIntoOrThrow(retired, live)
         throw e
     }
     AnnIndex.deleteRecursively(retired)

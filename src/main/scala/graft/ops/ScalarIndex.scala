@@ -1,9 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Persisted SCALAR indexes — the btree/bitmap members of the index-type
   * family, next to the vector ([[AnnIndex]]) and full-text ([[TextIndex]])
@@ -63,47 +62,50 @@ object ScalarIndex {
 
   // ---- shared bits -----------------------------------------------------
 
-  private def tombstoneDir(location: String) =
-    Paths.get(s"$location/tombstones")
+  private def tombstoneDir(location: String): String =
+    s"$location/tombstones"
 
   def hasTombstones(location: String): Boolean =
-    Files.exists(tombstoneDir(location))
+    IndexFs.exists(tombstoneDir(location))
 
   /** DELETE ids from a scalar index (btree or bitmap) — tombstones, never
     * a postings rewrite. Unlike BM25 there are no corpus statistics to
     * adjust: delete ≡ filter on the id set, which is what the spec pins.
     * Set semantics: re-deletes land duplicate rows the search-side
-    * `distinct()` folds; never-indexed ids simply never match. */
+    * `distinct()` folds; never-indexed ids simply never match. Stamps the
+    * manifest's `divergent` flag: an index-only delete makes the live
+    * view a strict subset of the source, and compaction folds the
+    * tombstones away WITHOUT restoring that equality — the optimizer
+    * route must keep declining until a rebuild. */
   def deleteIds(ids: DataFrame, idCol: String, location: String): Unit = {
-    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneDir(location).toString)
+      .write.mode("append").parquet(tombstoneDir(location))
+    if (!man.divergent)
+      AnnIndex.writeManifest(location, man.copy(divergent = true))
   }
 
   private def antiTombstones(rows: DataFrame, location: String): DataFrame =
     if (!hasTombstones(location)) rows
     else rows.join(
-      broadcast(rows.sparkSession.read.parquet(tombstoneDir(location).toString)
+      broadcast(rows.sparkSession.read.parquet(tombstoneDir(location))
         .select(col("id")).distinct()),
       Seq("id"), "left_anti")
 
-  /** The compaction swap [[TextIndex.compactInverted]] uses: write the
-    * folded subtree to a staging dir, atomically retire-and-replace the
-    * live one, roll back on failure. */
-  private def swapDir(location: String, sub: String)(write: String => Unit)
-      : Unit = {
-    val pid = AnnIndex.uniqueSuffix()
-    val staging = s"$location/$sub.compact.$pid"
-    write(staging)
-    val livePath = Paths.get(s"$location/$sub")
-    val retired = Paths.get(s"$location/$sub.retired.$pid")
-    Files.move(livePath, retired, StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(staging), livePath,
-      StandardCopyOption.ATOMIC_MOVE)
+  /** Commit leg of a compaction: atomically retire-and-replace the live
+    * `sub` dir with its already-written `.compact.$pid` staging, rolling
+    * back on failure. Every staging subtree MUST be fully written before
+    * the first swap commits ([[compactBtree]]'s ordering note). */
+  private def swapStaged(location: String, sub: String, pid: String): Unit = {
+    val live = s"$location/$sub"
+    val retired = s"$location/$sub.retired.$pid"
+    IndexFs.renameIntoOrThrow(live, retired)
+    try IndexFs.renameIntoOrThrow(s"$location/$sub.compact.$pid", live)
     catch {
       case e: Throwable =>
-        Files.move(retired, livePath, StandardCopyOption.ATOMIC_MOVE)
+        IndexFs.renameIntoOrThrow(retired, live)
         throw e
     }
     AnnIndex.deleteRecursively(retired)
@@ -125,6 +127,26 @@ object ScalarIndex {
     * up to 2^53, i.e. every key in scope). Null keys are not indexed (the
     * scalar-index convention: an indexed search can never return them, so
     * a query needing `key IS NULL` goes to the base table). */
+  /** The double-shadow exactness domain: every int/float/double key is
+    * exact in a double, and BIGINT keys are iff |key| ≤ 2^53 — beyond
+    * that the zonemap/residual double compares alias. [[ensureBtree]] /
+    * [[appendBtree]] enforce the bound for LongType keys (one narrow
+    * min/max aggregate over the slice), so [[searchBtreeRange]]'s
+    * "residual re-applies exactly" claim holds for every key the index
+    * ACCEPTS, instead of silently degrading past 2^53 (ADVICE r13). */
+  private val DoubleExactBound = 1L << 53
+
+  private def requireLongKeysExact(slice: DataFrame, what: String): Unit =
+    if (slice.schema("key").dataType == LongType) {
+      val mm = slice.agg(min(col("key")), max(col("key"))).head()
+      if (!mm.isNullAt(0))
+        require(mm.getLong(0) >= -DoubleExactBound &&
+            mm.getLong(1) <= DoubleExactBound,
+          s"$what: BIGINT keys beyond ±2^53 alias in the btree's double " +
+            s"zonemap/residual (got [${mm.getLong(0)}, ${mm.getLong(1)}]) " +
+            "— rescale the key or index a narrower column")
+    }
+
   def ensureBtree(df: DataFrame, idCol: String, keyCol: String,
       location: String, sourcePath: String, nBuckets: Int = 32,
       fingerprintOverride: Option[String] = None): Boolean = {
@@ -135,16 +157,22 @@ object ScalarIndex {
       case Some(m) if m.fingerprint == fp && m.indexType == "btree" &&
           m.nlist == nBuckets => false
       case _ =>
-        AnnIndex.deleteRecursively(Paths.get(location))
+        AnnIndex.deleteRecursively(location)
         val rows = btreeRows(df, idCol, keyCol)
+        // the key's TRUE type rides the manifest: registration declares
+        // the real postings schema from it (a BIGINT-keyed btree used to
+        // be registered as DOUBLE and fail any SQL read — ADVICE r13)
+        val keyDdl = rows.schema("key").dataType.sql
         AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("btree", "range", nBuckets, 0, fp)) { staging =>
+          AnnIndex.Manifest("btree", "range", nBuckets, 0, fp,
+            keyType = keyDdl)) { staging =>
           val bucketed = rows
             .repartitionByRange(nBuckets, col("key"), col("id"))
             .withColumn("bkt", spark_partition_id())
           bucketed.write.mode("overwrite").partitionBy("bkt")
             .parquet(s"$staging/postings")
           val written = df.sparkSession.read.parquet(s"$staging/postings")
+          requireLongKeysExact(written, "ensureBtree")
           val zm = written.groupBy(col("bkt"))
             .agg(min(col("key").cast("double")).as("lo"),
               max(col("key").cast("double")).as("hi"),
@@ -179,6 +207,7 @@ object ScalarIndex {
     val bktIds = bounds.map(_._1)
     val uppers = bounds.map(_._2).dropRight(1) // last bucket is open-ended
     val rows = btreeRows(delta, idCol, keyCol)
+    requireLongKeysExact(rows, "appendBtree") // delta-sized narrow agg
     val slot =
       if (uppers.isEmpty) lit(0)
       else aggregate(lit(uppers), lit(0),
@@ -192,7 +221,7 @@ object ScalarIndex {
         max(col("key").cast("double")).as("hi"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/zonemap")
-    AnnIndex.writeManifest(Paths.get(location),
+    AnnIndex.writeManifest(location,
       man.copy(fingerprint = newFingerprint))
   }
 
@@ -235,21 +264,29 @@ object ScalarIndex {
     * rewritten bucket-partitioned, zonemap recomputed EXACTLY from the
     * surviving rows (so a delete that emptied a bucket's range edge
     * tightens pruning), boundaries kept frozen, tombstones cleared.
-    * Atomic old-or-new swaps; live search results unchanged. */
+    * BOTH staging subtrees are written before EITHER swap commits — the
+    * zonemap derives from the WRITTEN postings staging, so nothing is
+    * left to recompute from paths a swap already retired (a cached live
+    * view evicted between two swaps would otherwise re-read moved files
+    * — ADVICE r13). Atomic old-or-new swaps; results unchanged. */
   def compactBtree(spark: SparkSession, location: String): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
-    val live = antiTombstones(
-      spark.read.parquet(s"$location/postings"), location).cache()
-    swapDir(location, "postings")(st => live.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(st))
-    swapDir(location, "zonemap")(st => live.groupBy(col("bkt"))
+    val pid = AnnIndex.uniqueSuffix()
+    antiTombstones(spark.read.parquet(s"$location/postings"), location)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$location/postings.compact.$pid")
+    spark.read.parquet(s"$location/postings.compact.$pid")
+      .groupBy(col("bkt"))
       .agg(min(col("key").cast("double")).as("lo"),
         max(col("key").cast("double")).as("hi"),
         count(lit(1)).as("n_rows"))
-      .coalesce(1).write.mode("overwrite").parquet(st))
-    live.unpersist()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$location/zonemap.compact.$pid")
+    swapStaged(location, "postings", pid)
+    swapStaged(location, "zonemap", pid)
     AnnIndex.deleteRecursively(tombstoneDir(location))
   }
 
@@ -286,7 +323,7 @@ object ScalarIndex {
     AnnIndex.readManifest(location) match {
       case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" => false
       case _ =>
-        AnnIndex.deleteRecursively(Paths.get(location))
+        AnnIndex.deleteRecursively(location)
         buildValueDirs(bitmapRows(df, idCol, keyCol), location,
           "bitmap", "equality", maxCardinality, fp,
           s"ensureBitmap: $keyCol",
@@ -324,14 +361,36 @@ object ScalarIndex {
     // 0 inside the staging callback, before the count existed)
     if (built)
       AnnIndex.readManifest(location).foreach(m =>
-        AnnIndex.writeManifest(Paths.get(location), m.copy(nlist = card.toInt)))
+        AnnIndex.writeManifest(location, m.copy(nlist = card.toInt)))
     built
   }
 
+  /** The RUNNING value cardinality after an append, re-checked against
+    * the same bound the build enforces: without this, incremental ingest
+    * could grow a bitmap's value-directory count arbitrarily past the
+    * limit that would have refused the build — the degenerate
+    * near-unique layout the guard exists to prevent (ADVICE r13). One
+    * aggregate over the delta-row values table (≤ cardinality × slices
+    * rows, metadata-sized). Throws AFTER the postings landed but BEFORE
+    * the manifest re-stamp, so the index reads as stale (the `partial:`
+    * crash discipline) and the next ensure* rebuild refuses properly. */
+  private def checkAppendCardinality(spark: SparkSession, location: String,
+      maxCardinality: Int, what: String, hint: String): Int = {
+    val card = spark.read.parquet(s"$location/values")
+      .select(col("k")).distinct().count()
+    require(card <= maxCardinality,
+      s"$what: appends grew the index to $card distinct values " +
+        s"(> maxCardinality=$maxCardinality)$hint")
+    card.toInt
+  }
+
   /** Incrementally ADD rows: new values simply create new partitions;
-    * per-value counts land as delta rows. Crash discipline as above. */
+    * per-value counts land as delta rows. The build's cardinality guard
+    * RE-APPLIES to the running total ([[checkAppendCardinality]]), and
+    * the manifest's nlist tracks it. Crash discipline as above. */
   def appendBitmap(delta: DataFrame, idCol: String, keyCol: String,
-      location: String, newFingerprint: String): Unit = {
+      location: String, newFingerprint: String,
+      maxCardinality: Int = 10000): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "bitmap", s"not a bitmap index: $location")
@@ -340,8 +399,10 @@ object ScalarIndex {
       .write.mode("append").partitionBy("k").parquet(s"$location/postings")
     rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/values")
-    AnnIndex.writeManifest(Paths.get(location),
-      man.copy(fingerprint = newFingerprint))
+    val card = checkAppendCardinality(delta.sparkSession, location,
+      maxCardinality, s"appendBitmap: $keyCol", " — use a btree index")
+    AnnIndex.writeManifest(location,
+      man.copy(fingerprint = newFingerprint, nlist = card))
   }
 
   /** Equality search: ids whose key ∈ `values`. The read carries a static
@@ -382,7 +443,8 @@ object ScalarIndex {
     * across slices because an id arrives in exactly one slice. Crash
     * discipline as everywhere: `partial:` at build, re-stamp here. */
   def appendLabelList(delta: DataFrame, idCol: String, arrCol: String,
-      location: String, newFingerprint: String): Unit = {
+      location: String, newFingerprint: String,
+      maxCardinality: Int = 10000): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "label_list",
@@ -398,8 +460,10 @@ object ScalarIndex {
       .write.mode("append").partitionBy("k").parquet(s"$location/postings")
     rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/values")
-    AnnIndex.writeManifest(Paths.get(location),
-      man.copy(fingerprint = newFingerprint))
+    val card = checkAppendCardinality(delta.sparkSession, location,
+      maxCardinality, s"appendLabelList: $arrCol", "")
+    AnnIndex.writeManifest(location,
+      man.copy(fingerprint = newFingerprint, nlist = card))
   }
 
   /** Build (or reuse) a LABEL-LIST index over an ARRAY column: the bitmap
@@ -419,7 +483,7 @@ object ScalarIndex {
       case Some(m) if m.fingerprint == fp && m.indexType == "label_list" =>
         false
       case _ =>
-        AnnIndex.deleteRecursively(Paths.get(location))
+        AnnIndex.deleteRecursively(location)
         val rows = TextFunctions.widen(df)
           .filter(col(arrCol).isNotNull)
           .select(col(idCol).cast("long").as("id"),
@@ -475,20 +539,26 @@ object ScalarIndex {
 
   /** Fold tombstones into the bitmap or label-list layout (postings
     * rewritten minus deleted ids, per-value counts collapsed to one true
-    * row each, tombstones cleared). Atomic swaps; results unchanged. */
+    * row each, tombstones cleared). Both stagings written before either
+    * swap — the values staging derives from the WRITTEN postings staging
+    * (the [[compactBtree]] ordering discipline). Results unchanged. */
   def compactBitmap(spark: SparkSession, location: String): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "bitmap" || man.indexType == "label_list",
       s"not a bitmap/label-list index: $location")
-    val live = antiTombstones(bitmapPostings(spark, location), location)
-      .cache()
-    swapDir(location, "postings")(st => live.repartition(col("k"))
-      .write.mode("overwrite").partitionBy("k").parquet(st))
-    swapDir(location, "values")(st => live.groupBy(col("k"))
-      .agg(count(lit(1)).as("n_rows"))
-      .coalesce(1).write.mode("overwrite").parquet(st))
-    live.unpersist()
+    val pid = AnnIndex.uniqueSuffix()
+    antiTombstones(bitmapPostings(spark, location), location)
+      .repartition(col("k"))
+      .write.mode("overwrite").partitionBy("k")
+      .parquet(s"$location/postings.compact.$pid")
+    spark.read.schema("id BIGINT, k STRING")
+      .parquet(s"$location/postings.compact.$pid")
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$location/values.compact.$pid")
+    swapStaged(location, "postings", pid)
+    swapStaged(location, "values", pid)
     AnnIndex.deleteRecursively(tombstoneDir(location))
   }
 }

@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -108,7 +107,7 @@ object TextIndex {
       case Some(m) if m.fingerprint == fp && m.indexType == "inverted" &&
           m.metric == "bm25pos" && m.nlist == nBuckets => false
       case _ =>
-        AnnIndex.deleteRecursively(Paths.get(location))
+        AnnIndex.deleteRecursively(location)
         val spark = docs.sparkSession
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp)) { staging =>
@@ -172,17 +171,17 @@ object TextIndex {
     writeSlice(delta.sparkSession, delta, idCol, textCol, man.nlist,
       s"$location/postings", s"$location/doclens", s"$location/stats",
       sliceIsWholeIndex = false)
-    AnnIndex.writeManifest(Paths.get(location),
+    AnnIndex.writeManifest(location,
       man.copy(fingerprint = newFingerprint))
   }
 
   // ---- delete ----------------------------------------------------------
 
-  private def tombstoneDir(location: String) =
-    Paths.get(s"$location/tombstones")
+  private def tombstoneDir(location: String): String =
+    s"$location/tombstones"
 
   def hasTombstones(location: String): Boolean =
-    Files.exists(tombstoneDir(location))
+    IndexFs.exists(tombstoneDir(location))
 
   /** DELETE documents — tombstones, never a postings rewrite (the
     * [[AnnIndex.deleteIds]] discipline). BM25 needs one thing more than
@@ -196,13 +195,18 @@ object TextIndex {
     * Set semantics: ids never indexed vanish in the semi-join; re-deletes
     * land duplicate rows that the search-side `distinct()` folds. */
   def deleteDocs(ids: DataFrame, idCol: String, location: String): Unit = {
-    require(AnnIndex.readManifest(location).isDefined, s"no index at $location")
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
     val spark = ids.sparkSession
     spark.read.parquet(s"$location/doclens")
       .join(broadcast(ids.select(col(idCol).cast("long").as("doc_id"))
         .distinct()), Seq("doc_id"), "left_semi")
       .coalesce(1)
-      .write.mode("append").parquet(tombstoneDir(location).toString)
+      .write.mode("append").parquet(tombstoneDir(location))
+    // index-only deletes diverge the live view from the source — stamp
+    // it so freshness consumers decline even after a compaction
+    if (!man.divergent)
+      AnnIndex.writeManifest(location, man.copy(divergent = true))
   }
 
   // ---- search ----------------------------------------------------------
@@ -232,7 +236,7 @@ object TextIndex {
       .filter(col("term").isInCollection(queryTerms))
     val tombs =
       if (!hasTombstones(location)) None
-      else Some(spark.read.parquet(tombstoneDir(location).toString)
+      else Some(spark.read.parquet(tombstoneDir(location))
         .select(col("doc_id"), col("dl")).distinct())
     val live = tombs.fold(raw)(t =>
       raw.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
@@ -318,7 +322,7 @@ object TextIndex {
     val live =
       if (!hasTombstones(location)) raw
       else raw.join(
-        broadcast(spark.read.parquet(tombstoneDir(location).toString)
+        broadcast(spark.read.parquet(tombstoneDir(location))
           .select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
     val parts = normPhrase.zipWithIndex.map { case (t, i) =>
@@ -345,37 +349,41 @@ object TextIndex {
     val tombIds =
       if (!hasTombstones(location))
         spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
-      else spark.read.parquet(tombstoneDir(location).toString)
+      else spark.read.parquet(tombstoneDir(location))
         .select(col("doc_id")).distinct()
     val pid = AnnIndex.uniqueSuffix()
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val staging = s"$location/$sub.compact.$pid"
-      write(staging)
-      val livePath = Paths.get(s"$location/$sub")
-      val retired = Paths.get(s"$location/$sub.retired.$pid")
-      Files.move(livePath, retired, StandardCopyOption.ATOMIC_MOVE)
-      try Files.move(Paths.get(staging), livePath,
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: Throwable =>
-          Files.move(retired, livePath, StandardCopyOption.ATOMIC_MOVE)
-          throw e
-      }
-      AnnIndex.deleteRecursively(retired)
-    }
+    // ALL staging subtrees are written from the live view BEFORE any swap
+    // commits: a swap-then-recompute ordering would, on cache eviction,
+    // recompute later subtrees from file paths an earlier swap already
+    // retired (the ScalarIndex compaction hazard, ADVICE r13) — writing
+    // everything first makes the swaps pure renames with no lineage left
+    // to re-execute
     val doclens = spark.read.parquet(s"$location/doclens")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-      .cache()
-    val postings = spark.read.parquet(s"$location/postings")
+      .persist()
+    spark.read.parquet(s"$location/postings")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
-    swap("postings")(st => postings.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(st))
-    swap("doclens")(st =>
-      doclens.write.mode("overwrite").parquet(st))
-    swap("stats")(st => doclens
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$location/postings.compact.$pid")
+    doclens.write.mode("overwrite").parquet(s"$location/doclens.compact.$pid")
+    // derive the stats from the WRITTEN doclens staging — index-local
+    // narrow read, immune to eviction of the `doclens` cache
+    spark.read.parquet(s"$location/doclens.compact.$pid")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(st))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$location/stats.compact.$pid")
     doclens.unpersist()
+    Seq("postings", "doclens", "stats").foreach { sub =>
+      IndexFs.renameIntoOrThrow(s"$location/$sub", s"$location/$sub.retired.$pid")
+      try IndexFs.renameIntoOrThrow(s"$location/$sub.compact.$pid", s"$location/$sub")
+      catch {
+        case e: Throwable =>
+          IndexFs.renameIntoOrThrow(s"$location/$sub.retired.$pid", s"$location/$sub")
+          throw e
+      }
+      AnnIndex.deleteRecursively(s"$location/$sub.retired.$pid")
+    }
     AnnIndex.deleteRecursively(tombstoneDir(location))
   }
 }

@@ -27,8 +27,10 @@ import graft.ops.{AnnIndex, ScalarIndex}
   *    the corpus would not save the corpus scan that makes the rewrite
   *    worth firing;
   *  - the index is FRESH: its manifest fingerprint matches a stat of the
-  *    source as of rule application. A stale index silently declines —
-  *    the plan falls back to the scan, never to wrong rows.
+  *    source as of rule application, AND it carries no uncompacted
+  *    tombstones (deleteIds shrinks the live view without touching the
+  *    fingerprint or the source). A stale or tombstoned index silently
+  *    declines — the plan falls back to the scan, never to wrong rows.
   *
   * The replacement subtree is the same plan [[ScalarIndex.searchBitmap]] /
   * [[ScalarIndex.searchBtreeRange]] builds (partition-pruned directory
@@ -63,8 +65,17 @@ object IndexRoute {
 
   private val routes = new ConcurrentHashMap[(String, String), Route]()
 
-  private[plans] def normalize(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
+  /** Scheme-aware path normalization, so a route registered as
+    * `/data/t.parquet`, `file:/data/t.parquet` or `file:///data/t.parquet`
+    * matches the fully-qualified root path Spark's relation reports —
+    * while `s3a://bucket/...` keys stay distinct per bucket. */
+  private[plans] def normalize(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val prefix = Option(u.getScheme).filterNot(_ == "file")
+      .map(s => s + "://" + Option(u.getAuthority).getOrElse(""))
+      .getOrElse("")
+    (prefix + u.getPath).stripSuffix("/")
+  }
 
   /** Declare that the btree/bitmap index at `location` serves `keyCol`
     * filters over the parquet source at `sourcePath` (with `idCol` as the
@@ -257,6 +268,14 @@ case class IndexedScanRewrite(spark: SparkSession)
     // freshness: a stale index declines; the scan plan stands
     man <- AnnIndex.readManifest(route.location)
     if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+    // tombstones/divergence decline too: deleteIds shrinks the index's
+    // LIVE view without touching the fingerprint OR the source, so a
+    // routed read would silently drop rows the plain filter still
+    // returns — and compaction folds the tombstones away while the
+    // divergence persists, hence the manifest flag. The rewrite must be
+    // invisible in results, not just fresh by stat.
+    if !man.divergent
+    if !ScalarIndex.hasTombstones(route.location)
   } yield {
     val idx = ask match {
       case AskValues(vs) =>
@@ -315,6 +334,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     if manA.fingerprint == AnnIndex.sourceFingerprint(routeA.rawSourcePath)
     manB <- AnnIndex.readManifest(routeB.location)
     if manB.fingerprint == AnnIndex.sourceFingerprint(routeB.rawSourcePath)
+    // same tombstone/divergence decline as the single-key path, BOTH routes
+    if !manA.divergent && !manB.divergent
+    if !ScalarIndex.hasTombstones(routeA.location)
+    if !ScalarIndex.hasTombstones(routeB.location)
   } yield {
     val idx = ScalarIndex.searchBitmapAnd(spark,
         routeA.location, valsA, routeB.location, valsB)

@@ -194,6 +194,49 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("a TOMBSTONED index declines: deleteIds shrinks the live view " +
+      "without touching the fingerprint, so a routed read would silently " +
+      "drop rows the plain filter still returns") {
+    val loc = tmpLoc("route-tomb")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.filter(col("lang") === "en").count()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      // sanity: fresh + tombstone-free serves from the index
+      assert(scansIndex(docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang")), loc))
+      // delete a doc FROM THE INDEX only — the source is untouched
+      val victim = docs.filter(col("lang") === "en")
+        .select(col("doc_id")).limit(1)
+      ScalarIndex.deleteIds(victim, "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(!scansIndex(df, loc),
+        "an index with uncompacted tombstones must not serve plain filters")
+      assert(df.count() == want, "results must equal the un-deleted source")
+      // the conjunction path declines on either side's tombstones too
+      val locS = tmpLoc("route-tomb-src")
+      ScalarIndex.ensureBitmap(docs, "doc_id", "source", locS, docSource)
+      IndexRoute.register(docSource, "source", "doc_id", locS)
+      val and = docs.filter(col("lang") === "en" && col("source") === "src1")
+        .select(col("doc_id"))
+      assert(and.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "the AND rewrite must decline when one route is tombstoned")
+      // compaction folds the tombstones away, but the index CONTENT still
+      // diverges from a source that kept the row — the manifest's
+      // divergent flag (stamped at deleteIds, cleared only by rebuild)
+      // must keep the route declined even with zero tombstones on disk
+      ScalarIndex.compactBitmap(spark, loc)
+      assert(!ScalarIndex.hasTombstones(loc))
+      val after = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(!scansIndex(after, loc),
+        "a compacted-but-diverged index must stay declined until rebuilt")
+      assert(after.count() == want)
+    }
+  }
+
   test("the config-time extension injection alone serves routed queries " +
       "(no extraOptimizations needed — GraftExtensions injected the rule " +
       "at session build)") {

@@ -125,6 +125,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(id => Identifier.of(id.parent.levels.toArray, id.name)).toArray
   }
 
+  /** Bulk (table, properties) listing of a namespace: ONE backend listing
+    * plus one pooled, TTL-cached bulk describe — the batch path for
+    * metadata inventories ([[graft.ops.AnnIndex.listIndexTables]]), where
+    * a per-table `SHOW TBLPROPERTIES` round trip would be the N+1 shape
+    * the reference's Hive backend is flagged for
+    * (`Hive2Namespace.java:541-556`) and would crawl against a remote
+    * HMS/Glue at thousands of tables. */
+  def describeNamespaceTables(namespace: Array[String])
+      : Seq[graft.backend.TableInfo] = mapped {
+    describeTablesCached(backend.listTables(oid(namespace)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     backend.tableExists(oid(ident))
 

@@ -830,14 +830,33 @@ object AnnIndex {
     * capability-pointer table with its type/metric/width metadata, read
     * from the catalog properties stamped at registration. Catalog
     * enumeration is driver-side and metadata-sized (a namespace holds
-    * tables, not data). Returns (table_name, index_type, metric, m),
-    * sorted by table name. */
+    * tables, not data) — and it is BATCHED: a GraftCatalog namespace
+    * resolves through ONE backend listing + one pooled bulk describe
+    * ([[graft.catalog.GraftCatalog.describeNamespaceTables]]), never a
+    * `SHOW TBLPROPERTIES` round trip per table (the reference's N+1
+    * anti-pattern, `Hive2Namespace.java:541-556`, which crawls against a
+    * remote HMS/Glue at thousands of tables). Non-graft catalogs fall
+    * back to the per-table path. Returns (table_name, index_type,
+    * metric, m), sorted by table name. */
   def listIndexTables(spark: SparkSession, namespace: String): DataFrame = {
-    val names = spark.sql(s"SHOW TABLES IN $namespace").collect()
-      .map(r => s"$namespace.${r.getString(1)}").sorted
-    val rows = names.toSeq.flatMap { t =>
-      val props = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val parts = namespace.split('.')
+    val bulk: Option[Seq[(String, Map[String, String])]] =
+      (if (parts.length < 2) None
+       else scala.util.Try(
+         spark.sessionState.catalogManager.catalog(parts.head)).toOption)
+        .collect { case g: graft.catalog.GraftCatalog =>
+          g.describeNamespaceTables(parts.tail).map(i =>
+            (s"${parts.head}.${i.id.toDelimited()}", i.properties))
+        }
+    val tables: Seq[(String, Map[String, String])] = bulk.getOrElse {
+      spark.sql(s"SHOW TABLES IN $namespace").collect()
+        .map(r => s"$namespace.${r.getString(1)}").sorted.toSeq
+        .map { t =>
+          (t, spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap)
+        }
+    }
+    val rows = tables.flatMap { case (t, props) =>
       props.get("graft.index.type").map(tpe =>
         (t, tpe, props.getOrElse("graft.index.metric", ""),
           props.getOrElse("graft.index.m", "0").toLong))

@@ -234,9 +234,13 @@ object ScalarIndexQueries {
     val loc = indexLocation(d, "bitmap-lang")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
       loc, s"$d/documents.parquet")
-    val before = s.experimental.extraOptimizations
-    s.experimental.extraOptimizations =
-      before :+ graft.plans.IndexedScanRewrite(s)
+    // the production wire-up alone serves the gate: the rewrite rule was
+    // injected SESSION-SCOPED at build time (spark.sql.extensions =
+    // GraftExtensions — Verify/Bench and every spec session set it), so
+    // the gate no longer mutates the shared session's
+    // experimental.extraOptimizations (r13 verdict: two concurrent
+    // sessions could observe each other's mid-gate rule swaps). Only the
+    // route registration remains gate-scoped, withdrawn in the finally.
     try {
       graft.plans.IndexRoute.register(
         s"$d/documents.parquet", "lang", "doc_id", loc)
@@ -251,7 +255,6 @@ object ScalarIndexQueries {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.toSeq.asJava, df.schema)
     } finally {
-      s.experimental.extraOptimizations = before
       graft.plans.IndexRoute.clear()
     }
   }

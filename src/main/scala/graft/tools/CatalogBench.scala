@@ -38,8 +38,18 @@ object CatalogBench {
     cat.createTable(Identifier.of(Array("db"), "warm"), tableInfo)
     cat.loadTable(Identifier.of(Array("db"), "warm"))
 
+    // every 20th table is an index capability pointer, so the inventory
+    // receipt below filters 50 indexes out of 1,001 tables
+    val idxProps = new java.util.HashMap[String, String]()
+    idxProps.put("table_type", "lance")
+    idxProps.put("graft.index.type", "bitmap")
+    idxProps.put("graft.index.metric", "equality")
+    idxProps.put("graft.index.m", "0")
+    val indexInfo = new TableInfo.Builder()
+      .withColumns(columns).withProperties(idxProps).build()
     p50("createTable (declared)", 1000) { i =>
-      cat.createTable(Identifier.of(Array("db"), s"t$i"), tableInfo)
+      cat.createTable(Identifier.of(Array("db"), s"t$i"),
+        if (i % 20 == 0) indexInfo else tableInfo)
     }
     p50("describeTable (loadTable)", 1000) { i =>
       cat.loadTable(Identifier.of(Array("db"), s"t$i"))
@@ -51,6 +61,16 @@ object CatalogBench {
     val listed = cat.listTables(Array("db"))
     println(f"CATBENCH listTables(${listed.length}) once   ${(System.nanoTime() - t0) / 1e6}%8.3f ms")
     p50("listTables (1001 tables)", 100) { _ => cat.listTables(Array("db")) }
+    // index-inventory receipt: the BATCHED path (one listing + one bulk
+    // describe) vs the per-table SHOW TBLPROPERTIES N+1 it replaced
+    p50("listIndexTables (1001 tbls)", 20) { _ =>
+      graft.ops.AnnIndex.listIndexTables(spark, "cb.db").collect()
+    }
+    p50("inventory via N+1 (contrast)", 3) { _ =>
+      spark.sql("SHOW TABLES IN cb.db").collect()
+        .map(r => s"cb.db.${r.getString(1)}")
+        .foreach(t => spark.sql(s"SHOW TBLPROPERTIES $t").collect())
+    }
     p50("dropTable", 1000) { i =>
       cat.dropTable(Identifier.of(Array("db"), s"t$i"))
     }

@@ -763,6 +763,63 @@ object AnnIndex {
     }
   }
 
+  /** [[searchIvfFiltered]] for an IVF-SQ8 index — completing the
+    * filtered-search matrix across all three compression tiers (ivf /
+    * ivf_pq / ivf_sq). Same plan split as the PQ arm: the SELECTIVE arm
+    * bypasses quantization entirely (the postings carry full vectors for
+    * the rerank anyway — a ≤`exactCap` scan of those is cheaper than the
+    * probe machinery AND exact where the decoded scores are lossy); the
+    * BROAD arm keeps the probe and pushes the allowed-id semi-join
+    * BENEATH both stages — the decoded-approximate pass and the exact
+    * rerank — so filtered-out vectors can neither crowd the `rerank`
+    * shortlist nor reappear as rerank candidates (the q205/q208 two-stage
+    * discipline). Tombstones compose: both arms search the live view. */
+  def searchIvfSqFiltered(spark: SparkSession, location: String,
+      allowed: DataFrame, allowedIdCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nprobe: Int = 2, rerank: Int = 50,
+      exactCap: Long = 10000L): DataFrame = {
+    require(readManifest(location).exists(_.indexType == "ivf_sq"),
+      s"no IVF-SQ index at $location")
+    val ids = allowed.select(col(allowedIdCol).cast("long").as("vec_id"))
+    if (takesExactPath(ids, exactCap)) {
+      val wTop = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      withoutTombstones(spark, location,
+          spark.read.parquet(s"$location/postings"))
+        .join(ids, Seq("vec_id"), "left_semi")
+        .join(broadcast(queries.select(
+          col(qidCol).as("qid"), col(qvecCol).as("__q"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("__q"), col("embedding")), 6).as("score"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+    } else {
+      val (loArr, scaleArr) =
+        ScalarQuant.collectModel(spark.read.parquet(s"$location/sq"))
+      val (probes, probedCids) =
+        probe(spark, location, queries, qidCol, qvecCol, nprobe)
+      val postings = withoutTombstones(spark, location,
+          prunedPostings(spark, location, probedCids))
+        .join(ids, Seq("vec_id"), "left_semi")
+      val wApprox = Window.partitionBy(col("qid"))
+        .orderBy(col("__approx").desc, col("vec_id"))
+      val candidates = postings
+        .withColumn("__dec", ScalarQuant.decode(col("codes"), loArr, scaleArr))
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("__q"), col("__dec")).as("__approx"))
+        .withColumn("__rn", row_number().over(wApprox))
+        .filter(col("__rn") <= rerank)
+        .select(col("qid"), col("vec_id"))
+      ProductQuantization.rerankExact(candidates,
+        postings, "vec_id", "embedding", queries, qidCol, qvecCol, k)
+    }
+  }
+
   // ---- catalog registration ------------------------------------------
 
   /** Register (or refresh) the index as a catalog table whose location IS

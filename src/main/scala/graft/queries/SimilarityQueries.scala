@@ -1568,6 +1568,21 @@ object SimilarityQueries {
     * filtered. */
   def q220IvfSqDelete(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val loc = ensureIvfSqDeleted(s, d)
+    AnnIndex.searchIvfSq(s, loc,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The q220 index: seeded IVF-SQ8 with `vec_id % 7 == 3` tombstoned —
+    * shared by the delete gate and the filtered-search gates so the
+    * filtered arms are pinned TOMBSTONE-COMPOSED (the filter semi-join
+    * and the tombstone anti-join stack on the same live view). Idempotent
+    * across gate orderings: build if stale, delete once per build. */
+  private def ensureIvfSqDeleted(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
     val loc = annIndexLocation(d, "ivfsq-delete")
     val built = AnnIndex.ensureIvfSq(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 10)
@@ -1577,12 +1592,58 @@ object SimilarityQueries {
       loc, s"$d/embeddings.parquet")
     if (built || !AnnIndex.hasTombstones(loc))
       AnnIndex.deleteIds(emb.filter(col("vec_id") % 7 === 3), "vec_id", loc)
-    AnnIndex.searchIvfSq(s, loc,
+    loc
+  }
+
+  /** q230: FILTERED IVF-SQ8 search, the BROAD arm — completes the
+    * filtered-search matrix across all three compression tiers
+    * (q206 ivf / q208 ivf_pq / this). The allowed-id semi-join lands
+    * beneath BOTH the decoded-approximate pass and the exact rerank, and
+    * it is pinned TOMBSTONE-COMPOSED: the index carries the q220
+    * deletions, so the oracle's assigned side filters on the metadata
+    * predicate AND the deleted ids. */
+  def q230FilteredIvfSq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = ensureIvfSqDeleted(s, d)
+    AnnIndex.searchIvfSqFiltered(s, loc,
+      emb.filter(col("label") >= 2).select(col("vec_id")), "vec_id",
       emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      "qid", "qvec", k = 10, nprobe = 3, rerank = 50)
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50, exactCap = 50)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** q231: FILTERED IVF-SQ8 search, the SELECTIVE arm — the predicate
+    * passes fewer ids than `exactCap`, so the engine bypasses
+    * quantization entirely and ranks the allowed full vectors exactly
+    * (recall 1.0 by construction, and exact where decoded scores are
+    * lossy). TRUE independent brute-force oracle (the q207 device), with
+    * the q220 tombstones composed into the allowed corpus. */
+  def q231FilteredIvfSqExact(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = ensureIvfSqDeleted(s, d)
+    AnnIndex.searchIvfSqFiltered(s, loc,
+      emb.filter(col("label") === 5 && col("vec_id") % 2 === 0)
+        .select(col("vec_id")), "vec_id",
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 10, nprobe = 3, rerank = 50, exactCap = 2000)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q231Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM (SELECT * FROM embeddings WHERE vec_id >= 100 AND vec_id < 103) q
+       |  JOIN (SELECT * FROM embeddings
+       |        WHERE label = 5 AND vec_id % 2 = 0
+       |          AND vec_id % 7 <> 3) e ON e.vec_id <> q.vec_id)
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** q229: the FULL production SQ8 build persisted — k-means-TRAINED
     * centroids (the q42/q203 2-round Lloyd's) + corpus-trained ranges
@@ -1699,6 +1760,8 @@ object SimilarityQueries {
     "q206_filtered_ivf" -> (q206FilteredIvf _),
     "q207_filtered_exact" -> (q207FilteredExact _),
     "q208_filtered_ivfpq" -> (q208FilteredIvfPq _),
+    "q230_filtered_ivfsq" -> (q230FilteredIvfSq _),
+    "q231_filtered_ivfsq_exact" -> (q231FilteredIvfSqExact _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1753,6 +1816,13 @@ object SimilarityQueries {
     "q206_filtered_ivf" -> ivfSeededSql(" WHERE e.label >= 2"),
     "q207_filtered_exact" -> q207Sql,
     "q208_filtered_ivfpq" -> ivfPqSeededSql(" WHERE e.label >= 2"),
+    // SQ8 filtered arms, TOMBSTONE-COMPOSED over the q220 index: the
+    // broad arm replays q218 with the assigned side restricted to the
+    // metadata predicate AND the deleted ids; the selective arm gets the
+    // q207-style TRUE brute-force oracle over the same composed corpus
+    "q230_filtered_ivfsq" ->
+      ivfSqSeededSql(" WHERE e.vec_id % 7 <> 3 AND e.label >= 2"),
+    "q231_filtered_ivfsq_exact" -> q231Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

@@ -79,6 +79,112 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (LessThan(bucket, L(98L)), L("train")),
           (LessThan(bucket, L(99L)), L("val"))), L("test"))
       }))
+    // ---- table-valued functions: the SQL surface for index SEARCH ----
+    // Every persisted-index search was Scala-API-only; these TVFs expose
+    // it to pure SQL the way the reference ecosystem surfaces search
+    // through its query layer. The builder resolves LITERAL args at
+    // analysis time and splices the SAME DataFrame plan the API twin
+    // builds (bucket/partition-pruned index reads), so SQL and API
+    // results are hash-identical by construction. The index may be named
+    // by its catalog capability-pointer table OR its location path.
+    locally {
+      import org.apache.spark.sql.SparkSession
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, row_number}
+      import org.apache.spark.sql.types._
+
+      def strArg(e: Expression, what: String): String = e match {
+        case Literal(v, StringType) if v != null => v.toString
+        case _ => throw new IllegalArgumentException(
+          s"$what must be a string literal")
+      }
+      def intArg(e: Expression, what: String): Int = e match {
+        case l: Literal if l.dataType == IntegerType && l.value != null =>
+          l.value.asInstanceOf[Int]
+        case _ => throw new IllegalArgumentException(
+          s"$what must be an integer literal")
+      }
+      def resolveIdx(spark: SparkSession, idx: String): String =
+        if (graft.ops.AnnIndex.readManifest(idx).isDefined) idx
+        else graft.ops.AnnIndex.resolveIndexLocation(spark, idx)
+
+      ext.injectTableFunction((
+        new FunctionIdentifier("graft_bm25"),
+        new ExpressionInfo(graft.ops.TextIndex.getClass.getName, "graft_bm25",
+          "graft_bm25(index, query[, k]) - BM25 over a persisted inverted " +
+            "index: (doc_id, score), or top-k (rank, doc_id, score)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2 || children.size == 3,
+            "graft_bm25 takes (index, query[, k])")
+          val spark = SparkSession.active
+          val loc = resolveIdx(spark, strArg(children.head, "graft_bm25 index"))
+          val terms = strArg(children(1), "graft_bm25 query")
+            .toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+          val res = graft.ops.TextIndex.searchBm25(spark, loc, terms)
+          val out =
+            if (children.size < 3) res
+            else {
+              val k = intArg(children(2), "graft_bm25 k")
+              res.withColumn("rank", row_number().over(
+                  Window.orderBy(col("score").desc, col("doc_id"))))
+                .filter(col("rank") <= k)
+                .select(col("rank"), col("doc_id"), col("score"))
+            }
+          out.queryExecution.analyzed
+        }))
+
+      ext.injectTableFunction((
+        new FunctionIdentifier("graft_ann_search"),
+        new ExpressionInfo(graft.ops.AnnIndex.getClass.getName,
+          "graft_ann_search",
+          "graft_ann_search(index, qvec, k[, nprobe]) - top-k vector " +
+            "search over a persisted ivf/ivf_pq/ivf_sq index: " +
+            "(rank, vec_id, score)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3 || children.size == 4,
+            "graft_ann_search takes (index, qvec, k[, nprobe])")
+          val spark = SparkSession.active
+          val loc = resolveIdx(spark,
+            strArg(children.head, "graft_ann_search index"))
+          val vecE = children(1)
+          require(vecE.foldable,
+            "graft_ann_search qvec must be a literal array")
+          val qvec: Seq[Float] = (vecE.dataType, vecE.eval()) match {
+            case (ArrayType(FloatType, _),
+                a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+              a.toFloatArray().toSeq
+            case (ArrayType(DoubleType, _),
+                a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+              a.toDoubleArray().toSeq.map(_.toFloat)
+            case _ => throw new IllegalArgumentException(
+              "graft_ann_search qvec must be array<float> or array<double>")
+          }
+          val k = intArg(children(2), "graft_ann_search k")
+          val nprobe =
+            if (children.size == 4) intArg(children(3), "nprobe") else 2
+          import spark.implicits._
+          // qid = -1 can never collide with a corpus id, so the search's
+          // self-exclusion (vec_id <> qid) keeps every corpus vector
+          // eligible — an external query vector has no "self"
+          val queries = Seq((-1L, qvec)).toDF("qid", "qvec")
+          val man = graft.ops.AnnIndex.readManifest(loc).getOrElse(
+            throw new IllegalStateException(s"no index at $loc"))
+          val res = man.indexType match {
+            case "ivf" => graft.ops.AnnIndex.searchIvf(
+              spark, loc, queries, "qid", "qvec", k, nprobe)
+            case "ivf_pq" => graft.ops.AnnIndex.searchIvfPq(
+              spark, loc, queries, "qid", "qvec", k, nprobe)
+            case "ivf_sq" => graft.ops.AnnIndex.searchIvfSq(
+              spark, loc, queries, "qid", "qvec", k, nprobe)
+            case t => throw new IllegalArgumentException(
+              s"graft_ann_search: $loc holds a '$t' index, not a vector one")
+          }
+          res.select(col("rank"), col("vec_id"), col("score"))
+            .queryExecution.analyzed
+        }))
+    }
+
     ext.injectFunction((
       new FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(graft.ops.ZOrder.getClass.getName, "graft_zvalue",

@@ -403,7 +403,26 @@ object RetrievalQueries {
        |SELECT id AS doc_id, round(score, 6) AS bm25
        |FROM scored ORDER BY bm25 DESC, id LIMIT 20""".stripMargin
 
+  /** q232: q209's search reached through PURE SQL — the `graft_bm25`
+    * table-valued function ([[graft.functions.GraftExtensions]]): a SQL
+    * user addresses the index by its catalog capability-pointer table
+    * and gets the IDENTICAL bucket-pruned plan the Scala API builds (the
+    * TVF splices that plan at analysis time). Hash-gated against q101's
+    * oracle — SQL ≡ API ≡ in-query, bit for bit. */
+  def q232SqlBm25(s: SparkSession, d: String): DataFrame = {
+    val loc = textIndexLocation(d, "inverted")
+    graft.ops.TextIndex.ensureInverted(Tables.documents(s, d),
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    CatalogQueries.ensureCatalog(s)
+    graft.ops.AnnIndex.registerIndexTable(s, "graft.tpch.docs_fts_idx", loc)
+    s.sql(
+      s"""SELECT doc_id, round(score, 6) AS bm25
+         |FROM graft_bm25('graft.tpch.docs_fts_idx', '${Terms.mkString(" ")}')
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_sql_bm25" -> (q232SqlBm25 _),
     "q209_persisted_bm25" -> (q209PersistedBm25 _),
     "q210_bm25_append" -> (q210Bm25Append _),
     "q211_bm25_delete" -> (q211Bm25Delete _),
@@ -421,6 +440,8 @@ object RetrievalQueries {
     // persisted-FTS searches replay q101's oracle (persisted ≡ in-query);
     // the delete gate pins delete ≡ filter INCLUDING the corpus-stats
     // effect on idf/avgdl — the oracle recomputes over the filtered docs
+    // the SQL TVF surface must be invisible in results: q101's oracle
+    "q232_sql_bm25" -> q101Sql,
     "q209_persisted_bm25" -> q101Sql,
     "q210_bm25_append" -> q101Sql,
     "q211_bm25_delete" -> bm25TopSql(" WHERE doc_id % 7 <> 3"),

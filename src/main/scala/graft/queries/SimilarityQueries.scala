@@ -1645,6 +1645,62 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** q233: vector search reached through PURE SQL — the
+    * `graft_ann_search` TVF ([[graft.functions.GraftExtensions]]): the
+    * query vector rides the SQL text as an array literal and the TVF
+    * splices the IDENTICAL probe→pruned-scan→top-k plan the Scala API
+    * builds. The synthetic qid (-1) never collides with a corpus id, so
+    * the self-exclusion keeps every vector eligible — the query vector's
+    * own source row legitimately ranks first at similarity 1.0, and the
+    * oracle (a replay WITHOUT self-exclusion) pins exactly that. */
+  def q233SqlAnnSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 100)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val vecLit = qv.map(v => s"CAST('$v' AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    s.sql(
+      s"""SELECT rank, vec_id, score
+         |FROM graft_ann_search('$loc', $vecLit, 10, 3)
+         |ORDER BY rank""".stripMargin)
+  }
+
+  val q233Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 100),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM qv q CROSS JOIN cents c)
+       |  WHERE rn <= 3),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM assigned a
+       |  JOIN probes USING (cid)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  CROSS JOIN qv q)
+       |SELECT CAST(rank AS INT) AS rank, vec_id, score FROM (
+       |  SELECT vec_id, score,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** q229: the FULL production SQ8 build persisted — k-means-TRAINED
     * centroids (the q42/q203 2-round Lloyd's) + corpus-trained ranges
     * feed the IVF-SQ8 build, and the search runs over the materialized
@@ -1762,6 +1818,7 @@ object SimilarityQueries {
     "q208_filtered_ivfpq" -> (q208FilteredIvfPq _),
     "q230_filtered_ivfsq" -> (q230FilteredIvfSq _),
     "q231_filtered_ivfsq_exact" -> (q231FilteredIvfSqExact _),
+    "q233_sql_ann_search" -> (q233SqlAnnSearch _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1823,6 +1880,10 @@ object SimilarityQueries {
     "q230_filtered_ivfsq" ->
       ivfSqSeededSql(" WHERE e.vec_id % 7 <> 3 AND e.label >= 2"),
     "q231_filtered_ivfsq_exact" -> q231Sql,
+    // the SQL TVF surface: single-query replay WITHOUT self-exclusion
+    // (the external query vector has no "self" — its source row ranks
+    // first at 1.0, and the hash pins it)
+    "q233_sql_ann_search" -> q233Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

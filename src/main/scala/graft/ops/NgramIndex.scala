@@ -147,14 +147,31 @@ object NgramIndex {
   def searchContains(spark: SparkSession, location: String,
       docs: DataFrame, idCol: String, textCol: String, needle: String)
       : DataFrame = {
-    val man = AnnIndex.readManifest(location).getOrElse(
-      throw new IllegalStateException(s"no index at $location"))
-    require(man.indexType == "ngram", s"not an ngram index: $location")
     // the grams were taken over lower(trim(text)) — normalize the needle
     // so "Fast Sort" finds what a contains scan of the normalized text
     // would (a raw-cased needle would silently match nothing)
     val needleNorm = needle.toLowerCase
-    val gset = gramsOf(needleNorm, man.m)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        lower(trim(col(textCol))).as("__t"))
+      .join(broadcast(candidateIds(spark, location, needleNorm)),
+        Seq("doc_id"), "left_semi")
+      .filter(col("__t").contains(needleNorm))
+      .select(col("doc_id"))
+  }
+
+  /** Phase 1 alone: the doc ids carrying EVERY distinct n-gram of the
+    * (caller-normalized) needle — a bucket-pruned postings read + one
+    * count aggregate, tombstone-cleaned. Gram containment admits false
+    * positives, never false negatives, so the result is a SUPERSET of
+    * the true contains matches and a caller (the optimizer's LIKE route,
+    * [[graft.plans.IndexedScanRewrite]]) must re-apply its exact
+    * predicate on the candidates' base rows. */
+  def candidateIds(spark: SparkSession, location: String, needle: String)
+      : DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "ngram", s"not an ngram index: $location")
+    val gset = gramsOf(needle, man.m)
     // the same md5 arithmetic driver-side (TextIndex.bucketOf) and
     // executor-side (bucketCol) — the pruning literals need no Spark job
     val bktIds = gset.map(TextIndex.bucketOf(_, man.nlist)).distinct.sorted
@@ -167,14 +184,9 @@ object NgramIndex {
         broadcast(spark.read.parquet(tombstoneDir(location))
           .select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
-    val candidates = live.groupBy(col("doc_id"))
+    live.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__k"))
       .filter(col("__k") === gset.size)
-      .select(col("doc_id"))
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        lower(trim(col(textCol))).as("__t"))
-      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
-      .filter(col("__t").contains(needleNorm))
       .select(col("doc_id"))
   }
 

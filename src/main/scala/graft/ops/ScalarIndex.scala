@@ -260,6 +260,66 @@ object ScalarIndex {
       .select(col("id"), col("key"))
   }
 
+  /** The PRUNED (id, key) scan behind `ORDER BY key [DESC] LIMIT k`
+    * served from the btree: aggregate the zonemap deltas (≤ nBuckets
+    * rows), walk buckets in key order (by lo ascending / hi descending)
+    * accumulating exact row counts until ≥ k, take the cutoff bucket's
+    * far edge T as the threshold, and read every bucket whose range
+    * reaches T — the prefix buckets alone hold ≥ k rows on the correct
+    * side of T, so the true top-k all live in the returned scan and a
+    * sort+limit OVER it equals the full-table sort+limit (for non-null
+    * keys; the caller owns the null-ordering guard). None when the index
+    * holds fewer than k rows — then the full plan's answer could include
+    * rows (null keys) the index does not store, and the caller must
+    * decline. At 100 TB this turns a full-corpus TakeOrdered into a
+    * ~k-row-sized partition-pruned read. */
+  def btreeTopKScan(spark: SparkSession, location: String, k: Int,
+      ascending: Boolean): Option[DataFrame] = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val zm = spark.read.parquet(s"$location/zonemap")
+      .groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("n_rows")).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    if (zm.map(_._4).sum < k) None
+    else if (hasTombstones(location))
+      // zonemap counts are PHYSICAL: with uncompacted tombstones a
+      // bucket prefix chosen from them could underfill the live top-k,
+      // so fall back to all buckets — still an index-only narrow read
+      // (the optimizer route declines tombstoned indexes anyway; this
+      // keeps the direct API exact too)
+      Some(antiTombstones(
+        spark.read.parquet(s"$location/postings"), location)
+        .select(col("id"), col("key")))
+    else {
+      val ordered =
+        if (ascending) zm.sortBy(_._2) else zm.sortBy(b => -b._3)
+      var acc = 0L
+      var cut = 0
+      while (acc < k && cut < ordered.length) {
+        acc += ordered(cut)._4; cut += 1
+      }
+      // threshold = the cutoff bucket's far edge, with the 1-ulp slack
+      // of searchBtreeRange's double-shadow discipline
+      val bkts =
+        if (ascending) {
+          val t = Math.nextUp(ordered(cut - 1)._3)
+          zm.filter(b => Math.nextDown(b._2) <= t).map(_._1)
+        } else {
+          val t = Math.nextDown(ordered(cut - 1)._2)
+          zm.filter(b => Math.nextUp(b._3) >= t).map(_._1)
+        }
+      Some(antiTombstones(
+        spark.read.parquet(s"$location/postings")
+          .filter(col("bkt").isin(bkts.sorted.map(Int.box): _*)),
+        location)
+        .select(col("id"), col("key")))
+    }
+  }
+
   /** Fold tombstones into the btree layout: postings minus deleted ids
     * rewritten bucket-partitioned, zonemap recomputed EXACTLY from the
     * surviving rows (so a delete that emptied a bucket's range edge

@@ -4,13 +4,13 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.ops.{AnnIndex, ScalarIndex}
+import graft.ops.{AnnIndex, NgramIndex, ScalarIndex}
 
 /** Optimizer-integrated index access — the reference's "indexes speed up
   * filters without the query changing" promise, re-expressed as a Catalyst
@@ -86,8 +86,10 @@ object IndexRoute {
       location: String): Unit = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index manifest at $location"))
-    require(man.indexType == "btree" || man.indexType == "bitmap",
-      s"IndexRoute.register: only btree/bitmap routes, got ${man.indexType}")
+    require(man.indexType == "btree" || man.indexType == "bitmap" ||
+        man.indexType == "ngram",
+      s"IndexRoute.register: only btree/bitmap/ngram routes, " +
+        s"got ${man.indexType}")
     routes.put((normalize(sourcePath), keyCol),
       Route(man.indexType, location, idCol, keyCol, sourcePath))
     ()
@@ -111,7 +113,15 @@ case class IndexedScanRewrite(spark: SparkSession)
         path <- sourcePathOf(lr)
         rewritten <- tryRewrite(projList, cond, lr, path)
           .orElse(tryRewriteAnd(projList, cond, lr, path))
+          .orElse(tryRewriteContains(projList, cond, lr, path))
       } yield rewritten).getOrElse(p)
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Sort(orders, true, child, _))) =>
+      (for {
+        lr <- relationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteTopK(gl.output, k, orders, lr, path)
+      } yield rewritten).getOrElse(gl)
   }
 
   /** The scan beneath the filter, looking through a column-pruning
@@ -309,6 +319,152 @@ case class IndexedScanRewrite(spark: SparkSession)
         }
     }
     Project(rewired, newPlan)
+  }
+
+  /** `ORDER BY key [DESC] LIMIT k` over a covering projection of a
+    * routed btree source → a sort+limit over the index's bucket-PREFIX
+    * scan ([[ScalarIndex.btreeTopKScan]]): the zonemap picks the few
+    * buckets that can hold the top k, so a corpus-wide TakeOrdered
+    * becomes a ~k-sized partition-pruned read. Guards, beyond the usual
+    * freshness/divergence/covering set: the primary sort must be
+    * NullsLast (the index holds no null keys, so with ≥ k indexed rows
+    * the top k of a NullsLast order provably contains none — an
+    * Ascending default NullsFirst order could legitimately lead with
+    * null-key rows the index cannot supply, and declines); an optional
+    * secondary order on the id column is reconstructed verbatim; fewer
+    * than k indexed rows declines (btreeTopKScan returns None). */
+  private def tryRewriteTopK(outAttrs: Seq[Attribute], k: Int,
+      orders: Seq[SortOrder], lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = for {
+    (keyAttr, ascending, secondary) <- orders match {
+      case Seq(SortOrder(a: AttributeReference, dir, NullsLast, _)) =>
+        Some((a, dir == Ascending, None))
+      case Seq(SortOrder(a: AttributeReference, dir, NullsLast, _),
+          so2 @ SortOrder(b: AttributeReference, _, _, _))
+          if b.exprId != a.exprId =>
+        Some((a, dir == Ascending, Some((b, so2))))
+      case _ => None
+    }
+    if k > 0
+    route <- IndexRoute.lookup(path, keyAttr.name)
+    if route.indexType == "btree"
+    idAttr <- lr.output.find(_.name == route.idCol)
+    if idAttr.dataType == LongType && btreeKeyOk(keyAttr.dataType)
+    // the secondary order, if any, must be on the id (the index holds
+    // nothing else to order by)
+    if secondary.forall(_._1.exprId == idAttr.exprId)
+    // covering: the limit's output is nothing but id and key
+    if outAttrs.forall(a =>
+      a.exprId == idAttr.exprId || a.exprId == keyAttr.exprId)
+    man <- AnnIndex.readManifest(route.location)
+    if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+    if !man.divergent
+    if !ScalarIndex.hasTombstones(route.location)
+    scan <- ScalarIndex.btreeTopKScan(spark, route.location, k, ascending)
+  } yield {
+    val renamed = scan.select(col("id").as(route.idCol),
+      col("key").as(route.keyCol))
+    val primary =
+      if (ascending) col(route.keyCol).asc_nulls_last
+      else col(route.keyCol).desc_nulls_last
+    val sortCols = primary +: secondary.toSeq.map { case (_, so) =>
+      val c = col(route.idCol)
+      (so.direction, so.nullOrdering) match {
+        case (Ascending, NullsFirst) => c.asc_nulls_first
+        case (Ascending, NullsLast) => c.asc_nulls_last
+        case (Descending, NullsFirst) => c.desc_nulls_first
+        case (Descending, NullsLast) => c.desc_nulls_last
+      }
+    }
+    val df = renamed.orderBy(sortCols: _*).limit(k)
+    val newPlan = df.queryExecution.analyzed
+    val newId = newPlan.output.find(_.name == route.idCol).get
+    val newKey = newPlan.output.find(_.name == route.keyCol).get
+    require(newId.dataType == idAttr.dataType &&
+      newKey.dataType == keyAttr.dataType,
+      s"index route ${route.location} column types drifted from the source")
+    val rewired = outAttrs.map { ar =>
+      val na = if (ar.exprId == idAttr.exprId) newId else newKey
+      Alias(na, ar.name)(exprId = ar.exprId,
+        qualifier = ar.asInstanceOf[AttributeReference].qualifier)
+    }
+    Project(rewired, newPlan)
+  }
+
+  /** `contains(text, 'needle')` / `text LIKE '%needle%'` over a routed
+    * NGRAM source → the index's two-phase plan: gram-intersection
+    * CANDIDATES ([[NgramIndex.candidateIds]], a bucket-pruned postings
+    * read) semi-joined into the base table, with the ORIGINAL predicate
+    * re-applied on the fetched rows — gram containment admits false
+    * positives, never false negatives, so the rewrite is exact and the
+    * projection may reference ANY base column (unlike the covering
+    * bitmap/btree routes, the base table stays in the plan — reduced to
+    * a candidate-sized fetch instead of a full LIKE scan). Scope: the
+    * needle must be lower-case and trim-stable (the index grams
+    * lower(trim(text)); for such needles raw-contains ⇒
+    * normalized-contains, so candidates remain a superset) and at least
+    * the gram width long. */
+  private def tryRewriteContains(projList: Seq[NamedExpression],
+      cond: Expression, lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = {
+    val (notNulls, rest) = splitAnd(cond).partition {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    for {
+      (textAttr, needle) <- rest match {
+        case Seq(Contains(a: AttributeReference, Literal(n, StringType)))
+            if n != null => Some((a, n.toString))
+        case _ => None
+      }
+      // Contains implies non-null text, so IsNotNull on the text column
+      // drops safely; on any other column it declines
+      if notNulls.forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == textAttr.exprId
+        case _ => false
+      }
+      if needle.nonEmpty && needle == needle.toLowerCase &&
+        needle == needle.trim
+      route <- IndexRoute.lookup(path, textAttr.name)
+      if route.indexType == "ngram"
+      idAttr <- lr.output.find(_.name == route.idCol)
+      if idAttr.dataType == LongType
+      man <- AnnIndex.readManifest(route.location)
+      if needle.length >= man.m
+      if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+      if !man.divergent
+      if !NgramIndex.hasTombstones(route.location)
+    } yield {
+      val base = spark.read.parquet(route.rawSourcePath)
+      val cand = NgramIndex.candidateIds(spark, route.location, needle)
+        .select(col("doc_id").as(route.idCol))
+      // NO broadcast() hint here: a ResolvedHint node cannot survive in
+      // a subtree spliced AFTER the optimizer's hint-resolution batch
+      // already ran (it would reach the planner unreplaced and throw).
+      // AQE broadcasts the candidate-sized side at runtime regardless.
+      val df = base
+        .join(cand, Seq(route.idCol), "left_semi")
+        .filter(col(textAttr.name).contains(needle))
+      val newPlan = df.queryExecution.analyzed
+      val byName = newPlan.output.map(o => o.name -> o).toMap
+      val rewired = projList.map {
+        case ar: AttributeReference =>
+          Alias(byName(ar.name), ar.name)(exprId = ar.exprId,
+            qualifier = ar.qualifier)
+        case ne =>
+          val t = ne.transform {
+            case ar: AttributeReference if byName.contains(ar.name) =>
+              byName(ar.name)
+          }.asInstanceOf[NamedExpression]
+          t match {
+            case a: Alias =>
+              Alias(a.child, a.name)(exprId = ne.exprId,
+                qualifier = a.qualifier)
+            case other => other
+          }
+      }
+      Project(rewired, newPlan)
+    }
   }
 
   /** Two routed string keys ANDed, id-only projection → the conjunction

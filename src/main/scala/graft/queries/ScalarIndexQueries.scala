@@ -263,6 +263,75 @@ object ScalarIndexQueries {
     """SELECT doc_id, lang FROM documents WHERE lang = 'en'
       |ORDER BY doc_id""".stripMargin
 
+  /** q234: `ORDER BY value DESC LIMIT 20` served from the btree — the
+    * second query shape the optimizer route answers without the query
+    * changing ([[graft.plans.IndexedScanRewrite]]'s top-k arm): the
+    * zonemap picks the bucket PREFIX that provably holds the top 20, so
+    * a corpus-wide TakeOrdered becomes a partition-pruned ~k-row read.
+    * The gate REQUIRES the rewrite fired AND the corpus was not opened;
+    * the oracle is the plain top-k — a rewrite must be invisible in
+    * results. */
+  def q234TopkRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.select(col("event_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id")).limit(20)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q234: the top-k rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q234: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q234Sql: String =
+    """SELECT event_id, value FROM events
+      |ORDER BY value DESC, event_id LIMIT 20""".stripMargin
+
+  /** q235: `contains(text, 'fast')` (the `LIKE '%fast%'` shape) served
+    * through the NGRAM route: gram-intersection candidates semi-join the
+    * base table and the EXACT raw predicate re-applies on the fetched
+    * rows — unlike the covering routes the corpus stays in the plan,
+    * reduced from a full LIKE scan to a candidate-sized fetch. The gate
+    * requires the candidates and their semi-join in the plan; the
+    * oracle is the plain raw contains scan. */
+  def q235LikeRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "ngram")
+    graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "text", "doc_id", loc)
+      val df = docs.filter(col("text").contains("fast"))
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q235: the ngram candidates are not in the plan:\n$plan")
+      require(plan.contains("LeftSemi"),
+        s"q235: the candidate semi-join is missing:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q235Sql: String =
+    """SELECT doc_id, text FROM documents
+      |WHERE contains(text, 'fast') ORDER BY doc_id""".stripMargin
+
   /** q228: INDEX INVENTORY — the list_indices surface: register one index
     * of every scalar/text family under a DEDICATED namespace (so the
     * listing is invariant to which other gates ran in this session) and
@@ -314,7 +383,9 @@ object ScalarIndexQueries {
     "q225_labellist_any" -> (q225LabelListAny _),
     "q226_labellist_all" -> (q226LabelListAll _),
     "q227_indexed_rewrite" -> (q227IndexedRewrite _),
-    "q228_index_inventory" -> (q228IndexInventory _))
+    "q228_index_inventory" -> (q228IndexInventory _),
+    "q234_topk_rewrite" -> (q234TopkRewrite _),
+    "q235_like_rewrite" -> (q235LikeRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -335,5 +406,9 @@ object ScalarIndexQueries {
     "q227_indexed_rewrite" -> q227Sql,
     // the expected inventory as a literal table: registration must stamp
     // exactly this metadata
-    "q228_index_inventory" -> q228Sql)
+    "q228_index_inventory" -> q228Sql,
+    // the two new optimizer-served shapes: plain top-k / plain contains —
+    // rewrites must be invisible in results
+    "q234_topk_rewrite" -> q234Sql,
+    "q235_like_rewrite" -> q235Sql)
 }

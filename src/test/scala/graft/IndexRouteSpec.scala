@@ -251,6 +251,79 @@ class IndexRouteSpec extends SparkSpec {
     } finally IndexRoute.clear()
   }
 
+  test("ORDER BY key LIMIT k over a covering projection rewrites to the " +
+      "btree bucket-prefix scan — both directions, results identical") {
+    val loc = tmpLoc("route-topk")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val wantDesc = events.select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id")).limit(7).collect()
+    val wantAsc = events.select(col("event_id"), col("value"))
+      .orderBy(col("value").asc_nulls_last, col("event_id")).limit(7).collect()
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      val desc = events.select(col("event_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id")).limit(7)
+      assert(scansIndex(desc, loc),
+        s"expected the top-k index scan:\n${desc.queryExecution.executedPlan}")
+      assert(desc.collect().toSeq == wantDesc.toSeq)
+      val asc = events.select(col("event_id"), col("value"))
+        .orderBy(col("value").asc_nulls_last, col("event_id")).limit(7)
+      assert(scansIndex(asc, loc))
+      assert(asc.collect().toSeq == wantAsc.toSeq)
+      // ascending with default NullsFirst DECLINES: null-key rows (which
+      // the index does not store) would legitimately lead the full plan
+      val nf = events.select(col("event_id"), col("value"))
+        .orderBy(col("value").asc, col("event_id")).limit(7)
+      assert(!scansIndex(nf, loc),
+        "asc_nulls_first must fall back to the corpus scan")
+      // k larger than the indexed row count declines too
+      val total = events.filter(col("value").isNotNull).count()
+      val big = events.select(col("event_id"), col("value"))
+        .orderBy(col("value").desc).limit(total.toInt + 10)
+      assert(!scansIndex(big, loc))
+    }
+  }
+
+  test("contains(text, needle) / LIKE '%needle%' rewrites through the " +
+      "ngram route: candidates semi-join the base table and the exact " +
+      "predicate re-applies — any projection, results identical") {
+    val loc = tmpLoc("route-ngram")
+    graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text", loc, docSource)
+    val want = docs.filter(col("text").contains("fast"))
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(docSource, "text", "doc_id", loc)
+      val df = docs.filter(col("text").contains("fast"))
+        .select(col("doc_id"), col("text"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName),
+        s"expected the ngram candidates in the plan:\n$plan")
+      assert(plan.contains("LeftSemi"),
+        s"expected the candidate semi-join:\n$plan")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+      // a LIKE '%needle%' (parsed to Contains) rides the same route
+      val like = docs.filter(col("text").like("%fast%"))
+        .select(col("doc_id"))
+      assert(like.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      assert(like.count() == want.length)
+      // scope guards: shorter than the gram width, or a needle the
+      // index's lower(trim()) normalization could miss, decline
+      val shortNeedle = docs.filter(col("text").contains("fa"))
+        .select(col("doc_id"))
+      assert(!shortNeedle.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      val cased = docs.filter(col("text").contains("Fast"))
+        .select(col("doc_id"))
+      assert(!cased.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      assert(cased.count() ==
+        docs.filter(col("text").contains("Fast")).count())
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

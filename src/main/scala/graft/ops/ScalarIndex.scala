@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, NumericType}
 
 /** Persisted SCALAR indexes — the btree/bitmap members of the index-type
   * family, next to the vector ([[AnnIndex]]) and full-text ([[TextIndex]])
@@ -163,6 +163,14 @@ object ScalarIndex {
         // the real postings schema from it (a BIGINT-keyed btree used to
         // be registered as DOUBLE and fail any SQL read — ADVICE r13)
         val keyDdl = rows.schema("key").dataType.sql
+        // numeric keys keep the double-shadow zonemap (driver arithmetic
+        // on plain doubles, 1-ulp pruning slack); NON-numeric keys
+        // (date/timestamp/string) store the zonemap in the key's NATIVE
+        // type — min/max of the key itself, exact native ordering, no
+        // shadow at all. One build shape either way.
+        val shadow: Column => Column =
+          if (numericKey(rows.schema("key").dataType)) _.cast("double")
+          else identity
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("btree", "range", nBuckets, 0, fp,
             keyType = keyDdl)) { staging =>
@@ -174,8 +182,8 @@ object ScalarIndex {
           val written = df.sparkSession.read.parquet(s"$staging/postings")
           requireLongKeysExact(written, "ensureBtree")
           val zm = written.groupBy(col("bkt"))
-            .agg(min(col("key").cast("double")).as("lo"),
-              max(col("key").cast("double")).as("hi"),
+            .agg(min(shadow(col("key"))).as("lo"),
+              max(shadow(col("key"))).as("hi"),
               count(lit(1)).as("n_rows"))
           zm.coalesce(1).write.mode("overwrite").parquet(s"$staging/zonemap")
           zm.select(col("bkt"), col("hi").as("upper"))
@@ -184,6 +192,8 @@ object ScalarIndex {
         }
     }
   }
+
+  private def numericKey(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
 
   /** Incrementally ADD rows against the FROZEN build-time boundaries: a
     * codegen'd fold over the ≤nBuckets-entry upper-bound literal array
@@ -200,25 +210,40 @@ object ScalarIndex {
     require(man.indexType == "btree", s"not a btree index: $location")
     val spark = delta.sparkSession
     // bounded driver read: one row per non-empty bucket (≤ nlist)
-    val bounds = spark.read.parquet(s"$location/boundaries")
-      .orderBy(col("bkt")).collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
-    require(bounds.nonEmpty, s"btree index at $location has no buckets")
-    val bktIds = bounds.map(_._1)
-    val uppers = bounds.map(_._2).dropRight(1) // last bucket is open-ended
+    val boundsDf = spark.read.parquet(s"$location/boundaries")
+    // numeric-keyed btrees store DOUBLE-shadow boundaries; native-keyed
+    // ones store the key type itself — the stored type picks the path
+    val numeric = numericKey(boundsDf.schema("upper").dataType)
+    val boundRows = boundsDf.orderBy(col("bkt")).collect()
+    require(boundRows.nonEmpty, s"btree index at $location has no buckets")
+    val bktIds = boundRows.map(_.getInt(0))
     val rows = btreeRows(delta, idCol, keyCol)
     requireLongKeysExact(rows, "appendBtree") // delta-sized narrow agg
     val slot =
-      if (uppers.isEmpty) lit(0)
-      else aggregate(lit(uppers), lit(0),
-        (acc, u) => acc + when(col("key").cast("double") > u, 1).otherwise(0))
+      if (boundRows.length == 1) lit(0)
+      else if (numeric) {
+        val uppers = boundRows.map(_.getDouble(1)).dropRight(1)
+        aggregate(lit(uppers), lit(0),
+          (acc, u) => acc + when(col("key").cast("double") > u, 1).otherwise(0))
+      } else {
+        // native-keyed boundaries (date/timestamp/string): the same
+        // O(nBuckets) codegen'd fold, as a when-chain over typed
+        // literals — literal arrays of these types don't fold the same
+        // way, and nBuckets is ≤ manifest nlist small
+        val uppers = boundRows.map(_.get(1)).dropRight(1)
+        uppers.foldLeft(lit(0)) { (acc, u) =>
+          acc + when(col("key") > lit(u), 1).otherwise(0)
+        }
+      }
+    val shadow: Column => Column =
+      if (numeric) _.cast("double") else identity
     val assigned = rows.withColumn("bkt",
       element_at(lit(bktIds), slot + 1))
     assigned.write.mode("append").partitionBy("bkt")
       .parquet(s"$location/postings")
     assigned.groupBy(col("bkt"))
-      .agg(min(col("key").cast("double")).as("lo"),
-        max(col("key").cast("double")).as("hi"),
+      .agg(min(shadow(col("key"))).as("lo"),
+        max(shadow(col("key"))).as("hi"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/zonemap")
     AnnIndex.writeManifest(location,
@@ -237,6 +262,10 @@ object ScalarIndex {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
+    require(numericKey(
+        spark.read.parquet(s"$location/zonemap").schema("lo").dataType),
+      s"btree at $location has NATIVE (${man.keyType}) keys — " +
+        "use searchBtreeRangeTyped")
     val zm = spark.read.parquet(s"$location/zonemap")
       .groupBy(col("bkt"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
@@ -249,6 +278,41 @@ object ScalarIndex {
     // ever costs reading one extra bucket, never a wrong row.
     val bkts = zm.filter(r => Math.nextDown(r.getDouble(1)) <= hi &&
         Math.nextUp(r.getDouble(2)) >= lo)
+      .map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$location/postings")
+    val pruned =
+      if (bkts.isEmpty) postings.filter(lit(false))
+      else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
+    antiTombstones(
+      pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi)),
+      location)
+      .select(col("id"), col("key"))
+  }
+
+  /** Range search `key ∈ [lo, hi]` over a NATIVE-keyed btree (date /
+    * timestamp / string — any key whose zonemap stores the key type
+    * itself): prune buckets driver-side with the values' own ordering
+    * (`Comparable`, exact — no shadow, no ulp slack), read only the
+    * overlapping partitions, re-apply the typed residual, anti-join
+    * tombstones. Bounds are inclusive JVM values of the key's external
+    * type (`java.sql.Date` / `java.sql.Timestamp` / `String`). Returns
+    * (id, key). Numeric-keyed btrees keep [[searchBtreeRange]] — their
+    * zonemap is the double shadow this API must not compare against. */
+  def searchBtreeRangeTyped(spark: SparkSession, location: String,
+      lo: Any, hi: Any): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val zmDf = spark.read.parquet(s"$location/zonemap")
+    require(!numericKey(zmDf.schema("lo").dataType),
+      s"btree at $location has a numeric double-shadow zonemap — " +
+        "use searchBtreeRange")
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val zm = zmDf.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect()
+    val bkts = zm.filter(r => cmp(r.get(1), hi) <= 0 && cmp(r.get(2), lo) >= 0)
       .map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$location/postings")
     val pruned =
@@ -278,12 +342,22 @@ object ScalarIndex {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
-    val zm = spark.read.parquet(s"$location/zonemap")
-      .groupBy(col("bkt"))
+    val zmDf = spark.read.parquet(s"$location/zonemap")
+    // double-shadow zonemaps prune with 1-ulp slack; NATIVE zonemaps
+    // (date/timestamp/string) compare exactly with the values' own
+    // ordering — both walks below work on Comparable
+    val shadowed = numericKey(zmDf.schema("lo").dataType)
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def down(v: Any): Any =
+      if (shadowed) Math.nextDown(v.asInstanceOf[Double]) else v
+    def up(v: Any): Any =
+      if (shadowed) Math.nextUp(v.asInstanceOf[Double]) else v
+    val zm = zmDf.groupBy(col("bkt"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
         sum(col("n_rows")).as("n"))
       .collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.get(1), r.get(2), r.getLong(3)))
     if (zm.map(_._4).sum < k) None
     else if (hasTombstones(location))
       // zonemap counts are PHYSICAL: with uncompacted tombstones a
@@ -296,21 +370,21 @@ object ScalarIndex {
         .select(col("id"), col("key")))
     else {
       val ordered =
-        if (ascending) zm.sortBy(_._2) else zm.sortBy(b => -b._3)
+        if (ascending) zm.sortWith((a, b) => cmp(a._2, b._2) < 0)
+        else zm.sortWith((a, b) => cmp(a._3, b._3) > 0)
       var acc = 0L
       var cut = 0
       while (acc < k && cut < ordered.length) {
         acc += ordered(cut)._4; cut += 1
       }
-      // threshold = the cutoff bucket's far edge, with the 1-ulp slack
-      // of searchBtreeRange's double-shadow discipline
+      // threshold = the cutoff bucket's far edge
       val bkts =
         if (ascending) {
-          val t = Math.nextUp(ordered(cut - 1)._3)
-          zm.filter(b => Math.nextDown(b._2) <= t).map(_._1)
+          val t = up(ordered(cut - 1)._3)
+          zm.filter(b => cmp(down(b._2), t) <= 0).map(_._1)
         } else {
-          val t = Math.nextDown(ordered(cut - 1)._2)
-          zm.filter(b => Math.nextUp(b._3) >= t).map(_._1)
+          val t = down(ordered(cut - 1)._2)
+          zm.filter(b => cmp(up(b._3), t) >= 0).map(_._1)
         }
       Some(antiTombstones(
         spark.read.parquet(s"$location/postings")
@@ -338,10 +412,14 @@ object ScalarIndex {
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$location/postings.compact.$pid")
-    spark.read.parquet(s"$location/postings.compact.$pid")
+    val compacted = spark.read.parquet(s"$location/postings.compact.$pid")
+    val shadow: Column => Column =
+      if (numericKey(compacted.schema("key").dataType)) _.cast("double")
+      else identity
+    compacted
       .groupBy(col("bkt"))
-      .agg(min(col("key").cast("double")).as("lo"),
-        max(col("key").cast("double")).as("hi"),
+      .agg(min(shadow(col("key"))).as("lo"),
+        max(shadow(col("key"))).as("hi"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$location/zonemap.compact.$pid")

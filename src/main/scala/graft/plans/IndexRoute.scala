@@ -41,9 +41,11 @@ import graft.ops.{AnnIndex, NgramIndex, ScalarIndex}
   * narrow id/key files are.
   *
   * Scope guard (v1): id columns must be integral (the postings store them
-  * as BIGINT), bitmap keys STRING, btree keys a numeric type whose
-  * driver-side zonemap shadow is exact in a double (int/float/double —
-  * bigint keys beyond 2^53 are declined at registration). The matched
+  * as BIGINT), bitmap keys STRING, btree keys either a numeric type
+  * whose driver-side zonemap shadow is exact in a double (int/float/
+  * double — bigint keys beyond 2^53 are declined at registration) or
+  * DATE (served by the NATIVE-ordered zonemap —
+  * [[ScalarIndex.searchBtreeRangeTyped]] — no shadow at all). The matched
   * scan is a V1 path-based parquet relation — exactly what
   * `spark.read.parquet` and this library's own loaders produce; catalog
   * (DSv2) reads resolve to the same parquet paths, so a path route
@@ -115,6 +117,16 @@ case class IndexedScanRewrite(spark: SparkSession)
           .orElse(tryRewriteAnd(projList, cond, lr, path))
           .orElse(tryRewriteContains(projList, cond, lr, path))
       } yield rewritten).getOrElse(p)
+    // a covering projection of EXACTLY the relation's columns gets its
+    // Project pruned away by the optimizer, leaving a bare Filter — the
+    // filter's own output is the projection then
+    case f @ Filter(cond, rel) =>
+      (for {
+        lr <- relationOf(rel)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewrite(f.output, cond, lr, path)
+          .orElse(tryRewriteContains(f.output, cond, lr, path))
+      } yield rewritten).getOrElse(f)
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, child, _))) =>
       (for {
@@ -148,6 +160,8 @@ case class IndexedScanRewrite(spark: SparkSession)
   private sealed trait Ask
   private case class AskValues(values: Seq[String]) extends Ask
   private case class AskRange(lo: Double, hi: Double) extends Ask
+  /** Native-ordered (date) range — served by the typed zonemap walk. */
+  private case class AskRangeTyped(lo: Any, hi: Any) extends Ask
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
@@ -172,19 +186,27 @@ case class IndexedScanRewrite(spark: SparkSession)
         }.orElse(one match {
           // numeric point query: `key = v` over a btree route is the
           // degenerate range [v, v] (the residual keeps it exact)
-          case EqualTo(a: AttributeReference, Literal(v, _))
-              if numeric(v).isDefined =>
-            Some((a, AskRange(numeric(v).get, numeric(v).get)))
-          case EqualTo(Literal(v, _), a: AttributeReference)
-              if numeric(v).isDefined =>
-            Some((a, AskRange(numeric(v).get, numeric(v).get)))
+          case EqualTo(a: AttributeReference, Literal(v, dt))
+              if numericLit(v, dt).isDefined =>
+            Some((a, AskRange(numericLit(v, dt).get, numericLit(v, dt).get)))
+          case EqualTo(Literal(v, dt), a: AttributeReference)
+              if numericLit(v, dt).isDefined =>
+            Some((a, AskRange(numericLit(v, dt).get, numericLit(v, dt).get)))
           case _ => None
         })
       case Seq(b1, b2) =>
         (boundOf(b1, isLower = true), boundOf(b2, isLower = false)) match {
           case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
             Some((a1, AskRange(l, h)))
-          case _ => None
+          case _ =>
+            (dateBoundOf(b1, isLower = true),
+             dateBoundOf(b2, isLower = false)) match {
+              case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
+                import org.apache.spark.sql.catalyst.util.DateTimeUtils
+                Some((a1, AskRangeTyped(
+                  DateTimeUtils.toJavaDate(l), DateTimeUtils.toJavaDate(h))))
+              case _ => None
+            }
         }
       case _ => None
     }
@@ -242,17 +264,45 @@ case class IndexedScanRewrite(spark: SparkSession)
     case _ => None
   }
 
+  /** Catalyst stores DATE literals as Int days — a bare Number check
+    * would claim them for the double path, so the literal's TYPE gates
+    * numeric bounds. */
+  private def numericLit(v: Any, dt: DataType): Option[Double] =
+    if (dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) numeric(v)
+    else None
+
   private def boundOf(e: Expression, isLower: Boolean)
       : Option[(AttributeReference, Double)] = e match {
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if isLower =>
-      numeric(v).map((a, _))
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) if isLower =>
-      numeric(v).map((a, _))
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if !isLower =>
-      numeric(v).map((a, _))
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if !isLower =>
-      numeric(v).map((a, _))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) if isLower =>
+      numericLit(v, dt).map((a, _))
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) if isLower =>
+      numericLit(v, dt).map((a, _))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) if !isLower =>
+      numericLit(v, dt).map((a, _))
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) if !isLower =>
+      numericLit(v, dt).map((a, _))
     case _ => None
+  }
+
+  /** [[boundOf]] for DateType literals (days-since-epoch ints). */
+  private def dateBoundOf(e: Expression, isLower: Boolean)
+      : Option[(AttributeReference, Int)] = {
+    def days(v: Any, dt: DataType): Option[Int] = dt match {
+      case org.apache.spark.sql.types.DateType if v != null =>
+        Some(v.asInstanceOf[Int])
+      case _ => None
+    }
+    e match {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if isLower => days(v, dt).map((a, _))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if isLower => days(v, dt).map((a, _))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if !isLower => days(v, dt).map((a, _))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if !isLower => days(v, dt).map((a, _))
+      case _ => None
+    }
   }
 
   private def btreeKeyOk(dt: DataType): Boolean = dt match {
@@ -273,6 +323,8 @@ case class IndexedScanRewrite(spark: SparkSession)
     if ((ask, route.indexType) match {
       case (_: AskValues, "bitmap") => keyAttr.dataType == StringType
       case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
+      case (_: AskRangeTyped, "btree") =>
+        keyAttr.dataType == org.apache.spark.sql.types.DateType
       case _ => false
     })
     // freshness: a stale index declines; the scan plan stands
@@ -293,6 +345,9 @@ case class IndexedScanRewrite(spark: SparkSession)
           .select(col("id").as(route.idCol), col("k").as(route.keyCol))
       case AskRange(lo, hi) =>
         ScalarIndex.searchBtreeRange(spark, route.location, lo, hi)
+          .select(col("id").as(route.idCol), col("key").as(route.keyCol))
+      case AskRangeTyped(lo, hi) =>
+        ScalarIndex.searchBtreeRangeTyped(spark, route.location, lo, hi)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
     }
     val newPlan = idx.queryExecution.analyzed
@@ -349,7 +404,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     route <- IndexRoute.lookup(path, keyAttr.name)
     if route.indexType == "btree"
     idAttr <- lr.output.find(_.name == route.idCol)
-    if idAttr.dataType == LongType && btreeKeyOk(keyAttr.dataType)
+    // numeric keys ride the double-shadow scan; DATE keys the native one
+    if idAttr.dataType == LongType &&
+      (btreeKeyOk(keyAttr.dataType) ||
+        keyAttr.dataType == org.apache.spark.sql.types.DateType)
     // the secondary order, if any, must be on the id (the index holds
     // nothing else to order by)
     if secondary.forall(_._1.exprId == idAttr.exprId)

@@ -332,6 +332,27 @@ object ScalarIndexQueries {
     """SELECT doc_id, text FROM documents
       |WHERE contains(text, 'fast') ORDER BY doc_id""".stripMargin
 
+  /** q236: DATE-keyed btree over `events.ts` days — the NATIVE-zonemap
+    * tier: min/max of the key type itself, exact `Comparable` pruning
+    * driver-side, typed residual, no double shadow anywhere
+    * ([[graft.ops.ScalarIndex.searchBtreeRangeTyped]]). This lifts the
+    * v1 numeric-only scope of the btree family (and of the optimizer
+    * route — IndexRouteSpec pins the rewrite arm); the oracle is the
+    * plain base-table date-range filter. */
+  def q236DateBtree(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val loc = indexLocation(d, "btree-date")
+    ScalarIndex.ensureBtree(ev, "event_id", "day", loc, s"$d/events.parquet")
+    ScalarIndex.searchBtreeRangeTyped(s, loc,
+      java.sql.Date.valueOf("2024-01-08"), java.sql.Date.valueOf("2024-01-17"))
+      .orderBy(col("id"))
+  }
+
+  private val q236Sql: String =
+    """SELECT event_id AS id, CAST(ts AS DATE) AS key FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
+      |ORDER BY id""".stripMargin
+
   /** q228: INDEX INVENTORY — the list_indices surface: register one index
     * of every scalar/text family under a DEDICATED namespace (so the
     * listing is invariant to which other gates ran in this session) and
@@ -385,7 +406,8 @@ object ScalarIndexQueries {
     "q227_indexed_rewrite" -> (q227IndexedRewrite _),
     "q228_index_inventory" -> (q228IndexInventory _),
     "q234_topk_rewrite" -> (q234TopkRewrite _),
-    "q235_like_rewrite" -> (q235LikeRewrite _))
+    "q235_like_rewrite" -> (q235LikeRewrite _),
+    "q236_date_btree" -> (q236DateBtree _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -410,5 +432,7 @@ object ScalarIndexQueries {
     // the two new optimizer-served shapes: plain top-k / plain contains —
     // rewrites must be invisible in results
     "q234_topk_rewrite" -> q234Sql,
-    "q235_like_rewrite" -> q235Sql)
+    "q235_like_rewrite" -> q235Sql,
+    // native date btree: the plain base-table date-range filter
+    "q236_date_btree" -> q236Sql)
 }

@@ -324,6 +324,48 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("a DATE-keyed range filter rewrites through the native-zonemap " +
+      "btree route — the double-shadow scope guard is lifted for dates") {
+    // a date-typed parquet derived from events (the route needs the
+    // filtered column ON the scanned source)
+    val srcDir = s"${Files.createTempDirectory("graft-routespec")}/dayev"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(evSource)
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.select(col("event_id"), to_date(ts).as("day")).write.parquet(srcDir)
+    val dayev = spark.read.parquet(srcDir)
+    val loc = tmpLoc("route-bt-date")
+    ScalarIndex.ensureBtree(dayev, "event_id", "day", loc, srcDir)
+    val dLo = java.sql.Date.valueOf("2024-01-08")
+    val dHi = java.sql.Date.valueOf("2024-01-17")
+    val want = dayev.filter(col("day") >= lit(dLo) && col("day") <= lit(dHi))
+      .select(col("event_id"), col("day"))
+      .orderBy(col("event_id")).collect()
+    val wantTop = dayev.select(col("event_id"), col("day"))
+      .orderBy(col("day").desc, col("event_id")).limit(5).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(srcDir, "day", "event_id", loc)
+      val df = dayev.filter(col("day") >= lit(dLo) && col("day") <= lit(dHi))
+        .select(col("event_id"), col("day"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+        !plan.contains("dayev"),
+        s"expected the native btree route to fire:\n$plan")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      // date-keyed ORDER BY ... LIMIT rides the native top-k walk too
+      val top = dayev.select(col("event_id"), col("day"))
+        .orderBy(col("day").desc, col("event_id")).limit(5)
+      assert(top.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      assert(top.collect().toSeq == wantTop.toSeq)
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

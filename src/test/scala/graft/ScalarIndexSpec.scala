@@ -121,6 +121,77 @@ class ScalarIndexSpec extends SparkSpec {
     assert(idxRange(loc).toSeq == before.toSeq)
   }
 
+  // ---- NATIVE-keyed btree (date): zonemap in the key's own type ------
+
+  private def dayEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(evSource)
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("day", to_date(ts))
+  }
+
+  private val DLo = java.sql.Date.valueOf("2024-01-08")
+  private val DHi = java.sql.Date.valueOf("2024-01-17")
+
+  test("date-keyed btree: native zonemap, typed range search ≡ base " +
+      "filter, build+append ≡ one-shot, typed compaction") {
+    val ev = dayEvents
+    val loc = tmpLoc("bt-date")
+    assert(ScalarIndex.ensureBtree(ev, "event_id", "day", loc, evSource))
+    assert(graft.ops.AnnIndex.readManifest(loc).exists(_.keyType == "DATE"))
+    // the zonemap holds DATE, not a double shadow
+    assert(spark.read.parquet(s"$loc/zonemap").schema("lo").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val want = ev.filter(col("day") >= lit(DLo) && col("day") <= lit(DHi))
+      .select(col("event_id").as("id"), col("day").as("key"))
+      .orderBy(col("id")).collect()
+    assert(want.nonEmpty)
+    val got = ScalarIndex.searchBtreeRangeTyped(spark, loc, DLo, DHi)
+      .orderBy(col("id")).collect()
+    assert(got.toSeq == want.toSeq)
+    // the double API refuses a native index (and vice versa), loudly
+    val e = intercept[IllegalArgumentException](
+      ScalarIndex.searchBtreeRange(spark, loc, 0.0, 1.0))
+    assert(e.getMessage.contains("searchBtreeRangeTyped"))
+    // build+append ≡ one-shot through the native boundary fold
+    val loc2 = tmpLoc("bt-date-append")
+    val fp = graft.ops.AnnIndex.sourceFingerprint(evSource)
+    ScalarIndex.ensureBtree(ev.filter(col("event_id") % 2 === 0),
+      "event_id", "day", loc2, evSource,
+      fingerprintOverride = Some(s"partial:$fp"))
+    ScalarIndex.appendBtree(ev.filter(col("event_id") % 2 === 1),
+      "event_id", "day", loc2, newFingerprint = fp)
+    assert(ScalarIndex.searchBtreeRangeTyped(spark, loc2, DLo, DHi)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+    // delete + typed compaction (native zonemap recompute)
+    ScalarIndex.deleteIds(ev.filter(col("event_id") % 5 === 2),
+      "event_id", loc)
+    ScalarIndex.compactBtree(spark, loc)
+    val wantDel = ev.filter(col("day") >= lit(DLo) && col("day") <= lit(DHi))
+      .filter(col("event_id") % 5 =!= 2)
+      .select(col("event_id").as("id"), col("day").as("key"))
+      .orderBy(col("id")).collect()
+    assert(ScalarIndex.searchBtreeRangeTyped(spark, loc, DLo, DHi)
+      .orderBy(col("id")).collect().toSeq == wantDel.toSeq)
+  }
+
+  test("date-keyed btree: top-k scan walks the native zonemap") {
+    val ev = dayEvents
+    val loc = tmpLoc("bt-date-topk")
+    ScalarIndex.ensureBtree(ev, "event_id", "day", loc, evSource)
+    val scan = ScalarIndex.btreeTopKScan(spark, loc, 5, ascending = true)
+    assert(scan.isDefined)
+    val got = scan.get.orderBy(col("key"), col("id")).limit(5).collect()
+    val want = ev.filter(col("day").isNotNull)
+      .select(col("event_id").as("id"), col("day").as("key"))
+      .orderBy(col("key"), col("id")).limit(5).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   private val Langs = Seq("en", "de")
 
   private def baseEq(base: org.apache.spark.sql.DataFrame, ks: Seq[String]) =

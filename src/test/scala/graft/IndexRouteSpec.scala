@@ -302,6 +302,10 @@ class IndexRouteSpec extends SparkSpec {
         s"expected the ngram candidates in the plan:\n$plan")
       assert(plan.contains("LeftSemi"),
         s"expected the candidate semi-join:\n$plan")
+      // IDEMPOTENT under the fixed-point optimizer batch: pushdown must
+      // not re-expose a matchable Contains and stack candidate joins
+      assert("LeftSemi".r.findAllIn(plan).size == 1,
+        s"the contains rewrite must fire exactly once:\n$plan")
       assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
       // a LIKE '%needle%' (parsed to Contains) rides the same route
       val like = docs.filter(col("text").like("%fast%"))

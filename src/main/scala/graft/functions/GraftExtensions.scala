@@ -183,6 +183,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           res.select(col("rank"), col("vec_id"), col("score"))
             .queryExecution.analyzed
         }))
+
+      ext.injectTableFunction((
+        new FunctionIdentifier("graft_contains"),
+        new ExpressionInfo(graft.ops.NgramIndex.getClass.getName,
+          "graft_contains",
+          "graft_contains(index, needle) - substring search via a " +
+            "persisted ngram index: gram candidates + exact residual on " +
+            "the manifest-recorded source. Returns (doc_id)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_contains takes (index, needle)")
+          val spark = SparkSession.active
+          val loc = resolveIdx(spark,
+            strArg(children.head, "graft_contains index"))
+          val needle = strArg(children(1), "graft_contains needle")
+          val man = graft.ops.AnnIndex.readManifest(loc).getOrElse(
+            throw new IllegalStateException(s"no index at $loc"))
+          require(man.indexType == "ngram",
+            s"graft_contains: $loc holds a '${man.indexType}' index")
+          // the residual needs the corpus — the manifest's SOURCE BINDING
+          // (path + id/text columns, stamped at build) supplies it, so
+          // the SQL user names only the index and the needle
+          require(man.sourcePath.nonEmpty && man.sourceIdCol.nonEmpty &&
+              man.sourceKeyCol.nonEmpty,
+            s"graft_contains: the index at $loc predates source-binding " +
+              "manifests — rebuild it")
+          graft.ops.NgramIndex.searchContains(spark, loc,
+              spark.read.parquet(man.sourcePath),
+              man.sourceIdCol, man.sourceKeyCol, needle)
+            .queryExecution.analyzed
+        }))
+
+      ext.injectTableFunction((
+        new FunctionIdentifier("graft_phrase"),
+        new ExpressionInfo(graft.ops.TextIndex.getClass.getName,
+          "graft_phrase",
+          "graft_phrase(index, phrase) - exact consecutive-token phrase " +
+            "search over a positional inverted index: (doc_id, n_hits)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            "graft_phrase takes (index, phrase)")
+          val spark = SparkSession.active
+          val loc = resolveIdx(spark,
+            strArg(children.head, "graft_phrase index"))
+          val terms = strArg(children(1), "graft_phrase phrase")
+            .split("\\s+").toSeq.filter(_.nonEmpty)
+          graft.ops.TextIndex.searchPhrase(spark, loc, terms)
+            .queryExecution.analyzed
+        }))
     }
 
     ext.injectFunction((

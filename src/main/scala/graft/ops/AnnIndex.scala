@@ -79,7 +79,14 @@ object AnnIndex {
     *                 plain filters even when it looks fresh by stat. */
   final case class Manifest(indexType: String, metric: String, nlist: Int,
       m: Int, fingerprint: String, keyType: String = "",
-      divergent: Boolean = false)
+      divergent: Boolean = false,
+      /** the SOURCE BINDING, stamped at build: where the corpus lives and
+        * which (id, key/text/vector) columns fed the index — what lets a
+        * consumer that holds only the index (the `graft_contains` TVF's
+        * residual fetch, inventories, rebuild tooling) find its way back
+        * to the data without out-of-band knowledge */
+      sourcePath: String = "", sourceIdCol: String = "",
+      sourceKeyCol: String = "")
 
   // ---- manifest & fingerprint ----------------------------------------
 
@@ -105,6 +112,12 @@ object AnnIndex {
       props.setProperty("graft.index.keytype", m.keyType)
     if (m.divergent)
       props.setProperty("graft.index.divergent", "true")
+    if (m.sourcePath.nonEmpty)
+      props.setProperty("graft.index.source", m.sourcePath)
+    if (m.sourceIdCol.nonEmpty)
+      props.setProperty("graft.index.source.idcol", m.sourceIdCol)
+    if (m.sourceKeyCol.nonEmpty)
+      props.setProperty("graft.index.source.keycol", m.sourceKeyCol)
     IndexFs.writeProperties(s"$location/$ManifestFile", props,
       "graft index manifest")
   }
@@ -119,7 +132,10 @@ object AnnIndex {
         props.getProperty("graft.index.m", "0").toInt,
         props.getProperty("graft.index.fingerprint", ""),
         props.getProperty("graft.index.keytype", ""),
-        props.getProperty("graft.index.divergent", "false").toBoolean)
+        props.getProperty("graft.index.divergent", "false").toBoolean,
+        props.getProperty("graft.index.source", ""),
+        props.getProperty("graft.index.source.idcol", ""),
+        props.getProperty("graft.index.source.keycol", ""))
     }
 
   // ---- build ----------------------------------------------------------
@@ -201,7 +217,11 @@ object AnnIndex {
       fingerprintOverride: Option[String] = None): Boolean = {
     val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
     readManifest(location) match {
-      case Some(m) if m.fingerprint == fp && m.indexType == "ivf" => false
+      // sourcePath.nonEmpty is a LAYOUT-GENERATION gate (the bm25pos
+      // device): pre-source-binding manifests rebuild once so every
+      // live index records where its corpus lives
+      case Some(m) if m.fingerprint == fp && m.indexType == "ivf" &&
+          m.sourcePath.nonEmpty => false
       case _ =>
         // stale manifest OR a manifest-less residue (crashed build):
         // clear the location so the fresh publish can't collide with it
@@ -209,7 +229,8 @@ object AnnIndex {
         val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
         val nlist = cells.count().toInt
         buildAndPublish(location,
-          Manifest("ivf", "cosine", nlist, 0, fp)) { staging =>
+          Manifest("ivf", "cosine", nlist, 0, fp, sourcePath = sourcePath,
+            sourceIdCol = idCol, sourceKeyCol = vecCol)) { staging =>
           cells.select(col("cid"), col("__c").as("cvec"))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$staging/centroids")
@@ -231,14 +252,16 @@ object AnnIndex {
       fingerprintOverride: Option[String] = None): Boolean = {
     val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
     readManifest(location) match {
-      case Some(man) if man.fingerprint == fp && man.indexType == "ivf_pq" =>
+      case Some(man) if man.fingerprint == fp &&
+          man.indexType == "ivf_pq" && man.sourcePath.nonEmpty =>
         false
       case _ =>
         deleteRecursively(location)
         val cells = centroids.select(col(cidCol).as("cid"), col(cvecCol).as("__c"))
         val nlist = cells.count().toInt
         buildAndPublish(location,
-          Manifest("ivf_pq", "cosine", nlist, m, fp)) { staging =>
+          Manifest("ivf_pq", "cosine", nlist, m, fp, sourcePath = sourcePath,
+            sourceIdCol = idCol, sourceKeyCol = vecCol)) { staging =>
           cells.select(col("cid"), col("__c").as("cvec"))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$staging/centroids")
@@ -274,7 +297,8 @@ object AnnIndex {
       fingerprintOverride: Option[String] = None): Boolean = {
     val fp = fingerprintOverride.getOrElse(sourceFingerprint(sourcePath))
     readManifest(location) match {
-      case Some(man) if man.fingerprint == fp && man.indexType == "ivf_sq" =>
+      case Some(man) if man.fingerprint == fp &&
+          man.indexType == "ivf_sq" && man.sourcePath.nonEmpty =>
         false
       case _ =>
         deleteRecursively(location)
@@ -283,7 +307,8 @@ object AnnIndex {
         val model = ranges.select(col("dim"), col("lo"), col("hi"))
         val (loArr, scaleArr) = ScalarQuant.collectModel(model)
         buildAndPublish(location,
-          Manifest("ivf_sq", "cosine", nlist, 0, fp)) { staging =>
+          Manifest("ivf_sq", "cosine", nlist, 0, fp, sourcePath = sourcePath,
+            sourceIdCol = idCol, sourceKeyCol = vecCol)) { staging =>
           cells.select(col("cid"), col("__c").as("cvec"))
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$staging/centroids")

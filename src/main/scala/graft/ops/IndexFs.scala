@@ -78,13 +78,19 @@ object IndexFs {
   }
 
   /** True when `location`'s FS publishes atomically by rename (see the
-    * commit protocol above). */
-  def renamePublish(location: String): Boolean = {
-    val scheme = Option(new Path(location).toUri.getScheme)
-      .getOrElse(Option(FileSystem.getDefaultUri(hadoopConf).getScheme)
-        .getOrElse("file"))
-    !ObjectStoreSchemes.contains(scheme.toLowerCase)
-  }
+    * commit protocol above). The `graft.indexfs.protocol=manifest-last`
+    * system property forces the object-store path on any FS — the chaos
+    * knob HadoopFsIndexSpec uses to drive the manifest-last commit
+    * end-to-end without an object store in the environment. */
+  def renamePublish(location: String): Boolean =
+    if (sys.props.get("graft.indexfs.protocol").contains("manifest-last"))
+      false
+    else {
+      val scheme = Option(new Path(location).toUri.getScheme)
+        .getOrElse(Option(FileSystem.getDefaultUri(hadoopConf).getScheme)
+          .getOrElse("file"))
+      !ObjectStoreSchemes.contains(scheme.toLowerCase)
+    }
 
   def exists(location: String): Boolean = {
     val (fs, p) = resolve(location)

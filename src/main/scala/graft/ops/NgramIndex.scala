@@ -92,11 +92,13 @@ object NgramIndex {
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
       case Some(m) if m.fingerprint == fp && m.indexType == "ngram" &&
-          m.nlist == nBuckets && m.m == n => false
+          m.nlist == nBuckets && m.m == n && m.sourcePath.nonEmpty => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("ngram", "contains", nBuckets, n, fp)) {
+          AnnIndex.Manifest("ngram", "contains", nBuckets, n, fp,
+            sourcePath = sourcePath, sourceIdCol = idCol,
+            sourceKeyCol = textCol)) {
           staging =>
             gramRows(docs, idCol, textCol, n).distinct()
               .withColumn("bkt", bucketCol(col("gram"), nBuckets))

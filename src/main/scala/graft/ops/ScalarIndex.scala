@@ -155,7 +155,7 @@ object ScalarIndex {
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
       case Some(m) if m.fingerprint == fp && m.indexType == "btree" &&
-          m.nlist == nBuckets => false
+          m.nlist == nBuckets && m.sourcePath.nonEmpty => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         val rows = btreeRows(df, idCol, keyCol)
@@ -173,7 +173,8 @@ object ScalarIndex {
           else identity
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("btree", "range", nBuckets, 0, fp,
-            keyType = keyDdl)) { staging =>
+            keyType = keyDdl, sourcePath = sourcePath,
+            sourceIdCol = idCol, sourceKeyCol = keyCol)) { staging =>
           val bucketed = rows
             .repartitionByRange(nBuckets, col("key"), col("id"))
             .withColumn("bkt", spark_partition_id())
@@ -459,13 +460,15 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
-      case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" => false
+      case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" &&
+          m.sourcePath.nonEmpty => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         buildValueDirs(bitmapRows(df, idCol, keyCol), location,
           "bitmap", "equality", maxCardinality, fp,
           s"ensureBitmap: $keyCol",
-          " — use a btree index")
+          " — use a btree index",
+          sourcePath, idCol, keyCol)
     }
   }
 
@@ -478,11 +481,14 @@ object ScalarIndex {
     * one scan first instead of a scan to pre-count plus two more. */
   private def buildValueDirs(rows: DataFrame, location: String,
       indexType: String, metric: String, maxCardinality: Int, fp: String,
-      what: String, hint: String): Boolean = {
+      what: String, hint: String,
+      sourcePath: String, idCol: String, keyCol: String): Boolean = {
     val spark = rows.sparkSession
     var card = 0L
     val built = AnnIndex.buildAndPublish(location,
-      AnnIndex.Manifest(indexType, metric, 0, 0, fp)) { staging =>
+      AnnIndex.Manifest(indexType, metric, 0, 0, fp,
+        sourcePath = sourcePath, sourceIdCol = idCol,
+        sourceKeyCol = keyCol)) { staging =>
       rows.repartition(col("k"))
         .write.mode("overwrite").partitionBy("k")
         .parquet(s"$staging/postings")
@@ -618,7 +624,8 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
-      case Some(m) if m.fingerprint == fp && m.indexType == "label_list" =>
+      case Some(m) if m.fingerprint == fp &&
+          m.indexType == "label_list" && m.sourcePath.nonEmpty =>
         false
       case _ =>
         AnnIndex.deleteRecursively(location)
@@ -631,7 +638,8 @@ object ScalarIndex {
           .filter(col("k") =!= "") // empty labels unindexed
           .distinct()
         buildValueDirs(rows, location, "label_list", "membership",
-          maxCardinality, fp, s"ensureLabelList: $arrCol", "")
+          maxCardinality, fp, s"ensureLabelList: $arrCol", "",
+          sourcePath, idCol, arrCol)
     }
   }
 

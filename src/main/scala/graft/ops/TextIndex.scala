@@ -105,12 +105,15 @@ object TextIndex {
       // (metric=bm25) rebuilds even when the data fingerprint matches,
       // so phrase search never meets postings without a positions column
       case Some(m) if m.fingerprint == fp && m.indexType == "inverted" &&
-          m.metric == "bm25pos" && m.nlist == nBuckets => false
+          m.metric == "bm25pos" && m.nlist == nBuckets &&
+          m.sourcePath.nonEmpty => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         val spark = docs.sparkSession
         AnnIndex.buildAndPublish(location,
-          AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp)) { staging =>
+          AnnIndex.Manifest("inverted", "bm25pos", nBuckets, 0, fp,
+            sourcePath = sourcePath, sourceIdCol = idCol,
+            sourceKeyCol = textCol)) { staging =>
           writeSlice(spark, docs, idCol, textCol, nBuckets,
             s"$staging/postings", s"$staging/doclens", s"$staging/stats",
             sliceIsWholeIndex = true)

@@ -381,6 +381,20 @@ object RetrievalQueries {
        |  GROUP BY doc_id)
        |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin
 
+  /** q238: q221's phrase search reached through PURE SQL — the
+    * `graft_phrase` TVF: the SQL user names the index and the phrase
+    * text, and gets the identical shift-and-intersect positional plan
+    * the Scala API builds. Hash-gated against the positional-scan
+    * oracle — SQL ≡ API ≡ a scan of the text. */
+  def q238SqlPhrase(s: SparkSession, d: String): DataFrame = {
+    val loc = textIndexLocation(d, "inverted")
+    graft.ops.TextIndex.ensureInverted(Tables.documents(s, d),
+      "doc_id", "text", loc, s"$d/documents.parquet")
+    s.sql(
+      s"""SELECT doc_id, n_hits FROM graft_phrase('$loc', 'fast sort')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q222: phrase search composed with the DELETE lifecycle — tombstone
     * every doc_id ≡ 1 (mod 5), then phrase-search: the per-term posting
     * frames are the live view, so a deleted doc can never match even
@@ -423,6 +437,7 @@ object RetrievalQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_sql_bm25" -> (q232SqlBm25 _),
+    "q238_sql_phrase" -> (q238SqlPhrase _),
     "q209_persisted_bm25" -> (q209PersistedBm25 _),
     "q210_bm25_append" -> (q210Bm25Append _),
     "q211_bm25_delete" -> (q211Bm25Delete _),
@@ -450,6 +465,8 @@ object RetrievalQueries {
     // text is the oracle — the index is an access path, never a semantic
     "q221_phrase_search" -> phraseSql(""),
     "q222_phrase_delete" -> phraseSql(" WHERE doc_id % 5 <> 1"),
+    // the SQL TVF twin of q221: same positional-scan oracle
+    "q238_sql_phrase" -> phraseSql(""),
     "q101_bm25" -> q101Sql,
     "q102_hybrid_rrf" -> q102Sql,
     "q106_negative_sample" -> q106Sql,

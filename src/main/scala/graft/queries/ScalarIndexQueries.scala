@@ -353,6 +353,21 @@ object ScalarIndexQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
       |ORDER BY id""".stripMargin
 
+  /** q237: q223's substring search reached through PURE SQL — the
+    * `graft_contains` TVF: the SQL user names only the index and the
+    * needle; the manifest's SOURCE BINDING (path + id/text columns,
+    * stamped at build) supplies the residual's corpus, so no table name
+    * rides the query. Hash-gated against q223's full-scan oracle. */
+  def q237SqlContains(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "ngram")
+    graft.ops.NgramIndex.ensureNgram(docs, "doc_id", "text",
+      loc, s"$d/documents.parquet")
+    s.sql(
+      s"""SELECT doc_id FROM graft_contains('$loc', 'fast sort')
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** q228: INDEX INVENTORY — the list_indices surface: register one index
     * of every scalar/text family under a DEDICATED namespace (so the
     * listing is invariant to which other gates ran in this session) and
@@ -407,7 +422,8 @@ object ScalarIndexQueries {
     "q228_index_inventory" -> (q228IndexInventory _),
     "q234_topk_rewrite" -> (q234TopkRewrite _),
     "q235_like_rewrite" -> (q235LikeRewrite _),
-    "q236_date_btree" -> (q236DateBtree _))
+    "q236_date_btree" -> (q236DateBtree _),
+    "q237_sql_contains" -> (q237SqlContains _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -434,5 +450,7 @@ object ScalarIndexQueries {
     "q234_topk_rewrite" -> q234Sql,
     "q235_like_rewrite" -> q235Sql,
     // native date btree: the plain base-table date-range filter
-    "q236_date_btree" -> q236Sql)
+    "q236_date_btree" -> q236Sql,
+    // the SQL TVF twin of q223: same full-scan contains oracle
+    "q237_sql_contains" -> q223Sql(""))
 }

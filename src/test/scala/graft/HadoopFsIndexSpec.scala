@@ -46,6 +46,38 @@ class HadoopFsIndexSpec extends SparkSpec {
     assert(IndexFs.exists(s"$root/c/f.txt") && !IndexFs.exists(s"$root/a"))
   }
 
+  test("manifest-last commit protocol (forced): build, staleness skip, " +
+      "crash-residue recovery and search all work without rename-publish") {
+    sys.props("graft.indexfs.protocol") = "manifest-last"
+    try {
+      val loc = schemed("bm-ml")
+      assert(!IndexFs.renamePublish(loc))
+      assert(ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource))
+      val want = docs.filter(col("lang") === "en").count()
+      assert(ScalarIndex.searchBitmap(spark, loc, Seq("en")).count() == want)
+      // fresh → skip (the staleness stat rode the protocol too)
+      assert(!ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource))
+      // a crashed build = data without manifest: invisible to readers,
+      // cleared and rebuilt by the next ensure — the commit-marker law
+      IndexFs.deleteRecursively(s"$loc/_MANIFEST.properties")
+      assert(AnnIndex.readManifest(loc).isEmpty,
+        "no manifest must read as no index")
+      assert(ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource))
+      assert(ScalarIndex.searchBitmap(spark, loc, Seq("en")).count() == want)
+    } finally {
+      sys.props.remove("graft.indexfs.protocol")
+      ()
+    }
+  }
+
+  test("the manifest records the SOURCE BINDING: path + id/key columns") {
+    val loc = schemed("bm-src")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val man = AnnIndex.readManifest(loc).get
+    assert(man.sourcePath == docSource)
+    assert(man.sourceIdCol == "doc_id" && man.sourceKeyCol == "lang")
+  }
+
   test("bitmap over file:// — build, search, append, delete, compact") {
     val loc = schemed("bm")
     assert(ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{broadcast, col}
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 import graft.ops.{AnnIndex, NgramIndex, ScalarIndex}
 
@@ -61,9 +61,11 @@ object IndexRoute {
     * served by the index at `location`. The registry is PROCESS-wide,
     * like the indexes themselves (an index at a path serves any session
     * that can read it); freshness is still checked per application, so
-    * a route can never serve stale rows to anyone. */
+    * a route can never serve stale rows to anyone.
+    * @param nprobe probe width for ANN routes (ignored by exact ones) */
   final case class Route(indexType: String, location: String,
-      idCol: String, keyCol: String, rawSourcePath: String)
+      idCol: String, keyCol: String, rawSourcePath: String,
+      nprobe: Int = 2)
 
   private val routes = new ConcurrentHashMap[(String, String), Route]()
 
@@ -94,6 +96,31 @@ object IndexRoute {
         s"got ${man.indexType}")
     routes.put((normalize(sourcePath), keyCol),
       Route(man.indexType, location, idCol, keyCol, sourcePath))
+    ()
+  }
+
+  /** Declare that the IVF-family index at `location` may serve
+    * `ORDER BY cosine(vecCol, <literal>) DESC LIMIT k` queries over
+    * `sourcePath` — the vector-database promise reached from PLAIN SQL.
+    *
+    * THIS ROUTE IS AN EXPLICIT CONSENT TO APPROXIMATION: an IVF search
+    * probes `nprobe` of `nlist` cells, so a served top-k is the index's
+    * approximation of the exact scan (recall < 1 is possible by
+    * design), scores round at 6 dp and ties break by vec_id. That is
+    * the industry-standard contract of every ANN-behind-SQL system and
+    * the whole reason the index exists — but unlike the btree/bitmap/
+    * ngram routes (exact by construction, registered via [[register]]),
+    * it CHANGES results, so it lives behind this separate, loudly-named
+    * registration and is never inferred. Freshness/divergence checks
+    * still apply per application. */
+  def registerAnnApprox(sourcePath: String, vecCol: String, idCol: String,
+      location: String, nprobe: Int = 2): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index manifest at $location"))
+    require(Set("ivf", "ivf_pq", "ivf_sq").contains(man.indexType),
+      s"registerAnnApprox: vector indexes only, got ${man.indexType}")
+    routes.put((normalize(sourcePath), vecCol),
+      Route(man.indexType, location, idCol, vecCol, sourcePath, nprobe))
     ()
   }
 
@@ -133,6 +160,31 @@ case class IndexedScanRewrite(spark: SparkSession)
         lr <- relationOf(child)
         path <- sourcePathOf(lr)
         rewritten <- tryRewriteTopK(gl.output, k, orders, lr, path)
+      } yield rewritten).getOrElse(gl)
+    // `SELECT id FROM t ORDER BY cosine(vec, <lit>) DESC LIMIT k` — the
+    // id projection sits ABOVE the limit (the sort references the vector
+    // column the projection drops)
+    case p @ Project(projList, GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Sort(orders, true, child, _)))) =>
+      (for {
+        lr <- relationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAnnTopK(projList, k, orders, lr, path)
+      } yield rewritten).getOrElse(p)
+    // ... and the same query AFTER the optimizer pushed the projection
+    // BELOW the limits (PushProjectionThroughLimit runs in the same
+    // fixed-point batch): GlobalLimit(LocalLimit(Project(Sort))). The
+    // projection may also be a covering id/key one over a routed btree.
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        LocalLimit(_, Project(projList, Sort(orders, true, child, _)))) =>
+      (for {
+        lr <- relationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAnnTopK(projList, k, orders, lr, path)
+          .orElse(tryRewriteTopK(projList.collect {
+            case ar: AttributeReference => ar
+          }, k, orders, lr, path)
+            .filter(_ => projList.forall(_.isInstanceOf[AttributeReference])))
       } yield rewritten).getOrElse(gl)
   }
 
@@ -448,6 +500,85 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
     Project(rewired, newPlan)
   }
+
+  /** `ORDER BY cosine(vec, <literal qvec>) DESC LIMIT k`, id-only
+    * projection, over an [[IndexRoute.registerAnnApprox]]-routed source →
+    * the persisted IVF-family search (probe → partition-pruned postings →
+    * top-k), spliced where a corpus-wide cosine TakeOrdered stood. Fires
+    * ONLY on the loudly-consented approximate route (see the
+    * registration's contract note); the projection must reference
+    * nothing but the id (scores are the index's 6-dp-rounded
+    * approximation and are not offered), the sort must be the single
+    * `cosine DESC` with default NullsLast, and the usual freshness/
+    * divergence/tombstone guards decline as everywhere. */
+  private def tryRewriteAnnTopK(projList: Seq[NamedExpression], k: Int,
+      orders: Seq[SortOrder], lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = for {
+    (vecAttr, qvec) <- orders match {
+      case Seq(SortOrder(graft.functions.CosineSimilarity(
+          a: AttributeReference, Literal(v, ArrayType(FloatType, _))),
+          Descending, NullsLast, _)) if v != null =>
+        Some((a, arrayFloats(v)))
+      case Seq(SortOrder(graft.functions.CosineSimilarity(
+          Literal(v, ArrayType(FloatType, _)), a: AttributeReference),
+          Descending, NullsLast, _)) if v != null =>
+        Some((a, arrayFloats(v)))
+      case _ => None
+    }
+    if k > 0
+    route <- IndexRoute.lookup(path, vecAttr.name)
+    if Set("ivf", "ivf_pq", "ivf_sq").contains(route.indexType)
+    idAttr <- lr.output.find(_.name == route.idCol)
+    if idAttr.dataType == LongType
+    if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
+    man <- AnnIndex.readManifest(route.location)
+    if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+    if !man.divergent
+    if !AnnIndex.hasTombstones(route.location)
+  } yield {
+    import spark.implicits._
+    // qid -1 cannot collide with a corpus id — the search's
+    // self-exclusion keeps every vector eligible (the TVF convention)
+    val queries = Seq((-1L, qvec)).toDF("qid", "qvec")
+    val res = route.indexType match {
+      case "ivf" => AnnIndex.searchIvf(
+        spark, route.location, queries, "qid", "qvec", k, route.nprobe)
+      case "ivf_pq" => AnnIndex.searchIvfPq(
+        spark, route.location, queries, "qid", "qvec", k, route.nprobe)
+      case _ => AnnIndex.searchIvfSq(
+        spark, route.location, queries, "qid", "qvec", k, route.nprobe)
+    }
+    val df = res.orderBy(col("rank"))
+      .select(col("vec_id").as(route.idCol))
+    // the search plan broadcasts its probe/centroid/tombstone sides via
+    // broadcast() hints; a subtree spliced AFTER the optimizer's
+    // hint-resolution batch must not carry raw ResolvedHint nodes, so
+    // resolve them here exactly as that batch would (the hints survive
+    // as join-node hints — the broadcast intent is kept)
+    val newPlan = org.apache.spark.sql.catalyst.optimizer
+      .EliminateResolvedHint(df.queryExecution.analyzed)
+    val newId = newPlan.output.head
+    require(newId.dataType == idAttr.dataType,
+      s"ann route ${route.location} id type drifted from the source")
+    val rewired = projList.map {
+      case ar: AttributeReference =>
+        Alias(newId, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+      case ne =>
+        val t = ne.transform {
+          case ar: AttributeReference if ar.exprId == idAttr.exprId => newId
+        }.asInstanceOf[NamedExpression]
+        t match {
+          case a: Alias =>
+            Alias(a.child, a.name)(exprId = ne.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+    }
+    Project(rewired, newPlan)
+  }
+
+  private def arrayFloats(v: Any): Seq[Float] =
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toFloatArray().toSeq
 
   /** `contains(text, 'needle')` / `text LIKE '%needle%'` over a routed
     * NGRAM source → the index's two-phase plan: gram-intersection

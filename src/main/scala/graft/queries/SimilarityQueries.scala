@@ -1701,6 +1701,76 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** q239: `ORDER BY cosine(embedding, <literal>) DESC LIMIT 10` served
+    * from the persisted IVF index — the vector-database promise reached
+    * from a PLAIN top-k query: no index named, no search API called; the
+    * [[graft.plans.IndexRoute.registerAnnApprox]] route (an EXPLICIT
+    * consent to the IVF approximation — probe-bounded recall, 6-dp
+    * scores, vec_id ties) lets the optimizer splice the probe →
+    * partition-pruned-postings → top-k plan where a corpus-wide cosine
+    * TakeOrdered stood. The gate REQUIRES the rewrite fired and the
+    * corpus was not opened; the oracle replays the INDEX's approximation
+    * (the consented contract), not the exact scan. */
+  def q239AnnTopkRewrite(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 100)
+      .select(col("embedding")).head().getSeq[Float](0)
+    try {
+      graft.plans.IndexRoute.registerAnnApprox(
+        s"$d/embeddings.parquet", "embedding", "vec_id", loc, nprobe = 3)
+      val df = emb
+        .orderBy(Similarity.cosine(col("embedding"), typedLit(qv)).desc)
+        .limit(10)
+        .select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q239: the ANN top-k rewrite did not fire:\n$plan")
+      require(!plan.contains("embeddings.parquet"),
+        s"q239: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  val q239Sql: String =
+    s"""WITH cents AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id < 10),
+       |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 100),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY
+       |      ${cosSql("q", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM qv q CROSS JOIN cents c)
+       |  WHERE rn <= 3),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e", "embedding", "c", "cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |scored AS (
+       |  SELECT e.vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM assigned a
+       |  JOIN probes USING (cid)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  CROSS JOIN qv q)
+       |SELECT vec_id FROM (
+       |  SELECT vec_id, score,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY vec_id""".stripMargin
+
   /** q229: the FULL production SQ8 build persisted — k-means-TRAINED
     * centroids (the q42/q203 2-round Lloyd's) + corpus-trained ranges
     * feed the IVF-SQ8 build, and the search runs over the materialized
@@ -1819,6 +1889,7 @@ object SimilarityQueries {
     "q230_filtered_ivfsq" -> (q230FilteredIvfSq _),
     "q231_filtered_ivfsq_exact" -> (q231FilteredIvfSqExact _),
     "q233_sql_ann_search" -> (q233SqlAnnSearch _),
+    "q239_ann_topk_rewrite" -> (q239AnnTopkRewrite _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1884,6 +1955,9 @@ object SimilarityQueries {
     // (the external query vector has no "self" — its source row ranks
     // first at 1.0, and the hash pins it)
     "q233_sql_ann_search" -> q233Sql,
+    // the ANN top-k optimizer route: the oracle replays the INDEX's
+    // approximation — the contract registerAnnApprox consents to
+    "q239_ann_topk_rewrite" -> q239Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

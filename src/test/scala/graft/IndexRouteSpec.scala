@@ -370,6 +370,53 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("ORDER BY cosine(vec, lit) DESC LIMIT k rewrites to the ANN index " +
+      "search on an explicitly-consented approximate route — and never " +
+      "fires without one") {
+    val embSource = s"$sfDir/embeddings.parquet"
+    val emb = spark.read.parquet(embSource)
+    val loc = tmpLoc("route-ann")
+    graft.ops.AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.limit(4).select((col("vec_id") % 4).cast("int").as("cid"),
+        col("embedding").as("cvec")),
+      "cid", "cvec", loc, embSource)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def topk = emb
+      .orderBy(graft.ops.Similarity.cosine(col("embedding"),
+        typedLit(qv)).desc)
+      .limit(5).select(col("vec_id"))
+    // WITHOUT the approximate route: the exact corpus scan stands, even
+    // when an exact-family route exists on another column
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("embeddings.parquet"))
+    try {
+      IndexRoute.registerAnnApprox(embSource, "embedding", "vec_id", loc,
+        nprobe = 2)
+      val df = topk
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+        !plan.contains("embeddings.parquet"),
+        s"expected the ANN index to serve the top-k:\n$plan")
+      // results are the INDEX's approximation: identical to the search
+      // API over the same index (the consented contract)
+      val api = graft.ops.AnnIndex.searchIvf(spark, loc,
+          emb.filter(col("vec_id") === 7)
+            .select(lit(-1L).as("qid"), col("embedding").as("qvec")),
+          "qid", "qvec", k = 5, nprobe = 2)
+        .orderBy(col("rank")).select(col("vec_id")).collect()
+      assert(df.collect().toSeq == api.toSeq)
+      // projecting anything beyond the id declines (scores are the
+      // index's rounded approximation and are not offered)
+      val wide = emb
+        .orderBy(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)).desc)
+        .limit(5).select(col("vec_id"), col("label"))
+      assert(wide.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+    } finally IndexRoute.clear()
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, NumericType}
+import org.apache.spark.sql.types.{DataType, LongType, NumericType, StringType}
 
 /** Persisted SCALAR indexes — the btree/bitmap members of the index-type
   * family, next to the vector ([[AnnIndex]]) and full-text ([[TextIndex]])
@@ -98,7 +98,8 @@ object ScalarIndex {
     * `sub` dir with its already-written `.compact.$pid` staging, rolling
     * back on failure. Every staging subtree MUST be fully written before
     * the first swap commits ([[compactBtree]]'s ordering note). */
-  private def swapStaged(location: String, sub: String, pid: String): Unit = {
+  private[ops] def swapStaged(location: String, sub: String,
+      pid: String): Unit = {
     val live = s"$location/$sub"
     val retired = s"$location/$sub.retired.$pid"
     IndexFs.renameIntoOrThrow(live, retired)
@@ -322,6 +323,42 @@ object ScalarIndex {
     antiTombstones(
       pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi)),
       location)
+      .select(col("id"), col("key"))
+  }
+
+  /** Prefix search `key LIKE 'p%'` over a STRING-keyed btree: a string
+    * has prefix p iff `p <= s` and `s`'s first |p| chars are ≤ p — so a
+    * bucket [lo, hi] can hold prefixed strings iff `hi >= p` AND
+    * `lo.take(|p|) <= p` (truncation sidesteps the increment-the-last-
+    * char trick and its U+FFFF edge). Prune buckets driver-side with
+    * that test, read only the overlapping partitions, re-apply the exact
+    * `startswith` residual, anti-join tombstones. Returns (id, key). At
+    * 100 TB this is the classic prefix-scan story: a sorted layout turns
+    * `LIKE 'p%'` — unanswerable by hash/bitmap layouts — into a
+    * contiguous-bucket read. */
+  def searchBtreePrefix(spark: SparkSession, location: String,
+      prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "searchBtreePrefix: prefix must be non-empty")
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    val zmDf = spark.read.parquet(s"$location/zonemap")
+    require(zmDf.schema("lo").dataType == StringType,
+      s"btree at $location is not string-keyed (${man.keyType}) — " +
+        "prefix search needs the native string zonemap")
+    val zm = zmDf.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect()
+    val bkts = zm.filter { r =>
+      val lo = r.getString(1); val hi = r.getString(2)
+      hi >= prefix && lo.take(prefix.length) <= prefix
+    }.map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$location/postings")
+    val pruned =
+      if (bkts.isEmpty) postings.filter(lit(false))
+      else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
+    antiTombstones(
+      pruned.filter(col("key").startsWith(prefix)), location)
       .select(col("id"), col("key"))
   }
 

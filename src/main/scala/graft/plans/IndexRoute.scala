@@ -91,8 +91,8 @@ object IndexRoute {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index manifest at $location"))
     require(man.indexType == "btree" || man.indexType == "bitmap" ||
-        man.indexType == "ngram",
-      s"IndexRoute.register: only btree/bitmap/ngram routes, " +
+        man.indexType == "ngram" || man.indexType == "label_list",
+      s"IndexRoute.register: only btree/bitmap/ngram/label_list routes, " +
         s"got ${man.indexType}")
     routes.put((normalize(sourcePath), keyCol),
       Route(man.indexType, location, idCol, keyCol, sourcePath))
@@ -143,6 +143,7 @@ case class IndexedScanRewrite(spark: SparkSession)
         rewritten <- tryRewrite(projList, cond, lr, path)
           .orElse(tryRewriteAnd(projList, cond, lr, path))
           .orElse(tryRewriteContains(projList, cond, lr, path))
+          .orElse(tryRewriteHasAll(projList, cond, lr, path))
       } yield rewritten).getOrElse(p)
     // a covering projection of EXACTLY the relation's columns gets its
     // Project pruned away by the optimizer, leaving a bare Filter — the
@@ -212,8 +213,11 @@ case class IndexedScanRewrite(spark: SparkSession)
   private sealed trait Ask
   private case class AskValues(values: Seq[String]) extends Ask
   private case class AskRange(lo: Double, hi: Double) extends Ask
-  /** Native-ordered (date) range — served by the typed zonemap walk. */
+  /** Native-ordered (date/timestamp/string) range — the typed zonemap walk. */
   private case class AskRangeTyped(lo: Any, hi: Any) extends Ask
+  /** `key LIKE 'p%'` over a string-keyed btree — the prefix-contiguous
+    * bucket scan ([[ScalarIndex.searchBtreePrefix]]). */
+  private case class AskPrefix(prefix: String) extends Ask
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
@@ -244,6 +248,11 @@ case class IndexedScanRewrite(spark: SparkSession)
           case EqualTo(Literal(v, dt), a: AttributeReference)
               if numericLit(v, dt).isDefined =>
             Some((a, AskRange(numericLit(v, dt).get, numericLit(v, dt).get)))
+          // LIKE 'p%' — LikeSimplification has already reduced it to
+          // StartsWith by the time injected rules run
+          case StartsWith(a: AttributeReference, Literal(p, StringType))
+              if p != null && p.toString.nonEmpty =>
+            Some((a, AskPrefix(p.toString)))
           case _ => None
         })
       case Seq(b1, b2) =>
@@ -257,7 +266,14 @@ case class IndexedScanRewrite(spark: SparkSession)
                 import org.apache.spark.sql.catalyst.util.DateTimeUtils
                 Some((a1, AskRangeTyped(
                   DateTimeUtils.toJavaDate(l), DateTimeUtils.toJavaDate(h))))
-              case _ => None
+              case _ =>
+                (tsBoundOf(b1, isLower = true),
+                 tsBoundOf(b2, isLower = false)) match {
+                  case (Some((a1, l)), Some((a2, h)))
+                      if a1.exprId == a2.exprId =>
+                    Some((a1, AskRangeTyped(l, h)))
+                  case _ => None
+                }
             }
         }
       case _ => None
@@ -357,10 +373,49 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
   }
 
+  /** [[dateBoundOf]] for the two timestamp flavors (both store
+    * micros-since-epoch longs in Catalyst): TIMESTAMP converts to its
+    * external `java.sql.Timestamp`, TIMESTAMP_NTZ — what Spark 4 infers
+    * for un-annotated parquet timestamps — to `java.time.LocalDateTime`;
+    * either is Comparable, matching the native zonemap the btree stored
+    * for that key type (a flavor mismatch is caught by the yield's
+    * type-drift check). */
+  private def tsBoundOf(e: Expression, isLower: Boolean)
+      : Option[(AttributeReference, Any)] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def external(v: Any, dt: DataType): Option[Any] = dt match {
+      case org.apache.spark.sql.types.TimestampType if v != null =>
+        Some(DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.TimestampNTZType if v != null =>
+        Some(DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long]))
+      case _ => None
+    }
+    e match {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if isLower => external(v, dt).map((a, _))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if isLower => external(v, dt).map((a, _))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+          if !isLower => external(v, dt).map((a, _))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
+          if !isLower => external(v, dt).map((a, _))
+      case _ => None
+    }
+  }
+
   private def btreeKeyOk(dt: DataType): Boolean = dt match {
     case DoubleType | FloatType | IntegerType => true
     case _ => false // LongType beyond 2^53 would alias in the double shadow
   }
+
+  /** The bitmap-IN cost guard's threshold: the largest fraction of a
+    * bitmap's value directories an IN may ask for and still be served
+    * from the index (above it, directory pruning — the bitmap's only
+    * advantage over a column-pruned corpus scan — has nothing left to
+    * prune). Session-tunable; cost-only, never correctness. */
+  private def maxInFraction: Double =
+    spark.conf.getOption("spark.graft.route.maxInFraction")
+      .map(_.toDouble).getOrElse(0.5)
 
   private def tryRewrite(projList: Seq[NamedExpression], cond: Expression,
       lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
@@ -376,7 +431,10 @@ case class IndexedScanRewrite(spark: SparkSession)
       case (_: AskValues, "bitmap") => keyAttr.dataType == StringType
       case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
       case (_: AskRangeTyped, "btree") =>
-        keyAttr.dataType == org.apache.spark.sql.types.DateType
+        keyAttr.dataType == org.apache.spark.sql.types.DateType ||
+          keyAttr.dataType == org.apache.spark.sql.types.TimestampType ||
+          keyAttr.dataType == org.apache.spark.sql.types.TimestampNTZType
+      case (_: AskPrefix, "btree") => keyAttr.dataType == StringType
       case _ => false
     })
     // freshness: a stale index declines; the scan plan stands
@@ -390,6 +448,20 @@ case class IndexedScanRewrite(spark: SparkSession)
     // invisible in results, not just fresh by stat.
     if !man.divergent
     if !ScalarIndex.hasTombstones(route.location)
+    // COST guard (bitmap IN only): a covering corpus scan is already
+    // column-pruned by parquet — the bitmap's genuine win is DIRECTORY
+    // pruning, so an IN that asks for most of the value directories has
+    // no pruning left to offer (it re-reads ~the same narrow (id, key)
+    // bytes from many small files, minus the corpus scan's rowgroup
+    // stats). Decline when the asked values cover more than
+    // `spark.graft.route.maxInFraction` (default 1/2) of the bitmap's
+    // recorded cardinality (the manifest's nlist; unknown/0 stays
+    // permissive — the guard is cost-only, results are exact either way).
+    if (ask match {
+      case AskValues(vs) if man.indexType == "bitmap" && man.nlist > 0 =>
+        vs.distinct.size.toDouble / man.nlist <= maxInFraction
+      case _ => true
+    })
   } yield {
     val idx = ask match {
       case AskValues(vs) =>
@@ -400,6 +472,9 @@ case class IndexedScanRewrite(spark: SparkSession)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
       case AskRangeTyped(lo, hi) =>
         ScalarIndex.searchBtreeRangeTyped(spark, route.location, lo, hi)
+          .select(col("id").as(route.idCol), col("key").as(route.keyCol))
+      case AskPrefix(p) =>
+        ScalarIndex.searchBtreePrefix(spark, route.location, p)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
     }
     val newPlan = idx.queryExecution.analyzed
@@ -456,10 +531,14 @@ case class IndexedScanRewrite(spark: SparkSession)
     route <- IndexRoute.lookup(path, keyAttr.name)
     if route.indexType == "btree"
     idAttr <- lr.output.find(_.name == route.idCol)
-    // numeric keys ride the double-shadow scan; DATE keys the native one
+    // numeric keys ride the double-shadow scan; date/timestamp/string
+    // keys the native one (the zonemap walk is Comparable-generic)
     if idAttr.dataType == LongType &&
       (btreeKeyOk(keyAttr.dataType) ||
-        keyAttr.dataType == org.apache.spark.sql.types.DateType)
+        keyAttr.dataType == org.apache.spark.sql.types.DateType ||
+        keyAttr.dataType == org.apache.spark.sql.types.TimestampType ||
+        keyAttr.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+        keyAttr.dataType == StringType)
     // the secondary order, if any, must be on the id (the index holds
     // nothing else to order by)
     if secondary.forall(_._1.exprId == idAttr.exprId)
@@ -665,6 +744,86 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
   }
 
+  /** One or more `array_contains(tags, 'label')` conjuncts on the SAME
+    * array column, id-only projection, over a routed LABEL-LIST source →
+    * [[ScalarIndex.searchHasAll]]: the labels' id directories intersected
+    * by an exact count law over distinct pairs — the wide corpus (and its
+    * array column) is never opened; only the asked-for labels' narrow id
+    * files are listed. The projection must not reference the array column
+    * (the index stores exploded pairs and cannot rebuild arrays). Empty
+    * or null label literals decline — the index does not store them
+    * (partition-codec limitation), so only the scan can answer. A single
+    * conjunct is the degenerate has_all of one label ≡ has_any. */
+  private def tryRewriteHasAll(projList: Seq[NamedExpression],
+      cond: Expression, lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = {
+    val (notNulls, rest) = splitAnd(cond).partition {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    val asks: Option[(AttributeReference, Seq[String])] = {
+      val pairs = rest.map {
+        case ArrayContains(a: AttributeReference, Literal(v, StringType))
+            if v != null && v.toString.nonEmpty => Some((a, v.toString))
+        case _ => None
+      }
+      if (pairs.nonEmpty && pairs.forall(_.isDefined)) {
+        val ps = pairs.flatten
+        val attr = ps.head._1
+        if (ps.forall(_._1.exprId == attr.exprId))
+          Some((attr, ps.map(_._2).distinct))
+        else None
+      } else None
+    }
+    for {
+      (tagsAttr, labels) <- asks
+      // array_contains implies a non-null array, so IsNotNull on the
+      // tags column drops safely; on any other column it declines
+      if notNulls.forall {
+        case IsNotNull(a: AttributeReference) => a.exprId == tagsAttr.exprId
+        case _ => false
+      }
+      if tagsAttr.dataType == ArrayType(StringType, true) ||
+        tagsAttr.dataType == ArrayType(StringType, false)
+      route <- IndexRoute.lookup(path, tagsAttr.name)
+      if route.indexType == "label_list"
+      idAttr <- lr.output.find(_.name == route.idCol)
+      if idAttr.dataType == LongType
+      // covering: only the id survives (the index cannot rebuild arrays)
+      if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
+      man <- AnnIndex.readManifest(route.location)
+      if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+      if !man.divergent
+      if !ScalarIndex.hasTombstones(route.location)
+      // the bitmap IN cost guard, same rationale: most-of-the-directories
+      // membership asks leave nothing to prune
+      if man.nlist <= 0 ||
+        labels.size.toDouble / man.nlist <= maxInFraction
+    } yield {
+      val idx = ScalarIndex.searchHasAll(spark, route.location, labels)
+        .select(col("id").as(route.idCol))
+      val newPlan = idx.queryExecution.analyzed
+      val newId = newPlan.output.head
+      require(newId.dataType == idAttr.dataType,
+        s"label-list route ${route.location} id type drifted from the source")
+      val rewired = projList.map {
+        case ar: AttributeReference =>
+          Alias(newId, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+        case ne =>
+          val t = ne.transform {
+            case ar: AttributeReference if ar.exprId == idAttr.exprId => newId
+          }.asInstanceOf[NamedExpression]
+          t match {
+            case a: Alias =>
+              Alias(a.child, a.name)(exprId = ne.exprId,
+                qualifier = a.qualifier)
+            case other => other
+          }
+      }
+      Project(rewired, newPlan)
+    }
+  }
+
   /** Two routed string keys ANDed, id-only projection → the conjunction
     * of two bitmap indexes ([[ScalarIndex.searchBitmapAnd]]): a semi-join
     * of two partition-pruned directory reads — the base table is never
@@ -692,6 +851,12 @@ case class IndexedScanRewrite(spark: SparkSession)
     if !manA.divergent && !manB.divergent
     if !ScalarIndex.hasTombstones(routeA.location)
     if !ScalarIndex.hasTombstones(routeB.location)
+    // the single-key path's IN cost guard, applied per side: a broad arm
+    // would feed the semi-join most of its index's directories
+    if manA.nlist <= 0 ||
+      valsA.distinct.size.toDouble / manA.nlist <= maxInFraction
+    if manB.nlist <= 0 ||
+      valsB.distinct.size.toDouble / manB.nlist <= maxInFraction
   } yield {
     val idx = ScalarIndex.searchBitmapAnd(spark,
         routeA.location, valsA, routeB.location, valsB)

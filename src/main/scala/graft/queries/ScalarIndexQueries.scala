@@ -353,6 +353,106 @@ object ScalarIndexQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
       |ORDER BY id""".stripMargin
 
+  /** q239: `p_name LIKE 'sm%'` served by the STRING-keyed btree through
+    * the optimizer route ([[graft.plans.IndexedScanRewrite]]'s prefix
+    * arm): a sorted string layout turns a prefix LIKE — unanswerable by
+    * hash/bitmap layouts — into a contiguous-bucket read with an exact
+    * `startswith` residual. The gate REQUIRES the rewrite fired and the
+    * corpus stayed closed; the oracle is the plain LIKE scan. */
+  def q239PrefixRewrite(s: SparkSession, d: String): DataFrame = {
+    val parts = s.read.parquet(s"$d/part.parquet")
+    val loc = indexLocation(d, "btree-pname")
+    ScalarIndex.ensureBtree(parts, "p_partkey", "p_name", loc,
+      s"$d/part.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/part.parquet", "p_name", "p_partkey", loc)
+      val df = parts.filter(col("p_name").like("sm%"))
+        .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q239: the prefix rewrite did not fire:\n$plan")
+      require(!plan.contains("part.parquet"),
+        s"q239: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q239Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_name LIKE 'sm%' ORDER BY p_partkey""".stripMargin
+
+  /** q240: TIMESTAMP-keyed btree over the raw `events.ts` column (the
+    * TIMESTAMP_NTZ flavor Spark 4 infers for un-annotated parquet
+    * timestamps) — the native-zonemap tier q236 opened for DATE,
+    * completing the temporal key family: min/max of the timestamp type
+    * itself, exact Comparable pruning, typed residual. Output is the
+    * matching ids (the key stays internal — timestamp text forms differ
+    * between engines; the ROW SET is the contract). */
+  def q240TsBtree(s: SparkSession, d: String): DataFrame = {
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val loc = indexLocation(d, "btree-ts")
+    ScalarIndex.ensureBtree(ev, "event_id", "ts", loc, s"$d/events.parquet")
+    ScalarIndex.searchBtreeRangeTyped(s, loc,
+      java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0),
+      java.time.LocalDateTime.of(2024, 1, 17, 0, 0, 0))
+      .select(col("id")).orderBy(col("id"))
+  }
+
+  private val q240Sql: String =
+    """SELECT event_id AS id FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-17 00:00:00'
+      |ORDER BY id""".stripMargin
+
+  /** q241: `array_contains(tags, 'vector') AND array_contains(tags,
+    * 'query')` served by the LABEL-LIST index through the optimizer
+    * route: the plain membership conjunction over the tags parquet is
+    * rewritten to [[ScalarIndex.searchHasAll]]'s exact count law — the
+    * corpus (and its array column) is never opened; only the two labels'
+    * id directories are listed. The tags source is the q225/q226 derived
+    * token-set table, materialized once per sf dir so the route has a
+    * parquet path to bind to. Oracle: the same conjunction rebuilt from
+    * `documents`. */
+  def q241LabelRewrite(s: SparkSession, d: String): DataFrame = {
+    val srcDir = indexLocation(d, "tags-src")
+    val src = s"$srcDir/tags.parquet"
+    if (!new java.io.File(src).exists())
+      tagged(Tables.documents(s, d)).write.mode("overwrite").parquet(src)
+    val tags = s.read.parquet(src)
+    val loc = indexLocation(d, "labellist-route")
+    ScalarIndex.ensureLabelList(tags, "doc_id", "tags", loc, src)
+    try {
+      graft.plans.IndexRoute.register(src, "tags", "doc_id", loc)
+      val df = tags.filter(array_contains(col("tags"), "vector") &&
+          array_contains(col("tags"), "query"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q241: the label-list rewrite did not fire:\n$plan")
+      require(!plan.contains("tags.parquet"),
+        s"q241: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q241Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tags
+      |  FROM documents)
+      |SELECT doc_id FROM t
+      |WHERE list_contains(tags, 'vector') AND list_contains(tags, 'query')
+      |ORDER BY doc_id""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -423,7 +523,10 @@ object ScalarIndexQueries {
     "q234_topk_rewrite" -> (q234TopkRewrite _),
     "q235_like_rewrite" -> (q235LikeRewrite _),
     "q236_date_btree" -> (q236DateBtree _),
-    "q237_sql_contains" -> (q237SqlContains _))
+    "q237_sql_contains" -> (q237SqlContains _),
+    "q239_prefix_rewrite" -> (q239PrefixRewrite _),
+    "q240_ts_btree" -> (q240TsBtree _),
+    "q241_label_rewrite" -> (q241LabelRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -452,5 +555,10 @@ object ScalarIndexQueries {
     // native date btree: the plain base-table date-range filter
     "q236_date_btree" -> q236Sql,
     // the SQL TVF twin of q223: same full-scan contains oracle
-    "q237_sql_contains" -> q223Sql(""))
+    "q237_sql_contains" -> q223Sql(""),
+    // the three round-14 route extensions: plain LIKE / timestamp range /
+    // membership conjunction — rewrites must be invisible in results
+    "q239_prefix_rewrite" -> q239Sql,
+    "q240_ts_btree" -> q240Sql,
+    "q241_label_rewrite" -> q241Sql)
 }

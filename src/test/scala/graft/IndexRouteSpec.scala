@@ -38,7 +38,8 @@ class IndexRouteSpec extends SparkSpec {
       location: String): Boolean = {
     val plan = df.queryExecution.executedPlan.toString
     plan.contains(new java.io.File(location).getName) &&
-      !plan.contains("documents.parquet") && !plan.contains("events.parquet")
+      !plan.contains("documents.parquet") && !plan.contains("events.parquet") &&
+      !plan.contains("part.parquet")
   }
 
   test("covering equality filter rewrites to the bitmap index; results " +
@@ -79,6 +80,39 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("a LOW-SELECTIVITY IN declines (cost guard): asking for most of " +
+      "the bitmap's value directories leaves nothing to prune, so the " +
+      "column-pruned corpus scan stands") {
+    val loc = tmpLoc("route-bm-broad")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val nLangs = docs.select(col("lang")).distinct().count()
+    assert(nLangs == 5, "the guard thresholds below assume 5 langs")
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      // 4 of 5 directories (80% > the default 50% threshold) → decline
+      val broad = docs.filter(col("lang").isin("en", "de", "fr", "es"))
+        .select(col("doc_id"), col("lang"))
+      assert(!scansIndex(broad, loc),
+        "an IN covering 4/5 of the directories must not be routed")
+      // results are unaffected either way — the guard is cost-only
+      val want = docs.filter(col("lang").isin("en", "de", "fr", "es"))
+        .count()
+      assert(broad.count() == want)
+      // 2 of 5 (40%) stays routed
+      val narrow = docs.filter(col("lang").isin("en", "de"))
+        .select(col("doc_id"), col("lang"))
+      assert(scansIndex(narrow, loc))
+      // the threshold is session-tunable: raising it re-admits the broad
+      // IN (a FRESH plan — queryExecution memoizes per DataFrame)
+      spark.conf.set("spark.graft.route.maxInFraction", "0.9")
+      try assert(scansIndex(
+          docs.filter(col("lang").isin("en", "de", "fr", "es"))
+            .select(col("doc_id"), col("lang")), loc),
+        "maxInFraction=0.9 must re-admit the 4/5 IN")
+      finally spark.conf.unset("spark.graft.route.maxInFraction")
+    }
+  }
+
   test("covering range filter rewrites to the btree index") {
     val loc = tmpLoc("route-bt")
     ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
@@ -94,6 +128,97 @@ class IndexRouteSpec extends SparkSpec {
       assert(scansIndex(df, loc),
         s"expected the index scan:\n${df.queryExecution.executedPlan}")
       assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    }
+  }
+
+  test("LIKE 'p%' rewrites to the string btree's prefix scan; a suffix " +
+      "LIKE declines") {
+    val partSource = s"$sfDir/part.parquet"
+    val parts = spark.read.parquet(partSource)
+    val loc = tmpLoc("route-prefix")
+    ScalarIndex.ensureBtree(parts, "p_partkey", "p_name", loc, partSource)
+    val want = parts.filter(col("p_name").like("sm%"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(partSource, "p_name", "p_partkey", loc)
+      val df = parts.filter(col("p_name").like("sm%"))
+        .select(col("p_partkey"), col("p_name"))
+      assert(scansIndex(df, loc),
+        s"expected the prefix scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("p_partkey")).collect().toSeq == want.toSeq)
+      // '%sm' has no prefix to serve — the scan stands
+      val suffix = parts.filter(col("p_name").like("%sm"))
+        .select(col("p_partkey"), col("p_name"))
+      assert(!scansIndex(suffix, loc))
+    }
+  }
+
+  test("a timestamp range rewrites through the NATIVE-keyed btree route") {
+    val loc = tmpLoc("route-ts")
+    // key the index on the raw ts column the route will see in the scan
+    // (Spark 4 reads un-annotated parquet timestamps as TIMESTAMP_NTZ,
+    // so the bounds carry the matching external LocalDateTime flavor)
+    ScalarIndex.ensureBtree(events, "event_id", "ts", loc, evSource)
+    val tLo = java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0)
+    val tHi = java.time.LocalDateTime.of(2024, 1, 17, 0, 0, 0)
+    val want = events.filter(col("ts") >= lit(tLo) && col("ts") <= lit(tHi))
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("event_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(evSource, "ts", "event_id", loc)
+      val df = events.filter(col("ts") >= lit(tLo) && col("ts") <= lit(tHi))
+        .select(col("event_id"), col("ts"))
+      assert(scansIndex(df, loc),
+        s"expected the native ts scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    }
+  }
+
+  test("array_contains conjunctions rewrite to the label-list index when " +
+      "only the id survives; projecting the array or an empty label " +
+      "declines") {
+    val tags = docs.select(col("doc_id"),
+      array_distinct(split(lower(trim(col("text"))), "\\s+")).as("tags"))
+    val tagSource =
+      s"${Files.createTempDirectory("graft-routespec").toString}/tags.parquet"
+    tags.write.mode("overwrite").parquet(tagSource)
+    val tagged = spark.read.parquet(tagSource)
+    val loc = tmpLoc("route-labels")
+    ScalarIndex.ensureLabelList(tagged, "doc_id", "tags", loc, tagSource)
+    val want = tagged.filter(array_contains(col("tags"), "vector") &&
+        array_contains(col("tags"), "query"))
+      .select(col("doc_id")).orderBy(col("doc_id")).collect()
+    assert(want.nonEmpty)
+    def noCorpus(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val plan = df.queryExecution.executedPlan.toString
+      plan.contains(new java.io.File(loc).getName) &&
+        !plan.contains("tags.parquet")
+    }
+    withRule {
+      IndexRoute.register(tagSource, "tags", "doc_id", loc)
+      val df = tagged.filter(array_contains(col("tags"), "vector") &&
+          array_contains(col("tags"), "query"))
+        .select(col("doc_id"))
+      assert(noCorpus(df),
+        s"expected the label-list scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+      // a single conjunct is the degenerate one-label has_all
+      val one = tagged.filter(array_contains(col("tags"), "vector"))
+        .select(col("doc_id"))
+      assert(noCorpus(one))
+      assert(one.count() ==
+        tagged.filter(array_contains(col("tags"), "vector")).count())
+      // projecting the array declines (the index cannot rebuild arrays)
+      val proj = tagged.filter(array_contains(col("tags"), "vector"))
+        .select(col("doc_id"), col("tags"))
+      assert(!noCorpus(proj))
+      // an empty label declines — the index does not store ''
+      val empty = tagged.filter(array_contains(col("tags"), ""))
+        .select(col("doc_id"))
+      assert(!noCorpus(empty))
     }
   }
 

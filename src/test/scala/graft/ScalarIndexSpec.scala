@@ -179,6 +179,66 @@ class ScalarIndexSpec extends SparkSpec {
       .orderBy(col("id")).collect().toSeq == wantDel.toSeq)
   }
 
+  test("string-keyed btree: prefix search ≡ LIKE 'p%' on the base table, " +
+      "bucket-pruned, tombstone-composed; numeric/short guards refuse") {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+    val loc = tmpLoc("bt-prefix")
+    assert(ScalarIndex.ensureBtree(parts, "p_partkey", "p_name", loc,
+      s"$sfDir/part.parquet"))
+    assert(spark.read.parquet(s"$loc/zonemap").schema("lo").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val want = parts.filter(col("p_name").startsWith("sm"))
+      .select(col("p_partkey").as("id"), col("p_name").as("key"))
+      .orderBy(col("id")).collect()
+    assert(want.nonEmpty)
+    val df = ScalarIndex.searchBtreePrefix(spark, loc, "sm")
+    assert(df.orderBy(col("id")).collect().toSeq == want.toSeq)
+    // the prefix scan is partition-pruned: a sorted layout makes 'sm%'
+    // a contiguous bucket read, not a full postings scan
+    val plan = df.queryExecution.executedPlan.toString
+    val prunedLine = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(prunedLine.contains("bkt") && prunedLine.contains(" IN "),
+      s"expected a static bkt IN (...) partition filter:\n$plan")
+    // an impossible prefix reads nothing
+    assert(ScalarIndex.searchBtreePrefix(spark, loc, "zzzzzz~").count() == 0)
+    // tombstones compose
+    ScalarIndex.deleteIds(parts.filter(col("p_partkey") % 3 === 0),
+      "p_partkey", loc)
+    val wantDel = parts.filter(col("p_name").startsWith("sm") &&
+        col("p_partkey") % 3 =!= 0)
+      .select(col("p_partkey").as("id"), col("p_name").as("key"))
+      .orderBy(col("id")).collect()
+    assert(ScalarIndex.searchBtreePrefix(spark, loc, "sm")
+      .orderBy(col("id")).collect().toSeq == wantDel.toSeq)
+    // guards: empty prefix, and a numeric-keyed (double-shadow) index
+    intercept[IllegalArgumentException](
+      ScalarIndex.searchBtreePrefix(spark, loc, ""))
+    val locNum = tmpLoc("bt-prefix-num")
+    ScalarIndex.ensureBtree(events, "event_id", "value", locNum, evSource)
+    val e = intercept[IllegalArgumentException](
+      ScalarIndex.searchBtreePrefix(spark, locNum, "sm"))
+    assert(e.getMessage.contains("string"))
+  }
+
+  test("timestamp-keyed btree: native zonemap, typed range search ≡ base " +
+      "filter") {
+    val ev = dayEvents.withColumn("tskey", col("day").cast("timestamp"))
+    val loc = tmpLoc("bt-ts")
+    assert(ScalarIndex.ensureBtree(ev, "event_id", "tskey", loc, evSource))
+    assert(spark.read.parquet(s"$loc/zonemap").schema("lo").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val tLo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+    val tHi = java.sql.Timestamp.valueOf("2024-01-17 00:00:00")
+    val want = ev.filter(col("tskey") >= lit(tLo) && col("tskey") <= lit(tHi))
+      .select(col("event_id").as("id"), col("tskey").as("key"))
+      .orderBy(col("id")).collect()
+    assert(want.nonEmpty)
+    val got = ScalarIndex.searchBtreeRangeTyped(spark, loc, tLo, tHi)
+      .orderBy(col("id")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("date-keyed btree: top-k scan walks the native zonemap") {
     val ev = dayEvents
     val loc = tmpLoc("bt-date-topk")

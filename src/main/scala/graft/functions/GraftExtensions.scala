@@ -232,6 +232,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.ops.TextIndex.searchPhrase(spark, loc, terms)
             .queryExecution.analyzed
         }))
+
+      ext.injectTableFunction((
+        new FunctionIdentifier("graft_box"),
+        new ExpressionInfo(graft.ops.ZorderIndex.getClass.getName,
+          "graft_box",
+          "graft_box(index, xlo, xhi, ylo, yhi) - conjunctive 2-D range " +
+            "search over a persisted z-order index: (id, x, y)"),
+        (children: Seq[Expression]) => {
+          require(children.size == 5,
+            "graft_box takes (index, xlo, xhi, ylo, yhi)")
+          def numArg(e: Expression, what: String): Double = e match {
+            // SQL fractional literals parse as DECIMAL — accept both
+            case l: Literal if l.value != null => l.value match {
+              case n: java.lang.Number => n.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"$what must be a numeric literal")
+            }
+            case _ => throw new IllegalArgumentException(
+              s"$what must be a numeric literal")
+          }
+          val spark = SparkSession.active
+          val loc = resolveIdx(spark,
+            strArg(children.head, "graft_box index"))
+          graft.ops.ZorderIndex.searchBox(spark, loc,
+              numArg(children(1), "graft_box xlo"),
+              numArg(children(2), "graft_box xhi"),
+              numArg(children(3), "graft_box ylo"),
+              numArg(children(4), "graft_box yhi"))
+            .queryExecution.analyzed
+        }))
     }
 
     ext.injectFunction((

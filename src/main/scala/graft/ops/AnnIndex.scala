@@ -881,6 +881,11 @@ object AnnIndex {
         case "btree" =>
           val kt = if (man.keyType.nonEmpty) man.keyType else "DOUBLE"
           s"id BIGINT, key $kt, bkt INT"
+        // the zorder manifest stamps BOTH key DDLs comma-joined
+        case "zorder" =>
+          val Array(xt, yt) = (if (man.keyType.nonEmpty) man.keyType
+            else "DOUBLE,DOUBLE").split(",", 2)
+          s"id BIGINT, x $xt, y $yt, zv BIGINT, bkt INT"
         case "bitmap" | "label_list" => "id BIGINT, k STRING"
         case _ => "vec_id BIGINT, embedding ARRAY<FLOAT>, cid INT"
       }
@@ -920,6 +925,103 @@ object AnnIndex {
     * remote HMS/Glue at thousands of tables). Non-graft catalogs fall
     * back to the per-table path. Returns (table_name, index_type,
     * metric, m), sorted by table name. */
+  /** REBUILD an index from its manifest's SOURCE BINDING — the recovery
+    * path the divergence contract points at: an index-only `deleteIds`
+    * stamps `divergent` and the optimizer route declines "until a
+    * rebuild"; this IS that rebuild, driven entirely by what the
+    * manifest recorded at build time (path, id/key columns, width,
+    * curve), so an operator holding only the index location can restore
+    * route service with one call. The tree is deleted first (a divergent
+    * index can carry the CURRENT source fingerprint, so the ensure-reuse
+    * check alone would skip), then the family's ensure runs fresh.
+    * Refuses loudly when: the manifest predates source binding; a bound
+    * column is missing from the source (the index was built over a
+    * DERIVED column — rebuild through the original pipeline); or the
+    * family needs training artifacts the manifest cannot carry
+    * (ivf/ivf_pq/ivf_sq centroids/codebooks/ranges — rebuild through
+    * their ensure APIs). */
+  def rebuildFromSource(spark: SparkSession, location: String): Unit = {
+    val man = readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index manifest at $location"))
+    require(man.sourcePath.nonEmpty && man.sourceIdCol.nonEmpty &&
+        man.sourceKeyCol.nonEmpty,
+      s"rebuildFromSource: the index at $location predates source-binding " +
+        "manifests — rebuild through its ensure API")
+    require(!Set("ivf", "ivf_pq", "ivf_sq").contains(man.indexType),
+      s"rebuildFromSource: a '${man.indexType}' index needs its training " +
+        "artifacts (centroids/codebook/ranges) — rebuild through its " +
+        "ensure API")
+    val src = spark.read.parquet(man.sourcePath)
+    val keyCols = man.sourceKeyCol.split(",").toSeq
+    (man.sourceIdCol +: keyCols).foreach(c =>
+      require(src.columns.contains(c),
+        s"rebuildFromSource: source ${man.sourcePath} has no column '$c' " +
+          "— the index was built over a DERIVED column; rebuild through " +
+          "the original pipeline"))
+    deleteRecursively(location)
+    man.indexType match {
+      case "btree" => ScalarIndex.ensureBtree(src, man.sourceIdCol,
+        keyCols.head, location, man.sourcePath, nBuckets = man.nlist)
+      case "bitmap" => ScalarIndex.ensureBitmap(src, man.sourceIdCol,
+        keyCols.head, location, man.sourcePath,
+        maxCardinality = math.max(10000, man.nlist))
+      case "label_list" => ScalarIndex.ensureLabelList(src, man.sourceIdCol,
+        keyCols.head, location, man.sourcePath,
+        maxCardinality = math.max(10000, man.nlist))
+      case "ngram" => NgramIndex.ensureNgram(src, man.sourceIdCol,
+        keyCols.head, location, man.sourcePath, n = man.m,
+        nBuckets = man.nlist)
+      case "inverted" => TextIndex.ensureInverted(src, man.sourceIdCol,
+        keyCols.head, location, man.sourcePath, nBuckets = man.nlist)
+      case "zorder" => ZorderIndex.ensureZorder(src, man.sourceIdCol,
+        keyCols(0), keyCols(1), location, man.sourcePath,
+        nBuckets = man.nlist,
+        curve = if (man.metric == "hilbert-box") "hilbert" else "z")
+      case t => throw new IllegalArgumentException(
+        s"rebuildFromSource: unknown index type '$t' at $location")
+    }
+    ()
+  }
+
+  /** VACUUM an index tree: delete the residue a crashed builder or
+    * compactor can leave behind — sibling build stagings
+    * (`<location>.tmp.<pid>.<seq>`, [[buildAndPublish]]) and in-tree
+    * compaction stagings/retirees (`<sub>.compact.<pid>` /
+    * `<sub>.retired.<pid>`, [[ScalarIndex.swapStaged]]) — when they are
+    * older than `olderThanMs` (default 24 h). The age guard is what makes
+    * this safe to run ANY time, including while another process builds or
+    * compacts: an in-flight staging is younger than the horizon, and a
+    * completed publish/swap leaves nothing live under these names — the
+    * patterns can only ever match abandoned trees. Live subdirs
+    * (postings/zonemap/…) and the manifest never match. Returns the
+    * deleted paths (driver-side, metadata-sized). The reference keeps
+    * table data self-pruning through its format; an index lifecycle with
+    * crash-safe staging owes its users the matching janitor. */
+  def vacuumIndex(location: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val residue = "(.*\\.tmp\\..+)|(.*\\.compact\\..+)|(.*\\.retired\\..+)".r
+    def matches(name: String): Boolean = residue.pattern.matcher(name).matches
+    val root = new org.apache.hadoop.fs.Path(location)
+    val rootName = root.getName
+    val parent = Option(root.getParent).map(_.toString).getOrElse("")
+    // sibling build stagings: <rootName>.tmp.<suffix>
+    val siblings =
+      if (parent.isEmpty) Seq.empty
+      else IndexFs.listNamesMtimes(parent).collect {
+        case (n, t) if n.startsWith(s"$rootName.tmp.") && t < horizon =>
+          s"$parent/$n"
+      }
+    // in-tree compaction residue: <sub>.{compact,retired}.<suffix>
+    val inTree = IndexFs.listNamesMtimes(location).collect {
+      case (n, t) if matches(n) && t < horizon && n != ManifestFile =>
+        s"$location/$n"
+    }
+    val doomed = siblings ++ inTree
+    doomed.foreach(deleteRecursively)
+    doomed
+  }
+
   def listIndexTables(spark: SparkSession, namespace: String): DataFrame = {
     val parts = namespace.split('.')
     val bulk: Option[Seq[(String, Map[String, String])]] =

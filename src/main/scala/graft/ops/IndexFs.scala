@@ -119,6 +119,15 @@ object IndexFs {
     else Seq((st.getPath.getName, st.getLen))
   }
 
+  /** Child (name, modification time) pairs of a directory — the vacuum's
+    * age input. Empty when absent or a plain file. */
+  def listNamesMtimes(location: String): Seq[(String, Long)] = {
+    val (fs, p) = resolve(location)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(s => (s.getPath.getName, s.getModificationTime))
+  }
+
   /** None when absent. */
   def readBytes(location: String): Option[Array[Byte]] = {
     val (fs, p) = resolve(location)

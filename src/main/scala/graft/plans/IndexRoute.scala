@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
-import graft.ops.{AnnIndex, NgramIndex, ScalarIndex}
+import graft.ops.{AnnIndex, NgramIndex, ScalarIndex, ZorderIndex}
 
 /** Optimizer-integrated index access — the reference's "indexes speed up
   * filters without the query changing" promise, re-expressed as a Catalyst
@@ -91,9 +91,10 @@ object IndexRoute {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index manifest at $location"))
     require(man.indexType == "btree" || man.indexType == "bitmap" ||
-        man.indexType == "ngram" || man.indexType == "label_list",
-      s"IndexRoute.register: only btree/bitmap/ngram/label_list routes, " +
-        s"got ${man.indexType}")
+        man.indexType == "ngram" || man.indexType == "label_list" ||
+        man.indexType == "zorder",
+      s"IndexRoute.register: only btree/bitmap/ngram/label_list/zorder " +
+        s"routes, got ${man.indexType}")
     routes.put((normalize(sourcePath), keyCol),
       Route(man.indexType, location, idCol, keyCol, sourcePath))
     ()
@@ -144,6 +145,7 @@ case class IndexedScanRewrite(spark: SparkSession)
           .orElse(tryRewriteAnd(projList, cond, lr, path))
           .orElse(tryRewriteContains(projList, cond, lr, path))
           .orElse(tryRewriteHasAll(projList, cond, lr, path))
+          .orElse(tryRewriteBox(projList, cond, lr, path))
       } yield rewritten).getOrElse(p)
     // a covering projection of EXACTLY the relation's columns gets its
     // Project pruned away by the optimizer, leaving a bare Filter — the
@@ -822,6 +824,117 @@ case class IndexedScanRewrite(spark: SparkSession)
       }
       Project(rewired, newPlan)
     }
+  }
+
+  /** Numeric types the z-order route serves. LongType is admitted here
+    * (unlike the btree's [[btreeKeyOk]]) because [[graft.ops.ZorderIndex]]
+    * enforced the ±2^53 bound at build AND append from day one — every
+    * key the index holds is exact in a double, and a query literal
+    * beyond 2^53 can only round to a value still on the far side of the
+    * whole key population, so the box residual stays equivalent to the
+    * scan predicate. */
+  private def zorderKeyOk(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** A 4-conjunct TWO-attribute numeric box — `xlo <= x <= xhi AND
+    * ylo <= y <= yhi` in any conjunct order. IsNotNull conjuncts may
+    * reference either key. */
+  private def boxAskOf(cond: Expression)
+      : Option[((AttributeReference, Double, Double),
+                (AttributeReference, Double, Double))] = {
+    val (notNulls, rest) = splitAnd(cond).partition {
+      case IsNotNull(_: AttributeReference) => true
+      case _ => false
+    }
+    if (rest.length != 4) None
+    else {
+      val lowers = rest.flatMap(boundOf(_, isLower = true))
+      val uppers = rest.flatMap(boundOf(_, isLower = false))
+      // every conjunct must be a bound, two lowers + two uppers pairing
+      // into exactly two distinct attributes
+      val paired = for {
+        ls <- Option.when(lowers.length == 2)(lowers)
+        us <- Option.when(uppers.length == 2)(uppers)
+        if ls.map(_._1.exprId).toSet == us.map(_._1.exprId).toSet
+        if ls.map(_._1.exprId).distinct.length == 2
+      } yield ls.map { case (a, lo) =>
+        (a, lo, us.find(_._1.exprId == a.exprId).get._2)
+      }
+      paired.collect {
+        case Seq(b1, b2) if notNulls.forall {
+          case IsNotNull(a: AttributeReference) =>
+            a.exprId == b1._1.exprId || a.exprId == b2._1.exprId
+          case _ => false
+        } => (b1, b2)
+      }
+    }
+  }
+
+  /** A conjunctive numeric BOX over two columns routed to ONE zorder
+    * index ([[graft.ops.ZorderIndex.searchBox]]): the 2-D zonemap prunes
+    * on BOTH dimensions — the query shape no 1-D index can prune fully.
+    * Both attrs must route to the SAME zorder location with the manifest
+    * key order deciding which is x; covering = {id, x, y}. */
+  private def tryRewriteBox(projList: Seq[NamedExpression],
+      cond: Expression, lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = for {
+    (b1, b2) <- boxAskOf(cond)
+    route1 <- IndexRoute.lookup(path, b1._1.name)
+    route2 <- IndexRoute.lookup(path, b2._1.name)
+    if route1.indexType == "zorder" && route2.indexType == "zorder"
+    if route1.location == route2.location
+    man <- AnnIndex.readManifest(route1.location)
+    // the manifest's "xCol,yCol" binding decides dimension order
+    keyCols = man.sourceKeyCol.split(",", 2)
+    if keyCols.length == 2
+    (xAsk, yAsk) <- (b1, b2) match {
+      case _ if b1._1.name == keyCols(0) && b2._1.name == keyCols(1) =>
+        Some((b1, b2))
+      case _ if b2._1.name == keyCols(0) && b1._1.name == keyCols(1) =>
+        Some((b2, b1))
+      case _ => None
+    }
+    if zorderKeyOk(xAsk._1.dataType) && zorderKeyOk(yAsk._1.dataType)
+    idAttr <- lr.output.find(_.name == route1.idCol)
+    if idAttr.dataType == LongType
+    // covering: the projection references nothing but id and the two keys
+    if projList.forall(_.references.subsetOf(
+      AttributeSet(Seq(idAttr, xAsk._1, yAsk._1))))
+    if man.fingerprint == AnnIndex.sourceFingerprint(route1.rawSourcePath)
+    if !man.divergent
+    if !ZorderIndex.hasTombstones(route1.location)
+  } yield {
+    val idx = ZorderIndex.searchBox(spark, route1.location,
+        xAsk._2, xAsk._3, yAsk._2, yAsk._3)
+      .select(col("id").as(route1.idCol),
+        col("x").as(xAsk._1.name), col("y").as(yAsk._1.name))
+    val newPlan = idx.queryExecution.analyzed
+    val newId = newPlan.output.find(_.name == route1.idCol).get
+    val newX = newPlan.output.find(_.name == xAsk._1.name).get
+    val newY = newPlan.output.find(_.name == yAsk._1.name).get
+    require(newId.dataType == idAttr.dataType &&
+      newX.dataType == xAsk._1.dataType && newY.dataType == yAsk._1.dataType,
+      s"zorder route ${route1.location} column types drifted from the source")
+    val sub = Map(idAttr.exprId -> newId,
+      xAsk._1.exprId -> newX, yAsk._1.exprId -> newY)
+    val rewired = projList.map {
+      case ar: AttributeReference =>
+        Alias(sub(ar.exprId), ar.name)(exprId = ar.exprId,
+          qualifier = ar.qualifier)
+      case ne =>
+        val t = ne.transform {
+          case ar: AttributeReference if sub.contains(ar.exprId) =>
+            sub(ar.exprId)
+        }.asInstanceOf[NamedExpression]
+        t match {
+          case a: Alias =>
+            Alias(a.child, a.name)(exprId = ne.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+    }
+    Project(rewired, newPlan)
   }
 
   /** Two routed string keys ANDed, id-only projection → the conjunction

@@ -453,6 +453,131 @@ object ScalarIndexQueries {
       |WHERE list_contains(tags, 'vector') AND list_contains(tags, 'query')
       |ORDER BY doc_id""".stripMargin
 
+  // the q242/q243 box: selective on BOTH dims at sf0.01+ (user_id spans
+  // [0, ~149], value [0, ~490])
+  private val ZXLo = 100.0; private val ZXHi = 250.0
+  private val ZYLo = 30.0; private val ZYHi = 70.0
+
+  private def zBoxTop(s: SparkSession, loc: String): DataFrame =
+    graft.ops.ZorderIndex.searchBox(s, loc, ZXLo, ZXHi, ZYLo, ZYHi)
+      .orderBy(col("id"))
+
+  /** q242: conjunctive BOX search over a persisted 2-D Z-ORDER index on
+    * `events.(value, user_id)` — multi-dimensional data skipping: the
+    * Morton-curve layout makes each bucket a localized (x, y) tile, so
+    * the per-bucket 2-D zonemap prunes on BOTH dimensions at once (a 1-D
+    * btree would prune on one and scan the other). Oracle: the plain
+    * conjunctive range filter — an index is an access path, never a
+    * semantic. */
+  def q242ZorderBox(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "zorder")
+    graft.ops.ZorderIndex.ensureZorder(Tables.events(s, d),
+      "event_id", "value", "user_id", loc, s"$d/events.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.events_zorder_idx", loc)
+    zBoxTop(s,
+      AnnIndex.resolveIndexLocation(s, "graft.tpch.events_zorder_idx"))
+  }
+
+  private val q242Sql: String =
+    s"""SELECT event_id AS id, value AS x, user_id AS y FROM events
+       |WHERE value >= $ZXLo AND value <= $ZXHi
+       |  AND user_id >= $ZYLo AND user_id <= $ZYHi
+       |ORDER BY id""".stripMargin
+
+  /** q243: the zorder LIFECYCLE — build on the even half against the
+    * frozen grid+boundaries (`partial:` fingerprint), append the odd
+    * half, tombstone every event_id ≡ 2 (mod 5), search. Build+append ≡
+    * one-shot and delete ≡ filter, composed in one gate. */
+  def q243ZorderLifecycle(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val loc = indexLocation(d, "zorder-life")
+    val src = s"$d/events.parquet"
+    val fpFull = AnnIndex.sourceFingerprint(src)
+    val built = !AnnIndex.readManifest(loc)
+      .exists(m => m.indexType == "zorder" && m.fingerprint == fpFull)
+    if (built) {
+      graft.ops.ZorderIndex.ensureZorder(
+        events.filter(col("event_id") % 2 === 0),
+        "event_id", "value", "user_id", loc, src,
+        fingerprintOverride = Some(s"partial:$fpFull"))
+      graft.ops.ZorderIndex.appendZorder(
+        events.filter(col("event_id") % 2 === 1),
+        "event_id", "value", "user_id", loc, newFingerprint = fpFull)
+    }
+    if (built || !graft.ops.ZorderIndex.hasTombstones(loc))
+      graft.ops.ZorderIndex.deleteIds(
+        events.filter(col("event_id") % 5 === 2), "event_id", loc)
+    zBoxTop(s, loc)
+  }
+
+  private val q243Sql: String =
+    s"""SELECT event_id AS id, value AS x, user_id AS y FROM events
+       |WHERE value >= $ZXLo AND value <= $ZXHi
+       |  AND user_id >= $ZYLo AND user_id <= $ZYHi
+       |  AND event_id % 5 <> 2
+       |ORDER BY id""".stripMargin
+
+  /** q244: the BOX shape served by the OPTIMIZER — the query is the
+    * plain conjunctive range filter over the raw parquet; the injected
+    * rule routes both columns to the one zorder index and splices its
+    * 2-D-pruned scan (the gate REQUIRES the rewrite fired and the corpus
+    * stayed closed). Oracle: the plain filter. */
+  def q244ZorderRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "zorder")
+    graft.ops.ZorderIndex.ensureZorder(Tables.events(s, d),
+      "event_id", "value", "user_id", loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "user_id", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      // integral literals for the BIGINT dim: a fractional literal would
+      // make Catalyst cast the COLUMN to double, hiding the attribute
+      // from the route's bound matcher (the rewrite would decline)
+      val df = ev.filter(col("value") >= ZXLo && col("value") <= ZXHi &&
+          col("user_id") >= ZYLo.toLong && col("user_id") <= ZYHi.toLong)
+        .select(col("event_id"), col("value"), col("user_id"))
+        .orderBy(col("event_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q244: the box rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q244: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q244Sql: String =
+    s"""SELECT event_id, value, user_id FROM events
+       |WHERE value >= $ZXLo AND value <= $ZXHi
+       |  AND user_id >= $ZYLo AND user_id <= $ZYHi
+       |ORDER BY event_id""".stripMargin
+
+  /** q245: q242's box search reached through PURE SQL — the `graft_box`
+    * TVF over the CATALOG-REGISTERED index name: the SQL user names only
+    * the capability-pointer table and the box; the TVF resolves the
+    * location through the catalog property and splices the exact API
+    * plan at analysis time. Hash-gated against q242's plain-filter
+    * oracle. */
+  def q245SqlBox(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "zorder")
+    graft.ops.ZorderIndex.ensureZorder(Tables.events(s, d),
+      "event_id", "value", "user_id", loc, s"$d/events.parquet")
+    CatalogQueries.ensureCatalog(s)
+    AnnIndex.registerIndexTable(s, "graft.tpch.events_zorder_idx", loc)
+    s.sql(
+      s"""SELECT id, x, y
+         |FROM graft_box('graft.tpch.events_zorder_idx',
+         |               $ZXLo, $ZXHi, $ZYLo, $ZYHi)
+         |ORDER BY id""".stripMargin)
+  }
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -526,7 +651,11 @@ object ScalarIndexQueries {
     "q237_sql_contains" -> (q237SqlContains _),
     "q239_prefix_rewrite" -> (q239PrefixRewrite _),
     "q240_ts_btree" -> (q240TsBtree _),
-    "q241_label_rewrite" -> (q241LabelRewrite _))
+    "q241_label_rewrite" -> (q241LabelRewrite _),
+    "q242_zorder_box" -> (q242ZorderBox _),
+    "q243_zorder_lifecycle" -> (q243ZorderLifecycle _),
+    "q244_zorder_rewrite" -> (q244ZorderRewrite _),
+    "q245_sql_box" -> (q245SqlBox _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -560,5 +689,12 @@ object ScalarIndexQueries {
     // membership conjunction — rewrites must be invisible in results
     "q239_prefix_rewrite" -> q239Sql,
     "q240_ts_btree" -> q240Sql,
-    "q241_label_rewrite" -> q241Sql)
+    "q241_label_rewrite" -> q241Sql,
+    // the 2-D z-order family: plain conjunctive range filters — the
+    // index (and the q244 rewrite) must be invisible in results
+    "q242_zorder_box" -> q242Sql,
+    "q243_zorder_lifecycle" -> q243Sql,
+    "q244_zorder_rewrite" -> q244Sql,
+    // the SQL TVF twin of q242: same plain-filter oracle
+    "q245_sql_box" -> q242Sql)
 }

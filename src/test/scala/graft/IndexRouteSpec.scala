@@ -222,6 +222,89 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("a conjunctive 2-D numeric box rewrites to the zorder index; a " +
+      "residual conjunct or one-dimension-only ask declines") {
+    val loc = tmpLoc("route-z")
+    graft.ops.ZorderIndex.ensureZorder(events, "event_id", "value",
+      "user_id", loc, evSource)
+    val box = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("value") >= 100.0 && col("value") <= 250.0 &&
+        col("user_id") >= 3 && col("user_id") <= 7)
+    val want = box(events)
+      .select(col("event_id"), col("value"), col("user_id"))
+      .orderBy(col("event_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      IndexRoute.register(evSource, "user_id", "event_id", loc)
+      val df = box(events)
+        .select(col("event_id"), col("value"), col("user_id"))
+      assert(scansIndex(df, loc),
+        s"expected the zorder scan:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      // an extra conjunct the box cannot serve declines
+      val extra = box(events).filter(col("event_type") === "view")
+        .select(col("event_id"), col("value"), col("user_id"))
+      assert(!scansIndex(extra, loc))
+      // a one-dimension range is the btree's shape, not the box's — with
+      // only zorder routes registered it declines to the scan
+      val oneDim = events
+        .filter(col("value") >= 100.0 && col("value") <= 250.0)
+        .select(col("event_id"), col("value"))
+      assert(!scansIndex(oneDim, loc))
+    }
+  }
+
+  test("rebuildFromSource closes the divergence loop: an index-only " +
+      "delete declines the route even after compaction, the manifest-" +
+      "driven rebuild restores service; derived-column and vector " +
+      "indexes refuse") {
+    import graft.ops.AnnIndex
+    val loc = tmpLoc("route-rebuild")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      def q = docs.filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(scansIndex(q, loc))
+      // index-only delete: divergent — declines, and stays declined
+      // through compaction (the tombstones fold away, the divergence
+      // does not)
+      ScalarIndex.deleteIds(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", loc)
+      assert(!scansIndex(q, loc))
+      ScalarIndex.compactBitmap(spark, loc)
+      assert(!scansIndex(q, loc),
+        "a compacted-but-divergent index must stay declined")
+      // the documented recovery: rebuild from the manifest's source
+      // binding — route serves again, results are the full corpus
+      AnnIndex.rebuildFromSource(spark, loc)
+      assert(!AnnIndex.readManifest(loc).get.divergent)
+      assert(scansIndex(q, loc),
+        s"rebuild must restore the route:\n${q.queryExecution.executedPlan}")
+      assert(q.count() == docs.filter(col("lang") === "en").count())
+    }
+    // a DERIVED-column binding refuses: the source has no such column
+    val locDerived = tmpLoc("route-rebuild-derived")
+    ScalarIndex.ensureBtree(
+      events.withColumn("day", to_date(col("ts"))),
+      "event_id", "day", locDerived, evSource)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.rebuildFromSource(spark, locDerived))
+    assert(e.getMessage.contains("DERIVED"))
+    // vector tiers refuse: training artifacts live outside the manifest
+    val locVec = tmpLoc("route-rebuild-vec")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import spark.implicits._
+    val cells = Seq((0, Seq.fill(8)(0.1f)), (1, Seq.fill(8)(-0.1f)))
+      .toDF("cid", "__c")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding", cells, "cid", "__c",
+      locVec, s"$sfDir/embeddings.parquet")
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.rebuildFromSource(spark, locVec))
+    assert(e2.getMessage.contains("training"))
+  }
+
   test("count(*) over a routed filter is answered from the index: the " +
       "empty projection is trivially covering") {
     val loc = tmpLoc("route-count")

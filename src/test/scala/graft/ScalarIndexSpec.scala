@@ -461,6 +461,34 @@ class ScalarIndexSpec extends SparkSpec {
       "CDC-maintained btree diverged from the equivalent batch corpus")
   }
 
+  test("vacuum deletes abandoned build/compaction stagings older than the " +
+      "horizon — never live dirs, the manifest, or in-flight stagings") {
+    val loc = tmpLoc("bt-vacuum")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val want = idxRange(loc)
+    def plant(path: String, old: Boolean): java.io.File = {
+      val f = new java.io.File(path)
+      assert(f.mkdirs())
+      if (old) assert(f.setLastModified(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+      f
+    }
+    val oldSibling = plant(s"$loc.tmp.99999.1", old = true)
+    val oldCompact = plant(s"$loc/postings.compact.99999.1", old = true)
+    val freshStaging = plant(s"$loc/zonemap.compact.99999.2", old = false)
+    val deleted = graft.ops.AnnIndex.vacuumIndex(loc)
+    assert(deleted.toSet ==
+      Set(oldSibling.getPath, oldCompact.getPath))
+    assert(!oldSibling.exists() && !oldCompact.exists())
+    assert(freshStaging.exists(),
+      "an in-flight (young) staging must survive the vacuum")
+    assert(new java.io.File(s"$loc/postings").exists())
+    assert(graft.ops.AnnIndex.readManifest(loc).isDefined)
+    assert(idxRange(loc).toSeq == want.toSeq, "results unchanged by vacuum")
+    // idempotent: nothing left to collect
+    assert(graft.ops.AnnIndex.vacuumIndex(loc).isEmpty)
+  }
+
   test("scalar index is catalog-registrable and resolvable by name") {
     val loc = tmpLoc("bt-cat")
     ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)

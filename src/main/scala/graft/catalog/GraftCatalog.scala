@@ -35,7 +35,8 @@ import graft.schema.JsonArrowSchema
   * executors receive only serialized scan locations, which is why no
   * reference-style pickling dance (`glue.py:522-532`) exists here.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var backend: MetadataBackend = _
@@ -53,6 +54,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   override def toString: String = s"GraftCatalog($catalogName -> ${backend.backendId})"
+
+  // ---- index-management procedures (CALL graft.system.*) ---------------
+  // SQL DDL for the index lifecycle — see [[GraftProcedures]].
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   private def oid(ns: Array[String]): ObjectIdentifier = ObjectIdentifier(ns.toIndexedSeq)
   private def oid(ident: Identifier): ObjectIdentifier =

@@ -1,0 +1,207 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.{AnnIndex, NgramIndex, ScalarIndex, TextIndex, ZorderIndex}
+
+/** SQL-surface INDEX MANAGEMENT — the reference ecosystem's index DDL
+  * (create_index / optimize / list_indices) re-expressed as Spark 4 DSv2
+  * procedures under the catalog's `system` namespace, so the whole index
+  * lifecycle is drivable from pure SQL:
+  * {{{
+  *   CALL graft.system.create_index(
+  *     name => 'graft.db.events_value_idx', index_type => 'btree',
+  *     source => '/data/events.parquet', id_col => 'event_id',
+  *     key_cols => 'value', location => '/indexes/events_value')
+  *   CALL graft.system.compact_index(index => 'graft.db.events_value_idx')
+  *   CALL graft.system.rebuild_index(index => 'graft.db.events_value_idx')
+  *   CALL graft.system.vacuum_index(index => 'graft.db.events_value_idx')
+  * }}}
+  * `index` arguments accept either a registered capability-pointer table
+  * name (resolved through the catalog property, the q228/q245 device) or
+  * a raw location. Families needing training artifacts (ivf/ivf_pq/
+  * ivf_sq) refuse create/rebuild loudly — their builds go through the
+  * Scala ensure APIs that take centroids/codebooks/ranges.
+  *
+  * Each procedure returns its receipt as rows (a [[LocalScan]] —
+  * driver-side, metadata-sized), so `CALL` output is SELECT-able like
+  * any other Spark procedure result.
+  */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def str(v: Any): String = v match {
+    case null => null
+    case s: UTF8String => s.toString
+    case s => s.toString
+  }
+
+  /** Table-name-or-location → location (the TVFs' resolveIdx rule). */
+  private def resolveIdx(idx: String): String =
+    if (AnnIndex.readManifest(idx).isDefined) idx
+    else AnnIndex.resolveIndexLocation(spark, idx)
+
+  private def localScan(schema: StructType,
+      rowData: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
+    // distinct name from the LocalScan method — `rows` would resolve to
+    // the override itself inside the anon class (infinite recursion)
+    val materialized = rowData.map { cells =>
+      InternalRow.fromSeq(cells.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      })
+    }.toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = materialized
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+
+  private def in(name: String): ProcedureParameter =
+    ProcedureParameter.in(name, DataTypes.StringType).build()
+  private def inDefault(name: String, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, DataTypes.StringType)
+      .defaultValue(default).build()
+
+  private abstract class GraftProcedure(procName: String,
+      params: Array[ProcedureParameter], out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Seq[Seq[Any]]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      localScan(out, run(input))
+  }
+
+  private val receiptSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("location", DataTypes.StringType),
+    org.apache.spark.sql.types.StructField("index_type", DataTypes.StringType),
+    org.apache.spark.sql.types.StructField("action", DataTypes.StringType)))
+
+  /** Families create/rebuild can reconstruct purely from (source, cols) —
+    * the same set [[AnnIndex.rebuildFromSource]] serves. */
+  private def buildIndex(indexType: String, source: String, idCol: String,
+      keyCols: Seq[String], location: String, buckets: Int): Boolean = {
+    val src = spark.read.parquet(source)
+    indexType match {
+      case "btree" =>
+        require(keyCols.length == 1, "btree takes one key column")
+        ScalarIndex.ensureBtree(src, idCol, keyCols.head, location, source,
+          nBuckets = buckets)
+      case "bitmap" =>
+        require(keyCols.length == 1, "bitmap takes one key column")
+        ScalarIndex.ensureBitmap(src, idCol, keyCols.head, location, source)
+      case "label_list" =>
+        require(keyCols.length == 1, "label_list takes one array column")
+        ScalarIndex.ensureLabelList(src, idCol, keyCols.head, location, source)
+      case "ngram" =>
+        require(keyCols.length == 1, "ngram takes one text column")
+        NgramIndex.ensureNgram(src, idCol, keyCols.head, location, source,
+          nBuckets = buckets)
+      case "inverted" =>
+        require(keyCols.length == 1, "inverted takes one text column")
+        TextIndex.ensureInverted(src, idCol, keyCols.head, location, source,
+          nBuckets = buckets)
+      case "zorder" =>
+        require(keyCols.length == 2, "zorder takes two key columns")
+        ZorderIndex.ensureZorder(src, idCol, keyCols(0), keyCols(1),
+          location, source, nBuckets = buckets)
+      case t => throw new IllegalArgumentException(
+        s"create_index: a '$t' index needs training artifacts " +
+          "(centroids/codebook/ranges) — build through the Scala ensure API")
+    }
+  }
+
+  private val createIndex = new GraftProcedure("create_index",
+    Array(in("name"), in("index_type"), in("source"), in("id_col"),
+      in("key_cols"), in("location"), inDefault("buckets", "'32'")),
+    receiptSchema) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val name = str(input.getUTF8String(0))
+      val indexType = str(input.getUTF8String(1))
+      val source = str(input.getUTF8String(2))
+      val idCol = str(input.getUTF8String(3))
+      val keyCols = str(input.getUTF8String(4)).split(",").map(_.trim).toSeq
+      val location = str(input.getUTF8String(5))
+      val buckets = str(input.getUTF8String(6)).toInt
+      val built = buildIndex(indexType, source, idCol, keyCols,
+        location, buckets)
+      AnnIndex.registerIndexTable(spark, name, location)
+      Seq(Seq(location, indexType, if (built) "built" else "reused"))
+    }
+  }
+
+  private val rebuildIndex = new GraftProcedure("rebuild_index",
+    Array(in("index")), receiptSchema) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val loc = resolveIdx(str(input.getUTF8String(0)))
+      AnnIndex.rebuildFromSource(spark, loc)
+      val man = AnnIndex.readManifest(loc).get
+      Seq(Seq(loc, man.indexType, "rebuilt"))
+    }
+  }
+
+  private val compactIndex = new GraftProcedure("compact_index",
+    Array(in("index")), receiptSchema) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val loc = resolveIdx(str(input.getUTF8String(0)))
+      val man = AnnIndex.readManifest(loc).getOrElse(
+        throw new IllegalStateException(s"no index at $loc"))
+      man.indexType match {
+        case "btree" => ScalarIndex.compactBtree(spark, loc)
+        case "bitmap" | "label_list" => ScalarIndex.compactBitmap(spark, loc)
+        case "zorder" => ZorderIndex.compactZorder(spark, loc)
+        case "ngram" => NgramIndex.compactNgram(spark, loc)
+        case "inverted" => TextIndex.compactInverted(spark, loc)
+        case "ivf" | "ivf_pq" | "ivf_sq" => AnnIndex.compactIvf(spark, loc)
+        case t => throw new IllegalArgumentException(
+          s"compact_index: unknown index type '$t' at $loc")
+      }
+      Seq(Seq(loc, man.indexType, "compacted"))
+    }
+  }
+
+  private val vacuumIndex = new GraftProcedure("vacuum_index",
+    Array(in("index"), inDefault("older_than_hours", "'24'")),
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("deleted",
+        DataTypes.StringType)))) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val loc = resolveIdx(str(input.getUTF8String(0)))
+      val hours = str(input.getUTF8String(1)).toLong
+      AnnIndex.vacuumIndex(loc, olderThanMs = hours * 3600 * 1000)
+        .map(Seq(_))
+    }
+  }
+
+  private val all: Map[String, UnboundProcedure] = Map(
+    "create_index" -> createIndex,
+    "rebuild_index" -> rebuildIndex,
+    "compact_index" -> compactIndex,
+    "vacuum_index" -> vacuumIndex)
+
+  def load(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace),
+      s"no procedure namespace ${ident.namespace().mkString(".")}")
+    all.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"no procedure ${ident.name()} — have ${all.keys.toSeq.sorted
+        .mkString(", ")}"))
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace) || namespace.isEmpty)
+      all.keys.toSeq.sorted.map(Identifier.of(Namespace, _)).toArray
+    else Array.empty
+}

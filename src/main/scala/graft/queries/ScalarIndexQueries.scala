@@ -578,6 +578,28 @@ object ScalarIndexQueries {
          |ORDER BY id""".stripMargin)
   }
 
+  /** q246: the index lifecycle driven by SQL DDL — `CALL
+    * graft.system.create_index(...)` (the reference ecosystem's
+    * create_index surface as a Spark 4 DSv2 procedure) builds and
+    * catalog-registers a btree whose search must equal the plain range
+    * filter; the CALL's own receipt row is checked in-gate (built or
+    * reused — both legal, the fingerprint decides). */
+  def q246SqlCreateIndex(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    val loc = indexLocation(d, "btree-proc")
+    val receipt = s.sql(
+      s"""CALL graft.system.create_index(
+         |  name => 'graft.tpch.events_value_proc_idx',
+         |  index_type => 'btree', source => '$d/events.parquet',
+         |  id_col => 'event_id', key_cols => 'value',
+         |  location => '$loc')""".stripMargin).collect().head
+    require(receipt.getString(0) == loc &&
+      Set("built", "reused")(receipt.getString(2)),
+      s"q246: unexpected create_index receipt: $receipt")
+    rangeTop(s,
+      AnnIndex.resolveIndexLocation(s, "graft.tpch.events_value_proc_idx"))
+  }
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -655,7 +677,8 @@ object ScalarIndexQueries {
     "q242_zorder_box" -> (q242ZorderBox _),
     "q243_zorder_lifecycle" -> (q243ZorderLifecycle _),
     "q244_zorder_rewrite" -> (q244ZorderRewrite _),
-    "q245_sql_box" -> (q245SqlBox _))
+    "q245_sql_box" -> (q245SqlBox _),
+    "q246_sql_create_index" -> (q246SqlCreateIndex _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -696,5 +719,7 @@ object ScalarIndexQueries {
     "q243_zorder_lifecycle" -> q243Sql,
     "q244_zorder_rewrite" -> q244Sql,
     // the SQL TVF twin of q242: same plain-filter oracle
-    "q245_sql_box" -> q242Sql)
+    "q245_sql_box" -> q242Sql,
+    // CALL-built btree ≡ the q213 range filter (same box, fresh location)
+    "q246_sql_create_index" -> q213Sql)
 }

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnnIndex, ScalarIndex}
+
+/** SQL-surface index management — [[graft.catalog.GraftProcedures]]:
+  * the whole index lifecycle drivable from `CALL graft.system.*`
+  * statements, receipts returned as rows. */
+class GraftProcedureSpec extends SparkSpec {
+
+  private lazy val evSource = s"$sfDir/events.parquet"
+  private lazy val events = spark.read.parquet(evSource)
+
+  private def tmpLoc(name: String): String =
+    s"${Files.createTempDirectory("graft-procspec").toString}/$name"
+
+  test("create_index → search; re-create reuses; compact, rebuild, and " +
+      "vacuum drive the full lifecycle from SQL") {
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    val loc = tmpLoc("proc-bt")
+    def create() = spark.sql(
+      s"""CALL graft.system.create_index(
+         |  name => 'graft.tpch.proc_btree_idx', index_type => 'btree',
+         |  source => '$evSource', id_col => 'event_id',
+         |  key_cols => 'value', location => '$loc')""".stripMargin)
+      .collect().head
+    val r1 = create()
+    assert(r1.getString(0) == loc && r1.getString(1) == "btree" &&
+      r1.getString(2) == "built")
+    // the registered pointer resolves, and the index serves searches
+    assert(AnnIndex.resolveIndexLocation(
+      spark, "graft.tpch.proc_btree_idx") == loc)
+    val want = events.filter(col("value") >= 100.0 && col("value") <= 250.0)
+      .select(col("event_id").as("id"), col("value").as("key"))
+      .orderBy(col("id")).collect()
+    assert(ScalarIndex.searchBtreeRange(spark, loc, 100.0, 250.0)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+    // unchanged fingerprint: the second CALL is a no-op receipt
+    assert(create().getString(2) == "reused")
+
+    // delete → compact via CALL: tombstones fold, divergence survives
+    ScalarIndex.deleteIds(events.filter(col("event_id") % 5 === 2),
+      "event_id", loc)
+    val rc = spark.sql(
+      "CALL graft.system.compact_index(index => 'graft.tpch.proc_btree_idx')")
+      .collect().head
+    assert(rc.getString(2) == "compacted")
+    assert(!ScalarIndex.hasTombstones(loc))
+    assert(AnnIndex.readManifest(loc).get.divergent)
+
+    // rebuild via CALL: the manifest-driven recovery restores equality
+    val rr = spark.sql(
+      "CALL graft.system.rebuild_index(index => 'graft.tpch.proc_btree_idx')")
+      .collect().head
+    assert(rr.getString(2) == "rebuilt")
+    assert(!AnnIndex.readManifest(loc).get.divergent)
+    assert(ScalarIndex.searchBtreeRange(spark, loc, 100.0, 250.0)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+
+    // vacuum via CALL: plant old residue, collect it
+    val residue = new java.io.File(s"$loc/postings.compact.42424.1")
+    assert(residue.mkdirs())
+    assert(residue.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    val rv = spark.sql(
+      "CALL graft.system.vacuum_index(index => 'graft.tpch.proc_btree_idx')")
+      .collect()
+    assert(rv.map(_.getString(0)).toSet == Set(residue.getPath))
+    assert(!residue.exists())
+  }
+
+  test("create_index dispatches every reconstructible family; vector " +
+      "tiers and unknown procedures refuse loudly") {
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    val locZ = tmpLoc("proc-z")
+    val rz = spark.sql(
+      s"""CALL graft.system.create_index(
+         |  name => 'graft.tpch.proc_zorder_idx', index_type => 'zorder',
+         |  source => '$evSource', id_col => 'event_id',
+         |  key_cols => 'value,user_id', location => '$locZ')""".stripMargin)
+      .collect().head
+    assert(rz.getString(1) == "zorder" && rz.getString(2) == "built")
+    assert(graft.ops.ZorderIndex.searchBox(spark, locZ,
+      100.0, 250.0, 3.0, 7.0).count() ==
+      events.filter(col("value").between(100.0, 250.0) &&
+        col("user_id").between(3, 7)).count())
+    val e = intercept[Exception](spark.sql(
+      s"""CALL graft.system.create_index(
+         |  name => 'graft.tpch.never', index_type => 'ivf_pq',
+         |  source => '$evSource', id_col => 'a', key_cols => 'b',
+         |  location => '${tmpLoc("no")}')""".stripMargin).collect())
+    assert(e.getMessage.contains("training"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.no_such_proc(index => 'x')").collect())
+    assert(e2.getMessage.contains("no_such_proc") ||
+      e2.getMessage.contains("not found") ||
+      e2.getMessage.contains("NOT_FOUND"))
+    // the inventory of procedures is listable
+    import org.apache.spark.sql.connector.catalog.{CatalogPlugin, ProcedureCatalog}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[CatalogPlugin with ProcedureCatalog]
+    assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
+      Seq("compact_index", "create_index", "rebuild_index", "vacuum_index"))
+  }
+}

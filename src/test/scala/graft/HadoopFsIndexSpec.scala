@@ -114,6 +114,33 @@ class HadoopFsIndexSpec extends SparkSpec {
       .count() == want)
   }
 
+  test("zorder over file:// — build, box search, append, delete, compact, " +
+      "vacuum, rebuild") {
+    import graft.ops.ZorderIndex
+    val evSource = s"file://$sfDir/events.parquet"
+    val events = spark.read.parquet(evSource)
+    val loc = schemed("z")
+    assert(ZorderIndex.ensureZorder(events, "event_id", "value", "user_id",
+      loc, evSource))
+    val want = events.filter(col("value").between(100.0, 300.0) &&
+      col("user_id").between(3, 7)).count()
+    assert(want > 0)
+    def got() = ZorderIndex.searchBox(spark, loc, 100.0, 300.0, 3.0, 7.0)
+      .count()
+    assert(got() == want)
+    ZorderIndex.deleteIds(events.filter(col("event_id") % 9 === 1),
+      "event_id", loc)
+    val wantDel = events.filter(col("value").between(100.0, 300.0) &&
+      col("user_id").between(3, 7) && col("event_id") % 9 =!= 1).count()
+    assert(got() == wantDel)
+    ZorderIndex.compactZorder(spark, loc)
+    assert(got() == wantDel)
+    // vacuum + the manifest-driven rebuild ride the abstraction too
+    assert(AnnIndex.vacuumIndex(loc).isEmpty)
+    AnnIndex.rebuildFromSource(spark, loc)
+    assert(got() == want, "rebuild restores the full-corpus view")
+  }
+
   test("inverted over file:// — build, bm25, phrase, delete, compact") {
     val loc = schemed("fts")
     assert(TextIndex.ensureInverted(docs, "doc_id", "text", loc, docSource))

@@ -163,6 +163,11 @@ case class IndexedScanRewrite(spark: SparkSession)
         lr <- relationOf(child)
         path <- sourcePathOf(lr)
         rewritten <- tryRewriteTopK(gl.output, k, orders, lr, path)
+      } yield rewritten).orElse(for {
+        (cond, lr) <- filteredRelationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAnnTopKFiltered(
+          gl.output, k, orders, cond, lr, path)
       } yield rewritten).getOrElse(gl)
     // `SELECT id FROM t ORDER BY cosine(vec, <lit>) DESC LIMIT k` — the
     // id projection sits ABOVE the limit (the sort references the vector
@@ -173,6 +178,11 @@ case class IndexedScanRewrite(spark: SparkSession)
         lr <- relationOf(child)
         path <- sourcePathOf(lr)
         rewritten <- tryRewriteAnnTopK(projList, k, orders, lr, path)
+      } yield rewritten).orElse(for {
+        (cond, lr) <- filteredRelationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAnnTopKFiltered(
+          projList, k, orders, cond, lr, path)
       } yield rewritten).getOrElse(p)
     // ... and the same query AFTER the optimizer pushed the projection
     // BELOW the limits (PushProjectionThroughLimit runs in the same
@@ -188,7 +198,24 @@ case class IndexedScanRewrite(spark: SparkSession)
             case ar: AttributeReference => ar
           }, k, orders, lr, path)
             .filter(_ => projList.forall(_.isInstanceOf[AttributeReference])))
+      } yield rewritten).orElse(for {
+        (cond, lr) <- filteredRelationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAnnTopKFiltered(
+          projList, k, orders, cond, lr, path)
       } yield rewritten).getOrElse(gl)
+  }
+
+  /** The scan beneath a FILTER beneath the sort — the filtered-ANN
+    * top-k shape ([[tryRewriteAnnTopKFiltered]]). Looks through a
+    * column-pruning Project on either side of the Filter. */
+  private def filteredRelationOf(plan: LogicalPlan)
+      : Option[(Expression, LogicalRelation)] = plan match {
+    case Filter(cond, rel) => relationOf(rel).map((cond, _))
+    case Project(list, Filter(cond, rel))
+        if list.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(rel).map((cond, _))
+    case _ => None
   }
 
   /** The scan beneath the filter, looking through a column-pruning
@@ -660,6 +687,80 @@ case class IndexedScanRewrite(spark: SparkSession)
   private def arrayFloats(v: Any): Seq[Float] =
     v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toFloatArray().toSeq
+
+  /** FILTERED vector search from plain SQL — `WHERE <pred> ORDER BY
+    * cosine(vec, <literal>) DESC LIMIT k`, id-only projection, over an
+    * [[IndexRoute.registerAnnApprox]]-routed source → the family's
+    * `searchIvf*Filtered` plan: the allowed-id set is the ORIGINAL
+    * filter subtree (spliced verbatim, so ANY predicate the scan could
+    * evaluate works — and if the filter column itself has a covering
+    * scalar route, the NEXT fixed-point pass serves the allowed set from
+    * THAT index too: index intersection by rule composition, corpus
+    * fully closed). The engine's measured-cardinality split then decides
+    * the arm: a selective predicate takes the exact path (recall 1.0 by
+    * construction — what q207/q231 hash-pin), a broad one keeps the
+    * probe with the semi-join beneath both scoring stages. Same
+    * approximation consent and freshness/divergence guards as the
+    * unfiltered ANN route. */
+  private def tryRewriteAnnTopKFiltered(projList: Seq[NamedExpression],
+      k: Int, orders: Seq[SortOrder], cond: Expression,
+      lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
+    (vecAttr, qvec) <- orders match {
+      case Seq(SortOrder(graft.functions.CosineSimilarity(
+          a: AttributeReference, Literal(v, ArrayType(FloatType, _))),
+          Descending, NullsLast, _)) if v != null =>
+        Some((a, arrayFloats(v)))
+      case Seq(SortOrder(graft.functions.CosineSimilarity(
+          Literal(v, ArrayType(FloatType, _)), a: AttributeReference),
+          Descending, NullsLast, _)) if v != null =>
+        Some((a, arrayFloats(v)))
+      case _ => None
+    }
+    if k > 0
+    route <- IndexRoute.lookup(path, vecAttr.name)
+    if Set("ivf", "ivf_pq", "ivf_sq").contains(route.indexType)
+    idAttr <- lr.output.find(_.name == route.idCol)
+    if idAttr.dataType == LongType
+    if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
+    man <- AnnIndex.readManifest(route.location)
+    if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+    if !man.divergent
+    if !AnnIndex.hasTombstones(route.location)
+  } yield {
+    import spark.implicits._
+    val allowed = org.apache.spark.sql.graft.PlanBridge.ofRows(
+      spark, Project(Seq(idAttr), Filter(cond, lr)))
+    val queries = Seq((-1L, qvec)).toDF("qid", "qvec")
+    val res = route.indexType match {
+      case "ivf" => AnnIndex.searchIvfFiltered(spark, route.location,
+        allowed, route.idCol, queries, "qid", "qvec", k, route.nprobe)
+      case "ivf_pq" => AnnIndex.searchIvfPqFiltered(spark, route.location,
+        allowed, route.idCol, queries, "qid", "qvec", k, route.nprobe)
+      case _ => AnnIndex.searchIvfSqFiltered(spark, route.location,
+        allowed, route.idCol, queries, "qid", "qvec", k, route.nprobe)
+    }
+    val df = res.orderBy(col("rank"))
+      .select(col("vec_id").as(route.idCol))
+    val newPlan = org.apache.spark.sql.catalyst.optimizer
+      .EliminateResolvedHint(df.queryExecution.analyzed)
+    val newId = newPlan.output.head
+    require(newId.dataType == idAttr.dataType,
+      s"ann route ${route.location} id type drifted from the source")
+    val rewired = projList.map {
+      case ar: AttributeReference =>
+        Alias(newId, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+      case ne =>
+        val t = ne.transform {
+          case ar: AttributeReference if ar.exprId == idAttr.exprId => newId
+        }.asInstanceOf[NamedExpression]
+        t match {
+          case a: Alias =>
+            Alias(a.child, a.name)(exprId = ne.exprId, qualifier = a.qualifier)
+          case other => other
+        }
+    }
+    Project(rewired, newPlan)
+  }
 
   /** `contains(text, 'needle')` / `text LIKE '%needle%'` over a routed
     * NGRAM source → the index's two-phase plan: gram-intersection

@@ -353,13 +353,13 @@ object ScalarIndexQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
       |ORDER BY id""".stripMargin
 
-  /** q239: `p_name LIKE 'sm%'` served by the STRING-keyed btree through
+  /** q247: `p_name LIKE 'sm%'` served by the STRING-keyed btree through
     * the optimizer route ([[graft.plans.IndexedScanRewrite]]'s prefix
     * arm): a sorted string layout turns a prefix LIKE — unanswerable by
     * hash/bitmap layouts — into a contiguous-bucket read with an exact
     * `startswith` residual. The gate REQUIRES the rewrite fired and the
     * corpus stayed closed; the oracle is the plain LIKE scan. */
-  def q239PrefixRewrite(s: SparkSession, d: String): DataFrame = {
+  def q247PrefixRewrite(s: SparkSession, d: String): DataFrame = {
     val parts = s.read.parquet(s"$d/part.parquet")
     val loc = indexLocation(d, "btree-pname")
     ScalarIndex.ensureBtree(parts, "p_partkey", "p_name", loc,
@@ -371,9 +371,9 @@ object ScalarIndexQueries {
         .select(col("p_partkey"), col("p_name")).orderBy(col("p_partkey"))
       val plan = df.queryExecution.executedPlan.toString
       require(plan.contains(new java.io.File(loc).getName),
-        s"q239: the prefix rewrite did not fire:\n$plan")
+        s"q247: the prefix rewrite did not fire:\n$plan")
       require(!plan.contains("part.parquet"),
-        s"q239: the corpus was still scanned:\n$plan")
+        s"q247: the corpus was still scanned:\n$plan")
       val rows = df.collect()
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.toSeq.asJava, df.schema)
@@ -382,7 +382,7 @@ object ScalarIndexQueries {
     }
   }
 
-  private val q239Sql: String =
+  private val q247Sql: String =
     """SELECT p_partkey, p_name FROM part
       |WHERE p_name LIKE 'sm%' ORDER BY p_partkey""".stripMargin
 
@@ -671,7 +671,7 @@ object ScalarIndexQueries {
     "q235_like_rewrite" -> (q235LikeRewrite _),
     "q236_date_btree" -> (q236DateBtree _),
     "q237_sql_contains" -> (q237SqlContains _),
-    "q239_prefix_rewrite" -> (q239PrefixRewrite _),
+    "q247_prefix_rewrite" -> (q247PrefixRewrite _),
     "q240_ts_btree" -> (q240TsBtree _),
     "q241_label_rewrite" -> (q241LabelRewrite _),
     "q242_zorder_box" -> (q242ZorderBox _),
@@ -710,7 +710,7 @@ object ScalarIndexQueries {
     "q237_sql_contains" -> q223Sql(""),
     // the three round-14 route extensions: plain LIKE / timestamp range /
     // membership conjunction — rewrites must be invisible in results
-    "q239_prefix_rewrite" -> q239Sql,
+    "q247_prefix_rewrite" -> q247Sql,
     "q240_ts_btree" -> q240Sql,
     "q241_label_rewrite" -> q241Sql,
     // the 2-D z-order family: plain conjunctive range filters — the

@@ -1711,6 +1711,55 @@ object SimilarityQueries {
     * TakeOrdered stood. The gate REQUIRES the rewrite fired and the
     * corpus was not opened; the oracle replays the INDEX's approximation
     * (the consented contract), not the exact scan. */
+  /** q248: FILTERED vector search from PLAIN SQL — `WHERE label = 5 AND
+    * vec_id % 2 = 0 ORDER BY cosine DESC LIMIT 10` over the approximate
+    * route: the rewrite splices the ORIGINAL filter subtree as the
+    * allowed-id set and [[graft.ops.AnnIndex.searchIvfFiltered]]'s
+    * measured-cardinality split picks the arm — selective here, so the
+    * EXACT path runs and the oracle is q207's TRUE independent filtered
+    * brute force (single query vector, no self-exclusion: the route's
+    * qid is the non-colliding -1). */
+  def q248FilteredAnnSql(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val loc = annIndexLocation(d, "ivf-seeded")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+      "cid", "cvec", loc, s"$d/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 100)
+      .select(col("embedding")).head().getSeq[Float](0)
+    try {
+      graft.plans.IndexRoute.registerAnnApprox(
+        s"$d/embeddings.parquet", "embedding", "vec_id", loc, nprobe = 3)
+      val df = emb
+        .filter(col("label") === 5 && col("vec_id") % 2 === 0)
+        .orderBy(Similarity.cosine(col("embedding"), typedLit(qv)).desc)
+        .limit(10)
+        .select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q248: the filtered ANN rewrite did not fire:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  val q248Sql: String =
+    s"""WITH scored AS (
+       |  SELECT e.vec_id AS vec_id,
+       |    round(${cosSql("q", "embedding", "e", "embedding")}, 6) AS score
+       |  FROM (SELECT * FROM embeddings WHERE vec_id = 100) q
+       |  JOIN (SELECT * FROM embeddings
+       |        WHERE label = 5 AND vec_id % 2 = 0) e ON true)
+       |SELECT vec_id FROM (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY vec_id""".stripMargin
+
   def q239AnnTopkRewrite(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val loc = annIndexLocation(d, "ivf-seeded")
@@ -1890,6 +1939,7 @@ object SimilarityQueries {
     "q231_filtered_ivfsq_exact" -> (q231FilteredIvfSqExact _),
     "q233_sql_ann_search" -> (q233SqlAnnSearch _),
     "q239_ann_topk_rewrite" -> (q239AnnTopkRewrite _),
+    "q248_filtered_ann_sql" -> (q248FilteredAnnSql _),
     "q186_label_silhouette" -> (q186LabelSilhouette _),
     "q178_srp_recall" -> (q178SrpRecall _),
     "q174_geometric_median" -> (q174GeometricMedian _),
@@ -1958,6 +2008,7 @@ object SimilarityQueries {
     // the ANN top-k optimizer route: the oracle replays the INDEX's
     // approximation — the contract registerAnnApprox consents to
     "q239_ann_topk_rewrite" -> q239Sql,
+    "q248_filtered_ann_sql" -> q248Sql,
     "q186_label_silhouette" -> q186Sql,
     "q178_srp_recall" -> q178Sql,
     "q174_geometric_median" -> q174Sql,

@@ -16,6 +16,19 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge from a resolved Catalyst [[LogicalPlan]] fragment back to the
+  * public DataFrame API (`Dataset.ofRows` is `private[sql]`) — the
+  * optimizer routes splice ORIGINAL filter subtrees as side inputs
+  * (e.g. the filtered-ANN allowed set) and need to execute them as
+  * standalone queries. */
+object PlanBridge {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
 /** Public aliases for `private[sql]` type-coercion types, so custom
   * expressions outside the sql package tree can implement
   * `ImplicitCastInputTypes.inputTypes` (Spark 4 hid `AbstractDataType`). */

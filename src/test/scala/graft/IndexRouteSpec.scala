@@ -578,6 +578,89 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("WHERE <pred> ORDER BY cosine DESC LIMIT k rewrites to the " +
+      "FILTERED ANN search; a selective predicate takes the exact arm " +
+      "(results ≡ independent filtered brute force)") {
+    val embSource = s"$sfDir/embeddings.parquet"
+    val emb = spark.read.parquet(embSource)
+    val loc = tmpLoc("route-ann-filt")
+    graft.ops.AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.limit(4).select((col("vec_id") % 4).cast("int").as("cid"),
+        col("embedding").as("cvec")),
+      "cid", "cvec", loc, embSource)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def pred(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("label") >= 2 && col("vec_id") % 2 === 0)
+    // independent filtered brute force: the exact arm's promise
+    val want = pred(emb)
+      .select(col("vec_id"),
+        round(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .select(col("vec_id")).collect()
+    withRule {
+      IndexRoute.registerAnnApprox(embSource, "embedding", "vec_id", loc,
+        nprobe = 2)
+      val df = pred(emb)
+        .orderBy(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)).desc)
+        .limit(5).select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName),
+        s"expected the filtered ANN search in the plan:\n$plan")
+      assert(df.collect().toSeq == want.toSeq,
+        "the selective arm must be exact over the filtered set")
+      // projecting beyond the id declines
+      val wide = pred(emb)
+        .orderBy(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)).desc)
+        .limit(5).select(col("vec_id"), col("label"))
+      assert(!wide.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+    }
+  }
+
+  test("INDEX INTERSECTION by rule composition: the filtered-ANN " +
+      "rewrite's allowed-set subquery is itself served by a btree route " +
+      "on the filter column — the corpus is never opened at all") {
+    val embSource = s"$sfDir/embeddings.parquet"
+    val emb = spark.read.parquet(embSource)
+    val locAnn = tmpLoc("route-ann-ix")
+    val locBt = tmpLoc("route-bt-ix")
+    graft.ops.AnnIndex.ensureIvf(emb, "vec_id", "embedding",
+      emb.limit(4).select((col("vec_id") % 4).cast("int").as("cid"),
+        col("embedding").as("cvec")),
+      "cid", "cvec", locAnn, embSource)
+    ScalarIndex.ensureBtree(emb, "vec_id", "label", locBt, embSource)
+    val qv = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val want = emb.filter(col("label") === 5)
+      .select(col("vec_id"),
+        round(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)), 6).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .select(col("vec_id")).collect()
+    withRule {
+      IndexRoute.registerAnnApprox(embSource, "embedding", "vec_id",
+        locAnn, nprobe = 2)
+      IndexRoute.register(embSource, "label", "vec_id", locBt)
+      val df = emb.filter(col("label") === 5)
+        .orderBy(graft.ops.Similarity.cosine(col("embedding"),
+          typedLit(qv)).desc)
+        .limit(5).select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(locAnn).getName),
+        s"the ANN index must serve the top-k:\n$plan")
+      assert(plan.contains(new java.io.File(locBt).getName),
+        s"the btree must serve the allowed set (composition):\n$plan")
+      assert(!plan.contains("embeddings.parquet"),
+        s"the corpus must be fully closed:\n$plan")
+      // selective predicate → exact arm → independent brute force holds
+      assert(df.collect().toSeq == want.toSeq)
+    }
+  }
+
   test("ORDER BY cosine(vec, lit) DESC LIMIT k rewrites to the ANN index " +
       "search on an explicitly-consented approximate route — and never " +
       "fires without one") {

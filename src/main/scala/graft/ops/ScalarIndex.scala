@@ -254,13 +254,19 @@ object ScalarIndex {
 
   // ---- BTREE: search ---------------------------------------------------
 
-  /** Range search `key ∈ [lo, hi]` (inclusive) over the persisted btree:
-    * aggregate the zonemap deltas (≤ nBuckets rows — the bounded collect),
-    * prune to overlapping buckets driver-side, read ONLY those partitions
-    * (static `bkt IN (...)`), re-apply the exact predicate on the native
-    * key, anti-join tombstones. Returns (id, key). */
+  /** Range search `key ∈ [lo, hi]` over the persisted btree: aggregate
+    * the zonemap deltas (≤ nBuckets rows — the bounded collect), prune to
+    * overlapping buckets driver-side, read ONLY those partitions (static
+    * `bkt IN (...)`), re-apply the exact predicate on the native key,
+    * anti-join tombstones. Returns (id, key). Bounds are inclusive by
+    * default; `loInclusive`/`hiInclusive` = false serve the STRICT
+    * shapes (`key > lo` / `key < hi`), and ±Infinity bounds serve
+    * one-sided asks (every indexed key is non-null and finite-comparable,
+    * so `key >= -Inf` is vacuous) — pruning always uses the inclusive
+    * envelope (conservative; the residual is exact). */
   def searchBtreeRange(spark: SparkSession, location: String,
-      lo: Double, hi: Double): DataFrame = {
+      lo: Double, hi: Double, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
@@ -285,9 +291,11 @@ object ScalarIndex {
     val pruned =
       if (bkts.isEmpty) postings.filter(lit(false))
       else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
-    antiTombstones(
-      pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi)),
-      location)
+    val loPred =
+      if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+    val hiPred =
+      if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+    antiTombstones(pruned.filter(loPred && hiPred), location)
       .select(col("id"), col("key"))
   }
 

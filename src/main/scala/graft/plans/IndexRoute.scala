@@ -21,7 +21,12 @@ import graft.ops.{AnnIndex, NgramIndex, ScalarIndex, ZorderIndex}
   *  - the scan is a single-root parquet relation whose path has a
   *    registered route ([[IndexRoute.register]]) for the filtered column;
   *  - the predicate is index-servable: `key = lit` / `key IN (lits)` over
-  *    a bitmap route, `lo <= key AND key <= hi` over a btree route;
+  *    a bitmap route; any numeric range over a btree route — two-sided,
+  *    one-sided, strict or inclusive, either conjunct order (plus
+  *    date/timestamp ranges via the native zonemap, `LIKE 'p%'` via the
+  *    string zonemap, `array_contains` conjunctions via label-list,
+  *    two-column boxes via zorder, and `contains`/`LIKE '%n%'` via
+  *    ngram);
   *  - the projection is COVERED by the index (only the id and key columns
   *    survive) — an index holds nothing else, and a semi-join back into
   *    the corpus would not save the corpus scan that makes the rewrite
@@ -241,7 +246,11 @@ case class IndexedScanRewrite(spark: SparkSession)
     * ask the index). */
   private sealed trait Ask
   private case class AskValues(values: Seq[String]) extends Ask
-  private case class AskRange(lo: Double, hi: Double) extends Ask
+  /** Numeric range with per-side inclusivity; ±Infinity bounds encode
+    * one-sided asks (`key >= lo` alone / `key <= hi` alone) — every
+    * indexed key is non-null, so the vacuous side drops out exactly. */
+  private case class AskRange(lo: Double, hi: Double,
+      loInc: Boolean = true, hiInc: Boolean = true) extends Ask
   /** Native-ordered (date/timestamp/string) range — the typed zonemap walk. */
   private case class AskRangeTyped(lo: Any, hi: Any) extends Ask
   /** `key LIKE 'p%'` over a string-keyed btree — the prefix-contiguous
@@ -282,12 +291,29 @@ case class IndexedScanRewrite(spark: SparkSession)
           case StartsWith(a: AttributeReference, Literal(p, StringType))
               if p != null && p.toString.nonEmpty =>
             Some((a, AskPrefix(p.toString)))
-          case _ => None
+          // ONE-SIDED numeric bounds (`key >= v` / `key > v` / `<=` / `<`
+          // alone): the missing side is ±Infinity — vacuous over the
+          // index's non-null keys, so the residual stays exact
+          case other =>
+            boundOf(other, isLower = true).map { case (a, v, inc) =>
+              (a, AskRange(v, Double.PositiveInfinity, inc, true))
+            }.orElse(boundOf(other, isLower = false).map {
+              case (a, v, inc) =>
+                (a, AskRange(Double.NegativeInfinity, v, true, inc))
+            })
         })
       case Seq(b1, b2) =>
+        // try BOTH pairings — the user may write `key <= hi AND key >= lo`
         (boundOf(b1, isLower = true), boundOf(b2, isLower = false)) match {
-          case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
-            Some((a1, AskRange(l, h)))
+          case (Some((a1, l, li)), Some((a2, h, hi2)))
+              if a1.exprId == a2.exprId =>
+            Some((a1, AskRange(l, h, li, hi2)))
+          case _ =>
+            (boundOf(b2, isLower = true),
+             boundOf(b1, isLower = false)) match {
+          case (Some((a1, l, li)), Some((a2, h, hi2)))
+              if a1.exprId == a2.exprId =>
+            Some((a1, AskRange(l, h, li, hi2)))
           case _ =>
             (dateBoundOf(b1, isLower = true),
              dateBoundOf(b2, isLower = false)) match {
@@ -304,6 +330,7 @@ case class IndexedScanRewrite(spark: SparkSession)
                   case _ => None
                 }
             }
+          }
         }
       case _ => None
     }
@@ -368,16 +395,26 @@ case class IndexedScanRewrite(spark: SparkSession)
     if (dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) numeric(v)
     else None
 
+  /** A numeric bound conjunct → (attr, value, inclusive). Strict
+    * comparisons (`>` / `<`) match with inclusive = false. */
   private def boundOf(e: Expression, isLower: Boolean)
-      : Option[(AttributeReference, Double)] = e match {
+      : Option[(AttributeReference, Double, Boolean)] = e match {
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) if isLower =>
-      numericLit(v, dt).map((a, _))
+      numericLit(v, dt).map((a, _, true))
     case LessThanOrEqual(Literal(v, dt), a: AttributeReference) if isLower =>
-      numericLit(v, dt).map((a, _))
+      numericLit(v, dt).map((a, _, true))
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) if isLower =>
+      numericLit(v, dt).map((a, _, false))
+    case LessThan(Literal(v, dt), a: AttributeReference) if isLower =>
+      numericLit(v, dt).map((a, _, false))
     case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) if !isLower =>
-      numericLit(v, dt).map((a, _))
+      numericLit(v, dt).map((a, _, true))
     case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) if !isLower =>
-      numericLit(v, dt).map((a, _))
+      numericLit(v, dt).map((a, _, true))
+    case LessThan(a: AttributeReference, Literal(v, dt)) if !isLower =>
+      numericLit(v, dt).map((a, _, false))
+    case GreaterThan(Literal(v, dt), a: AttributeReference) if !isLower =>
+      numericLit(v, dt).map((a, _, false))
     case _ => None
   }
 
@@ -444,7 +481,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     * prune). Session-tunable; cost-only, never correctness. */
   private def maxInFraction: Double =
     spark.conf.getOption("spark.graft.route.maxInFraction")
-      .map(_.toDouble).getOrElse(0.5)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption) // a malformed
+      // conf must degrade to the default, never throw inside the
+      // optimizer (that would fail the QUERY, not just the rewrite)
+      .getOrElse(0.5)
 
   private def tryRewrite(projList: Seq[NamedExpression], cond: Expression,
       lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
@@ -496,8 +536,9 @@ case class IndexedScanRewrite(spark: SparkSession)
       case AskValues(vs) =>
         ScalarIndex.searchBitmap(spark, route.location, vs)
           .select(col("id").as(route.idCol), col("k").as(route.keyCol))
-      case AskRange(lo, hi) =>
-        ScalarIndex.searchBtreeRange(spark, route.location, lo, hi)
+      case AskRange(lo, hi, loInc, hiInc) =>
+        ScalarIndex.searchBtreeRange(spark, route.location, lo, hi,
+          loInc, hiInc)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
       case AskRangeTyped(lo, hi) =>
         ScalarIndex.searchBtreeRangeTyped(spark, route.location, lo, hi)
@@ -951,8 +992,9 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
     if (rest.length != 4) None
     else {
-      val lowers = rest.flatMap(boundOf(_, isLower = true))
-      val uppers = rest.flatMap(boundOf(_, isLower = false))
+      // inclusive bounds only — searchBox's residual is inclusive
+      val lowers = rest.flatMap(boundOf(_, isLower = true)).filter(_._3)
+      val uppers = rest.flatMap(boundOf(_, isLower = false)).filter(_._3)
       // every conjunct must be a bound, two lowers + two uppers pairing
       // into exactly two distinct attributes
       val paired = for {
@@ -960,7 +1002,7 @@ case class IndexedScanRewrite(spark: SparkSession)
         us <- Option.when(uppers.length == 2)(uppers)
         if ls.map(_._1.exprId).toSet == us.map(_._1.exprId).toSet
         if ls.map(_._1.exprId).distinct.length == 2
-      } yield ls.map { case (a, lo) =>
+      } yield ls.map { case (a, lo, _) =>
         (a, lo, us.find(_._1.exprId == a.exprId).get._2)
       }
       paired.collect {

@@ -600,6 +600,39 @@ object ScalarIndexQueries {
       AnnIndex.resolveIndexLocation(s, "graft.tpch.events_value_proc_idx"))
   }
 
+  /** q249: an OPEN, STRICT range (`value > 150` — one-sided, exclusive)
+    * served through the btree route: the missing bound is ±∞ (vacuous
+    * over the index's non-null keys) and the strict residual re-applies
+    * exactly, completing the range-shape matrix the rewrite answers
+    * (two-sided/one-sided × strict/inclusive × either conjunct order).
+    * The gate REQUIRES the rewrite fired; oracle = the plain filter. */
+  def q249OpenRange(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.filter(col("value") > 150.0)
+        .select(col("event_id"), col("value")).orderBy(col("event_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q249: the open-range rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q249: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q249Sql: String =
+    """SELECT event_id, value FROM events
+      |WHERE value > 150.0 ORDER BY event_id""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -678,7 +711,8 @@ object ScalarIndexQueries {
     "q243_zorder_lifecycle" -> (q243ZorderLifecycle _),
     "q244_zorder_rewrite" -> (q244ZorderRewrite _),
     "q245_sql_box" -> (q245SqlBox _),
-    "q246_sql_create_index" -> (q246SqlCreateIndex _))
+    "q246_sql_create_index" -> (q246SqlCreateIndex _),
+    "q249_open_range" -> (q249OpenRange _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -721,5 +755,7 @@ object ScalarIndexQueries {
     // the SQL TVF twin of q242: same plain-filter oracle
     "q245_sql_box" -> q242Sql,
     // CALL-built btree ≡ the q213 range filter (same box, fresh location)
-    "q246_sql_create_index" -> q213Sql)
+    "q246_sql_create_index" -> q213Sql,
+    // open strict range: the rewrite must be invisible in results
+    "q249_open_range" -> q249Sql)
 }

@@ -131,6 +131,42 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("open and strict range shapes rewrite too: one-sided bounds, " +
+      "strict comparisons, and reversed conjunct order") {
+    val loc = tmpLoc("route-bt-open")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      def check(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+        val want = build(events).select(col("event_id"), col("value"))
+          .orderBy(col("event_id")).collect()
+        assert(want.nonEmpty)
+        val df = build(events).select(col("event_id"), col("value"))
+        assert(scansIndex(df, loc),
+          s"expected the index scan:\n${df.queryExecution.executedPlan}")
+        assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      }
+      // one-sided: >= / < alone
+      check(_.filter(col("value") >= 300.0))
+      check(_.filter(col("value") < 20.0))
+      // strict two-sided
+      check(_.filter(col("value") > 250.0 && col("value") < 300.0))
+      // reversed conjunct order (upper bound written first)
+      check(_.filter(col("value") <= 300.0 && col("value") >= 250.0))
+      // mixed strictness
+      check(_.filter(col("value") > 250.0 && col("value") <= 300.0))
+      // boundary exactness: a strict bound must exclude the exact key a
+      // non-strict one includes
+      val v = events.select(col("value")).limit(1).collect().head.getDouble(0)
+      val incl = events.filter(col("value") >= v && col("value") <= v)
+        .select(col("event_id"), col("value"))
+      val strict = events.filter(col("value") > v && col("value") < v)
+        .select(col("event_id"), col("value"))
+      assert(scansIndex(incl, loc) && scansIndex(strict, loc))
+      assert(incl.count() > 0 && strict.count() == 0)
+    }
+  }
+
   test("LIKE 'p%' rewrites to the string btree's prefix scan; a suffix " +
       "LIKE declines") {
     val partSource = s"$sfDir/part.parquet"

@@ -186,11 +186,26 @@ object GraftProcedures {
     }
   }
 
+  private val describeIndex = new GraftProcedure("describe_index",
+    Array(in("index")),
+    StructType(Seq("location", "index_type", "metric", "nlist", "m",
+      "divergent", "source_path", "source_id_col", "source_key_col")
+      .map(org.apache.spark.sql.types.StructField(_, DataTypes.StringType)))) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val loc = resolveIdx(str(input.getUTF8String(0)))
+      val m = AnnIndex.readManifest(loc).getOrElse(
+        throw new IllegalStateException(s"no index at $loc"))
+      Seq(Seq(loc, m.indexType, m.metric, m.nlist.toString, m.m.toString,
+        m.divergent.toString, m.sourcePath, m.sourceIdCol, m.sourceKeyCol))
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] = Map(
     "create_index" -> createIndex,
     "rebuild_index" -> rebuildIndex,
     "compact_index" -> compactIndex,
-    "vacuum_index" -> vacuumIndex)
+    "vacuum_index" -> vacuumIndex,
+    "describe_index" -> describeIndex)
 
   def load(ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),

@@ -342,19 +342,34 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
   }
 
-  /** A single string-valued equality/IN conjunct → (attr, values). */
+  /** A single string-valued equality/IN/OR-of-equalities conjunct →
+    * (attr, values). OR chains flatten recursively as long as every leaf
+    * is an equality/IN on the SAME attribute — `k = 'a' OR k = 'b'` is
+    * how SQL users actually write the IN the bitmap serves (Catalyst
+    * does not canonicalize ORs to IN). */
   private def valuesAskOf(e: Expression)
       : Option[(AttributeReference, Seq[String])] = e match {
-    case EqualTo(a: AttributeReference, Literal(v, StringType)) if v != null =>
+    // EMPTY-STRING literals decline everywhere: the bitmap layout cannot
+    // store '' (the partition codec reads it back as NULL — builds drop
+    // those keys), so only the scan can answer `k = ''` correctly
+    case EqualTo(a: AttributeReference, Literal(v, StringType))
+        if v != null && v.toString.nonEmpty =>
       Some((a, Seq(v.toString)))
-    case EqualTo(Literal(v, StringType), a: AttributeReference) if v != null =>
+    case EqualTo(Literal(v, StringType), a: AttributeReference)
+        if v != null && v.toString.nonEmpty =>
       Some((a, Seq(v.toString)))
     case In(a: AttributeReference, lits)
         if lits.nonEmpty && lits.forall {
-          case Literal(v, StringType) => v != null
+          case Literal(v, StringType) => v != null && v.toString.nonEmpty
           case _ => false
         } =>
       Some((a, lits.map(_.asInstanceOf[Literal].value.toString)))
+    case Or(l, r) =>
+      for {
+        (a1, v1) <- valuesAskOf(l)
+        (a2, v2) <- valuesAskOf(r)
+        if a1.exprId == a2.exprId
+      } yield (a1, (v1 ++ v2).distinct)
     case _ => None
   }
 

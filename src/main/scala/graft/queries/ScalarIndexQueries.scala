@@ -633,6 +633,39 @@ object ScalarIndexQueries {
     """SELECT event_id, value FROM events
       |WHERE value > 150.0 ORDER BY event_id""".stripMargin
 
+  /** q250: `lang = 'en' OR lang = 'de'` served by the bitmap route — the
+    * OR-of-equalities spelling of the IN the index answers (Catalyst
+    * never canonicalizes ORs to IN, but SQL users write them
+    * constantly); the matcher flattens same-attribute OR chains into one
+    * AskValues. The gate REQUIRES the rewrite fired; oracle = the plain
+    * OR filter. */
+  def q250OrRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en" || col("lang") === "de")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q250: the OR rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q250: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q250Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE lang = 'en' OR lang = 'de' ORDER BY doc_id""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -712,7 +745,8 @@ object ScalarIndexQueries {
     "q244_zorder_rewrite" -> (q244ZorderRewrite _),
     "q245_sql_box" -> (q245SqlBox _),
     "q246_sql_create_index" -> (q246SqlCreateIndex _),
-    "q249_open_range" -> (q249OpenRange _))
+    "q249_open_range" -> (q249OpenRange _),
+    "q250_or_rewrite" -> (q250OrRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -757,5 +791,7 @@ object ScalarIndexQueries {
     // CALL-built btree ≡ the q213 range filter (same box, fresh location)
     "q246_sql_create_index" -> q213Sql,
     // open strict range: the rewrite must be invisible in results
-    "q249_open_range" -> q249Sql)
+    "q249_open_range" -> q249Sql,
+    // OR-of-equalities: the IN's natural SQL spelling, same invisibility
+    "q250_or_rewrite" -> q250Sql)
 }

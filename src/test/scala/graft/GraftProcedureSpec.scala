@@ -103,6 +103,14 @@ class GraftProcedureSpec extends SparkSpec {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[CatalogPlugin with ProcedureCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("compact_index", "create_index", "rebuild_index", "vacuum_index"))
+      Seq("compact_index", "create_index", "describe_index",
+        "rebuild_index", "vacuum_index"))
+    // describe_index surfaces the manifest by table name or raw location
+    val desc = spark.sql(
+      "CALL graft.system.describe_index(index => 'graft.tpch.proc_zorder_idx')")
+      .collect().head
+    assert(desc.getString(1) == "zorder" && desc.getString(2) == "box" &&
+      desc.getString(5) == "false" &&
+      desc.getString(8) == "value,user_id")
   }
 }

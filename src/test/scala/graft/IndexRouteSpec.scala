@@ -113,6 +113,34 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("OR-of-equalities rewrites like the IN it is; an empty-string " +
+      "literal declines (the bitmap cannot store '')") {
+    val loc = tmpLoc("route-bm-or")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.filter(col("lang") === "en" || col("lang") === "de")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en" || col("lang") === "de")
+        .select(col("doc_id"), col("lang"))
+      assert(scansIndex(df, loc),
+        s"expected the OR to route like an IN:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+      // ORs across DIFFERENT attributes decline (no single index serves)
+      val cross = docs.filter(col("lang") === "en" || col("source") === "src1")
+        .select(col("doc_id"), col("lang"))
+      assert(!cross.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      // empty-string equality declines — builds drop '' keys, so only
+      // the scan can answer it
+      val empty = docs.filter(col("lang") === "")
+        .select(col("doc_id"), col("lang"))
+      assert(!scansIndex(empty, loc))
+    }
+  }
+
   test("covering range filter rewrites to the btree index") {
     val loc = tmpLoc("route-bt")
     ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)

@@ -65,6 +65,11 @@ object AnnIndex {
 
   private val ManifestFile = "_MANIFEST.properties"
 
+  /** The smallest residue age [[vacuumIndex]] accepts — no build or
+    * compaction leg in this repo approaches an hour, so anything older
+    * under the staging patterns is genuinely abandoned. */
+  val MinVacuumHorizonMs: Long = 3600L * 1000
+
   /** @param keyType  DDL string of a scalar index's key column type
     *                 (e.g. "BIGINT", "DATE"), stamped at build so
     *                 registration can declare the TRUE schema and typed
@@ -992,13 +997,21 @@ object AnnIndex {
     * this safe to run ANY time, including while another process builds or
     * compacts: an in-flight staging is younger than the horizon, and a
     * completed publish/swap leaves nothing live under these names — the
-    * patterns can only ever match abandoned trees. Live subdirs
+    * patterns can only ever match abandoned trees. That safety argument
+    * rests ENTIRELY on the horizon, so a horizon shorter than any
+    * plausible build is refused outright ([[MinVacuumHorizonMs]], 1 h —
+    * ADVICE r14: `older_than_hours => '0'` through the SQL procedure
+    * would have deleted a live builder's staging mid-build). Live subdirs
     * (postings/zonemap/…) and the manifest never match. Returns the
     * deleted paths (driver-side, metadata-sized). The reference keeps
     * table data self-pruning through its format; an index lifecycle with
     * crash-safe staging owes its users the matching janitor. */
   def vacuumIndex(location: String,
       olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(olderThanMs >= MinVacuumHorizonMs,
+      s"vacuumIndex: horizon ${olderThanMs}ms is below the " +
+        s"${MinVacuumHorizonMs}ms floor — a short horizon races with " +
+        "live builders (their staging would match the residue patterns)")
     val horizon = System.currentTimeMillis() - olderThanMs
     val residue = "(.*\\.tmp\\..+)|(.*\\.compact\\..+)|(.*\\.retired\\..+)".r
     def matches(name: String): Boolean = residue.pattern.matcher(name).matches

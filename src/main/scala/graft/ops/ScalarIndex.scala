@@ -299,17 +299,53 @@ object ScalarIndex {
       .select(col("id"), col("key"))
   }
 
+  /** Unsigned-byte comparison of two strings' UTF-8 encodings — the SAME
+    * total order `UTF8String.binaryCompare` gives Spark's min/max, hence
+    * the order the string zonemap was BUILT in. JVM `String.compareTo`
+    * orders by UTF-16 code unit, which diverges for supplementary-plane
+    * characters (their surrogates sort below U+E000..U+FFFF in UTF-16 but
+    * above them in code points/UTF-8), so any driver-side prune that used
+    * it could wrongly skip a bucket that holds matching rows (ADVICE
+    * r14). Every driver comparison against zonemap strings goes through
+    * here. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** [[utf8Cmp]]-consistent Comparable dispatch: strings compare in UTF-8
+    * byte order, every other native key type (Date/Timestamp/
+    * LocalDateTime) via its own Comparable — those agree with Spark's
+    * ordering already. */
+  private def nativeCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => utf8Cmp(x, y)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   /** Range search `key ∈ [lo, hi]` over a NATIVE-keyed btree (date /
     * timestamp / string — any key whose zonemap stores the key type
     * itself): prune buckets driver-side with the values' own ordering
-    * (`Comparable`, exact — no shadow, no ulp slack), read only the
+    * ([[nativeCmp]] — exact, and UTF-8-byte-consistent with how Spark
+    * built the zonemap; no shadow, no ulp slack), read only the
     * overlapping partitions, re-apply the typed residual, anti-join
-    * tombstones. Bounds are inclusive JVM values of the key's external
-    * type (`java.sql.Date` / `java.sql.Timestamp` / `String`). Returns
-    * (id, key). Numeric-keyed btrees keep [[searchBtreeRange]] — their
-    * zonemap is the double shadow this API must not compare against. */
+    * tombstones. Bounds are JVM values of the key's external type
+    * (`java.sql.Date` / `java.sql.Timestamp` / `String`), inclusive by
+    * default; `loInclusive`/`hiInclusive` = false serve the STRICT
+    * shapes (pruning always uses the inclusive envelope — conservative;
+    * the residual is exact). Returns (id, key). Numeric-keyed btrees
+    * keep [[searchBtreeRange]] — their zonemap is the double shadow this
+    * API must not compare against. */
   def searchBtreeRangeTyped(spark: SparkSession, location: String,
-      lo: Any, hi: Any): DataFrame = {
+      lo: Any, hi: Any, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
@@ -317,29 +353,34 @@ object ScalarIndex {
     require(!numericKey(zmDf.schema("lo").dataType),
       s"btree at $location has a numeric double-shadow zonemap — " +
         "use searchBtreeRange")
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
     val zm = zmDf.groupBy(col("bkt"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .collect()
-    val bkts = zm.filter(r => cmp(r.get(1), hi) <= 0 && cmp(r.get(2), lo) >= 0)
+    val bkts = zm.filter(r =>
+        nativeCmp(r.get(1), hi) <= 0 && nativeCmp(r.get(2), lo) >= 0)
       .map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$location/postings")
     val pruned =
       if (bkts.isEmpty) postings.filter(lit(false))
       else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
-    antiTombstones(
-      pruned.filter(col("key") >= lit(lo) && col("key") <= lit(hi)),
-      location)
+    val loPred =
+      if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+    val hiPred =
+      if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+    antiTombstones(pruned.filter(loPred && hiPred), location)
       .select(col("id"), col("key"))
   }
 
-  /** Prefix search `key LIKE 'p%'` over a STRING-keyed btree: a string
-    * has prefix p iff `p <= s` and `s`'s first |p| chars are ≤ p — so a
-    * bucket [lo, hi] can hold prefixed strings iff `hi >= p` AND
-    * `lo.take(|p|) <= p` (truncation sidesteps the increment-the-last-
-    * char trick and its U+FFFF edge). Prune buckets driver-side with
-    * that test, read only the overlapping partitions, re-apply the exact
+  /** Prefix search `key LIKE 'p%'` over a STRING-keyed btree: in UTF-8
+    * byte space — where a string prefix is exactly a byte prefix, and
+    * which IS the order the zonemap was built in — a bucket [lo, hi] can
+    * hold prefixed strings iff `bytes(hi) >= bytes(p)` AND
+    * `bytes(lo).take(|bytes(p)|) <= bytes(p)` (byte truncation sidesteps
+    * the increment-the-last-byte trick; comparing whole code units in
+    * JVM order instead would diverge from the zonemap's UTF8String
+    * binary order on supplementary-plane keys and could wrongly prune a
+    * matching bucket — ADVICE r14). Prune buckets driver-side with that
+    * test, read only the overlapping partitions, re-apply the exact
     * `startswith` residual, anti-join tombstones. Returns (id, key). At
     * 100 TB this is the classic prefix-scan story: a sorted layout turns
     * `LIKE 'p%'` — unanswerable by hash/bitmap layouts — into a
@@ -357,9 +398,23 @@ object ScalarIndex {
     val zm = zmDf.groupBy(col("bkt"))
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .collect()
+    val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
     val bkts = zm.filter { r =>
-      val lo = r.getString(1); val hi = r.getString(2)
-      hi >= prefix && lo.take(prefix.length) <= prefix
+      val lo = r.getString(1)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hi = r.getString(2)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      byteCmp(hi, p) >= 0 && byteCmp(lo.take(p.length), p) <= 0
     }.map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$location/postings")
     val pruned =
@@ -391,10 +446,10 @@ object ScalarIndex {
     val zmDf = spark.read.parquet(s"$location/zonemap")
     // double-shadow zonemaps prune with 1-ulp slack; NATIVE zonemaps
     // (date/timestamp/string) compare exactly with the values' own
-    // ordering — both walks below work on Comparable
+    // ordering — [[nativeCmp]], so string walks use the zonemap's own
+    // UTF-8 byte order, not JVM UTF-16 order
     val shadowed = numericKey(zmDf.schema("lo").dataType)
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def cmp(a: Any, b: Any): Int = nativeCmp(a, b)
     def down(v: Any): Any =
       if (shadowed) Math.nextDown(v.asInstanceOf[Double]) else v
     def up(v: Any): Any =

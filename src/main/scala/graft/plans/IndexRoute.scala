@@ -161,6 +161,10 @@ case class IndexedScanRewrite(spark: SparkSession)
         path <- sourcePathOf(lr)
         rewritten <- tryRewrite(f.output, cond, lr, path)
           .orElse(tryRewriteContains(f.output, cond, lr, path))
+          // a (id, x, y)-only relation leaves NO Project for the box
+          // shape to match under — the filter's own output is the
+          // (trivially covering) projection then
+          .orElse(tryRewriteBox(f.output, cond, lr, path))
       } yield rewritten).getOrElse(f)
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, child, _))) =>
@@ -251,8 +255,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     * indexed key is non-null, so the vacuous side drops out exactly. */
   private case class AskRange(lo: Double, hi: Double,
       loInc: Boolean = true, hiInc: Boolean = true) extends Ask
-  /** Native-ordered (date/timestamp/string) range — the typed zonemap walk. */
-  private case class AskRangeTyped(lo: Any, hi: Any) extends Ask
+  /** Native-ordered (date/timestamp/string) range — the typed zonemap
+    * walk, with per-side inclusivity for the strict shapes. */
+  private case class AskRangeTyped(lo: Any, hi: Any,
+      loInc: Boolean = true, hiInc: Boolean = true) extends Ask
   /** `key LIKE 'p%'` over a string-keyed btree — the prefix-contiguous
     * bucket scan ([[ScalarIndex.searchBtreePrefix]]). */
   private case class AskPrefix(prefix: String) extends Ask
@@ -303,35 +309,32 @@ case class IndexedScanRewrite(spark: SparkSession)
             })
         })
       case Seq(b1, b2) =>
-        // try BOTH pairings — the user may write `key <= hi AND key >= lo`
-        (boundOf(b1, isLower = true), boundOf(b2, isLower = false)) match {
-          case (Some((a1, l, li)), Some((a2, h, hi2)))
-              if a1.exprId == a2.exprId =>
-            Some((a1, AskRange(l, h, li, hi2)))
-          case _ =>
-            (boundOf(b2, isLower = true),
-             boundOf(b1, isLower = false)) match {
-          case (Some((a1, l, li)), Some((a2, h, hi2)))
-              if a1.exprId == a2.exprId =>
-            Some((a1, AskRange(l, h, li, hi2)))
-          case _ =>
-            (dateBoundOf(b1, isLower = true),
-             dateBoundOf(b2, isLower = false)) match {
-              case (Some((a1, l)), Some((a2, h))) if a1.exprId == a2.exprId =>
-                import org.apache.spark.sql.catalyst.util.DateTimeUtils
-                Some((a1, AskRangeTyped(
-                  DateTimeUtils.toJavaDate(l), DateTimeUtils.toJavaDate(h))))
-              case _ =>
-                (tsBoundOf(b1, isLower = true),
-                 tsBoundOf(b2, isLower = false)) match {
-                  case (Some((a1, l)), Some((a2, h)))
-                      if a1.exprId == a2.exprId =>
-                    Some((a1, AskRangeTyped(l, h)))
-                  case _ => None
-                }
-            }
-          }
-        }
+        // try BOTH conjunct pairings for EVERY typed family — the user
+        // may write `key <= hi AND key >= lo` in either order, numeric,
+        // date or timestamp alike (ADVICE r14: the date/ts families only
+        // matched one order and inclusive operators)
+        def paired[T](f: (Expression, Boolean) =>
+              Option[(AttributeReference, T, Boolean)],
+            mk: (T, T, Boolean, Boolean) => Ask)
+            : Option[(AttributeReference, Ask)] =
+          (for {
+            (a1, l, li) <- f(b1, true)
+            (a2, h, hi2) <- f(b2, false)
+            if a1.exprId == a2.exprId
+          } yield (a1, mk(l, h, li, hi2))).orElse(for {
+            (a1, l, li) <- f(b2, true)
+            (a2, h, hi2) <- f(b1, false)
+            if a1.exprId == a2.exprId
+          } yield (a1, mk(l, h, li, hi2)))
+        paired[Double](boundOf(_, _),
+            (l, h, li, hi2) => AskRange(l, h, li, hi2))
+          .orElse(paired[Int](dateBoundOf(_, _), (l, h, li, hi2) => {
+            import org.apache.spark.sql.catalyst.util.DateTimeUtils
+            AskRangeTyped(DateTimeUtils.toJavaDate(l),
+              DateTimeUtils.toJavaDate(h), li, hi2)
+          }))
+          .orElse(paired[Any](tsBoundOf(_, _),
+            (l, h, li, hi2) => AskRangeTyped(l, h, li, hi2)))
       case _ => None
     }
     matched.filter { case (key, _) =>
@@ -405,10 +408,20 @@ case class IndexedScanRewrite(spark: SparkSession)
 
   /** Catalyst stores DATE literals as Int days — a bare Number check
     * would claim them for the double path, so the literal's TYPE gates
-    * numeric bounds. */
-  private def numericLit(v: Any, dt: DataType): Option[Double] =
-    if (dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) numeric(v)
-    else None
+    * numeric bounds. BIGINT literals additionally require their double
+    * conversion to be EXACT: an inexact literal at the ±2^53 boundary
+    * (e.g. 9007199254740993 rounds to 2^53) would make the double-shadow
+    * residual admit a row the original predicate excludes — a wrong row,
+    * not a missed prune (ADVICE r14). Declining falls back to the scan. */
+  private def numericLit(v: Any, dt: DataType): Option[Double] = dt match {
+    case LongType => v match {
+      case n: java.lang.Long if n.doubleValue().toLong == n.longValue() =>
+        Some(n.doubleValue())
+      case _ => None
+    }
+    case _: org.apache.spark.sql.types.NumericType => numeric(v)
+    case _ => None
+  }
 
   /** A numeric bound conjunct → (attr, value, inclusive). Strict
     * comparisons (`>` / `<`) match with inclusive = false. */
@@ -433,9 +446,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     case _ => None
   }
 
-  /** [[boundOf]] for DateType literals (days-since-epoch ints). */
+  /** [[boundOf]] for DateType literals (days-since-epoch ints) —
+    * inclusive AND strict operators, mirroring the numeric path. */
   private def dateBoundOf(e: Expression, isLower: Boolean)
-      : Option[(AttributeReference, Int)] = {
+      : Option[(AttributeReference, Int, Boolean)] = {
     def days(v: Any, dt: DataType): Option[Int] = dt match {
       case org.apache.spark.sql.types.DateType if v != null =>
         Some(v.asInstanceOf[Int])
@@ -443,13 +457,21 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
     e match {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
-          if isLower => days(v, dt).map((a, _))
+          if isLower => days(v, dt).map((a, _, true))
       case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
-          if isLower => days(v, dt).map((a, _))
+          if isLower => days(v, dt).map((a, _, true))
+      case GreaterThan(a: AttributeReference, Literal(v, dt))
+          if isLower => days(v, dt).map((a, _, false))
+      case LessThan(Literal(v, dt), a: AttributeReference)
+          if isLower => days(v, dt).map((a, _, false))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
-          if !isLower => days(v, dt).map((a, _))
+          if !isLower => days(v, dt).map((a, _, true))
       case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
-          if !isLower => days(v, dt).map((a, _))
+          if !isLower => days(v, dt).map((a, _, true))
+      case LessThan(a: AttributeReference, Literal(v, dt))
+          if !isLower => days(v, dt).map((a, _, false))
+      case GreaterThan(Literal(v, dt), a: AttributeReference)
+          if !isLower => days(v, dt).map((a, _, false))
       case _ => None
     }
   }
@@ -460,9 +482,10 @@ case class IndexedScanRewrite(spark: SparkSession)
     * for un-annotated parquet timestamps — to `java.time.LocalDateTime`;
     * either is Comparable, matching the native zonemap the btree stored
     * for that key type (a flavor mismatch is caught by the yield's
-    * type-drift check). */
+    * type-drift check). Inclusive AND strict operators, mirroring the
+    * numeric path. */
   private def tsBoundOf(e: Expression, isLower: Boolean)
-      : Option[(AttributeReference, Any)] = {
+      : Option[(AttributeReference, Any, Boolean)] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     def external(v: Any, dt: DataType): Option[Any] = dt match {
       case org.apache.spark.sql.types.TimestampType if v != null =>
@@ -473,13 +496,21 @@ case class IndexedScanRewrite(spark: SparkSession)
     }
     e match {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
-          if isLower => external(v, dt).map((a, _))
+          if isLower => external(v, dt).map((a, _, true))
       case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
-          if isLower => external(v, dt).map((a, _))
+          if isLower => external(v, dt).map((a, _, true))
+      case GreaterThan(a: AttributeReference, Literal(v, dt))
+          if isLower => external(v, dt).map((a, _, false))
+      case LessThan(Literal(v, dt), a: AttributeReference)
+          if isLower => external(v, dt).map((a, _, false))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
-          if !isLower => external(v, dt).map((a, _))
+          if !isLower => external(v, dt).map((a, _, true))
       case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
-          if !isLower => external(v, dt).map((a, _))
+          if !isLower => external(v, dt).map((a, _, true))
+      case LessThan(a: AttributeReference, Literal(v, dt))
+          if !isLower => external(v, dt).map((a, _, false))
+      case GreaterThan(Literal(v, dt), a: AttributeReference)
+          if !isLower => external(v, dt).map((a, _, false))
       case _ => None
     }
   }
@@ -555,8 +586,9 @@ case class IndexedScanRewrite(spark: SparkSession)
         ScalarIndex.searchBtreeRange(spark, route.location, lo, hi,
           loInc, hiInc)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
-      case AskRangeTyped(lo, hi) =>
-        ScalarIndex.searchBtreeRangeTyped(spark, route.location, lo, hi)
+      case AskRangeTyped(lo, hi, loInc, hiInc) =>
+        ScalarIndex.searchBtreeRangeTyped(spark, route.location, lo, hi,
+          loInc, hiInc)
           .select(col("id").as(route.idCol), col("key").as(route.keyCol))
       case AskPrefix(p) =>
         ScalarIndex.searchBtreePrefix(spark, route.location, p)

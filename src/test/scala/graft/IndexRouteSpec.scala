@@ -238,6 +238,57 @@ class IndexRouteSpec extends SparkSpec {
       assert(scansIndex(df, loc),
         s"expected the native ts scan:\n${df.queryExecution.executedPlan}")
       assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      // STRICT operators and REVERSED conjunct order route too (ADVICE
+      // r14: the typed families only matched inclusive + one order)
+      val wantStrict = events
+        .filter(col("ts") > lit(tLo) && col("ts") < lit(tHi))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id")).collect()
+      val strictRev = events
+        .filter(col("ts") < lit(tHi) && col("ts") > lit(tLo))
+        .select(col("event_id"), col("ts"))
+      assert(scansIndex(strictRev, loc),
+        s"expected the strict reversed-order ts range to route:\n" +
+          s"${strictRev.queryExecution.executedPlan}")
+      assert(strictRev.orderBy(col("event_id")).collect().toSeq ==
+        wantStrict.toSeq)
+    }
+  }
+
+  test("a BIGINT literal whose double conversion is inexact declines the " +
+      "zorder box route — the double-shadow residual would admit a row " +
+      "the original predicate excludes") {
+    import spark.implicits._
+    val src = s"${Files.createTempDirectory("graft-routespec")}/bigxy"
+    // x = 2^53 sits exactly at the boundary the ±2^53 build contract
+    // admits; the literal 2^53+1 rounds DOWN to 2^53 in a double
+    val twoP53 = 9007199254740992L
+    (Seq((1L, twoP53, 5L), (2L, 100L, 5L), (3L, 200L, 6L)))
+      .toDF("id", "x", "y").write.parquet(src)
+    val base = spark.read.parquet(src)
+    val loc = tmpLoc("route-z-bigint")
+    graft.ops.ZorderIndex.ensureZorder(base, "id", "x", "y", loc, src)
+    withRule {
+      IndexRoute.register(src, "x", "id", loc)
+      IndexRoute.register(src, "y", "id", loc)
+      // sanity: an exact-literal box routes
+      val exact = base.filter(col("x") >= 50L && col("x") <= twoP53 &&
+          col("y") >= 5L && col("y") <= 6L)
+        .select(col("id"), col("x"), col("y"))
+      assert(exact.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      assert(exact.count() == 3)
+      // the INEXACT lower bound 2^53+1 must decline: its double shadow
+      // (2^53) would admit id=1, which the original predicate excludes
+      val inexact = base.filter(col("x") >= (twoP53 + 1) &&
+          col("x") <= (twoP53 + 10) && col("y") >= 5L && col("y") <= 6L)
+        .select(col("id"), col("x"), col("y"))
+      assert(!inexact.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        "an inexact bigint literal must fall back to the scan")
+      assert(inexact.count() == 0,
+        "no row satisfies x >= 2^53+1 — a routed shadow would have " +
+          "wrongly returned x = 2^53")
     }
   }
 

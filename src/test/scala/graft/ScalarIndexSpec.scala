@@ -497,4 +497,63 @@ class ScalarIndexSpec extends SparkSpec {
     assert(AnnIndex.resolveIndexLocation(
       spark, "graft.tpch.scalar_spec_idx") == loc)
   }
+
+  test("string-btree driver pruning uses the zonemap's own UTF-8 byte " +
+      "order — supplementary-plane keys are never wrongly pruned " +
+      "(prefix, typed range, top-k walk)") {
+    import spark.implicits._
+    val src = tmpLoc("bt-utf8-src")
+    // binary (code-point) order: "alpha" < "￿match" < "😀z"
+    // (U+1F600 > U+FFFF in code points) — JVM UTF-16 order disagrees:
+    // the surrogate pair sorts BELOW "￿…", so a JVM-ordered prune
+    // against the UTF8String-binary zonemap would skip the bucket
+    val smile = new String(Character.toChars(0x1F600))
+    Seq((1L, "alpha"), (2L, "￿match"), (3L, smile + "z"))
+      .toDF("id", "key").write.parquet(src)
+    val base = spark.read.parquet(src)
+    val loc = tmpLoc("bt-utf8")
+    ScalarIndex.ensureBtree(base, "id", "key", loc, src, nBuckets = 1)
+    assert(ScalarIndex.searchBtreePrefix(spark, loc, "￿")
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "the \\uFFFF-prefixed key must survive bucket pruning under a " +
+        "supplementary-plane zonemap hi")
+    assert(ScalarIndex.searchBtreeRangeTyped(spark, loc,
+        "￿", smile + "z")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 3L))
+    val top = ScalarIndex.btreeTopKScan(spark, loc, 2, ascending = false)
+    assert(top.isDefined)
+    assert(top.get.orderBy(col("key").desc).limit(2)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
+  }
+
+  test("typed range search serves STRICT bounds: exclusive endpoints " +
+      "drop the boundary rows an inclusive ask keeps") {
+    val ev = dayEvents
+    val loc = tmpLoc("bt-date-strict")
+    ScalarIndex.ensureBtree(ev, "event_id", "day", loc, evSource)
+    val incl = ScalarIndex.searchBtreeRangeTyped(spark, loc, DLo, DHi)
+      .orderBy(col("id")).collect()
+    val strict = ScalarIndex.searchBtreeRangeTyped(spark, loc, DLo, DHi,
+        loInclusive = false, hiInclusive = false)
+      .orderBy(col("id")).collect()
+    val want = ev.filter(col("day") > lit(DLo) && col("day") < lit(DHi))
+      .select(col("event_id").as("id"), col("day").as("key"))
+      .orderBy(col("id")).collect()
+    assert(strict.toSeq == want.toSeq)
+    assert(strict.length < incl.length,
+      "the boundary days hold rows — strict must drop them")
+  }
+
+  test("vacuum refuses a horizon below the floor: a short horizon races " +
+      "with live builders") {
+    val loc = tmpLoc("bt-vacuum-floor")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val e = intercept[IllegalArgumentException](
+      graft.ops.AnnIndex.vacuumIndex(loc, olderThanMs = 1000))
+    assert(e.getMessage.contains("floor"))
+    // the floor itself is accepted
+    assert(graft.ops.AnnIndex.vacuumIndex(loc,
+      olderThanMs = graft.ops.AnnIndex.MinVacuumHorizonMs).isEmpty)
+  }
 }

@@ -96,11 +96,17 @@ object AnnIndex {
   // ---- manifest & fingerprint ----------------------------------------
 
   /** Driver-side stat fingerprint of a parquet file/dir: md5 over the
-    * sorted (name, size) listing — one Hadoop `FileSystem` stat, no data
-    * read, any scheme. Changes whenever the source data drop changes. */
+    * sorted (name, size, mtime) listing — one Hadoop `FileSystem` stat,
+    * no data read, any scheme. Changes whenever the source data drop
+    * changes, INCLUDING an in-place rewrite that keeps every name and
+    * byte count (the mtime catches it) and direct-child churn inside a
+    * one-level partition subtree (the child dir's mtime moves). Deeper
+    * nesting (dt=X over hour=Y) only bumps the grandchild's parent —
+    * keep indexed sources at most one partition level deep, or rebuild
+    * explicitly after surgical deep edits. */
   def sourceFingerprint(sourcePath: String): String = {
     val entries = IndexFs.listNamesSizes(sourcePath)
-      .map { case (n, sz) => s"$n:$sz" }.sorted
+      .map { case (n, sz, mt) => s"$n:$sz:$mt" }.sorted
     val md = MessageDigest.getInstance("MD5")
     md.update(entries.mkString("\n").getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString

@@ -200,4 +200,35 @@ class HadoopFsIndexSpec extends SparkSpec {
     assert(AnnIndex.searchIvf(spark, loc, queries, "qid", "qvec", k = 5)
       .count() == 15)
   }
+
+  test("an in-place source rewrite with IDENTICAL names and sizes flips " +
+      "the fingerprint (mtime folded in) — a routed index goes stale, " +
+      "never serves the old rows") {
+    val root = s"file://${Files.createTempDirectory("graft-hfs").toString}"
+    val src = s"$root/src"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .coalesce(1).write.parquet(src)
+    val before = AnnIndex.sourceFingerprint(src)
+    // same listing, same bytes — only the mtime moves (bumped explicitly
+    // so the law does not depend on the FS clock granularity)
+    val (fs, p) = IndexFs.resolve(src)
+    val dataFile = fs.listStatus(p).filter(_.getPath.getName
+      .startsWith("part-")).head.getPath
+    fs.setTimes(dataFile, fs.getFileStatus(dataFile)
+      .getModificationTime + 60000, -1)
+    assert(AnnIndex.sourceFingerprint(src) != before,
+      "an in-place rewrite (same name, same size) must flip the stamp")
+    // and a one-level partition subtree: touching a child DIR's mtime
+    // (what a write inside it does) flips the stamp too
+    val part = s"$root/partsrc"
+    Seq((1L, "a")).toDF("id", "k").write.partitionBy("k").parquet(part)
+    val pBefore = AnnIndex.sourceFingerprint(part)
+    val (pfs, pp) = IndexFs.resolve(part)
+    val childDir = pfs.listStatus(pp).filter(_.isDirectory).head.getPath
+    pfs.setTimes(childDir, pfs.getFileStatus(childDir)
+      .getModificationTime + 60000, -1)
+    assert(AnnIndex.sourceFingerprint(part) != pBefore,
+      "direct-child churn in a partition tree must flip the stamp")
+  }
 }

@@ -134,6 +134,94 @@ object IndexRoute {
 
   private[plans] def lookup(path: String, keyCol: String): Option[Route] =
     Option(routes.get((path, keyCol)))
+
+  /** Register route(s) for the EXACT-family index at `location` from its
+    * manifest's SOURCE BINDING (path + id/key columns, stamped at build).
+    * Returns how many routes were added. Pre-source-binding manifests and
+    * the vector tiers add none — the IVF families CHANGE results
+    * (recall < 1 by design), so they are never auto-routed; approximation
+    * stays behind the explicit [[registerAnnApprox]] consent. */
+  def registerFromManifest(location: String): Int =
+    AnnIndex.readManifest(location) match {
+      case Some(m) if m.sourcePath.nonEmpty && m.sourceIdCol.nonEmpty &&
+          m.sourceKeyCol.nonEmpty =>
+        m.indexType match {
+          case "btree" | "bitmap" | "ngram" | "label_list" =>
+            register(m.sourcePath, m.sourceKeyCol, m.sourceIdCol, location)
+            1
+          case "zorder" =>
+            m.sourceKeyCol.split(",", 2).toSeq.map(_.trim)
+                .filter(_.nonEmpty) match {
+              case Seq(x, y) =>
+                register(m.sourcePath, x, m.sourceIdCol, location)
+                register(m.sourcePath, y, m.sourceIdCol, location)
+                2
+              case _ => 0
+            }
+          case _ => 0
+        }
+      case _ => 0
+    }
+
+  /** CATALOG-DRIVEN route discovery — the capability-handoff loop closed:
+    * every `graft.index.*` capability-pointer table registered in the
+    * session's [[graft.catalog.GraftCatalog]]s whose manifest carries a
+    * source binding becomes a route, so a FRESH session configured with
+    * nothing but `spark.sql.extensions` + its catalog conf gets
+    * index-served plans on its first query — no in-process
+    * [[register]] call, no out-of-band knowledge (the r14 verdict's top
+    * item: routes existed only after explicit registration, and the
+    * registry's process-global intent leak had no durable counterpart).
+    *
+    * Driver-side and metadata-sized: one conf scan for
+    * `spark.sql.catalog.<name>` entries naming GraftCatalog, then per
+    * catalog ONE backend listing + pooled bulk describe per namespace
+    * ([[graft.catalog.GraftCatalog.describeNamespaceTables]] — the
+    * batched inventory seam, never N+1), one manifest read per index
+    * table. Every step is Try-guarded: discovery runs inside the
+    * optimizer and a broken catalog must degrade to "no routes", never
+    * fail the query. Freshness/divergence/tombstones are still checked
+    * at every rule application, so a discovered route is exactly as safe
+    * as a hand-registered one. Returns the number of routes added. */
+  def discoverFromCatalogs(spark: SparkSession): Int = {
+    import scala.util.Try
+    val graftClass = classOf[graft.catalog.GraftCatalog].getName
+    val names = Try(spark.conf.getAll).getOrElse(Map.empty[String, String])
+      .keysIterator
+      .filter(_.matches("""spark\.sql\.catalog\.[^.]+"""))
+      .map(_.stripPrefix("spark.sql.catalog."))
+      .filter(n => Try(spark.conf.get(s"spark.sql.catalog.$n"))
+        .toOption.contains(graftClass))
+      .toSeq.sorted
+    var added = 0
+    names.foreach { name =>
+      Try(spark.sessionState.catalogManager.catalog(name)).toOption
+        .collect { case g: graft.catalog.GraftCatalog => g }
+        .foreach { g =>
+          def walk(parent: Option[Array[String]], depth: Int)
+              : Seq[Array[String]] =
+            if (depth > 3) Seq.empty
+            else {
+              val kids = Try(parent match {
+                case None => g.listNamespaces()
+                case Some(p) => g.listNamespaces(p)
+              }).getOrElse(Array.empty[Array[String]]).toSeq
+              kids ++ kids.flatMap(k => walk(Some(k), depth + 1))
+            }
+          walk(None, 0).foreach { ns =>
+            Try(g.describeNamespaceTables(ns)).getOrElse(Seq.empty)
+              .foreach { info =>
+                if (info.properties.contains("graft.index.type")) {
+                  val loc = info.properties
+                    .getOrElse("graft.index.location", info.location)
+                  added += Try(registerFromManifest(loc)).getOrElse(0)
+                }
+              }
+          }
+        }
+    }
+    added
+  }
 }
 
 /** The rewrite rule — see [[IndexRoute]]. One instance per session (the
@@ -141,7 +229,30 @@ object IndexRoute {
 case class IndexedScanRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** One catalog-route discovery per session (the rule instance is
+    * per-SessionState): the FIRST optimization pass populates the
+    * registry from the session's graft catalogs
+    * ([[IndexRoute.discoverFromCatalogs]]), so config alone buys index
+    * service. Off-switch: `spark.graft.route.discover=false`. Explicit
+    * [[IndexRoute.register]]/[[IndexRoute.clear]] calls still win for
+    * the rest of the session — discovery never re-fires. */
+  private val discovered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def maybeDiscover(): Unit =
+    if (!discovered.getAndSet(true) &&
+        scala.util.Try(spark.conf
+            .getOption("spark.graft.route.discover")).toOption.flatten
+          .forall(_.toBoolean)) {
+      scala.util.Try(IndexRoute.discoverFromCatalogs(spark))
+      ()
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    maybeDiscover()
+    applyRoutes(plan)
+  }
+
+  private def applyRoutes(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, Filter(cond, rel)) =>
       (for {
         lr <- relationOf(rel)

@@ -666,6 +666,49 @@ object ScalarIndexQueries {
     """SELECT doc_id, lang FROM documents
       |WHERE lang = 'en' OR lang = 'de' ORDER BY doc_id""".stripMargin
 
+  /** q251: CATALOG-DRIVEN route discovery
+    * ([[graft.plans.IndexRoute.discoverFromCatalogs]]) — the capability-
+    * handoff loop CLOSED: the index's pointer table is registered in a
+    * durable (file-backend) graft catalog, the in-process route registry
+    * is then CLEARED, and a FRESH session configured with nothing but
+    * `spark.sql.extensions` + the catalog conf runs the plain q227
+    * filter. The gate REQUIRES the fresh session's plan to read the
+    * index (its first optimization pass populated routes from the
+    * catalog's `graft.index.*` tables + the manifest's source binding —
+    * no `IndexRoute.register` call anywhere on this path) and to leave
+    * the corpus closed. Oracle: q227's plain filter — discovery must be
+    * invisible in results. */
+  def q251RouteDiscovery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    val catPath = s"${indexLocation(d, "disc-cat")}/catalog.json"
+    graft.Graft.registerCatalog(s, "graftdisc", "file",
+      Map("path" -> catPath))
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftdisc.idx")
+    AnnIndex.registerIndexTable(s, "graftdisc.idx.docs_lang", loc)
+    graft.plans.IndexRoute.clear()
+    val s2 = s.newSession()
+    try {
+      graft.Graft.registerCatalog(s2, "graftdisc", "file",
+        Map("path" -> catPath))
+      val df = s2.read.parquet(s"$d/documents.parquet")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q251: catalog discovery did not serve the plan:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q251: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -746,7 +789,8 @@ object ScalarIndexQueries {
     "q245_sql_box" -> (q245SqlBox _),
     "q246_sql_create_index" -> (q246SqlCreateIndex _),
     "q249_open_range" -> (q249OpenRange _),
-    "q250_or_rewrite" -> (q250OrRewrite _))
+    "q250_or_rewrite" -> (q250OrRewrite _),
+    "q251_route_discovery" -> (q251RouteDiscovery _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -793,5 +837,8 @@ object ScalarIndexQueries {
     // open strict range: the rewrite must be invisible in results
     "q249_open_range" -> q249Sql,
     // OR-of-equalities: the IN's natural SQL spelling, same invisibility
-    "q250_or_rewrite" -> q250Sql)
+    "q250_or_rewrite" -> q250Sql,
+    // catalog-driven discovery serves q227's plain filter from config
+    // alone — and must be just as invisible in results
+    "q251_route_discovery" -> q227Sql)
 }

@@ -823,6 +823,50 @@ class IndexRouteSpec extends SparkSpec {
     } finally IndexRoute.clear()
   }
 
+  test("CATALOG-DRIVEN discovery: a fresh session configured with " +
+      "nothing but extensions + catalog conf serves index plans on its " +
+      "first query — no in-process register call") {
+    val loc = tmpLoc("route-disc")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val catPath =
+      s"${Files.createTempDirectory("graft-routespec")}/cat.json"
+    // the capability pointer reaches the catalog through THIS session;
+    // the FILE backend makes it durable across sessions
+    graft.Graft.registerCatalog(spark, "graftdisc", "file",
+      Map("path" -> catPath))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftdisc.idx")
+    graft.ops.AnnIndex.registerIndexTable(spark,
+      "graftdisc.idx.docs_lang", loc)
+    IndexRoute.clear() // no in-process route survives into the new session
+    val s2 = spark.newSession()
+    try {
+      graft.Graft.registerCatalog(s2, "graftdisc", "file",
+        Map("path" -> catPath))
+      val df = s2.read.parquet(docSource).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+        !plan.contains("documents.parquet"),
+        s"expected discovery to serve the plan from config alone:\n$plan")
+      assert(df.count() == docs.filter(col("lang") === "en").count())
+      // the off-switch: a third session with discovery disabled scans
+      val s3 = spark.newSession()
+      s3.conf.set("spark.graft.route.discover", "false")
+      graft.Graft.registerCatalog(s3, "graftdisc", "file",
+        Map("path" -> catPath))
+      IndexRoute.clear()
+      val scan = s3.read.parquet(docSource).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      assert(scan.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        "discover=false must leave the corpus scan standing")
+    } finally {
+      IndexRoute.clear()
+      spark.sql("DROP TABLE IF EXISTS graftdisc.idx.docs_lang")
+      spark.conf.unset("spark.sql.catalog.graftdisc")
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

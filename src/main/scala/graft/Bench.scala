@@ -53,7 +53,19 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        catch {
+          case e: OutOfMemoryError =>
+            // local[32] runbook (BASELINE.md r14 postmortem): the 100×
+            // sweep's sketch builds want a 48g driver heap from the
+            // start — per-query plans are linear; this is JVM sizing
+            System.err.println(s"[bench] $name: $e\n" +
+              "[bench] DRIVER OOM — single-JVM local mode holds " +
+              "executors AND driver in one heap; re-run with " +
+              "SPARK_DRIVER_MEM=48g (see README 'Scale sweeps')")
+            false
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); false
+        }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
 

@@ -91,8 +91,11 @@ object NgramIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
+      // the gramstats probe is a LAYOUT-GENERATION gate (the bm25pos
+      // device): pre-stop-gram-stats indexes rebuild once
       case Some(m) if m.fingerprint == fp && m.indexType == "ngram" &&
-          m.nlist == nBuckets && m.m == n && m.sourcePath.nonEmpty => false
+          m.nlist == nBuckets && m.m == n && m.sourcePath.nonEmpty &&
+          IndexFs.exists(s"$location/gramstats") => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         AnnIndex.buildAndPublish(location,
@@ -105,9 +108,60 @@ object NgramIndex {
               .repartition(col("bkt"))
               .write.mode("overwrite").partitionBy("bkt")
               .parquet(s"$staging/postings")
+            // STOP-GRAM stats for the optimizer's cost guard: the top
+            // MaxStatGrams grams by document frequency, read back from
+            // the written postings (pairs are distinct per doc, so
+            // count = df), plus the corpus doc count as the denominator.
+            // One small file; a gram ABSENT from it is rarer than the
+            // recorded floor, so lookups stay sound under the cap.
+            val totalDocs = docs.count()
+            docs.sparkSession.read.parquet(s"$staging/postings")
+              .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+              .orderBy(col("df").desc, col("gram")).limit(MaxStatGrams)
+              .withColumn("total", lit(totalDocs))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$staging/gramstats")
         }
     }
   }
+
+  /** Size cap of the persisted stop-gram table — metadata-sized by
+    * construction, like the btree zonemap. */
+  val MaxStatGrams = 1024
+
+  /** COST estimate for the optimizer's contains route
+    * ([[graft.plans.IndexedScanRewrite]]): true when the needle is worth
+    * serving from the index. The candidate set of a needle is bounded by
+    * its RAREST gram's document frequency, so a needle whose EVERY gram
+    * is a recorded stop-gram (df/total > `maxDocFraction`) re-derives
+    * ~the corpus as candidates and the residual fetch loses to the plain
+    * scan — decline. A gram absent from the capped stats table is rarer
+    * than the table's floor → selective. Stats are written at build and
+    * not refreshed by appends/deletes (drift is conservative and
+    * cost-only; results are exact either way). Missing stats (an index
+    * built before this layout) stay permissive. Driver-side: one
+    * existence probe + one ≤[[MaxStatGrams]]-row file filtered to the
+    * needle's grams. */
+  def needleSelective(spark: SparkSession, location: String,
+      needle: String, maxDocFraction: Double): Boolean =
+    scala.util.Try {
+      val man = AnnIndex.readManifest(location).get
+      val statsPath = s"$location/gramstats"
+      if (!IndexFs.exists(statsPath)) true
+      else {
+        val gset = gramsOf(needle.toLowerCase, man.m)
+        val rec = spark.read.parquet(statsPath)
+          .filter(col("gram").isInCollection(gset))
+          .collect()
+          .map(r => r.getAs[String]("gram") ->
+            ((r.getAs[Long]("df"), r.getAs[Long]("total"))))
+          .toMap
+        gset.exists(g => !rec.contains(g)) ||
+          rec.values.exists { case (df, total) =>
+            total <= 0L || df.toDouble / total <= maxDocFraction
+          }
+      }
+    }.getOrElse(true)
 
   /** Incrementally ADD documents: gram ONLY the delta and append into the
     * bucketed layout. Pairs stay distinct per build/append slice (a doc

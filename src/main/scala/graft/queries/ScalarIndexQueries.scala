@@ -666,6 +666,53 @@ object ScalarIndexQueries {
     """SELECT doc_id, lang FROM documents
       |WHERE lang = 'en' OR lang = 'de' ORDER BY doc_id""".stripMargin
 
+  /** q252: MULTI-ROOT (partitioned-source) routing — a real 100 TB table
+    * is a partitioned directory tree, and reading it as an explicit list
+    * of partition dirs under a `basePath` must not lose index service.
+    * The gate writes a bucket-partitioned copy of events, keys a btree
+    * on its `value` column, then filters a MULTI-ROOT read listing all
+    * four partition dirs: the route fires only because the roots are
+    * verified (live listing) to be the COMPLETE child set of the
+    * registered parent — a subset read declines (IndexRouteSpec pins
+    * that side). Oracle: the plain range filter over events — the
+    * partitioned copy holds the same (event_id, value) rows. */
+  def q252PartitionedRoute(s: SparkSession, d: String): DataFrame = {
+    val root = indexLocation(d, "events-part")
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          pmod(col("user_id"), lit(4)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(root)
+    val loc = indexLocation(d, "btree-part")
+    ScalarIndex.ensureBtree(s.read.parquet(root), "event_id", "value",
+      loc, root)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getPath).sorted
+    require(dirs.length == 4, s"q252: expected 4 partition dirs at $root")
+    try {
+      graft.plans.IndexRoute.register(root, "value", "event_id", loc)
+      val df = s.read.option("basePath", root)
+        .parquet(dirs.toIndexedSeq: _*)
+        .filter(col("value") >= Lo && col("value") <= Hi)
+        .select(col("event_id"), col("value")).orderBy(col("event_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q252: the multi-root route did not fire:\n$plan")
+      require(!plan.contains("events-part"),
+        s"q252: the partitioned corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q252Sql: String =
+    s"""SELECT event_id, value FROM events
+       |WHERE value >= $Lo AND value <= $Hi ORDER BY event_id""".stripMargin
+
   /** q251: CATALOG-DRIVEN route discovery
     * ([[graft.plans.IndexRoute.discoverFromCatalogs]]) — the capability-
     * handoff loop CLOSED: the index's pointer table is registered in a
@@ -790,7 +837,8 @@ object ScalarIndexQueries {
     "q246_sql_create_index" -> (q246SqlCreateIndex _),
     "q249_open_range" -> (q249OpenRange _),
     "q250_or_rewrite" -> (q250OrRewrite _),
-    "q251_route_discovery" -> (q251RouteDiscovery _))
+    "q251_route_discovery" -> (q251RouteDiscovery _),
+    "q252_partitioned_route" -> (q252PartitionedRoute _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -840,5 +888,8 @@ object ScalarIndexQueries {
     "q250_or_rewrite" -> q250Sql,
     // catalog-driven discovery serves q227's plain filter from config
     // alone — and must be just as invisible in results
-    "q251_route_discovery" -> q227Sql)
+    "q251_route_discovery" -> q227Sql,
+    // multi-root partitioned read served by the whole-source btree —
+    // the partitioned copy holds the same (event_id, value) rows
+    "q252_partitioned_route" -> q252Sql)
 }

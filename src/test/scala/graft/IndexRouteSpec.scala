@@ -651,6 +651,48 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("STOP-GRAM cost guard: a needle whose every gram is near-" +
+      "universal declines the contains route; a selective needle routes " +
+      "— results identical either way") {
+    val src =
+      s"${Files.createTempDirectory("graft-routespec")}/stopdocs"
+    // every doc carries the suffix → its grams have df = 1.0 (> 0.9);
+    // the body text keeps ordinary (selective-enough) needles working
+    docs.select(col("doc_id"),
+        concat(col("text"), lit(" zzqqzzqq")).as("text"))
+      .write.parquet(src)
+    val base = spark.read.parquet(src)
+    val loc = tmpLoc("route-stopgram")
+    graft.ops.NgramIndex.ensureNgram(base, "doc_id", "text", loc, src)
+    withRule {
+      IndexRoute.register(src, "text", "doc_id", loc)
+      // all grams of "zzqqzz" sit in 100% of docs → decline to the scan
+      val stop = base.filter(col("text").contains("zzqqzz"))
+        .select(col("doc_id"))
+      assert(!stop.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        "an all-stop-gram needle must not be routed")
+      assert(stop.count() == base.count(),
+        "the declined plan still answers exactly (every doc matches)")
+      // a selective needle routes as before
+      val sel = base.filter(col("text").contains("fast"))
+        .select(col("doc_id"))
+      assert(sel.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        s"a selective needle must route:\n" +
+          s"${sel.queryExecution.executedPlan}")
+      assert(sel.count() ==
+        base.filter(col("text").contains("fast")).count())
+      // the threshold is session-tunable: 1.0 re-admits the stop needle
+      spark.conf.set("spark.graft.route.maxGramDocFraction", "1.0")
+      try assert(base.filter(col("text").contains("zzqqzz"))
+          .select(col("doc_id"))
+          .queryExecution.executedPlan.toString
+          .contains(new java.io.File(loc).getName))
+      finally spark.conf.unset("spark.graft.route.maxGramDocFraction")
+    }
+  }
+
   test("a DATE-keyed range filter rewrites through the native-zonemap " +
       "btree route — the double-shadow scope guard is lifted for dates") {
     // a date-typed parquet derived from events (the route needs the
@@ -864,6 +906,47 @@ class IndexRouteSpec extends SparkSpec {
       IndexRoute.clear()
       spark.sql("DROP TABLE IF EXISTS graftdisc.idx.docs_lang")
       spark.conf.unset("spark.sql.catalog.graftdisc")
+    }
+  }
+
+  test("MULTI-ROOT routing: the COMPLETE partition set of a common " +
+      "parent routes; a partition SUBSET declines (serving it from the " +
+      "whole-source index would return rows the read partitions lack)") {
+    val root = s"${Files.createTempDirectory("graft-routespec")}/partev"
+    events.select(col("event_id"), col("value"),
+        pmod(col("user_id"), lit(4)).cast("int").as("bucket"))
+      .write.partitionBy("bucket").parquet(root)
+    val base = spark.read.parquet(root)
+    val loc = tmpLoc("route-multiroot")
+    ScalarIndex.ensureBtree(base, "event_id", "value", loc, root)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getPath).sorted
+    assert(dirs.length == 4)
+    val want = base.filter(col("value") >= 100.0 && col("value") <= 250.0)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect()
+    assert(want.nonEmpty)
+    withRule {
+      IndexRoute.register(root, "value", "event_id", loc)
+      val all = spark.read.option("basePath", root)
+        .parquet(dirs.toIndexedSeq: _*)
+        .filter(col("value") >= 100.0 && col("value") <= 250.0)
+        .select(col("event_id"), col("value"))
+      assert(scansIndex(all, loc),
+        s"expected the complete multi-root read to route:\n" +
+          s"${all.queryExecution.executedPlan}")
+      assert(all.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      // 3 of 4 partitions: completeness check fails → the scan stands,
+      // and its (partition-limited) answer differs from the index's
+      val subset = spark.read.option("basePath", root)
+        .parquet(dirs.take(3).toIndexedSeq: _*)
+        .filter(col("value") >= 100.0 && col("value") <= 250.0)
+        .select(col("event_id"), col("value"))
+      assert(!scansIndex(subset, loc),
+        "a partition-subset read must not be served by the whole index")
+      assert(subset.count() < want.length,
+        "sanity: the subset genuinely holds fewer matching rows")
     }
   }
 

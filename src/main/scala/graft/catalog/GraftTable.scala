@@ -37,7 +37,8 @@ class GraftTable(
     declaredSchema: Option[StructType],
     spark: SparkSession,
     onCommit: () => Unit = () => ())
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations {
 
   private def scanOptions: CaseInsensitiveStringMap =
     new CaseInsensitiveStringMap(info.storageOptions.asJava)
@@ -103,6 +104,35 @@ class GraftTable(
       delegate.newWriteBuilder(writeInfo), info.location,
       () => spark.sessionState.newHadoopConfWithOptions(info.storageOptions),
       onCommit)
+
+  /** SQL row-level mutations — `DELETE FROM` / `UPDATE` / `MERGE INTO` —
+    * via the GROUP-BASED (copy-on-write) rewrite: Spark's analyzer
+    * rewrites the command to a [[org.apache.spark.sql.catalyst.plans
+    * .logical.ReplaceData]] plan that re-reads the affected GROUPS
+    * through this operation's scan, computes the surviving/modified rows
+    * itself, and hands them to this operation's write, whose commit
+    * replaces exactly the scanned files
+    * ([[GraftTable.CopyOnWriteOperation]]). The groups are pruned
+    * eagerly: the command's condition (pushed as data filters) drives a
+    * driver-side probe that names only the parquet files holding at
+    * least one matching row — at 100 TB a selective DELETE rewrites
+    * those files, not the table. The reference reaches row-level deletes
+    * through its format's deletion vectors; copy-on-write is the
+    * matching catalog-layer semantics over plain parquet, with the same
+    * non-atomicity class as the overwrite path above (delete-then-commit
+    * inside one job commit). Affected persisted indexes need no explicit
+    * stamp: the rewrite changes the source listing, so every routed
+    * index goes STALE by fingerprint and declines until rebuilt. */
+  override def newRowLevelOperationBuilder(
+      rinfo: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (isIndexPointer)
+      throw GraftError.Unsupported(
+        s"row-level mutation of ANN index table ${ident.toString} " +
+          "(maintain through graft.ops index APIs)")
+    () => new GraftTable.CopyOnWriteOperation(rinfo.command(), ident, info,
+      () => schema(), spark, onCommit)
+  }
 }
 
 object GraftTable {
@@ -181,6 +211,248 @@ object GraftTable {
           })
         }
         override def description(): String = s"graft-truncate(${inner.description()})"
+      }
+    }
+  }
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, Write, WriteBuilder}
+  import org.apache.spark.sql.functions.{col, input_file_name, lit}
+  import org.apache.spark.sql.{classic, sources}
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+  import scala.jdk.CollectionConverters._
+
+  /** The copy-on-write [[RowLevelOperation]] behind DELETE/UPDATE/MERGE
+    * (see [[GraftTable.newRowLevelOperationBuilder]]). The ONE instance
+    * is shared between the command's scan and its write — that shared
+    * identity is the correlation: `build()` of the scan records which
+    * files it planned (`replaced`), and the write's commit deletes
+    * exactly those files right before the delegate parquet commit adds
+    * the rewritten ones.
+    *
+    * Group pruning: Spark pushes the command's condition into the scan
+    * as data filters, knowing a group-based scan returns WHOLE groups
+    * (it re-applies the condition itself — the filters here are pruning
+    * hints, never semantics). The probe translates the top-level
+    * conjuncts it can (dropping the rest — always a superset of files,
+    * never a subset), runs one small job `filter(cond).select(
+    * input_file_name()).distinct()` — parquet pushdown prunes row
+    * groups, the collect is file-name-sized — and the scan then reads
+    * ONLY those files, so unmatched files are neither read nor
+    * rewritten. No pushable conjunct (or a probe failure) degrades to
+    * the whole-table rewrite, loudly correct. */
+  private class CopyOnWriteOperation(
+      cmd: RowLevelOperation.Command,
+      ident: Identifier,
+      info: TableInfo,
+      tableSchema: () => StructType,
+      spark: classic.SparkSession,
+      onCommit: () => Unit) extends RowLevelOperation {
+
+    /** Files the scan planned — what the write's commit replaces. */
+    @volatile private var replaced: Seq[String] = Nil
+
+    /** Whether the scan was built at all: an unconditioned DELETE (or
+      * any statically-false keep-condition) lets the optimizer collapse
+      * the query to an empty LOCAL relation and the scan is never
+      * planned — which can ONLY mean "no row of any group survives"
+      * (a table that merely holds no matching rows still plans a scan),
+      * so the commit then replaces EVERY data file with nothing: the
+      * truncate semantics `DELETE FROM t` demands. */
+    @volatile private var scanPlanned = false
+
+    private def scanOpts: CaseInsensitiveStringMap =
+      new CaseInsensitiveStringMap(info.storageOptions.asJava)
+
+    override def command(): RowLevelOperation.Command = cmd
+
+    override def description(): String =
+      s"graft-copy-on-write($cmd, ${info.location})"
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder =
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        private var pushed = Array.empty[sources.Filter]
+        override def pushFilters(filters: Array[sources.Filter])
+            : Array[sources.Filter] = {
+          // keep every filter as residual: for a group-based op the scan
+          // must return ALL rows of the surviving groups — Spark
+          // evaluates the command's condition row-by-row above this scan
+          pushed = filters
+          filters
+        }
+        override def pushedFilters(): Array[sources.Filter] = pushed
+        override def build(): Scan = {
+          scanPlanned = true
+          replaced = affectedFiles(pushed)
+          if (replaced.isEmpty)
+            new EmptyScanBuilder(tableSchema()).build()
+          else
+            ParquetTable(ident.toString, spark, scanOpts, replaced,
+                Some(tableSchema()), classOf[ParquetFileFormat])
+              .newScanBuilder(scanOpts).build()
+        }
+      }
+
+    /** The delegate parquet APPEND write into the table location, with
+      * the scanned files deleted at commit — the same delete-then-commit
+      * window (and documented non-atomicity class) as INSERT OVERWRITE's
+      * [[TruncatableWriteBuilder]]. */
+    override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+      val delegate = ParquetTable(ident.toString, spark, scanOpts,
+        Seq(info.location), Some(tableSchema()), classOf[ParquetFileFormat])
+        .newWriteBuilder(winfo)
+      new WriteBuilder { override def build(): Write = {
+        val inner = delegate.build()
+        new Write {
+          override def toBatch: BatchWrite = {
+            val innerBatch = inner.toBatch
+            val dataSchema = winfo.schema()
+            new BatchWrite {
+              override def createBatchWriterFactory(
+                  pinfo: PhysicalWriteInfo): DataWriterFactory = {
+                val innerFactory = innerBatch.createBatchWriterFactory(pinfo)
+                // Spark's group-based ReplaceData streams rows as
+                // [__row_operation :: dataCols...] and applies its row
+                // projection only for connectors that declared metadata
+                // attributes — plain parquet groups declare none, so the
+                // operation marker is stripped HERE with the same
+                // ProjectingInternalRow device Spark's metadata path
+                // uses (writing it through would widen every file by a
+                // bogus column)
+                new ProjectingWriterFactory(innerFactory, dataSchema)
+              }
+              override def commit(
+                  messages: Array[WriterCommitMessage]): Unit = {
+                val hconf = spark.sessionState
+                  .newHadoopConfWithOptions(info.storageOptions)
+                val doomed =
+                  if (scanPlanned) replaced
+                  else listDataFiles() // statically-empty keep set: truncate
+                doomed.foreach { f =>
+                  val p = new Path(new java.net.URI(f))
+                  try p.getFileSystem(hconf).delete(p, false)
+                  catch { case _: Exception => () }
+                }
+                innerBatch.commit(messages)
+                onCommit()
+              }
+              override def abort(
+                  messages: Array[WriterCommitMessage]): Unit =
+                innerBatch.abort(messages)
+              override def useCommitCoordinator(): Boolean =
+                innerBatch.useCommitCoordinator()
+            }
+          }
+          override def description(): String =
+            s"graft-replace-groups(${inner.description()})"
+        }
+      } }
+    }
+
+    /** The data files holding at least one row matching the pushed
+      * conjuncts — full URIs as `input_file_name` reports them. No
+      * translatable conjunct → every data file (whole-table rewrite). */
+    /** Every data file under the table location. */
+    private def listDataFiles(): Seq[String] = {
+      val p = new Path(info.location)
+      val fs = p.getFileSystem(
+        spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
+      if (!fs.exists(p)) Nil
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+            buf += f.getPath.toUri.toString
+        }
+        buf.result()
+      }
+    }
+
+    private def affectedFiles(filters: Array[sources.Filter]): Seq[String] = {
+      val conds = filters.toSeq.flatMap(translateFilter)
+      if (conds.isEmpty) listDataFiles()
+      else
+        try {
+          val hit = spark.read.schema(tableSchema()).parquet(info.location)
+            .filter(conds.reduce(_ && _))
+            .select(input_file_name().as("__f"))
+            .distinct().collect().map(_.getString(0)).toSeq.sorted
+          hit
+        } catch { case _: Exception => listDataFiles() }
+    }
+
+    /** `sources.Filter` → `Column`, total on the shapes filter
+      * translation produces; None for anything else. Dropping an
+      * untranslatable TOP-LEVEL conjunct widens the probe (superset of
+      * files — safe); inside Or/Not the translation is all-or-nothing
+      * so a dropped child can never NARROW a surviving ancestor. */
+    private def translateFilter(f: sources.Filter): Option[Column] = f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) => for {
+        lc <- translateFilter(l); rc <- translateFilter(r)
+      } yield lc && rc
+      case sources.Or(l, r) => for {
+        lc <- translateFilter(l); rc <- translateFilter(r)
+      } yield lc || rc
+      case sources.Not(c) => translateFilter(c).map(!_)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  /** Strips the leading `__row_operation` marker from row-level-write
+    * rows (see the note at the factory's creation site): rows arriving
+    * at the declared data width pass through; width data+1 projects
+    * ordinals 1..n; anything else is a loud error, never silent column
+    * misalignment. */
+  private class ProjectingWriterFactory(
+      inner: DataWriterFactory, dataSchema: StructType)
+    extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DataWriter[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+      val innerWriter = inner.createWriter(partitionId, taskId)
+      val n = dataSchema.length
+      new org.apache.spark.sql.connector.write.DataWriter[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private var proj: org.apache.spark.sql.catalyst.ProjectingInternalRow = _
+        override def write(
+            row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+          if (row.numFields == n) innerWriter.write(row)
+          else {
+            if (proj == null) {
+              require(row.numFields == n + 1,
+                s"row-level write row has ${row.numFields} fields for " +
+                  s"$n data columns — unexpected plan shape")
+              proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+                dataSchema, (1 to n).toIndexedSeq)
+            }
+            proj.project(row)
+            innerWriter.write(proj)
+          }
+        override def commit(): WriterCommitMessage = innerWriter.commit()
+        override def abort(): Unit = innerWriter.abort()
+        override def close(): Unit = innerWriter.close()
+        override def currentMetricsValues()
+            : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          innerWriter.currentMetricsValues()
       }
     }
   }

@@ -261,13 +261,117 @@ object CatalogQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q253: SQL row-level DELETE on a catalog table —
+    * [[graft.catalog.GraftTable]]'s copy-on-write
+    * `SupportsRowLevelOperations` (group-based rewrite; the scan's
+    * eager probe names only the files holding matching rows). The gate
+    * copies orders into a MANAGED graft table (INSERT OVERWRITE keeps
+    * the gate idempotent across runs — a mutation gate must rebuild its
+    * own input), deletes a predicate slice in plain SQL, and returns
+    * the survivors. Oracle: the negated predicate over the original
+    * orders — DELETE must equal filter with SQL three-valued
+    * semantics. */
+  def q253SqlDelete(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.mut_orders
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        | o_totalprice DOUBLE)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_orders
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM parquet.`$d/orders.parquet`""".stripMargin)
+    s.sql(
+      """DELETE FROM graft.tpch.mut_orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0""".stripMargin)
+    s.table("graft.tpch.mut_orders").orderBy(col("o_orderkey"))
+  }
+
+  private val q253Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q254: SQL row-level UPDATE — same copy-on-write machinery, the
+    * group-based rewrite computing updated-or-original rows per
+    * affected file. The additive mutation keeps the oracle exact (IEEE
+    * double addition is deterministic across engines; a multiply would
+    * not hash-compare). */
+  def q254SqlUpdate(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.mut_orders_u
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        | o_totalprice DOUBLE)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_orders_u
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM parquet.`$d/orders.parquet`""".stripMargin)
+    s.sql(
+      """UPDATE graft.tpch.mut_orders_u
+        |SET o_totalprice = o_totalprice + 1000.0
+        |WHERE o_orderstatus = 'O'""".stripMargin)
+    s.table("graft.tpch.mut_orders_u").orderBy(col("o_orderkey"))
+  }
+
+  private val q254Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q255: SQL MERGE INTO — matched UPDATE + not-matched INSERT through
+    * the same group-based rewrite (full-outer join of target groups and
+    * source, actions applied row-wise, affected files replaced). The
+    * source folds an exact COUNT per customer (a double SUM would not
+    * hash-compare) plus one synthetic unmatched key to drive the INSERT
+    * arm. Oracle: the equivalent left-join arithmetic over the original
+    * tables plus the inserted literal row. */
+  def q255SqlMerge(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.mut_cust
+        |(c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_cust
+         |SELECT c_custkey, c_name, c_acctbal
+         |FROM parquet.`$d/customer.parquet`""".stripMargin)
+    s.sql(
+      s"""MERGE INTO graft.tpch.mut_cust t
+         |USING (
+         |  SELECT o_custkey AS k, count(*) AS n
+         |  FROM parquet.`$d/orders.parquet` GROUP BY o_custkey
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(42 AS BIGINT)
+         |) s
+         |ON t.c_custkey = s.k
+         |WHEN MATCHED THEN UPDATE SET c_acctbal = c_acctbal + s.n
+         |WHEN NOT MATCHED THEN
+         |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.k, 'merged', s.n)
+         |""".stripMargin)
+    s.table("graft.tpch.mut_cust").orderBy(col("c_custkey"))
+  }
+
+  private val q255Sql: String =
+    """WITH n AS (
+      |  SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY o_custkey)
+      |SELECT c.c_custkey, c.c_name,
+      |       c.c_acctbal + COALESCE(n.n, 0) AS c_acctbal
+      |FROM customer c LEFT JOIN n ON c.c_custkey = n.k
+      |UNION ALL
+      |SELECT -1 AS c_custkey, 'merged' AS c_name, 42.0 AS c_acctbal
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_catalog_scan" -> (q21CatalogScan _),
     "q22_catalog_join" -> (q22CatalogJoin _),
     "q79_bucketed_join" -> (q79BucketedJoin _),
     "q83_catalog_roundtrip" -> (q83CatalogRoundtrip _),
     "q122_hms_roundtrip" -> (q122HmsRoundtrip _),
-    "q180_managed_versioning" -> (q180ManagedVersioning _))
+    "q180_managed_versioning" -> (q180ManagedVersioning _),
+    "q253_sql_delete" -> (q253SqlDelete _),
+    "q254_sql_update" -> (q254SqlUpdate _),
+    "q255_sql_merge" -> (q255SqlMerge _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
@@ -275,5 +379,9 @@ object CatalogQueries {
     "q79_bucketed_join" -> q79Sql,
     "q83_catalog_roundtrip" -> q83Sql,
     "q122_hms_roundtrip" -> q122Sql,
-    "q180_managed_versioning" -> q180Sql)
+    "q180_managed_versioning" -> q180Sql,
+    // row-level mutations must equal their relational equivalents
+    "q253_sql_delete" -> q253Sql,
+    "q254_sql_update" -> q254Sql,
+    "q255_sql_merge" -> q255Sql)
 }

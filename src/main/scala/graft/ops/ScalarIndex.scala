@@ -340,15 +340,19 @@ object ScalarIndex {
     * (`java.sql.Date` / `java.sql.Timestamp` / `String`), inclusive by
     * default; `loInclusive`/`hiInclusive` = false serve the STRICT
     * shapes (pruning always uses the inclusive envelope — conservative;
-    * the residual is exact). Returns (id, key). Numeric-keyed btrees
-    * keep [[searchBtreeRange]] — their zonemap is the double shadow this
-    * API must not compare against. */
+    * the residual is exact); a NULL bound serves the one-sided shapes —
+    * every indexed key is non-null, so the missing side is vacuous and
+    * prunes nothing. Returns (id, key). Numeric-keyed btrees keep
+    * [[searchBtreeRange]] — their zonemap is the double shadow this API
+    * must not compare against. */
   def searchBtreeRangeTyped(spark: SparkSession, location: String,
       lo: Any, hi: Any, loInclusive: Boolean = true,
       hiInclusive: Boolean = true): DataFrame = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
     require(man.indexType == "btree", s"not a btree index: $location")
+    require(lo != null || hi != null,
+      "searchBtreeRangeTyped: at least one bound required")
     val zmDf = spark.read.parquet(s"$location/zonemap")
     require(!numericKey(zmDf.schema("lo").dataType),
       s"btree at $location has a numeric double-shadow zonemap — " +
@@ -357,16 +361,19 @@ object ScalarIndex {
       .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
       .collect()
     val bkts = zm.filter(r =>
-        nativeCmp(r.get(1), hi) <= 0 && nativeCmp(r.get(2), lo) >= 0)
+        (hi == null || nativeCmp(r.get(1), hi) <= 0) &&
+        (lo == null || nativeCmp(r.get(2), lo) >= 0))
       .map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$location/postings")
     val pruned =
       if (bkts.isEmpty) postings.filter(lit(false))
       else postings.filter(col("bkt").isin(bkts.map(Int.box): _*))
     val loPred =
-      if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+      if (lo == null) lit(true)
+      else if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
     val hiPred =
-      if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+      if (hi == null) lit(true)
+      else if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
     antiTombstones(pruned.filter(loPred && hiPred), location)
       .select(col("id"), col("key"))
   }

@@ -438,15 +438,30 @@ case class IndexedScanRewrite(spark: SparkSession)
           case StartsWith(a: AttributeReference, Literal(p, StringType))
               if p != null && p.toString.nonEmpty =>
             Some((a, AskPrefix(p.toString)))
-          // ONE-SIDED numeric bounds (`key >= v` / `key > v` / `<=` / `<`
-          // alone): the missing side is ±Infinity — vacuous over the
-          // index's non-null keys, so the residual stays exact
+          // ONE-SIDED bounds (`key >= v` / `key > v` / `<=` / `<` alone):
+          // the missing side is vacuous over the index's non-null keys —
+          // ±Infinity for the double-shadow path, a null sentinel for
+          // the native date/timestamp path — so the residual stays exact
           case other =>
             boundOf(other, isLower = true).map { case (a, v, inc) =>
               (a, AskRange(v, Double.PositiveInfinity, inc, true))
             }.orElse(boundOf(other, isLower = false).map {
               case (a, v, inc) =>
                 (a, AskRange(Double.NegativeInfinity, v, true, inc))
+            }).orElse(dateBoundOf(other, isLower = true).map {
+              case (a, v, inc) =>
+                import org.apache.spark.sql.catalyst.util.DateTimeUtils
+                (a, AskRangeTyped(DateTimeUtils.toJavaDate(v), null, inc,
+                  true))
+            }).orElse(dateBoundOf(other, isLower = false).map {
+              case (a, v, inc) =>
+                import org.apache.spark.sql.catalyst.util.DateTimeUtils
+                (a, AskRangeTyped(null, DateTimeUtils.toJavaDate(v), true,
+                  inc))
+            }).orElse(tsBoundOf(other, isLower = true).map {
+              case (a, v, inc) => (a, AskRangeTyped(v, null, inc, true))
+            }).orElse(tsBoundOf(other, isLower = false).map {
+              case (a, v, inc) => (a, AskRangeTyped(null, v, true, inc))
             })
         })
       case Seq(b1, b2) =>

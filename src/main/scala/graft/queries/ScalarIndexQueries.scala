@@ -713,6 +713,61 @@ object ScalarIndexQueries {
     s"""SELECT event_id, value FROM events
        |WHERE value >= $Lo AND value <= $Hi ORDER BY event_id""".stripMargin
 
+  /** q256: the MUTATION → STALE → REBUILD → SERVE loop closed end to
+    * end: a catalog table is row-level-DELETEd in SQL
+    * ([[graft.catalog.GraftTable]] copy-on-write), which must STALE the
+    * routed bitmap on its location (the mutation rewrote source files,
+    * so the fingerprint no longer matches — the route declines, results
+    * come from the mutated scan); `CALL graft.system.rebuild_index` then
+    * rebuilds from the manifest's source binding and the SAME plain
+    * filter is index-served again — now returning the POST-DELETE rows.
+    * The gate requires all three plan states in order. Oracle: the
+    * filter over documents minus the deleted slice — the whole loop must
+    * be invisible in results. */
+  def q256MutateRebuildRoute(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      "CREATE TABLE IF NOT EXISTS graft.tpch.mut_docs " +
+        "(doc_id BIGINT, lang STRING)")
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_docs
+         |SELECT doc_id, lang FROM parquet.`$d/documents.parquet`
+         |""".stripMargin)
+    val loc = s.sql("DESCRIBE TABLE EXTENDED graft.tpch.mut_docs")
+      .collect().find(_.getString(0) == "Location").get.getString(1)
+    val idx = indexLocation(d, "bitmap-mutdocs")
+    ScalarIndex.ensureBitmap(s.read.parquet(loc), "doc_id", "lang",
+      idx, loc)
+    try {
+      graft.plans.IndexRoute.register(loc, "lang", "doc_id", idx)
+      def q = s.read.parquet(loc).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      require(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(idx).getName),
+        "q256: the route must serve before the mutation")
+      s.sql("DELETE FROM graft.tpch.mut_docs WHERE doc_id % 3 = 0")
+      val declined = q
+      require(!declined.queryExecution.executedPlan.toString
+        .contains(new java.io.File(idx).getName),
+        "q256: a mutated source must stale the route")
+      s.sql(s"CALL graft.system.rebuild_index(index => '$idx')")
+      val served = q
+      require(served.queryExecution.executedPlan.toString
+        .contains(new java.io.File(idx).getName),
+        "q256: the rebuilt index must serve again")
+      val rows = served.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, served.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q256Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE lang = 'en' AND NOT (doc_id % 3 = 0)
+      |ORDER BY doc_id""".stripMargin
+
   /** q251: CATALOG-DRIVEN route discovery
     * ([[graft.plans.IndexRoute.discoverFromCatalogs]]) — the capability-
     * handoff loop CLOSED: the index's pointer table is registered in a
@@ -838,7 +893,8 @@ object ScalarIndexQueries {
     "q249_open_range" -> (q249OpenRange _),
     "q250_or_rewrite" -> (q250OrRewrite _),
     "q251_route_discovery" -> (q251RouteDiscovery _),
-    "q252_partitioned_route" -> (q252PartitionedRoute _))
+    "q252_partitioned_route" -> (q252PartitionedRoute _),
+    "q256_mutate_rebuild_route" -> (q256MutateRebuildRoute _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -891,5 +947,8 @@ object ScalarIndexQueries {
     "q251_route_discovery" -> q227Sql,
     // multi-root partitioned read served by the whole-source btree —
     // the partitioned copy holds the same (event_id, value) rows
-    "q252_partitioned_route" -> q252Sql)
+    "q252_partitioned_route" -> q252Sql,
+    // the mutation → stale → SQL rebuild → serve loop: the filter over
+    // the mutated table equals documents minus the deleted slice
+    "q256_mutate_rebuild_route" -> q256Sql)
 }

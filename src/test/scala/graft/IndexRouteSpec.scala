@@ -732,6 +732,20 @@ class IndexRouteSpec extends SparkSpec {
       assert(top.queryExecution.executedPlan.toString
         .contains(new java.io.File(loc).getName))
       assert(top.collect().toSeq == wantTop.toSeq)
+      // ONE-SIDED typed bounds route too (null-sentinel missing side —
+      // vacuous over the index's non-null keys)
+      val wantOpen = dayev.filter(col("day") > lit(dHi))
+        .select(col("event_id"), col("day"))
+        .orderBy(col("event_id")).collect()
+      assert(wantOpen.nonEmpty)
+      val open = dayev.filter(col("day") > lit(dHi))
+        .select(col("event_id"), col("day"))
+      assert(open.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        s"expected the one-sided date range to route:\n" +
+          s"${open.queryExecution.executedPlan}")
+      assert(open.orderBy(col("event_id")).collect().toSeq ==
+        wantOpen.toSeq)
     }
   }
 

@@ -502,6 +502,98 @@ object ScalarIndex {
     }
   }
 
+  /** One-row `(cnt BIGINT)` plan for `count(*) WHERE key ∈ range`
+    * served from the btree WITHOUT scanning the range's interior: the
+    * aggregated zonemap (≤ nBuckets rows, the bounded collect) splits
+    * overlapping buckets into INTERIOR ones — whole [lo, hi] envelope
+    * inside the ask, every row provably matches, their `n_rows` sum is
+    * a driver-side literal — and EDGE buckets, whose postings alone are
+    * read and counted under the exact residual. At 100 TB a wide range
+    * over a sorted layout becomes two bucket reads plus metadata — the
+    * classic zonemap-aggregation story, and strictly less I/O than the
+    * filter rewrite (which still reads every overlapping bucket).
+    *
+    * Soundness of the interior classification rests on the exactness
+    * domain [[requireLongKeysExact]] enforces: every key the btree
+    * ACCEPTS has an exact double shadow, so `zlo >= lo && zhi <= hi` in
+    * shadow space equals the native comparison (the ask bounds arrive
+    * through the route's `numericLit`, which declines inexact BIGINT
+    * literals). Edge membership stays conservative with the same 1-ulp
+    * slack as [[searchBtreeRange]] — slack can only move a bucket from
+    * interior to edge, never the reverse, and edges are counted exactly.
+    *
+    * Tombstoned indexes are REFUSED (interior counts would include
+    * deleted rows — the caller declines to the scan); ±Infinity bounds
+    * serve the one-sided shapes. Numeric (double-shadow) btrees only. */
+  def btreeCountRange(spark: SparkSession, location: String,
+      lo: Double, hi: Double, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    require(!hasTombstones(location),
+      s"btree at $location carries tombstones — zonemap counts would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    val zmRaw = spark.read.parquet(s"$location/zonemap")
+    require(numericKey(zmRaw.schema("lo").dataType),
+      s"btree at $location has NATIVE (${man.keyType}) keys — " +
+        "count-range serves the double-shadow tier only")
+    val zm = zmRaw.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("n_rows")).as("n"))
+      .select(col("bkt"), col("lo"), col("hi"), col("n"))
+      .collect()
+    val overlapping = zm.filter(r => Math.nextDown(r.getDouble(1)) <= hi &&
+      Math.nextUp(r.getDouble(2)) >= lo)
+    def inside(zlo: Double, zhi: Double): Boolean =
+      (if (loInclusive) zlo >= lo else zlo > lo) &&
+        (if (hiInclusive) zhi <= hi else zhi < hi)
+    val (interior, edges) =
+      overlapping.partition(r => inside(r.getDouble(1), r.getDouble(2)))
+    val interiorN = interior.map(_.getLong(3)).sum
+    if (edges.isEmpty)
+      spark.range(1).select(lit(interiorN).as("cnt"))
+    else {
+      val pruned = spark.read.parquet(s"$location/postings")
+        .filter(col("bkt").isin(edges.map(r => Int.box(r.getInt(0))): _*))
+      val loPred =
+        if (lo == Double.NegativeInfinity) lit(true)
+        else if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+      val hiPred =
+        if (hi == Double.PositiveInfinity) lit(true)
+        else if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+      pruned.filter(loPred && hiPred)
+        .agg((count(lit(1)) + lit(interiorN)).as("cnt"))
+    }
+  }
+
+  /** One-row `(mn, mx, cnt)` plan for the global `min(key)` / `max(key)`
+    * / `count(key)` aggregates served ENTIRELY from the zonemap — no
+    * postings read at all: min(lo) / max(hi) over the ≤ nBuckets delta
+    * rows ARE the extremes of every indexed key (each zonemap bound is
+    * the exact shadow of a real key), and `sum(n_rows)` is the non-null
+    * key count — exactly what SQL's null-ignoring MIN/MAX/COUNT(col)
+    * compute over the source. `mn`/`mx` come back CAST to the manifest's
+    * native key type (exact over the enforced shadow domain; identity
+    * for native-keyed date/timestamp/string zonemaps). Tombstoned
+    * indexes are REFUSED — a deleted row may have been the extreme. At
+    * 100 TB this answers a full-corpus aggregate from kilobytes of
+    * metadata. */
+  def btreeMinMaxCount(spark: SparkSession, location: String): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    require(!hasTombstones(location),
+      s"btree at $location carries tombstones — a deleted row may have " +
+        "been the min/max; compact first (the optimizer route declines " +
+        "instead of calling this)")
+    spark.read.parquet(s"$location/zonemap")
+      .agg(min(col("lo")).cast(man.keyType).as("mn"),
+        max(col("hi")).cast(man.keyType).as("mx"),
+        coalesce(sum(col("n_rows")), lit(0L)).as("cnt"))
+  }
+
   /** Fold tombstones into the btree layout: postings minus deleted ids
     * rewritten bucket-partitioned, zonemap recomputed EXACTLY from the
     * surviving rows (so a delete that emptied a bucket's range edge

@@ -4,7 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{broadcast, col}
@@ -277,6 +278,23 @@ case class IndexedScanRewrite(spark: SparkSession)
           // (trivially covering) projection then
           .orElse(tryRewriteBox(f.output, cond, lr, path))
       } yield rewritten).getOrElse(f)
+    // GLOBAL aggregates served from index METADATA — `count(*)` under a
+    // routed range/equality filter answers from the zonemap's interior
+    // counts plus an edge-bucket read; filterless `min/max/count(key)`
+    // answers from the zonemap alone (kilobytes for a 100 TB corpus)
+    case agg @ Aggregate(Seq(), aggExprs, child, _)
+        if aggExprs.forall(_.isInstanceOf[Alias]) =>
+      (for {
+        (cond, lr) <- filteredRelationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAggCount(
+          aggExprs.map(_.asInstanceOf[Alias]), cond, lr, path)
+      } yield rewritten).orElse(for {
+        lr <- relationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteAggGlobal(
+          aggExprs.map(_.asInstanceOf[Alias]), lr, path)
+      } yield rewritten).getOrElse(agg)
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, child, _))) =>
       (for {
@@ -1357,5 +1375,135 @@ case class IndexedScanRewrite(spark: SparkSession)
         }
     }
     Project(rewired, newPlan)
+  }
+
+  /** True iff the aggregate expression is a bare, unfiltered,
+    * non-distinct COUNT over either the literal-1 (`count(*)` / a
+    * positive literal) or the given key attribute — the shapes a
+    * key-range predicate makes equivalent to counting the index's
+    * matching rows (the predicate already implies the key non-null). */
+  private def isCountOf(a: Alias, key: AttributeReference): Boolean =
+    a.child match {
+      case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          // count(NULL) is always 0, never the match count — decline
+          case Count(Seq(Literal(v, _))) => v != null
+          case Count(Seq(ar: AttributeReference)) => ar.exprId == key.exprId
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** `SELECT count(*) FROM t WHERE key <range/eq/IN>` served from the
+    * index: a btree range answers via [[ScalarIndex.btreeCountRange]]
+    * (interior buckets from zonemap metadata, only EDGE buckets read); a
+    * bitmap equality/IN counts the asked value directories. Strictly
+    * less I/O than the filter rewrite — the range's interior is never
+    * opened. Numeric ranges only (the typed/prefix shapes fall through
+    * to the ordinary covering rewrite, results identical either way);
+    * the usual freshness/divergence/tombstone guards decline to the
+    * scan, and tombstones HARD-decline here because interior counts
+    * would include deleted rows. */
+  private def tryRewriteAggCount(aggExprs: Seq[Alias], cond: Expression,
+      lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
+    (keyAttr, ask) <- askOf(cond)
+    route <- IndexRoute.lookup(path, keyAttr.name)
+    if aggExprs.nonEmpty && aggExprs.forall(isCountOf(_, keyAttr))
+    if ((ask, route.indexType) match {
+      case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
+      case (_: AskValues, "bitmap") => keyAttr.dataType == StringType
+      case _ => false
+    })
+    man <- AnnIndex.readManifest(route.location)
+    if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+    if !man.divergent
+    if !ScalarIndex.hasTombstones(route.location)
+    if (ask match {
+      case AskValues(vs) if man.nlist > 0 =>
+        vs.distinct.size.toDouble / man.nlist <= maxInFraction
+      case _ => true
+    })
+  } yield {
+    val cnt = ask match {
+      case AskRange(lo, hi, loInc, hiInc) =>
+        ScalarIndex.btreeCountRange(spark, route.location, lo, hi,
+          loInc, hiInc)
+      case AskValues(vs) =>
+        ScalarIndex.searchBitmap(spark, route.location, vs)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      case other => throw new IllegalStateException(
+        s"unreachable count ask $other") // the shape guard above
+    }
+    val newPlan = cnt.queryExecution.analyzed
+    val newCnt = newPlan.output.head
+    require(newCnt.dataType == LongType,
+      s"index route ${route.location} count type drifted")
+    Project(aggExprs.map(a =>
+      Alias(newCnt, a.name)(exprId = a.exprId, qualifier = a.qualifier)),
+      newPlan)
+  }
+
+  /** Filterless global `min(key)` / `max(key)` / `count(key)` over a
+    * routed btree source answered ENTIRELY from the zonemap
+    * ([[ScalarIndex.btreeMinMaxCount]]) — SQL's null-ignoring aggregate
+    * semantics are exactly what the null-free index stores, so a
+    * full-corpus aggregate becomes a kilobyte metadata read. Every
+    * output must be one of the three shapes over the SAME routed key;
+    * `count(*)` does NOT match (the index cannot see null-key rows).
+    * The min/max output types must equal the key's (the manifest cast
+    * is exact over the enforced shadow domain) or the route declines. */
+  private def tryRewriteAggGlobal(aggExprs: Seq[Alias],
+      lr: LogicalRelation, path: String): Option[LogicalPlan] = {
+    sealed trait Pick
+    case object PickMin extends Pick
+    case object PickMax extends Pick
+    case object PickCnt extends Pick
+    def pickOf(a: Alias): Option[(AttributeReference, Pick)] =
+      a.child match {
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Min(ar: AttributeReference) => Some((ar, PickMin))
+            case Max(ar: AttributeReference) => Some((ar, PickMax))
+            case Count(Seq(ar: AttributeReference)) => Some((ar, PickCnt))
+            case _ => None
+          }
+        case _ => None
+      }
+    for {
+      picks <- Option(aggExprs.map(pickOf))
+        .filter(ps => ps.nonEmpty && ps.forall(_.isDefined))
+        .map(_.map(_.get))
+      keyAttr <- picks.map(_._1).distinct match {
+        case Seq(one) => Some(one)
+        case _ => None // mixed-column aggregates: not one index's story
+      }
+      route <- IndexRoute.lookup(path, keyAttr.name)
+      if route.indexType == "btree"
+      man <- AnnIndex.readManifest(route.location)
+      if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+      if !man.divergent
+      if !ScalarIndex.hasTombstones(route.location)
+    } yield {
+      val mmc = ScalarIndex.btreeMinMaxCount(spark, route.location)
+      val newPlan = mmc.queryExecution.analyzed
+      val mn = newPlan.output.find(_.name == "mn").get
+      val mx = newPlan.output.find(_.name == "mx").get
+      val cn = newPlan.output.find(_.name == "cnt").get
+      require(mn.dataType == keyAttr.dataType &&
+        mx.dataType == keyAttr.dataType && cn.dataType == LongType,
+        s"index route ${route.location} zonemap key type " +
+          s"(${mn.dataType}) drifted from the source (${keyAttr.dataType})")
+      Project(aggExprs.zip(picks).map { case (a, (_, pick)) =>
+        val src = pick match {
+          case PickMin => mn
+          case PickMax => mx
+          case PickCnt => cn
+        }
+        Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      }, newPlan)
+    }
   }
 }

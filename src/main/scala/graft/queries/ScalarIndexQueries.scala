@@ -866,6 +866,108 @@ object ScalarIndexQueries {
       |  AS t(table_name, index_type, metric, m)
       |ORDER BY table_name""".stripMargin
 
+  /** q257: `SELECT count(*) WHERE value BETWEEN …` answered from index
+    * METADATA ([[graft.plans.IndexedScanRewrite]]'s aggregate arm →
+    * [[ScalarIndex.btreeCountRange]]): interior buckets contribute their
+    * zonemap `n_rows` as a driver literal and only the two EDGE buckets
+    * are read and counted under the exact residual — strictly less I/O
+    * than the filter rewrite, which reads every overlapping bucket. The
+    * gate REQUIRES the rewrite fired (the index is in the plan, the
+    * corpus is not); the oracle is the plain count — an optimizer
+    * rewrite must be invisible in results. */
+  def q257CountRangeRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.filter(col("value").between(25.5, 250.25))
+        .agg(count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q257: the count-range rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q257: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q257Sql: String =
+    """SELECT count(*) AS cnt FROM events
+      |WHERE value BETWEEN 25.5 AND 250.25""".stripMargin
+
+  /** q258: filterless global `min(value)` / `max(value)` /
+    * `count(value)` answered ENTIRELY from the zonemap
+    * ([[ScalarIndex.btreeMinMaxCount]]) — the postings are never opened:
+    * SQL's null-ignoring aggregate semantics are exactly what the
+    * null-free index stores, so a full-corpus aggregate becomes a
+    * kilobyte metadata read. The gate REQUIRES the zonemap (and only
+    * the zonemap) in the plan; the oracle is the plain aggregate. */
+  def q258MinmaxRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"), count(col("value")).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("zonemap"),
+        s"q258: the min/max rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q258: the corpus was still scanned:\n$plan")
+      require(!plan.contains("postings"),
+        s"q258: the postings were opened for a zonemap-only answer:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q258Sql: String =
+    """SELECT min(value) AS mn, max(value) AS mx, count(value) AS n
+      |FROM events""".stripMargin
+
+  /** q259: `SELECT count(*) WHERE lang = 'en'` counted from the BITMAP
+    * value directory — the aggregate arm's equality shape: the asked
+    * value's narrow (id) files are counted, the wide corpus is never
+    * opened. Oracle: the plain filtered count. */
+  def q259CountEqRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q259: the count-eq rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q259: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q259Sql: String =
+    """SELECT count(*) AS cnt FROM documents WHERE lang = 'en'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_btree_range" -> (q213BtreeRange _),
     "q214_btree_append" -> (q214BtreeAppend _),
@@ -894,7 +996,10 @@ object ScalarIndexQueries {
     "q250_or_rewrite" -> (q250OrRewrite _),
     "q251_route_discovery" -> (q251RouteDiscovery _),
     "q252_partitioned_route" -> (q252PartitionedRoute _),
-    "q256_mutate_rebuild_route" -> (q256MutateRebuildRoute _))
+    "q256_mutate_rebuild_route" -> (q256MutateRebuildRoute _),
+    "q257_count_range_rewrite" -> (q257CountRangeRewrite _),
+    "q258_minmax_rewrite" -> (q258MinmaxRewrite _),
+    "q259_count_eq_rewrite" -> (q259CountEqRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -950,5 +1055,10 @@ object ScalarIndexQueries {
     "q252_partitioned_route" -> q252Sql,
     // the mutation → stale → SQL rebuild → serve loop: the filter over
     // the mutated table equals documents minus the deleted slice
-    "q256_mutate_rebuild_route" -> q256Sql)
+    "q256_mutate_rebuild_route" -> q256Sql,
+    // index-served aggregates: plain count/min/max SQL — the metadata
+    // answer must be invisible in results
+    "q257_count_range_rewrite" -> q257Sql,
+    "q258_minmax_rewrite" -> q258Sql,
+    "q259_count_eq_rewrite" -> q259Sql)
 }

@@ -964,6 +964,94 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("count(*) over a btree RANGE is answered from zonemap interior " +
+      "counts plus the edge buckets; min/max/count(key) without a filter " +
+      "from the zonemap alone") {
+    val loc = tmpLoc("route-agg")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    val wantCnt = events.filter(col("value").between(25.5, 250.25)).count()
+    val wantMm = events
+      .agg(min(col("value")), max(col("value")), count(col("value")))
+      .collect().head
+    withRule {
+      IndexRoute.register(evSource, "value", "event_id", loc)
+      val cnt = events.filter(col("value").between(25.5, 250.25))
+        .agg(count(lit(1)).as("cnt"))
+      assert(scansIndex(cnt, loc),
+        s"expected the count-range rewrite:\n${cnt.queryExecution.executedPlan}")
+      assert(cnt.collect().head.getLong(0) == wantCnt)
+      val mm = events.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"), count(col("value")).as("n"))
+      val plan = mm.queryExecution.executedPlan.toString
+      assert(plan.contains("zonemap") && !plan.contains("events.parquet"),
+        s"expected the zonemap-only answer:\n$plan")
+      assert(!plan.contains("postings"),
+        s"the postings were opened for a zonemap-only answer:\n$plan")
+      val got = mm.collect().head
+      assert(got.getDouble(0) == wantMm.getDouble(0) &&
+        got.getDouble(1) == wantMm.getDouble(1) &&
+        got.getLong(2) == wantMm.getLong(2))
+    }
+  }
+
+  test("aggregate routes and NULL keys: count(key)/min/max rewrite and " +
+      "stay null-correct; count(*) without a filter NEVER rewrites (the " +
+      "index cannot see null-key rows); count(NULL) never rewrites") {
+    import spark.implicits._
+    val src = tmpLoc("aggnull-src")
+    Seq[(Long, Option[Double])]((1L, Some(5.0)), (2L, None),
+      (3L, Some(9.0)), (4L, None), (5L, Some(7.5)))
+      .toDF("id", "v").write.parquet(src)
+    val t = spark.read.parquet(src)
+    val loc = tmpLoc("route-aggnull")
+    ScalarIndex.ensureBtree(t, "id", "v", loc, src)
+    withRule {
+      IndexRoute.register(src, "v", "id", loc)
+      // count(v): the three non-null keys — served from the zonemap
+      val cnt = t.agg(count(col("v")).as("n"), min(col("v")).as("mn"))
+      val cntPlan = cnt.queryExecution.executedPlan.toString
+      assert(cntPlan.contains("zonemap"),
+        s"expected the zonemap answer:\n$cntPlan")
+      val got = cnt.collect().head
+      assert(got.getLong(0) == 3L && got.getDouble(1) == 5.0)
+      // count(*) counts the two null-key rows too: MUST stay on the scan
+      val star = t.agg(count(lit(1)).as("n"))
+      val starPlan = star.queryExecution.executedPlan.toString
+      assert(!starPlan.contains("zonemap"),
+        s"count(*) must not be served by a null-blind index:\n$starPlan")
+      assert(star.collect().head.getLong(0) == 5L)
+      // count(NULL) is always 0 — never the index's match count
+      val nul = t.filter(col("v") >= 5.0)
+        .agg(count(lit(null).cast("int")).as("n"))
+      assert(nul.collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("a TOMBSTONED index declines the aggregate routes: interior " +
+      "counts and zonemap extremes would include deleted rows") {
+    import spark.implicits._
+    val src = tmpLoc("aggts-src")
+    spark.range(1, 101).select(col("id"),
+      (col("id") * 2.0).as("v")).write.parquet(src)
+    val t = spark.read.parquet(src)
+    val loc = tmpLoc("route-aggts")
+    ScalarIndex.ensureBtree(t, "id", "v", loc, src)
+    ScalarIndex.deleteIds(Seq(100L).toDF("id"), "id", loc)
+    withRule {
+      IndexRoute.register(src, "v", "id", loc)
+      val mm = t.agg(max(col("v")).as("mx"))
+      val plan = mm.queryExecution.executedPlan.toString
+      assert(!plan.contains("zonemap"),
+        s"a tombstoned index must decline the aggregate route:\n$plan")
+      assert(mm.collect().head.getDouble(0) == 200.0)
+      val cnt = t.filter(col("v").between(10.0, 500.0))
+        .agg(count(lit(1)).as("n"))
+      val cntPlan = cnt.queryExecution.executedPlan.toString
+      assert(!cntPlan.contains(new java.io.File(loc).getName),
+        s"a tombstoned index must decline the count route:\n$cntPlan")
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

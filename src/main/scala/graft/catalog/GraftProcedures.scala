@@ -22,6 +22,8 @@ import graft.ops.{AnnIndex, NgramIndex, ScalarIndex, TextIndex, ZorderIndex}
   *   CALL graft.system.compact_index(index => 'graft.db.events_value_idx')
   *   CALL graft.system.rebuild_index(index => 'graft.db.events_value_idx')
   *   CALL graft.system.vacuum_index(index => 'graft.db.events_value_idx')
+  *   CALL graft.system.compact_table(table => 'graft.db.events',
+  *     target_mb => '128', cluster_by => 'ts,value')
   * }}}
   * `index` arguments accept either a registered capability-pointer table
   * name (resolved through the catalog property, the q228/q245 device) or
@@ -43,6 +45,24 @@ object GraftProcedures {
     case null => null
     case s: UTF8String => s.toString
     case s => s.toString
+  }
+
+  /** A catalog table's storage location, through the DSv2 loadTable
+    * properties (`SHOW TBLPROPERTIES` hides the reserved `location`
+    * key, so the SQL route cannot answer this). */
+  def tableLocation(tableName: String): String = {
+    import scala.jdk.CollectionConverters._
+    val parts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(tableName)
+    require(parts.length >= 2, s"need a catalog-qualified name, got " +
+      tableName)
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(
+      Identifier.of(parts.tail.init.toArray, parts.last))
+    Option(tbl.properties().asScala.getOrElse("location", null)).getOrElse(
+      throw new IllegalArgumentException(
+        s"compact_table: $tableName has no location property"))
   }
 
   /** Table-name-or-location → location (the TVFs' resolveIdx rule). */
@@ -200,12 +220,102 @@ object GraftProcedures {
     }
   }
 
+  /** TABLE maintenance — the lakehouse OPTIMIZE shape for graft catalog
+    * tables: rewrite a table's (many small) data files into
+    * `target_mb`-sized ones, optionally CLUSTERED — one `cluster_by`
+    * column range-sorts the layout (downstream range filters prune at
+    * the parquet rowgroup level); two columns z-order it through the
+    * same Morton curve the zorder index family rides (both dimensions
+    * keep locality — the Databricks OPTIMIZE ZORDER BY pairing). The
+    * rewrite materializes the arranged layout into a STAGING directory
+    * first, then INSERT OVERWRITEs the table from it — the overwrite
+    * rides [[GraftTable]]'s truncate write (preexisting files deleted
+    * at commit, catalog caches evicted), so readers see old-or-new,
+    * and any index routed over the table's files declines by
+    * fingerprint until `rebuild_index` (the q256 loop). At 100 TB this
+    * is THE small-file story: streaming/CDC ingest leaves thousands of
+    * KB-files per partition whose per-file open cost dominates scans —
+    * one linear rewrite restores ~maxPartitionBytes-sized reads. */
+  private val compactTable = new GraftProcedure("compact_table",
+    Array(in("table"), inDefault("target_mb", "'128'"),
+      inDefault("cluster_by", "''")),
+    StructType(Seq("location", "files_before", "files_after", "action")
+      .map(org.apache.spark.sql.types.StructField(_, DataTypes.StringType)))) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val tableName = str(input.getUTF8String(0))
+      val targetMb = str(input.getUTF8String(1)).toLong
+      require(targetMb >= 1, s"compact_table: target_mb >= 1, got $targetMb")
+      val clusterCols = str(input.getUTF8String(2))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val loc = tableLocation(tableName)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += f
+        }
+        buf.result()
+      }
+      val before = dataFiles()
+      val bytes = before.map(_.getLen).sum
+      val nParts = math.max(1,
+        math.ceil(bytes.toDouble / (targetMb * 1024L * 1024L)).toInt)
+      val src = spark.table(tableName)
+      val arranged = clusterCols match {
+        case Nil => src.repartition(nParts)
+        case Seq(c) =>
+          src.repartitionByRange(nParts, col(c)).sortWithinPartitions(col(c))
+        case Seq(cx, cy) =>
+          // the zorder index family's frozen-grid Morton curve, computed
+          // over THIS table's ranges (one narrow agg), as a transient
+          // sort key the written layout keeps but the schema drops
+          val mm = src.agg(
+            min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+            min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
+          require(!mm.isNullAt(0) && !mm.isNullAt(2),
+            s"compact_table: cluster_by columns $cx/$cy are all-null")
+          import org.apache.spark.sql.functions.{floor, greatest, least, lit}
+          def g(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+            if (hi > lo)
+              least(greatest(floor((c.cast("double") - lit(lo))
+                  / lit(hi - lo) * lit(65535.0)), lit(0.0)),
+                lit(65535.0)).cast("long")
+            else lit(0L)
+          val z = graft.ops.ZOrder.zValue(
+            g(col(cx), mm.getDouble(0), mm.getDouble(1)),
+            g(col(cy), mm.getDouble(2), mm.getDouble(3)), 16)
+          src.withColumn("__graft_z", z)
+            .repartitionByRange(nParts, col("__graft_z"))
+            .sortWithinPartitions(col("__graft_z"))
+            .drop("__graft_z")
+        case more => throw new IllegalArgumentException(
+          s"compact_table: cluster_by takes 0, 1 or 2 columns, got $more")
+      }
+      val staging =
+        s"$loc.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        arranged.write.parquet(staging)
+        spark.sql(
+          s"INSERT OVERWRITE $tableName SELECT * FROM parquet.`$staging`")
+      } finally
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val after = dataFiles()
+      Seq(Seq(loc, before.size.toString, after.size.toString, "compacted"))
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] = Map(
     "create_index" -> createIndex,
     "rebuild_index" -> rebuildIndex,
     "compact_index" -> compactIndex,
     "vacuum_index" -> vacuumIndex,
-    "describe_index" -> describeIndex)
+    "describe_index" -> describeIndex,
+    "compact_table" -> compactTable)
 
   def load(ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace),

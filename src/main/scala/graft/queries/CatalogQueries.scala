@@ -362,6 +362,38 @@ object CatalogQueries {
       |SELECT -1 AS c_custkey, 'merged' AS c_name, 42.0 AS c_acctbal
       |ORDER BY c_custkey""".stripMargin
 
+  /** q260: `CALL graft.system.compact_table` — the lakehouse OPTIMIZE
+    * loop on a catalog table: the gate seeds the table as 48 deliberate
+    * small files (the streaming-ingest pathology), compacts with a
+    * single-column range clustering, REQUIRES the receipt to show the
+    * file count collapsed, and returns the table's full content —
+    * compaction must be invisible in results. Oracle: the plain source
+    * projection. */
+  def q260CompactTable(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.cmp_orders
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        |""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.cmp_orders
+         |SELECT /*+ REPARTITION(48) */ o_orderkey, o_custkey, o_totalprice
+         |FROM parquet.`$d/orders.parquet`""".stripMargin)
+    val receipt = s.sql(
+      """CALL graft.system.compact_table(
+        |  table => 'graft.tpch.cmp_orders', target_mb => '128',
+        |  cluster_by => 'o_orderkey')""".stripMargin).collect().head
+    val (before, after) =
+      (receipt.getString(1).toInt, receipt.getString(2).toInt)
+    require(before >= 48 && after < before,
+      s"q260: compaction did not shrink the file count ($before -> $after)")
+    s.table("graft.tpch.cmp_orders").orderBy(col("o_orderkey"))
+  }
+
+  private val q260Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_catalog_scan" -> (q21CatalogScan _),
     "q22_catalog_join" -> (q22CatalogJoin _),
@@ -371,7 +403,8 @@ object CatalogQueries {
     "q180_managed_versioning" -> (q180ManagedVersioning _),
     "q253_sql_delete" -> (q253SqlDelete _),
     "q254_sql_update" -> (q254SqlUpdate _),
-    "q255_sql_merge" -> (q255SqlMerge _))
+    "q255_sql_merge" -> (q255SqlMerge _),
+    "q260_compact_table" -> (q260CompactTable _))
 
   val oracles: Map[String, String] = Map(
     "q21_catalog_scan" -> q21Sql,
@@ -383,5 +416,7 @@ object CatalogQueries {
     // row-level mutations must equal their relational equivalents
     "q253_sql_delete" -> q253Sql,
     "q254_sql_update" -> q254Sql,
-    "q255_sql_merge" -> q255Sql)
+    "q255_sql_merge" -> q255Sql,
+    // small-file compaction must be invisible in results
+    "q260_compact_table" -> q260Sql)
 }

@@ -103,8 +103,8 @@ class GraftProcedureSpec extends SparkSpec {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[CatalogPlugin with ProcedureCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
-      Seq("compact_index", "create_index", "describe_index",
-        "rebuild_index", "vacuum_index"))
+      Seq("compact_index", "compact_table", "create_index",
+        "describe_index", "rebuild_index", "vacuum_index"))
     // describe_index surfaces the manifest by table name or raw location
     val desc = spark.sql(
       "CALL graft.system.describe_index(index => 'graft.tpch.proc_zorder_idx')")
@@ -112,5 +112,57 @@ class GraftProcedureSpec extends SparkSpec {
     assert(desc.getString(1) == "zorder" && desc.getString(2) == "box" &&
       desc.getString(5) == "false" &&
       desc.getString(8) == "value,user_id")
+  }
+
+  test("compact_table folds small files into target-sized ones, keeps " +
+      "content bit-identical, supports 1-col range and 2-col z-order " +
+      "clustering, and stales routed indexes by fingerprint") {
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.proc_cmp
+        |(event_id BIGINT, user_id BIGINT, value DOUBLE)""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE graft.tpch.proc_cmp
+         |SELECT /*+ REPARTITION(32) */ event_id, user_id, value
+         |FROM parquet.`$evSource`""".stripMargin)
+    val want = spark.table("graft.tpch.proc_cmp")
+      .orderBy(col("event_id")).collect()
+    // an index routed over the table's files, fresh before compaction
+    val loc = graft.catalog.GraftProcedures.tableLocation(
+      "graft.tpch.proc_cmp")
+    val idx = tmpLoc("proc-cmp-idx")
+    ScalarIndex.ensureBtree(spark.table("graft.tpch.proc_cmp"),
+      "event_id", "value", idx, loc)
+    val fpBefore = AnnIndex.sourceFingerprint(loc)
+    assert(AnnIndex.readManifest(idx).get.fingerprint == fpBefore)
+
+    val r = spark.sql(
+      """CALL graft.system.compact_table(
+        |  table => 'graft.tpch.proc_cmp', target_mb => '128',
+        |  cluster_by => 'value')""".stripMargin).collect().head
+    assert(r.getString(3) == "compacted")
+    assert(r.getString(1).toInt >= 32 && r.getString(2).toInt < 32,
+      s"expected the file count to collapse, got ${r.getString(1)} -> " +
+        r.getString(2))
+    assert(spark.table("graft.tpch.proc_cmp")
+      .orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    // the rewrite flipped the source fingerprint: the route's freshness
+    // check now declines until rebuild_index (the q256 loop)
+    assert(AnnIndex.sourceFingerprint(loc) != fpBefore)
+
+    // the 2-col arm z-orders without changing content either
+    val r2 = spark.sql(
+      """CALL graft.system.compact_table(
+        |  table => 'graft.tpch.proc_cmp', target_mb => '128',
+        |  cluster_by => 'user_id,value')""".stripMargin).collect().head
+    assert(r2.getString(3) == "compacted")
+    assert(spark.table("graft.tpch.proc_cmp")
+      .orderBy(col("event_id")).collect().toSeq == want.toSeq)
+    // three+ cluster columns refuse loudly
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.compact_table(
+        |  table => 'graft.tpch.proc_cmp',
+        |  cluster_by => 'a,b,c')""".stripMargin).collect())
+    assert(e.getMessage.contains("0, 1 or 2"))
   }
 }

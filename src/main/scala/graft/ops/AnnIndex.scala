@@ -91,7 +91,13 @@ object AnnIndex {
         * residual fetch, inventories, rebuild tooling) find its way back
         * to the data without out-of-band knowledge */
       sourcePath: String = "", sourceIdCol: String = "",
-      sourceKeyCol: String = "")
+      sourceKeyCol: String = "",
+      /** TOTAL source row count at build (+appends), INCLUDING rows the
+        * index does not store (null / empty-string keys) — what lets a
+        * metadata-served aggregate prove the index saw every row: serve
+        * `count(*)` / GROUP-BY counts only when the index's own row sum
+        * equals this. -1 = unknown (pre-accounting manifests decline). */
+      sourceRows: Long = -1L)
 
   // ---- manifest & fingerprint ----------------------------------------
 
@@ -129,6 +135,8 @@ object AnnIndex {
       props.setProperty("graft.index.source.idcol", m.sourceIdCol)
     if (m.sourceKeyCol.nonEmpty)
       props.setProperty("graft.index.source.keycol", m.sourceKeyCol)
+    if (m.sourceRows >= 0)
+      props.setProperty("graft.index.source.rows", m.sourceRows.toString)
     IndexFs.writeProperties(s"$location/$ManifestFile", props,
       "graft index manifest")
   }
@@ -146,7 +154,8 @@ object AnnIndex {
         props.getProperty("graft.index.divergent", "false").toBoolean,
         props.getProperty("graft.index.source", ""),
         props.getProperty("graft.index.source.idcol", ""),
-        props.getProperty("graft.index.source.keycol", ""))
+        props.getProperty("graft.index.source.keycol", ""),
+        props.getProperty("graft.index.source.rows", "-1").toLong)
     }
 
   // ---- build ----------------------------------------------------------

@@ -155,10 +155,16 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
+      // sourceRows >= 0: pre-accounting manifests rebuild once so the
+      // metadata-served aggregates can reconcile row counts
       case Some(m) if m.fingerprint == fp && m.indexType == "btree" &&
-          m.nlist == nBuckets && m.sourcePath.nonEmpty => false
+          m.nlist == nBuckets && m.sourcePath.nonEmpty &&
+          m.sourceRows >= 0 => false
       case _ =>
         AnnIndex.deleteRecursively(location)
+        // ALL source rows, including null keys the index will not store
+        // — the reconciliation denominator for count(*)/GROUP BY service
+        val totalRows = TextFunctions.widen(df).count()
         val rows = btreeRows(df, idCol, keyCol)
         // the key's TRUE type rides the manifest: registration declares
         // the real postings schema from it (a BIGINT-keyed btree used to
@@ -175,7 +181,8 @@ object ScalarIndex {
         AnnIndex.buildAndPublish(location,
           AnnIndex.Manifest("btree", "range", nBuckets, 0, fp,
             keyType = keyDdl, sourcePath = sourcePath,
-            sourceIdCol = idCol, sourceKeyCol = keyCol)) { staging =>
+            sourceIdCol = idCol, sourceKeyCol = keyCol,
+            sourceRows = totalRows)) { staging =>
           val bucketed = rows
             .repartitionByRange(nBuckets, col("key"), col("id"))
             .withColumn("bkt", spark_partition_id())
@@ -248,8 +255,13 @@ object ScalarIndex {
         max(shadow(col("key"))).as("hi"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/zonemap")
+    // row accounting: ALL delta rows (incl. null keys) join the
+    // reconciliation denominator; unknown (-1) stays unknown
+    val newRows =
+      if (man.sourceRows < 0) -1L
+      else man.sourceRows + TextFunctions.widen(delta).count()
     AnnIndex.writeManifest(location,
-      man.copy(fingerprint = newFingerprint))
+      man.copy(fingerprint = newFingerprint, sourceRows = newRows))
   }
 
   // ---- BTREE: search ---------------------------------------------------
@@ -594,6 +606,46 @@ object ScalarIndex {
         coalesce(sum(col("n_rows")), lit(0L)).as("cnt"))
   }
 
+  /** Per-value row counts `(k STRING, cnt BIGINT)` straight from the
+    * bitmap's values table — the metadata answer to
+    * `SELECT key, count(*) GROUP BY key`: the delta rows sum per value
+    * (≤ cardinality rows read, no postings touched). The CALLER owns
+    * proving the index saw every source row (manifest `sourceRows` ==
+    * [[indexedRowSum]]) — a source with null/empty keys has groups the
+    * bitmap cannot see and must decline to the scan. Tombstoned
+    * indexes are REFUSED (deleted rows still count here). */
+  def bitmapGroupCounts(spark: SparkSession, location: String): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    require(!hasTombstones(location),
+      s"bitmap at $location carries tombstones — value counts would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    spark.read.parquet(s"$location/values")
+      .groupBy(col("k"))
+      .agg(sum(col("n_rows")).cast("long").as("cnt"))
+  }
+
+  /** How many rows the index STORES — sum of the btree zonemap's /
+    * bitmap values table's delta counts (a metadata-sized driver read).
+    * Equal to the manifest's `sourceRows` exactly when the source had
+    * no null/empty keys — the reconciliation the metadata-served
+    * count(*)/GROUP-BY routes require. */
+  def indexedRowSum(spark: SparkSession, location: String): Long = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    val (sub, cntCol) = man.indexType match {
+      case "btree" => ("zonemap", "n_rows")
+      case "bitmap" | "label_list" => ("values", "n_rows")
+      case t => throw new IllegalArgumentException(
+        s"indexedRowSum: no row accounting for index type '$t'")
+    }
+    spark.read.parquet(s"$location/$sub")
+      .agg(coalesce(sum(col(cntCol)), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
+
   /** Fold tombstones into the btree layout: postings minus deleted ids
     * rewritten bucket-partitioned, zonemap recomputed EXACTLY from the
     * surviving rows (so a delete that emptied a bucket's range edge
@@ -659,15 +711,18 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
+      // sourceRows >= 0: pre-accounting manifests rebuild once so the
+      // metadata-served aggregates can reconcile row counts
       case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" &&
-          m.sourcePath.nonEmpty => false
+          m.sourcePath.nonEmpty && m.sourceRows >= 0 => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         buildValueDirs(bitmapRows(df, idCol, keyCol), location,
           "bitmap", "equality", maxCardinality, fp,
           s"ensureBitmap: $keyCol",
           " — use a btree index",
-          sourcePath, idCol, keyCol)
+          sourcePath, idCol, keyCol,
+          sourceRows = TextFunctions.widen(df).count())
     }
   }
 
@@ -681,13 +736,14 @@ object ScalarIndex {
   private def buildValueDirs(rows: DataFrame, location: String,
       indexType: String, metric: String, maxCardinality: Int, fp: String,
       what: String, hint: String,
-      sourcePath: String, idCol: String, keyCol: String): Boolean = {
+      sourcePath: String, idCol: String, keyCol: String,
+      sourceRows: Long = -1L): Boolean = {
     val spark = rows.sparkSession
     var card = 0L
     val built = AnnIndex.buildAndPublish(location,
       AnnIndex.Manifest(indexType, metric, 0, 0, fp,
         sourcePath = sourcePath, sourceIdCol = idCol,
-        sourceKeyCol = keyCol)) { staging =>
+        sourceKeyCol = keyCol, sourceRows = sourceRows)) { staging =>
       rows.repartition(col("k"))
         .write.mode("overwrite").partitionBy("k")
         .parquet(s"$staging/postings")
@@ -744,8 +800,14 @@ object ScalarIndex {
       .coalesce(1).write.mode("append").parquet(s"$location/values")
     val card = checkAppendCardinality(delta.sparkSession, location,
       maxCardinality, s"appendBitmap: $keyCol", " — use a btree index")
+    // row accounting: ALL delta rows (incl. null/empty keys) join the
+    // reconciliation denominator; unknown (-1) stays unknown
+    val newRows =
+      if (man.sourceRows < 0) -1L
+      else man.sourceRows + TextFunctions.widen(delta).count()
     AnnIndex.writeManifest(location,
-      man.copy(fingerprint = newFingerprint, nlist = card))
+      man.copy(fingerprint = newFingerprint, nlist = card,
+        sourceRows = newRows))
   }
 
   /** Equality search: ids whose key ∈ `values`. The read carries a static

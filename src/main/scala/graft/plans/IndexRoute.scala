@@ -136,6 +136,16 @@ object IndexRoute {
   private[plans] def lookup(path: String, keyCol: String): Option[Route] =
     Option(routes.get((path, keyCol)))
 
+  /** Every route registered for a source path (key-column order
+    * stabilized) — the keyless-aggregate arm's lookup: `count(*)` names
+    * no column, so ANY row-accounted index over the path may answer. */
+  private[plans] def routesForPath(path: String): Seq[Route] = {
+    import scala.jdk.CollectionConverters._
+    routes.asScala.collect {
+      case ((p, _), r) if p == path => r
+    }.toSeq.sortBy(_.keyCol)
+  }
+
   /** Register route(s) for the EXACT-family index at `location` from its
     * manifest's SOURCE BINDING (path + id/key columns, stamped at build).
     * Returns how many routes were added. Pre-source-binding manifests and
@@ -294,6 +304,15 @@ case class IndexedScanRewrite(spark: SparkSession)
         path <- sourcePathOf(lr)
         rewritten <- tryRewriteAggGlobal(
           aggExprs.map(_.asInstanceOf[Alias]), lr, path)
+      } yield rewritten).getOrElse(agg)
+    // GROUP BY key + counts over a routed bitmap source: the values
+    // table IS the answer (≤ cardinality rows), when row accounting
+    // proves the index saw every source row
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      (for {
+        lr <- relationOf(child)
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteGroupByCount(g, aggExprs, lr, path)
       } yield rewritten).getOrElse(agg)
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, child, _))) =>
@@ -1445,64 +1464,166 @@ case class IndexedScanRewrite(spark: SparkSession)
       newPlan)
   }
 
-  /** Filterless global `min(key)` / `max(key)` / `count(key)` over a
-    * routed btree source answered ENTIRELY from the zonemap
-    * ([[ScalarIndex.btreeMinMaxCount]]) — SQL's null-ignoring aggregate
-    * semantics are exactly what the null-free index stores, so a
-    * full-corpus aggregate becomes a kilobyte metadata read. Every
-    * output must be one of the three shapes over the SAME routed key;
-    * `count(*)` does NOT match (the index cannot see null-key rows).
-    * The min/max output types must equal the key's (the manifest cast
-    * is exact over the enforced shadow domain) or the route declines. */
+  /** Filterless global aggregates over a routed source answered from
+    * index METADATA: `min(key)` / `max(key)` / `count(key)` from a
+    * btree's zonemap ([[ScalarIndex.btreeMinMaxCount]]); `count(*)`
+    * from the manifest's ROW ACCOUNTING — served only when the index
+    * PROVES it saw every source row (`sourceRows` stamped at
+    * build/append equals the index's own stored-row sum; a source with
+    * null/empty keys fails the reconciliation and declines, because
+    * those rows are invisible to the index). A keyless `count(*)` may
+    * be answered by ANY row-accounted btree/bitmap route on the path.
+    * The min/max output types must equal the key's or the route
+    * declines. */
   private def tryRewriteAggGlobal(aggExprs: Seq[Alias],
       lr: LogicalRelation, path: String): Option[LogicalPlan] = {
     sealed trait Pick
     case object PickMin extends Pick
     case object PickMax extends Pick
     case object PickCnt extends Pick
-    def pickOf(a: Alias): Option[(AttributeReference, Pick)] =
+    case object PickStar extends Pick
+    def pickOf(a: Alias): Option[(Option[AttributeReference], Pick)] =
       a.child match {
         case ae: AggregateExpression
             if !ae.isDistinct && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case Min(ar: AttributeReference) => Some((ar, PickMin))
-            case Max(ar: AttributeReference) => Some((ar, PickMax))
-            case Count(Seq(ar: AttributeReference)) => Some((ar, PickCnt))
+            case Min(ar: AttributeReference) => Some((Some(ar), PickMin))
+            case Max(ar: AttributeReference) => Some((Some(ar), PickMax))
+            case Count(Seq(ar: AttributeReference)) =>
+              Some((Some(ar), PickCnt))
+            case Count(Seq(Literal(v, _))) if v != null =>
+              Some((None, PickStar))
             case _ => None
           }
         case _ => None
       }
+    def fresh(route: IndexRoute.Route): Option[AnnIndex.Manifest] =
+      AnnIndex.readManifest(route.location)
+        .filter(_.fingerprint ==
+          AnnIndex.sourceFingerprint(route.rawSourcePath))
+        .filterNot(_.divergent)
+        .filterNot(_ => ScalarIndex.hasTombstones(route.location))
+    /* the count(*) reconciliation: the index saw every source row */
+    def accounted(route: IndexRoute.Route, man: AnnIndex.Manifest)
+        : Boolean = man.sourceRows >= 0 &&
+      ScalarIndex.indexedRowSum(spark, route.location) == man.sourceRows
     for {
       picks <- Option(aggExprs.map(pickOf))
         .filter(ps => ps.nonEmpty && ps.forall(_.isDefined))
         .map(_.map(_.get))
-      keyAttr <- picks.map(_._1).distinct match {
-        case Seq(one) => Some(one)
+      keyed = picks.flatMap(_._1).distinct
+      rewritten <- keyed match {
+        case Seq(keyAttr) => // one key column: the zonemap answers
+          for {
+            route <- IndexRoute.lookup(path, keyAttr.name)
+            if route.indexType == "btree"
+            man <- fresh(route)
+            // count(*) present → row accounting must reconcile too
+            if !picks.exists(_._2 == PickStar) || accounted(route, man)
+          } yield {
+            val mmc = ScalarIndex.btreeMinMaxCount(spark, route.location)
+            val newPlan = mmc.queryExecution.analyzed
+            val mn = newPlan.output.find(_.name == "mn").get
+            val mx = newPlan.output.find(_.name == "mx").get
+            val cn = newPlan.output.find(_.name == "cnt").get
+            require(mn.dataType == keyAttr.dataType &&
+              mx.dataType == keyAttr.dataType && cn.dataType == LongType,
+              s"index route ${route.location} zonemap key type " +
+                s"(${mn.dataType}) drifted from the source " +
+                s"(${keyAttr.dataType})")
+            Project(aggExprs.zip(picks).map { case (a, (_, pick)) =>
+              val src = pick match {
+                case PickMin => mn
+                case PickMax => mx
+                case PickCnt => cn
+                case PickStar => cn // == count(*) once accounted
+              }
+              Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+            }, newPlan)
+          }
+        case Seq() => // pure count(*): any row-accounted route answers
+          (for {
+            route <- IndexRoute.routesForPath(path).iterator
+            if route.indexType == "btree" || route.indexType == "bitmap"
+            man <- fresh(route)
+            if accounted(route, man)
+          } yield {
+            val cnt = spark.range(1).select(
+              org.apache.spark.sql.functions.lit(man.sourceRows).as("cnt"))
+            val newPlan = cnt.queryExecution.analyzed
+            val newCnt = newPlan.output.head
+            Project(aggExprs.map(a => Alias(newCnt, a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)), newPlan)
+          }).nextOption()
         case _ => None // mixed-column aggregates: not one index's story
       }
-      route <- IndexRoute.lookup(path, keyAttr.name)
-      if route.indexType == "btree"
+    } yield rewritten
+  }
+
+  /** `SELECT key, count(*) FROM t GROUP BY key` answered from the
+    * BITMAP's values table ([[ScalarIndex.bitmapGroupCounts]]) — per-
+    * value counts are exactly what the build/append stamped, read in
+    * ≤ cardinality rows with no postings (let alone corpus) touched.
+    * Soundness needs the same row-accounting proof as global count(*):
+    * a null/empty-key row belongs to a GROUP the bitmap cannot see, so
+    * the route serves only when `sourceRows` reconciles with the values
+    * sum. Output shapes accepted per aggregate expression: the grouping
+    * attribute itself (aliased or bare), `count(*)`/`count(lit)`, and
+    * `count(key)` (== the group size — key is non-null inside its
+    * group). Anything else declines. */
+  private def tryRewriteGroupByCount(groupAttr: AttributeReference,
+      aggExprs: Seq[NamedExpression], lr: LogicalRelation, path: String)
+      : Option[LogicalPlan] = {
+    sealed trait Out
+    case object OutKey extends Out
+    case object OutCnt extends Out
+    def outOf(ne: NamedExpression): Option[Out] = ne match {
+      case ar: AttributeReference if ar.exprId == groupAttr.exprId =>
+        Some(OutKey)
+      case a: Alias => a.child match {
+        case ar: AttributeReference if ar.exprId == groupAttr.exprId =>
+          Some(OutKey)
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(v, _))) if v != null => Some(OutCnt)
+            case Count(Seq(ar: AttributeReference))
+                if ar.exprId == groupAttr.exprId => Some(OutCnt)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    for {
+      // no OutCnt needed: a pure `SELECT DISTINCT key` (all OutKey) is
+      // the values table's key list under the same accounting proof
+      outs <- Option(aggExprs.map(outOf))
+        .filter(os => os.forall(_.isDefined) && os.nonEmpty)
+        .map(_.map(_.get))
+      if groupAttr.dataType == StringType
+      route <- IndexRoute.lookup(path, groupAttr.name)
+      if route.indexType == "bitmap"
       man <- AnnIndex.readManifest(route.location)
       if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
       if !man.divergent
       if !ScalarIndex.hasTombstones(route.location)
+      if man.sourceRows >= 0 &&
+        ScalarIndex.indexedRowSum(spark, route.location) == man.sourceRows
     } yield {
-      val mmc = ScalarIndex.btreeMinMaxCount(spark, route.location)
-      val newPlan = mmc.queryExecution.analyzed
-      val mn = newPlan.output.find(_.name == "mn").get
-      val mx = newPlan.output.find(_.name == "mx").get
-      val cn = newPlan.output.find(_.name == "cnt").get
-      require(mn.dataType == keyAttr.dataType &&
-        mx.dataType == keyAttr.dataType && cn.dataType == LongType,
-        s"index route ${route.location} zonemap key type " +
-          s"(${mn.dataType}) drifted from the source (${keyAttr.dataType})")
-      Project(aggExprs.zip(picks).map { case (a, (_, pick)) =>
-        val src = pick match {
-          case PickMin => mn
-          case PickMax => mx
-          case PickCnt => cn
+      val gc = ScalarIndex.bitmapGroupCounts(spark, route.location)
+      val newPlan = gc.queryExecution.analyzed
+      val kAttr = newPlan.output.find(_.name == "k").get
+      val cAttr = newPlan.output.find(_.name == "cnt").get
+      require(kAttr.dataType == StringType && cAttr.dataType == LongType,
+        s"index route ${route.location} values-table types drifted")
+      Project(aggExprs.zip(outs).map { case (ne, out) =>
+        val src = out match {
+          case OutKey => kAttr
+          case OutCnt => cAttr
         }
-        Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        Alias(src, ne.name)(exprId = ne.exprId,
+          qualifier = ne.qualifier)
       }, newPlan)
     }
   }

@@ -968,6 +968,100 @@ object ScalarIndexQueries {
   private val q259Sql: String =
     """SELECT count(*) AS cnt FROM documents WHERE lang = 'en'""".stripMargin
 
+  /** q261: `SELECT lang, count(*) GROUP BY lang` answered from the
+    * BITMAP's values table — per-value counts stamped at build, read in
+    * ≤ cardinality rows, no postings (let alone corpus) touched. The
+    * route serves only under the ROW-ACCOUNTING proof: the manifest's
+    * `sourceRows` (every source row, stamped at build) equals the
+    * values-table sum, so no null/empty-key group can be missing. The
+    * gate REQUIRES the rewrite fired and the corpus stayed closed;
+    * oracle: the plain GROUP BY. */
+  def q261GroupbyRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q261: the group-by rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q261: the corpus was still scanned:\n$plan")
+      require(!plan.contains("postings"),
+        s"q261: the postings were opened for a values-only answer:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q261Sql: String =
+    """SELECT lang, count(*) AS n FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q262: filterless `SELECT count(*)` answered from the MANIFEST —
+    * the keyless aggregate arm: any row-accounted route over the path
+    * may answer once its stored-row sum reconciles with `sourceRows`,
+    * and the result is a one-row literal (NO files read at all, not
+    * even index metadata at execution time). Oracle: the plain count. */
+  def q262CountStarRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.agg(count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("events.parquet"),
+        s"q262: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q262Sql: String =
+    """SELECT count(*) AS cnt FROM events""".stripMargin
+
+  /** q263: `SELECT DISTINCT lang` from the values table — the pure
+    * grouping shape (no counts) under the same accounting proof: the
+    * bitmap's value directory list IS the distinct set when no
+    * null/empty-key rows exist. Oracle: the plain DISTINCT. */
+  def q263DistinctRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.select(col("lang")).distinct().orderBy(col("lang"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q263: the distinct rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q263: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q263Sql: String =
+    """SELECT DISTINCT lang FROM documents ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q213_btree_range" -> (q213BtreeRange _),
     "q214_btree_append" -> (q214BtreeAppend _),
@@ -999,7 +1093,10 @@ object ScalarIndexQueries {
     "q256_mutate_rebuild_route" -> (q256MutateRebuildRoute _),
     "q257_count_range_rewrite" -> (q257CountRangeRewrite _),
     "q258_minmax_rewrite" -> (q258MinmaxRewrite _),
-    "q259_count_eq_rewrite" -> (q259CountEqRewrite _))
+    "q259_count_eq_rewrite" -> (q259CountEqRewrite _),
+    "q261_groupby_rewrite" -> (q261GroupbyRewrite _),
+    "q262_count_star_rewrite" -> (q262CountStarRewrite _),
+    "q263_distinct_rewrite" -> (q263DistinctRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1060,5 +1157,10 @@ object ScalarIndexQueries {
     // answer must be invisible in results
     "q257_count_range_rewrite" -> q257Sql,
     "q258_minmax_rewrite" -> q258Sql,
-    "q259_count_eq_rewrite" -> q259Sql)
+    "q259_count_eq_rewrite" -> q259Sql,
+    // values-table GROUP BY / manifest count(*) / values-list DISTINCT:
+    // metadata answers must be invisible in results
+    "q261_groupby_rewrite" -> q261Sql,
+    "q262_count_star_rewrite" -> q262Sql,
+    "q263_distinct_rewrite" -> q263Sql)
 }

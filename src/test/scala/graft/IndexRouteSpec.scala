@@ -1052,6 +1052,90 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY key / DISTINCT key / filterless count(*) are answered " +
+      "from index metadata under the row-accounting proof") {
+    val loc = tmpLoc("route-gb")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val wantGb = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang")).collect()
+    val wantD = docs.select(col("lang")).distinct()
+      .orderBy(col("lang")).collect()
+    val wantN = docs.count()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val gb = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(scansIndex(gb, loc),
+        s"expected the values-table answer:\n${gb.queryExecution.executedPlan}")
+      assert(!gb.queryExecution.executedPlan.toString.contains("postings"))
+      assert(gb.orderBy(col("lang")).collect().toSeq == wantGb.toSeq)
+      val d = docs.select(col("lang")).distinct()
+      assert(scansIndex(d, loc),
+        s"expected the values-list distinct:\n${d.queryExecution.executedPlan}")
+      assert(d.orderBy(col("lang")).collect().toSeq == wantD.toSeq)
+      // keyless count(*): the manifest literal — no corpus in the plan
+      val n = docs.agg(count(lit(1)).as("cnt"))
+      assert(!n.queryExecution.executedPlan.toString
+        .contains("documents.parquet"),
+        s"expected the manifest count:\n${n.queryExecution.executedPlan}")
+      assert(n.collect().head.getLong(0) == wantN)
+    }
+  }
+
+  test("row accounting declines when the index did not see every row: " +
+      "null keys break the GROUP BY/count(*)/DISTINCT rewrites but " +
+      "never the results") {
+    import spark.implicits._
+    val src = tmpLoc("gbnull-src")
+    Seq[(Long, Option[String])]((1L, Some("en")), (2L, None),
+      (3L, Some("de")), (4L, Some("en")))
+      .toDF("id", "k").write.parquet(src)
+    val t = spark.read.parquet(src)
+    val loc = tmpLoc("route-gbnull")
+    ScalarIndex.ensureBitmap(t, "id", "k", loc, src)
+    // the accounting disagrees: 4 source rows, 3 indexed
+    assert(graft.ops.AnnIndex.readManifest(loc).get.sourceRows == 4L)
+    assert(ScalarIndex.indexedRowSum(spark, loc) == 3L)
+    withRule {
+      IndexRoute.register(src, "k", "id", loc)
+      val gb = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(!gb.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        "a null-key source must decline the group-by rewrite")
+      // the scan answer includes the NULL group the index cannot see
+      assert(gb.collect().length == 3)
+      val n = t.agg(count(lit(1)).as("cnt"))
+      assert(!n.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName))
+      assert(n.collect().head.getLong(0) == 4L)
+    }
+  }
+
+  test("bitmap append maintains the row accounting: the grown index " +
+      "still serves GROUP BY and matches the grown source") {
+    import spark.implicits._
+    val src = tmpLoc("gbapp-src")
+    Seq((1L, "en"), (2L, "de"), (3L, "en"))
+      .toDF("id", "k").write.parquet(src)
+    val loc = tmpLoc("route-gbapp")
+    ScalarIndex.ensureBitmap(spark.read.parquet(src), "id", "k", loc, src)
+    // grow the source, fold the delta incrementally
+    val delta = Seq((4L, "fr"), (5L, "en")).toDF("id", "k")
+    delta.write.mode("append").parquet(src)
+    ScalarIndex.appendBitmap(delta, "id", "k", loc,
+      graft.ops.AnnIndex.sourceFingerprint(src))
+    assert(graft.ops.AnnIndex.readManifest(loc).get.sourceRows == 5L)
+    val t = spark.read.parquet(src)
+    val want = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k")).collect()
+    withRule {
+      IndexRoute.register(src, "k", "id", loc)
+      val gb = t.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(scansIndex(gb, loc),
+        s"expected the appended values answer:\n${gb.queryExecution.executedPlan}")
+      assert(gb.orderBy(col("k")).collect().toSeq == want.toSeq)
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

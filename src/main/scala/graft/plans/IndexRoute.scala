@@ -73,7 +73,21 @@ object IndexRoute {
       idCol: String, keyCol: String, rawSourcePath: String,
       nprobe: Int = 2)
 
-  private val routes = new ConcurrentHashMap[(String, String), Route]()
+  /** Multiple routes may legitimately share a (path, keyCol) key — a
+    * column can carry BOTH a btree and a zorder (whose x/y dims register
+    * under their column names), and catalog discovery must never let one
+    * family SHADOW another (the r15 bench caught a discovered zorder
+    * route on `value` silencing the btree's 1-D range service). Each
+    * slot holds every registered route; matchers pick by index type. */
+  private val routes =
+    new ConcurrentHashMap[(String, String), Vector[Route]]()
+
+  private def addRoute(key: (String, String), r: Route): Unit = {
+    routes.compute(key, (_, old) =>
+      Option(old).getOrElse(Vector.empty)
+        .filterNot(_.location == r.location) :+ r)
+    ()
+  }
 
   /** Scheme-aware path normalization, so a route registered as
     * `/data/t.parquet`, `file:/data/t.parquet` or `file:///data/t.parquet`
@@ -101,9 +115,8 @@ object IndexRoute {
         man.indexType == "zorder",
       s"IndexRoute.register: only btree/bitmap/ngram/label_list/zorder " +
         s"routes, got ${man.indexType}")
-    routes.put((normalize(sourcePath), keyCol),
+    addRoute((normalize(sourcePath), keyCol),
       Route(man.indexType, location, idCol, keyCol, sourcePath))
-    ()
   }
 
   /** Declare that the IVF-family index at `location` may serve
@@ -126,15 +139,21 @@ object IndexRoute {
       throw new IllegalStateException(s"no index manifest at $location"))
     require(Set("ivf", "ivf_pq", "ivf_sq").contains(man.indexType),
       s"registerAnnApprox: vector indexes only, got ${man.indexType}")
-    routes.put((normalize(sourcePath), vecCol),
+    addRoute((normalize(sourcePath), vecCol),
       Route(man.indexType, location, idCol, vecCol, sourcePath, nprobe))
-    ()
   }
 
   def clear(): Unit = routes.clear()
 
-  private[plans] def lookup(path: String, keyCol: String): Option[Route] =
-    Option(routes.get((path, keyCol)))
+  private[plans] def lookup(path: String, keyCol: String): Seq[Route] =
+    Option(routes.get((path, keyCol))).getOrElse(Vector.empty)
+
+  /** The newest registered route of one of the wanted index types —
+    * what every matcher actually asks for (later registrations win
+    * within a type, so an explicit register overrides a discovery). */
+  private[plans] def lookupType(path: String, keyCol: String,
+      types: String*): Option[Route] =
+    lookup(path, keyCol).reverse.find(r => types.contains(r.indexType))
 
   /** Every route registered for a source path (key-column order
     * stabilized) — the keyless-aggregate arm's lookup: `count(*)` names
@@ -142,8 +161,8 @@ object IndexRoute {
   private[plans] def routesForPath(path: String): Seq[Route] = {
     import scala.jdk.CollectionConverters._
     routes.asScala.collect {
-      case ((p, _), r) if p == path => r
-    }.toSeq.sortBy(_.keyCol)
+      case ((p, _), rs) if p == path => rs
+    }.flatten.toSeq.sortBy(_.keyCol)
   }
 
   /** Register route(s) for the EXACT-family index at `location` from its
@@ -740,7 +759,8 @@ case class IndexedScanRewrite(spark: SparkSession)
   private def tryRewrite(projList: Seq[NamedExpression], cond: Expression,
       lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
     (keyAttr, ask) <- askOf(cond)
-    route <- IndexRoute.lookup(path, keyAttr.name)
+    route <- IndexRoute.lookupType(path, keyAttr.name,
+      ask match { case _: AskValues => "bitmap"; case _ => "btree" })
     idAttr <- lr.output.find(_.name == route.idCol)
     // covering check: the projection references nothing but id and key
     covered = projList.forall(_.references.subsetOf(
@@ -850,8 +870,7 @@ case class IndexedScanRewrite(spark: SparkSession)
       case _ => None
     }
     if k > 0
-    route <- IndexRoute.lookup(path, keyAttr.name)
-    if route.indexType == "btree"
+    route <- IndexRoute.lookupType(path, keyAttr.name, "btree")
     idAttr <- lr.output.find(_.name == route.idCol)
     // numeric keys ride the double-shadow scan; date/timestamp/string
     // keys the native one (the zonemap walk is Comparable-generic)
@@ -927,8 +946,8 @@ case class IndexedScanRewrite(spark: SparkSession)
       case _ => None
     }
     if k > 0
-    route <- IndexRoute.lookup(path, vecAttr.name)
-    if Set("ivf", "ivf_pq", "ivf_sq").contains(route.indexType)
+    route <- IndexRoute.lookupType(path, vecAttr.name,
+      "ivf", "ivf_pq", "ivf_sq")
     idAttr <- lr.output.find(_.name == route.idCol)
     if idAttr.dataType == LongType
     if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
@@ -1010,8 +1029,8 @@ case class IndexedScanRewrite(spark: SparkSession)
       case _ => None
     }
     if k > 0
-    route <- IndexRoute.lookup(path, vecAttr.name)
-    if Set("ivf", "ivf_pq", "ivf_sq").contains(route.indexType)
+    route <- IndexRoute.lookupType(path, vecAttr.name,
+      "ivf", "ivf_pq", "ivf_sq")
     idAttr <- lr.output.find(_.name == route.idCol)
     if idAttr.dataType == LongType
     if projList.forall(_.references.subsetOf(AttributeSet(Seq(idAttr))))
@@ -1089,8 +1108,7 @@ case class IndexedScanRewrite(spark: SparkSession)
       }
       if needle.nonEmpty && needle == needle.toLowerCase &&
         needle == needle.trim
-      route <- IndexRoute.lookup(path, textAttr.name)
-      if route.indexType == "ngram"
+      route <- IndexRoute.lookupType(path, textAttr.name, "ngram")
       idAttr <- lr.output.find(_.name == route.idCol)
       if idAttr.dataType == LongType
       man <- AnnIndex.readManifest(route.location)
@@ -1188,8 +1206,7 @@ case class IndexedScanRewrite(spark: SparkSession)
       }
       if tagsAttr.dataType == ArrayType(StringType, true) ||
         tagsAttr.dataType == ArrayType(StringType, false)
-      route <- IndexRoute.lookup(path, tagsAttr.name)
-      if route.indexType == "label_list"
+      route <- IndexRoute.lookupType(path, tagsAttr.name, "label_list")
       idAttr <- lr.output.find(_.name == route.idCol)
       if idAttr.dataType == LongType
       // covering: only the id survives (the index cannot rebuild arrays)
@@ -1283,9 +1300,8 @@ case class IndexedScanRewrite(spark: SparkSession)
       cond: Expression, lr: LogicalRelation, path: String)
       : Option[LogicalPlan] = for {
     (b1, b2) <- boxAskOf(cond)
-    route1 <- IndexRoute.lookup(path, b1._1.name)
-    route2 <- IndexRoute.lookup(path, b2._1.name)
-    if route1.indexType == "zorder" && route2.indexType == "zorder"
+    route1 <- IndexRoute.lookupType(path, b1._1.name, "zorder")
+    route2 <- IndexRoute.lookupType(path, b2._1.name, "zorder")
     if route1.location == route2.location
     man <- AnnIndex.readManifest(route1.location)
     // the manifest's "xCol,yCol" binding decides dimension order
@@ -1349,9 +1365,8 @@ case class IndexedScanRewrite(spark: SparkSession)
       cond: Expression, lr: LogicalRelation, path: String)
       : Option[LogicalPlan] = for {
     ((attrA, valsA), (attrB, valsB)) <- askTwoOf(cond)
-    routeA <- IndexRoute.lookup(path, attrA.name)
-    routeB <- IndexRoute.lookup(path, attrB.name)
-    if routeA.indexType == "bitmap" && routeB.indexType == "bitmap"
+    routeA <- IndexRoute.lookupType(path, attrA.name, "bitmap")
+    routeB <- IndexRoute.lookupType(path, attrB.name, "bitmap")
     if routeA.idCol == routeB.idCol
     if attrA.dataType == StringType && attrB.dataType == StringType
     idAttr <- lr.output.find(_.name == routeA.idCol)
@@ -1427,7 +1442,8 @@ case class IndexedScanRewrite(spark: SparkSession)
   private def tryRewriteAggCount(aggExprs: Seq[Alias], cond: Expression,
       lr: LogicalRelation, path: String): Option[LogicalPlan] = for {
     (keyAttr, ask) <- askOf(cond)
-    route <- IndexRoute.lookup(path, keyAttr.name)
+    route <- IndexRoute.lookupType(path, keyAttr.name,
+      ask match { case _: AskValues => "bitmap"; case _ => "btree" })
     if aggExprs.nonEmpty && aggExprs.forall(isCountOf(_, keyAttr))
     if ((ask, route.indexType) match {
       case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
@@ -1515,8 +1531,7 @@ case class IndexedScanRewrite(spark: SparkSession)
       rewritten <- keyed match {
         case Seq(keyAttr) => // one key column: the zonemap answers
           for {
-            route <- IndexRoute.lookup(path, keyAttr.name)
-            if route.indexType == "btree"
+            route <- IndexRoute.lookupType(path, keyAttr.name, "btree")
             man <- fresh(route)
             // count(*) present → row accounting must reconcile too
             if !picks.exists(_._2 == PickStar) || accounted(route, man)
@@ -1602,8 +1617,7 @@ case class IndexedScanRewrite(spark: SparkSession)
         .filter(os => os.forall(_.isDefined) && os.nonEmpty)
         .map(_.map(_.get))
       if groupAttr.dataType == StringType
-      route <- IndexRoute.lookup(path, groupAttr.name)
-      if route.indexType == "bitmap"
+      route <- IndexRoute.lookupType(path, groupAttr.name, "bitmap")
       man <- AnnIndex.readManifest(route.location)
       if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
       if !man.divergent

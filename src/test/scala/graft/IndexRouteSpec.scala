@@ -1136,6 +1136,39 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("routes of different families COEXIST on one (path, column) key: " +
+      "a zorder route on the same column must not shadow the btree's " +
+      "1-D range service, and the box shape still routes to the zorder") {
+    val locB = tmpLoc("coex-bt")
+    val locZ = tmpLoc("coex-z")
+    ScalarIndex.ensureBtree(events, "event_id", "value", locB, evSource)
+    graft.ops.ZorderIndex.ensureZorder(events, "event_id", "value",
+      "user_id", locZ, evSource)
+    val want = events.filter(col("value") > 150.0)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect()
+    withRule {
+      // registration order = the r15 bench poisoning: the zorder lands
+      // LAST (as catalog discovery did), claiming (events, value)
+      IndexRoute.register(evSource, "value", "event_id", locB)
+      IndexRoute.register(evSource, "value", "event_id", locZ)
+      val df = events.filter(col("value") > 150.0)
+        .select(col("event_id"), col("value"))
+      assert(scansIndex(df, locB),
+        s"the btree must still serve the 1-D range:\n${df.queryExecution.executedPlan}")
+      assert(df.orderBy(col("event_id")).collect().toSeq == want.toSeq)
+      // and the 2-D box still finds the zorder on the same keys
+      IndexRoute.register(evSource, "user_id", "event_id", locZ)
+      val box = events.filter(col("value") >= 100.0 &&
+          col("value") <= 250.0 &&
+          col("user_id") >= 3L && col("user_id") <= 7L)
+        .select(col("event_id"), col("value"), col("user_id"))
+      assert(box.queryExecution.executedPlan.toString
+        .contains(new java.io.File(locZ).getName),
+        s"the box shape must route to the zorder:\n${box.queryExecution.executedPlan}")
+    }
+  }
+
   test("an unrouted column is untouched even when other routes exist") {
     val loc = tmpLoc("route-other")
     ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)

@@ -98,7 +98,15 @@ object IndexRoute {
     val prefix = Option(u.getScheme).filterNot(_ == "file")
       .map(s => s + "://" + Option(u.getAuthority).getOrElse(""))
       .getOrElse("")
-    (prefix + u.getPath).stripSuffix("/")
+    // a RELATIVE local path registers under its absolute form — Spark's
+    // relation roots are always absolute, so an unresolved relative key
+    // could never match anything (the r15 10× sweep hit exactly this:
+    // `target/sf0.1x10/...` registrations silently missed every lookup)
+    val path =
+      if (prefix.isEmpty && !u.getPath.startsWith("/"))
+        new java.io.File(u.getPath).getAbsolutePath
+      else u.getPath
+    (prefix + path).stripSuffix("/")
   }
 
   /** Declare that the btree/bitmap index at `location` serves `keyCol`

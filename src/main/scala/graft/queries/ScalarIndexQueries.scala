@@ -811,6 +811,136 @@ object ScalarIndexQueries {
     }
   }
 
+  /** q264: index service through the CATALOG TABLE NAME — the DSv2 seam
+    * VERDICT r15 named the most user-visible one left: a real lakehouse
+    * user queries `SELECT … FROM graft.db.t`, not a parquet path, and
+    * until this round that read planned a [[org.apache.spark.sql
+    * .execution.datasources.v2.DataSourceV2Relation]] the rewrite
+    * matcher never looked at. The gate copies documents into a MANAGED
+    * graft table, indexes the TABLE'S OWN location, and runs the plain
+    * q227 filter through the table name — REQUIRING the plan to read
+    * the index and leave the table's storage closed. Oracle: q227's
+    * plain filter — the read path must be invisible in results. */
+  def q264CatalogRouteFilter(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.idxr_docs
+        |(doc_id BIGINT, lang STRING)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.idxr_docs
+         |SELECT doc_id, lang FROM parquet.`$d/documents.parquet`
+         |""".stripMargin)
+    val tblLoc =
+      graft.catalog.GraftProcedures.tableLocation("graft.tpch.idxr_docs")
+    val loc = indexLocation(d, "bitmap-cat")
+    ScalarIndex.ensureBitmap(s.table("graft.tpch.idxr_docs"),
+      "doc_id", "lang", loc, tblLoc)
+    try {
+      graft.plans.IndexRoute.register(tblLoc, "lang", "doc_id", loc)
+      val df = s.sql(
+        """SELECT doc_id, lang FROM graft.tpch.idxr_docs
+          |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q264: the catalog-table read was not index-served:\n$plan")
+      require(!plan.contains("idxr_docs"),
+        s"q264: the table's storage was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  /** q265: metadata-served `count(*)` through the CATALOG TABLE NAME —
+    * q257's zonemap count-range arm reached from `SELECT count(*) FROM
+    * graft.db.t WHERE …`: the same DSv2 matcher seam as q264, proving
+    * the AGGREGATE arms (not just the filter rewrite) serve catalog
+    * reads. The btree indexes the table's own storage; the gate
+    * REQUIRES the index in the plan and the table's storage closed.
+    * Oracle: the plain filtered count. */
+  def q265CatalogRouteCount(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.idxr_ev
+        |(event_id BIGINT, value DOUBLE)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.idxr_ev
+         |SELECT event_id, value FROM parquet.`$d/events.parquet`
+         |""".stripMargin)
+    val tblLoc =
+      graft.catalog.GraftProcedures.tableLocation("graft.tpch.idxr_ev")
+    val loc = indexLocation(d, "btree-cat")
+    ScalarIndex.ensureBtree(s.table("graft.tpch.idxr_ev"),
+      "event_id", "value", loc, tblLoc)
+    try {
+      graft.plans.IndexRoute.register(tblLoc, "value", "event_id", loc)
+      val df = s.sql(
+        """SELECT count(*) AS cnt FROM graft.tpch.idxr_ev
+          |WHERE value BETWEEN 25.5 AND 250.25""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q265: the catalog-table count was not index-served:\n$plan")
+      require(!plan.contains("idxr_ev"),
+        s"q265: the table's storage was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q265Sql: String =
+    """SELECT count(*) AS cnt FROM events
+      |WHERE value BETWEEN 25.5 AND 250.25""".stripMargin
+
+  /** q266: INDEX-PRUNED mutation probe — the copy-on-write DELETE's
+    * file discovery driven by the btree's build-stamped FILESTATS
+    * (file-level zonemap over the source layout) instead of a corpus
+    * probe scan (VERDICT r15 #5: at 100 TB the probe was the mutation's
+    * dominant cost). The gate seeds a range-CLUSTERED catalog table (so
+    * files have tight key ranges), indexes it, DELETEs a selective key
+    * range in plain SQL, and REQUIRES the probe receipt to show the
+    * index mode fired AND named fewer candidate files than the table
+    * holds — then returns the survivors. Oracle: the complement filter
+    * over the source — pruning must be invisible in results. */
+  def q266IndexPrunedDelete(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.mut_ev_idx
+        |(event_id BIGINT, value DOUBLE)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_ev_idx
+         |SELECT /*+ REPARTITION_BY_RANGE(16, value) */ event_id, value
+         |FROM parquet.`$d/events.parquet`""".stripMargin)
+    val tblLoc =
+      graft.catalog.GraftProcedures.tableLocation("graft.tpch.mut_ev_idx")
+    val loc = indexLocation(d, "btree-mut")
+    ScalarIndex.ensureBtree(s.table("graft.tpch.mut_ev_idx"),
+      "event_id", "value", loc, tblLoc)
+    try {
+      graft.plans.IndexRoute.register(tblLoc, "value", "event_id", loc)
+      s.sql(
+        """DELETE FROM graft.tpch.mut_ev_idx
+          |WHERE value >= 100.0 AND value <= 150.0""".stripMargin)
+      val pr = graft.catalog.GraftTable.lastProbe
+      require(pr != null && pr.mode == "index",
+        s"q266: the mutation probe was not index-pruned: $pr")
+      require(pr.candidateFiles < pr.totalFiles,
+        s"q266: index candidates pruned nothing: $pr")
+      s.table("graft.tpch.mut_ev_idx").orderBy(col("event_id"))
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q266Sql: String =
+    """SELECT event_id, value FROM events
+      |WHERE value < 100.0 OR value > 150.0 OR value IS NULL
+      |ORDER BY event_id""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -1096,7 +1226,10 @@ object ScalarIndexQueries {
     "q259_count_eq_rewrite" -> (q259CountEqRewrite _),
     "q261_groupby_rewrite" -> (q261GroupbyRewrite _),
     "q262_count_star_rewrite" -> (q262CountStarRewrite _),
-    "q263_distinct_rewrite" -> (q263DistinctRewrite _))
+    "q263_distinct_rewrite" -> (q263DistinctRewrite _),
+    "q264_catalog_route_filter" -> (q264CatalogRouteFilter _),
+    "q265_catalog_route_count" -> (q265CatalogRouteCount _),
+    "q266_index_pruned_delete" -> (q266IndexPrunedDelete _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1162,5 +1295,11 @@ object ScalarIndexQueries {
     // metadata answers must be invisible in results
     "q261_groupby_rewrite" -> q261Sql,
     "q262_count_star_rewrite" -> q262Sql,
-    "q263_distinct_rewrite" -> q263Sql)
+    "q263_distinct_rewrite" -> q263Sql,
+    // catalog-table (DSv2) reads get the identical index service a path
+    // read gets: q227's plain filter / the plain filtered count
+    "q264_catalog_route_filter" -> q227Sql,
+    "q265_catalog_route_count" -> q265Sql,
+    // index-pruned DELETE: survivors equal the complement filter
+    "q266_index_pruned_delete" -> q266Sql)
 }

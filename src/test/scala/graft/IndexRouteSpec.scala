@@ -1180,4 +1180,62 @@ class IndexRouteSpec extends SparkSpec {
       assert(df.count() == docs.filter(col("source") === "src1").count())
     }
   }
+
+  test("a DECIMAL-keyed btree DECLINES the filterless min/max metadata " +
+      "route: decimals beyond double precision alias in the zonemap " +
+      "shadow, so the scan must answer (ADVICE r15)") {
+    val dir = Files.createTempDirectory("graft-decsrc").toString
+    val src = s"$dir/dec.parquet"
+    // 2^53 ± small offsets: distinct as DECIMAL(20,0), aliasing as double
+    spark.sql(
+      """SELECT id, CAST(9007199254740992 + id AS DECIMAL(20,0)) AS key
+        |FROM range(0, 100)""".stripMargin)
+      .write.mode("overwrite").parquet(src)
+    val loc = tmpLoc("route-dec")
+    val df0 = spark.read.parquet(src)
+    ScalarIndex.ensureBtree(df0, "id", "key", loc, src)
+    val want = df0.agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      .collect().toSeq
+    withRule {
+      IndexRoute.register(src, "key", "id", loc)
+      val agg = spark.read.parquet(src)
+        .agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("zonemap"),
+        s"decimal extremes must not be metadata-served:\n$plan")
+      assert(agg.collect().toSeq == want)
+    }
+  }
+
+  test("catalog-table (DSv2) reads get the same index service a path " +
+      "read gets: the rewrite fires on DataSourceV2 relations over " +
+      "GraftTable and results are identical to the scan plan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.routespec")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS graft.routespec.docs
+        |(doc_id BIGINT, lang STRING)""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE graft.routespec.docs
+         |SELECT doc_id, lang FROM parquet.`$docSource`""".stripMargin)
+    val tblLoc = graft.catalog.GraftProcedures
+      .tableLocation("graft.routespec.docs")
+    val loc = tmpLoc("route-dsv2")
+    ScalarIndex.ensureBitmap(spark.table("graft.routespec.docs"),
+      "doc_id", "lang", loc, tblLoc)
+    val want = spark.table("graft.routespec.docs")
+      .filter(col("lang") === "de")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")).collect()
+    withRule {
+      IndexRoute.register(tblLoc, "lang", "doc_id", loc)
+      val df = spark.sql(
+        """SELECT doc_id, lang FROM graft.routespec.docs
+          |WHERE lang = 'de'""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+          !plan.contains("routespec.docs") && !plan.contains("docs/part-"),
+        s"expected the DSv2 read to be index-served:\n$plan")
+      assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
+    }
+  }
 }

@@ -556,4 +556,67 @@ class ScalarIndexSpec extends SparkSpec {
     assert(graft.ops.AnnIndex.vacuumIndex(loc,
       olderThanMs = graft.ops.AnnIndex.MinVacuumHorizonMs).isEmpty)
   }
+
+  test("FILESTATS: btree candidate files are a pruning SUPERSET — every " +
+      "file holding a matching row is named, and a selective range over " +
+      "a clustered layout names fewer files than the source holds") {
+    // a range-clustered multi-file copy: files get tight key ranges
+    val dir = Files.createTempDirectory("graft-fscl").toString
+    val src = s"$dir/ev.parquet"
+    events.repartitionByRange(8, col("value"))
+      .write.mode("overwrite").parquet(src)
+    val loc = tmpLoc("bt-filestats")
+    val clustered = spark.read.parquet(src)
+    ScalarIndex.ensureBtree(clustered, "event_id", "value", loc, src)
+    val cands = ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi)
+    assert(cands.isDefined, "a file-built btree must carry filestats")
+    val truth = clustered
+      .filter(col("value") >= Lo && col("value") <= Hi)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(cands.get.toSet),
+      s"candidates must cover every matching file: " +
+        s"missing ${truth.diff(cands.get.toSet)}")
+    val total = clustered.select(input_file_name()).distinct().count()
+    assert(cands.get.size < total,
+      s"a selective range must prune (got ${cands.get.size} of $total)")
+    // append keeps the superset law: new files join the stats
+    val extra = s"$dir/extra.parquet"
+    events.limit(50).select(col("event_id") + 1000000L, col("value"))
+      .toDF("event_id", "value").write.mode("overwrite").parquet(extra)
+    ScalarIndex.appendBtree(spark.read.parquet(extra), "event_id", "value",
+      loc, newFingerprint = "appended")
+    val cands2 = ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi)
+    assert(cands2.isDefined && cands.get.toSet.subsetOf(cands2.get.toSet))
+  }
+
+  test("FILESTATS: bitmap candidates name only files holding the asked " +
+      "values; unknown provenance (a non-file build source) declines") {
+    val dir = Files.createTempDirectory("graft-fsbm").toString
+    val src = s"$dir/docs.parquet"
+    // cluster by lang so each file is single-valued → pruning is real
+    docs.select(col("doc_id"), col("lang"), col("lang").as("lp"))
+      .repartition(1).write.partitionBy("lp")
+      .mode("overwrite").parquet(src)
+    val loc = tmpLoc("bm-filestats")
+    val clustered = spark.read.parquet(src)
+    ScalarIndex.ensureBitmap(clustered, "doc_id", "lang", loc, src)
+    val cands = ScalarIndex.bitmapCandidateFiles(spark, loc, Seq("de"))
+    assert(cands.isDefined)
+    val truth = clustered.filter(col("lang") === "de")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(cands.get.toSet))
+    val total = clustered.select(input_file_name()).distinct().count()
+    assert(cands.get.size < total,
+      s"single-valued files must prune (got ${cands.get.size} of $total)")
+    // a non-file source records "" provenance → readers must decline
+    import spark.implicits._
+    val mem = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val locMem = tmpLoc("bm-filestats-mem")
+    ScalarIndex.ensureBitmap(mem, "doc_id", "lang", locMem, src,
+      fingerprintOverride = Some("mem"))
+    assert(ScalarIndex.bitmapCandidateFiles(spark, locMem, Seq("en")).isEmpty,
+      "unknown file provenance must decline, never mis-prune")
+  }
 }

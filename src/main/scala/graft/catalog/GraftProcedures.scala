@@ -182,6 +182,34 @@ object GraftProcedures {
     }
   }
 
+  /** `CALL graft.system.refresh_index(index => …)` — the INCREMENTAL
+    * maintenance verb between `rebuild_index`'s full rebuilds: after a
+    * source-side DELETE (the copy-on-write mutation path), fold the
+    * disappeared ids as tombstones + compaction
+    * ([[ScalarIndex.refreshAfterDelete]] — narrow reads, no corpus-wide
+    * sort) and re-stamp freshness; any NON-pure-delete change (inserts,
+    * key updates, multiplicity drift) degrades to the full rebuild the
+    * old loop used. The receipt says which leg ran. */
+  private val refreshIndex = new GraftProcedure("refresh_index",
+    Array(in("index")), receiptSchema) {
+    override protected def run(input: InternalRow): Seq[Seq[Any]] = {
+      val loc = resolveIdx(str(input.getUTF8String(0)))
+      val man = AnnIndex.readManifest(loc).getOrElse(
+        throw new IllegalStateException(s"no index at $loc"))
+      val action =
+        if (man.indexType == "btree" || man.indexType == "bitmap")
+          try { ScalarIndex.refreshAfterDelete(spark, loc); "folded" }
+          catch { case _: IllegalArgumentException |
+              _: IllegalStateException =>
+            AnnIndex.rebuildFromSource(spark, loc); "rebuilt"
+          }
+        else { AnnIndex.rebuildFromSource(spark, loc); "rebuilt" }
+      // either leg leaves a fresh index: serve it this session
+      scala.util.Try(graft.plans.IndexRoute.registerFromManifest(loc))
+      Seq(Seq(loc, man.indexType, action))
+    }
+  }
+
   private val compactIndex = new GraftProcedure("compact_index",
     Array(in("index")), receiptSchema) {
     override protected def run(input: InternalRow): Seq[Seq[Any]] = {
@@ -328,6 +356,7 @@ object GraftProcedures {
   private val all: Map[String, UnboundProcedure] = Map(
     "create_index" -> createIndex,
     "rebuild_index" -> rebuildIndex,
+    "refresh_index" -> refreshIndex,
     "compact_index" -> compactIndex,
     "vacuum_index" -> vacuumIndex,
     "describe_index" -> describeIndex,

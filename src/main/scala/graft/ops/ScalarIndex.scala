@@ -613,6 +613,66 @@ object ScalarIndex {
     }
   }
 
+  /** [[btreeCountRange]] for the NATIVE-zonemap tier (date / timestamp /
+    * string keys): interior buckets — whole [lo, hi] envelope inside the
+    * ask under the values' own exact ordering ([[nativeCmp]], no shadow,
+    * no slack) — contribute their `n_rows` sum as a driver literal; only
+    * EDGE buckets are read and counted under the exact typed residual.
+    * The most common SQL count shape is a DATE range (ADVICE/VERDICT
+    * r15 #6 — the numeric-only restriction was the first asymmetry a
+    * user hits); at 100 TB this turns it into two bucket reads plus
+    * metadata. Bounds are JVM values of the key's external type; a NULL
+    * bound serves the one-sided shapes. Tombstoned indexes are REFUSED
+    * (the caller declines to the scan). */
+  def btreeCountRangeTyped(spark: SparkSession, location: String,
+      lo: Any, hi: Any, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    require(lo != null || hi != null,
+      "btreeCountRangeTyped: at least one bound required")
+    require(!hasTombstones(location),
+      s"btree at $location carries tombstones — zonemap counts would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    val zmRaw = spark.read.parquet(s"$location/zonemap")
+    require(!numericKey(zmRaw.schema("lo").dataType),
+      s"btree at $location has a numeric double-shadow zonemap — " +
+        "use btreeCountRange")
+    val zm = zmRaw.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("n_rows")).as("n"))
+      .collect()
+    val overlapping = zm.filter(r =>
+      (hi == null || nativeCmp(r.get(1), hi) <= 0) &&
+      (lo == null || nativeCmp(r.get(2), lo) >= 0))
+    def inside(zlo: Any, zhi: Any): Boolean =
+      (lo == null ||
+        (if (loInclusive) nativeCmp(zlo, lo) >= 0
+         else nativeCmp(zlo, lo) > 0)) &&
+      (hi == null ||
+        (if (hiInclusive) nativeCmp(zhi, hi) <= 0
+         else nativeCmp(zhi, hi) < 0))
+    val (interior, edges) =
+      overlapping.partition(r => inside(r.get(1), r.get(2)))
+    val interiorN = interior.map(_.getLong(3)).sum
+    if (edges.isEmpty)
+      spark.range(1).select(lit(interiorN).as("cnt"))
+    else {
+      val pruned = spark.read.parquet(s"$location/postings")
+        .filter(col("bkt").isin(edges.map(r => Int.box(r.getInt(0))): _*))
+      val loPred =
+        if (lo == null) lit(true)
+        else if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+      val hiPred =
+        if (hi == null) lit(true)
+        else if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+      pruned.filter(loPred && hiPred)
+        .agg((count(lit(1)) + lit(interiorN)).as("cnt"))
+    }
+  }
+
   /** One-row `(mn, mx, cnt)` plan for the global `min(key)` / `max(key)`
     * / `count(key)` aggregates served ENTIRELY from the zonemap — no
     * postings read at all: min(lo) / max(hi) over the ≤ nBuckets delta
@@ -695,6 +755,100 @@ object ScalarIndex {
     spark.read.parquet(s"$location/$sub")
       .agg(coalesce(sum(col(cntCol)), lit(0L)).cast("long"))
       .head().getLong(0)
+  }
+
+  /** Fold a SOURCE-side pure-DELETE mutation into a btree/bitmap index
+    * WITHOUT a rebuild — the incremental half of the q256 loop
+    * (VERDICT r15 #7: a DELETE-heavy feed forced full rebuilds). A
+    * copy-on-write DELETE rewrites files but leaves every surviving row
+    * identical, so the index only needs the deleted ids tombstoned and
+    * folded; the work is a NARROW (id, key) source read plus a
+    * compaction of the postings — no corpus-wide sort, no wide-column
+    * rewrite, which is the whole point at 100 TB.
+    *
+    * Soundness is PROVEN before the fingerprint is re-stamped, never
+    * assumed:
+    *  1. every indexable source row (id, key) must already be in the
+    *     index's LIVE view — a new or key-changed row fails loudly
+    *     ("not a pure delete") and the caller rebuilds;
+    *  2. after tombstoning the disappeared ids and compacting, the
+    *     index's stored-row count must EQUAL the indexable source row
+    *     count (multiplicity drift — e.g. duplicate (id, key) pairs
+    *     deleted once — fails loudly);
+    *  3. filestats are recomputed from the new file layout.
+    * Only then is the manifest re-stamped: fresh fingerprint, new
+    * `sourceRows`, divergence CLEARED (the live view now provably
+    * equals the source again). Any failure or crash before the re-stamp
+    * leaves the index stale-by-fingerprint — it declines, never serves
+    * wrong rows. */
+  def refreshAfterDelete(spark: SparkSession, location: String): Unit = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree" || man.indexType == "bitmap",
+      s"refreshAfterDelete: btree/bitmap only, got ${man.indexType}")
+    require(man.sourcePath.nonEmpty && man.sourceIdCol.nonEmpty &&
+        man.sourceKeyCol.nonEmpty,
+      s"refreshAfterDelete: the index at $location predates " +
+        "source-binding manifests — rebuild it")
+    val src = spark.read.parquet(man.sourcePath)
+    val keyed = src.filter(col(man.sourceKeyCol).isNotNull)
+      .select(col(man.sourceIdCol).cast("long").as("id"),
+        col(man.sourceKeyCol).as("skey"))
+    val srcRows = man.indexType match {
+      case "btree" => keyed
+      case _ => keyed
+        .select(col("id"), col("skey").cast("string").as("skey"))
+        .filter(col("skey") =!= "")
+    }
+    val postings = man.indexType match {
+      case "btree" => spark.read.parquet(s"$location/postings")
+        .select(col("id"), col("key"))
+      case _ => bitmapPostings(spark, location)
+        .select(col("id"), col("k").as("key"))
+    }
+    val live = antiTombstones(postings, location)
+    // (1) pure-delete proof: no source row the live index does not hold
+    val added = srcRows.join(live,
+      srcRows("id") === live("id") && srcRows("skey") === live("key"),
+      "left_anti")
+    require(added.head(1).isEmpty,
+      s"refreshAfterDelete: $location — the source holds rows the index " +
+        "does not (not a pure delete); rebuild instead")
+    // (2) tombstone the disappeared ids, fold, and re-prove row counts
+    val deleted = live.select(col("id")).distinct()
+      .join(srcRows.select(col("id")).distinct(), Seq("id"), "left_anti")
+    val anyDeleted = deleted.head(1).nonEmpty
+    if (anyDeleted)
+      deleted.coalesce(1).write.mode("append")
+        .parquet(tombstoneDir(location))
+    if (hasTombstones(location)) man.indexType match {
+      case "btree" => compactBtree(spark, location)
+      case _ => compactBitmap(spark, location)
+    }
+    val stored = indexedRowSum(spark, location)
+    val wantRows = srcRows.count()
+    require(stored == wantRows,
+      s"refreshAfterDelete: $location stores $stored rows but the source " +
+        s"holds $wantRows indexable ones (multiplicity drift) — rebuild")
+    // (3) filestats follow the NEW file layout
+    man.indexType match {
+      case "btree" =>
+        val shadow: Column => Column =
+          if (numericKey(postings.schema("key").dataType)) _.cast("double")
+          else identity
+        writeBtreeFileStats(src, man.sourceKeyCol, shadow,
+          s"$location/filestats", "overwrite")
+      case _ =>
+        bitmapFileStats(src, man.sourceKeyCol)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$location/filestats")
+    }
+    // only now does the index become fresh again
+    val cur = AnnIndex.readManifest(location).getOrElse(man)
+    AnnIndex.writeManifest(location, cur.copy(
+      fingerprint = AnnIndex.sourceFingerprint(man.sourcePath),
+      sourceRows = TextFunctions.widen(src).count(),
+      divergent = false))
   }
 
   // ---- mutation-time file pruning (filestats readers) -------------------

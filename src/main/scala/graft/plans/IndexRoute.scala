@@ -1535,9 +1535,11 @@ case class IndexedScanRewrite(spark: SparkSession)
     * (interior buckets from zonemap metadata, only EDGE buckets read); a
     * bitmap equality/IN counts the asked value directories. Strictly
     * less I/O than the filter rewrite — the range's interior is never
-    * opened. Numeric ranges only (the typed/prefix shapes fall through
-    * to the ordinary covering rewrite, results identical either way);
-    * the usual freshness/divergence/tombstone guards decline to the
+    * opened. Numeric ranges ride [[ScalarIndex.btreeCountRange]], typed
+    * date/timestamp ranges the native walk
+    * ([[ScalarIndex.btreeCountRangeTyped]]); the prefix shape falls
+    * through to the ordinary covering rewrite, results identical either
+    * way. The usual freshness/divergence/tombstone guards decline to the
     * scan, and tombstones HARD-decline here because interior counts
     * would include deleted rows. */
   private def tryRewriteAggCount(aggExprs: Seq[Alias], cond: Expression,
@@ -1548,6 +1550,12 @@ case class IndexedScanRewrite(spark: SparkSession)
     if aggExprs.nonEmpty && aggExprs.forall(isCountOf(_, keyAttr))
     if ((ask, route.indexType) match {
       case (_: AskRange, "btree") => btreeKeyOk(keyAttr.dataType)
+      // typed (date/timestamp) ranges — the most common SQL count shape
+      // (VERDICT r15 #6); served by the native zonemap walk
+      case (_: AskRangeTyped, "btree") =>
+        keyAttr.dataType == org.apache.spark.sql.types.DateType ||
+          keyAttr.dataType == org.apache.spark.sql.types.TimestampType ||
+          keyAttr.dataType == org.apache.spark.sql.types.TimestampNTZType
       case (_: AskValues, "bitmap") => keyAttr.dataType == StringType
       case _ => false
     })
@@ -1564,6 +1572,9 @@ case class IndexedScanRewrite(spark: SparkSession)
       val cnt = ask match {
         case AskRange(lo, hi, loInc, hiInc) =>
           ScalarIndex.btreeCountRange(spark, route.location, lo, hi,
+            loInc, hiInc)
+        case AskRangeTyped(lo, hi, loInc, hiInc) =>
+          ScalarIndex.btreeCountRangeTyped(spark, route.location, lo, hi,
             loInc, hiInc)
         case AskValues(vs) =>
           ScalarIndex.searchBitmap(spark, route.location, vs)

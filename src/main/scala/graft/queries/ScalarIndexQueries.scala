@@ -768,6 +768,54 @@ object ScalarIndexQueries {
       |WHERE lang = 'en' AND NOT (doc_id % 3 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** q268: q256's mutation loop with the rebuild replaced by the
+    * INCREMENTAL fold — `CALL graft.system.refresh_index` after a SQL
+    * DELETE tombstones the disappeared ids and compacts
+    * ([[graft.ops.ScalarIndex.refreshAfterDelete]]: narrow (id, key)
+    * reads, no corpus-wide sort) instead of rebuilding. The gate
+    * REQUIRES the receipt to say `folded` (a silent fallback to rebuild
+    * would pass the hash but void the feature), the refreshed route to
+    * serve the plain filter again, and the served rows to hash-match
+    * the oracle's complement filter. */
+  def q268RefreshFoldRoute(s: SparkSession, d: String): DataFrame = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      "CREATE TABLE IF NOT EXISTS graft.tpch.mut_docs_f " +
+        "(doc_id BIGINT, lang STRING)")
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.mut_docs_f
+         |SELECT doc_id, lang FROM parquet.`$d/documents.parquet`
+         |""".stripMargin)
+    val loc = s.sql("DESCRIBE TABLE EXTENDED graft.tpch.mut_docs_f")
+      .collect().find(_.getString(0) == "Location").get.getString(1)
+    val idx = indexLocation(d, "bitmap-mutdocs-f")
+    ScalarIndex.ensureBitmap(s.read.parquet(loc), "doc_id", "lang",
+      idx, loc)
+    try {
+      graft.plans.IndexRoute.register(loc, "lang", "doc_id", idx)
+      def q = s.read.parquet(loc).filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      s.sql("DELETE FROM graft.tpch.mut_docs_f WHERE doc_id % 3 = 0")
+      require(!q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(idx).getName),
+        "q268: a mutated source must stale the route")
+      val receipt = s.sql(
+        s"CALL graft.system.refresh_index(index => '$idx')").collect()
+      require(receipt.length == 1 && receipt(0).getString(2) == "folded",
+        s"q268: expected the incremental fold, got " +
+          s"${receipt.map(_.toString).mkString})")
+      val served = q
+      require(served.queryExecution.executedPlan.toString
+        .contains(new java.io.File(idx).getName),
+        "q268: the folded index must serve again")
+      val rows = served.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, served.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
   /** q251: CATALOG-DRIVEN route discovery
     * ([[graft.plans.IndexRoute.discoverFromCatalogs]]) — the capability-
     * handoff loop CLOSED: the index's pointer table is registered in a
@@ -940,6 +988,44 @@ object ScalarIndexQueries {
     """SELECT event_id, value FROM events
       |WHERE value < 100.0 OR value > 150.0 OR value IS NULL
       |ORDER BY event_id""".stripMargin
+
+  /** q267: `count(*)` under a TIMESTAMP range answered from the native
+    * zonemap ([[graft.ops.ScalarIndex.btreeCountRangeTyped]] through the
+    * aggregate arm): interior buckets contribute metadata counts under
+    * the key type's own exact ordering, only edge buckets are read —
+    * date/timestamp ranges are the most common SQL count shape, and
+    * until this round the metadata arm was numeric-only (VERDICT r15
+    * #6). The gate REQUIRES the rewrite fired and the corpus stayed
+    * closed; oracle: the plain filtered count. */
+  def q267TypedCountRewrite(s: SparkSession, d: String): DataFrame = {
+    val ev = s.read.parquet(s"$d/events.parquet")
+    val loc = indexLocation(d, "btree-ts")
+    ScalarIndex.ensureBtree(ev, "event_id", "ts", loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "ts", "event_id", loc)
+      val df = ev.filter(
+          col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0))
+            && col("ts") <= lit(
+              java.time.LocalDateTime.of(2024, 1, 17, 0, 0, 0)))
+        .agg(count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q267: the typed count-range rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q267: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q267Sql: String =
+    """SELECT count(*) AS cnt FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-17 00:00:00'""".stripMargin
 
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
@@ -1229,7 +1315,9 @@ object ScalarIndexQueries {
     "q263_distinct_rewrite" -> (q263DistinctRewrite _),
     "q264_catalog_route_filter" -> (q264CatalogRouteFilter _),
     "q265_catalog_route_count" -> (q265CatalogRouteCount _),
-    "q266_index_pruned_delete" -> (q266IndexPrunedDelete _))
+    "q266_index_pruned_delete" -> (q266IndexPrunedDelete _),
+    "q267_typed_count_rewrite" -> (q267TypedCountRewrite _),
+    "q268_refresh_fold_route" -> (q268RefreshFoldRoute _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1301,5 +1389,10 @@ object ScalarIndexQueries {
     "q264_catalog_route_filter" -> q227Sql,
     "q265_catalog_route_count" -> q265Sql,
     // index-pruned DELETE: survivors equal the complement filter
-    "q266_index_pruned_delete" -> q266Sql)
+    "q266_index_pruned_delete" -> q266Sql,
+    // typed count-range: the metadata answer must be invisible in results
+    "q267_typed_count_rewrite" -> q267Sql,
+    // the incremental fold must be invisible in results: same complement
+    // filter as the rebuild loop
+    "q268_refresh_fold_route" -> q256Sql)
 }

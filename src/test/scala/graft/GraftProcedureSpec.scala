@@ -104,7 +104,7 @@ class GraftProcedureSpec extends SparkSpec {
       .asInstanceOf[CatalogPlugin with ProcedureCatalog]
     assert(cat.listProcedures(Array("system")).map(_.name()).sorted.toSeq ==
       Seq("compact_index", "compact_table", "create_index",
-        "describe_index", "rebuild_index", "vacuum_index"))
+        "describe_index", "rebuild_index", "refresh_index", "vacuum_index"))
     // describe_index surfaces the manifest by table name or raw location
     val desc = spark.sql(
       "CALL graft.system.describe_index(index => 'graft.tpch.proc_zorder_idx')")
@@ -164,5 +164,52 @@ class GraftProcedureSpec extends SparkSpec {
         |  table => 'graft.tpch.proc_cmp',
         |  cluster_by => 'a,b,c')""".stripMargin).collect())
     assert(e.getMessage.contains("0, 1 or 2"))
+  }
+
+  test("refresh_index folds a pure source DELETE incrementally (receipt " +
+      "'folded', search ≡ the shrunken source) and falls back to a full " +
+      "rebuild when rows were ADDED (receipt 'rebuilt')") {
+    graft.queries.CatalogQueries.ensureCatalog(spark)
+    val dir = Files.createTempDirectory("graft-refresh").toString
+    val src = s"$dir/ev.parquet"
+    events.select(col("event_id"), col("value"))
+      .write.mode("overwrite").parquet(src)
+    val loc = tmpLoc("refresh-bt")
+    ScalarIndex.ensureBtree(spark.read.parquet(src), "event_id", "value",
+      loc, src)
+    // a pure delete: drop a slice, rewrite the source
+    val kept = spark.read.parquet(src)
+      .filter(col("event_id") % 5 =!= 0).cache()
+    kept.count()
+    kept.write.mode("overwrite").parquet(src)
+    kept.unpersist()
+    val r1 = spark.sql(
+      s"CALL graft.system.refresh_index(index => '$loc')").collect().head
+    assert(r1.getString(2) == "folded", s"expected the fold, got $r1")
+    val man = AnnIndex.readManifest(loc).get
+    assert(man.fingerprint == AnnIndex.sourceFingerprint(src) &&
+      !man.divergent, "the fold must leave a FRESH, non-divergent index")
+    val want = spark.read.parquet(src)
+      .filter(col("value") >= 100.0 && col("value") <= 250.0)
+      .select(col("event_id").as("id"), col("value").as("key"))
+      .orderBy(col("id")).collect()
+    assert(ScalarIndex.searchBtreeRange(spark, loc, 100.0, 250.0)
+      .orderBy(col("id")).collect().toSeq == want.toSeq)
+    // row accounting survives the fold: count(*) service stays provable
+    assert(man.sourceRows ==
+      ScalarIndex.indexedRowSum(spark, loc))
+    // an ADDITIVE change is NOT a pure delete → the full rebuild leg
+    val extra = spark.range(1).select(
+      lit(99999999L).as("event_id"), lit(123.5).as("value"))
+    extra.write.mode("append").parquet(src)
+    val r2 = spark.sql(
+      s"CALL graft.system.refresh_index(index => '$loc')").collect().head
+    assert(r2.getString(2) == "rebuilt", s"expected the rebuild, got $r2")
+    val want2 = spark.read.parquet(src)
+      .filter(col("value") >= 100.0 && col("value") <= 250.0)
+      .select(col("event_id").as("id"), col("value").as("key"))
+      .orderBy(col("id")).collect()
+    assert(ScalarIndex.searchBtreeRange(spark, loc, 100.0, 250.0)
+      .orderBy(col("id")).collect().toSeq == want2.toSeq)
   }
 }

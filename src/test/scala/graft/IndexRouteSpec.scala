@@ -1181,6 +1181,33 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("count(*) under a TIMESTAMP range is metadata-served through the " +
+      "native zonemap walk — inclusive, strict, and one-sided shapes all " +
+      "equal the scan plan's counts") {
+    val loc = tmpLoc("route-tscount")
+    ScalarIndex.ensureBtree(events, "event_id", "ts", loc, evSource)
+    def lo = lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0))
+    def hi = lit(java.time.LocalDateTime.of(2024, 1, 17, 0, 0, 0))
+    val shapes: Seq[org.apache.spark.sql.Column] = Seq(
+      col("ts") >= lo && col("ts") <= hi, // inclusive two-sided
+      col("ts") > lo && col("ts") < hi,   // strict two-sided
+      col("ts") >= lo,                    // one-sided lower
+      col("ts") < hi)                     // one-sided upper
+    val want = shapes.map(p => events.filter(p).count())
+    withRule {
+      IndexRoute.register(evSource, "ts", "event_id", loc)
+      shapes.zip(want).foreach { case (p, w) =>
+        val df = events.filter(p).agg(count(lit(1)).as("cnt"))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(new java.io.File(loc).getName) &&
+            !plan.contains("events.parquet"),
+          s"typed count must be index-served for $p:\n$plan")
+        assert(df.collect().head.getLong(0) == w,
+          s"typed count drifted for $p")
+      }
+    }
+  }
+
   test("a DECIMAL-keyed btree DECLINES the filterless min/max metadata " +
       "route: decimals beyond double precision alias in the zonemap " +
       "shadow, so the scan must answer (ADVICE r15)") {

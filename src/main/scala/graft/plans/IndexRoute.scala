@@ -358,13 +358,27 @@ case class IndexedScanRewrite(spark: SparkSession)
           aggExprs.map(_.asInstanceOf[Alias]), lr, path)
       } yield rewritten).getOrElse(agg)
     // GROUP BY key + counts over a routed bitmap source: the values
-    // table IS the answer (≤ cardinality rows), when row accounting
-    // proves the index saw every source row
+    // table IS the answer (≤ cardinality rows) — filtered `WHERE key
+    // IN (...) GROUP BY key` needs NO row accounting (every surviving
+    // group is one of the asked non-null values, and per-value counts
+    // are exact physical rows); the unfiltered shape needs the
+    // accounting proof that the index saw every source row
     case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
       (for {
+        (cond, lr) <- filteredRelationOf(child)
+        (keyAttr, ask) <- askOf(cond)
+        if keyAttr.exprId == g.exprId
+        vs <- ask match {
+          case AskValues(v) => Some(v)
+          case _ => None
+        }
+        path <- sourcePathOf(lr)
+        rewritten <- tryRewriteGroupByCount(g, aggExprs, lr, path,
+          Some(vs))
+      } yield rewritten).orElse(for {
         lr <- relationOf(child)
         path <- sourcePathOf(lr)
-        rewritten <- tryRewriteGroupByCount(g, aggExprs, lr, path)
+        rewritten <- tryRewriteGroupByCount(g, aggExprs, lr, path, None)
       } yield rewritten).getOrElse(agg)
     case gl @ GlobalLimit(IntegerLiteral(k),
         LocalLimit(_, Sort(orders, true, child, _))) =>
@@ -1638,7 +1652,39 @@ case class IndexedScanRewrite(spark: SparkSession)
         : Boolean = man.sourceRows >= 0 &&
       ScalarIndex.indexedRowSumCached(spark, route.location,
         man.fingerprint) == man.sourceRows
-    for {
+    /* `SELECT count(DISTINCT key)` from the bitmap's values table —
+     * one row per distinct indexed value, counted in a metadata read.
+     * Needs the SAME accounting proof as the other values-table routes:
+     * null keys are correctly absent (COUNT DISTINCT ignores them) but
+     * an EMPTY-string key would be a real distinct value the bitmap
+     * never indexes, and accounting proves no such row exists. */
+    val distinctCountArm: Option[LogicalPlan] = aggExprs match {
+      case Seq(a) => a.child match {
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(ar: AttributeReference))
+                if ar.dataType == StringType =>
+              for {
+                route <- IndexRoute.lookupType(path, ar.name, "bitmap")
+                man <- fresh(route)
+                if accounted(route, man)
+                newPlan = ScalarIndex.bitmapGroupCounts(spark,
+                    route.location)
+                  .agg(org.apache.spark.sql.functions.count(
+                    org.apache.spark.sql.functions.lit(1)).as("cnt"))
+                  .queryExecution.analyzed
+                if driftOk(newPlan.output.head.dataType == LongType,
+                  route.location,
+                  s"distinct-count type ${newPlan.output.head.dataType}")
+              } yield Project(Seq(Alias(newPlan.output.head, a.name)(
+                exprId = a.exprId, qualifier = a.qualifier)), newPlan)
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+    distinctCountArm.orElse(for {
       picks <- Option(aggExprs.map(pickOf))
         .filter(ps => ps.nonEmpty && ps.forall(_.isDefined))
         .map(_.map(_.get))
@@ -1693,7 +1739,7 @@ case class IndexedScanRewrite(spark: SparkSession)
           }).nextOption()
         case _ => None // mixed-column aggregates: not one index's story
       }
-    } yield rewritten
+    } yield rewritten)
   }
 
   /** `SELECT key, count(*) FROM t GROUP BY key` answered from the
@@ -1708,8 +1754,8 @@ case class IndexedScanRewrite(spark: SparkSession)
     * `count(key)` (== the group size — key is non-null inside its
     * group). Anything else declines. */
   private def tryRewriteGroupByCount(groupAttr: AttributeReference,
-      aggExprs: Seq[NamedExpression], lr: LogicalPlan, path: String)
-      : Option[LogicalPlan] = {
+      aggExprs: Seq[NamedExpression], lr: LogicalPlan, path: String,
+      askValues: Option[Seq[String]]): Option[LogicalPlan] = {
     sealed trait Out
     case object OutKey extends Out
     case object OutCnt extends Out
@@ -1743,11 +1789,17 @@ case class IndexedScanRewrite(spark: SparkSession)
       if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
       if !man.divergent
       if !ScalarIndex.hasTombstones(route.location)
-      if man.sourceRows >= 0 &&
+      // accounting only for the UNFILTERED shape — a key-IN filter
+      // already pins every surviving group to an asked non-null value
+      if askValues.isDefined || (man.sourceRows >= 0 &&
         ScalarIndex.indexedRowSumCached(spark, route.location,
-          man.fingerprint) == man.sourceRows
-      newPlan = ScalarIndex.bitmapGroupCounts(spark, route.location)
-        .queryExecution.analyzed
+          man.fingerprint) == man.sourceRows)
+      newPlan = {
+        val gc = ScalarIndex.bitmapGroupCounts(spark, route.location)
+        askValues.fold(gc)(vs =>
+            gc.filter(col("k").isInCollection(vs)))
+          .queryExecution.analyzed
+      }
       kAttr <- newPlan.output.find(_.name == "k")
       cAttr <- newPlan.output.find(_.name == "cnt")
       // drift declines to the scan, never fails the query (ADVICE r15)

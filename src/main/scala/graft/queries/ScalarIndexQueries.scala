@@ -1027,6 +1027,76 @@ object ScalarIndexQueries {
       |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
       |  AND ts <= TIMESTAMP '2024-01-17 00:00:00'""".stripMargin
 
+  /** q269: `WHERE lang IN (...) GROUP BY lang` answered from the
+    * bitmap's values table FILTERED to the asked values — the filtered
+    * GROUP BY shape needs NO row-accounting proof (every surviving
+    * group is one of the asked non-null values and per-value counts
+    * are exact physical rows), so it serves even sources whose null/
+    * empty keys would decline the unfiltered q261 shape. The gate
+    * REQUIRES the rewrite fired and the corpus stayed closed; oracle:
+    * the plain filtered GROUP BY. */
+  def q269FilteredGroupbyRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q269: the filtered group-by rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q269: the corpus was still scanned:\n$plan")
+      require(!plan.contains("postings"),
+        s"q269: the postings were opened for a values-only answer:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q269Sql: String =
+    """SELECT lang, count(*) AS n FROM documents
+      |WHERE lang IN ('en', 'de') GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q270: `SELECT count(DISTINCT lang)` answered by COUNTING the
+    * bitmap's values table — a full-corpus distinct-cardinality query
+    * from a metadata read. Served only under the row-accounting proof:
+    * null keys are correctly invisible (COUNT DISTINCT ignores them)
+    * but an empty-string key would be a real distinct value the bitmap
+    * never indexes, and accounting proves no such row exists. Oracle:
+    * the plain distinct count. */
+  def q270DistinctCountRewrite(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val loc = indexLocation(d, "bitmap-lang")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang",
+      loc, s"$d/documents.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/documents.parquet", "lang", "doc_id", loc)
+      val df = docs.agg(countDistinct(col("lang")).as("n_langs"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q270: the distinct-count rewrite did not fire:\n$plan")
+      require(!plan.contains("documents.parquet"),
+        s"q270: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q270Sql: String =
+    """SELECT count(DISTINCT lang) AS n_langs FROM documents""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -1317,7 +1387,9 @@ object ScalarIndexQueries {
     "q265_catalog_route_count" -> (q265CatalogRouteCount _),
     "q266_index_pruned_delete" -> (q266IndexPrunedDelete _),
     "q267_typed_count_rewrite" -> (q267TypedCountRewrite _),
-    "q268_refresh_fold_route" -> (q268RefreshFoldRoute _))
+    "q268_refresh_fold_route" -> (q268RefreshFoldRoute _),
+    "q269_filtered_groupby_rewrite" -> (q269FilteredGroupbyRewrite _),
+    "q270_distinct_count_rewrite" -> (q270DistinctCountRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1394,5 +1466,9 @@ object ScalarIndexQueries {
     "q267_typed_count_rewrite" -> q267Sql,
     // the incremental fold must be invisible in results: same complement
     // filter as the rebuild loop
-    "q268_refresh_fold_route" -> q256Sql)
+    "q268_refresh_fold_route" -> q256Sql,
+    // filtered values-table GROUP BY / distinct-count-from-values:
+    // metadata answers must be invisible in results
+    "q269_filtered_groupby_rewrite" -> q269Sql,
+    "q270_distinct_count_rewrite" -> q270Sql)
 }

@@ -1107,6 +1107,40 @@ class IndexRouteSpec extends SparkSpec {
       assert(!n.queryExecution.executedPlan.toString
         .contains(new java.io.File(loc).getName))
       assert(n.collect().head.getLong(0) == 4L)
+      // count(DISTINCT k) needs the same proof — an empty-string key
+      // would be a real distinct value the bitmap cannot see
+      val dc = t.agg(countDistinct(col("k")).as("nd"))
+      assert(!dc.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        "a null-key source must decline the distinct-count rewrite")
+      assert(dc.collect().head.getLong(0) == 2L)
+      // ... but the FILTERED group-by still serves: the IN pins every
+      // surviving group to an asked non-null value, so no accounting
+      // is needed and the null row is irrelevant
+      val fgb = t.filter(col("k").isin("en", "de"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(fgb.queryExecution.executedPlan.toString
+        .contains(new java.io.File(loc).getName),
+        "the filtered group-by must serve despite the null-key row")
+      assert(fgb.orderBy(col("k")).collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("de", 1L), ("en", 2L)))
+    }
+  }
+
+  test("count(DISTINCT key) over an accounted bitmap source is answered " +
+      "by counting the values table") {
+    val loc = tmpLoc("route-dcount")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val want = docs.agg(countDistinct(col("lang"))).collect().head.getLong(0)
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val df = docs.agg(countDistinct(col("lang")).as("nd"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+          !plan.contains("documents.parquet"),
+        s"expected the values-table count:\n$plan")
+      assert(df.collect().head.getLong(0) == want)
     }
   }
 

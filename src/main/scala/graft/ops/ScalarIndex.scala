@@ -673,6 +673,67 @@ object ScalarIndex {
     }
   }
 
+  /** One-row `(mn, mx, cnt)` plan for `min(key)/max(key)/count(*)` UNDER
+    * a numeric range predicate, served like [[btreeCountRange]]:
+    * INTERIOR buckets (whole envelope inside the ask) contribute their
+    * zonemap lo/hi/n as driver literals — each zonemap bound is the
+    * exact shadow of a REAL key, so an interior bucket's lo/hi ARE the
+    * min/max of its keys, cast back to the manifest's native type
+    * (exact over the enforced shadow domain) — and only EDGE buckets
+    * are read and aggregated under the exact residual; `least`/
+    * `greatest` fold the two sources (they skip the NULL a matchless
+    * edge aggregate returns). No matching rows → (NULL, NULL, 0),
+    * SQL's aggregate semantics. Tombstoned indexes are REFUSED; the
+    * same 1-ulp edge-conservatism as the count twin. */
+  def btreeStatsRange(spark: SparkSession, location: String,
+      lo: Double, hi: Double, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    require(!hasTombstones(location),
+      s"btree at $location carries tombstones — zonemap stats would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    val zmRaw = spark.read.parquet(s"$location/zonemap")
+    require(numericKey(zmRaw.schema("lo").dataType),
+      s"btree at $location has NATIVE (${man.keyType}) keys — " +
+        "stats-range serves the double-shadow tier only")
+    val zm = zmRaw.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("n_rows")).as("n"))
+      .collect()
+    val overlapping = zm.filter(r => Math.nextDown(r.getDouble(1)) <= hi &&
+      Math.nextUp(r.getDouble(2)) >= lo)
+    def inside(zlo: Double, zhi: Double): Boolean =
+      (if (loInclusive) zlo >= lo else zlo > lo) &&
+        (if (hiInclusive) zhi <= hi else zhi < hi)
+    val (interior, edges) =
+      overlapping.partition(r => inside(r.getDouble(1), r.getDouble(2)))
+    val interiorN = interior.map(_.getLong(3)).sum
+    val iMin = interior.map(_.getDouble(1)).minOption
+    val iMax = interior.map(_.getDouble(2)).maxOption
+    def litK(v: Option[Double]): Column =
+      v.fold(lit(null).cast(man.keyType))(d => lit(d).cast(man.keyType))
+    if (edges.isEmpty)
+      spark.range(1).select(litK(iMin).as("mn"), litK(iMax).as("mx"),
+        lit(interiorN).as("cnt"))
+    else {
+      val pruned = spark.read.parquet(s"$location/postings")
+        .filter(col("bkt").isin(edges.map(r => Int.box(r.getInt(0))): _*))
+      val loPred =
+        if (lo == Double.NegativeInfinity) lit(true)
+        else if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+      val hiPred =
+        if (hi == Double.PositiveInfinity) lit(true)
+        else if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+      pruned.filter(loPred && hiPred)
+        .agg(least(min(col("key")), litK(iMin)).as("mn"),
+          greatest(max(col("key")), litK(iMax)).as("mx"),
+          (count(lit(1)) + lit(interiorN)).as("cnt"))
+    }
+  }
+
   /** One-row `(mn, mx, cnt)` plan for the global `min(key)` / `max(key)`
     * / `count(key)` aggregates served ENTIRELY from the zonemap — no
     * postings read at all: min(lo) / max(hi) over the ≤ nBuckets delta

@@ -350,7 +350,9 @@ case class IndexedScanRewrite(spark: SparkSession)
         (cond, lr) <- filteredRelationOf(child)
         path <- sourcePathOf(lr)
         rewritten <- tryRewriteAggCount(
-          aggExprs.map(_.asInstanceOf[Alias]), cond, lr, path)
+            aggExprs.map(_.asInstanceOf[Alias]), cond, lr, path)
+          .orElse(tryRewriteAggStatsRange(
+            aggExprs.map(_.asInstanceOf[Alias]), cond, lr, path))
       } yield rewritten).orElse(for {
         lr <- relationOf(child)
         path <- sourcePathOf(lr)
@@ -1606,6 +1608,70 @@ case class IndexedScanRewrite(spark: SparkSession)
       Alias(newPlan.output.head, a.name)(
         exprId = a.exprId, qualifier = a.qualifier)),
     newPlan)
+
+  /** `SELECT min(key)/max(key)/count(*) FROM t WHERE key <range>` served
+    * from the zonemap + edge buckets ([[ScalarIndex.btreeStatsRange]]):
+    * interior buckets' lo/hi/n are driver literals (each zonemap bound
+    * is the exact shadow of a real key), only edges are read under the
+    * exact residual. Tried AFTER [[tryRewriteAggCount]] — count-only
+    * asks stay on the cheaper count plan; this arm requires at least
+    * one min/max pick. Double-exact key types only ([[btreeKeyOk]] —
+    * the literals ride `numericLit`'s exactness guard); the usual
+    * freshness/divergence/tombstone declines. */
+  private def tryRewriteAggStatsRange(aggExprs: Seq[Alias],
+      cond: Expression, lr: LogicalPlan, path: String)
+      : Option[LogicalPlan] = {
+    sealed trait P
+    case object PMin extends P
+    case object PMax extends P
+    case object PCnt extends P
+    def pickOf(a: Alias, key: AttributeReference): Option[P] =
+      a.child match {
+        case ae: AggregateExpression
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Min(ar: AttributeReference)
+                if ar.exprId == key.exprId => Some(PMin)
+            case Max(ar: AttributeReference)
+                if ar.exprId == key.exprId => Some(PMax)
+            case Count(Seq(Literal(v, _))) if v != null => Some(PCnt)
+            case Count(Seq(ar: AttributeReference))
+                if ar.exprId == key.exprId => Some(PCnt)
+            case _ => None
+          }
+        case _ => None
+      }
+    for {
+      (keyAttr, ask) <- askOf(cond)
+      range <- ask match { case r: AskRange => Some(r); case _ => None }
+      route <- IndexRoute.lookupType(path, keyAttr.name, "btree")
+      if btreeKeyOk(keyAttr.dataType)
+      picks <- Option(aggExprs.map(pickOf(_, keyAttr)))
+        .filter(ps => ps.nonEmpty && ps.forall(_.isDefined))
+        .map(_.map(_.get))
+      if picks.exists(p => p == PMin || p == PMax)
+      man <- AnnIndex.readManifest(route.location)
+      if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
+      if !man.divergent
+      if !ScalarIndex.hasTombstones(route.location)
+      newPlan = ScalarIndex.btreeStatsRange(spark, route.location,
+          range.lo, range.hi, range.loInc, range.hiInc)
+        .queryExecution.analyzed
+      mn <- newPlan.output.find(_.name == "mn")
+      mx <- newPlan.output.find(_.name == "mx")
+      cn <- newPlan.output.find(_.name == "cnt")
+      if driftOk(mn.dataType == keyAttr.dataType &&
+          mx.dataType == keyAttr.dataType && cn.dataType == LongType,
+        route.location, s"stats-range types (${mn.dataType})")
+    } yield Project(aggExprs.zip(picks).map { case (a, pick) =>
+        val src = pick match {
+          case PMin => mn
+          case PMax => mx
+          case PCnt => cn
+        }
+        Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      }, newPlan)
+  }
 
   /** Filterless global aggregates over a routed source answered from
     * index METADATA: `min(key)` / `max(key)` / `count(key)` from a

@@ -1097,6 +1097,41 @@ object ScalarIndexQueries {
   private val q270Sql: String =
     """SELECT count(DISTINCT lang) AS n_langs FROM documents""".stripMargin
 
+  /** q271: `min/max/count(*)` UNDER a range predicate answered from the
+    * zonemap + edge buckets ([[graft.ops.ScalarIndex.btreeStatsRange]]):
+    * interior buckets contribute their exact lo/hi/n as driver literals
+    * and only the two edge buckets are read — the filtered-extremes
+    * shape completing the metadata-aggregate family (q257 counts, q258
+    * filterless extremes). The gate REQUIRES the rewrite fired and the
+    * corpus stayed closed; oracle: the plain filtered aggregate. */
+  def q271RangeStatsRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = indexLocation(d, "btree")
+    ScalarIndex.ensureBtree(Tables.events(s, d), "event_id", "value",
+      loc, s"$d/events.parquet")
+    try {
+      graft.plans.IndexRoute.register(
+        s"$d/events.parquet", "value", "event_id", loc)
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val df = ev.filter(col("value").between(25.5, 250.25))
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+          count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q271: the range-stats rewrite did not fire:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"q271: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q271Sql: String =
+    """SELECT min(value) AS mn, max(value) AS mx, count(*) AS cnt
+      |FROM events WHERE value BETWEEN 25.5 AND 250.25""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -1389,7 +1424,8 @@ object ScalarIndexQueries {
     "q267_typed_count_rewrite" -> (q267TypedCountRewrite _),
     "q268_refresh_fold_route" -> (q268RefreshFoldRoute _),
     "q269_filtered_groupby_rewrite" -> (q269FilteredGroupbyRewrite _),
-    "q270_distinct_count_rewrite" -> (q270DistinctCountRewrite _))
+    "q270_distinct_count_rewrite" -> (q270DistinctCountRewrite _),
+    "q271_range_stats_rewrite" -> (q271RangeStatsRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1470,5 +1506,7 @@ object ScalarIndexQueries {
     // filtered values-table GROUP BY / distinct-count-from-values:
     // metadata answers must be invisible in results
     "q269_filtered_groupby_rewrite" -> q269Sql,
-    "q270_distinct_count_rewrite" -> q270Sql)
+    "q270_distinct_count_rewrite" -> q270Sql,
+    // filtered extremes from zonemap + edges: invisible in results
+    "q271_range_stats_rewrite" -> q271Sql)
 }

@@ -557,6 +557,32 @@ class ScalarIndexSpec extends SparkSpec {
       olderThanMs = graft.ops.AnnIndex.MinVacuumHorizonMs).isEmpty)
   }
 
+  test("btreeStatsRange: filtered min/max/count equal the base-table " +
+      "aggregate across inclusive/strict/one-sided/matchless shapes") {
+    val loc = tmpLoc("bt-stats")
+    ScalarIndex.ensureBtree(events, "event_id", "value", loc, evSource)
+    def want(p: org.apache.spark.sql.Column) = events.filter(p)
+      .agg(min(col("value")), max(col("value")), count(lit(1)))
+      .collect().head
+    def got(lo: Double, hi: Double, loInc: Boolean, hiInc: Boolean) =
+      ScalarIndex.btreeStatsRange(spark, loc, lo, hi, loInc, hiInc)
+        .collect().head
+    val shapes = Seq(
+      (Lo, Hi, true, true, col("value") >= Lo && col("value") <= Hi),
+      (Lo, Hi, false, false, col("value") > Lo && col("value") < Hi),
+      (Lo, Double.PositiveInfinity, true, true, col("value") >= Lo),
+      (Double.NegativeInfinity, Hi, false, false, col("value") < Hi))
+    shapes.foreach { case (lo, hi, li, hiI, p) =>
+      val w = want(p); val g = got(lo, hi, li, hiI)
+      assert(g.getDouble(0) == w.getDouble(0) &&
+        g.getDouble(1) == w.getDouble(1) && g.getLong(2) == w.getLong(2),
+        s"stats drifted for [$lo, $hi] inc=($li,$hiI): $g vs $w")
+    }
+    // a matchless range answers (NULL, NULL, 0) — SQL aggregate semantics
+    val empty = got(1e12, 2e12, true, true)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.getLong(2) == 0L)
+  }
+
   test("FILESTATS: btree candidate files are a pruning SUPERSET — every " +
       "file holding a matching row is named, and a selective range over " +
       "a clustered layout names fewer files than the source holds") {

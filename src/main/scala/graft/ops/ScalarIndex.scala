@@ -212,7 +212,7 @@ object ScalarIndex {
           // non-file source records "" rows, which readers treat as
           // "provenance unknown, decline".
           writeBtreeFileStats(df, keyCol, shadow,
-            s"$staging/filestats", "overwrite")
+            s"$staging/filestats", "overwrite", sourcePath)
         }
     }
   }
@@ -223,13 +223,46 @@ object ScalarIndex {
     * between the scan and `input_file_name()` blanks the file name —
     * the provenance column must be materialized IN the scan stage. */
   private def writeBtreeFileStats(df: DataFrame, keyCol: String,
-      shadow: Column => Column, dest: String, mode: String): Unit =
+      shadow: Column => Column, dest: String, mode: String,
+      sourcePath: String): Unit = {
     df.filter(col(keyCol).isNotNull)
       .select(shadow(col(keyCol)).as("key"), input_file_name().as("f"))
       .groupBy(col("f"))
       .agg(min(col("key")).as("lo"), max(col("key")).as("hi"),
         count(lit(1)).as("n"))
       .coalesce(1).write.mode(mode).parquet(dest)
+    validateFileStats(df.sparkSession, dest, sourcePath)
+  }
+
+  /** Delete the just-written filestats unless EVERY recorded file name
+    * is non-empty and lives under the source path. `input_file_name` is
+    * a TASK-THREAD-LOCAL stamped by file readers: rows that were NOT
+    * evaluated inside a file scan (local relations, cached plans, union
+    * legs) report whatever file that executor thread read LAST — the
+    * full-suite spec caught a memory-built index attributing its rows
+    * to a DIFFERENT dataset's parquet left in the thread-local by an
+    * earlier query. A wrong name would MIS-PRUNE mutations (a DELETE
+    * could skip the file really holding its rows), so out-of-tree or
+    * empty provenance deletes the stats: absence falls back to the
+    * probe scan, wrongness never survives. Driver-bounded: one distinct
+    * file-name collect (≤ #source files). */
+  private def validateFileStats(spark: SparkSession, dest: String,
+      sourcePath: String): Unit = {
+    val files = spark.read.parquet(dest)
+      .select(col("f")).distinct().collect().map(_.getString(0))
+    val u = new org.apache.hadoop.fs.Path(sourcePath).toUri
+    val p0 = Option(u.getPath).getOrElse("")
+    val base =
+      if (Option(u.getScheme).isEmpty && !p0.startsWith("/"))
+        new java.io.File(p0).getAbsolutePath
+      else p0
+    val ok = files.nonEmpty && files.forall { f =>
+      f != null && f.nonEmpty &&
+        scala.util.Try(new java.net.URI(f).getPath).toOption.exists(p =>
+          p == base || p.startsWith(base + "/"))
+    }
+    if (!ok) AnnIndex.deleteRecursively(dest)
+  }
 
   /** Incrementally ADD rows against the FROZEN build-time boundaries: a
     * codegen'd fold over the ≤nBuckets-entry upper-bound literal array
@@ -287,7 +320,7 @@ object ScalarIndex {
     // completeness)
     if (IndexFs.exists(s"$location/filestats"))
       writeBtreeFileStats(delta, keyCol, shadow,
-        s"$location/filestats", "append")
+        s"$location/filestats", "append", man.sourcePath)
     // row accounting: ALL delta rows (incl. null keys) join the
     // reconciliation denominator; unknown (-1) stays unknown
     val newRows =
@@ -734,6 +767,69 @@ object ScalarIndex {
     }
   }
 
+  /** [[btreeStatsRange]] for the NATIVE-zonemap tier (date / timestamp /
+    * string keys): interior buckets' lo/hi ARE the min/max of their keys
+    * in the key's own type (no shadow, no cast), compared exactly with
+    * [[nativeCmp]]; only edge buckets are read under the exact typed
+    * residual. NULL bounds serve the one-sided shapes; a matchless
+    * range answers (NULL, NULL, 0). Tombstoned indexes are REFUSED. */
+  def btreeStatsRangeTyped(spark: SparkSession, location: String,
+      lo: Any, hi: Any, loInclusive: Boolean = true,
+      hiInclusive: Boolean = true): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "btree", s"not a btree index: $location")
+    require(lo != null || hi != null,
+      "btreeStatsRangeTyped: at least one bound required")
+    require(!hasTombstones(location),
+      s"btree at $location carries tombstones — zonemap stats would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    val zmRaw = spark.read.parquet(s"$location/zonemap")
+    require(!numericKey(zmRaw.schema("lo").dataType),
+      s"btree at $location has a numeric double-shadow zonemap — " +
+        "use btreeStatsRange")
+    val zm = zmRaw.groupBy(col("bkt"))
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("n_rows")).as("n"))
+      .collect()
+    val overlapping = zm.filter(r =>
+      (hi == null || nativeCmp(r.get(1), hi) <= 0) &&
+      (lo == null || nativeCmp(r.get(2), lo) >= 0))
+    def inside(zlo: Any, zhi: Any): Boolean =
+      (lo == null ||
+        (if (loInclusive) nativeCmp(zlo, lo) >= 0
+         else nativeCmp(zlo, lo) > 0)) &&
+      (hi == null ||
+        (if (hiInclusive) nativeCmp(zhi, hi) <= 0
+         else nativeCmp(zhi, hi) < 0))
+    val (interior, edges) =
+      overlapping.partition(r => inside(r.get(1), r.get(2)))
+    val interiorN = interior.map(_.getLong(3)).sum
+    val nativeOrd: Ordering[Any] = (a: Any, b: Any) => nativeCmp(a, b)
+    val iMin = interior.map(_.get(1)).minOption(nativeOrd)
+    val iMax = interior.map(_.get(2)).maxOption(nativeOrd)
+    def litK(v: Option[Any]): Column =
+      v.fold(lit(null).cast(man.keyType))(x => lit(x))
+    if (edges.isEmpty)
+      spark.range(1).select(litK(iMin).as("mn"), litK(iMax).as("mx"),
+        lit(interiorN).as("cnt"))
+    else {
+      val pruned = spark.read.parquet(s"$location/postings")
+        .filter(col("bkt").isin(edges.map(r => Int.box(r.getInt(0))): _*))
+      val loPred =
+        if (lo == null) lit(true)
+        else if (loInclusive) col("key") >= lit(lo) else col("key") > lit(lo)
+      val hiPred =
+        if (hi == null) lit(true)
+        else if (hiInclusive) col("key") <= lit(hi) else col("key") < lit(hi)
+      pruned.filter(loPred && hiPred)
+        .agg(least(min(col("key")), litK(iMin)).as("mn"),
+          greatest(max(col("key")), litK(iMax)).as("mx"),
+          (count(lit(1)) + lit(interiorN)).as("cnt"))
+    }
+  }
+
   /** One-row `(mn, mx, cnt)` plan for the global `min(key)` / `max(key)`
     * / `count(key)` aggregates served ENTIRELY from the zonemap — no
     * postings read at all: min(lo) / max(hi) over the ≤ nBuckets delta
@@ -898,11 +994,12 @@ object ScalarIndex {
           if (numericKey(postings.schema("key").dataType)) _.cast("double")
           else identity
         writeBtreeFileStats(src, man.sourceKeyCol, shadow,
-          s"$location/filestats", "overwrite")
+          s"$location/filestats", "overwrite", man.sourcePath)
       case _ =>
         bitmapFileStats(src, man.sourceKeyCol)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$location/filestats")
+        validateFileStats(spark, s"$location/filestats", man.sourcePath)
     }
     // only now does the index become fresh again
     val cur = AnnIndex.readManifest(location).getOrElse(man)
@@ -1080,8 +1177,11 @@ object ScalarIndex {
         .schema("id BIGINT, k STRING").parquet(s"$staging/postings")
         .groupBy(col("k")).agg(count(lit(1)).as("n_rows"))
       values.coalesce(1).write.mode("overwrite").parquet(s"$staging/values")
-      fileStats.foreach(_.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/filestats"))
+      fileStats.foreach { fsDf =>
+        fsDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/filestats")
+        validateFileStats(spark, s"$staging/filestats", sourcePath)
+      }
       card = spark.read.parquet(s"$staging/values").count()
       require(card <= maxCardinality,
         s"$what has $card distinct values " +
@@ -1131,9 +1231,12 @@ object ScalarIndex {
       .coalesce(1).write.mode("append").parquet(s"$location/values")
     // filestats delta — only when the build stamped them (presence means
     // completeness to readers)
-    if (IndexFs.exists(s"$location/filestats"))
+    if (IndexFs.exists(s"$location/filestats")) {
       bitmapFileStats(delta, keyCol)
         .coalesce(1).write.mode("append").parquet(s"$location/filestats")
+      validateFileStats(delta.sparkSession, s"$location/filestats",
+        man.sourcePath)
+    }
     val card = checkAppendCardinality(delta.sparkSession, location,
       maxCardinality, s"appendBitmap: $keyCol", " — use a btree index")
     // row accounting: ALL delta rows (incl. null/empty keys) join the

@@ -1615,9 +1615,11 @@ case class IndexedScanRewrite(spark: SparkSession)
     * is the exact shadow of a real key), only edges are read under the
     * exact residual. Tried AFTER [[tryRewriteAggCount]] — count-only
     * asks stay on the cheaper count plan; this arm requires at least
-    * one min/max pick. Double-exact key types only ([[btreeKeyOk]] —
-    * the literals ride `numericLit`'s exactness guard); the usual
-    * freshness/divergence/tombstone declines. */
+    * one min/max pick. Numeric (double-exact, [[btreeKeyOk]] — the
+    * literals ride `numericLit`'s exactness guard) AND typed date/
+    * timestamp ranges ([[ScalarIndex.btreeStatsRangeTyped]] — the
+    * native walk, exact ordering); the usual freshness/divergence/
+    * tombstone declines. */
   private def tryRewriteAggStatsRange(aggExprs: Seq[Alias],
       cond: Expression, lr: LogicalPlan, path: String)
       : Option[LogicalPlan] = {
@@ -1643,9 +1645,15 @@ case class IndexedScanRewrite(spark: SparkSession)
       }
     for {
       (keyAttr, ask) <- askOf(cond)
-      range <- ask match { case r: AskRange => Some(r); case _ => None }
+      if (ask match {
+        case _: AskRange => btreeKeyOk(keyAttr.dataType)
+        case _: AskRangeTyped =>
+          keyAttr.dataType == org.apache.spark.sql.types.DateType ||
+            keyAttr.dataType == org.apache.spark.sql.types.TimestampType ||
+            keyAttr.dataType == org.apache.spark.sql.types.TimestampNTZType
+        case _ => false
+      })
       route <- IndexRoute.lookupType(path, keyAttr.name, "btree")
-      if btreeKeyOk(keyAttr.dataType)
       picks <- Option(aggExprs.map(pickOf(_, keyAttr)))
         .filter(ps => ps.nonEmpty && ps.forall(_.isDefined))
         .map(_.map(_.get))
@@ -1654,9 +1662,16 @@ case class IndexedScanRewrite(spark: SparkSession)
       if man.fingerprint == AnnIndex.sourceFingerprint(route.rawSourcePath)
       if !man.divergent
       if !ScalarIndex.hasTombstones(route.location)
-      newPlan = ScalarIndex.btreeStatsRange(spark, route.location,
-          range.lo, range.hi, range.loInc, range.hiInc)
-        .queryExecution.analyzed
+      newPlan = (ask match {
+          case AskRange(lo, hi, loInc, hiInc) =>
+            ScalarIndex.btreeStatsRange(spark, route.location,
+              lo, hi, loInc, hiInc)
+          case AskRangeTyped(lo, hi, loInc, hiInc) =>
+            ScalarIndex.btreeStatsRangeTyped(spark, route.location,
+              lo, hi, loInc, hiInc)
+          case other => throw new IllegalStateException(
+            s"unreachable stats ask $other") // the shape guard above
+        }).queryExecution.analyzed
       mn <- newPlan.output.find(_.name == "mn")
       mx <- newPlan.output.find(_.name == "mx")
       cn <- newPlan.output.find(_.name == "cnt")

@@ -1132,6 +1132,52 @@ object ScalarIndexQueries {
     """SELECT min(value) AS mn, max(value) AS mx, count(*) AS cnt
       |FROM events WHERE value BETWEEN 25.5 AND 250.25""".stripMargin
 
+  /** q272: filtered `min/max/count(*)` under a DATE range from the
+    * NATIVE zonemap walk
+    * ([[graft.ops.ScalarIndex.btreeStatsRangeTyped]]) — the typed twin
+    * of q271, closing the metadata-aggregate matrix: {count, stats} ×
+    * {numeric, typed} ranges. A derived (event_id, day) parquet is
+    * materialized once per sf dir (the q241 device) so the route binds
+    * to a real date column; the gate REQUIRES the rewrite fired and the
+    * corpus stayed closed. Oracle: the plain filtered aggregate over
+    * the cast. */
+  def q272TypedStatsRewrite(s: SparkSession, d: String): DataFrame = {
+    val srcDir = indexLocation(d, "days-src")
+    val src = s"$srcDir/days.parquet"
+    if (!new java.io.File(src).exists())
+      Tables.events(s, d)
+        .select(col("event_id"), to_date(col("ts")).as("day"))
+        .write.mode("overwrite").parquet(src)
+    val days = s.read.parquet(src)
+    val loc = indexLocation(d, "btree-days")
+    ScalarIndex.ensureBtree(days, "event_id", "day", loc, src)
+    try {
+      graft.plans.IndexRoute.register(src, "day", "event_id", loc)
+      val df = days.filter(
+          col("day") >= lit(java.sql.Date.valueOf("2024-01-08")) &&
+            col("day") <= lit(java.sql.Date.valueOf("2024-01-17")))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+          count(lit(1)).as("cnt"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q272: the typed stats rewrite did not fire:\n$plan")
+      require(!plan.contains("days.parquet"),
+        s"q272: the corpus was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q272Sql: String =
+    """SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx,
+      |  count(*) AS cnt
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
+      |""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -1425,7 +1471,8 @@ object ScalarIndexQueries {
     "q268_refresh_fold_route" -> (q268RefreshFoldRoute _),
     "q269_filtered_groupby_rewrite" -> (q269FilteredGroupbyRewrite _),
     "q270_distinct_count_rewrite" -> (q270DistinctCountRewrite _),
-    "q271_range_stats_rewrite" -> (q271RangeStatsRewrite _))
+    "q271_range_stats_rewrite" -> (q271RangeStatsRewrite _),
+    "q272_typed_stats_rewrite" -> (q272TypedStatsRewrite _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1508,5 +1555,6 @@ object ScalarIndexQueries {
     "q269_filtered_groupby_rewrite" -> q269Sql,
     "q270_distinct_count_rewrite" -> q270Sql,
     // filtered extremes from zonemap + edges: invisible in results
-    "q271_range_stats_rewrite" -> q271Sql)
+    "q271_range_stats_rewrite" -> q271Sql,
+    "q272_typed_stats_rewrite" -> q272Sql)
 }

@@ -606,14 +606,16 @@ class ScalarIndexSpec extends SparkSpec {
     val total = clustered.select(input_file_name()).distinct().count()
     assert(cands.get.size < total,
       s"a selective range must prune (got ${cands.get.size} of $total)")
-    // append keeps the superset law: new files join the stats
+    // an append whose delta files live OUTSIDE the source tree makes
+    // the map's provenance unprovable — validation DELETES the stats
+    // (decline to the probe scan, never mis-prune)
     val extra = s"$dir/extra.parquet"
     events.limit(50).select(col("event_id") + 1000000L, col("value"))
       .toDF("event_id", "value").write.mode("overwrite").parquet(extra)
     ScalarIndex.appendBtree(spark.read.parquet(extra), "event_id", "value",
       loc, newFingerprint = "appended")
-    val cands2 = ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi)
-    assert(cands2.isDefined && cands.get.toSet.subsetOf(cands2.get.toSet))
+    assert(ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi).isEmpty,
+      "out-of-tree delta provenance must decline")
   }
 
   test("FILESTATS: bitmap candidates name only files holding the asked " +

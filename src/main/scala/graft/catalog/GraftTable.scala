@@ -415,6 +415,28 @@ object GraftTable {
           .filter(_._1.indexType == "btree")
           .flatMap(r => ScalarIndex.btreeCandidateFiles(
             spark, r._1.location, lo, hi))
+      // date/timestamp mutation predicates ride the NATIVE filestats
+      // walk — sources.Filter carries their external JVM values, the
+      // same type the native-keyed stats store
+      def typedV(v: Any): Boolean = v.isInstanceOf[java.sql.Date] ||
+        v.isInstanceOf[java.sql.Timestamp] ||
+        v.isInstanceOf[java.time.LocalDate] ||
+        v.isInstanceOf[java.time.Instant] ||
+        v.isInstanceOf[java.time.LocalDateTime]
+      def toStored(v: Any): Any = v match {
+        // filter values may arrive in the java.time flavors while the
+        // stats store the java.sql ones (or LocalDateTime for NTZ) —
+        // normalize the comparable representation
+        case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+        case i: java.time.Instant => java.sql.Timestamp.from(i)
+        case other => other
+      }
+      def btreeTyped(a: String, lo: Any, hi: Any): Option[Seq[String]] =
+        IndexRoute.freshExactRoute(info.location, a)
+          .filter(_._1.indexType == "btree")
+          .flatMap(r => scala.util.Try(ScalarIndex.btreeCandidateFilesTyped(
+            spark, r._1.location, toStored(lo), toStored(hi)))
+            .toOption.flatten)
       def bitmap(a: String, vs: Seq[String]): Option[Seq[String]] =
         IndexRoute.freshExactRoute(info.location, a)
           .filter(_._1.indexType == "bitmap")
@@ -425,6 +447,15 @@ object GraftTable {
         case sources.In(a, vs) if vs.nonEmpty &&
             vs.forall(_.isInstanceOf[String]) =>
           bitmap(a, vs.toSeq.map(_.asInstanceOf[String]))
+        case sources.EqualTo(a, v) if typedV(v) => btreeTyped(a, v, v)
+        case sources.GreaterThan(a, v) if typedV(v) =>
+          btreeTyped(a, v, null)
+        case sources.GreaterThanOrEqual(a, v) if typedV(v) =>
+          btreeTyped(a, v, null)
+        case sources.LessThan(a, v) if typedV(v) =>
+          btreeTyped(a, null, v)
+        case sources.LessThanOrEqual(a, v) if typedV(v) =>
+          btreeTyped(a, null, v)
         case sources.EqualTo(a, v) => num(v).flatMap(d => btree(a, d, d))
         case sources.GreaterThan(a, v) =>
           num(v).flatMap(d => btree(a, d, Double.PositiveInfinity))

@@ -618,6 +618,33 @@ class ScalarIndexSpec extends SparkSpec {
       "out-of-tree delta provenance must decline")
   }
 
+  test("FILESTATS (typed): date-keyed candidate files are a pruning " +
+      "superset under the native ordering") {
+    val dir = Files.createTempDirectory("graft-fstyped").toString
+    val src = s"$dir/days.parquet"
+    events.select(col("event_id"), to_date(col("ts")).as("day"))
+      .repartitionByRange(8, col("day"))
+      .write.mode("overwrite").parquet(src)
+    val clustered = spark.read.parquet(src)
+    val loc = tmpLoc("bt-filestats-typed")
+    ScalarIndex.ensureBtree(clustered, "event_id", "day", loc, src)
+    val lo = java.sql.Date.valueOf("2024-01-08")
+    val hi = java.sql.Date.valueOf("2024-01-12")
+    val cands = ScalarIndex.btreeCandidateFilesTyped(spark, loc, lo, hi)
+    assert(cands.isDefined, "a file-built date btree must carry filestats")
+    val truth = clustered
+      .filter(col("day") >= lit(lo) && col("day") <= lit(hi))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(cands.get.toSet),
+      s"missing ${truth.diff(cands.get.toSet)}")
+    val total = clustered.select(input_file_name()).distinct().count()
+    assert(cands.get.size < total,
+      s"a selective date range must prune (got ${cands.get.size} of $total)")
+    // the numeric reader refuses the native stats (and vice versa)
+    assert(ScalarIndex.btreeCandidateFiles(spark, loc, 0.0, 1.0).isEmpty)
+  }
+
   test("FILESTATS: bitmap candidates name only files holding the asked " +
       "values; unknown provenance (a non-file build source) declines") {
     val dir = Files.createTempDirectory("graft-fsbm").toString

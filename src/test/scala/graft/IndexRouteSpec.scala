@@ -1242,6 +1242,62 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("filtered min/max/count under a TIMESTAMP range is metadata-" +
+      "served across strict and one-sided shapes") {
+    val loc = tmpLoc("route-tsstats")
+    ScalarIndex.ensureBtree(events, "event_id", "ts", loc, evSource)
+    def lo = lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0))
+    def hi = lit(java.time.LocalDateTime.of(2024, 1, 17, 0, 0, 0))
+    val shapes: Seq[org.apache.spark.sql.Column] = Seq(
+      col("ts") >= lo && col("ts") <= hi,
+      col("ts") > lo && col("ts") < hi,
+      col("ts") >= lo,
+      col("ts") < hi)
+    val want = shapes.map(p => events.filter(p)
+      .agg(min(col("ts")), max(col("ts")), count(lit(1))).collect().head)
+    withRule {
+      IndexRoute.register(evSource, "ts", "event_id", loc)
+      shapes.zip(want).foreach { case (p, w) =>
+        val df = events.filter(p).agg(min(col("ts")).as("mn"),
+          max(col("ts")).as("mx"), count(lit(1)).as("cnt"))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(new java.io.File(loc).getName) &&
+            !plan.contains("events.parquet"),
+          s"typed stats must be index-served for $p:\n$plan")
+        assert(df.collect().head == w, s"typed stats drifted for $p")
+      }
+    }
+  }
+
+  test("metadata aggregates serve catalog-table (DSv2) reads too: " +
+      "count(*) under a range through the table name reads the index") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.routespec")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS graft.routespec.ev
+        |(event_id BIGINT, value DOUBLE)""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE graft.routespec.ev
+         |SELECT event_id, value FROM parquet.`$evSource`""".stripMargin)
+    val tblLoc = graft.catalog.GraftProcedures
+      .tableLocation("graft.routespec.ev")
+    val loc = tmpLoc("route-dsv2agg")
+    ScalarIndex.ensureBtree(spark.table("graft.routespec.ev"),
+      "event_id", "value", loc, tblLoc)
+    val want = spark.table("graft.routespec.ev")
+      .filter(col("value").between(100.0, 250.0)).count()
+    withRule {
+      IndexRoute.register(tblLoc, "value", "event_id", loc)
+      val df = spark.sql(
+        """SELECT count(*) AS cnt FROM graft.routespec.ev
+           |WHERE value BETWEEN 100.0 AND 250.0""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(loc).getName) &&
+          !plan.contains("routespec/ev") && !plan.contains("ev/part-"),
+        s"expected the DSv2 aggregate to be index-served:\n$plan")
+      assert(df.collect().head.getLong(0) == want)
+    }
+  }
+
   test("a DECIMAL-keyed btree DECLINES the filterless min/max metadata " +
       "route: decimals beyond double precision alias in the zonemap " +
       "shadow, so the scan must answer (ADVICE r15)") {

@@ -198,9 +198,14 @@ object GraftProcedures {
         throw new IllegalStateException(s"no index at $loc"))
       val action =
         if (man.indexType == "btree" || man.indexType == "bitmap")
+          // NonFatal, not just the proof-failure exceptions: a mid-fold
+          // runtime failure (failed job during the anti-join, tombstone
+          // write, compaction) leaves the index stale-by-fingerprint —
+          // safe — but the documented contract is that ANY non-foldable
+          // state degrades to the full rebuild, not a failed CALL
+          // (ADVICE r16). The receipt still says which leg ran.
           try { ScalarIndex.refreshAfterDelete(spark, loc); "folded" }
-          catch { case _: IllegalArgumentException |
-              _: IllegalStateException =>
+          catch { case scala.util.control.NonFatal(_) =>
             AnnIndex.rebuildFromSource(spark, loc); "rebuilt"
           }
         else { AnnIndex.rebuildFromSource(spark, loc); "rebuilt" }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.backend.TableInfo
 import graft.core.{GraftError, TableUtil}
+import graft.ops.ScalarIndex
 
 /** DSv2 table for a catalog-registered graft table (SURVEY.md §7.1 module 5).
   *
@@ -152,7 +153,35 @@ object GraftTable {
     * rewrite). `candidateFiles`/`totalFiles` are -1 when not derived. */
   final case class ProbeReceipt(mode: String, candidateFiles: Int,
       totalFiles: Int)
+
+  /** Receipts keyed by NORMALIZED table location: concurrent row-level
+    * operations on different tables must not overwrite each other's
+    * observability (ADVICE r16 — the old single `@volatile` slot could
+    * hand q266's gate a receipt from another table's mutation). Bounded
+    * debug telemetry, cleared wholesale past 512 tables. */
+  private val probeReceipts =
+    new java.util.concurrent.ConcurrentHashMap[String, ProbeReceipt]()
+
+  private[graft] def recordProbe(location: String, r: ProbeReceipt): Unit = {
+    if (probeReceipts.size > 512) probeReceipts.clear()
+    probeReceipts.put(graft.plans.IndexRoute.normalize(location), r)
+  }
+
+  /** The last mutation probe's receipt for `location`, if any. */
+  private[graft] def probeReceipt(location: String): Option[ProbeReceipt] =
+    Option(probeReceipts.get(graft.plans.IndexRoute.normalize(location)))
+
+  /** Most recent receipt across ALL tables — kept for single-table
+    * harnesses; prefer [[probeReceipt]] when the location is known. */
   @volatile private[graft] var lastProbe: ProbeReceipt = _
+
+  /** Spec observability: recursive data-file listings performed by
+    * row-level operations. The index-pruned probe path must not list
+    * (its receipt denominator comes from filestats) — the spec law for
+    * VERDICT r16 #3 asserts this counter stays flat across an
+    * index-pruned DELETE. */
+  private[graft] val dataFileListings =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.Path
@@ -375,6 +404,7 @@ object GraftTable {
       * translatable conjunct → every data file (whole-table rewrite). */
     /** Every data file under the table location. */
     private def listDataFiles(): Seq[String] = {
+      GraftTable.dataFileListings.incrementAndGet()
       val p = new Path(info.location)
       val fs = p.getFileSystem(
         spark.sessionState.newHadoopConfWithOptions(info.storageOptions))
@@ -403,14 +433,21 @@ object GraftTable {
       * on an indexed column opens only overlapping files, driven by
       * metadata whose size does not follow the corpus. */
     private def indexCandidates(filters: Array[sources.Filter])
-        : Option[Seq[String]] = {
+        : Option[ScalarIndex.FileCandidates] = {
       import graft.plans.IndexRoute
       import graft.ops.ScalarIndex
+      import ScalarIndex.FileCandidates
       def num(v: Any): Option[Double] = v match {
         case n: java.lang.Number => Some(n.doubleValue())
         case _ => None
       }
-      def btree(a: String, lo: Double, hi: Double): Option[Seq[String]] =
+      // supersets intersect across conjuncts; the receipt denominator is
+      // the stats' file count (conjunct stats over the same source agree
+      // up to append races — max is the conservative display)
+      def meet(x: FileCandidates, y: FileCandidates): FileCandidates =
+        FileCandidates(x.files.intersect(y.files),
+          math.max(x.totalFiles, y.totalFiles))
+      def btree(a: String, lo: Double, hi: Double): Option[FileCandidates] =
         IndexRoute.freshExactRoute(info.location, a)
           .filter(_._1.indexType == "btree")
           .flatMap(r => ScalarIndex.btreeCandidateFiles(
@@ -431,18 +468,18 @@ object GraftTable {
         case i: java.time.Instant => java.sql.Timestamp.from(i)
         case other => other
       }
-      def btreeTyped(a: String, lo: Any, hi: Any): Option[Seq[String]] =
+      def btreeTyped(a: String, lo: Any, hi: Any): Option[FileCandidates] =
         IndexRoute.freshExactRoute(info.location, a)
           .filter(_._1.indexType == "btree")
           .flatMap(r => scala.util.Try(ScalarIndex.btreeCandidateFilesTyped(
             spark, r._1.location, toStored(lo), toStored(hi)))
             .toOption.flatten)
-      def bitmap(a: String, vs: Seq[String]): Option[Seq[String]] =
+      def bitmap(a: String, vs: Seq[String]): Option[FileCandidates] =
         IndexRoute.freshExactRoute(info.location, a)
           .filter(_._1.indexType == "bitmap")
           .flatMap(r => ScalarIndex.bitmapCandidateFiles(
             spark, r._1.location, vs))
-      def candOf(f: sources.Filter): Option[Seq[String]] = f match {
+      def candOf(f: sources.Filter): Option[FileCandidates] = f match {
         case sources.EqualTo(a, v: String) => bitmap(a, Seq(v))
         case sources.In(a, vs) if vs.nonEmpty &&
             vs.forall(_.isInstanceOf[String]) =>
@@ -466,7 +503,7 @@ object GraftTable {
         case sources.LessThanOrEqual(a, v) =>
           num(v).flatMap(d => btree(a, Double.NegativeInfinity, d))
         case sources.And(l, r) => (candOf(l), candOf(r)) match {
-          case (Some(x), Some(y)) => Some(x.intersect(y))
+          case (Some(x), Some(y)) => Some(meet(x, y))
           case (x, y) => x.orElse(y)
         }
         case _ => None
@@ -475,14 +512,18 @@ object GraftTable {
       // candidate set is pruning-only; the probe re-applies the exact
       // predicate over the candidate files
       val per = filters.toSeq.flatMap(f => candOf(f))
-      per.reduceOption((x, y) => x.intersect(y))
+      per.reduceOption(meet)
+    }
+
+    private def record(r: GraftTable.ProbeReceipt): Unit = {
+      GraftTable.lastProbe = r
+      GraftTable.recordProbe(info.location, r)
     }
 
     private def affectedFiles(filters: Array[sources.Filter]): Seq[String] = {
       val conds = filters.toSeq.flatMap(translateFilter)
       if (conds.isEmpty) {
-        GraftTable.lastProbe =
-          GraftTable.ProbeReceipt("full", -1, -1)
+        record(GraftTable.ProbeReceipt("full", -1, -1))
         listDataFiles()
       } else {
         val cands =
@@ -491,27 +532,28 @@ object GraftTable {
             logWarning("graft mutation probe: index candidate derivation " +
               s"failed (${e.getMessage}) — probe-scanning the table"); None }
         cands match {
-          case Some(Nil) =>
-            GraftTable.lastProbe = GraftTable.ProbeReceipt("index", 0,
-              listDataFiles().size)
+          // index-pruned receipts draw their denominator from the
+          // filestats' file count (already driver-resident) — NEVER a
+          // recursive listing of the table, which at millions of files
+          // would cost more than the probe it describes (VERDICT r16 #3)
+          case Some(ScalarIndex.FileCandidates(Nil, total)) =>
+            record(GraftTable.ProbeReceipt("index", 0, total))
             Nil // no file can hold a match: nothing scanned, nothing rewritten
-          case Some(files) =>
+          case Some(ScalarIndex.FileCandidates(files, total)) =>
             try {
               val hit = spark.read.schema(tableSchema())
                 .parquet(files: _*)
                 .filter(conds.reduce(_ && _))
                 .select(input_file_name().as("__f"))
                 .distinct().collect().map(_.getString(0)).toSeq.sorted
-              GraftTable.lastProbe = GraftTable.ProbeReceipt("index",
-                files.size, listDataFiles().size)
+              record(GraftTable.ProbeReceipt("index", files.size, total))
               hit
             } catch { case e: Exception =>
               // a probe failure must degrade LOUDLY to the whole-table
               // rewrite — safe, but silent would hide a 100 TB cost cliff
               logWarning("graft mutation probe over index candidates " +
                 s"failed (${e.getMessage}) — rewriting every data file")
-              GraftTable.lastProbe =
-                GraftTable.ProbeReceipt("fallback", -1, -1)
+              record(GraftTable.ProbeReceipt("fallback", -1, -1))
               listDataFiles()
             }
           case None =>
@@ -521,14 +563,12 @@ object GraftTable {
                 .filter(conds.reduce(_ && _))
                 .select(input_file_name().as("__f"))
                 .distinct().collect().map(_.getString(0)).toSeq.sorted
-              GraftTable.lastProbe =
-                GraftTable.ProbeReceipt("scan", -1, -1)
+              record(GraftTable.ProbeReceipt("scan", -1, -1))
               hit
             } catch { case e: Exception =>
               logWarning("graft mutation probe scan failed " +
                 s"(${e.getMessage}) — rewriting every data file")
-              GraftTable.lastProbe =
-                GraftTable.ProbeReceipt("fallback", -1, -1)
+              record(GraftTable.ProbeReceipt("fallback", -1, -1))
               listDataFiles()
             }
         }

@@ -125,6 +125,29 @@ object IndexFs {
     else Seq((st.getPath.getName, st.getLen, st.getModificationTime))
   }
 
+  /** Every non-hidden data file under a file or directory tree, as URI
+    * strings — the filestats append-delta diff input. Driver-bounded at
+    * ≤ #source files; a missing location lists empty. */
+  def listFilesRecursive(location: String): Seq[String] = {
+    val (fs, p) = resolve(location)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) Seq(st.getPath.toUri.toString)
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+            buf += f.getPath.toUri.toString
+        }
+        buf.result()
+      }
+    }
+  }
+
   /** Child (name, modification time) pairs of a directory — the vacuum's
     * age input. Empty when absent or a plain file. */
   def listNamesMtimes(location: String): Seq[(String, Long)] = {

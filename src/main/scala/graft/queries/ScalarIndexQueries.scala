@@ -973,7 +973,9 @@ object ScalarIndexQueries {
       s.sql(
         """DELETE FROM graft.tpch.mut_ev_idx
           |WHERE value >= 100.0 AND value <= 150.0""".stripMargin)
-      val pr = graft.catalog.GraftTable.lastProbe
+      // per-TABLE receipt (keyed by location) — concurrent mutations on
+      // other tables can no longer clobber this gate's observation
+      val pr = graft.catalog.GraftTable.probeReceipt(tblLoc).orNull
       require(pr != null && pr.mode == "index",
         s"q266: the mutation probe was not index-pruned: $pr")
       require(pr.candidateFiles < pr.totalFiles,

@@ -151,6 +151,46 @@ class GraftMutationSpec extends SparkSpec {
     }
   }
 
+  test("an index-pruned DELETE records a PER-TABLE receipt whose " +
+      "denominator rides the filestats — zero recursive data-file " +
+      "listings on the pruned path (VERDICT r16 #3, ADVICE r16)") {
+    ensureNs()
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.mut.prb " +
+      "(event_id BIGINT, value DOUBLE)")
+    spark.sql(
+      s"""INSERT OVERWRITE graft.mut.prb
+         |SELECT /*+ REPARTITION_BY_RANGE(8, value) */ event_id, value
+         |FROM parquet.`$sfDir/events.parquet`""".stripMargin)
+    val tblLoc = new java.net.URI(tableLocation("prb")).getPath
+    val idx = s"${java.nio.file.Files.createTempDirectory("graft-prb")}/bt"
+    ScalarIndex.ensureBtree(spark.table("graft.mut.prb"),
+      "event_id", "value", idx, tblLoc)
+    try {
+      IndexRoute.register(tblLoc, "value", "event_id", idx)
+      val listingsBefore = graft.catalog.GraftTable.dataFileListings.get()
+      spark.sql(
+        "DELETE FROM graft.mut.prb WHERE value >= 100.0 AND value <= 150.0")
+      assert(graft.catalog.GraftTable.dataFileListings.get()
+          == listingsBefore,
+        "the index-pruned probe must not recursively list the table — " +
+          "its receipt denominator comes from filestats")
+      val pr = graft.catalog.GraftTable.probeReceipt(tblLoc)
+        .getOrElse(fail("no per-table probe receipt recorded"))
+      assert(pr.mode == "index", s"probe was not index-pruned: $pr")
+      assert(pr.totalFiles > 0 && pr.candidateFiles < pr.totalFiles,
+        s"receipt must show real pruning with a stats-sourced total: $pr")
+      // a probe on ANOTHER table must not clobber this table's receipt
+      spark.sql("CREATE TABLE IF NOT EXISTS graft.mut.prb2 " +
+        "(id BIGINT, v DOUBLE)")
+      spark.sql("INSERT OVERWRITE graft.mut.prb2 VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("DELETE FROM graft.mut.prb2 WHERE v = 1.0")
+      assert(graft.catalog.GraftTable.probeReceipt(tblLoc)
+          .contains(pr),
+        "receipts are keyed by table location — another table's " +
+          "mutation must not overwrite them")
+    } finally IndexRoute.clear()
+  }
+
   test("row-level mutation of an index capability-pointer table refuses") {
     ensureNs()
     val events = spark.read.parquet(s"$sfDir/events.parquet")

@@ -1355,4 +1355,47 @@ class IndexRouteSpec extends SparkSpec {
       assert(df.orderBy(col("doc_id")).collect().toSeq == want.toSeq)
     }
   }
+
+  test("DSv2 PARTITION GUARD: a partitioned V2 file scan is never " +
+      "index-served — pushdown removes exactly-pushed partition " +
+      "conjuncts from the logical Filter, so a whole-source index " +
+      "would answer outside the pruned partitions (VERDICT r16)") {
+    val dir = Files.createTempDirectory("graft-v2part").toString
+    val src = s"$dir/part_ev"
+    events.withColumn("pt", (col("event_id") % 2).cast("int"))
+      .write.mode("overwrite").partitionBy("pt").parquet(src)
+    // truths computed BEFORE forcing V2 (plan family is irrelevant here)
+    val whole = spark.read.parquet(src)
+    val wantCnt = whole.filter(col("pt") === 1).count()
+    val wantRows = whole
+      .filter(col("pt") === 1 && col("value").between(100.0, 250.0))
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id")).collect().toSeq
+    val loc = tmpLoc("route-v2part")
+    ScalarIndex.ensureBtree(whole, "event_id", "value", loc, src)
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try withRule {
+      IndexRoute.register(src, "value", "event_id", loc)
+      val idxName = new java.io.File(loc).getName
+      // bare-relation metadata arm: count(*) whose ONLY conjunct is the
+      // pushed partition filter — post-pushdown the Filter is GONE and
+      // serving manifest sourceRows would count the whole table
+      val cnt = spark.read.parquet(src).filter(col("pt") === 1)
+        .agg(count(lit(1)).as("cnt"))
+      assert(!cnt.queryExecution.executedPlan.toString.contains(idxName),
+        "partition-pruned count must NOT be metadata-served:\n" +
+          cnt.queryExecution.executedPlan)
+      assert(cnt.collect().head.getLong(0) == wantCnt)
+      // residual-filter arm: the index covers `value` but the scan is
+      // partition-pruned — route must decline to the scan
+      val q = spark.read.parquet(src)
+        .filter(col("pt") === 1 && col("value").between(100.0, 250.0))
+        .select(col("event_id"), col("value"))
+      assert(!q.queryExecution.executedPlan.toString.contains(idxName),
+        "partition-pruned filter must decline index service:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.orderBy(col("event_id")).collect().toSeq == wantRows)
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+  }
 }

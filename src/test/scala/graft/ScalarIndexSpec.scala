@@ -600,22 +600,30 @@ class ScalarIndexSpec extends SparkSpec {
       .filter(col("value") >= Lo && col("value") <= Hi)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    assert(truth.subsetOf(cands.get.toSet),
+    assert(truth.subsetOf(cands.get.files.toSet),
       s"candidates must cover every matching file: " +
-        s"missing ${truth.diff(cands.get.toSet)}")
+        s"missing ${truth.diff(cands.get.files.toSet)}")
     val total = clustered.select(input_file_name()).distinct().count()
-    assert(cands.get.size < total,
-      s"a selective range must prune (got ${cands.get.size} of $total)")
-    // an append whose delta files live OUTSIDE the source tree makes
-    // the map's provenance unprovable — validation DELETES the stats
-    // (decline to the probe scan, never mis-prune)
+    assert(cands.get.files.size < total,
+      s"a selective range must prune " +
+        s"(got ${cands.get.files.size} of $total)")
+    // the receipt denominator rides the stats themselves — no listing
+    assert(cands.get.totalFiles == total,
+      s"stats total ${cands.get.totalFiles} != source files $total")
+    // an append whose delta rows live OUTSIDE the source tree adds no
+    // source files: the map stays a correct file-level zonemap OF THE
+    // SOURCE (mutations only ever touch source files), so candidates
+    // keep serving — r17's fresh-source derivation makes provenance
+    // correct by construction instead of declining the whole map
     val extra = s"$dir/extra.parquet"
     events.limit(50).select(col("event_id") + 1000000L, col("value"))
       .toDF("event_id", "value").write.mode("overwrite").parquet(extra)
     ScalarIndex.appendBtree(spark.read.parquet(extra), "event_id", "value",
       loc, newFingerprint = "appended")
-    assert(ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi).isEmpty,
-      "out-of-tree delta provenance must decline")
+    val after = ScalarIndex.btreeCandidateFiles(spark, loc, Lo, Hi)
+    assert(after.isDefined &&
+        truth.subsetOf(after.get.files.toSet),
+      "out-of-tree delta must leave the source file map serving")
   }
 
   test("FILESTATS (typed): date-keyed candidate files are a pruning " +
@@ -636,11 +644,12 @@ class ScalarIndexSpec extends SparkSpec {
       .filter(col("day") >= lit(lo) && col("day") <= lit(hi))
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    assert(truth.subsetOf(cands.get.toSet),
-      s"missing ${truth.diff(cands.get.toSet)}")
+    assert(truth.subsetOf(cands.get.files.toSet),
+      s"missing ${truth.diff(cands.get.files.toSet)}")
     val total = clustered.select(input_file_name()).distinct().count()
-    assert(cands.get.size < total,
-      s"a selective date range must prune (got ${cands.get.size} of $total)")
+    assert(cands.get.files.size < total,
+      s"a selective date range must prune " +
+        s"(got ${cands.get.files.size} of $total)")
     // the numeric reader refuses the native stats (and vice versa)
     assert(ScalarIndex.btreeCandidateFiles(spark, loc, 0.0, 1.0).isEmpty)
   }
@@ -661,17 +670,28 @@ class ScalarIndexSpec extends SparkSpec {
     val truth = clustered.filter(col("lang") === "de")
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    assert(truth.subsetOf(cands.get.toSet))
+    assert(truth.subsetOf(cands.get.files.toSet))
     val total = clustered.select(input_file_name()).distinct().count()
-    assert(cands.get.size < total,
-      s"single-valued files must prune (got ${cands.get.size} of $total)")
-    // a non-file source records "" provenance → readers must decline
+    assert(cands.get.files.size < total,
+      s"single-valued files must prune " +
+        s"(got ${cands.get.files.size} of $total)")
+    // an UNSCANNABLE source binding (no parquet there) can prove no
+    // provenance → the build DECLINES the stats once (marker stamped),
+    // readers fall back to the probe scan, and the next ensure call
+    // REUSES the index instead of rebuilding forever (ADVICE r16)
     import spark.implicits._
     val mem = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val locMem = tmpLoc("bm-filestats-mem")
-    ScalarIndex.ensureBitmap(mem, "doc_id", "lang", locMem, src,
-      fingerprintOverride = Some("mem"))
+    val ghost = s"$dir/nowhere.parquet"
+    val built = ScalarIndex.ensureBitmap(mem, "doc_id", "lang", locMem,
+      ghost, fingerprintOverride = Some("mem"))
+    assert(built)
     assert(ScalarIndex.bitmapCandidateFiles(spark, locMem, Seq("en")).isEmpty,
       "unknown file provenance must decline, never mis-prune")
+    val rebuilt = ScalarIndex.ensureBitmap(mem, "doc_id", "lang", locMem,
+      ghost, fingerprintOverride = Some("mem"))
+    assert(!rebuilt,
+      "a declined-provenance index must be rebuilt at most once — " +
+        "the declined marker settles the freshness match")
   }
 }

@@ -159,12 +159,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = mapped {
-    if (partitions.nonEmpty)
-      throw GraftError.Unsupported("partitioned create (reference tables are unpartitioned)")
+    // IDENTITY transforms only: they map 1:1 onto hive-style
+    // `col=value/` directory layouts under the location, which is the
+    // partition story a 100 TB parquet lakehouse table actually has
+    // (VERDICT r16 top item — the reference's metadata model is
+    // partition-free, but its users' tables are partitioned trees).
+    // bucket/days/truncate transforms have no plain-parquet layout and
+    // refuse loudly.
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        throw GraftError.Unsupported(
+          s"non-identity partition transform $t (identity columns only)")
+      t.references.head.fieldNames.mkString(".")
+    }
+    partCols.foreach { c =>
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"partition column $c is not in the table schema")
+    }
     val props = properties.asScala.toMap
     val location = props.get(TableCatalog.PROP_LOCATION)
     val cleaned = props -- Seq(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL) ++
+      (if (partCols.nonEmpty)
+        Map(graft.core.TableUtil.PartitionColumnsKey -> partCols.mkString(","))
+      else Map.empty)
     val schemaJson = if (schema.isEmpty) None else Some(JsonArrowSchema.toJson(schema))
     val info = backend.declareTable(oid(ident), location, cleaned, schemaJson)
     invalidateCached(info.id, info.location)

@@ -64,6 +64,21 @@ class GraftTable(
 
   override def name(): String = ident.toString
 
+  /** Identity partition columns declared at create time (hive-style
+    * `col=value/` dirs under the location); empty for flat tables. The
+    * catalog stores them as an ordinary property — the DATA layout is
+    * plain partitioned parquet any engine reads. */
+  private[graft] def partitionColumns: Seq[String] =
+    info.properties.get(TableUtil.PartitionColumnsKey)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   /** The parquet root an optimizer index route may bind to — the
     * storage location, exposed so [[graft.plans.IndexedScanRewrite]]
     * can serve catalog-table reads from the same routes a path read
@@ -77,12 +92,17 @@ class GraftTable(
     if (materialized && !isIndexPointer) delegate.schema
     else declaredSchema.getOrElse(new StructType())
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    // partitioned writes ride Spark's own partitioned-parquet committer
+    // through the V1 fallback (see PartitionedV1WriteBuilder)
+    if (partitionColumns.nonEmpty) caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -110,6 +130,12 @@ class GraftTable(
       throw GraftError.Unsupported(
         s"direct write to ANN index table ${ident.toString} " +
           "(rebuild through graft.ops.AnnIndex.ensureIvf/ensureIvfPq)")
+    else if (partitionColumns.nonEmpty)
+      new GraftTable.PartitionedV1WriteBuilder(info.location,
+        partitionColumns,
+        () => spark.sessionState.newHadoopConfWithOptions(
+          info.storageOptions),
+        onCommit)
     else new GraftTable.TruncatableWriteBuilder(
       delegate.newWriteBuilder(writeInfo), info.location,
       () => spark.sessionState.newHadoopConfWithOptions(info.storageOptions),
@@ -140,6 +166,15 @@ class GraftTable(
       throw GraftError.Unsupported(
         s"row-level mutation of ANN index table ${ident.toString} " +
           "(maintain through graft.ops index APIs)")
+    // copy-on-write re-reads affected FILES as a flat parquet list;
+    // partition values live in directory names there, so the re-read
+    // would drop the partition columns. Until the probe/rewrite carry a
+    // basePath through, refuse loudly — INSERT OVERWRITE (dynamic
+    // partition overwrite) is the partition-grain mutation verb.
+    if (partitionColumns.nonEmpty)
+      throw GraftError.Unsupported(
+        s"row-level mutation of PARTITIONED table ${ident.toString} " +
+          "(rewrite the affected partitions with INSERT OVERWRITE)")
     () => new GraftTable.CopyOnWriteOperation(rinfo.command(), ident, info,
       () => schema(), spark, onCommit)
   }
@@ -196,6 +231,94 @@ object GraftTable {
     * reference's drop-then-create overwrite (`Hive2Namespace.java:415-421`).
     * Only full-table overwrite (filters = AlwaysTrue) is supported, which is
     * exactly what INSERT OVERWRITE / CREATE OR REPLACE plan. */
+  /** Writes for PARTITIONED tables ride Spark's own partitioned-parquet
+    * machinery through the DSv2 V1-write fallback
+    * ([[org.apache.spark.sql.connector.write.V1Write]] →
+    * [[org.apache.spark.sql.sources.InsertableRelation]]): the insert
+    * receives the full query DataFrame and plans an ordinary
+    * `partitionBy(...).parquet(location)` — hive-style `col=value/`
+    * dirs, the battle-tested partition-aware commit protocol, and
+    * and `INSERT OVERWRITE … PARTITION (col=val)` replaces exactly that
+    * partition subtree (the partition-grain mutation verb at 100 TB —
+    * the static spec arrives as equality filters over a PREFIX of the
+    * partition columns, mapped to one `col=value/` directory delete
+    * before an append). Spark's `OverwritePartitionsDynamic` plan has
+    * no V1 fallback exec, so conf `partitionOverwriteMode=dynamic` is
+    * rejected at analysis by the missing capability — the static
+    * partition spec is the supported replacement. The V2 file write
+    * cannot express partitioned layouts (FileWrite plans a flat
+    * directory), so the V1 fallback IS the Spark-first path here — no
+    * hand-rolled per-task writer/commit code to get wrong. */
+  private class PartitionedV1WriteBuilder(location: String,
+      partCols: Seq[String], hconf: () => Configuration,
+      onCommit: () => Unit)
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite {
+
+    import org.apache.spark.sql.connector.write.V1Write
+    import org.apache.spark.sql.sources.InsertableRelation
+
+    private var truncateFirst = false
+    /** `INSERT OVERWRITE … PARTITION (…)`: the prefix of partition
+      * columns to replace, in declaration order, with their values. */
+    private var partitionSpec: Seq[(String, Any)] = Nil
+
+    override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+    override def overwrite(filters: Array[Filter]): WriteBuilder =
+      if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+      else {
+        val eqs = filters.toSeq.map {
+          case org.apache.spark.sql.sources.EqualTo(a, v) => (a, v)
+          case org.apache.spark.sql.sources.EqualNullSafe(a, v) => (a, v)
+          case f => throw new UnsupportedOperationException(
+            "graft partitioned tables overwrite the whole table or a " +
+              s"static partition prefix, got filter $f")
+        }
+        val byCol = eqs.toMap
+        val prefix = partCols.takeWhile(byCol.contains)
+        if (prefix.size != byCol.size || eqs.size != byCol.size)
+          throw new UnsupportedOperationException(
+            "partition overwrite spec must cover a PREFIX of the " +
+              s"partition columns (${partCols.mkString(",")}), got " +
+              eqs.map(_._1).mkString(","))
+        partitionSpec = prefix.map(c => c -> byCol(c))
+        this
+      }
+
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            // partition-spec overwrite: one driver-side delete of the
+            // named `col=value/` subtree, then a plain append — only
+            // the spec'd partitions are touched, never the table
+            if (partitionSpec.nonEmpty) {
+              import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              val sub = partitionSpec.map { case (c, v) =>
+                val s = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                  else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+                s"${ExternalCatalogUtils.escapePathName(c)}=$s"
+              }.mkString("/")
+              val p = new Path(location, sub)
+              val fs = p.getFileSystem(hconf())
+              if (fs.exists(p)) fs.delete(p, true)
+            }
+            val full = truncateFirst ||
+              (overwrite && partitionSpec.isEmpty)
+            data.write
+              .mode(if (full) org.apache.spark.sql.SaveMode.Overwrite
+                else org.apache.spark.sql.SaveMode.Append)
+              .partitionBy(partCols: _*)
+              .parquet(location)
+            onCommit()
+          }
+        }
+      override def description(): String =
+        s"graft-partitioned-v1(${partCols.mkString(",")})"
+    }
+  }
+
   private class TruncatableWriteBuilder(
       delegate: WriteBuilder, location: String, hconf: () => Configuration,
       onCommit: () => Unit)

@@ -23,6 +23,14 @@ object TableUtil {
     * `GlueNamespace.java:263`, `Hive2Namespace.java:306`,
     * `IcebergNamespace.java:390` all `setManagedVersioning(false)`). */
   val ManagedVersioningKey = "managed_versioning"
+  /** Identity partition columns of a catalog table, comma-joined in
+    * declaration order — the reference's metadata model has no
+    * partition concept (its tables are location pointers,
+    * `Hive2Namespace.java:491-502` registers placeholder schemas), so
+    * the layout rides an ordinary table property and the DATA plane
+    * (hive-style `col=value/` dirs under the location) stays plain
+    * parquet any engine can read. */
+  val PartitionColumnsKey = "graft.partition.columns"
   /** `storage.`-prefixed options are stripped off table properties and passed
     * to the data layer (`GlueNamespaceConfig.java:83-84,116-125`). */
   val StorageOptionPrefix = "storage."

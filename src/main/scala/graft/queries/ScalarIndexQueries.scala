@@ -1180,6 +1180,91 @@ object ScalarIndexQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-17'
       |""".stripMargin
 
+  /** Shared setup for q274/q275: a PARTITIONED catalog table over
+    * events (identity transform, hive-style `day_bucket=N/` dirs) with
+    * a btree on `value` bound to the table's own location. */
+  private def ensurePartitionedIndexed(s: SparkSession, d: String)
+      : (String, String) = {
+    CatalogQueries.ensureCatalog(s)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft.tpch.pt_ev_idx
+        |(event_id BIGINT, value DOUBLE, day_bucket INT)
+        |PARTITIONED BY (day_bucket)""".stripMargin)
+    s.sql(
+      s"""INSERT OVERWRITE graft.tpch.pt_ev_idx
+         |SELECT event_id, value, CAST(pmod(event_id, 4) AS INT)
+         |FROM parquet.`$d/events.parquet`""".stripMargin)
+    val tblLoc =
+      graft.catalog.GraftProcedures.tableLocation("graft.tpch.pt_ev_idx")
+    val loc = indexLocation(d, "btree-part")
+    ScalarIndex.ensureBtree(s.table("graft.tpch.pt_ev_idx"),
+      "event_id", "value", loc, tblLoc)
+    (tblLoc, loc)
+  }
+
+  /** q274: a partition-PRUNED read of an indexed partitioned table
+    * DECLINES index service — the soundness precondition VERDICT r16
+    * ordered landed FIRST: post-pushdown, Spark removes exactly-pushed
+    * partition conjuncts from the residual Filter while the scan still
+    * reports the table root, so a whole-source index would answer for
+    * rows OUTSIDE the pruned partitions. The gate indexes the table,
+    * routes it, queries with a partition conjunct + an indexed range,
+    * and REQUIRES the plan to keep the index closed while hash-matching
+    * the oracle. */
+  def q274PartitionPrunedDecline(s: SparkSession, d: String): DataFrame = {
+    val (tblLoc, loc) = ensurePartitionedIndexed(s, d)
+    try {
+      graft.plans.IndexRoute.register(tblLoc, "value", "event_id", loc)
+      val df = s.sql(
+        """SELECT event_id, value FROM graft.tpch.pt_ev_idx
+          |WHERE day_bucket = 1 AND value BETWEEN 25.5 AND 250.25
+          |ORDER BY event_id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains(new java.io.File(loc).getName),
+        s"q274: a partition-pruned read must DECLINE index service:\n" +
+          plan)
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q274Sql: String =
+    """SELECT event_id, value FROM events
+      |WHERE event_id % 4 = 1 AND value BETWEEN 25.5 AND 250.25
+      |ORDER BY event_id""".stripMargin
+
+  /** q275: the UNPRUNED twin — a query over the same partitioned table
+    * touching no partition column IS metadata-served (the index covers
+    * the whole source, so whole-table asks stay safe): `count(*)` under
+    * a range reads the zonemap, storage closed. Declining q274 while
+    * serving q275 is exactly the partition-guard contract. */
+  def q275PartitionUnprunedServe(s: SparkSession, d: String): DataFrame = {
+    val (tblLoc, loc) = ensurePartitionedIndexed(s, d)
+    try {
+      graft.plans.IndexRoute.register(tblLoc, "value", "event_id", loc)
+      val df = s.sql(
+        """SELECT count(*) AS cnt FROM graft.tpch.pt_ev_idx
+          |WHERE value BETWEEN 25.5 AND 250.25""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains(new java.io.File(loc).getName),
+        s"q275: the unpruned count was not index-served:\n$plan")
+      require(!plan.contains("pt_ev_idx"),
+        s"q275: the table's storage was still scanned:\n$plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, df.schema)
+    } finally {
+      graft.plans.IndexRoute.clear()
+    }
+  }
+
+  private val q275Sql: String =
+    """SELECT count(*) AS cnt FROM events
+      |WHERE value BETWEEN 25.5 AND 250.25""".stripMargin
+
   /** q237: q223's substring search reached through PURE SQL — the
     * `graft_contains` TVF: the SQL user names only the index and the
     * needle; the manifest's SOURCE BINDING (path + id/text columns,
@@ -1474,7 +1559,9 @@ object ScalarIndexQueries {
     "q269_filtered_groupby_rewrite" -> (q269FilteredGroupbyRewrite _),
     "q270_distinct_count_rewrite" -> (q270DistinctCountRewrite _),
     "q271_range_stats_rewrite" -> (q271RangeStatsRewrite _),
-    "q272_typed_stats_rewrite" -> (q272TypedStatsRewrite _))
+    "q272_typed_stats_rewrite" -> (q272TypedStatsRewrite _),
+    "q274_partition_pruned_decline" -> (q274PartitionPrunedDecline _),
+    "q275_partition_unpruned_serve" -> (q275PartitionUnprunedServe _))
 
   val oracles: Map[String, String] = Map(
     // persisted-scalar searches replay the base-table predicate (an index
@@ -1558,5 +1645,8 @@ object ScalarIndexQueries {
     "q270_distinct_count_rewrite" -> q270Sql,
     // filtered extremes from zonemap + edges: invisible in results
     "q271_range_stats_rewrite" -> q271Sql,
-    "q272_typed_stats_rewrite" -> q272Sql)
+    "q272_typed_stats_rewrite" -> q272Sql,
+    // the partition-guard pair: pruned declines, unpruned serves
+    "q274_partition_pruned_decline" -> q274Sql,
+    "q275_partition_unpruned_serve" -> q275Sql)
 }

@@ -337,4 +337,84 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft.probe.t VALUES (1)")
     assert(!cat.isOnlyDeclared(ident))
   }
+
+  test("PARTITIONED TABLE: identity transforms create hive-style dirs, " +
+      "reads prune partitions, and schema keeps the declared types") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pt")
+    spark.sql(
+      """CREATE TABLE graft.pt.sales (id BIGINT, amount DOUBLE, region STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.pt.sales VALUES
+        |(1, 10.0, 'eu'), (2, 20.0, 'eu'), (3, 30.0, 'us'), (4, 40.0, 'ap')
+        |""".stripMargin)
+    // the DATA plane is plain hive-partitioned parquet
+    val loc = new java.net.URI(spark.sql(
+        "DESCRIBE TABLE EXTENDED graft.pt.sales").collect()
+      .find(_.getString(0) == "Location").get.getString(1)).getPath
+    val children = new java.io.File(loc).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    assert(children == Set("region=eu", "region=us", "region=ap"),
+      s"expected hive-style partition dirs, got $children")
+    // full read sees everything with declared types (region stays STRING)
+    val all = spark.table("graft.pt.sales")
+    assert(all.schema("region").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(all.count() == 4)
+    // a partition-pruned read answers correctly AND the scan carries the
+    // partition filter (the delegate V2 ParquetScan prunes directories)
+    val pruned = spark.sql(
+      "SELECT id, amount FROM graft.pt.sales WHERE region = 'eu'")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val scanDesc = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanDesc.contains("region"),
+      s"expected the partition filter in the scan:\n$scanDesc")
+    // appends land in the right partition without touching others
+    spark.sql("INSERT INTO graft.pt.sales VALUES (5, 50.0, 'eu')")
+    assert(spark.sql(
+        "SELECT count(*) AS c FROM graft.pt.sales WHERE region = 'eu'")
+      .collect().head.getLong(0) == 3L)
+    assert(spark.table("graft.pt.sales").count() == 5)
+  }
+
+  test("PARTITIONED TABLE: INSERT OVERWRITE with a static PARTITION " +
+      "spec replaces only that partition; plain overwrite truncates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pt")
+    spark.sql(
+      """CREATE TABLE graft.pt.dyn (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.pt.dyn VALUES (1,'a'),(2,'a'),(3,'b')")
+    // partition-grain replacement: only grp='a' is rewritten
+    spark.sql(
+      "INSERT OVERWRITE graft.pt.dyn PARTITION (grp='a') VALUES (9)")
+    val rows = spark.table("graft.pt.dyn").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((3L, "b"), (9L, "a")),
+      s"partition-spec overwrite must keep untouched partitions, got $rows")
+    // plain overwrite truncates the whole table
+    spark.sql("INSERT OVERWRITE graft.pt.dyn VALUES (7,'c')")
+    assert(spark.table("graft.pt.dyn").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("PARTITIONED TABLE: non-identity transforms and row-level " +
+      "mutations refuse loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pt")
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE graft.pt.bkt (id BIGINT, v STRING)
+        |PARTITIONED BY (bucket(4, id))""".stripMargin))
+    assert(e.getMessage.toLowerCase.contains("identity"),
+      s"bucket transform must refuse: ${e.getMessage}")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS graft.pt.mut (id BIGINT, grp STRING)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql("INSERT INTO graft.pt.mut VALUES (1,'a')")
+    val m = intercept[Exception](
+      spark.sql("DELETE FROM graft.pt.mut WHERE id = 1"))
+    assert(m.getMessage.toLowerCase.contains("partition"),
+      s"row-level mutation must refuse on partitioned tables: " +
+        m.getMessage)
+  }
 }

@@ -141,11 +141,25 @@ object Multimodal {
     *
     * @return (id_a, id_b, dhash_a, dhash_b, hamming), id_a < id_b */
   def phashNearDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int): DataFrame =
+    // both band-join legs consume the hash table; without materialization
+    // the 72-column sampling grid + 63-term hash fold re-ran once per leg
+    // (measured: q153's executed plan held 8 media scans, zero exchange
+    // reuse; 0.44× after). The checkpointed frame is (id, 8-byte hash) —
+    // storing it is O(rows); recomputing re-reads and re-hashes payloads.
+    phashNearDupPairsFromHashes(
+      phashTable(df, idCol, mediaCol).localCheckpoint(), maxHamming)
+
+  /** [[phashNearDupPairs]] over a PRECOMPUTED (__id, dhash) table — the
+    * seam an audit needs to share ONE materialized hash frame between
+    * the banded arm and an exact verification arm. The caller owns
+    * materializing `hashes`. */
+  def phashNearDupPairsFromHashes(hashes: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0, s"phashNearDupPairs: maxHamming >= 0")
     val nBands = math.min(maxHamming + 1, 63)
     val w = (63 + nBands - 1) / nBands
-    val hashed = phashTable(df, idCol, mediaCol)
+    val hashed = hashes
     val banded = hashed.select(col("__id"), col("dhash"), explode(
       array((0 until nBands).map(b => struct(
         lit(b).as("band_id"),

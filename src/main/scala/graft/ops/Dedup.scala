@@ -203,23 +203,42 @@ object Dedup {
       rowsPerBand: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      skewSafe: Boolean = false): DataFrame = {
-    val numHashes = bands * rowsPerBand
+      skewSafe: Boolean = false): DataFrame =
     // Relational minhash end to end: shingle ROWS (codegen'd window k-grams,
     // never an interpreted lambda — see [[shingleRows]]), hash each shingle
     // ONCE, then all permutation minima AND the verification shingle set as
     // parallel aggregates of ONE groupBy (no seed explode, map-side partial
-    // everything) — one shuffle of doc-keyed rows regardless of corpus
-    // size. Folding collect_set into the same aggregation (instead of a
-    // second groupBy over a re-shingled subtree) halves the shingle/window
-    // work: the expensive pre-shuffle stages run once and exchange reuse
-    // shares them between the banding and verification consumers.
-    val rows = shingleRows(df, idCol, textCol, k)
+    // everything) — one shuffle of doc-keyed rows regardless of corpus size.
+    minhashNearDupPairsFromShingles(shingleRows(df, idCol, textCol, k),
+      bands, rowsPerBand, threshold, maxBucket, skewSafe)
+
+  /** [[minhashNearDupPairs]] over precomputed (__id, __g) shingle rows —
+    * the seam an audit needs to share ONE materialized shingle frame with
+    * an exact verification arm (duplicate gram rows are harmless: min and
+    * collect_set are idempotent under them, so a DISTINCT frame yields
+    * identical signatures and sets). */
+  def minhashNearDupPairsFromShingles(
+      shingles: DataFrame,
+      bands: Int = 4,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      skewSafe: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val minAggs = minhashAggs(col("__h32"), numHashes)
-    val sig = rows
+    // The signature frame feeds THREE consumers (banding + both
+    // verification join sides). Exchange reuse only deduplicates two of
+    // them at runtime (measured: q34's executed plan still held 7 corpus
+    // scans), so the shingle/window/hash pipeline — the dominant
+    // pre-shuffle work — ran up to 3×. Materialize it once: the
+    // checkpointed frame is doc-keyed signatures + shingle sets (≈ text-
+    // sized), strictly cheaper to store than to recompute twice at any
+    // corpus size (guide §5/§8: compute the proxy once, reuse it).
+    val sig = shingles
       .select(col("__id"), col("__g"), shingleHash(col("__g")).as("__h32"))
       .groupBy(col("__id"))
       .agg(minAggs.head, (minAggs.tail :+ collect_set(col("__g")).as("__sh")): _*)
+      .localCheckpoint()
     // band signature: seed-ordered '_'-separated concat (variable-length
     // ints need the separator to keep signatures prefix-unambiguous)
     val bandStructs = (0 until bands).map { b =>
@@ -402,10 +421,26 @@ object Dedup {
     * candidates come from equality joins on (band_id, band_bits), never a
     * cross join. Verification = popcount(xor) on the full hash. */
   def simhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame =
+    simhashNearDupPairsFromHashes(
+      // both self-join legs consume the hash table; without
+      // materialization the two-shuffle simhash pipeline runs once PER
+      // LEG (no exchange reuse across the differently-aliased legs —
+      // measured on q177's executed plan). The checkpointed frame is
+      // (id, 8-byte hash): tiny vs the token/vote pipeline it replaces.
+      simhashTable(df, idCol, textCol).localCheckpoint(),
+      idCol, maxDist)
+
+  /** [[simhashNearDupPairs]] over a PRECOMPUTED (idCol, simhash) table —
+    * the seam an audit needs to share ONE materialized hash frame
+    * between the banded arm and an exact verification arm (otherwise
+    * each arm builds its own hash pipeline; measured 2× on q177). The
+    * caller owns materializing `hashes`. */
+  def simhashNearDupPairsFromHashes(
+      hashes: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
     val nBands = maxDist + 1
     val bandBits = 32 / nBands
-    val hashed = simhashTable(df, idCol, textCol)
+    val hashed = hashes
       .select(col(idCol).as("__id"), col("simhash").as("__h"))
     val banded = hashed.select(col("__id"), col("__h"), explode(
       transform(sequence(lit(0), lit(nBands - 1)), b => struct(
@@ -488,9 +523,24 @@ object Dedup {
     * candidate generator over a 100 TB corpus is the MinHash-LSH family. */
   def ngramJaccardIndexPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol, k)
-      .select(col("__id"), col("__g")).distinct()
+      k: Int = 3, threshold: Double = 0.3): DataFrame =
+    // distinct (doc, gram) rows feed three consumers (set sizes + both
+    // inverted-index join legs); materialized once, the windowed k-gram
+    // pipeline and its distinct shuffle run once instead of up to 3×
+    // (measured: q98's executed plan held 9 corpus scans before this)
+    ngramJaccardIndexPairsFromShingles(
+      shingleRows(df, idCol, textCol, k)
+        .select(col("__id"), col("__g")).distinct()
+        .localCheckpoint(),
+      threshold)
+
+  /** [[ngramJaccardIndexPairs]] over precomputed DISTINCT (__id, __g)
+    * shingle rows — the shared-frame seam for audits that run this exact
+    * arm next to an LSH arm over the same grams. The caller owns
+    * materializing (and deduplicating) `shingles`. */
+  def ngramJaccardIndexPairsFromShingles(
+      shingles: DataFrame, threshold: Double): DataFrame = {
+    val rows = shingles
     val sizes = rows.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = rows.select(col("__id").as("doc_a"), col("__g"))
       .join(rows.select(col("__id").as("doc_b"), col("__g")), Seq("__g"))
@@ -514,8 +564,12 @@ object Dedup {
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // four consumers (the per-doc sets, the prefix filter's df census and
+    // window, and the candidate probe side) re-evaluated the shingle
+    // pipeline per reference; one materialization serves them all
     val rows = shingleRows(df, idCol, textCol, k)
       .select(col("__id"), col("__g")).distinct()
+      .localCheckpoint()
     // rows are already distinct per doc — collect_list builds the set
     val sets = rows.groupBy(col("__id")).agg(collect_list(col("__g")).as("__sh"))
     prefixCandidates(rows, threshold)

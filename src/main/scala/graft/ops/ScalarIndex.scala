@@ -167,8 +167,11 @@ object ScalarIndex {
       case _ =>
         AnnIndex.deleteRecursively(location)
         // ALL source rows, including null keys the index will not store
-        // — the reconciliation denominator for count(*)/GROUP BY service
-        val totalRows = TextFunctions.widen(df).count()
+        // — the reconciliation denominator for count(*)/GROUP BY service.
+        // Plain count(): Catalyst prunes every column and partial-counts
+        // per partition — the widen() wrapper this used to ride shuffled
+        // every full row of the source just to count them (guide §2.3)
+        val totalRows = df.count()
         val rows = btreeRows(df, idCol, keyCol)
         // the key's TRUE type rides the manifest: registration declares
         // the real postings schema from it (a BIGINT-keyed btree used to
@@ -193,13 +196,37 @@ object ScalarIndex {
           bucketed.write.mode("overwrite").partitionBy("bkt")
             .parquet(s"$staging/postings")
           val written = df.sparkSession.read.parquet(s"$staging/postings")
-          requireLongKeysExact(written, "ensureBtree")
-          val zm = written.groupBy(col("bkt"))
+          // ONE postings pass (guide §2.4): the zonemap aggregates, the
+          // frozen boundaries, and — for BIGINT keys — the ±2^53
+          // exactness guard all derive from a single ≤nBuckets-row
+          // collect. Previously three jobs each re-read the postings
+          // (exactness agg, zonemap write, boundaries write).
+          val keyIsLong = written.schema("key").dataType == LongType
+          val extraAggs =
+            if (keyIsLong)
+              Seq(min(col("key")).as("__nlo"), max(col("key")).as("__nhi"))
+            else Nil
+          val zmAgg = written.groupBy(col("bkt"))
             .agg(min(shadow(col("key"))).as("lo"),
-              max(shadow(col("key"))).as("hi"),
-              count(lit(1)).as("n_rows"))
-          zm.coalesce(1).write.mode("overwrite").parquet(s"$staging/zonemap")
-          zm.select(col("bkt"), col("hi").as("upper"))
+              (Seq(max(shadow(col("key"))).as("hi"),
+                count(lit(1)).as("n_rows")) ++ extraAggs): _*)
+          val zmRows = zmAgg.collect()
+          if (keyIsLong && zmRows.nonEmpty) {
+            val nlo = zmRows.map(_.getLong(4)).min
+            val nhi = zmRows.map(_.getLong(5)).max
+            require(nlo >= -DoubleExactBound && nhi <= DoubleExactBound,
+              "ensureBtree: BIGINT keys beyond ±2^53 alias in the btree's " +
+                s"double zonemap/residual (got [$nlo, $nhi]) " +
+                "— rescale the key or index a narrower column")
+          }
+          import scala.jdk.CollectionConverters._
+          val zmLocal = df.sparkSession.createDataFrame(
+            zmRows.map(r => org.apache.spark.sql.Row(
+              r.get(0), r.get(1), r.get(2), r.get(3))).toSeq.asJava,
+            org.apache.spark.sql.types.StructType(zmAgg.schema.take(4)))
+          zmLocal.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/zonemap")
+          zmLocal.select(col("bkt"), col("hi").as("upper"))
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$staging/boundaries")
           // FILESTATS: a file-level zonemap over the SOURCE layout —
@@ -432,7 +459,7 @@ object ScalarIndex {
     // reconciliation denominator; unknown (-1) stays unknown
     val newRows =
       if (man.sourceRows < 0) -1L
-      else man.sourceRows + TextFunctions.widen(delta).count()
+      else man.sourceRows + delta.count() // pruned count, no widen shuffle
     AnnIndex.writeManifest(location,
       man.copy(fingerprint = newFingerprint, sourceRows = newRows))
   }
@@ -984,6 +1011,27 @@ object ScalarIndex {
       .agg(sum(col("n_rows")).cast("long").as("cnt"))
   }
 
+  /** `count(*) WHERE key IN (values)` straight from the values table:
+    * filter the asked values, sum their delta counts — one partial-
+    * aggregated stage over ≤ cardinality metadata rows, no per-value
+    * GROUP BY exchange and no postings read (the filtered-count twin of
+    * [[bitmapGroupCounts]]; same tombstone refusal, same caller-owned
+    * row accounting). Absent values contribute the 0 a postings count
+    * would have produced. */
+  def bitmapValueCountSum(spark: SparkSession, location: String,
+      values: Seq[String]): DataFrame = {
+    val man = AnnIndex.readManifest(location).getOrElse(
+      throw new IllegalStateException(s"no index at $location"))
+    require(man.indexType == "bitmap", s"not a bitmap index: $location")
+    require(!hasTombstones(location),
+      s"bitmap at $location carries tombstones — value counts would " +
+        "include deleted rows; compact first (the optimizer route " +
+        "declines instead of calling this)")
+    spark.read.parquet(s"$location/values")
+      .filter(col("k").isInCollection(values))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).cast("long").as("cnt"))
+  }
+
   /** How many rows the index STORES — sum of the btree zonemap's /
     * bitmap values table's delta counts (a metadata-sized driver read).
     * Equal to the manifest's `sourceRows` exactly when the source had
@@ -1109,7 +1157,7 @@ object ScalarIndex {
     val cur = AnnIndex.readManifest(location).getOrElse(man)
     AnnIndex.writeManifest(location, cur.copy(
       fingerprint = AnnIndex.sourceFingerprint(man.sourcePath),
-      sourceRows = TextFunctions.widen(src).count(),
+      sourceRows = src.count(), // pruned count, no widen shuffle
       divergent = false))
   }
 
@@ -1187,20 +1235,19 @@ object ScalarIndex {
     if (values.isEmpty || values.exists(v => v == null || v.isEmpty) ||
         !IndexFs.exists(s"$location/filestats")) return None
     val fsDf = spark.read.parquet(s"$location/filestats")
-    val unknown = fsDf
-      .filter(col("f").isNull || col("f") === "").limit(1).count() > 0
-    if (unknown) None
-    else {
-      // both counts are stats-metadata-sized (≤ cardinality × files
-      // pairs scanned distributed, ≤ #files rows collected) — the
-      // receipt denominator comes from here, NOT a recursive listing
-      // of the table (VERDICT r16 #3)
-      val total = fsDf.select(col("f")).distinct().count().toInt
-      Some(FileCandidates(fsDf.filter(col("k").isInCollection(values))
-        .select(col("f")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted,
-        total))
-    }
+    // ONE stats-metadata-sized job (≤ #files rows collected) answers all
+    // three questions the probe needs — unknown provenance, the receipt's
+    // total-file denominator, and the per-file match flag. Previously
+    // three separate jobs re-read the stats (unknown check, distinct
+    // total, matching collect); still NEVER a recursive listing of the
+    // table (VERDICT r16 #3).
+    val rows = fsDf.groupBy(col("f"))
+      .agg(max(col("k").isInCollection(values)).as("__m"))
+      .collect()
+    if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty)) None
+    else Some(FileCandidates(
+      rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted,
+      rows.length))
   }
 
   /** Fold tombstones into the btree layout: postings minus deleted ids
@@ -1281,7 +1328,7 @@ object ScalarIndex {
           s"ensureBitmap: $keyCol",
           " — use a btree index",
           sourcePath, idCol, keyCol,
-          sourceRows = TextFunctions.widen(df).count(),
+          sourceRows = df.count(), // pruned count, no widen shuffle
           fileStats = Some(dest => writeBitmapFileStats(df.sparkSession,
             keyCol, dest, "overwrite", sourcePath)))
     }
@@ -1377,7 +1424,7 @@ object ScalarIndex {
     // reconciliation denominator; unknown (-1) stays unknown
     val newRows =
       if (man.sourceRows < 0) -1L
-      else man.sourceRows + TextFunctions.widen(delta).count()
+      else man.sourceRows + delta.count() // pruned count, no widen shuffle
     AnnIndex.writeManifest(location,
       man.copy(fingerprint = newFingerprint, nlist = card,
         sourceRows = newRows))

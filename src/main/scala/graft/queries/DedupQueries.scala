@@ -233,22 +233,21 @@ object DedupQueries {
     val dupes = docs.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val corpus = docs.unionByName(dupes)
-    val lsh = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
-        k = 3, bands = 4, rowsPerBand = 3, threshold = 0.5)
+    // ONE materialized distinct shingle frame feeds BOTH arms (r17: each
+    // arm used to build its own k-gram pipeline over the union corpus —
+    // the shingle window is the audit's dominant pre-shuffle work, and
+    // minhash signatures are invariant under the distinct: min and
+    // collect_set ignore duplicate gram rows)
+    val grams = Dedup.shingleRows(corpus, "doc_id", "text", k = 3)
+      .select(col("__id"), col("__g")).distinct().localCheckpoint()
+    val lsh = Dedup.minhashNearDupPairsFromShingles(grams,
+        bands = 4, rowsPerBand = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val exact = Dedup.ngramJaccardIndexPairs(corpus, "doc_id", "text",
-        k = 3, threshold = 0.5)
+    val exact = Dedup.ngramJaccardIndexPairsFromShingles(grams, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val nCommon = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_common"))
-    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    nExact.crossJoin(nLsh).crossJoin(nCommon)
-      .select(col("n_exact"), col("n_lsh"), col("n_common"),
-        round(col("n_common") / col("n_exact").cast("double"), 6)
-          .as("recall"),
-        round(col("n_common") / col("n_lsh").cast("double"), 6)
-          .as("precision"))
+    // arms persisted once, three CONCURRENT counts, literal summary
+    // (see AuditUtil)
+    AuditUtil.recallSummary(s, lsh, exact, Seq("doc_a", "doc_b"), "n_lsh")
   }
 
   val q171Sql: String = {
@@ -549,9 +548,13 @@ object DedupQueries {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zqxduplicate")).as("text"))
     val corpus = docs.unionByName(planted)
-    val band = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxDist = 3)
+    // ONE materialized hash table feeds BOTH arms (r17: the band op's
+    // internal checkpoint and the exact arm's lazy pipeline used to each
+    // build their own simhashTable — sharing the frame removes the
+    // duplicate two-shuffle hash pipeline entirely)
+    val h = Dedup.simhashTable(corpus, "doc_id", "text").localCheckpoint()
+    val band = Dedup.simhashNearDupPairsFromHashes(h, "doc_id", maxDist = 3)
       .select(col("doc_a"), col("doc_b"))
-    val h = Dedup.simhashTable(corpus, "doc_id", "text")
     // broadcast the theta-join's build side: the audit sample is tiny by
     // design, and size estimates ride the underlying scan (the q179
     // 100×-receipt lesson — an estimate-driven cartesian fallback
@@ -562,6 +565,8 @@ object DedupQueries {
       .filter(call_function("bit_count",
         col("__ha").bitwiseXOR(col("__hb"))) <= 3)
       .select(col("doc_a"), col("doc_b"))
+    // single-job crossJoin form: the arm tails over the shared hash RDD
+    // are cheap, and one job overlaps all three count branches' stages
     val nCommon = band.join(exact, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_common"))
     val nBand = band.agg(count(lit(1)).as("n_band"))

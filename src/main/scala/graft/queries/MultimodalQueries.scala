@@ -173,10 +173,13 @@ object MultimodalQueries {
     val clones = base.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val corpus = base.unionByName(clones)
-    val band = Multimodal.phashNearDupPairs(corpus, "doc_id", "media",
-        maxHamming = 2)
+    // ONE materialized phash table feeds BOTH arms (r17: the band op's
+    // internal checkpoint and the exact arm used to each hash the corpus
+    // separately — the 72-sample grid + 63-term fold over every payload
+    // is THE cost of this audit, so it must run exactly once)
+    val h = Multimodal.phashTable(corpus, "doc_id", "media").localCheckpoint()
+    val band = Multimodal.phashNearDupPairsFromHashes(h, maxHamming = 2)
       .select(col("id_a"), col("id_b"))
-    val h = Multimodal.phashTable(corpus, "doc_id", "media")
     // the audit SAMPLE is tiny by design — broadcast the theta-join's
     // build side explicitly: size ESTIMATES ride the underlying scan, so
     // on a large corpus the planner would otherwise fall back to a
@@ -188,14 +191,7 @@ object MultimodalQueries {
       .filter(call_function("bit_count",
         col("__ha").bitwiseXOR(col("__hb"))) <= 2)
       .select(col("id_a"), col("id_b"))
-    val nCommon = band.join(exact, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_common"))
-    val nBand = band.agg(count(lit(1)).as("n_band"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    nExact.crossJoin(nBand).crossJoin(nCommon)
-      .select(col("n_exact"), col("n_band"), col("n_common"),
-        round(col("n_common") / col("n_exact").cast("double"), 6).as("recall"),
-        round(col("n_common") / col("n_band").cast("double"), 6).as("precision"))
+    AuditUtil.recallSummary(s, band, exact, Seq("id_a", "id_b"), "n_band")
   }
 
   val q179Sql: String = {

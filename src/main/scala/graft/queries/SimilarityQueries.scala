@@ -942,6 +942,9 @@ object SimilarityQueries {
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 10)
       .select(col("qid"), col("vec_id"))
+    // single-job lazy form kept DELIBERATELY (measured r17): the eager
+    // persist-and-collect gate serialized the branch jobs and read ~1.3×
+    // slower at this arm size (3 queries × top-10)
     val common = ivf.join(bf, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
     bf.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
@@ -1085,6 +1088,10 @@ object SimilarityQueries {
     val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
         threshold = 0.9)
       .select(col("id_a"), col("id_b"))
+    // single-job crossJoin form kept DELIBERATELY (measured r17): the
+    // arms are small over the checkpointed corpus, and one job overlaps
+    // all three count branches — the eager persist-and-count gate (the
+    // q179 device) serialized them and read ~1.3× slower here
     val nCommon = band.join(exact, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_common"))
     val nBand = band.agg(count(lit(1)).as("n_band"))

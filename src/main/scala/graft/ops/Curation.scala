@@ -702,7 +702,7 @@ object Curation {
     * doc's boolean label. The md5 bucket hash is [[hashedLinearScore]]'s
     * exactly, so a model trained here applies to the same feature space
     * the inference op reads. */
-  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       label: Column, dims: Int): DataFrame = {
     val tok = col("__t")
     val bucket = pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"),
@@ -754,8 +754,6 @@ object Curation {
       lr: Double = 0.5): DataFrame = {
     require(dims >= 2 && iters >= 1 && lr > 0,
       s"logisticTrainHashed: dims >= 2, iters >= 1, lr > 0")
-    val spark = df.sparkSession
-    import spark.implicits._
     // Feature extraction runs ONCE: the (doc, bucket) frame is persisted
     // for the GD rounds — each round references it twice (dot product +
     // gradient) and without the persist every reference would re-tokenize
@@ -766,7 +764,21 @@ object Curation {
     // trade.
     val x = hashedFeatures(df, idCol, textCol, label, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try logisticTrainOnFeatures(x, dims, iters, lr)
+    finally x.unpersist(true)
+  }
+
+  /** [[logisticTrainHashed]] over a PRECOMPUTED (and caller-persisted)
+    * feature frame — the seam the train→apply→evaluate loop (q192) needs
+    * to extract features ONCE instead of once per leg. `x` must be
+    * [[hashedFeatures]]-shaped: (__id, __b, __x, __y). */
+  def logisticTrainOnFeatures(x: DataFrame, dims: Int = 64, iters: Int = 2,
+      lr: Double = 0.5): DataFrame = {
+    require(dims >= 2 && iters >= 1 && lr > 0,
+      s"logisticTrainOnFeatures: dims >= 2, iters >= 1, lr > 0")
+    val spark = x.sparkSession
+    import spark.implicits._
+    {
     val nDocs = x.select(col("__id")).distinct().count()
     var w: Map[Long, Double] = (0L until dims.toLong).map(_ -> 0.0).toMap
     for (_ <- 1 to iters) {
@@ -793,7 +805,7 @@ object Curation {
       }
     }
     w.toSeq.sortBy(_._1).toDF("bucket", "weight")
-    } finally x.unpersist(true)
+    }
   }
 
   /** APPLY a trained weight vector to the hashed feature space: per doc
@@ -801,8 +813,15 @@ object Curation {
     * One broadcast join + one doc-keyed aggregation. */
   def logisticApplyHashed(df: DataFrame, idCol: String, textCol: String,
       label: Column, weights: DataFrame, dims: Int = 64): DataFrame =
-    hashedFeatures(df, idCol, textCol, label, dims)
-      .join(broadcast(weights.select(col("bucket").as("__b"),
+    logisticApplyOnFeatures(
+      hashedFeatures(df, idCol, textCol, label, dims), idCol, weights)
+
+  /** [[logisticApplyHashed]] over a precomputed feature frame — shares
+    * one extraction with [[logisticTrainOnFeatures]] in the
+    * train→apply→evaluate loop. */
+  def logisticApplyOnFeatures(x: DataFrame, idCol: String,
+      weights: DataFrame): DataFrame =
+    x.join(broadcast(weights.select(col("bucket").as("__b"),
         col("weight").as("__w"))), Seq("__b"))
       .groupBy(col("__id"))
       .agg(max(col("__y")).as("__y"),

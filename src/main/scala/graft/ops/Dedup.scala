@@ -638,6 +638,9 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("source"),
         array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("__sig"))
+      // |sources| rows feed both pair-join legs — materialized once, the
+      // corpus-wide gram/min pipeline runs once instead of twice (r17)
+      .localCheckpoint()
     val a = sigs.select(col("source").as("src_a"), col("__sig").as("__sa"))
     val b = sigs.select(col("source").as("src_b"), col("__sig").as("__sb"))
     a.join(b, col("src_a") < col("src_b"))
@@ -669,6 +672,9 @@ object Dedup {
     * n_novel/n_grams as an exact long/long IEEE division. */
   def kgramNovelty(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // deliberately LAZY (r17): the census and the novelty join hang off
+    // the same distinct exchange, which runtime exchange reuse already
+    // shares — an eager checkpoint here measured ~1.3× slower
     val grams = shingleRows(df, idCol, textCol, k)
       .select(col("__id"), col("__g")).distinct()
     val firstSeen = grams.groupBy(col("__g"))
@@ -712,13 +718,19 @@ object Dedup {
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"exactSubstringDedup: k must be >= 2, got $k")
+    // token arrays feed the gram explode AND the final reassembly join;
+    // gram rows feed the census AND the flagged join — each materialized
+    // once (r17: the lazy form tokenized the corpus three times and ran
+    // the k-gram md5 explode twice)
     val toks = TextFunctions.widen(df).filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .localCheckpoint()
     val n = size(col("__t"))
     val grams = toks.filter(n >= k)
       .select(col("__id"), posexplode(transform(sequence(lit(0), n - k),
         i => md5(array_join(slice(col("__t"), i + 1, lit(k)), " ")
           .cast("binary")))).as(Seq("__pos", "__h")))
+      .localCheckpoint()
     val census = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("__id"), col("__pos"))).as("__first"))

@@ -36,19 +36,29 @@ object Preference {
   def bradleyTerry(comparisons: DataFrame, winCol: String, loseCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"bradleyTerry: iters >= 1, got $iters")
-    val items = comparisons.select(col(winCol).as("item"))
-      .unionByName(comparisons.select(col(loseCol).as("item"))).distinct()
+    // The GraphOps iteration discipline (measured r17: without it this
+    // loop's lineage TRIPLED per round — `s` is referenced three times
+    // per iteration — and q166's physical plan held 244 input scans):
+    // materialize the comparison frame once, the loop-invariant wins and
+    // edge frames once each, and cut `s`'s lineage every round.
+    val cmp = comparisons.localCheckpoint()
+    val items = cmp.select(col(winCol).as("item"))
+      .unionByName(cmp.select(col(loseCol).as("item"))).distinct()
     val wins = items
-      .join(comparisons.groupBy(col(winCol).as("item"))
+      .join(cmp.groupBy(col(winCol).as("item"))
         .agg(count(lit(1)).as("wins")), Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
-    val games = comparisons.select(
+      .localCheckpoint()
+    val games = cmp.select(
         least(col(winCol), col(loseCol)).as("a"),
         greatest(col(winCol), col(loseCol)).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
     val edges = games.select(col("a").as("i"), col("b").as("j"), col("n"))
       .unionByName(games.select(col("b").as("i"), col("a").as("j"), col("n")))
-    var s = items.select(col("item"), lit(1.0).as("s"))
+      .localCheckpoint()
+    // init rides the checkpointed wins frame (same item set — wins holds
+    // exactly one row per item), so no separate items evaluation
+    var s = wins.select(col("item"), lit(1.0).as("s"))
     for (_ <- 1 to iters) {
       val den = edges
         .join(s.select(col("item").as("i"), col("s").as("__si")), Seq("i"))
@@ -61,6 +71,7 @@ object Preference {
           ((col("wins") + 0.5) /
             (coalesce(col("__den").cast("double"), lit(0.0)) +
               round(lit(1.0) / (col("s") + 1.0), 12))).as("s"))
+        .localCheckpoint()
     }
     wins.join(s, Seq("item"))
       .select(col("item"), col("wins"), round(col("s"), 6).as("strength"))

@@ -67,8 +67,14 @@ object Profiling {
     require(cutoff > 0, s"robustOutliers: cutoff must be > 0, got $cutoff")
     val med = df.groupBy(col(keyCol))
       .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("med"))
+    // the deviation frame feeds BOTH the MAD aggregation and the final
+    // outlier count — materialized once and projected to the three
+    // columns downstream needs (r17: the lazy form re-scanned the input
+    // and re-ran the median join per consumer)
     val dev = df.join(med, Seq(keyCol))
-      .withColumn("__absdev", round(abs(col(valCol) - col("med")), 6))
+      .select(col(keyCol), col("med"),
+        round(abs(col(valCol) - col("med")), 6).as("__absdev"))
+      .localCheckpoint()
     val mad = dev.groupBy(col(keyCol))
       .agg(round(expr("percentile(__absdev, 0.5)"), 6).as("mad"))
     dev.join(mad, Seq(keyCol))

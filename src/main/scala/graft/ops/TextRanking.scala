@@ -284,14 +284,20 @@ object TextRanking {
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1),
       s"vocabCoverageCurve: ks must be >= 1, got $ks")
+    // each exclusivePrefixSum call makes TWO eager passes over its input
+    // (bucket boundaries + bucket totals) before the lazy windowed pass —
+    // chained twice plus the total aggregate, the lazy census was
+    // re-tokenizing the corpus ~6× (r17). The census and the first scan
+    // are vocabulary-sized: materialize both once.
     val counts = TextFunctions.widen(docs)
       .select(explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       // descending count = ascending negated count for the prefix scan
       .select(col("__t"), col("__c"), (-col("__c")).as("__nc"),
         lit(1L).as("__one"))
+      .localCheckpoint()
     val withCum = graft.ops.Curation.exclusivePrefixSum(
-      counts, "__nc", "__t", "__c", "__cumBefore")
+      counts, "__nc", "__t", "__c", "__cumBefore").localCheckpoint()
     val withRank = graft.ops.Curation.exclusivePrefixSum(
       withCum, "__nc", "__t", "__one", "__rankBefore")
     val total = counts.agg(sum(col("__c")).as("__tot"))

@@ -910,9 +910,19 @@ object CurationQueries {
   def q192TrainedAuc(s: SparkSession, d: String): DataFrame = {
     val docs = TextFunctions.widen(Tables.documents(s, d))
     val lbl = TextFunctions.qualityScoreRaw(col("text")) >= 0.6
-    val w = Curation.logisticTrainHashed(docs, "doc_id", "text", lbl)
-    graft.ops.Profiling.rocAuc(
-      Curation.logisticApplyHashed(docs, "doc_id", "text", lbl, w), "z", "y")
+    // ONE feature extraction serves both legs (r17): train and apply
+    // used to each tokenize + hash the corpus — the extraction dominates
+    // this loop's cost, and the persisted frame is feature-sized
+    val x = Curation.hashedFeatures(docs, "doc_id", "text", lbl, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = Curation.logisticTrainOnFeatures(x)
+      val out = graft.ops.Profiling.rocAuc(
+        Curation.logisticApplyOnFeatures(x, "doc_id", w), "z", "y")
+      val rows = out.collect()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.toSeq.asJava, out.schema)
+    } finally x.unpersist(false)
   }
 
   val q192Sql: String =

@@ -37,6 +37,10 @@ object SkewQueries {
     * anywhere. */
   def q73ApproxSketches(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // deliberately LAZY (r17): an eager localCheckpoint of this 3-row
+    // aggregate measured 4× SLOWER end-to-end — the single-job form lets
+    // runtime exchange reuse share the distinct pipeline between the two
+    // consumers while overlapping the ranked pass's stages
     val sk = li.groupBy(col("l_returnflag"))
       .agg(
         count_distinct(col("l_partkey")).as("exact_nd_part"),

@@ -457,10 +457,16 @@ object Curation {
       textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"dsirLogWeights: buckets must be >= 2, got $buckets")
     val b = buckets.toLong
+    // the (doc, bucket) census feeds FOUR consumers (raw marginal, target
+    // marginal, their totals through ratio, and the final weight join) —
+    // materialized once instead of re-running the bigram explode per
+    // reference (r17; the frame is docs × ≤buckets rows, far narrower
+    // than the bigram stream it replaces)
     val docB = LanguageModel.bigramRows(corpus, idCol, textCol)
       .select(col("__id"),
         hashBucket(concat_ws(" ", col("w1"), col("w2")), "dsir", buckets).as("__b"))
       .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val raw = docB.groupBy(col("__b")).agg(sum(col("__c")).as("__cr"))
     val tgt = docB
       .join(targetIds.select(col(idCol).as("__id")), Seq("__id"), "left_semi")

@@ -1081,6 +1081,35 @@ class IndexRouteSpec extends SparkSpec {
     }
   }
 
+  test("filtered count(*) WHERE key =/IN (...) is answered from the " +
+      "values table with the postings CLOSED — the q269 plan discipline " +
+      "extended to the count shape (VERDICT r16 #4), absent values " +
+      "summing to the same zero the postings count produced") {
+    val loc = tmpLoc("route-cntin")
+    ScalarIndex.ensureBitmap(docs, "doc_id", "lang", loc, docSource)
+    val wantEn = docs.filter(col("lang") === "en").count()
+    val wantIn = docs.filter(col("lang").isin("en", "de")).count()
+    withRule {
+      IndexRoute.register(docSource, "lang", "doc_id", loc)
+      val eq = docs.filter(col("lang") === "en").agg(count(lit(1)).as("cnt"))
+      val eqPlan = eq.queryExecution.executedPlan.toString
+      assert(scansIndex(eq, loc),
+        s"expected the values-table count:\n$eqPlan")
+      assert(!eqPlan.contains("postings"),
+        s"the postings were opened for a values-table count:\n$eqPlan")
+      assert(eq.collect().head.getLong(0) == wantEn)
+      val in = docs.filter(col("lang").isin("en", "de"))
+        .agg(count(lit(1)).as("cnt"))
+      val inPlan = in.queryExecution.executedPlan.toString
+      assert(!inPlan.contains("postings"),
+        s"the postings were opened for a values-table IN count:\n$inPlan")
+      assert(in.collect().head.getLong(0) == wantIn)
+      val zero = docs.filter(col("lang") === "zz__absent")
+        .agg(count(lit(1)).as("cnt"))
+      assert(zero.collect().head.getLong(0) == 0L)
+    }
+  }
+
   test("row accounting declines when the index did not see every row: " +
       "null keys break the GROUP BY/count(*)/DISTINCT rewrites but " +
       "never the results") {

@@ -227,18 +227,17 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val minAggs = minhashAggs(col("__h32"), numHashes)
     // The signature frame feeds THREE consumers (banding + both
-    // verification join sides). Exchange reuse only deduplicates two of
-    // them at runtime (measured: q34's executed plan still held 7 corpus
-    // scans), so the shingle/window/hash pipeline — the dominant
-    // pre-shuffle work — ran up to 3×. Materialize it once: the
-    // checkpointed frame is doc-keyed signatures + shingle sets (≈ text-
-    // sized), strictly cheaper to store than to recompute twice at any
-    // corpus size (guide §5/§8: compute the proxy once, reuse it).
+    // verification join sides) and stays deliberately LAZY: it carries
+    // the collect_set shingle payloads, and materializing heavy
+    // variable-length frames in the block manager measured SLOWER at 10×
+    // than recomputing the codegen pipeline (r17: q34 1.78→2.74 s with a
+    // localCheckpoint here; the same device on NARROW hash frames —
+    // phash/simhash tables — wins at every scale). Runtime exchange
+    // reuse shares the aggregation exchange between the aliased sides.
     val sig = shingles
       .select(col("__id"), col("__g"), shingleHash(col("__g")).as("__h32"))
       .groupBy(col("__id"))
       .agg(minAggs.head, (minAggs.tail :+ collect_set(col("__g")).as("__sh")): _*)
-      .localCheckpoint()
     // band signature: seed-ordered '_'-separated concat (variable-length
     // ints need the separator to keep signatures prefix-unambiguous)
     val bandStructs = (0 until bands).map { b =>
@@ -524,14 +523,14 @@ object Dedup {
   def ngramJaccardIndexPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.3): DataFrame =
-    // distinct (doc, gram) rows feed three consumers (set sizes + both
-    // inverted-index join legs); materialized once, the windowed k-gram
-    // pipeline and its distinct shuffle run once instead of up to 3×
-    // (measured: q98's executed plan held 9 corpus scans before this)
+    // the distinct (doc, gram) rows feed three consumers but stay LAZY:
+    // a localCheckpoint of the gram-string frame measured a 1× win
+    // (3.0→2.3 s) that INVERTED at 10× (15.3→18.5 s) — heavy string
+    // frames cost more to block-manager-materialize than to recompute
+    // (r17); the distinct exchange is shared by runtime reuse instead
     ngramJaccardIndexPairsFromShingles(
       shingleRows(df, idCol, textCol, k)
-        .select(col("__id"), col("__g")).distinct()
-        .localCheckpoint(),
+        .select(col("__id"), col("__g")).distinct(),
       threshold)
 
   /** [[ngramJaccardIndexPairs]] over precomputed DISTINCT (__id, __g)
@@ -564,12 +563,11 @@ object Dedup {
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // four consumers (the per-doc sets, the prefix filter's df census and
-    // window, and the candidate probe side) re-evaluated the shingle
-    // pipeline per reference; one materialization serves them all
+    // four consumers re-reference the gram rows, which stay LAZY by the
+    // same 10× measurement as ngramJaccardIndexPairs: heavy string
+    // frames cost more to materialize than to recompute (r17)
     val rows = shingleRows(df, idCol, textCol, k)
       .select(col("__id"), col("__g")).distinct()
-      .localCheckpoint()
     // rows are already distinct per doc — collect_list builds the set
     val sets = rows.groupBy(col("__id")).agg(collect_list(col("__g")).as("__sh"))
     prefixCandidates(rows, threshold)
@@ -638,9 +636,10 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("source"),
         array((0 until numHashes).map(s => col(s"__mh$s")): _*).as("__sig"))
-      // |sources| rows feed both pair-join legs — materialized once, the
-      // corpus-wide gram/min pipeline runs once instead of twice (r17)
-      .localCheckpoint()
+      // deliberately LAZY (r17): an eager checkpoint of even this
+      // |sources|-row table measured 2.0→5.2 s at 10× — the lazy
+      // single-job form overlaps both legs' stages and shares the
+      // aggregation exchange at runtime
     val a = sigs.select(col("source").as("src_a"), col("__sig").as("__sa"))
     val b = sigs.select(col("source").as("src_b"), col("__sig").as("__sb"))
     a.join(b, col("src_a") < col("src_b"))
@@ -718,19 +717,18 @@ object Dedup {
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"exactSubstringDedup: k must be >= 2, got $k")
-    // token arrays feed the gram explode AND the final reassembly join;
-    // gram rows feed the census AND the flagged join — each materialized
-    // once (r17: the lazy form tokenized the corpus three times and ran
-    // the k-gram md5 explode twice)
+    // deliberately LAZY throughout (r17): checkpointing the token-array
+    // and gram frames here won 2.75→1.25 s at 1× but read 3.7→17+ s at
+    // 10× — materializing heavy variable-length frames (string arrays,
+    // hash rows) in the block manager costs more than re-running the
+    // codegen tokenize/explode at scale, and scale is the mandate
     val toks = TextFunctions.widen(df).filter(col(idCol).isNotNull)
       .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__t"))
-      .localCheckpoint()
     val n = size(col("__t"))
     val grams = toks.filter(n >= k)
       .select(col("__id"), posexplode(transform(sequence(lit(0), n - k),
         i => md5(array_join(slice(col("__t"), i + 1, lit(k)), " ")
           .cast("binary")))).as(Seq("__pos", "__h")))
-      .localCheckpoint()
     val census = grams.groupBy(col("__h"))
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col("__id"), col("__pos"))).as("__first"))

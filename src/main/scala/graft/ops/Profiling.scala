@@ -68,13 +68,12 @@ object Profiling {
     val med = df.groupBy(col(keyCol))
       .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("med"))
     // the deviation frame feeds BOTH the MAD aggregation and the final
-    // outlier count — materialized once and projected to the three
-    // columns downstream needs (r17: the lazy form re-scanned the input
-    // and re-ran the median join per consumer)
+    // outlier count and stays LAZY (r17): a localCheckpoint here won
+    // 2.5→2.1 s at 1× and LOST 3.4→29 s at 10× — the exact-percentile
+    // consumers buffer per-group values either way, and materializing
+    // the row-per-input frame only added block-manager pressure.
     val dev = df.join(med, Seq(keyCol))
-      .select(col(keyCol), col("med"),
-        round(abs(col(valCol) - col("med")), 6).as("__absdev"))
-      .localCheckpoint()
+      .withColumn("__absdev", round(abs(col(valCol) - col("med")), 6))
     val mad = dev.groupBy(col(keyCol))
       .agg(round(expr("percentile(__absdev, 0.5)"), 6).as("mad"))
     dev.join(mad, Seq(keyCol))

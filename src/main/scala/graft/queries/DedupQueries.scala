@@ -233,13 +233,15 @@ object DedupQueries {
     val dupes = docs.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val corpus = docs.unionByName(dupes)
-    // ONE materialized distinct shingle frame feeds BOTH arms (r17: each
-    // arm used to build its own k-gram pipeline over the union corpus —
-    // the shingle window is the audit's dominant pre-shuffle work, and
-    // minhash signatures are invariant under the distinct: min and
-    // collect_set ignore duplicate gram rows)
+    // ONE shared (lazy) distinct shingle frame feeds BOTH arms — the
+    // canonical-equal subtree lets runtime exchange reuse share the
+    // distinct shuffle across them, and minhash signatures are invariant
+    // under the distinct (min and collect_set ignore duplicate gram
+    // rows). Deliberately NOT checkpointed: materializing the heavy
+    // gram-string frame measured slower at 10× than recomputing it (r17,
+    // same verdict as ngramJaccardIndexPairs).
     val grams = Dedup.shingleRows(corpus, "doc_id", "text", k = 3)
-      .select(col("__id"), col("__g")).distinct().localCheckpoint()
+      .select(col("__id"), col("__g")).distinct()
     val lsh = Dedup.minhashNearDupPairsFromShingles(grams,
         bands = 4, rowsPerBand = 3, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))

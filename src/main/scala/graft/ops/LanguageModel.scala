@@ -214,6 +214,19 @@ object LanguageModel {
     val pair = model.pair
     val head = model.head
     val vocab = model.vocab
+    // Measured-and-REVERTED (r18): pre-aggregating doc bigrams to
+    // (doc, w1, w2, count) before the model join — the guide §2.3
+    // "aggregate before you shuffle" shape, with the multiplicity folded
+    // back exactly via decimal(27,15)×decimal(10,0) — read isolated
+    // min-of-2 1× 3.29→3.74 s and 10× 3.82→17.4 s (quiet window, control
+    // series attached in OPTIMIZATION_r18.md). Natural-text bigram
+    // multiplicity per doc is ≈1, so the groupBy collapses almost
+    // nothing while ADDING a full exchange + hash build over the
+    // heavy (id, w1, w2) string rows; the model joins broadcast at every
+    // measured scale, so per-occurrence rows never shuffled at all. Same
+    // inversion class as the r17 heavy-payload checkpoints: never
+    // materialize/shuffle variable-length payload frames to save work
+    // that map-side partial aggregation already does.
     val nll = bigramRows(docs, idCol, textCol)
       .join(pair, Seq("w1", "w2"), "left")
       .join(head, Seq("w1"), "left")

@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
 object ExecutedPlan {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // default 8 like ExplainTool; SPARK_GRAFT_CPUS overrides so the c32
+    // (bench-shaped) executed plan can be inspected too
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -610,15 +610,17 @@ object AnnIndex {
       .select(col("qid"), col("s"), col("c"),
         ProductQuantization.l2sq(col("qsv"), col("cvec")).as("partial"))
 
+    // one codegen'd m-lookup sum per (query, probed vector) row against
+    // the broadcast per-query lookup map — bit-identical to the previous
+    // posexplode → join → sum shape (ProductQuantization.adcDistance)
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("approx_l2sq"), col("vec_id"))
     val candidates = postings.join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
-      .join(broadcast(dtable), Seq("qid", "s", "c"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
-        .as("approx_l2sq"))
+      .join(broadcast(ProductQuantization.dtableToMap(dtable)), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        ProductQuantization.adcDistance(col("codes"), col("__dt"), m)
+          .as("approx_l2sq"))
       .withColumn("__rn", row_number().over(wApprox))
       .filter(col("__rn") <= rerank)
       .select(col("qid"), col("vec_id"))
@@ -789,16 +791,16 @@ object AnnIndex {
         .select(col("qid"), col("s"), col("c"),
           ProductQuantization.l2sq(col("qsv"), col("cvec")).as("partial"))
 
+      // same codegen'd ADC lookup as the unfiltered arm (adcDistance)
       val wApprox = Window.partitionBy(col("qid"))
         .orderBy(col("approx_l2sq"), col("vec_id"))
       val candidates = postings
         .join(broadcast(probes.select(col("qid"), col("cid"))), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
-        .join(broadcast(dtable), Seq("qid", "s", "c"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
-          .as("approx_l2sq"))
+        .join(broadcast(ProductQuantization.dtableToMap(dtable)), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          ProductQuantization.adcDistance(col("codes"), col("__dt"), m)
+            .as("approx_l2sq"))
         .withColumn("__rn", row_number().over(wApprox))
         .filter(col("__rn") <= rerank)
         .select(col("qid"), col("vec_id"))

@@ -105,7 +105,12 @@ object Curation {
       .withColumn("__kn", conv(substring(col("shuffle_key"), 1, 15), 16, 10)
         .cast("long"))
       .withColumn("__one", lit(1L))
-    exclusivePrefixSum(keyed, "__kn", idCol, "__one", "__rank")
+    // __kn is a fixed-width md5 prefix — uniform over [0, 16^15) by
+    // construction, so the bucket boundaries are literals and the
+    // percentile pass is skipped (results identical; boundaries only
+    // steer grouping)
+    exclusivePrefixSumUniform(keyed, "__kn", idCol, "__one", "__rank",
+      0.0, math.pow(16.0, 15))
       .select(col(idCol), col("shuffle_key"),
         pmod(col("__rank"), lit(numShards.toLong)).as("shard"),
         floor(col("__rank") / numShards).cast("long").as("pos"))
@@ -180,7 +185,12 @@ object Curation {
       .select(col(srcCol), col("__si"))
     val joined = capped.join(broadcast(srcIdx), Seq(srcCol))
       .withColumn("__one", lit(1L))
-    exclusivePrefixSum(joined, "rk", "__si", "__one", "pos")
+    // rk is a capped rank in [1, k] by construction — literal bounds, no
+    // percentile pass (ranks low in [1, k] are denser when sources run
+    // short of the cap, but bucket skew is bounded by |sources| rows per
+    // rank and never changes values)
+    exclusivePrefixSumUniform(joined, "rk", "__si", "__one", "pos",
+      1.0, k.toDouble + 1.0)
       .select(col("pos"), col(srcCol), col(idCol), col("rk"))
   }
 
@@ -207,8 +217,33 @@ object Curation {
     * equal ordCol land in one bucket, so the in-bucket (ordCol, tieCol)
     * window never splits a tie group across the bucket-prefix join. */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, tieCol: String,
-      valCol: String, outCol: String): DataFrame = {
-    val bounds = Buckets.boundaries(df, ordCol, ScanBuckets)
+      valCol: String, outCol: String): DataFrame =
+    prefixSumWithBounds(df, Buckets.boundaries(df, ordCol, ScanBuckets),
+      ordCol, tieCol, valCol, outCol)
+
+  /** [[exclusivePrefixSum]] for an ordCol the CALLER constructed uniform
+    * over [lo, hi) — e.g. a fixed-width hex hash prefix, or a capped rank
+    * 1..k. Equal-width LITERAL boundaries replace the percentile job, so
+    * the data-dependent boundaries pass (one full upstream execution per
+    * call) disappears; bucket ids only steer grouping, never values, so
+    * results are identical by construction (r17-VERDICT item 6: the
+    * totals pass cannot fold further — materializing the input violates
+    * the r17 heavy-payload rule, and a lazy totals leg re-executes the
+    * upstream inside the job since column pruning makes its exchange
+    * non-canonical with the output leg's — but for hash-uniform keys the
+    * boundaries pass is pure overhead and is now gone). */
+  def exclusivePrefixSumUniform(df: DataFrame, ordCol: String,
+      tieCol: String, valCol: String, outCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(hi > lo, s"exclusivePrefixSumUniform: need hi > lo, got [$lo, $hi)")
+    val bounds = (1 until ScanBuckets)
+      .map(i => lo + (hi - lo) * i.toDouble / ScanBuckets)
+    prefixSumWithBounds(df, bounds, ordCol, tieCol, valCol, outCol)
+  }
+
+  private def prefixSumWithBounds(df: DataFrame, bounds: Seq[Double],
+      ordCol: String, tieCol: String, valCol: String,
+      outCol: String): DataFrame = {
     val parts = df.withColumn("__pid", Buckets.bucketId(col(ordCol), bounds))
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(col(ordCol), col(tieCol))

@@ -95,26 +95,81 @@ object ProductQuantization {
     corpus.sparkSession.createDataFrame(rows).toDF("s", "c", "cvec")
   }
 
-  /** Encode every corpus vector to its m nearest-centroid codes. */
+  /** Collected codebook: (s, c) → centroid subvector, plus the sorted code
+    * ids per subspace. The codebook is a MODEL (m·k·(d/m) floats — the
+    * manifest bounds it), so pulling it to the driver is the
+    * [[ScalarQuant.collectModel]] move, not a data collect; baked as
+    * literals it turns encoding and ADC into pure codegen'd map work. */
+  private def collectCodebook(codebook: DataFrame)
+      : Map[Int, Seq[(Int, Seq[Float])]] =
+    codebook.select(col("s").cast("int"), col("c").cast("int"), col("cvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.map(r => (r._2, r._3)).sortBy(_._1).toSeq
+      }
+
+  /** Encode every corpus vector to its m nearest-centroid codes.
+    *
+    * Pure per-row codegen (r18, guide §2.4 + §4.1): the codebook rides as
+    * LITERAL subvector arrays and the argmin per subspace is
+    * `least(struct(dist, c)…)` — the same (dist asc, c asc) total order as
+    * the previous min_by aggregate, over the same left-fold l2sq doubles,
+    * so codes are bit-identical. The previous shape exploded the corpus to
+    * m·k rows per vector through a broadcast join and TWO keyed
+    * aggregations (two exchanges of |corpus|-scale rows); this one has
+    * ZERO exchanges and ZERO joins — the encode pass is now scan-speed at
+    * any corpus size (r17-VERDICT item 4). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, m: Int): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    corpus.select(col(idCol).as("__id"),
-        explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"), sub(col(vecCol), s, subDim).as("sv"))): _*)).as("__e"))
-      .select(col("__id"), col("__e.s").as("s"), col("__e.sv").as("sv"))
-      .join(broadcast(codebook), Seq("s"))
-      .groupBy(col("__id"), col("s"))
-      // (dist, c) struct ordering: exact-tie distances break to the
-      // lowest code id — encoding is deterministic, oracle-replayable
-      .agg(min_by(col("c"), struct(l2sq(col("sv"), col("cvec")), col("c")))
-        .as("code"))
-      .groupBy(col("__id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        x => x.getField("code")).as("codes"))
-      .select(col("__id").as(idCol), col("codes"))
+    val cb = collectCodebook(codebook)
+    val codes = array((0 until m).map { s =>
+      val cands = cb.getOrElse(s, Seq.empty).map { case (c, cvec) =>
+        struct(l2sq(sub(col(vecCol), s, subDim), lit(cvec.toArray)).as("d"),
+          lit(c).as("c"))
+      }
+      require(cands.nonEmpty, s"encode: codebook has no centroids for subspace $s")
+      val best = if (cands.size == 1) cands.head else least(cands: _*)
+      best.getField("c")
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Per-query ADC lookup map (qid, __dt): the (s, c, partial) distance
+    * table folded to ONE map per query keyed s·CodeSlot + c — query-count
+    * rows, broadcast-sized by construction. */
+  private[ops] val CodeSlot = 1L << 21
+  private[ops] def dtableToMap(dtable: DataFrame): DataFrame =
+    dtable.groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("s").cast("long") * CodeSlot + col("c").cast("long")).as("k"),
+        col("partial").as("v")))).as("__dt"))
+
+  /** Codegen'd ADC distance: Σ_s dt[s·CodeSlot + codes[s]] as a BALANCED
+    * decimal add tree — one whole-stage-codegen expression per candidate
+    * row instead of the previous posexplode → m-way broadcast probe →
+    * hash re-aggregation of (qid, vec_id)·m rows (r17-VERDICT item 4).
+    * Exactness: each partial is rounded double→decimal(…,18) exactly as
+    * the previous sum's cast did; decimal adds are exact, and the
+    * balanced tree grows precision by 1 per level (13 integer digits at
+    * the leaves + ⌈log₂ 128⌉ = 38 max), so no Spark precision-loss
+    * adjustment ever fires and the total equals the aggregate sum bit for
+    * bit. Leaf bound: a partial ≥ 1e13 would overflow the leaf cast —
+    * partials are squared L2 of unit-scale float subvectors, orders of
+    * magnitude below it. */
+  private[ops] def adcDistance(codes: Column, dt: Column, m: Int): Column = {
+    require(m >= 1 && m <= 128, s"adcDistance: m must be in [1, 128], got $m")
+    def bal(ts: Seq[Column]): Column =
+      if (ts.size == 1) ts.head
+      else bal(ts.grouped(2).map(_.reduce(_ + _)).toSeq)
+    bal((0 until m).map(s =>
+      element_at(dt,
+        element_at(codes, s + 1).cast("long") + lit(s.toLong * CodeSlot))
+        .cast("decimal(31,18)"))).cast("double")
   }
 
   /** ADC top-k: approximate L2² ranking via code lookups, then exact
@@ -137,16 +192,16 @@ object ProductQuantization {
       .join(broadcast(codebook), Seq("s"))
       .select(col("qid"), col("s"), col("c"), l2sq(col("qsv"), col("cvec")).as("partial"))
 
-    // candidate scoring: explode codes, look up partials, sum per (qid, id)
-    val exploded = codes.select(col(idCol).as("vec_id"),
-      posexplode(col("codes")).as(Seq("s", "c")))
-    // decimal partial sum: associative, so partial-merge fetch order
-    // can't wiggle low bits and flip a rerank-boundary candidate
-    val approx = exploded.join(broadcast(dtable), Seq("s", "c"))
+    // candidate scoring: one codegen'd m-lookup sum per (query, vector)
+    // row against the broadcast per-query lookup map — no posexplode, no
+    // (qid, vec_id)·m re-aggregation exchange; the balanced decimal tree
+    // keeps the sum bit-identical to the previous aggregate (see
+    // adcDistance)
+    val approx = codes.select(col(idCol).as("vec_id"), col("codes"))
+      .crossJoin(broadcast(dtableToMap(dtable)))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
-        .as("approx_l2sq"))
+      .select(col("qid"), col("vec_id"),
+        adcDistance(col("codes"), col("__dt"), m).as("approx_l2sq"))
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("approx_l2sq"), col("vec_id"))
     val candidates = approx.withColumn("__rn", row_number().over(wApprox))
@@ -236,16 +291,16 @@ object ProductQuantization {
       .join(broadcast(codebook), Seq("s"))
       .select(col("qid"), col("s"), col("c"), l2sq(col("qsv"), col("cvec")).as("partial"))
 
-    // ADC over probed cells only
+    // ADC over probed cells only — one codegen'd m-lookup sum per
+    // (query, probed vector) row (see adcDistance; bit-identical to the
+    // previous posexplode → join → sum shape)
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("approx_l2sq"), col("vec_id"))
     val candidates = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("s", "c")))
-      .join(broadcast(dtable), Seq("qid", "s", "c"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("partial").cast("decimal(38,18)")).cast("double")
-        .as("approx_l2sq"))
+      .join(broadcast(dtableToMap(dtable)), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        adcDistance(col("codes"), col("__dt"), m).as("approx_l2sq"))
       .withColumn("__rn", row_number().over(wApprox))
       .filter(col("__rn") <= rerank)
       .select(col("qid"), col("vec_id"))

@@ -60,6 +60,22 @@ class CurationSpec extends SparkSpec {
     assert(got.count() == df.count())
   }
 
+  test("exclusivePrefixSumUniform (literal bounds) equals the percentile-" +
+      "bucketed form, including values outside the declared range") {
+    val df = spark.range(5000).toDF("i")
+      .select((col("i") * col("i") % 100003).as("ord"), (col("i") % 97).as("v"))
+      .groupBy("ord").agg(sum("v").as("v"))
+    val got = Curation.exclusivePrefixSumUniform(
+      df, "ord", "ord", "v", "ps", 0.0, 100003.0)
+    val want = Curation.exclusivePrefixSum(df, "ord", "v", "ps2")
+    assert(got.join(want, "ord").filter(col("ps") =!= col("ps2")).count() == 0)
+    assert(got.count() == df.count())
+    // a deliberately WRONG range only skews buckets, never values
+    val off = Curation.exclusivePrefixSumUniform(
+      df, "ord", "ord", "v", "ps", 50000.0, 60000.0)
+    assert(off.join(want, "ord").filter(col("ps") =!= col("ps2")).count() == 0)
+  }
+
   test("epochShardAssign: permutation, exact balance, determinism, seeds differ") {
     val ids = spark.range(1000).toDF("id")
     val got = Curation.epochShardAssign(ids, "id", seed = 7L, numShards = 16)
